@@ -1,0 +1,64 @@
+"""Central query registry: name -> (callable, oracle SQL | None).
+
+``__spark_entry__.py`` derives its ``queries()`` / ``oracle_sql()`` dicts
+from here; tests iterate it for oracle-parity checks. Keep every operator
+from SURVEY.md §2.C represented.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .operators import relational as R
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+#: name -> (query fn, DuckDB oracle SQL or None for rows-only checks)
+REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
+    # scan → filter → agg → sort (flagship)
+    "q1_pricing_summary": (R.q1_pricing_summary, R.Q1_PRICING_SUMMARY_SQL),
+    # filters
+    "filter_predicates": (R.filter_predicates, R.FILTER_PREDICATES_SQL),
+    "filter_like": (R.filter_like, R.FILTER_LIKE_SQL),
+    # joins
+    "join_inner": (R.join_inner, R.JOIN_INNER_SQL),
+    "join_broadcast_dims": (R.join_broadcast_dims, R.JOIN_BROADCAST_DIMS_SQL),
+    "join_left_outer": (R.join_left_outer, R.JOIN_LEFT_OUTER_SQL),
+    "join_semi": (R.join_semi, R.JOIN_SEMI_SQL),
+    "join_anti": (R.join_anti, R.JOIN_ANTI_SQL),
+    "join_full_outer": (R.join_full_outer, R.JOIN_FULL_OUTER_SQL),
+    "join_range": (R.join_range, R.JOIN_RANGE_SQL),
+    # aggregation
+    "agg_grouped": (R.agg_grouped, R.AGG_GROUPED_SQL),
+    "agg_rollup": (R.agg_rollup, R.AGG_ROLLUP_SQL),
+    "agg_cube": (R.agg_cube, R.AGG_CUBE_SQL),
+    "agg_count_distinct": (R.agg_count_distinct, R.AGG_COUNT_DISTINCT_SQL),
+    "agg_approx": (R.agg_approx, None),  # sketches: rows-only by design
+    # windows
+    "window_topk_per_group": (R.window_topk_per_group, R.WINDOW_TOPK_PER_GROUP_SQL),
+    "window_lag_lead": (R.window_lag_lead, R.WINDOW_LAG_LEAD_SQL),
+    "window_running_sum": (R.window_running_sum, R.WINDOW_RUNNING_SUM_SQL),
+    "window_rank_dense": (R.window_rank_dense, R.WINDOW_RANK_DENSE_SQL),
+    # sort / limit / set ops
+    "sort_limit_topn": (R.sort_limit_topn, R.SORT_LIMIT_TOPN_SQL),
+    "set_union_distinct": (R.set_union_distinct, R.SET_UNION_DISTINCT_SQL),
+    "set_intersect": (R.set_intersect, R.SET_INTERSECT_SQL),
+    "set_except": (R.set_except, R.SET_EXCEPT_SQL),
+    "distinct_pairs": (R.distinct_pairs, R.DISTINCT_PAIRS_SQL),
+    # multi-join analytics
+    "q3_shipping_priority": (R.q3_shipping_priority, R.Q3_SHIPPING_PRIORITY_SQL),
+    "q5_local_supplier_volume": (
+        R.q5_local_supplier_volume,
+        R.Q5_LOCAL_SUPPLIER_VOLUME_SQL,
+    ),
+}
+
+
+def queries() -> dict[str, QueryFn]:
+    return {name: fn for name, (fn, _) in REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: sql for name, (_, sql) in REGISTRY.items() if sql is not None}

@@ -1,0 +1,60 @@
+"""SparkSession factory.
+
+The reference builds its session with only S3A/MinIO credentials and no
+tuning (kafka_to_s3_enhanced.py:56-65, kafka_to_s3_batch.py:46-55). Here the
+session is configured for analytic work: AQE on (runtime coalescing + skew
+join handling), UTC session timezone (so timestamp results are
+oracle-comparable), Arrow for the pandas-UDF path, and a shuffle-partition
+count sized to the local core count but meant to be overridden on a real
+cluster.
+
+At 100 TB these settings are the starting point, not the ceiling:
+`spark.sql.shuffle.partitions` should be ~2-3× total executor cores (AQE
+coalesces the excess), `maxPartitionBytes` keeps scan tasks ~128 MB, and
+broadcast threshold is raised so dimension tables (region/nation/supplier)
+never shuffle.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "cdc-spark-engine",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the engine's SparkSession.
+
+    Local tests run ``local[$SPARK_GRAFT_CPUS]``; on a cluster, pass
+    ``master=None`` with an externally-configured session and this only
+    applies the SQL-level configs.
+    """
+    cpus = DEFAULT_CPUS
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    if master is not None:
+        builder = builder.master(master)
+    elif not os.environ.get("SPARK_GRAFT_NO_MASTER"):
+        builder = builder.master(f"local[{cpus}]")
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
