@@ -116,7 +116,7 @@ def filter_like(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LIKE pattern filter (prefix pattern → pushdown-eligible StartsWith)."""
     p = load_table(spark, sf_dir, "part")
     return (
-        p.filter(F.col("p_type").like("%BRASS%") & F.col("p_name").like("p%"))
+        p.filter(F.col("p_type").like("%ECO%") & F.col("p_name").like("s%"))
         .select("p_partkey", "p_name", "p_type", "p_size")
     )
 
@@ -124,7 +124,7 @@ def filter_like(spark: SparkSession, sf_dir: str) -> DataFrame:
 FILTER_LIKE_SQL = """
 SELECT p_partkey, p_name, p_type, p_size
 FROM part
-WHERE p_type LIKE '%BRASS%' AND p_name LIKE 'p%'
+WHERE p_type LIKE '%ECO%' AND p_name LIKE 's%'
 """
 
 
@@ -246,9 +246,9 @@ WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGE
 
 
 def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Customers with no orders at all (LEFT ANTI)."""
+    """Customers with no urgent orders (LEFT ANTI against a filtered fact)."""
     c = load_table(spark, sf_dir, "customer")
-    o = load_table(spark, sf_dir, "orders")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
         "c_custkey", "c_name", "c_acctbal"
     )
@@ -257,7 +257,7 @@ def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
 JOIN_ANTI_SQL = """
 SELECT c_custkey, c_name, c_acctbal
 FROM customer
-WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
 """
 
 
@@ -646,21 +646,20 @@ ORDER BY nationkey
 
 
 def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXCEPT: nations with customers but no suppliers."""
-    c = load_table(spark, sf_dir, "customer").select(
-        F.col("c_nationkey").alias("nationkey")
-    )
-    s = load_table(spark, sf_dir, "supplier").select(
-        F.col("s_nationkey").alias("nationkey")
-    )
-    return c.subtract(s).orderBy("nationkey")
+    """EXCEPT (distinct): customers with finished orders but no open ones.
+    Spark's ``subtract`` has exactly SQL EXCEPT semantics (``exceptAll``
+    is the bag variant and is NOT equivalent)."""
+    o = load_table(spark, sf_dir, "orders")
+    f = o.filter(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("custkey"))
+    op = o.filter(F.col("o_orderstatus") == "O").select(F.col("o_custkey").alias("custkey"))
+    return f.subtract(op).orderBy("custkey")
 
 
 SET_EXCEPT_SQL = """
-SELECT c_nationkey AS nationkey FROM customer
+SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
 EXCEPT
-SELECT s_nationkey AS nationkey FROM supplier
-ORDER BY nationkey
+SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+ORDER BY custkey
 """
 
 
