@@ -1,0 +1,392 @@
+"""Document deduplication: exact, n-gram Jaccard, MinHash+LSH, SimHash,
+embedding-cosine — over the `documents` / `embeddings` testdata tables.
+
+The reference pipeline has no dedup at all (SURVEY.md §2.C); these are the
+north-star LLM-data operators, each built Spark-first:
+
+  * exact       — hash-groupBy on content; one shuffle, map-side partial agg.
+  * n-gram      — posting-list (inverted-index) self-join on word-3-gram
+                  shingles: candidate pairs share ≥1 shingle, so the join
+                  replaces the O(n²) cross product with Σ|posting list|².
+  * MinHash+LSH — hand-rolled 32-permutation signatures (xxhash64 family),
+                  8 bands × 4 rows banding join, exact-Jaccard verify on the
+                  candidates. The 100 TB path: signature state is fixed-size
+                  per doc, banding keys shuffle-partition evenly.
+  * SimHash     — 64-bit weighted fingerprint via higher-order array ops,
+                  16-bit block banding, Hamming≤K verify with xor+bit_count.
+  * cosine      — near-dup pairs over `embeddings` above a cosine threshold.
+
+Everything is pure DataFrame/Catalyst (zero Python UDFs): shingling and
+signatures are higher-order array expressions (transform/zip_with/aggregate),
+joins are plain equi-joins, so whole-stage codegen covers the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+
+#: Word-shingle width for n-gram / MinHash / SimHash dedup.
+SHINGLE_N = 3
+#: MinHash signature length and LSH banding (32 = 8 bands x 4 rows).
+MINHASH_PERMS = 32
+LSH_BANDS = 8
+LSH_ROWS = MINHASH_PERMS // LSH_BANDS
+#: Jaccard threshold used by both the exact n-gram pass and LSH verify.
+JACCARD_THRESHOLD = 0.5
+#: SimHash Hamming-distance threshold (out of 64 bits).
+SIMHASH_HAMMING_MAX = 6
+#: Embedding near-dup cosine threshold (synthetic testdata tops out ~0.51,
+#: so 0.40 yields a small non-empty pair set at every sf).
+COSINE_DUP_THRESHOLD = 0.40
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup.
+# ---------------------------------------------------------------------------
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact content dedup over a simulated re-crawl (corpus ∪ corpus).
+
+    groupBy(content) with min-id survivor choice: single shuffle on the
+    content hash, partial aggregation map-side. At 100 TB, group on
+    ``xxhash64(text)`` instead of the raw text to shrink shuffle width —
+    semantics identical modulo 2^-64 collisions."""
+    d = load_table(spark, sf_dir, "documents")
+    corpus = d.unionByName(d)  # re-crawl: every doc appears twice
+    return (
+        corpus.groupBy("text")
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .select("doc_id", "n_copies")
+        .orderBy("doc_id")
+    )
+
+
+DEDUP_EXACT_SQL = """
+SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
+FROM (SELECT * FROM documents UNION ALL SELECT * FROM documents)
+GROUP BY text
+ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Shingling (shared by n-gram / MinHash / SimHash).
+# ---------------------------------------------------------------------------
+
+def _shingled(df: DataFrame) -> DataFrame:
+    """(doc_id, shingle) — distinct word-3-gram shingles per document.
+
+    Pure higher-order expression: split → transform(sequence) → explode.
+    Stays inside codegen; no Python crosses the boundary."""
+    n = SHINGLE_N
+    return (
+        df.select(
+            "doc_id",
+            F.expr(
+                f"""
+                array_distinct(transform(
+                  sequence(1, greatest(size(split(text, ' ')) - {n - 1}, 0)),
+                  i -> concat_ws(' ',
+                         slice(split(text, ' '), i, {n}))
+                ))
+                """
+            ).alias("shingles"),
+        )
+        .select("doc_id", F.explode("shingles").alias("shingle"))
+    )
+
+
+#: DuckDB twin of `_shingled` (generate_series list + inclusive slicing).
+_SHINGLED_SQL = """
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(
+           generate_series(1, greatest(len(toks) - {nm1}, 0)),
+           i -> array_to_string(toks[i : i + {nm1}], ' '))) AS shingle
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+""".format(nm1=SHINGLE_N - 1)
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard dedup (posting-list join; fully oracle-checkable).
+# ---------------------------------------------------------------------------
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs with word-3-gram Jaccard ≥ 0.5.
+
+    Inverted-index self-join: pairs are generated only for docs sharing a
+    shingle, then Jaccard = |∩| / (|A|+|B|-|∩|) from exact distinct counts
+    (integer-exact, so the double division is bit-identical to the oracle).
+    At scale, cap posting-list length (drop stop-shingles) or switch to the
+    MinHash+LSH variant below."""
+    d = load_table(spark, sf_dir, "documents")
+    # The shingle set feeds three plan branches (two join sides + sizes);
+    # caching avoids re-deriving it per branch. At 100 TB the equivalent is
+    # materializing the shingle/posting table to storage once per corpus.
+    sh = _shingled(d).persist()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(b, "shingle")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+        )
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", "jaccard")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+DEDUP_NGRAM_JACCARD_SQL = f"""
+WITH sh AS ({_SHINGLED_SQL}),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       n_common / (sa.n_sh + sb.n_sh - n_common) AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= {JACCARD_THRESHOLD}
+ORDER BY doc_a, doc_b
+"""
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH dedup.
+# ---------------------------------------------------------------------------
+
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, sig array<bigint>[32]) MinHash signatures.
+
+    The permutation family is ``xxhash64(shingle, i)`` for i in 0..31 —
+    evaluated as 32 parallel `min` aggregates over the exploded shingle set:
+    one shuffle, map-side partial mins, fixed-size state per doc."""
+    d = load_table(spark, sf_dir, "documents")
+    sh = _shingled(d).persist()
+    mins = sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.expr(f"xxhash64(shingle, {i})")).alias(f"h{i}")
+            for i in range(MINHASH_PERMS)
+        ]
+    )
+    return mins.select(
+        "doc_id",
+        F.array(*[F.col(f"h{i}") for i in range(MINHASH_PERMS)]).alias("sig"),
+    )
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs via MinHash banding + exact-Jaccard verification.
+
+    Candidates = docs agreeing on all 4 signature rows of ≥1 of 8 bands
+    (hash of the band slice is the LSH bucket key). Each candidate pair is
+    then verified with exact shingle Jaccard, so output ⊆ dedup_ngram_jaccard
+    with recall governed by the banding S-curve. Rows-only check (the hash
+    family is not expressible in the DuckDB oracle); pytest asserts the
+    subset/recall properties."""
+    sigs = minhash_signatures(spark, sf_dir)
+    bands = sigs.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        F.lit(band),
+                        *[
+                            F.element_at("sig", band * LSH_ROWS + r + 1)
+                            for r in range(LSH_ROWS)
+                        ],
+                    )
+                    for band in range(LSH_BANDS)
+                ]
+            )
+        ).alias("band", "bucket"),
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    candidates = (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+
+    # Exact-Jaccard verify on the candidate pairs only. One cached shingle
+    # materialization feeds both verify-join sides and the size table.
+    d = load_table(spark, sf_dir, "documents")
+    sh = _shingled(d).persist()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    sha = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingle").alias("sh_a"))
+    shb = sh.select(F.col("doc_id").alias("rhs_doc"), F.col("shingle").alias("sh_b"))
+    common = (
+        candidates.join(sha, "doc_a")
+        .join(shb, (F.col("doc_b") == F.col("rhs_doc")) & (F.col("sh_a") == F.col("sh_b")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+        )
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", "jaccard")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash dedup.
+# ---------------------------------------------------------------------------
+
+def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, p0..p3) 64-bit SimHash as four 16-bit parts.
+
+    Per shingle: 64-vector of ±1 from the bits of xxhash64(shingle);
+    summed elementwise per doc (aggregate+zip_with — order-independent
+    integer sums), sign → bit. Stored as four 16-bit ints so banding and
+    Hamming distance are plain integer ops."""
+    d = load_table(spark, sf_dir, "documents")
+    sh = _shingled(d).withColumn("h", F.expr("xxhash64(shingle)"))
+    # 64 parallel ±1 sums (flat aggregates → map-side partial agg, full
+    # codegen; far faster than a collect_list + array fold).
+    bitsums = sh.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.expr(f"CASE WHEN (shiftright(h, {j}) & 1L) = 1L THEN 1 ELSE -1 END")
+            ).alias(f"s{j}")
+            for j in range(64)
+        ]
+    )
+    parts = [
+        F.expr(
+            " + ".join(
+                f"(CASE WHEN s{16 * p + k} >= 0 THEN {1 << (15 - k)}L ELSE 0L END)"
+                for k in range(16)
+            )
+        ).alias(f"p{p}")
+        for p in range(4)
+    ]
+    return bitsums.select("doc_id", *parts)
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs with SimHash Hamming distance ≤ 6 (of 64 bits).
+
+    Candidate generation: exact match on ≥1 of the four 16-bit blocks
+    (pigeonhole: Hamming ≤ 6 ⇒ at least one untouched block... with 4 blocks
+    this holds for distance ≤ 3 strictly; ≤6 keeps high—not perfect—recall,
+    the standard block-candidate trade-off). Verify = popcount of xor."""
+    sigs = simhash_signatures(spark, sf_dir).persist()  # both self-join sides
+    blocks = sigs.select(
+        "doc_id",
+        "p0",
+        "p1",
+        "p2",
+        "p3",
+        F.posexplode(F.array("p0", "p1", "p2", "p3")).alias("block", "key"),
+    )
+    a = blocks.alias("a")
+    b = blocks.alias("b")
+    cand = (
+        a.join(b, ["block", "key"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            *[F.col(f"a.p{p}").alias(f"a{p}") for p in range(4)],
+            *[F.col(f"b.p{p}").alias(f"b{p}") for p in range(4)],
+        )
+        .distinct()
+    )
+    hamming = sum(
+        F.bit_count(F.col(f"a{p}").bitwiseXOR(F.col(f"b{p}"))) for p in range(4)
+    )
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= SIMHASH_HAMMING_MAX)
+        .select("doc_a", "doc_b", "hamming")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-dup.
+# ---------------------------------------------------------------------------
+
+def _with_norm(df: DataFrame) -> DataFrame:
+    """Add unit-norm denominator; dot products use zip_with+aggregate
+    (sequential fold → deterministic double sums)."""
+    return df.select(
+        "vec_id",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v"),
+    ).withColumn(
+        "norm",
+        F.expr("sqrt(aggregate(v, 0D, (acc, x) -> acc + x * x))"),
+    )
+
+
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup id pairs with cosine(embedding) ≥ 0.40.
+
+    Brute-force upper-triangle pair join — correct baseline at test scale;
+    the 100 TB path is the LSH-bucketed variant (similarity.ann_lsh_topk)
+    which replaces the O(n²) pair space with per-bucket joins. Emits only
+    the id pair (no float column) so the oracle hash-compare is exact."""
+    e = _with_norm(load_table(spark, sf_dir, "embeddings"))
+    a = e.select(
+        F.col("vec_id").alias("id_a"), F.col("v").alias("va"), F.col("norm").alias("na")
+    )
+    b = e.select(
+        F.col("vec_id").alias("id_b"), F.col("v").alias("vb"), F.col("norm").alias("nb")
+    )
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    cos = F.expr("aggregate(zip_with(va, vb, (x, y) -> x * y), 0D, (acc, x) -> acc + x)") / (
+        F.col("na") * F.col("nb")
+    )
+    return (
+        pairs.withColumn("cosine", cos)
+        .filter(F.col("cosine") >= COSINE_DUP_THRESHOLD)
+        .select("id_a", "id_b")
+        .orderBy("id_a", "id_b")
+    )
+
+
+DEDUP_EMBEDDING_COSINE_SQL = f"""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+      >= {COSINE_DUP_THRESHOLD}
+ORDER BY id_a, id_b
+"""

@@ -1,0 +1,222 @@
+"""Vector similarity search over the `embeddings` table (array<float>).
+
+Two paths, per the standard ANN playbook:
+
+  * brute-force top-k — exact cosine via higher-order array expressions
+    (zip_with product + sequential aggregate fold → deterministic doubles),
+    ranked per query with a window. O(Q·N) pairs: the correctness baseline,
+    and still the right plan when Q is small (broadcast the queries).
+  * LSH-bucketed top-k — 16 random-hyperplane signs → bucket key; candidate
+    pairs only within a bucket (multi-band), exact cosine re-rank on the
+    survivors. The 100 TB path: the N×N pair space becomes Σ|bucket|².
+
+No Python UDFs anywhere — the dot product stays in codegen. The hyperplanes
+are seeded Python constants (deterministic across runs) shipped as a literal
+broadcast table.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+
+#: Number of query vectors (lowest ids) and neighbors returned.
+ANN_N_QUERIES = 20
+ANN_TOP_K = 5
+
+#: Random-hyperplane LSH: 18 planes = 6 bands × 3 bits, 64 dims each.
+#: Tuned for the synthetic corpus where true neighbors sit at cosine ~0.3
+#: (θ≈73°): P(band match) ≈ (1-θ/π)³ ≈ 0.2, P(≥1 of 6 bands) ≈ 0.74.
+LSH_PLANES = 18
+LSH_BAND_BITS = 3
+LSH_N_BANDS = LSH_PLANES // LSH_BAND_BITS
+EMBEDDING_DIM = 64
+
+_rng = random.Random(42)
+#: plane_id -> 64 coefficients in [-1, 1), fixed at import (seeded).
+HYPERPLANES: list[list[float]] = [
+    [_rng.uniform(-1.0, 1.0) for _ in range(EMBEDDING_DIM)] for _ in range(LSH_PLANES)
+]
+
+
+def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embeddings as (vec_id, v: array<double>, norm)."""
+    return (
+        load_table(spark, sf_dir, "embeddings")
+        .select(
+            "vec_id",
+            F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v"),
+        )
+        .withColumn("norm", F.expr("sqrt(aggregate(v, 0D, (acc, x) -> acc + x * x))"))
+    )
+
+
+_DOT = "aggregate(zip_with(qv, nv, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"
+
+
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 neighbors for the 20 lowest-id vectors.
+
+    The query side is tiny → broadcast; the corpus scans once. Emits
+    (query_id, rank, neighbor_id) — ints only, so the oracle hash-compare
+    is exact (the float similarity stays internal; ties are broken by
+    neighbor id)."""
+    vecs = _vectors(spark, sf_dir)
+    q = vecs.filter(F.col("vec_id") < ANN_N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("norm").alias("qn"),
+    )
+    n = vecs.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("v").alias("nv"),
+        F.col("norm").alias("nn"),
+    )
+    scored = (
+        F.broadcast(q)
+        .join(n, F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", F.expr(_DOT) / (F.col("qn") * F.col("nn")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= ANN_TOP_K)
+        .select("query_id", "rank", "neighbor_id")
+        .orderBy("query_id", "rank")
+    )
+
+
+ANN_COSINE_TOPK_SQL = f"""
+SELECT query_id, rank, neighbor_id
+FROM (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY a.vec_id
+           ORDER BY list_cosine_similarity(a.embedding::DOUBLE[],
+                                           b.embedding::DOUBLE[]) DESC,
+                    b.vec_id ASC) AS rank
+  FROM embeddings a JOIN embeddings b ON a.vec_id != b.vec_id
+  WHERE a.vec_id < {ANN_N_QUERIES}
+)
+WHERE rank <= {ANN_TOP_K}
+ORDER BY query_id, rank
+"""
+
+
+def _bucketed(vecs: DataFrame) -> DataFrame:
+    """Add (band, bucket) rows per vector: sign-bit signature of the 16
+    hyperplane dot products, split into 4 bands of 4 bits."""
+    plane_cols = [
+        F.expr(
+            "aggregate(zip_with(v, array({coeffs}), (x, h) -> x * h), 0D,"
+            " (acc, x) -> acc + x) >= 0D".format(
+                coeffs=", ".join(f"{c}D" for c in HYPERPLANES[p])
+            )
+        ).cast("long")
+        for p in range(LSH_PLANES)
+    ]
+    sig = vecs.withColumn("bits", F.array(*plane_cols))
+    bands = [
+        F.expr(
+            f"aggregate(slice(bits, {LSH_BAND_BITS * b + 1}, {LSH_BAND_BITS}),"
+            " 0L, (acc, x) -> acc * 2 + x)"
+        ).alias(f"band{b}")
+        for b in range(LSH_N_BANDS)
+    ]
+    return sig.select("vec_id", "v", "norm", *bands).select(
+        "vec_id",
+        "v",
+        "norm",
+        F.posexplode(F.array(*[F.col(f"band{b}") for b in range(LSH_N_BANDS)])).alias(
+            "band", "bucket"
+        ),
+    )
+
+
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-5 via random-hyperplane LSH + exact re-rank.
+
+    Candidates = corpus vectors sharing ≥1 of 4 LSH bands with the query;
+    exact cosine re-ranks only those. Recall vs the brute-force baseline is
+    bounded in pytest (deterministic hyperplanes). Rows-only check: the
+    hash-bucket candidate set is not expressible in the SQL oracle."""
+    vecs = _vectors(spark, sf_dir)
+    b = _bucketed(vecs).persist()  # feeds both the query and corpus side
+    q = b.filter(F.col("vec_id") < ANN_N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("norm").alias("qn"),
+        "band",
+        "bucket",
+    )
+    n = b.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("v").alias("nv"),
+        F.col("norm").alias("nn"),
+        "band",
+        "bucket",
+    )
+    cand = (
+        q.join(n, ["band", "bucket"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "qv", "qn", "neighbor_id", "nv", "nn")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = cand.withColumn("cosine", F.expr(_DOT) / (F.col("qn") * F.col("nn")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= ANN_TOP_K)
+        .select("query_id", "rank", "neighbor_id")
+        .orderBy("query_id", "rank")
+    )
+
+
+def knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN majority-vote label prediction for the query vectors — the
+    classic downstream consumer of the ANN result: top-5 neighbors' labels,
+    majority with lowest-label tie-break. Oracle-checkable end-to-end."""
+    topk = ann_cosine_topk(spark, sf_dir)
+    labels = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("neighbor_id"), "label"
+    )
+    votes = (
+        topk.join(F.broadcast(labels), "neighbor_id")
+        .groupBy("query_id", "label")
+        .agg(F.count(F.lit(1)).alias("votes"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("votes").desc(), F.col("label").asc()
+    )
+    return (
+        votes.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("query_id", F.col("label").alias("predicted_label"), "votes")
+        .orderBy("query_id")
+    )
+
+
+KNN_LABEL_VOTE_SQL = f"""
+WITH topk AS ({ANN_COSINE_TOPK_SQL.replace("ORDER BY query_id, rank", "")}),
+votes AS (
+  SELECT query_id, label, COUNT(*) AS votes
+  FROM topk JOIN embeddings ON neighbor_id = vec_id
+  GROUP BY query_id, label
+)
+SELECT query_id, label AS predicted_label, votes
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY votes DESC, label ASC) AS rn
+  FROM votes
+)
+WHERE rn = 1
+ORDER BY query_id
+"""

@@ -1,0 +1,267 @@
+"""Text analysis over `documents`: token stats, BPE-ish token counting,
+language-ID scoring, quality scoring, content fingerprinting.
+
+All pure built-in expressions (split/regexp/md5/higher-order array fns) —
+the hot path never leaves the JVM, and every query has a DuckDB oracle twin
+computing the identical expression tree (integer-derived doubles only, so
+hash comparison is exact).
+
+At 100 TB these are embarrassingly parallel map-only passes: no shuffle at
+all except the final optional ordering, so they scale linearly with input
+splits and stay inside whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+
+#: Tiny per-language marker lexicons for the n-gram/stopword language-ID
+#: heuristic. The synthetic corpus shares one vocabulary across langs, so
+#: predictions are a deterministic function of token mix — the operator
+#: (scoring + argmax plumbing), not the lexicon, is what's exercised.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "table", "row"),
+    "es": ("data", "valor", "value", "customer"),
+    "de": ("der", "die", "hash", "batch"),
+    "fr": ("le", "la", "merge", "scan"),
+    "zh": ("join", "window", "stream", "key"),
+}
+
+#: Stopwords for the quality score's stopword-ratio component.
+STOPWORDS = ("the", "a", "of", "and")
+
+#: BPE-ish token pattern: runs of letters, runs of digits, or a single
+#: non-alphanumeric non-space symbol — a regex approximation of byte-pair
+#: pre-tokenization.
+BPE_PATTERN = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"
+
+
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token statistics: counts, distinct counts, lengths.
+
+    Map-only: split + array fns; deterministic int-derived doubles."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    return d.select(
+        "doc_id",
+        "lang",
+        F.length("text").alias("n_chars_measured"),
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+        (
+            F.length(F.regexp_replace("text", " ", "")).cast("double") / F.size(toks)
+        ).alias("avg_token_len"),
+        F.size(F.expr(f"regexp_extract_all(text, '{BPE_PATTERN}', 0)")).alias(
+            "n_bpe_tokens"
+        ),
+    ).orderBy("doc_id")
+
+
+TEXT_TOKEN_STATS_SQL = f"""
+SELECT doc_id, lang,
+       length(text) AS n_chars_measured,
+       len(string_split(text, ' ')) AS n_tokens,
+       len(list_distinct(string_split(text, ' '))) AS n_distinct_tokens,
+       CAST(length(replace(text, ' ', '')) AS DOUBLE)
+         / len(string_split(text, ' ')) AS avg_token_len,
+       len(regexp_extract_all(text, '{BPE_PATTERN}')) AS n_bpe_tokens
+FROM documents
+ORDER BY doc_id
+"""
+
+
+def _marker_score(markers: tuple[str, ...]):
+    """# tokens (with multiplicity) that are in the marker set."""
+    arr = ", ".join(f"'{m}'" for m in markers)
+    return F.expr(
+        f"size(filter(split(text, ' '), t -> array_contains(array({arr}), t)))"
+    )
+
+
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID: score each language's marker lexicon against the token
+    stream, argmax with a fixed precedence chain (en>es>de>fr>zh) — the
+    same CASE chain the oracle runs, so the prediction is bit-stable."""
+    d = load_table(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        *[
+            _marker_score(LANG_MARKERS[lang]).alias(f"s_{lang}")
+            for lang in LANG_MARKERS
+        ],
+    )
+    langs = list(LANG_MARKERS)
+    pred = None
+    for lang in langs:
+        cond = None
+        for other in langs:
+            if other == lang:
+                continue
+            c = F.col(f"s_{lang}") >= F.col(f"s_{other}")
+            cond = c if cond is None else (cond & c)
+        pred = (
+            F.when(cond, F.lit(lang)) if pred is None else pred.when(cond, F.lit(lang))
+        )
+    return (
+        scored.withColumn("predicted_lang", pred)
+        .select(
+            "doc_id",
+            "labeled_lang",
+            *[f"s_{lang}" for lang in langs],
+            "predicted_lang",
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _lang_id_sql() -> str:
+    langs = list(LANG_MARKERS)
+    score_cols = []
+    for lang in langs:
+        arr = ", ".join(f"'{m}'" for m in LANG_MARKERS[lang])
+        score_cols.append(
+            f"len(list_filter(string_split(text, ' '), "
+            f"t -> list_contains([{arr}], t))) AS s_{lang}"
+        )
+    whens = []
+    for lang in langs:
+        conds = " AND ".join(
+            f"s_{lang} >= s_{other}" for other in langs if other != lang
+        )
+        whens.append(f"WHEN {conds} THEN '{lang}'")
+    return f"""
+WITH scored AS (
+  SELECT doc_id, lang AS labeled_lang, {", ".join(score_cols)}
+  FROM documents
+)
+SELECT doc_id, labeled_lang, {", ".join(f"s_{lang}" for lang in langs)},
+       CASE {" ".join(whens)} END AS predicted_lang
+FROM scored
+ORDER BY doc_id
+"""
+
+
+TEXT_LANG_ID_SQL = _lang_id_sql()
+
+
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite quality score: length, stopword ratio, lexical diversity.
+
+    score = 0.4·min(n_chars/500, 1) + 0.3·(1 − stop_ratio) + 0.3·uniq_ratio
+    — every term is an int-ratio double and the combination is written with
+    the same association order in both engines, so values hash-match."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    stop_arr = ", ".join(f"'{s}'" for s in STOPWORDS)
+    n_tokens = F.size(toks)
+    stop_hits = F.expr(
+        f"size(filter(split(text, ' '), t -> array_contains(array({stop_arr}), t)))"
+    )
+    uniq = F.size(F.array_distinct(toks))
+    len_score = F.least(F.length("text").cast("double") / F.lit(500.0), F.lit(1.0))
+    stop_ratio = stop_hits.cast("double") / n_tokens
+    uniq_ratio = uniq.cast("double") / n_tokens
+    score = (
+        F.lit(0.4) * len_score + F.lit(0.3) * (F.lit(1.0) - stop_ratio)
+        + F.lit(0.3) * uniq_ratio
+    )
+    return d.select(
+        "doc_id",
+        len_score.alias("len_score"),
+        stop_ratio.alias("stop_ratio"),
+        uniq_ratio.alias("uniq_ratio"),
+        score.alias("quality_score"),
+    ).orderBy("doc_id")
+
+
+TEXT_QUALITY_SCORE_SQL = f"""
+SELECT doc_id,
+       least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) AS len_score,
+       CAST(len(list_filter(string_split(text, ' '),
+                t -> list_contains([{", ".join(f"'{s}'" for s in STOPWORDS)}], t)))
+            AS DOUBLE) / len(string_split(text, ' ')) AS stop_ratio,
+       CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+         / len(string_split(text, ' ')) AS uniq_ratio,
+       0.4 * least(CAST(length(text) AS DOUBLE) / 500.0, 1.0)
+       + 0.3 * (1.0 - CAST(len(list_filter(string_split(text, ' '),
+                  t -> list_contains([{", ".join(f"'{s}'" for s in STOPWORDS)}], t)))
+                  AS DOUBLE) / len(string_split(text, ' ')))
+       + 0.3 * (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                  / len(string_split(text, ' '))) AS quality_score
+FROM documents
+ORDER BY doc_id
+"""
+
+
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprints: whole-doc md5 + min-shingle md5 (a 1-min-hash
+    winnowing sketch over word-3-grams). Both are string-exact across
+    engines — the cheap building block for incremental dedup at ingest."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.md5("text").alias("content_md5"),
+        F.expr(
+            """
+            array_min(transform(
+              sequence(1, greatest(size(split(text, ' ')) - 2, 0)),
+              i -> md5(concat_ws(' ', slice(split(text, ' '), i, 3)))))
+            """
+        ).alias("min_shingle_md5"),
+    ).orderBy("doc_id")
+
+
+TEXT_FINGERPRINT_SQL = """
+SELECT doc_id,
+       md5(text) AS content_md5,
+       list_min(list_transform(
+         generate_series(1, greatest(len(string_split(text, ' ')) - 2, 0)),
+         i -> md5(array_to_string((string_split(text, ' '))[i : i + 2], ' '))))
+         AS min_shingle_md5
+FROM documents
+ORDER BY doc_id
+"""
+
+
+def corpus_lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus roll-up per (lang, source): doc counts, char volume, mean
+    quality proxy — the reporting query a data-curation pipeline runs after
+    scoring. Grouped agg over the map-only stats: one small shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    per_doc = d.select(
+        "lang",
+        "source",
+        F.length("text").alias("n_chars"),
+        F.size(F.array_distinct(toks)).alias("n_uniq"),
+        F.size(toks).alias("n_toks"),
+    )
+    # Pooled (Σdistinct/Σtokens) rather than mean-of-ratios: integer sums are
+    # partition-order-independent, so the final double division is exact and
+    # hash-stable — a mean of per-doc doubles would not be.
+    return (
+        per_doc.groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            (F.sum("n_uniq").cast("double") / F.sum("n_toks")).alias(
+                "pooled_uniq_ratio"
+            ),
+        )
+        .orderBy("lang", "source")
+    )
+
+
+CORPUS_LANG_PROFILE_SQL = """
+SELECT lang, source, COUNT(*) AS n_docs,
+       SUM(length(text)) AS total_chars,
+       CAST(SUM(len(list_distinct(string_split(text, ' ')))) AS DOUBLE)
+         / SUM(len(string_split(text, ' '))) AS pooled_uniq_ratio
+FROM documents
+GROUP BY lang, source
+ORDER BY lang, source
+"""

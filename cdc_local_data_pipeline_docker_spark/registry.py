@@ -11,6 +11,10 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from .llmops import dedup as DD
+from .llmops import multimodal as MM
+from .llmops import similarity as SIM
+from .llmops import text as TX
 from .operators import relational as R
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -52,6 +56,31 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q5_local_supplier_volume": (
         R.q5_local_supplier_volume,
         R.Q5_LOCAL_SUPPLIER_VOLUME_SQL,
+    ),
+    # LLM-ops: dedup
+    "dedup_exact": (DD.dedup_exact, DD.DEDUP_EXACT_SQL),
+    "dedup_ngram_jaccard": (DD.dedup_ngram_jaccard, DD.DEDUP_NGRAM_JACCARD_SQL),
+    "dedup_minhash_lsh": (DD.dedup_minhash_lsh, None),  # hash family not in oracle
+    "dedup_simhash": (DD.dedup_simhash, None),  # hash family not in oracle
+    "dedup_embedding_cosine": (
+        DD.dedup_embedding_cosine,
+        DD.DEDUP_EMBEDDING_COSINE_SQL,
+    ),
+    # LLM-ops: similarity search
+    "ann_cosine_topk": (SIM.ann_cosine_topk, SIM.ANN_COSINE_TOPK_SQL),
+    "ann_lsh_topk": (SIM.ann_lsh_topk, None),  # approximate by construction
+    "knn_label_vote": (SIM.knn_label_vote, SIM.KNN_LABEL_VOTE_SQL),
+    # LLM-ops: text analysis
+    "text_token_stats": (TX.text_token_stats, TX.TEXT_TOKEN_STATS_SQL),
+    "text_lang_id": (TX.text_lang_id, TX.TEXT_LANG_ID_SQL),
+    "text_quality_score": (TX.text_quality_score, TX.TEXT_QUALITY_SCORE_SQL),
+    "text_fingerprint": (TX.text_fingerprint, TX.TEXT_FINGERPRINT_SQL),
+    "corpus_lang_profile": (TX.corpus_lang_profile, TX.CORPUS_LANG_PROFILE_SQL),
+    # LLM-ops: multimodal
+    "multimodal_feature_extract": (MM.multimodal_feature_extract, None),  # Python UDF path
+    "multimodal_metadata_stats": (
+        MM.multimodal_metadata_stats,
+        MM.MULTIMODAL_METADATA_STATS_SQL,
     ),
 }
 

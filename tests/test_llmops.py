@@ -1,0 +1,124 @@
+"""Property tests for the non-oracle-checkable LLM-ops (approximate /
+Python-UDF paths). The oracle-checkable ones are covered by
+test_oracle_parity.py via the registry."""
+
+from __future__ import annotations
+
+import pytest
+
+from cdc_local_data_pipeline_docker_spark.llmops import dedup as DD
+from cdc_local_data_pipeline_docker_spark.llmops import multimodal as MM
+from cdc_local_data_pipeline_docker_spark.llmops import similarity as SIM
+
+
+@pytest.fixture(scope="module")
+def exact_pairs(spark, sf_dir):
+    return {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in DD.dedup_ngram_jaccard(spark, sf_dir).collect()
+    }
+
+
+def test_minhash_lsh_subset_and_recall(spark, sf_dir, exact_pairs):
+    """LSH output must be a subset of the exact-Jaccard pairs (precision 1.0
+    by construction: candidates are exact-verified) with high recall on the
+    fixed corpus."""
+    lsh = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in DD.dedup_minhash_lsh(spark, sf_dir).collect()
+    }
+    assert set(lsh) <= set(exact_pairs)
+    # verified jaccard must equal the exact pipeline's value bit-for-bit
+    for pair, j in lsh.items():
+        assert j == exact_pairs[pair]
+    if exact_pairs:
+        recall = len(lsh) / len(exact_pairs)
+        assert recall >= 0.8, f"minhash recall {recall:.2f} too low"
+
+
+def test_simhash_pairs_verified_hamming(spark, sf_dir):
+    """Every emitted pair's Hamming distance must match a brute-force
+    recomputation from the signatures, and respect the threshold."""
+    sigs = {
+        r.doc_id: (r.p0, r.p1, r.p2, r.p3)
+        for r in DD.simhash_signatures(spark, sf_dir).collect()
+    }
+    pairs = DD.dedup_simhash(spark, sf_dir).collect()
+    assert pairs, "expected at least one near-dup pair in the fixed corpus"
+    for r in pairs:
+        expect = sum(
+            bin(a ^ b).count("1") for a, b in zip(sigs[r.doc_a], sigs[r.doc_b])
+        )
+        assert r.hamming == expect
+        assert r.hamming <= DD.SIMHASH_HAMMING_MAX
+        assert r.doc_a < r.doc_b
+
+
+def test_simhash_near_dup_overlap_with_jaccard(spark, sf_dir, exact_pairs):
+    """SimHash near-dups should substantially overlap the exact-Jaccard
+    near-dups on the fixed corpus (different sketch, same underlying dups)."""
+    sh = {(r.doc_a, r.doc_b) for r in DD.dedup_simhash(spark, sf_dir).collect()}
+    if exact_pairs:
+        overlap = len(sh & set(exact_pairs)) / len(exact_pairs)
+        assert overlap >= 0.5, f"simhash/jaccard overlap {overlap:.2f}"
+
+
+def test_ann_lsh_recall_vs_brute_force(spark, sf_dir):
+    brute = {
+        (r.query_id, r.neighbor_id)
+        for r in SIM.ann_cosine_topk(spark, sf_dir).collect()
+    }
+    lsh = {
+        (r.query_id, r.neighbor_id) for r in SIM.ann_lsh_topk(spark, sf_dir).collect()
+    }
+    recall = len(lsh & brute) / len(brute)
+    assert recall >= 0.6, f"LSH recall@{SIM.ANN_TOP_K} = {recall:.2f}"
+
+
+def test_ann_lsh_shape(spark, sf_dir):
+    rows = SIM.ann_lsh_topk(spark, sf_dir).collect()
+    by_query: dict[int, list[int]] = {}
+    for r in rows:
+        by_query.setdefault(r.query_id, []).append(r.rank)
+    for q, ranks in by_query.items():
+        assert ranks == sorted(ranks)
+        assert ranks == list(range(1, len(ranks) + 1)), f"query {q} ranks {ranks}"
+        assert len(ranks) <= SIM.ANN_TOP_K
+
+
+def test_multimodal_feature_extract_values(spark, sf_dir):
+    """mapInPandas features must equal a local recomputation on the raw
+    payload bytes (deterministic fake decode)."""
+    feats = {r.doc_id: r for r in MM.multimodal_feature_extract(spark, sf_dir).collect()}
+    docs = {
+        r.doc_id: r.text.encode("utf-8")
+        for r in MM.media_table(spark, sf_dir)
+        .sparkSession.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .limit(50)
+        .collect()
+    }
+    assert len(feats) >= len(docs)
+    for doc_id, payload in docs.items():
+        f = feats[doc_id]
+        assert f.n_bytes == len(payload)
+        assert f.mean_byte == pytest.approx(sum(payload) / len(payload))
+        hist = [
+            sum(1 for x in payload if x < 64),
+            sum(1 for x in payload if 64 <= x < 128),
+            sum(1 for x in payload if 128 <= x < 192),
+            sum(1 for x in payload if x >= 192),
+        ]
+        assert list(f.byte_histogram4) == hist
+
+
+def test_decode_media_is_stubbed():
+    with pytest.raises(NotImplementedError):
+        MM.decode_media(b"\x89PNG", "image/png")
+
+
+def test_media_table_schema(spark, sf_dir):
+    m = MM.media_table(spark, sf_dir)
+    assert dict(m.dtypes)["payload"] == "binary"
+    meta_type = dict(m.dtypes)["media_meta"]
+    assert "mime" in meta_type and "n_bytes" in meta_type
