@@ -1,0 +1,241 @@
+"""Batch analytics over the `events` stream table: time-bucketed rollups,
+sliding windows, sessionization, funnel counts — the hypertable-style query
+surface, expressed with Catalyst built-ins so each has an exact SQL oracle.
+The streaming twins (live watermarked versions of the same rollups) live in
+`streaming/`; these batch forms are what a backfill over 100 TB of history
+runs, and they shuffle exactly once per aggregation level.
+
+Money-typed doubles (`value`) aggregate through DECIMAL(18,2) — exact and
+associative, so results are independent of partitioning (module docstring of
+operators/relational.py has the full exactness contract).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import DecimalType
+
+from ..catalog import load_table
+
+DEC = DecimalType(18, 2)
+
+#: Sessionization gap: a new session starts after 30 minutes of inactivity.
+SESSION_GAP_MINUTES = 30
+
+
+def events_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-hour tumbling-window counts and exact value sums per event type.
+
+    `F.window` is Spark's native tumbling bucketizer; for the oracle the
+    window start is identical to date_trunc('hour'). One partial+final
+    hash agg; at 100 TB this is the canonical pre-aggregation rollup."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.window("ts", "1 hour").getField("start").alias("hour_start"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("total_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy("hour_start", "event_type")
+    )
+
+
+EVENTS_TUMBLING_AGG_SQL = """
+SELECT date_trunc('hour', ts) AS hour_start, event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+       COUNT(DISTINCT user_id) AS n_users
+FROM events
+GROUP BY 1, 2
+ORDER BY hour_start, event_type
+"""
+
+
+def events_sliding_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour windows sliding every 30 minutes: every event lands in
+    exactly two windows. The oracle reproduces the window-assignment rule
+    (start = 30-min floor, and that minus 30 min) with a UNION ALL."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.window("ts", "1 hour", "30 minutes").getField("start").alias(
+                "window_start"
+            )
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("total_value"),
+        )
+        .orderBy("window_start")
+    )
+
+
+EVENTS_SLIDING_AGG_SQL = """
+WITH assigned AS (
+  SELECT time_bucket(INTERVAL 30 MINUTE, ts) AS window_start, value FROM events
+  UNION ALL
+  SELECT time_bucket(INTERVAL 30 MINUTE, ts) - INTERVAL 30 MINUTE, value
+  FROM events
+)
+SELECT window_start,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM assigned
+GROUP BY 1
+ORDER BY window_start
+"""
+
+
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity), batch form.
+
+    Classic lag→flag→cumsum: one shuffle on user_id (both window passes
+    share the same partitioning, so Catalyst plans a single exchange);
+    session stats aggregate per (user, session)."""
+    e = load_table(spark, sf_dir, "events")
+    w_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # Gap test in exact epoch-µs integers (ntz → tz cast is UTC-pinned).
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    flagged = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "value",
+        F.when(
+            ts_us - F.lag(ts_us, 1).over(w_user)
+            > SESSION_GAP_MINUTES * 60 * 1_000_000,
+            1,
+        )
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    sessions = flagged.withColumn(
+        "session_seq",
+        F.sum("new_session").over(
+            w_user.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return (
+        sessions.groupBy("user_id", "session_seq")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("session_value"),
+        )
+        .orderBy("user_id", "session_seq")
+    )
+
+
+EVENTS_SESSIONIZE_SQL = f"""
+WITH flagged AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN epoch_us(ts) - epoch_us(LAG(ts, 1) OVER w)
+                   > {SESSION_GAP_MINUTES * 60 * 1_000_000}
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessions AS (
+  SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS session_seq
+  FROM flagged
+)
+SELECT user_id, session_seq,
+       MIN(ts) AS session_start,
+       MAX(ts) AS session_end,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
+FROM sessions
+GROUP BY user_id, session_seq
+ORDER BY user_id, session_seq
+"""
+
+
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """view → click → purchase funnel per user (order-respecting: first
+    view before first click before first purchase). Conditional min-aggs +
+    one small join-free comparison — a single shuffle on user_id."""
+    e = load_table(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("first_view"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("first_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "first_purchase"
+        ),
+    )
+    reached_click = F.col("first_view").isNotNull() & (
+        F.col("first_click") > F.col("first_view")
+    )
+    reached_purchase = reached_click & (
+        F.col("first_purchase") > F.col("first_click")
+    )
+    return firsts.select(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(F.col("first_view").isNotNull().cast("long")).alias("reached_view"),
+        F.sum(reached_click.cast("long")).alias("reached_click"),
+        F.sum(reached_purchase.cast("long")).alias("reached_purchase"),
+    )
+
+
+EVENTS_FUNNEL_SQL = """
+WITH firsts AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'view' THEN ts END) AS first_view,
+         MIN(CASE WHEN event_type = 'click' THEN ts END) AS first_click,
+         MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS first_purchase
+  FROM events
+  GROUP BY user_id
+)
+SELECT COUNT(*) AS n_users,
+       SUM(CASE WHEN first_view IS NOT NULL THEN 1 ELSE 0 END) AS reached_view,
+       SUM(CASE WHEN first_view IS NOT NULL AND first_click > first_view
+                THEN 1 ELSE 0 END) AS reached_click,
+       SUM(CASE WHEN first_view IS NOT NULL AND first_click > first_view
+                     AND first_purchase > first_click
+                THEN 1 ELSE 0 END) AS reached_purchase
+FROM firsts
+"""
+
+
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-0 cohort × activity-day retention counts: the standard cohort
+    matrix. Two aggregations (first-seen day per user, then cohort×day
+    distinct users); both shuffle on user_id/cohort keys."""
+    e = load_table(spark, sf_dir, "events")
+    first_day = e.groupBy("user_id").agg(
+        F.to_date(F.min("ts")).alias("cohort_day")
+    )
+    activity = e.select("user_id", F.to_date("ts").alias("activity_day")).distinct()
+    return (
+        activity.join(first_day, "user_id")
+        .withColumn(
+            "day_offset", F.datediff(F.col("activity_day"), F.col("cohort_day"))
+        )
+        .filter(F.col("day_offset").between(0, 7))
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.countDistinct("user_id").alias("n_active"))
+        .orderBy("cohort_day", "day_offset")
+    )
+
+
+EVENTS_RETENTION_COHORTS_SQL = """
+WITH first_day AS (
+  SELECT user_id, CAST(MIN(ts) AS DATE) AS cohort_day FROM events GROUP BY user_id
+),
+activity AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS activity_day FROM events
+)
+SELECT cohort_day, datediff('day', cohort_day, activity_day) AS day_offset,
+       COUNT(DISTINCT a.user_id) AS n_active
+FROM activity a JOIN first_day f ON a.user_id = f.user_id
+WHERE datediff('day', cohort_day, activity_day) BETWEEN 0 AND 7
+GROUP BY 1, 2
+ORDER BY cohort_day, day_offset
+"""

@@ -11,10 +11,12 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from .functions import scalar_pack as FP
 from .llmops import dedup as DD
 from .llmops import multimodal as MM
 from .llmops import similarity as SIM
 from .llmops import text as TX
+from .operators import events_analytics as EV
 from .operators import relational as R
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -81,6 +83,22 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "multimodal_metadata_stats": (
         MM.multimodal_metadata_stats,
         MM.MULTIMODAL_METADATA_STATS_SQL,
+    ),
+    # scalar function packs
+    "fn_string_pack": (FP.fn_string_pack, FP.FN_STRING_PACK_SQL),
+    "fn_date_pack": (FP.fn_date_pack, FP.FN_DATE_PACK_SQL),
+    "fn_math_pack": (FP.fn_math_pack, FP.FN_MATH_PACK_SQL),
+    "fn_array_pack": (FP.fn_array_pack, FP.FN_ARRAY_PACK_SQL),
+    "fn_json_pack": (FP.fn_json_pack, FP.FN_JSON_PACK_SQL),
+    "fn_conditional_pack": (FP.fn_conditional_pack, FP.FN_CONDITIONAL_PACK_SQL),
+    # events analytics (batch forms; streaming twins in streaming/)
+    "events_tumbling_agg": (EV.events_tumbling_agg, EV.EVENTS_TUMBLING_AGG_SQL),
+    "events_sliding_agg": (EV.events_sliding_agg, EV.EVENTS_SLIDING_AGG_SQL),
+    "events_sessionize": (EV.events_sessionize, EV.EVENTS_SESSIONIZE_SQL),
+    "events_funnel": (EV.events_funnel, EV.EVENTS_FUNNEL_SQL),
+    "events_retention_cohorts": (
+        EV.events_retention_cohorts,
+        EV.EVENTS_RETENTION_COHORTS_SQL,
     ),
 }
 

@@ -29,8 +29,8 @@ def _norm(v):
         if math.isnan(v):
             return "NaN"
         return v
-    if hasattr(v, "isoformat"):  # datetime/date
-        return v.isoformat(sep=" ")
+    if hasattr(v, "isoformat"):  # datetime/date (date's isoformat takes no sep)
+        return v.isoformat(sep=" ") if hasattr(v, "hour") else v.isoformat()
     if isinstance(v, list):
         return tuple(_norm(x) for x in v)
     # Decimal → float-comparable string
