@@ -1,0 +1,185 @@
+"""Driver-contract adapters for the CDC surface.
+
+The CDC path consumes change-event streams, not the analytic sf tables, so
+these entries generate the deterministic fixture files (seeded — identical
+bytes every run) under a fixed temp dir and run the real pipeline on them.
+The DuckDB oracles parse the very same JSONL with json_extract, proving the
+parse → type-recover → latest-state chain end-to-end against SQL semantics.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import fixtures as FX
+from . import parse as P
+from .latest_state import latest_state
+
+FIXTURE_DIR = "/tmp/spark_graft_cdc_fixtures"
+
+_ORDERS_FIELDS = (
+    "order_id", "customer_id", "order_date", "status", "total_amount",
+    "shipping_address",
+)
+
+
+def ensure_fixtures() -> str:
+    """(Re)write the seeded fixture files; byte-identical on every call."""
+    FX.write_fixtures(FIXTURE_DIR)
+    return FIXTURE_DIR
+
+
+def cdc_latest_state_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-wins + tombstone-applied current state of the orders topic.
+
+    sf_dir is unused (CDC input is the change stream, not the sf tables) —
+    kept for the uniform queries() signature."""
+    d = ensure_fixtures()
+    env = P.read_event_file(spark, os.path.join(d, "orders.jsonl"))
+    return latest_state(P.parse_events(env, "orders"), "orders").orderBy("order_id")
+
+
+CDC_LATEST_STATE_ORDERS_SQL = f"""
+WITH env AS (
+  SELECT *,
+         CASE WHEN value IS NOT NULL AND json_valid(value) THEN value END AS v
+  FROM read_json_auto('{FIXTURE_DIR}/orders.jsonl',
+                      format='newline_delimited')
+),
+parsed AS (
+  SELECT CAST(json_extract_string(key, '$.order_id') AS INT) AS pk,
+         value IS NULL AS is_tombstone,
+         value IS NOT NULL
+           AND json_extract_string(v, '$.order_id') IS NULL AS is_malformed,
+         CAST(json_extract_string(v, '$.order_id') AS INT) AS order_id,
+         CAST(json_extract_string(v, '$.customer_id') AS INT) AS customer_id,
+         make_timestamp(CAST(json_extract_string(v, '$.order_date') AS BIGINT))
+           AS order_date,
+         json_extract_string(v, '$.status') AS status,
+         CAST(json_extract_string(v, '$.total_amount') AS DECIMAL(10,2))
+           AS total_amount,
+         json_extract_string(v, '$.shipping_address') AS shipping_address,
+         partition, "offset"
+  FROM env
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY pk
+                               ORDER BY partition DESC, "offset" DESC) AS rn
+  FROM parsed WHERE NOT is_malformed
+)
+SELECT order_id, customer_id, order_date, status, total_amount,
+       shipping_address, "offset" AS last_offset
+FROM ranked
+WHERE rn = 1 AND NOT is_tombstone
+ORDER BY order_id
+"""
+
+
+def cdc_reference_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's exact sink projection (P4, enhanced.py:167-190) with
+    recovered types — what kafka_to_s3_enhanced.py writes per run, computed
+    in one scan instead of five."""
+    d = ensure_fixtures()
+    env = P.read_event_file(spark, os.path.join(d, "orders.jsonl"))
+    return (
+        P.project_flat(P.parse_events(env, "orders"), "orders")
+        .orderBy("kafka_offset")
+    )
+
+
+CDC_REFERENCE_PROJECTION_SQL = f"""
+WITH env AS (
+  SELECT *,
+         CASE WHEN value IS NOT NULL AND json_valid(value) THEN value END AS v
+  FROM read_json_auto('{FIXTURE_DIR}/orders.jsonl',
+                      format='newline_delimited')
+)
+SELECT CAST(json_extract_string(v, '$.order_id') AS INT) AS order_id,
+       CAST(json_extract_string(v, '$.customer_id') AS INT) AS customer_id,
+       make_timestamp(CAST(json_extract_string(v, '$.order_date') AS BIGINT))
+         AS order_date,
+       json_extract_string(v, '$.status') AS status,
+       CAST(json_extract_string(v, '$.total_amount') AS DECIMAL(10,2))
+         AS total_amount,
+       json_extract_string(v, '$.shipping_address') AS shipping_address,
+       make_timestamp(timestamp * 1000) AS kafka_timestamp,
+       topic,
+       "offset" AS kafka_offset
+FROM env
+WHERE v IS NOT NULL
+  AND json_extract_string(v, '$.order_id') IS NOT NULL
+ORDER BY kafka_offset
+"""
+
+
+def cdc_changelog_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-table event-disposition stats across all four topics — the
+    engine's one-aggregation replacement for the DAG's subprocess count
+    checks (U8)."""
+    d = ensure_fixtures()
+    parts = []
+    for table in ("customers", "orders", "order_items", "products"):
+        env = P.read_event_file(spark, os.path.join(d, f"{table}.jsonl"))
+        parsed = P.parse_events(env, table)
+        parts.append(
+            parsed.select(
+                F.lit(table).alias("table_name"),
+                "is_tombstone",
+                "is_malformed",
+                "pk",
+                "kafka_offset",
+            )
+        )
+    all_events = parts[0]
+    for p in parts[1:]:
+        all_events = all_events.unionByName(p)
+    return (
+        all_events.groupBy("table_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("is_tombstone").cast("long")).alias("n_tombstones"),
+            F.sum(F.col("is_malformed").cast("long")).alias("n_malformed"),
+            F.countDistinct("pk").alias("n_distinct_keys"),
+            F.max("kafka_offset").alias("high_watermark"),
+        )
+        .orderBy("table_name")
+    )
+
+
+def _changelog_stats_sql() -> str:
+    selects = []
+    for table, pk in (
+        ("customers", "customer_id"),
+        ("orders", "order_id"),
+        ("order_items", "order_item_id"),
+        ("products", "product_id"),
+    ):
+        selects.append(f"""
+  SELECT '{table}' AS table_name,
+         value IS NULL AS is_tombstone,
+         value IS NOT NULL AND json_extract_string(
+           CASE WHEN value IS NOT NULL AND json_valid(value) THEN value END,
+           '$.{pk}') IS NULL AS is_malformed,
+         CAST(json_extract_string(key, '$.{pk}') AS INT) AS pk,
+         "offset" AS kafka_offset
+  FROM read_json_auto('{FIXTURE_DIR}/{table}.jsonl', format='newline_delimited')
+""")
+    union = " UNION ALL ".join(selects)
+    return f"""
+WITH all_events AS ({union})
+SELECT table_name,
+       COUNT(*) AS n_events,
+       SUM(CASE WHEN is_tombstone THEN 1 ELSE 0 END) AS n_tombstones,
+       SUM(CASE WHEN is_malformed THEN 1 ELSE 0 END) AS n_malformed,
+       COUNT(DISTINCT pk) AS n_distinct_keys,
+       MAX(kafka_offset) AS high_watermark
+FROM all_events
+GROUP BY table_name
+ORDER BY table_name
+"""
+
+
+CDC_CHANGELOG_STATS_SQL = _changelog_stats_sql()

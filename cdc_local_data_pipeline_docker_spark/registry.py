@@ -11,6 +11,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from .cdc import queries as CDC
 from .functions import scalar_pack as FP
 from .llmops import dedup as DD
 from .llmops import multimodal as MM
@@ -100,6 +101,17 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         EV.events_retention_cohorts,
         EV.EVENTS_RETENTION_COHORTS_SQL,
     ),
+    # CDC ingest surface (reference parity + corrected semantics); inputs
+    # are seeded fixture streams, oracles parse the same JSONL in DuckDB
+    "cdc_latest_state_orders": (
+        CDC.cdc_latest_state_orders,
+        CDC.CDC_LATEST_STATE_ORDERS_SQL,
+    ),
+    "cdc_reference_projection": (
+        CDC.cdc_reference_projection,
+        CDC.CDC_REFERENCE_PROJECTION_SQL,
+    ),
+    "cdc_changelog_stats": (CDC.cdc_changelog_stats, CDC.CDC_CHANGELOG_STATS_SQL),
 }
 
 
