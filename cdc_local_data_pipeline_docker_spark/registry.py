@@ -19,6 +19,7 @@ from .llmops import similarity as SIM
 from .llmops import text as TX
 from .operators import events_analytics as EV
 from .operators import relational as R
+from .streaming import jobs as SJ
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -112,6 +113,11 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         CDC.CDC_REFERENCE_PROJECTION_SQL,
     ),
     "cdc_changelog_stats": (CDC.cdc_changelog_stats, CDC.CDC_CHANGELOG_STATS_SQL),
+    # Structured Streaming (real streaming queries drained via AvailableNow;
+    # complete/append-mode results are batch-consistent → exact oracles)
+    "stream_tumbling_agg": (SJ.stream_tumbling_agg, SJ.STREAM_TUMBLING_AGG_SQL),
+    "stream_session_agg": (SJ.stream_session_agg, SJ.STREAM_SESSION_AGG_SQL),
+    "stream_dedup_events": (SJ.stream_dedup_events, SJ.STREAM_DEDUP_EVENTS_SQL),
 }
 
 

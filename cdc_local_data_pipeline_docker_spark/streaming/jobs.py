@@ -1,0 +1,179 @@
+"""Streaming analytics over `events`, run as real Structured Streaming
+queries (micro-batch engine) driven to completion with Trigger.AvailableNow.
+
+The reference has NO streaming job — its "streaming" is an Airflow cron
+re-running a batch script every 5 minutes with a hand-rolled offset file
+(SURVEY.md §2.B U9, §1.5). Here the same cadence semantics are a trigger
+choice: `AvailableNow` for the drain-everything-then-stop run (what the
+5-min cron actually achieves), `processingTime='5 minutes'` for a live
+deployment — same plan either way.
+
+Registry adapters: each function starts a streaming query against the sf
+events table (file stream source), drains it, and returns the result as a
+normal DataFrame via the memory sink. Aggregations run in `complete` mode,
+so after the drain the result equals the batch answer over the same input —
+which is why three of these have EXACT SQL oracles: the point is that the
+streaming operators (watermark + window / session_window /
+dropDuplicatesWithinWatermark) compute provably batch-consistent answers.
+
+Scale notes: watermark bounds state; windowed-agg state is per (window,
+key); session state merges on overlap; dedup state is keyed by event_id
+and expired by the watermark. All of it shuffles once on the grouping key
+per micro-batch — identical to the batch shuffle shape.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import DecimalType
+
+DEC = DecimalType(18, 2)
+
+#: Late-data tolerance for the event stream (bounds all streaming state).
+WATERMARK_DELAY = "1 hour"
+SESSION_GAP = "30 minutes"
+
+
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source readStream over the events table (nanos → µs, same
+    recovery as the batch catalog loader).
+
+    The file stream source wants a directory; the testdata table is a bare
+    file, so it is exposed through a per-sf symlink directory."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    link_dir = f"/tmp/spark_graft_stream_src{sf_dir.replace('/', '_')}"
+    os.makedirs(link_dir, exist_ok=True)
+    link = os.path.join(link_dir, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(os.path.abspath(f"{sf_dir}/events.parquet"), link)
+    raw = (
+        spark.readStream.schema(
+            "event_id LONG, ts LONG, user_id LONG, event_type STRING, "
+            "value DOUBLE, props STRING"
+        )
+        .parquet(link_dir)
+    )
+    # Watermarks require the tz-aware TIMESTAMP type; session tz is pinned
+    # UTC above, so wall-clock values equal the ntz/naive interpretation.
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def _drain(stream_df: DataFrame, mode: str) -> DataFrame:
+    """Run the streaming query to completion (AvailableNow) into a memory
+    sink; return the materialized result."""
+    name = f"m_{uuid.uuid4().hex[:12]}"
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.table(name)
+
+
+def stream_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked 1-hour tumbling windows per event type — the streaming
+    twin of events_tumbling_agg, sharing its SQL oracle (complete-mode
+    drain ≡ batch answer)."""
+    s = _events_stream(spark, sf_dir)
+    agg = (
+        s.withWatermark("ts", WATERMARK_DELAY)
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("total_value"),
+            F.approx_count_distinct("user_id").alias("approx_users"),
+        )
+    )
+    out = _drain(agg, "complete")
+    return out.select(
+        F.col("window.start").alias("hour_start"),
+        "event_type",
+        "n_events",
+        "total_value",
+    ).orderBy("hour_start", "event_type")
+
+
+STREAM_TUMBLING_AGG_SQL = """
+SELECT date_trunc('hour', ts) AS hour_start, event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY 1, 2
+ORDER BY hour_start, event_type
+"""
+
+
+def stream_session_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session windows (30-min gap) per user via F.session_window —
+    the built-in streaming sessionizer. The oracle replays the identical
+    gap rule with batch window functions (session boundaries agree because
+    gap ties don't occur on µs-random data)."""
+    s = _events_stream(spark, sf_dir)
+    agg = (
+        s.withWatermark("ts", WATERMARK_DELAY)
+        .groupBy(F.session_window("ts", SESSION_GAP), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("session_value"),
+        )
+    )
+    out = _drain(agg, "complete")
+    return out.select(
+        "user_id",
+        F.col("session_window.start").alias("session_start"),
+        "n_events",
+        "session_value",
+    ).orderBy("user_id", "session_start")
+
+
+STREAM_SESSION_AGG_SQL = """
+WITH flagged AS (
+  SELECT user_id, ts, value,
+         CASE WHEN epoch_us(ts) - epoch_us(LAG(ts, 1) OVER w) > 1800000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessions AS (
+  SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS session_seq
+  FROM flagged
+)
+SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
+FROM sessions
+GROUP BY user_id, session_seq
+ORDER BY user_id, session_start
+"""
+
+
+def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming dedup: the event stream unioned with itself
+    (every record duplicated) then dropDuplicatesWithinWatermark on
+    event_id — output must equal the original stream exactly, hence the
+    trivial-looking oracle is the whole point."""
+    s = _events_stream(spark, sf_dir)
+    doubled = s.unionByName(s)  # duplicate every event
+    deduped = (
+        doubled.withWatermark("ts", "45 days")  # covers the whole fixture span
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select("event_id", "user_id", "event_type", "value")
+    )
+    out = _drain(deduped, "append")
+    return out.orderBy("event_id")
+
+
+STREAM_DEDUP_EVENTS_SQL = """
+SELECT event_id, user_id, event_type, value
+FROM events
+ORDER BY event_id
+"""
