@@ -1,0 +1,93 @@
+"""Pandas UDF surface: Arrow-vectorized scalar UDF and grouped-map
+(applyInPandas) — the §2.C UDF/UDAF row the reference has nothing for.
+
+Both demo operators are deliberately chosen so a SQL oracle can verify
+them EXACTLY (string ops / integer ranks — no float accumulation whose
+summation order would differ between pandas and SQL engines):
+
+  * scalar: vectorized text normalization ≡ lower(trim(x));
+  * grouped-map: per-group ranking ≡ ROW_NUMBER() OVER (...).
+
+The point being demonstrated is the execution contract, not the function
+bodies: Arrow batches cross the Python boundary (not rows), the grouped
+map gets one pandas DataFrame per group after a single shuffle on the
+grouping key, and output schemas are fixed StructTypes. When logic CAN be
+a built-in expression it should be (UDFs are the slow path) — these exist
+for the cases that genuinely need Python (model scoring, tokenizers,
+custom sketches).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from ..catalog import load_table
+
+
+def _normalize_series(s: pd.Series) -> pd.Series:
+    """Vectorized normalization — one Arrow batch per call."""
+    return s.str.strip().str.lower()
+
+
+def fn_pandas_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar pandas UDF over customer names; oracle: lower(trim(...)).
+
+    The pandas_udf wrapper is built lazily: the decorator parses its DDL
+    return type against the ACTIVE session, so decorating at module import
+    would crash any importer without a SparkSession (e.g. the driver
+    loading the registry)."""
+    normalize_text = pandas_udf(_normalize_series, "string")
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        normalize_text(F.col("c_name")).alias("norm_name"),
+        normalize_text(F.col("c_mktsegment")).alias("norm_segment"),
+    ).orderBy("c_custkey")
+
+
+FN_PANDAS_NORMALIZE_SQL = """
+SELECT c_custkey,
+       lower(trim(c_name)) AS norm_name,
+       lower(trim(c_mktsegment)) AS norm_segment
+FROM customer
+ORDER BY c_custkey
+"""
+
+
+def _rank_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    """One pandas DataFrame per nation: rank customers by balance."""
+    pdf = pdf.sort_values(
+        ["c_acctbal", "c_custkey"], ascending=[False, True]
+    ).reset_index(drop=True)
+    pdf["balance_rank"] = range(1, len(pdf) + 1)
+    return pdf[["c_nationkey", "c_custkey", "balance_rank"]]
+
+
+def fn_pandas_group_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandas grouped-map: per-nation balance ranking.
+
+    One shuffle on the grouping key, then each group is handed to Python
+    as a pandas frame. Oracle: ROW_NUMBER() with the same ordering."""
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        c.select("c_nationkey", "c_custkey", "c_acctbal")
+        .groupBy("c_nationkey")
+        .applyInPandas(
+            _rank_group, "c_nationkey INT, c_custkey LONG, balance_rank INT"
+        )
+        .orderBy("c_nationkey", "balance_rank")
+    )
+
+
+FN_PANDAS_GROUP_RANK_SQL = """
+SELECT c_nationkey, c_custkey,
+       CAST(ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                               ORDER BY c_acctbal DESC, c_custkey ASC) AS INT)
+         AS balance_rank
+FROM customer
+ORDER BY c_nationkey, balance_rank
+"""

@@ -12,6 +12,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from .cdc import queries as CDC
+from .functions import pandas_udfs as PU
 from .functions import scalar_pack as FP
 from .llmops import dedup as DD
 from .llmops import multimodal as MM
@@ -93,6 +94,9 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "fn_array_pack": (FP.fn_array_pack, FP.FN_ARRAY_PACK_SQL),
     "fn_json_pack": (FP.fn_json_pack, FP.FN_JSON_PACK_SQL),
     "fn_conditional_pack": (FP.fn_conditional_pack, FP.FN_CONDITIONAL_PACK_SQL),
+    # pandas UDF surface (Arrow scalar + grouped-map), exactly oracle-checked
+    "fn_pandas_normalize": (PU.fn_pandas_normalize, PU.FN_PANDAS_NORMALIZE_SQL),
+    "fn_pandas_group_rank": (PU.fn_pandas_group_rank, PU.FN_PANDAS_GROUP_RANK_SQL),
     # events analytics (batch forms; streaming twins in streaming/)
     "events_tumbling_agg": (EV.events_tumbling_agg, EV.EVENTS_TUMBLING_AGG_SQL),
     "events_sliding_agg": (EV.events_sliding_agg, EV.EVENTS_SLIDING_AGG_SQL),

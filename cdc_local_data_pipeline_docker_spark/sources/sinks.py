@@ -1,0 +1,39 @@
+"""Parquet sinks — the K1/X1 surface, scale-corrected.
+
+The reference forces `coalesce(1)` so every run writes exactly one file
+(kafka_to_s3_batch.py:116, kafka_to_s3_enhanced.py:203) — a single-task
+bottleneck that serializes the whole write at any scale. Here:
+
+  * natural parallelism: one file per task, AQE coalescing handles the
+    small-batch case without collapsing parallelism;
+  * date partitioning (`partitionBy(ingest_date)`) so downstream scans
+    partition-prune — the layout a 100 TB warehouse actually needs;
+  * optional target file sizing via repartition(n) when the caller knows
+    the output volume (explicit, never an implicit coalesce(1)).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    date_col: str,
+    mode: str = "append",
+    target_files_per_partition: int | None = None,
+) -> None:
+    """Append `df` to a date-partitioned parquet layout.
+
+    The partition column is derived (not consumed) — the original column
+    survives in the data files."""
+    out = df.withColumn("ingest_date", F.to_date(F.col(date_col)))
+    if target_files_per_partition is not None:
+        out = out.repartition(target_files_per_partition, "ingest_date")
+    out.write.mode(mode).partitionBy("ingest_date").parquet(path)
+
+
+def read_partitioned(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)

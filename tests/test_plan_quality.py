@@ -1,0 +1,89 @@
+"""Scale-readiness plan audit: assert the physical plans carry the
+properties that keep headline queries viable at 100 TB — pushdown, pruning,
+broadcasts, top-k, shuffle counts, codegen (plans/audit.py)."""
+
+from __future__ import annotations
+
+import pytest
+
+from cdc_local_data_pipeline_docker_spark.llmops import text as TX
+from cdc_local_data_pipeline_docker_spark.operators import relational as R
+from cdc_local_data_pipeline_docker_spark.plans import audit as A
+
+
+def test_q1_pushdown_and_pruning(spark, sf_dir):
+    plan = A.formatted_plan(R.q1_pricing_summary(spark, sf_dir))
+    assert A.has_pushed_filters(plan, "lineitem"), plan
+    cols = A.read_schema_columns(plan, "lineitem")
+    # 4 value columns + 2 group keys + the filter column — nothing else
+    assert cols == {
+        "l_quantity", "l_extendedprice", "l_discount",
+        "l_returnflag", "l_linestatus", "l_shipdate",
+    }, cols
+
+
+def test_broadcast_dims_never_shuffles_fact(spark, sf_dir):
+    plan = A.formatted_plan(R.join_broadcast_dims(spark, sf_dir))
+    assert A.count(plan, "BroadcastHashJoin") == 3, plan
+    assert A.count(plan, "SortMergeJoin") == 0
+    # only shuffle: the final small groupBy + orderBy
+    assert A.count(plan, "Exchange") <= 3
+
+
+def test_q3_broadcasts_filtered_dim(spark, sf_dir):
+    plan = A.formatted_plan(R.q3_shipping_priority(spark, sf_dir))
+    assert A.count(plan, "BroadcastHashJoin") >= 1, plan
+    assert A.has_pushed_filters(plan, "orders")
+    assert A.has_pushed_filters(plan, "lineitem")
+    assert A.has_pushed_filters(plan, "customer")
+    # top-10 must be TakeOrdered, not a global sort
+    assert A.count(plan, "TakeOrderedAndProject") == 1
+
+
+def test_topn_is_take_ordered(spark, sf_dir):
+    plan = A.formatted_plan(R.sort_limit_topn(spark, sf_dir))
+    assert A.count(plan, "TakeOrderedAndProject") == 1, plan
+    assert A.count(plan, "Exchange") == 0  # per-partition top-k + merge
+
+
+def test_filter_pack_fully_pushed(spark, sf_dir):
+    plan = A.formatted_plan(R.filter_predicates(spark, sf_dir))
+    assert A.has_pushed_filters(plan, "orders"), plan
+    cols = A.read_schema_columns(plan, "orders")
+    assert "o_orderdate" in cols and "o_totalprice" in cols
+    assert "o_orderkey" in cols  # projected
+    assert len(cols) == 6  # 5 projected + orderdate filter col
+
+
+def test_map_only_text_pass_has_no_midplan_shuffle(spark, sf_dir):
+    """Per-doc scoring is embarrassingly parallel — the only exchange
+    allowed is the cosmetic final orderBy."""
+    plan = A.formatted_plan(TX.text_quality_score(spark, sf_dir))
+    assert A.count(plan, "Exchange") <= 1, plan
+    assert A.codegen_spans(spark, lambda: TX.text_quality_score(spark, sf_dir)) >= 1
+
+
+def test_semi_anti_plan_as_broadcast(spark, sf_dir):
+    for fn in (R.join_semi, R.join_anti):
+        plan = A.formatted_plan(fn(spark, sf_dir))
+        # dim-sized build side must broadcast at test scale
+        assert (
+            A.count(plan, "BroadcastHashJoin") >= 1
+            or A.count(plan, "BroadcastNestedLoopJoin") >= 1
+        ), plan
+
+
+def test_window_single_shuffle(spark, sf_dir):
+    """Both window functions share one partitioning → exactly one exchange."""
+    plan = A.formatted_plan(R.window_running_sum(spark, sf_dir))
+    assert A.count(plan, "Exchange") == 1, plan
+
+
+@pytest.mark.parametrize(
+    "fn",
+    [R.q1_pricing_summary, R.join_inner, R.agg_grouped],
+    ids=["q1", "join_inner", "agg_grouped"],
+)
+def test_headline_queries_codegen(spark, sf_dir, fn):
+    # at least the scan-side and agg-side pipelines fuse into codegen spans
+    assert A.codegen_spans(spark, lambda: fn(spark, sf_dir)) >= 2

@@ -1,0 +1,55 @@
+"""Kafka option-builder logic (pure) and partitioned-parquet sink
+round-trip with partition pruning."""
+
+from __future__ import annotations
+
+import json
+
+from cdc_local_data_pipeline_docker_spark.catalog import load_table
+from cdc_local_data_pipeline_docker_spark.plans import audit as A
+from cdc_local_data_pipeline_docker_spark.sources import kafka as K
+from cdc_local_data_pipeline_docker_spark.sources import sinks as S
+
+
+def test_starting_offsets_first_run_is_earliest():
+    assert K.starting_offsets_json("t", None) == "earliest"
+    assert K.starting_offsets_json("t", {}) == "earliest"
+
+
+def test_starting_offsets_resume_plus_one_all_partitions():
+    """The +1 resume arithmetic, for EVERY partition (the reference
+    hardcoded partition 0, enhanced.py:94-96)."""
+    v = json.loads(K.starting_offsets_json("dbserver1.ecommerce.orders",
+                                           {0: 41, 1: 7}))
+    assert v == {"dbserver1.ecommerce.orders": {"0": 42, "1": 8}}
+
+
+def test_kafka_batch_options_surface():
+    opts = K.kafka_batch_options("kafka:9092", "t", {0: 5})
+    assert opts["kafka.bootstrap.servers"] == "kafka:9092"
+    assert opts["subscribe"] == "t"
+    assert json.loads(opts["startingOffsets"]) == {"t": {"0": 6}}
+    assert opts["endingOffsets"] == "latest"
+    assert opts["failOnDataLoss"] == "false"
+
+
+def test_partitioned_sink_roundtrip_and_pruning(spark, sf_dir, tmp_path):
+    path = str(tmp_path / "orders_part")
+    orders = load_table(spark, sf_dir, "orders")
+    S.write_partitioned(orders, path, date_col="o_orderdate")
+
+    back = S.read_partitioned(spark, path)
+    assert back.count() == orders.count()
+    # multiple partition directories, no coalesce(1) bottleneck
+    n_parts = back.select("ingest_date").distinct().count()
+    assert n_parts > 1
+
+    # a date filter must prune at the partition level, not post-scan
+    one_day = back.select("ingest_date").distinct().limit(1).collect()[0][0]
+    pruned = back.filter(back.ingest_date == one_day)
+    plan = A.formatted_plan(pruned)
+    assert "PartitionFilters" in plan
+    import re
+
+    m = re.search(r"PartitionFilters: \[(.*?)\]", plan)
+    assert m and "ingest_date" in m.group(1), plan
