@@ -1,0 +1,117 @@
+"""As-of join: for each left row, the most recent right row at-or-before
+its timestamp (per key) — the temporal join Spark has no built-in for
+(SURVEY.md §2.C "as-of / latest-state CDC join").
+
+Implementation is the scalable union+window composition, NOT a range join:
+tag both sides, union them, and carry the right side's last value forward
+with `F.last(ignorenulls=True)` over (key, time) ordering. One shuffle on
+the key, linear state — where a naive range join explodes to
+|L|·|R per key| pairs and a broadcast-nested-loop, this stays a single
+window pass at any scale. Ties (right row exactly at the left timestamp)
+sort right-before-left, giving standard `<=` as-of semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    right_value: str,
+) -> DataFrame:
+    """Generic as-of: append `right_value` of the latest right row with
+    right_ts <= left_ts for the same key. Left rows keep all columns."""
+    l_tag = left.withColumn("_side", F.lit(1)).withColumn("_rv", F.lit(None).cast(
+        right.schema[right_value].dataType
+    )).withColumn("_ts", F.col(left_ts))
+    r_tag = (
+        right.select(
+            key,
+            F.col(right_ts).alias("_ts"),
+            F.col(right_value).alias("_rv"),
+        )
+        .withColumn("_side", F.lit(0))
+    )
+    unioned = l_tag.select(
+        key, "_ts", "_side", "_rv", *[c for c in left.columns if c not in (key,)]
+    ).unionByName(r_tag, allowMissingColumns=True)
+    w = (
+        Window.partitionBy(key)
+        .orderBy(F.col("_ts").asc(), F.col("_side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        unioned.withColumn("_asof", F.last("_rv", ignorenulls=True).over(w))
+        .filter(F.col("_side") == 1)
+        .drop("_side", "_rv", "_ts")
+    )
+
+
+def events_asof_last_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per purchase event: the timestamp of that user's most recent view
+    at-or-before the purchase (NULL if none yet) — the classic attribution
+    as-of. Oracle: correlated MAX subquery with identical <= semantics."""
+    e = load_table(spark, sf_dir, "events")
+    views = e.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("ts").alias("view_ts")
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    out = asof_join(
+        purchases, views, key="user_id", left_ts="ts",
+        right_ts="view_ts", right_value="view_ts",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        F.col("_asof").alias("last_view_ts"),
+    ).orderBy("event_id")
+
+
+EVENTS_ASOF_LAST_VIEW_SQL = """
+SELECT p.event_id, p.user_id, p.ts, p.value,
+       (SELECT MAX(v.ts) FROM events v
+        WHERE v.event_type = 'view' AND v.user_id = p.user_id
+          AND v.ts <= p.ts) AS last_view_ts
+FROM events p
+WHERE p.event_type = 'purchase'
+ORDER BY p.event_id
+"""
+
+
+def grouping_sets_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS ((status),(priority),()) — grouping combinations that
+    neither rollup nor cube expresses; declared via spark.sql to exercise
+    the SQL entry path alongside the DataFrame API."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               COUNT(*) AS order_count,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        FROM orders_v
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
+        """
+    )
+
+
+GROUPING_SETS_STATUS_PRIORITY_SQL = """
+SELECT o_orderstatus, o_orderpriority,
+       COUNT(*) AS order_count,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
+"""

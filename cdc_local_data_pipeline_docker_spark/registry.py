@@ -18,6 +18,7 @@ from .llmops import dedup as DD
 from .llmops import multimodal as MM
 from .llmops import similarity as SIM
 from .llmops import text as TX
+from .operators import asof as ASOF
 from .operators import events_analytics as EV
 from .operators import relational as R
 from .streaming import jobs as SJ
@@ -105,6 +106,15 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "events_retention_cohorts": (
         EV.events_retention_cohorts,
         EV.EVENTS_RETENTION_COHORTS_SQL,
+    ),
+    # temporal + grouping-set operators
+    "events_asof_last_view": (
+        ASOF.events_asof_last_view,
+        ASOF.EVENTS_ASOF_LAST_VIEW_SQL,
+    ),
+    "grouping_sets_status_priority": (
+        ASOF.grouping_sets_status_priority,
+        ASOF.GROUPING_SETS_STATUS_PRIORITY_SQL,
     ),
     # CDC ingest surface (reference parity + corrected semantics); inputs
     # are seeded fixture streams, oracles parse the same JSONL in DuckDB

@@ -1,0 +1,76 @@
+"""Property tests for approximate operators and CDC ordering edge cases."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+from cdc_local_data_pipeline_docker_spark.catalog import load_table
+from cdc_local_data_pipeline_docker_spark.cdc import latest_state as LS
+from cdc_local_data_pipeline_docker_spark.cdc import parse as P
+from cdc_local_data_pipeline_docker_spark.operators.relational import agg_approx
+
+
+def test_approx_sketches_error_bounds(spark, sf_dir):
+    """HLL++ distinct within its rsd bound; t-digest percentiles bracketed
+    by exact neighbors."""
+    approx = {r.l_returnflag: r for r in agg_approx(spark, sf_dir).collect()}
+    li = load_table(spark, sf_dir, "lineitem")
+    exact = {
+        r.l_returnflag: r
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_orderkey").alias("n"),
+            F.expr("percentile(l_extendedprice, array(0.5, 0.95, 0.99))").alias("pct"),
+        )
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for flag, a in approx.items():
+        e = exact[flag]
+        # HLL++ with rsd=0.01: allow 5% (5 sigma)
+        assert abs(a.approx_orders - e.n) <= max(0.05 * e.n, 2.0), (
+            flag, a.approx_orders, e.n
+        )
+        # approx percentiles with accuracy=10000 on <100k rows are near-exact
+        for ap, ep in zip(a.price_percentiles, e.pct):
+            assert abs(ap - ep) / max(abs(ep), 1.0) < 0.01, (flag, ap, ep)
+
+
+def test_latest_state_orders_across_partitions(spark, tmp_path):
+    """Keyed topics put all of a PK's events in ONE partition; latest-state
+    must still pick the winner correctly when different keys live in
+    different partitions with interleaved offsets."""
+    events = [
+        # key 1 lives in partition 0: insert at 0, update at 2
+        {"key": '{"order_id": 1}', "value": json.dumps(
+            {"order_id": 1, "customer_id": 1, "order_date": 0,
+             "status": "pending", "total_amount": "1.00",
+             "shipping_address": "a"}), "topic": "t", "partition": 0,
+         "offset": 0, "timestamp": 0},
+        {"key": '{"order_id": 1}', "value": json.dumps(
+            {"order_id": 1, "customer_id": 1, "order_date": 0,
+             "status": "shipped", "total_amount": "2.00",
+             "shipping_address": "a"}), "topic": "t", "partition": 0,
+         "offset": 2, "timestamp": 0},
+        # key 2 lives in partition 1: insert at 0, tombstone at 1 — note its
+        # offsets OVERLAP partition 0's (offsets are only per-partition)
+        {"key": '{"order_id": 2}', "value": json.dumps(
+            {"order_id": 2, "customer_id": 2, "order_date": 0,
+             "status": "pending", "total_amount": "3.00",
+             "shipping_address": "b"}), "topic": "t", "partition": 1,
+         "offset": 0, "timestamp": 0},
+        {"key": '{"order_id": 2}', "value": None, "topic": "t",
+         "partition": 1, "offset": 1, "timestamp": 0},
+    ]
+    path = tmp_path / "multi_part.jsonl"
+    with open(path, "w") as f:
+        for e in events:
+            f.write(json.dumps(e) + "\n")
+    parsed = P.parse_events(P.read_event_file(spark, str(path)), "orders")
+    state = {r.order_id: r for r in LS.latest_state(parsed, "orders").collect()}
+    # key 1 → latest update wins; key 2 → deleted
+    assert set(state) == {1}
+    assert state[1].status == "shipped"
+    assert str(state[1].total_amount) == "2.00"
