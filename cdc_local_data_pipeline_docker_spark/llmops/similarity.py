@@ -180,6 +180,103 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: IVF coarse quantizer: cells and probed cells per query.
+IVF_CELLS = 16
+IVF_NPROBE = 4
+IVF_KMEANS_ITERS = 5
+
+
+def _ivf_centroids(spark: SparkSession, sf_dir: str) -> list[list[float]]:
+    """k-means centroids for the IVF coarse quantizer, trained with a few
+    Lloyd iterations on the corpus. Deterministic: seeded initial pick
+    (lowest vec_ids), driver-side numpy on the collected corpus — the
+    corpus here is small; at scale this is a sampled training set (IVF
+    training data is conventionally a ~1% sample) or pyspark.ml KMeans."""
+    import numpy as np
+
+    rows = (
+        load_table(spark, sf_dir, "embeddings")
+        .orderBy("vec_id")
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    X = np.array([r.embedding for r in rows], dtype=np.float64)
+    centroids = X[:IVF_CELLS].copy()  # deterministic init: first k vectors
+    for _ in range(IVF_KMEANS_ITERS):
+        d2 = ((X[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for c in range(IVF_CELLS):
+            members = X[assign == c]
+            if len(members):
+                centroids[c] = members.mean(axis=0)
+    return [list(map(float, c)) for c in centroids]
+
+
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file) ANN: assign every vector to its nearest of 16
+    centroid cells; each query probes its 4 nearest cells and exact-ranks
+    only those members. The 100 TB framing: the cell assignment is a
+    map-only pass, the probe is a broadcast join on cell id, and the
+    candidate set shrinks by ~cells/nprobe. Rows-only (centroid training
+    isn't SQL-expressible); pytest bounds recall vs brute force."""
+    cents = _ivf_centroids(spark, sf_dir)
+    cent_rows = [(i, cents[i]) for i in range(IVF_CELLS)]
+    cdf = spark.createDataFrame(cent_rows, "cell INT, cvec ARRAY<DOUBLE>")
+
+    vecs = _vectors(spark, sf_dir)
+    # nearest cell per vector (broadcast the 16 centroids, argmin by L2)
+    scored_cells = (
+        vecs.crossJoin(F.broadcast(cdf))
+        .withColumn(
+            "d2",
+            F.expr(
+                "aggregate(zip_with(v, cvec, (x, c) -> (x - c) * (x - c)),"
+                " 0D, (acc, x) -> acc + x)"
+            ),
+        )
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(F.col("d2").asc(), F.col("cell").asc())
+    assigned = (
+        scored_cells.withColumn("rnk", F.row_number().over(w_assign))
+        .filter(F.col("rnk") == 1)
+        .select("vec_id", "v", "norm", "cell")
+    )
+
+    # queries probe their nprobe nearest cells
+    q_probe = (
+        scored_cells.filter(F.col("vec_id") < ANN_N_QUERIES)
+        .withColumn("rnk", F.row_number().over(w_assign))
+        .filter(F.col("rnk") <= IVF_NPROBE)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("qv"),
+            F.col("norm").alias("qn"),
+            "cell",
+        )
+    )
+    corpus = assigned.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("v").alias("nv"),
+        F.col("norm").alias("nn"),
+        "cell",
+    )
+    cand = (
+        q_probe.join(corpus, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = cand.withColumn("cosine", F.expr(_DOT) / (F.col("qn") * F.col("nn")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= ANN_TOP_K)
+        .select("query_id", "rank", "neighbor_id")
+        .orderBy("query_id", "rank")
+    )
+
+
 def knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-NN majority-vote label prediction for the query vectors — the
     classic downstream consumer of the ANN result: top-5 neighbors' labels,

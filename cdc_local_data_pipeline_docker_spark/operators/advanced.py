@@ -1,0 +1,207 @@
+"""Advanced operator pack: skew-safe aggregation, rollup reuse, range
+frames, argmin/argmax, pivot, token explode — each a named scale pattern
+with an exact oracle.
+
+These exist to demonstrate the 100 TB playbook as first-class, verified
+operators rather than prose: salting for hot keys, pre-aggregated rollup
+tables answering coarser queries (the hypertable/continuous-aggregate
+pattern), RANGE window frames, and wide→long/long→wide reshapes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import DecimalType
+
+from ..catalog import load_table
+
+DEC = DecimalType(18, 2)
+SALT_BUCKETS = 16
+
+
+def agg_salted_two_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage salted aggregation over a 5-key (maximally skewed) domain.
+
+    event_type has only 5 values → a naive groupBy sends 1/5 of 100 TB to
+    each of 5 reducers. Stage 1 aggregates on (key, salt) spreading each
+    hot key over 16 buckets; stage 2 combines the 80 partials. Decimal
+    sums re-aggregate exactly, so the result equals the plain GROUP BY the
+    oracle runs."""
+    e = load_table(spark, sf_dir, "events")
+    salted = e.withColumn(
+        "salt", (F.col("event_id") % SALT_BUCKETS).cast("int")
+    )
+    stage1 = salted.groupBy("event_type", "salt").agg(
+        F.count(F.lit(1)).alias("pc"),
+        F.sum(F.col("value").cast(DEC)).alias("pv"),
+    )
+    return (
+        stage1.groupBy("event_type")
+        .agg(
+            F.sum("pc").alias("n_events"),
+            F.sum("pv").cast("double").alias("total_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+AGG_SALTED_TWO_STAGE_SQL = """
+SELECT event_type, COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+def events_rollup_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily totals computed FROM the hourly rollup (continuous-aggregate /
+    hypertable pattern): the coarser aggregate re-aggregates the finer one
+    instead of rescanning raw events. Counts and decimal sums are exactly
+    re-aggregable, so the oracle (daily directly from raw) must agree —
+    which is precisely the invariant that makes rollup tables safe."""
+    e = load_table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        F.date_trunc("hour", "ts").alias("hour_start"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast(DEC)).alias("v"),
+    )
+    return (
+        hourly.groupBy(
+            F.to_date("hour_start").alias("day"), "event_type"
+        )
+        .agg(
+            F.sum("n").alias("n_events"),
+            F.sum("v").cast("double").alias("total_value"),
+        )
+        .orderBy("day", "event_type")
+    )
+
+
+EVENTS_ROLLUP_REUSE_SQL = """
+SELECT CAST(ts AS DATE) AS day, event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY 1, 2
+ORDER BY day, event_type
+"""
+
+
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-framed window: per customer, order count and revenue within
+    the trailing 30 days of each order (inclusive). The frame is over an
+    integer day key so both engines bound it identically."""
+    o = load_table(spark, sf_dir, "orders")
+    day = F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01").cast("date"))
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(day)
+        .rangeBetween(-30, 0)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.count(F.lit(1)).over(w).alias("orders_30d"),
+        F.sum(F.col("o_totalprice").cast(DEC)).over(w).cast("double").alias(
+            "revenue_30d"
+        ),
+    ).orderBy("o_custkey", "o_orderkey")
+
+
+WINDOW_RANGE_FRAME_SQL = """
+SELECT o_custkey, o_orderkey,
+       COUNT(*) OVER w AS orders_30d,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE)
+         AS revenue_30d
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey
+             ORDER BY datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+             RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
+ORDER BY o_custkey, o_orderkey
+"""
+
+
+def agg_minby_maxby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Argmin/argmax aggregates: per status, which order carries the
+    max/min price (ties impossible: prices keyed by unique orderkey are
+    disambiguated through the struct comparator)."""
+    o = load_table(spark, sf_dir, "orders")
+    # Deterministic under price ties: compare (price, orderkey) pairs.
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.expr(
+                "max_by(o_orderkey, struct(o_totalprice, o_orderkey))"
+            ).alias("priciest_order"),
+            F.expr(
+                "min_by(o_orderkey, struct(o_totalprice, -o_orderkey))"
+            ).alias("cheapest_order"),
+            F.max("o_totalprice").alias("max_price"),
+            F.min("o_totalprice").alias("min_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+AGG_MINBY_MAXBY_SQL = """
+SELECT o_orderstatus,
+       first(o_orderkey ORDER BY o_totalprice DESC, o_orderkey DESC)
+         AS priciest_order,
+       first(o_orderkey ORDER BY o_totalprice ASC, o_orderkey DESC)
+         AS cheapest_order,
+       MAX(o_totalprice) AS max_price,
+       MIN(o_totalprice) AS min_price
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
+def agg_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long→wide pivot: order counts per priority × status. Pivot compiles
+    to conditional aggregation (one shuffle), which is exactly what the
+    oracle spells out with CASE sums."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+        .withColumnsRenamed({"F": "n_f", "O": "n_o", "P": "n_p"})
+        .na.fill(0, ["n_f", "n_o", "n_p"])
+        .orderBy("o_orderpriority")
+    )
+
+
+AGG_PIVOT_STATUS_SQL = """
+SELECT o_orderpriority,
+       SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_f,
+       SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_o,
+       SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_p
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def explode_token_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long explode: global token frequencies over the corpus —
+    explode is the lateral unnest; the count is a plain partial+final agg
+    over the exploded stream (no materialized intermediate)."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.col("freq").desc(), F.col("token").asc())
+    )
+
+
+EXPLODE_TOKEN_FREQUENCIES_SQL = """
+SELECT token, COUNT(*) AS freq
+FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+GROUP BY token
+ORDER BY freq DESC, token ASC
+"""

@@ -18,6 +18,7 @@ from .llmops import dedup as DD
 from .llmops import multimodal as MM
 from .llmops import similarity as SIM
 from .llmops import text as TX
+from .operators import advanced as ADV
 from .operators import asof as ASOF
 from .operators import events_analytics as EV
 from .operators import relational as R
@@ -75,6 +76,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # LLM-ops: similarity search
     "ann_cosine_topk": (SIM.ann_cosine_topk, SIM.ANN_COSINE_TOPK_SQL),
     "ann_lsh_topk": (SIM.ann_lsh_topk, None),  # approximate by construction
+    "ann_ivf_topk": (SIM.ann_ivf_topk, None),  # approximate by construction
     "knn_label_vote": (SIM.knn_label_vote, SIM.KNN_LABEL_VOTE_SQL),
     # LLM-ops: text analysis
     "text_token_stats": (TX.text_token_stats, TX.TEXT_TOKEN_STATS_SQL),
@@ -106,6 +108,17 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "events_retention_cohorts": (
         EV.events_retention_cohorts,
         EV.EVENTS_RETENTION_COHORTS_SQL,
+    ),
+    # advanced pack: skew-safe agg, rollup reuse, range frames, argminmax,
+    # pivot, explode
+    "agg_salted_two_stage": (ADV.agg_salted_two_stage, ADV.AGG_SALTED_TWO_STAGE_SQL),
+    "events_rollup_reuse": (ADV.events_rollup_reuse, ADV.EVENTS_ROLLUP_REUSE_SQL),
+    "window_range_frame": (ADV.window_range_frame, ADV.WINDOW_RANGE_FRAME_SQL),
+    "agg_minby_maxby": (ADV.agg_minby_maxby, ADV.AGG_MINBY_MAXBY_SQL),
+    "agg_pivot_status": (ADV.agg_pivot_status, ADV.AGG_PIVOT_STATUS_SQL),
+    "explode_token_frequencies": (
+        ADV.explode_token_frequencies,
+        ADV.EXPLODE_TOKEN_FREQUENCIES_SQL,
     ),
     # temporal + grouping-set operators
     "events_asof_last_view": (

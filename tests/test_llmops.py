@@ -75,6 +75,18 @@ def test_ann_lsh_recall_vs_brute_force(spark, sf_dir):
     assert recall >= 0.6, f"LSH recall@{SIM.ANN_TOP_K} = {recall:.2f}"
 
 
+def test_ann_ivf_recall_vs_brute_force(spark, sf_dir):
+    brute = {
+        (r.query_id, r.neighbor_id)
+        for r in SIM.ann_cosine_topk(spark, sf_dir).collect()
+    }
+    ivf = {
+        (r.query_id, r.neighbor_id) for r in SIM.ann_ivf_topk(spark, sf_dir).collect()
+    }
+    recall = len(ivf & brute) / len(brute)
+    assert recall >= 0.6, f"IVF recall@{SIM.ANN_TOP_K} = {recall:.2f}"
+
+
 def test_ann_lsh_shape(spark, sf_dir):
     rows = SIM.ann_lsh_topk(spark, sf_dir).collect()
     by_query: dict[int, list[int]] = {}
