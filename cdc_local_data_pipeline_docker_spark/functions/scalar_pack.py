@@ -236,6 +236,51 @@ ORDER BY event_id
 """
 
 
+def fn_map_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-type functions over per-doc token counts: build a map with
+    map_from_entries over an aggregated (token, count) struct array, then
+    interrogate it (size, keys, lookup). Output is map-free (sorted arrays
+    + scalars) so the comparison is representation-independent — DuckDB
+    builds the same answers straight from the grouped counts."""
+    d = load_table(spark, sf_dir, "documents")
+    counts = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    with_map = counts.groupBy("doc_id").agg(
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("tok", "cnt")))
+        ).alias("tok_map")
+    )
+    return with_map.select(
+        "doc_id",
+        F.size("tok_map").alias("n_distinct_tokens"),
+        F.array_sort(F.map_keys("tok_map")).alias("vocab"),
+        F.element_at("tok_map", "data").alias("count_of_data"),
+        F.expr(
+            "aggregate(map_values(tok_map), 0L, (acc, x) -> acc + x)"
+        ).alias("n_tokens"),
+    ).orderBy("doc_id")
+
+
+FN_MAP_PACK_SQL = """
+WITH counts AS (
+  SELECT doc_id, tok, COUNT(*) AS cnt
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+  GROUP BY doc_id, tok
+)
+SELECT doc_id,
+       COUNT(*) AS n_distinct_tokens,
+       list_sort(list(tok)) AS vocab,
+       MAX(CASE WHEN tok = 'data' THEN cnt END) AS count_of_data,
+       SUM(cnt) AS n_tokens
+FROM counts
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
 def fn_conditional_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conditional / null-handling: CASE chains, coalesce, nullif,
     nvl2-style branching, boolean algebra — over orders."""

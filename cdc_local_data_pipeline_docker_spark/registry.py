@@ -23,6 +23,7 @@ from .operators import asof as ASOF
 from .operators import events_analytics as EV
 from .operators import relational as R
 from .streaming import jobs as SJ
+from .streaming import stateful as SST
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -96,6 +97,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "fn_math_pack": (FP.fn_math_pack, FP.FN_MATH_PACK_SQL),
     "fn_array_pack": (FP.fn_array_pack, FP.FN_ARRAY_PACK_SQL),
     "fn_json_pack": (FP.fn_json_pack, FP.FN_JSON_PACK_SQL),
+    "fn_map_pack": (FP.fn_map_pack, FP.FN_MAP_PACK_SQL),
     "fn_conditional_pack": (FP.fn_conditional_pack, FP.FN_CONDITIONAL_PACK_SQL),
     # pandas UDF surface (Arrow scalar + grouped-map), exactly oracle-checked
     "fn_pandas_normalize": (PU.fn_pandas_normalize, PU.FN_PANDAS_NORMALIZE_SQL),
@@ -145,6 +147,10 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "stream_tumbling_agg": (SJ.stream_tumbling_agg, SJ.STREAM_TUMBLING_AGG_SQL),
     "stream_session_agg": (SJ.stream_session_agg, SJ.STREAM_SESSION_AGG_SQL),
     "stream_dedup_events": (SJ.stream_dedup_events, SJ.STREAM_DEDUP_EVENTS_SQL),
+    "stream_stateful_user_totals": (
+        SST.stream_stateful_user_totals,
+        SST.STREAM_STATEFUL_USER_TOTALS_SQL,
+    ),
 }
 
 

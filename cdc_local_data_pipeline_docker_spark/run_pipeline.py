@@ -1,0 +1,72 @@
+"""End-to-end pipeline runner — the engine's twin of the reference's
+run_pipeline.sh / run_pipeline.py / Airflow DAG (SURVEY.md §3.1-3.2).
+
+Where the reference orchestrates 10 docker services, shells into
+containers, and subprocess-runs one Spark script per table
+(cdc_auto_sync_every_5min.py:96-107), this is one process, one
+SparkSession, one command:
+
+    python -m cdc_local_data_pipeline_docker_spark.run_pipeline \
+        --events-dir /tmp/events --out-dir /tmp/warehouse [--tables orders,...]
+
+Per table: incremental offset-resumed ingest (cdc/ingest.py), then the
+count-verification the DAG did via psql+mc subprocesses (U8) computed as
+one aggregation, then the latest-state view the reference never had.
+Re-running is safe (offset watermark → no-op) — the 5-minute cron
+semantic is just "invoke this on a schedule", or use
+streaming/ingest_stream.py for the checkpointed live form.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+from .catalog import CDC_PRIMARY_KEYS
+from .cdc import fixtures as FX
+from .cdc.ingest import ingest_table, materialize_latest
+from .session import get_spark
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--events-dir", required=False, default=None,
+                    help="dir with <table>.jsonl topic files; generated "
+                         "fixtures are used if omitted")
+    ap.add_argument("--out-dir", required=True)
+    ap.add_argument("--tables", default=",".join(CDC_PRIMARY_KEYS),
+                    help="comma list (default: all four)")
+    args = ap.parse_args(argv)
+
+    tables = [t.strip() for t in args.tables.split(",") if t.strip()]
+    unknown = [t for t in tables if t not in CDC_PRIMARY_KEYS]
+    if unknown:
+        ap.error(
+            f"unknown table(s) {unknown}; valid: {', '.join(CDC_PRIMARY_KEYS)}"
+        )
+
+    events_dir = args.events_dir
+    if events_dir is None:
+        events_dir = os.path.join(args.out_dir, "_generated_events")
+        FX.write_fixtures(events_dir)
+
+    spark = get_spark(app_name="cdc-run-pipeline")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    report = []
+    for table in tables:
+        metrics = ingest_table(
+            spark, os.path.join(events_dir, f"{table}.jsonl"), table, args.out_dir
+        )
+        live = materialize_latest(spark, args.out_dir, table).count()
+        metrics["live_rows"] = live
+        report.append(metrics)
+
+    print(json.dumps({"tables": report}))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
