@@ -33,6 +33,49 @@ def test_kafka_batch_options_surface():
     assert opts["failOnDataLoss"] == "false"
 
 
+def test_bucketed_join_eliminates_shuffle(spark, sf_dir, tmp_path):
+    """Fact-fact join between co-bucketed tables must plan with NO exchange
+    on either join side (the ingest-time bucketing satisfies the join's
+    distribution requirement) — the amortized-shuffle strategy for keys too
+    big to broadcast."""
+    from pyspark.sql import functions as F
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        S.write_bucketed(
+            load_table(spark, sf_dir, "orders"), "t_orders_b", "o_orderkey", 8
+        )
+        S.write_bucketed(
+            load_table(spark, sf_dir, "lineitem"), "t_lineitem_b", "l_orderkey", 8
+        )
+        o = S.read_bucketed(spark, "t_orders_b")
+        li = S.read_bucketed(spark, "t_lineitem_b")
+        j = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        plan = A.formatted_plan(j)
+        # the only exchange is the final tiny aggregation, not the join
+        assert A.count(plan, "Exchange") == 1, plan
+        # correctness unchanged vs a plain join on the raw tables
+        raw = (
+            load_table(spark, sf_dir, "lineitem")
+            .join(
+                load_table(spark, sf_dir, "orders"),
+                F.col("l_orderkey") == F.col("o_orderkey"),
+            )
+            .groupBy("o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        assert sorted(map(tuple, j.collect())) == sorted(map(tuple, raw.collect()))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS t_orders_b")
+        spark.sql("DROP TABLE IF EXISTS t_lineitem_b")
+
+
 def test_partitioned_sink_roundtrip_and_pruning(spark, sf_dir, tmp_path):
     path = str(tmp_path / "orders_part")
     orders = load_table(spark, sf_dir, "orders")
