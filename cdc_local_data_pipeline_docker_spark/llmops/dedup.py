@@ -122,8 +122,14 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     Inverted-index self-join: pairs are generated only for docs sharing a
     shingle, then Jaccard = |∩| / (|A|+|B|-|∩|) from exact distinct counts
     (integer-exact, so the double division is bit-identical to the oracle).
-    At scale, cap posting-list length (drop stop-shingles) or switch to the
-    MinHash+LSH variant below."""
+
+    Scale lever, measured not assumed: the pair space is Σ df² over
+    posting lists. On this corpus max df = 25 at sf0.1 (measured), so a
+    document-frequency cap would prune NOTHING while adding two joins —
+    the simple form wins here. On a natural-language corpus with
+    heavy-tailed shingle frequencies, add `HAVING count <= cap` on the
+    posting lists before the self-join (mirrored in the oracle), or use
+    the MinHash+LSH variant below, whose cost is bounded by banding."""
     d = load_table(spark, sf_dir, "documents")
     # The shingle set feeds three plan branches (two join sides + sizes);
     # caching avoids re-deriving it per branch. At 100 TB the equivalent is
