@@ -115,3 +115,78 @@ FROM orders
 GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
 ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
 """
+
+
+def sql_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery + EXISTS, declared in SQL: orders beating
+    their customer's average price, where the customer has an urgent order.
+    Catalyst decorrelates both into joins/aggregates — the optimizer
+    feature, not hand-written join plumbing, is what's exercised; the
+    oracle runs the very same SQL."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    return spark.sql(_CORRELATED_SQL.format(t="orders_v"))
+
+
+_CORRELATED_SQL = """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM {t} o
+WHERE o_totalprice > (SELECT AVG(i.o_totalprice) FROM {t} i
+                      WHERE i.o_custkey = o.o_custkey)
+  AND EXISTS (SELECT 1 FROM {t} u
+              WHERE u.o_custkey = o.o_custkey
+                AND u.o_orderpriority = '1-URGENT')
+ORDER BY o_orderkey
+"""
+
+SQL_CORRELATED_SUBQUERY_SQL = _CORRELATED_SQL.format(t="orders")
+
+
+def set_ops_bag_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag (ALL) set semantics: UNION ALL / INTERSECT ALL / EXCEPT ALL
+    cardinalities over the per-order status stream — duplicates preserved
+    per multiset algebra, summarized as counts per status."""
+    o = load_table(spark, sf_dir, "orders")
+    f = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    p = o.filter(F.col("o_orderstatus") == "P").select("o_custkey")
+    union_all = f.unionAll(p).groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_union_all")
+    )
+    intersect_all = (
+        f.intersectAll(p).groupBy("o_custkey").agg(
+            F.count(F.lit(1)).alias("n_intersect_all")
+        )
+    )
+    except_all = (
+        f.exceptAll(p).groupBy("o_custkey").agg(
+            F.count(F.lit(1)).alias("n_except_all")
+        )
+    )
+    return (
+        union_all.join(intersect_all, "o_custkey", "left")
+        .join(except_all, "o_custkey", "left")
+        .select(
+            "o_custkey",
+            "n_union_all",
+            F.coalesce("n_intersect_all", F.lit(0)).alias("n_intersect_all"),
+            F.coalesce("n_except_all", F.lit(0)).alias("n_except_all"),
+        )
+        .orderBy("o_custkey")
+    )
+
+
+SET_OPS_BAG_SEMANTICS_SQL = """
+WITH f AS (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'),
+p AS (SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'),
+ua AS (SELECT o_custkey, COUNT(*) AS n_union_all
+       FROM (SELECT * FROM f UNION ALL SELECT * FROM p) GROUP BY 1),
+ia AS (SELECT o_custkey, COUNT(*) AS n_intersect_all
+       FROM (SELECT * FROM f INTERSECT ALL SELECT * FROM p) GROUP BY 1),
+ea AS (SELECT o_custkey, COUNT(*) AS n_except_all
+       FROM (SELECT * FROM f EXCEPT ALL SELECT * FROM p) GROUP BY 1)
+SELECT ua.o_custkey, n_union_all,
+       COALESCE(n_intersect_all, 0) AS n_intersect_all,
+       COALESCE(n_except_all, 0) AS n_except_all
+FROM ua LEFT JOIN ia ON ua.o_custkey = ia.o_custkey
+        LEFT JOIN ea ON ua.o_custkey = ea.o_custkey
+ORDER BY ua.o_custkey
+"""

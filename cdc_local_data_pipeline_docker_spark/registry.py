@@ -131,6 +131,14 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         ASOF.grouping_sets_status_priority,
         ASOF.GROUPING_SETS_STATUS_PRIORITY_SQL,
     ),
+    "sql_correlated_subquery": (
+        ASOF.sql_correlated_subquery,
+        ASOF.SQL_CORRELATED_SUBQUERY_SQL,
+    ),
+    "set_ops_bag_semantics": (
+        ASOF.set_ops_bag_semantics,
+        ASOF.SET_OPS_BAG_SEMANTICS_SQL,
+    ),
     # CDC ingest surface (reference parity + corrected semantics); inputs
     # are seeded fixture streams, oracles parse the same JSONL in DuckDB
     "cdc_latest_state_orders": (
