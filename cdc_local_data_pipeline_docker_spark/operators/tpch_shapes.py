@@ -1,0 +1,218 @@
+"""Additional TPC-H-shaped multi-join analytics (Q7 / Q8 / Q17 forms),
+adapted to the synthetic data domains (nations are NATION_0..24; no
+partsupp table exists, so Q2/Q20 shapes are out of reach).
+
+Same plan discipline as relational.py: dims broadcast, facts shuffle once
+on their join key, money math through DECIMAL(18,2), deterministic
+ordering. Q17's correlated per-part average is written as a grouped
+aggregate joined back (the decorrelated form) — on the Spark side
+explicitly, in the oracle via the equivalent CTE.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import DecimalType
+
+from ..catalog import load_table
+
+DEC = DecimalType(18, 2)
+
+Q7_NATION_A = "NATION_1"
+Q7_NATION_B = "NATION_2"
+
+
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7 shape: bilateral trade volume between two nations per ship-year —
+    supplier in one nation, ordering customer in the other, both
+    directions. Facts join on their keys; the four dim joins broadcast."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n1 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("supp_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("cust_nkey"), F.col("n_name").alias("cust_nation")
+    )
+    joined = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), s.s_nationkey == F.col("supp_nkey"))
+        .join(F.broadcast(n2), c.c_nationkey == F.col("cust_nkey"))
+        .filter(
+            (
+                (F.col("supp_nation") == Q7_NATION_A)
+                & (F.col("cust_nation") == Q7_NATION_B)
+            )
+            | (
+                (F.col("supp_nation") == Q7_NATION_B)
+                & (F.col("cust_nation") == Q7_NATION_A)
+            )
+        )
+    )
+    return (
+        joined.groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("ship_year")
+        )
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast(DEC)
+                * (F.lit(1).cast(DEC) - F.col("l_discount").cast(DEC))
+            )
+            .cast("double")
+            .alias("volume")
+        )
+        .orderBy("supp_nation", "cust_nation", "ship_year")
+    )
+
+
+Q7_VOLUME_SHIPPING_SQL = f"""
+SELECT supp_nation, cust_nation, ship_year,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+            AS DOUBLE) AS volume
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         year(l_shipdate) AS ship_year, l_extendedprice, l_discount
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE (n1.n_name = '{Q7_NATION_A}' AND n2.n_name = '{Q7_NATION_B}')
+     OR (n1.n_name = '{Q7_NATION_B}' AND n2.n_name = '{Q7_NATION_A}')
+)
+GROUP BY supp_nation, cust_nation, ship_year
+ORDER BY supp_nation, cust_nation, ship_year
+"""
+
+
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q8 shape: a supplier-region's share of yearly revenue within one
+    customer-region's market. Share = regional volume / total volume per
+    year — both sums run as exact decimals and divide once at the end."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n_c = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_regionkey").alias("c_rkey")
+    )
+    n_s = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_regionkey").alias("s_rkey")
+    )
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    vol = F.col("l_extendedprice").cast(DEC) * (
+        F.lit(1).cast(DEC) - F.col("l_discount").cast(DEC)
+    )
+    joined = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n_c), c.c_nationkey == F.col("c_nkey"))
+        .join(F.broadcast(n_s), s.s_nationkey == F.col("s_nkey"))
+        .join(F.broadcast(r), F.col("c_rkey") == r.r_regionkey)  # ASIA customers
+        .select(
+            F.year("o_orderdate").alias("order_year"),
+            vol.alias("volume"),
+            (F.col("s_rkey") == F.col("c_rkey")).alias("local_supplier"),
+        )
+    )
+    return (
+        joined.groupBy("order_year")
+        .agg(
+            F.sum(F.when(F.col("local_supplier"), F.col("volume")).otherwise(
+                F.lit(0).cast(DEC)
+            )).alias("local_vol"),
+            F.sum("volume").alias("total_vol"),
+        )
+        .select(
+            "order_year",
+            (F.col("local_vol").cast("double") / F.col("total_vol").cast("double")).alias(
+                "local_share"
+            ),
+            F.col("total_vol").cast("double").alias("total_volume"),
+        )
+        .orderBy("order_year")
+    )
+
+
+Q8_MARKET_SHARE_SQL = """
+WITH joined AS (
+  SELECT year(o_orderdate) AS order_year,
+         CAST(l_extendedprice AS DECIMAL(18,2))
+           * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+           AS volume,
+         ns.n_regionkey = nc.n_regionkey AS local_supplier
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation nc ON c_nationkey = nc.n_nationkey
+  JOIN nation ns ON s_nationkey = ns.n_nationkey
+  JOIN region  ON nc.n_regionkey = r_regionkey
+  WHERE r_name = 'ASIA'
+)
+SELECT order_year,
+       CAST(SUM(CASE WHEN local_supplier THEN volume
+                     ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+         / CAST(SUM(volume) AS DOUBLE) AS local_share,
+       CAST(SUM(volume) AS DOUBLE) AS total_volume
+FROM joined
+GROUP BY order_year
+ORDER BY order_year
+"""
+
+
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q17 shape: revenue locked in small-quantity orders of a brand —
+    lineitems with quantity below 70% of their part's average quantity.
+    The per-part correlated average is decorrelated into a grouped agg
+    joined back on partkey; the average itself is an exact decimal ratio
+    so the 0.7× threshold compares identically in both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1")
+    avg_qty = (
+        li.groupBy("l_partkey")
+        .agg(
+            (
+                F.sum(F.col("l_quantity").cast(DEC)) / F.count(F.lit(1))
+            ).alias("avg_qty")
+        )
+        .select(F.col("l_partkey").alias("ap_partkey"), "avg_qty")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(avg_qty, li.l_partkey == F.col("ap_partkey"))
+        .filter(
+            F.col("l_quantity").cast(DEC) < F.lit(0.7).cast(DEC) * F.col("avg_qty")
+        )
+        .agg(
+            F.sum(F.col("l_extendedprice").cast(DEC)).cast("double").alias(
+                "small_qty_revenue"
+            ),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+Q17_SMALL_QUANTITY_REVENUE_SQL = """
+WITH avg_qty AS (
+  SELECT l_partkey AS ap_partkey,
+         SUM(CAST(l_quantity AS DECIMAL(18,2))) / COUNT(*) AS avg_qty
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+         AS small_qty_revenue,
+       COUNT(*) AS n_lineitems
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN avg_qty ON l_partkey = ap_partkey
+WHERE p_brand = 'Brand#1'
+  AND CAST(l_quantity AS DECIMAL(18,2)) < CAST(0.7 AS DECIMAL(18,2)) * avg_qty
+"""

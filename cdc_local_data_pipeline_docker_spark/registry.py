@@ -22,6 +22,7 @@ from .operators import advanced as ADV
 from .operators import asof as ASOF
 from .operators import events_analytics as EV
 from .operators import relational as R
+from .operators import tpch_shapes as TQ
 from .streaming import jobs as SJ
 from .streaming import stateful as SST
 
@@ -64,6 +65,12 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q5_local_supplier_volume": (
         R.q5_local_supplier_volume,
         R.Q5_LOCAL_SUPPLIER_VOLUME_SQL,
+    ),
+    "q7_volume_shipping": (TQ.q7_volume_shipping, TQ.Q7_VOLUME_SHIPPING_SQL),
+    "q8_market_share": (TQ.q8_market_share, TQ.Q8_MARKET_SHARE_SQL),
+    "q17_small_quantity_revenue": (
+        TQ.q17_small_quantity_revenue,
+        TQ.Q17_SMALL_QUANTITY_REVENUE_SQL,
     ),
     # LLM-ops: dedup
     "dedup_exact": (DD.dedup_exact, DD.DEDUP_EXACT_SQL),
