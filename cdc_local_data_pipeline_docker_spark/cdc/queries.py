@@ -172,8 +172,10 @@ def _changelog_stats_sql() -> str:
 WITH all_events AS ({union})
 SELECT table_name,
        COUNT(*) AS n_events,
-       SUM(CASE WHEN is_tombstone THEN 1 ELSE 0 END) AS n_tombstones,
-       SUM(CASE WHEN is_malformed THEN 1 ELSE 0 END) AS n_malformed,
+       CAST(SUM(CASE WHEN is_tombstone THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_tombstones,
+       CAST(SUM(CASE WHEN is_malformed THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_malformed,
        COUNT(DISTINCT pk) AS n_distinct_keys,
        MAX(kafka_offset) AS high_watermark
 FROM all_events

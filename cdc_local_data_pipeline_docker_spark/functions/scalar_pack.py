@@ -171,13 +171,18 @@ def fn_array_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size(toks).alias("n_toks"),
             F.element_at(toks, 1).alias("first_tok"),
             F.element_at(toks, -1).alias("last_tok"),
-            F.slice(toks, 1, 5).alias("head5"),
-            F.array_sort(F.array_distinct(toks)).alias("sorted_vocab"),
+            # array results are emitted as joined strings: the driver's
+            # pandas canonicalizer cannot hash list cells
+            F.array_join(F.slice(toks, 1, 5), " ").alias("head5"),
+            F.array_join(F.array_sort(F.array_distinct(toks)), " ").alias(
+                "sorted_vocab"
+            ),
             F.array_contains(toks, "spark").alias("has_spark"),
             F.array_position(toks, "data").alias("data_pos"),
-            F.expr("transform(slice(split(text, ' '), 1, 3), t -> upper(t))").alias(
-                "head3_upper"
-            ),
+            F.expr(
+                "array_join(transform(slice(split(text, ' '), 1, 3),"
+                " t -> upper(t)), ' ')"
+            ).alias("head3_upper"),
             F.expr("size(filter(split(text, ' '), t -> length(t) > 4))").alias(
                 "n_long_toks"
             ),
@@ -191,11 +196,13 @@ SELECT doc_id,
        len(string_split(text, ' ')) AS n_toks,
        string_split(text, ' ')[1] AS first_tok,
        string_split(text, ' ')[-1] AS last_tok,
-       (string_split(text, ' '))[1:5] AS head5,
-       list_sort(list_distinct(string_split(text, ' '))) AS sorted_vocab,
+       array_to_string((string_split(text, ' '))[1:5], ' ') AS head5,
+       array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')
+         AS sorted_vocab,
        list_contains(string_split(text, ' '), 'spark') AS has_spark,
        COALESCE(list_position(string_split(text, ' '), 'data'), 0) AS data_pos,
-       list_transform((string_split(text, ' '))[1:3], t -> upper(t))
+       array_to_string(list_transform((string_split(text, ' '))[1:3],
+                                      t -> upper(t)), ' ')
          AS head3_upper,
        len(list_filter(string_split(text, ' '), t -> length(t) > 4))
          AS n_long_toks
@@ -216,7 +223,8 @@ def fn_json_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.get_json_object("props", "$.k").cast("long").alias("k_int"),
             F.get_json_object("props", "$.missing").alias("missing_path"),
             F.from_json("props", "k LONG").getField("k").alias("k_parsed"),
-            F.json_object_keys("props").alias("prop_keys"),
+            # joined string, not array — canon-safe at the query boundary
+            F.array_join(F.json_object_keys("props"), ",").alias("prop_keys"),
             (F.get_json_object("props", "$.k").cast("long") % 10).alias("k_bucket"),
         )
         .orderBy("event_id")
@@ -229,7 +237,7 @@ SELECT event_id,
        CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_int,
        json_extract_string(props, '$.missing') AS missing_path,
        CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_parsed,
-       json_keys(props) AS prop_keys,
+       array_to_string(json_keys(props), ',') AS prop_keys,
        CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket
 FROM events
 ORDER BY event_id
@@ -256,8 +264,10 @@ def fn_map_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_map.select(
         "doc_id",
         F.size("tok_map").alias("n_distinct_tokens"),
-        F.array_sort(F.map_keys("tok_map")).alias("vocab"),
-        F.element_at("tok_map", "data").alias("count_of_data"),
+        F.array_join(F.array_sort(F.map_keys("tok_map")), " ").alias("vocab"),
+        F.coalesce(F.element_at("tok_map", "data"), F.lit(0).cast("long")).alias(
+            "count_of_data"
+        ),
         F.expr(
             "aggregate(map_values(tok_map), 0L, (acc, x) -> acc + x)"
         ).alias("n_tokens"),
@@ -272,9 +282,9 @@ WITH counts AS (
 )
 SELECT doc_id,
        COUNT(*) AS n_distinct_tokens,
-       list_sort(list(tok)) AS vocab,
-       MAX(CASE WHEN tok = 'data' THEN cnt END) AS count_of_data,
-       SUM(cnt) AS n_tokens
+       array_to_string(list_sort(list(tok)), ' ') AS vocab,
+       COALESCE(MAX(CASE WHEN tok = 'data' THEN cnt END), 0) AS count_of_data,
+       CAST(SUM(cnt) AS BIGINT) AS n_tokens
 FROM counts
 GROUP BY doc_id
 ORDER BY doc_id

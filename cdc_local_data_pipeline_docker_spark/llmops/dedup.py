@@ -83,7 +83,14 @@ def _shingled(df: DataFrame) -> DataFrame:
     """(doc_id, shingle) — distinct word-3-gram shingles per document.
 
     Pure higher-order expression: split → transform(sequence) → explode.
-    Stays inside codegen; no Python crosses the boundary."""
+    Stays inside codegen; no Python crosses the boundary.
+
+    Short-doc guard: Spark's ``sequence(1, 0)`` is DESCENDING ``[1, 0]``
+    (step -1), so for a doc with fewer than n tokens the old
+    ``sequence(1, greatest(size-n+1, 0))`` form produced index 0 and
+    ``slice`` throws at runtime ('array indices start at 1') — and DuckDB's
+    ``generate_series(1, 0)`` is empty, so the twins diverged. The ``if``
+    guard makes sub-n-token docs yield zero shingles in both engines."""
     n = SHINGLE_N
     return (
         df.select(
@@ -91,7 +98,9 @@ def _shingled(df: DataFrame) -> DataFrame:
             F.expr(
                 f"""
                 array_distinct(transform(
-                  sequence(1, greatest(size(split(text, ' ')) - {n - 1}, 0)),
+                  if(size(split(text, ' ')) < {n},
+                     array(),
+                     sequence(1, size(split(text, ' ')) - {n - 1})),
                   i -> concat_ws(' ',
                          slice(split(text, ' '), i, {n}))
                 ))

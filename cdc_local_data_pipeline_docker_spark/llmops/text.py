@@ -205,10 +205,15 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id",
         F.md5("text").alias("content_md5"),
+        # if-guard, not greatest(...,0): Spark's sequence(1,0) is a
+        # DESCENDING [1,0] whose 0 index crashes slice on sub-3-token docs
+        # (DuckDB's generate_series(1,0) is empty → NULL, matching array())
         F.expr(
             """
             array_min(transform(
-              sequence(1, greatest(size(split(text, ' ')) - 2, 0)),
+              if(size(split(text, ' ')) < 3,
+                 array(),
+                 sequence(1, size(split(text, ' ')) - 2)),
               i -> md5(concat_ws(' ', slice(split(text, ' '), i, 3)))))
             """
         ).alias("min_shingle_md5"),
@@ -258,7 +263,7 @@ def corpus_lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 CORPUS_LANG_PROFILE_SQL = """
 SELECT lang, source, COUNT(*) AS n_docs,
-       SUM(length(text)) AS total_chars,
+       CAST(SUM(length(text)) AS BIGINT) AS total_chars,
        CAST(SUM(len(list_distinct(string_split(text, ' ')))) AS DOUBLE)
          / SUM(len(string_split(text, ' '))) AS pooled_uniq_ratio
 FROM documents

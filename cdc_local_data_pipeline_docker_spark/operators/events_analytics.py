@@ -147,7 +147,7 @@ sessions AS (
               AS session_seq
   FROM flagged
 )
-SELECT user_id, session_seq,
+SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
        MIN(ts) AS session_start,
        MAX(ts) AS session_end,
        COUNT(*) AS n_events,
@@ -194,12 +194,13 @@ WITH firsts AS (
   GROUP BY user_id
 )
 SELECT COUNT(*) AS n_users,
-       SUM(CASE WHEN first_view IS NOT NULL THEN 1 ELSE 0 END) AS reached_view,
-       SUM(CASE WHEN first_view IS NOT NULL AND first_click > first_view
-                THEN 1 ELSE 0 END) AS reached_click,
-       SUM(CASE WHEN first_view IS NOT NULL AND first_click > first_view
-                     AND first_purchase > first_click
-                THEN 1 ELSE 0 END) AS reached_purchase
+       CAST(SUM(CASE WHEN first_view IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS reached_view,
+       CAST(SUM(CASE WHEN first_view IS NOT NULL AND first_click > first_view
+                     THEN 1 ELSE 0 END) AS BIGINT) AS reached_click,
+       CAST(SUM(CASE WHEN first_view IS NOT NULL AND first_click > first_view
+                          AND first_purchase > first_click
+                     THEN 1 ELSE 0 END) AS BIGINT) AS reached_purchase
 FROM firsts
 """
 

@@ -460,13 +460,16 @@ def agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB these replace exact distinct/percentile entirely: fixed-size
     sketch state, no expand, mergeable across partitions."""
     li = load_table(spark, sf_dir, "lineitem")
+    pcts = F.percentile_approx("l_extendedprice", [0.5, 0.95, 0.99], 10000)
     return (
         li.groupBy("l_returnflag")
         .agg(
             F.approx_count_distinct("l_orderkey", 0.01).alias("approx_orders"),
-            F.percentile_approx("l_extendedprice", [0.5, 0.95, 0.99], 10000).alias(
-                "price_percentiles"
-            ),
+            # one t-digest sketch, three scalar outputs — scalar columns so
+            # the driver's canonicalizer can hash them (arrays crash it)
+            pcts.getItem(0).alias("price_p50"),
+            pcts.getItem(1).alias("price_p95"),
+            pcts.getItem(2).alias("price_p99"),
         )
         .orderBy("l_returnflag")
     )

@@ -172,24 +172,29 @@ ORDER BY order_year
 def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q17 shape: revenue locked in small-quantity orders of a brand —
     lineitems with quantity below 70% of their part's average quantity.
-    The per-part correlated average is decorrelated into a grouped agg
-    joined back on partkey; the average itself is an exact decimal ratio
-    so the 0.7× threshold compares identically in both engines."""
+    Scale discipline: the brand filter (broadcast semi-reduce on part)
+    lands BEFORE any aggregation, so the per-part average is computed only
+    over the brand's lineitems — at 100 TB the aggregate input shrinks by
+    the brand selectivity instead of grouping the whole fact table. The
+    per-part average of a retained part is unchanged by the part-level
+    filter, so semantics are identical to the correlated form. A single
+    window pass (one shuffle on partkey) replaces groupBy + join-back
+    (two scans of lineitem); the average is an exact decimal ratio so the
+    0.7x threshold compares identically in both engines."""
+    from pyspark.sql import Window
+
     li = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1")
-    avg_qty = (
-        li.groupBy("l_partkey")
-        .agg(
-            (
-                F.sum(F.col("l_quantity").cast(DEC)) / F.count(F.lit(1))
-            ).alias("avg_qty")
-        )
-        .select(F.col("l_partkey").alias("ap_partkey"), "avg_qty")
+    li_brand = li.join(
+        F.broadcast(p.select("p_partkey")), li.l_partkey == F.col("p_partkey")
+    )
+    w = Window.partitionBy("l_partkey")
+    with_avg = li_brand.withColumn(
+        "avg_qty",
+        F.sum(F.col("l_quantity").cast(DEC)).over(w) / F.count(F.lit(1)).over(w),
     )
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .join(avg_qty, li.l_partkey == F.col("ap_partkey"))
-        .filter(
+        with_avg.filter(
             F.col("l_quantity").cast(DEC) < F.lit(0.7).cast(DEC) * F.col("avg_qty")
         )
         .agg(
@@ -202,17 +207,20 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 Q17_SMALL_QUANTITY_REVENUE_SQL = """
-WITH avg_qty AS (
-  SELECT l_partkey AS ap_partkey,
-         SUM(CAST(l_quantity AS DECIMAL(18,2))) / COUNT(*) AS avg_qty
-  FROM lineitem GROUP BY l_partkey
+WITH li_brand AS (
+  SELECT l_partkey, l_quantity, l_extendedprice
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_brand = 'Brand#1'
+),
+with_avg AS (
+  SELECT l_quantity, l_extendedprice,
+         SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER (PARTITION BY l_partkey)
+           / COUNT(*) OVER (PARTITION BY l_partkey) AS avg_qty
+  FROM li_brand
 )
 SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
          AS small_qty_revenue,
        COUNT(*) AS n_lineitems
-FROM lineitem
-JOIN part ON l_partkey = p_partkey
-JOIN avg_qty ON l_partkey = ap_partkey
-WHERE p_brand = 'Brand#1'
-  AND CAST(l_quantity AS DECIMAL(18,2)) < CAST(0.7 AS DECIMAL(18,2)) * avg_qty
+FROM with_avg
+WHERE CAST(l_quantity AS DECIMAL(18,2)) < CAST(0.7 AS DECIMAL(18,2)) * avg_qty
 """

@@ -88,7 +88,7 @@ def stream_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 STREAM_STATEFUL_USER_TOTALS_SQL = """
 SELECT user_id, COUNT(*) AS n_events,
-       SUM(CAST(round(value * 100) AS BIGINT)) AS total_cents
+       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_cents
 FROM events
 GROUP BY user_id
 ORDER BY user_id

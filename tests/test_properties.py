@@ -34,7 +34,7 @@ def test_approx_sketches_error_bounds(spark, sf_dir):
             flag, a.approx_orders, e.n
         )
         # approx percentiles with accuracy=10000 on <100k rows are near-exact
-        for ap, ep in zip(a.price_percentiles, e.pct):
+        for ap, ep in zip((a.price_p50, a.price_p95, a.price_p99), e.pct):
             assert abs(ap - ep) / max(abs(ep), 1.0) < 0.01, (flag, ap, ep)
 
 
