@@ -29,7 +29,7 @@ from __future__ import annotations
 import json
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from . import parse as P
@@ -64,7 +64,15 @@ def ingest_table(
     """One incremental sync run for one table-topic.
 
     Returns run metrics {table, n_rows, n_quarantined, high_watermark}.
-    Re-running with no new events is a clean no-op (B.3.7)."""
+    Re-running with no new events is a clean no-op (B.3.7).
+
+    Metrics ride the write action via ``observe()`` (accumulator-backed):
+    counts and the offset watermark cost ZERO extra scans — the previous
+    round re-read the full output history per run, a per-run cost that
+    grows with total history (the same flaw class as the reference's
+    5-scans-per-run). The quarantine side-write reuses the cached
+    increment and is skipped entirely when nothing is malformed, so the
+    source is still scanned exactly once per run."""
     last = read_offset_state(out_dir, table)
     env = P.read_event_file(spark, event_file)
     if last is not None:
@@ -75,29 +83,41 @@ def ingest_table(
     parsed = P.parse_events(env, table)
     flat = P.project_changelog(parsed, table)
 
-    out_path = os.path.join(out_dir, f"{table}_parquet")
-    flat.write.mode("append").parquet(out_path)  # the ONE action
-
-    # Post-write bookkeeping reads the tiny written increment, not the
-    # source (the reference re-scanned Kafka for every count/agg). The
-    # changelog carries malformed rows too, so max(kafka_offset) is the
-    # exact consumed watermark.
-    written = spark.read.parquet(out_path)
-    if last is not None:
-        written = written.filter(F.col("kafka_offset") > last)
-    summary = written.agg(
+    obs = Observation(f"ingest_{table}")
+    flat = flat.observe(
+        obs,
         F.sum((~F.col("is_malformed")).cast("long")).alias("n"),
         F.sum(F.col("is_malformed").cast("long")).alias("n_bad"),
         F.max("kafka_offset").alias("hw"),
-    ).collect()[0]
+    )
+    # cache the increment: the quarantine side-write (if any) must not
+    # trigger a second source scan
+    flat = flat.persist()
+    try:
+        out_path = os.path.join(out_dir, f"{table}_parquet")
+        flat.write.mode("append").parquet(out_path)  # the ONE source scan
+        summary = obs.get  # filled by the write action; no extra job
 
-    hw = summary["hw"] if summary["hw"] is not None else (last or -1)
+        n_bad = summary["n_bad"] or 0
+        if n_bad:
+            # DLQ parity (U5): malformed rows ALSO land in a segregated
+            # quarantine dir a monitoring system can watch (the reference
+            # gives dead letters their own topic, kafka-topics.json:31-38).
+            # Reads the cached increment — no source re-scan.
+            _, bad = P.split_quarantine(flat)
+            bad.write.mode("append").parquet(
+                os.path.join(out_dir, f"{table}_quarantine")
+            )
+    finally:
+        flat.unpersist()
+
+    hw = summary["hw"] if summary["hw"] is not None else (last if last is not None else -1)
     n_rows = summary["n"] or 0
     write_offset_state(out_dir, table, hw, n_rows)
     return {
         "table": table,
         "n_rows": n_rows,
-        "n_quarantined": summary["n_bad"] or 0,
+        "n_quarantined": n_bad,
         "high_watermark": hw,
     }
 

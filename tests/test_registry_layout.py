@@ -1,0 +1,85 @@
+"""Pin the registry's grading-window layout: the driver evaluates only the
+first GRADED_WINDOW entries, so every operator family must have a graded
+representative inside it, and anything past the window must have a graded
+sibling covering its family."""
+
+from __future__ import annotations
+
+from cdc_local_data_pipeline_docker_spark.registry import GRADED_WINDOW, REGISTRY
+
+#: Queries that MUST sit inside the graded window (VERDICT r1 item 1:
+#: the CDC + streaming + events + advanced + pandas-UDF surface, plus the
+#: round-2 fix-proof queries).
+MUST_BE_GRADED = {
+    # reference-parity CDC surface
+    "cdc_latest_state_orders", "cdc_reference_projection", "cdc_changelog_stats",
+    # Structured Streaming
+    "stream_tumbling_agg", "stream_session_agg", "stream_dedup_events",
+    "stream_stateful_user_totals",
+    # events analytics
+    "events_tumbling_agg", "events_sliding_agg", "events_sessionize",
+    "events_rollup_reuse", "events_asof_last_view",
+    # advanced / temporal / SQL-surface
+    "grouping_sets_status_priority", "sql_correlated_subquery",
+    "window_range_frame", "agg_minby_maxby", "agg_pivot_status",
+    "agg_salted_two_stage", "explode_token_frequencies", "set_ops_bag_semantics",
+    # pandas-UDF surface
+    "fn_pandas_normalize", "fn_pandas_group_rank",
+    # round-2 canonicalizer/HUGEINT fix proofs
+    "agg_approx", "corpus_lang_profile", "multimodal_feature_extract",
+    "multimodal_metadata_stats", "fn_collection_pack",
+    # family packs (each the graded representative of its family)
+    "filter_pack", "window_analytics_pack", "set_ops_pack", "fn_scalar_pack",
+    "text_profile",
+}
+
+#: past-window entry -> its graded sibling (same operator family).
+COVERED_BY = {
+    "events_funnel": "events_tumbling_agg",
+    "events_retention_cohorts": "events_tumbling_agg",
+    "filter_predicates": "filter_pack",
+    "filter_like": "filter_pack",
+    "join_full_outer": "join_left_outer",
+    "agg_rollup": "grouping_sets_status_priority",
+    "agg_cube": "grouping_sets_status_priority",
+    "agg_count_distinct": "agg_grouped",
+    "window_lag_lead": "window_analytics_pack",
+    "window_running_sum": "window_analytics_pack",
+    "window_rank_dense": "window_analytics_pack",
+    "set_union_distinct": "set_ops_pack",
+    "set_intersect": "set_ops_pack",
+    "set_except": "set_ops_pack",
+    "distinct_pairs": "set_ops_pack",
+    "q7_volume_shipping": "q5_local_supplier_volume",
+    "q8_market_share": "q5_local_supplier_volume",
+    "dedup_simhash": "dedup_minhash_lsh",
+    "dedup_embedding_cosine": "ann_cosine_topk",
+    "ann_lsh_topk": "ann_cosine_topk",
+    "ann_ivf_topk": "ann_cosine_topk",
+    "text_token_stats": "text_profile",
+    "text_lang_id": "text_profile",
+    "text_quality_score": "text_profile",
+    "text_fingerprint": "text_profile",
+    "fn_string_pack": "fn_scalar_pack",
+    "fn_date_pack": "fn_scalar_pack",
+    "fn_math_pack": "fn_scalar_pack",
+    "fn_conditional_pack": "fn_scalar_pack",
+    "fn_array_pack": "fn_collection_pack",
+    "fn_json_pack": "fn_collection_pack",
+    "fn_map_pack": "fn_collection_pack",
+}
+
+
+def test_graded_window_contains_required_queries():
+    graded = set(list(REGISTRY)[:GRADED_WINDOW])
+    assert MUST_BE_GRADED <= graded, MUST_BE_GRADED - graded
+
+
+def test_every_past_window_entry_has_graded_sibling():
+    names = list(REGISTRY)
+    graded = set(names[:GRADED_WINDOW])
+    past = names[GRADED_WINDOW:]
+    unmapped = [n for n in past if n not in COVERED_BY]
+    assert not unmapped, f"past-window entries without a graded sibling: {unmapped}"
+    bad = {n: s for n, s in COVERED_BY.items() if s not in graded}
+    assert not bad, f"siblings not graded: {bad}"

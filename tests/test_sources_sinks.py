@@ -96,3 +96,21 @@ def test_partitioned_sink_roundtrip_and_pruning(spark, sf_dir, tmp_path):
 
     m = re.search(r"PartitionFilters: \[(.*?)\]", plan)
     assert m and "ingest_date" in m.group(1), plan
+
+
+def test_s3a_conf_env_gated():
+    """Object-store parity (reference enhanced.py:56-65): the fs.s3a.*
+    block lands when the endpoint env var is set, and is absent otherwise."""
+    from cdc_local_data_pipeline_docker_spark.session import s3a_conf
+
+    assert s3a_conf(env={}) == {}
+    conf = s3a_conf(env={
+        "SPARK_GRAFT_S3_ENDPOINT": "http://minio:9000",
+        "SPARK_GRAFT_S3_ACCESS_KEY": "minioadmin",
+        "SPARK_GRAFT_S3_SECRET_KEY": "minioadmin",
+    })
+    assert conf["spark.hadoop.fs.s3a.endpoint"] == "http://minio:9000"
+    assert conf["spark.hadoop.fs.s3a.path.style.access"] == "true"
+    assert conf["spark.hadoop.fs.s3a.connection.ssl.enabled"] == "false"
+    assert conf["spark.hadoop.fs.s3a.access.key"] == "minioadmin"
+    assert conf["spark.hadoop.fs.s3a.secret.key"] == "minioadmin"

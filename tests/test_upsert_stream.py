@@ -4,11 +4,14 @@ delete markers, checkpoint resume, replay-oracle equality."""
 from __future__ import annotations
 
 import json
+import os
 
 from cdc_local_data_pipeline_docker_spark.cdc import fixtures as FX
 from cdc_local_data_pipeline_docker_spark.streaming.upsert import (
+    _recover_state,
     read_state,
     start_upsert_stream,
+    state_table_path,
 )
 
 
@@ -56,3 +59,40 @@ def test_upsert_stream_incremental_state(spark, tmp_path):
     }
     assert not (deleted & state3 - set(expected))
     assert all(k not in state3 for k in deleted - set(expected))
+
+
+def test_upsert_state_swap_crash_recovery(spark, tmp_path):
+    """A crash between the two renames of the state swap leaves only an
+    __old_<n> snapshot; recovery must restore it instead of letting the
+    next merge rebuild state from a single replayed batch (which would
+    silently discard every previously merged key)."""
+    events = FX.generate_table_events("orders")
+    in_dir = tmp_path / "in"
+    out = str(tmp_path / "wh")
+    in_dir.mkdir()
+
+    _dump(in_dir / "orders_a.jsonl", events[:50])
+    start_upsert_stream(spark, str(in_dir), "orders", out)
+    before = {r.order_id for r in read_state(spark, out, "orders").collect()}
+    assert before
+
+    # simulate the crash window: state renamed away, replacement never landed
+    path = state_table_path(out, "orders")
+    os.rename(path, f"{path}__old_99")
+    assert not os.path.exists(path)
+
+    _recover_state(path)
+    assert os.path.exists(path)
+    assert not os.path.exists(f"{path}__old_99")
+    after = {r.order_id for r in read_state(spark, out, "orders").collect()}
+    assert after == before
+
+    # end-to-end: crash again, then let the NEXT drain recover implicitly
+    os.rename(path, f"{path}__old_100")
+    os.makedirs(f"{path}__tmp_100")  # stale incomplete write must be swept
+    _dump(in_dir / "orders_b.jsonl", events[50:])
+    start_upsert_stream(spark, str(in_dir), "orders", out)
+    expected = FX.expected_live_rows(events, "orders")
+    state = {r.order_id for r in read_state(spark, out, "orders").collect()}
+    assert state == set(expected)
+    assert not os.path.exists(f"{path}__tmp_100")
