@@ -74,6 +74,12 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 4)
 
+    # CDC ingest throughput: events/sec through the full parse → type
+    # recovery → changelog write path on the seeded fixture stream
+    # (ROADMAP item 8). min-of-2 like the queries; fresh warehouse per run
+    # so every run does identical work.
+    ingest_events_per_sec = _bench_ingest(spark)
+
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     try:
         sf_val: float | str = float(sf)
@@ -87,10 +93,58 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "ingest_events_per_sec": ingest_events_per_sec,
                 "sf": sf_val,
             }
         )
     )
+
+
+def _bench_ingest(spark) -> float:
+    """Events/sec through ingest_table (parse → changelog append) over the
+    4-topic fixture set, REPLICATE×-duplicated to a measurable size."""
+    import shutil
+    import tempfile
+
+    from cdc_local_data_pipeline_docker_spark.cdc import fixtures as FX
+    from cdc_local_data_pipeline_docker_spark.cdc import ingest as ING
+
+    replicate = int(os.environ.get("SPARK_GRAFT_INGEST_REPLICATE", "200"))
+    src = tempfile.mkdtemp(prefix="bench_ingest_src_")
+    try:
+        FX.write_fixtures(src)
+        n_events = 0
+        for table in ("customers", "orders", "order_items", "products"):
+            path = os.path.join(src, f"{table}.jsonl")
+            with open(path) as f:
+                base = f.read()
+            lines = base.count("\n")
+            # re-offset each replica so offsets stay unique & increasing
+            out_lines = []
+            for r in range(replicate):
+                for i, line in enumerate(base.splitlines()):
+                    rec = json.loads(line)
+                    rec["offset"] = r * lines + i
+                    out_lines.append(json.dumps(rec))
+            with open(path, "w") as f:
+                f.write("\n".join(out_lines) + "\n")
+            n_events += lines * replicate
+
+        best = float("inf")
+        for _ in range(2):
+            wh = tempfile.mkdtemp(prefix="bench_ingest_wh_")
+            try:
+                t0 = time.perf_counter()
+                for table in ("customers", "orders", "order_items", "products"):
+                    ING.ingest_table(
+                        spark, os.path.join(src, f"{table}.jsonl"), table, wh
+                    )
+                best = min(best, time.perf_counter() - t0)
+            finally:
+                shutil.rmtree(wh, ignore_errors=True)
+        return round(n_events / best, 1)
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
 
 
 if __name__ == "__main__":
