@@ -1,12 +1,12 @@
-"""Additional TPC-H-shaped multi-join analytics (Q7 / Q8 / Q17 forms),
-adapted to the synthetic data domains (nations are NATION_0..24; no
-partsupp table exists, so Q2/Q20 shapes are out of reach).
+"""Additional TPC-H-shaped multi-join analytics (Q7 / Q8 / Q17 forms, plus
+Q2/Q20 shapes re-targeted at lineitem since no partsupp table exists),
+adapted to the synthetic data domains (nations are NATION_0..24).
 
 Same plan discipline as relational.py: dims broadcast, facts shuffle once
 on their join key, money math through DECIMAL(18,2), deterministic
-ordering. Q17's correlated per-part average is written as a grouped
-aggregate joined back (the decorrelated form) — on the Spark side
-explicitly, in the oracle via the equivalent CTE.
+ordering. Correlated aggregates (Q17/Q2) are semi-reduced by their
+selective dimension filter BEFORE aggregating, then decorrelated — window
+pass for Q17, grouped MIN joined back for Q2.
 """
 
 from __future__ import annotations
@@ -223,4 +223,100 @@ SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
        COUNT(*) AS n_lineitems
 FROM with_avg
 WHERE CAST(l_quantity AS DECIMAL(18,2)) < CAST(0.7 AS DECIMAL(18,2)) * avg_qty
+"""
+
+
+Q2_PART_TYPE = "ECONOMY"
+
+
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2 shape adapted to the available tables (no partsupp exists): for
+    each part of a type class, the supplier(s) achieving the minimum unit
+    price over that part's lineitems — the correlated-scalar-subquery
+    pattern, decorrelated into a grouped MIN joined back on partkey.
+
+    Scale shape: the type filter broadcasts into lineitem BEFORE any
+    aggregation (same semi-reduce discipline as Q17), the per-part MIN is
+    a partial+final agg on the already-reduced rows, and the join-back is
+    co-partitioned on l_partkey (one shuffle feeds both the agg and the
+    final join under AQE). Unit price is a single IEEE division — bitwise
+    identical in both engines, so the equality probe is exact."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(
+        F.col("p_type").contains(Q2_PART_TYPE)
+    )
+    li_typed = li.join(
+        F.broadcast(p.select("p_partkey")), li.l_partkey == F.col("p_partkey")
+    ).select(
+        "l_partkey",
+        "l_suppkey",
+        (F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost"),
+    )
+    min_cost = li_typed.groupBy("l_partkey").agg(
+        F.min("unit_cost").alias("min_unit_cost")
+    )
+    return (
+        li_typed.join(min_cost, "l_partkey")
+        .filter(F.col("unit_cost") == F.col("min_unit_cost"))
+        .select("l_partkey", "l_suppkey", "unit_cost")
+        .dropDuplicates(["l_partkey", "l_suppkey"])
+        .orderBy("l_partkey", "l_suppkey")
+    )
+
+
+Q2_MIN_COST_SUPPLIER_SQL = f"""
+WITH li_typed AS (
+  SELECT l_partkey, l_suppkey, l_extendedprice / l_quantity AS unit_cost
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_type LIKE '%{Q2_PART_TYPE}%'
+)
+SELECT DISTINCT l_partkey, l_suppkey, unit_cost
+FROM li_typed o
+WHERE unit_cost = (SELECT MIN(i.unit_cost) FROM li_typed i
+                   WHERE i.l_partkey = o.l_partkey)
+ORDER BY l_partkey, l_suppkey
+"""
+
+
+Q20_QTY_THRESHOLD = 50
+
+
+def q20_excess_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q20 shape adapted (no partsupp): suppliers that shipped more than a
+    threshold quantity of a brand's parts — the NESTED-semi-join pattern:
+    supplier ⋉ (lineitem ⋉ brand-parts, aggregated with HAVING).
+
+    Plan: brand parts broadcast into lineitem (innermost semi-reduce), the
+    per-supplier quantity agg runs on the reduced rows, and the outer
+    filter is a LEFT SEMI join against the tiny qualifying-supplier set —
+    supplier rows never multiply, lineitem shuffles once on suppkey."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1")
+    s = load_table(spark, sf_dir, "supplier")
+    qualifying = (
+        li.join(F.broadcast(p.select("p_partkey")), li.l_partkey == F.col("p_partkey"))
+        .groupBy("l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast(DEC)).alias("qty"))
+        .filter(F.col("qty") > F.lit(Q20_QTY_THRESHOLD).cast(DEC))
+        .select("l_suppkey")
+    )
+    return (
+        s.join(qualifying, s.s_suppkey == F.col("l_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name", "s_nationkey")
+        .orderBy("s_suppkey")
+    )
+
+
+Q20_EXCESS_SHIPPERS_SQL = f"""
+SELECT s_suppkey, s_name, s_nationkey
+FROM supplier
+WHERE s_suppkey IN (
+  SELECT l_suppkey
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_brand = 'Brand#1'
+  GROUP BY l_suppkey
+  HAVING SUM(CAST(l_quantity AS DECIMAL(18,2)))
+         > CAST({Q20_QTY_THRESHOLD} AS DECIMAL(18,2))
+)
+ORDER BY s_suppkey
 """

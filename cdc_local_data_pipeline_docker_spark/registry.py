@@ -37,6 +37,7 @@ from .operators import asof as ASOF
 from .operators import events_analytics as EV
 from .operators import packs as PK
 from .operators import relational as R
+from .operators import sketches as SK
 from .operators import tpch_shapes as TQ
 from .streaming import jobs as SJ
 from .streaming import stateful as SST
@@ -174,6 +175,10 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "distinct_pairs": (R.distinct_pairs, R.DISTINCT_PAIRS_SQL),
     "q7_volume_shipping": (TQ.q7_volume_shipping, TQ.Q7_VOLUME_SHIPPING_SQL),
     "q8_market_share": (TQ.q8_market_share, TQ.Q8_MARKET_SHARE_SQL),
+    "q2_min_cost_supplier": (TQ.q2_min_cost_supplier, TQ.Q2_MIN_COST_SUPPLIER_SQL),
+    "q20_excess_shippers": (TQ.q20_excess_shippers, TQ.Q20_EXCESS_SHIPPERS_SQL),
+    "sketch_hll_distinct": (SK.sketch_hll_distinct, None),  # sketch: rows-only
+    "sketch_cms_token_freq": (SK.sketch_cms_token_freq, None),  # sketch: rows-only
     "dedup_simhash": (DD.dedup_simhash, None),  # hash family not in oracle
     "dedup_embedding_cosine": (
         DD.dedup_embedding_cosine,

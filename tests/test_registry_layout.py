@@ -52,6 +52,10 @@ COVERED_BY = {
     "distinct_pairs": "set_ops_pack",
     "q7_volume_shipping": "q5_local_supplier_volume",
     "q8_market_share": "q5_local_supplier_volume",
+    "q2_min_cost_supplier": "q17_small_quantity_revenue",
+    "q20_excess_shippers": "join_semi",
+    "sketch_hll_distinct": "agg_approx",
+    "sketch_cms_token_freq": "agg_approx",
     "dedup_simhash": "dedup_minhash_lsh",
     "dedup_embedding_cosine": "ann_cosine_topk",
     "ann_lsh_topk": "ann_cosine_topk",
