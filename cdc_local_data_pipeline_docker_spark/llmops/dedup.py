@@ -194,14 +194,15 @@ ORDER BY doc_a, doc_b
 # MinHash + LSH dedup.
 # ---------------------------------------------------------------------------
 
-def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, sig array<bigint>[32]) MinHash signatures.
+def signature_frame(docs: DataFrame) -> DataFrame:
+    """(doc_id, sig array<bigint>[32]) MinHash signatures for any
+    (doc_id, text) frame — shared by the whole-corpus query below and the
+    per-batch incremental maintainer (llmops/incremental.py).
 
     The permutation family is ``xxhash64(shingle, i)`` for i in 0..31 —
     evaluated as 32 parallel `min` aggregates over the exploded shingle set:
     one shuffle, map-side partial mins, fixed-size state per doc."""
-    d = load_table(spark, sf_dir, "documents")
-    sh = _shingled(d).persist()
+    sh = _shingled(docs)
     mins = sh.groupBy("doc_id").agg(
         *[
             F.min(F.expr(f"xxhash64(shingle, {i})")).alias(f"h{i}")
@@ -214,18 +215,13 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup pairs via MinHash banding + exact-Jaccard verification.
-
-    Candidates = docs agreeing on all 4 signature rows of ≥1 of 8 bands
-    (hash of the band slice is the LSH bucket key). Each candidate pair is
-    then verified with exact shingle Jaccard, so output ⊆ dedup_ngram_jaccard
-    with recall governed by the banding S-curve. Rows-only check (the hash
-    family is not expressible in the DuckDB oracle); pytest asserts the
-    subset/recall properties."""
-    sigs = minhash_signatures(spark, sf_dir)
-    bands = sigs.select(
+def band_keys(sigs: DataFrame) -> DataFrame:
+    """(doc_id, band, bucket) LSH banding keys from a signature frame:
+    bucket = hash of the band's signature rows — docs agreeing on all rows
+    of ≥1 band collide."""
+    return sigs.select(
         "doc_id",
+        "sig",
         F.posexplode(
             F.array(
                 *[
@@ -241,6 +237,24 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("band", "bucket"),
     )
+
+
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-corpus signatures (see signature_frame)."""
+    return signature_frame(load_table(spark, sf_dir, "documents"))
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs via MinHash banding + exact-Jaccard verification.
+
+    Candidates = docs agreeing on all 4 signature rows of ≥1 of 8 bands
+    (hash of the band slice is the LSH bucket key). Each candidate pair is
+    then verified with exact shingle Jaccard, so output ⊆ dedup_ngram_jaccard
+    with recall governed by the banding S-curve. Rows-only check (the hash
+    family is not expressible in the DuckDB oracle); pytest asserts the
+    subset/recall properties."""
+    sigs = minhash_signatures(spark, sf_dir)
+    bands = band_keys(sigs).select("doc_id", "band", "bucket")
     a = bands.alias("a")
     b = bands.alias("b")
     candidates = (

@@ -29,6 +29,7 @@ from .cdc import queries as CDC
 from .functions import pandas_udfs as PU
 from .functions import scalar_pack as FP
 from .llmops import dedup as DD
+from .llmops import incremental as INC
 from .llmops import multimodal as MM
 from .llmops import similarity as SIM
 from .llmops import text as TX
@@ -179,6 +180,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q20_excess_shippers": (TQ.q20_excess_shippers, TQ.Q20_EXCESS_SHIPPERS_SQL),
     "sketch_hll_distinct": (SK.sketch_hll_distinct, None),  # sketch: rows-only
     "sketch_cms_token_freq": (SK.sketch_cms_token_freq, None),  # sketch: rows-only
+    "dedup_minhash_incremental": (INC.dedup_minhash_incremental, None),  # hash family
     "dedup_simhash": (DD.dedup_simhash, None),  # hash family not in oracle
     "dedup_embedding_cosine": (
         DD.dedup_embedding_cosine,

@@ -134,3 +134,89 @@ def test_media_table_schema(spark, sf_dir):
     assert dict(m.dtypes)["payload"] == "binary"
     meta_type = dict(m.dtypes)["media_meta"]
     assert "mime" in meta_type and "n_bytes" in meta_type
+
+
+def _one_shot_banding_pairs(spark, sf_dir):
+    """Reference: one-shot banding pass + signature-Jaccard threshold over
+    the whole corpus (what the incremental maintainer must reproduce)."""
+    from pyspark.sql import functions as F
+
+    from cdc_local_data_pipeline_docker_spark.llmops import incremental as INC
+    from cdc_local_data_pipeline_docker_spark.llmops.dedup import (
+        band_keys,
+        minhash_signatures,
+    )
+
+    b = band_keys(minhash_signatures(spark, sf_dir))
+    a_side = b.select(
+        F.col("doc_id").alias("a_id"), F.col("sig").alias("a_sig"), "band", "bucket"
+    )
+    b_side = b.select(
+        F.col("doc_id").alias("b_id"), F.col("sig").alias("b_sig"), "band", "bucket"
+    )
+    return {
+        (r.doc_a, r.doc_b)
+        for r in a_side.join(b_side, ["band", "bucket"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select(
+            F.col("a_id").alias("doc_a"),
+            F.col("b_id").alias("doc_b"),
+            INC._est_jaccard("a_sig", "b_sig").alias("est_jaccard"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+        .filter(F.col("est_jaccard") >= INC.EST_JACCARD_THRESHOLD)
+        .collect()
+    }
+
+
+def test_incremental_minhash_batch_boundary_invariance(spark, sf_dir):
+    """Chunked incremental maintenance finds EXACTLY the one-shot pair set
+    — pairs are discovered once, in the batch where the later doc lands."""
+    from cdc_local_data_pipeline_docker_spark.llmops import incremental as INC
+
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in INC.dedup_minhash_incremental(spark, sf_dir).collect()
+    }
+    expected = _one_shot_banding_pairs(spark, sf_dir)
+    assert got == expected
+    assert expected  # non-trivial corpus: the fixture has near-dups
+
+
+def test_incremental_minhash_streaming(spark, sf_dir, tmp_path):
+    """Same invariant through the real foreachBatch stream, forced to two
+    micro-batches (maxFilesPerTrigger=1; mtimes pinned because the file
+    stream source orders batches by mtime, not name)."""
+    import json
+    import os
+    import time
+
+    from cdc_local_data_pipeline_docker_spark.catalog import load_table
+    from cdc_local_data_pipeline_docker_spark.llmops import incremental as INC
+
+    docs = [
+        (r.doc_id, r.text)
+        for r in load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .collect()
+    ]
+    docs.sort()
+    in_dir = tmp_path / "docs"
+    out = str(tmp_path / "state")
+    in_dir.mkdir()
+    half = len(docs) // 2
+    for i, chunk in enumerate((docs[:half], docs[half:])):
+        p = in_dir / f"chunk{i}.jsonl"
+        with open(p, "w") as f:
+            for doc_id, text in chunk:
+                f.write(json.dumps({"doc_id": doc_id, "text": text}) + "\n")
+        os.utime(p, (time.time() + i, time.time() + i))  # pin batch order
+
+    INC.start_incremental_dedup_stream(
+        spark, str(in_dir), out, max_files_per_trigger=1
+    )
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in spark.read.parquet(INC.dup_pairs_path(out)).collect()
+    }
+    assert got == _one_shot_banding_pairs(spark, sf_dir)

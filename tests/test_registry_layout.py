@@ -56,6 +56,7 @@ COVERED_BY = {
     "q20_excess_shippers": "join_semi",
     "sketch_hll_distinct": "agg_approx",
     "sketch_cms_token_freq": "agg_approx",
+    "dedup_minhash_incremental": "dedup_minhash_lsh",
     "dedup_simhash": "dedup_minhash_lsh",
     "dedup_embedding_cosine": "ann_cosine_topk",
     "ann_lsh_topk": "ann_cosine_topk",
