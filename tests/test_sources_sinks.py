@@ -114,3 +114,44 @@ def test_s3a_conf_env_gated():
     assert conf["spark.hadoop.fs.s3a.connection.ssl.enabled"] == "false"
     assert conf["spark.hadoop.fs.s3a.access.key"] == "minioadmin"
     assert conf["spark.hadoop.fs.s3a.secret.key"] == "minioadmin"
+
+
+def test_python_datasource_cdc_events(spark, tmp_path):
+    """The custom cdc_events Python data source (Spark 4 Data Source API)
+    reads the wire format with the fixed envelope schema, one partition
+    per file, and offset pushdown inside the reader."""
+    from cdc_local_data_pipeline_docker_spark.cdc import fixtures as FX
+    from cdc_local_data_pipeline_docker_spark.cdc import parse as P
+    from cdc_local_data_pipeline_docker_spark.sources import pydatasource as PDS
+
+    d = str(tmp_path / "events")
+    FX.write_fixtures(d)
+    PDS.register(spark)
+
+    via_ds = (
+        spark.read.format("cdc_events")
+        .option("path", f"{d}/orders.jsonl")
+        .load()
+    )
+    via_json = P.read_event_file(spark, f"{d}/orders.jsonl")
+    assert via_ds.count() == via_json.count()
+    a = {(r.offset, r.key, r.value) for r in via_ds.collect()}
+    b = {(r.offset, r.key, r.value) for r in via_json.collect()}
+    assert a == b
+
+    # offset pushdown: resume past watermark 29 yields only later offsets
+    resumed = (
+        spark.read.format("cdc_events")
+        .option("path", f"{d}/orders.jsonl")
+        .option("startingOffset", 29)
+        .load()
+    )
+    offs = [r.offset for r in resumed.collect()]
+    assert offs and min(offs) == 30
+
+    # directory read: one partition per file, all four topics unioned
+    all_topics = (
+        spark.read.format("cdc_events").option("path", d).load()
+    )
+    assert all_topics.select("topic").distinct().count() == 4
+    assert all_topics.rdd.getNumPartitions() == 4
