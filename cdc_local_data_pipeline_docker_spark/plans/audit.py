@@ -87,3 +87,19 @@ def codegen_spans(spark, build_df) -> int:
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", prev)
     return len(set(re.findall(r"\*\((\d+)\)", simple)))
+
+
+def count_hash_exchanges(plan: str) -> int:
+    """Hash-partitioning exchanges only — the DATA shuffles. Excludes the
+    rangepartitioning exchange a cosmetic final ORDER BY introduces (the
+    driver compare is order-insensitive; the sort exists for readability)."""
+    tree = plan.split("\n\n", 1)[0]
+    ids = re.findall(r"\bExchange \((\d+)\)", tree)
+    n = 0
+    for i in ids:
+        m = re.search(
+            rf"\({i}\) Exchange\n(?:.*\n)*?Arguments: (\w+)", plan
+        )
+        if m and m.group(1) == "hashpartitioning":
+            n += 1
+    return n

@@ -127,3 +127,47 @@ def test_aqe_splits_skewed_join(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_filter_pack_full_pushdown(spark, sf_dir):
+    """Every predicate class in the pack reaches the parquet scan."""
+    from cdc_local_data_pipeline_docker_spark.operators import packs as PK
+
+    plan = A.formatted_plan(PK.filter_pack(spark, sf_dir))
+    assert A.has_pushed_filters(plan, "orders"), plan
+    cols = A.read_schema_columns(plan, "orders")
+    assert cols == {
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderpriority", "o_orderdate",
+    }, cols
+
+
+def test_window_pack_single_shuffle(spark, sf_dir):
+    """Five window functions over two specs sharing one partition key →
+    exactly one exchange (the specs sort twice inside the partition)."""
+    from cdc_local_data_pipeline_docker_spark.operators import packs as PK
+
+    plan = A.formatted_plan(PK.window_analytics_pack(spark, sf_dir))
+    assert A.count_hash_exchanges(plan) == 1, plan
+
+
+def test_scalar_pack_map_only_codegen(spark, sf_dir):
+    """The merged scalar pack stays map-only (no exchange) and fused."""
+    from cdc_local_data_pipeline_docker_spark.operators import packs as PK
+
+    plan = A.formatted_plan(PK.fn_scalar_pack(spark, sf_dir))
+    assert A.count_hash_exchanges(plan) == 0, plan
+    assert A.codegen_spans(spark, lambda: PK.fn_scalar_pack(spark, sf_dir)) >= 1
+
+
+def test_q17_aggregates_only_brand_lineitems(spark, sf_dir):
+    """Round-2 re-plan: the per-part average must consume the broadcast
+    brand-filtered join output, NOT a full-lineitem groupBy — the part
+    scan carries the brand pushdown and the join is broadcast."""
+    from cdc_local_data_pipeline_docker_spark.operators import tpch_shapes as TQ
+
+    plan = A.formatted_plan(TQ.q17_small_quantity_revenue(spark, sf_dir))
+    assert A.has_pushed_filters(plan, "part"), plan
+    assert A.count(plan, "BroadcastHashJoin") >= 1, plan
+    # exactly one pre-window exchange on partkey + the final single-row agg
+    assert A.count(plan, "HashAggregate") <= 2, plan
