@@ -118,6 +118,11 @@ def main() -> None:
 
     spark = get_spark(app_name="driver-sim")
     spark.sparkContext.setLogLevel("ERROR")
+    # Hostile-driver simulation: the real driver's session TZ is unknown;
+    # DRIVER_SIM_TZ=America/New_York exposes any query that forgets to pin
+    # UTC itself (every load_table/read_event_file call re-pins it).
+    if os.environ.get("DRIVER_SIM_TZ"):
+        spark.conf.set("spark.sql.session.timeZone", os.environ["DRIVER_SIM_TZ"])
     con = duckdb_connection(sf_dir)
     failures = []
     for name in todo:
