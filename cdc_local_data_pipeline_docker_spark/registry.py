@@ -181,6 +181,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "sketch_hll_distinct": (SK.sketch_hll_distinct, None),  # sketch: rows-only
     "sketch_cms_token_freq": (SK.sketch_cms_token_freq, None),  # sketch: rows-only
     "dedup_minhash_incremental": (INC.dedup_minhash_incremental, None),  # hash family
+    "stream_stream_join": (SJ.stream_stream_join, SJ.STREAM_STREAM_JOIN_SQL),
     "dedup_simhash": (DD.dedup_simhash, None),  # hash family not in oracle
     "dedup_embedding_cosine": (
         DD.dedup_embedding_cosine,

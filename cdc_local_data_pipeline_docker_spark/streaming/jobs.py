@@ -177,3 +177,65 @@ SELECT event_id, user_id, event_type, value
 FROM events
 ORDER BY event_id
 """
+
+
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream INNER join: each view event matched with
+    that user's purchases within the following hour — the two-stream
+    attribution join. Both sides carry watermarks and the join condition
+    is time-bounded on event time, so the state store holds exactly one
+    hour of each stream per user (the bound that makes this viable on an
+    unbounded 100 TB/day stream; unbounded stream joins are rejected by
+    Spark outright).
+
+    Drained with AvailableNow the source arrives in one micro-batch, so
+    nothing is watermark-late and the append output equals the batch
+    time-range join — hence the EXACT SQL oracle."""
+    s = _events_stream(spark, sf_dir)
+    views = (
+        s.filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", WATERMARK_DELAY)
+    )
+    purchases = (
+        s.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+            "value",
+        )
+        .withWatermark("purchase_ts", WATERMARK_DELAY)
+    )
+    joined = views.join(
+        purchases,
+        F.expr(
+            "v_user = p_user AND purchase_ts >= view_ts "
+            "AND purchase_ts <= view_ts + INTERVAL 1 HOUR"
+        ),
+    )
+    out = _drain(joined, "append")
+    return out.select(
+        F.col("v_user").alias("user_id"),
+        "view_id",
+        "purchase_id",
+        "view_ts",
+        "purchase_ts",
+        "value",
+    ).orderBy("view_id", "purchase_id")
+
+
+STREAM_STREAM_JOIN_SQL = """
+SELECT v.user_id, v.event_id AS view_id, p.event_id AS purchase_id,
+       v.ts AS view_ts, p.ts AS purchase_ts, p.value
+FROM events v
+JOIN events p
+  ON v.user_id = p.user_id
+ AND v.event_type = 'view' AND p.event_type = 'purchase'
+ AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
+ORDER BY view_id, purchase_id
+"""

@@ -57,6 +57,7 @@ COVERED_BY = {
     "sketch_hll_distinct": "agg_approx",
     "sketch_cms_token_freq": "agg_approx",
     "dedup_minhash_incremental": "dedup_minhash_lsh",
+    "stream_stream_join": "stream_tumbling_agg",
     "dedup_simhash": "dedup_minhash_lsh",
     "dedup_embedding_cosine": "ann_cosine_topk",
     "ann_lsh_topk": "ann_cosine_topk",
