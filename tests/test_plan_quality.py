@@ -171,3 +171,37 @@ def test_q17_aggregates_only_brand_lineitems(spark, sf_dir):
     assert A.count(plan, "BroadcastHashJoin") >= 1, plan
     # exactly one pre-window exchange on partkey + the final single-row agg
     assert A.count(plan, "HashAggregate") <= 2, plan
+
+
+def test_runtime_bloom_filter_semi_reduction(spark, sf_dir):
+    """Catalyst's runtime bloom-filter injection: a selective broadcast-
+    ineligible dim join gets a bloom_filter_agg built on the filtered dim
+    keys and applied to the fact scan side — the semi-join reduction that
+    prunes fact rows before the shuffle at 100 TB. Thresholds forced so
+    the tiny local tables qualify."""
+    from pyspark.sql import functions as F
+
+    from cdc_local_data_pipeline_docker_spark.catalog import load_table
+
+    overrides = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # no BHJ → filter matters
+    }
+    saved = {k: spark.conf.get(k, None) for k in overrides}
+    try:
+        for k, v in overrides.items():
+            spark.conf.set(k, v)
+        li = load_table(spark, sf_dir, "lineitem")
+        p = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1")
+        j = li.join(p, li.l_partkey == p.p_partkey).groupBy("p_brand").count()
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter_agg" in plan, plan
+        assert "might_contain" in plan, plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
