@@ -419,3 +419,39 @@ WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
       >= {COSINE_DUP_THRESHOLD}
 ORDER BY id_a, id_b
 """
+
+
+def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup id pairs with cosine ≥ 0.40 via random-hyperplane LSH
+    bucketing + exact-cosine verification — the 100 TB path that replaces
+    `dedup_embedding_cosine`'s O(n²) pair join: candidates are generated
+    only within LSH buckets (pair space Σ|bucket|², shuffle on the band
+    key), then the exact threshold re-check keeps precision at 1.0.
+    Output ⊆ the brute-force pair set; recall is pytest-bounded (the
+    banding S-curve governs it). Rows-only driver check (the hyperplane
+    family is not oracle-expressible)."""
+    from .similarity import _bucketed, _vectors
+
+    b = _bucketed(_vectors(spark, sf_dir)).persist()
+    a = b.select(
+        F.col("vec_id").alias("id_a"), F.col("v").alias("va"),
+        F.col("norm").alias("na"), "band", "bucket",
+    )
+    bb = b.select(
+        F.col("vec_id").alias("id_b"), F.col("v").alias("vb"),
+        F.col("norm").alias("nb"), "band", "bucket",
+    )
+    cand = (
+        a.join(bb, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    cos = F.expr(
+        "aggregate(zip_with(va, vb, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"
+    ) / (F.col("na") * F.col("nb"))
+    return (
+        cand.withColumn("cosine", cos)
+        .filter(F.col("cosine") >= COSINE_DUP_THRESHOLD)
+        .select("id_a", "id_b")
+        .orderBy("id_a", "id_b")
+    )

@@ -187,6 +187,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         DD.dedup_embedding_cosine,
         DD.DEDUP_EMBEDDING_COSINE_SQL,
     ),
+    "dedup_embedding_lsh": (DD.dedup_embedding_lsh, None),  # hyperplane family
     "ann_lsh_topk": (SIM.ann_lsh_topk, None),  # approximate by construction
     "ann_ivf_topk": (SIM.ann_ivf_topk, None),  # approximate by construction
     "text_token_stats": (TX.text_token_stats, TX.TEXT_TOKEN_STATS_SQL),

@@ -220,3 +220,15 @@ def test_incremental_minhash_streaming(spark, sf_dir, tmp_path):
         for r in spark.read.parquet(INC.dup_pairs_path(out)).collect()
     }
     assert got == _one_shot_banding_pairs(spark, sf_dir)
+
+
+def test_embedding_lsh_dedup_subset_and_recall(spark, sf_dir):
+    """LSH-bucketed embedding near-dup: exact subset of the brute-force
+    pair set (precision 1.0 — candidates are exact-verified) with usable
+    recall on the fixed corpus."""
+    brute = {(r.id_a, r.id_b) for r in DD.dedup_embedding_cosine(spark, sf_dir).collect()}
+    lsh = {(r.id_a, r.id_b) for r in DD.dedup_embedding_lsh(spark, sf_dir).collect()}
+    assert lsh <= brute
+    assert brute, "fixture corpus must contain embedding near-dups"
+    recall = len(lsh) / len(brute)
+    assert recall >= 0.6, f"embedding LSH recall {recall:.2f}"

@@ -60,6 +60,7 @@ COVERED_BY = {
     "stream_stream_join": "stream_tumbling_agg",
     "dedup_simhash": "dedup_minhash_lsh",
     "dedup_embedding_cosine": "ann_cosine_topk",
+    "dedup_embedding_lsh": "ann_cosine_topk",
     "ann_lsh_topk": "ann_cosine_topk",
     "ann_ivf_topk": "ann_cosine_topk",
     "text_token_stats": "text_profile",
