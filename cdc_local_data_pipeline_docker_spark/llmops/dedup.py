@@ -202,7 +202,13 @@ def signature_frame(docs: DataFrame) -> DataFrame:
     The permutation family is ``xxhash64(shingle, i)`` for i in 0..31 —
     evaluated as 32 parallel `min` aggregates over the exploded shingle set:
     one shuffle, map-side partial mins, fixed-size state per doc."""
-    sh = _shingled(docs)
+    return _signatures_from_shingles(_shingled(docs))
+
+
+def _signatures_from_shingles(sh: DataFrame) -> DataFrame:
+    """Signatures from an existing (doc_id, shingle) frame — lets a caller
+    that also needs the shingles (e.g. exact-Jaccard verification) compute
+    them ONCE and feed both consumers from the same cached frame."""
     mins = sh.groupBy("doc_id").agg(
         *[
             F.min(F.expr(f"xxhash64(shingle, {i})")).alias(f"h{i}")
@@ -252,8 +258,15 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     then verified with exact shingle Jaccard, so output ⊆ dedup_ngram_jaccard
     with recall governed by the banding S-curve. Rows-only check (the hash
     family is not expressible in the DuckDB oracle); pytest asserts the
-    subset/recall properties."""
-    sigs = minhash_signatures(spark, sf_dir)
+    subset/recall properties.
+
+    ONE shingle materialization feeds everything: the signature aggregate,
+    both exact-verify join sides, and the size table all read the same
+    cached (doc_id, shingle) frame — at 100 TB the equivalent is
+    materializing the shingle/posting table to storage once per corpus."""
+    d = load_table(spark, sf_dir, "documents")
+    sh = _shingled(d).persist()
+    sigs = _signatures_from_shingles(sh)
     bands = band_keys(sigs).select("doc_id", "band", "bucket")
     a = bands.alias("a")
     b = bands.alias("b")
@@ -267,10 +280,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
 
-    # Exact-Jaccard verify on the candidate pairs only. One cached shingle
-    # materialization feeds both verify-join sides and the size table.
-    d = load_table(spark, sf_dir, "documents")
-    sh = _shingled(d).persist()
+    # Exact-Jaccard verify on the candidate pairs only (cached frame).
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     sha = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingle").alias("sh_a"))
     shb = sh.select(F.col("doc_id").alias("rhs_doc"), F.col("shingle").alias("sh_b"))
