@@ -320,3 +320,83 @@ WHERE s_suppkey IN (
 )
 ORDER BY s_suppkey
 """
+
+
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q13 shape: distribution of customers by order count, INCLUDING
+    zero-order customers (the left join is the point) — two aggregation
+    levels: per-customer count, then histogram over counts. Both shuffles
+    are small (keyed by custkey then by the tiny count domain)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+Q13_CUSTOMER_DISTRIBUTION_SQL = """
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey
+)
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+def q22_dormant_high_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q22 shape: per-segment count/balance of customers whose balance
+    beats the positive-balance average AND who placed no URGENT order
+    (every customer orders in the synthetic data, so the classic
+    no-orders-at-all predicate is empty; the filtered NOT EXISTS keeps the
+    anti-join shape non-trivial) — a scalar aggregate subquery
+    (decorrelated to a broadcast 1-row threshold) plus a NOT EXISTS anti
+    join. The threshold is an exact decimal ratio (SUM(DECIMAL)/COUNT),
+    so the boundary compares identically in both engines — a float AVG
+    would be summation-order-dependent and could flip edge rows."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    thr = (
+        c.filter(F.col("c_acctbal") > 0.0)
+        .agg(
+            (F.sum(F.col("c_acctbal").cast(DEC)) / F.count(F.lit(1))).alias("thr")
+        )
+    )
+    return (
+        c.crossJoin(F.broadcast(thr))
+        .filter(F.col("c_acctbal").cast(DEC) > F.col("thr"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(F.col("c_acctbal").cast(DEC)).cast("double").alias("totacctbal"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+Q22_DORMANT_HIGH_BALANCE_SQL = """
+SELECT c_mktsegment,
+       COUNT(*) AS numcust,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+FROM customer
+WHERE CAST(c_acctbal AS DECIMAL(18,2)) >
+      (SELECT SUM(CAST(c_acctbal AS DECIMAL(18,2))) / COUNT(*)
+       FROM customer WHERE c_acctbal > 0.0)
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderpriority = '1-URGENT')
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""

@@ -178,6 +178,14 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q8_market_share": (TQ.q8_market_share, TQ.Q8_MARKET_SHARE_SQL),
     "q2_min_cost_supplier": (TQ.q2_min_cost_supplier, TQ.Q2_MIN_COST_SUPPLIER_SQL),
     "q20_excess_shippers": (TQ.q20_excess_shippers, TQ.Q20_EXCESS_SHIPPERS_SQL),
+    "q13_customer_distribution": (
+        TQ.q13_customer_distribution,
+        TQ.Q13_CUSTOMER_DISTRIBUTION_SQL,
+    ),
+    "q22_dormant_high_balance": (
+        TQ.q22_dormant_high_balance,
+        TQ.Q22_DORMANT_HIGH_BALANCE_SQL,
+    ),
     "sketch_hll_distinct": (SK.sketch_hll_distinct, None),  # sketch: rows-only
     "sketch_cms_token_freq": (SK.sketch_cms_token_freq, None),  # sketch: rows-only
     "dedup_minhash_incremental": (INC.dedup_minhash_incremental, None),  # hash family

@@ -54,6 +54,8 @@ COVERED_BY = {
     "q8_market_share": "q5_local_supplier_volume",
     "q2_min_cost_supplier": "q17_small_quantity_revenue",
     "q20_excess_shippers": "join_semi",
+    "q13_customer_distribution": "agg_grouped",
+    "q22_dormant_high_balance": "join_anti",
     "sketch_hll_distinct": "agg_approx",
     "sketch_cms_token_freq": "agg_approx",
     "dedup_minhash_incremental": "dedup_minhash_lsh",
