@@ -155,3 +155,33 @@ def test_python_datasource_cdc_events(spark, tmp_path):
     )
     assert all_topics.select("topic").distinct().count() == 4
     assert all_topics.rdd.getNumPartitions() == 4
+
+
+def test_text_sources_malformed_policies(spark, tmp_path):
+    """Fixed-schema CSV/JSONL reads: PERMISSIVE captures the raw corrupt
+    record for replay, DROPMALFORMED drops it, FAILFAST raises."""
+    import pytest as _pytest
+
+    from cdc_local_data_pipeline_docker_spark.sources import text_sources as TS
+
+    csv = tmp_path / "rows.csv"
+    csv.write_text("id,price\n1,10.5\n2,not_a_number\n3,30.0\n")
+    jl = tmp_path / "rows.jsonl"
+    jl.write_text('{"id": 1, "price": 10.5}\n{"id": 2, "price": broken\n')
+
+    ddl = "id INT, price DOUBLE"
+
+    good, bad = TS.split_corrupt(TS.read_csv(spark, str(csv), ddl))
+    assert {r.id for r in good.collect()} == {1, 3}
+    bad_rows = bad.collect()
+    assert len(bad_rows) == 1 and "not_a_number" in bad_rows[0][TS.CORRUPT_COL]
+
+    dropped = TS.read_csv(spark, str(csv), ddl, mode="DROPMALFORMED")
+    assert {r.id for r in dropped.collect()} == {1, 3}
+
+    with _pytest.raises(Exception):
+        TS.read_csv(spark, str(csv), ddl, mode="FAILFAST").collect()
+
+    jgood, jbad = TS.split_corrupt(TS.read_jsonl(spark, str(jl), ddl))
+    assert {r.id for r in jgood.collect()} == {1}
+    assert jbad.count() == 1
