@@ -62,13 +62,15 @@ def main() -> None:
     # Warm-up: touch the biggest table once (codegen, parquet footer cache).
     spark.read.parquet(f"{SF_DIR}/lineitem.parquet").count()
 
-    # Two timed runs per query, report the min: the steady-state number a
-    # resident engine delivers (first run pays one-off codegen compilation).
+    # Three timed runs per query, report the min: the steady-state number a
+    # resident engine delivers (first run pays one-off codegen compilation;
+    # this VM's timing noise is 2-6x run-to-run, so one extra rep buys real
+    # stability for the recorded number).
     timings: dict[str, float] = {}
     for name in names:
         fn = queries[name]
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             fn(spark, SF_DIR).collect()
             best = min(best, time.perf_counter() - t0)
