@@ -25,10 +25,13 @@ def test_oracle_parity(spark, sf_dir, con, name, fn, sql):
     df = fn(spark, sf_dir)
     ok, msg = compare(df, con, sql)
     assert ok, f"{name}: {msg}"
+    # a 0-row result hash-matches trivially — every query must exercise
+    # its operators on actual rows at every test sf
+    assert df.count() > 0, f"{name}: empty result proves nothing"
 
 
 @pytest.mark.parametrize("name,fn", ROWS_ONLY_CASES, ids=[c[0] for c in ROWS_ONLY_CASES])
 def test_rows_only_runs(spark, sf_dir, name, fn):
     df = fn(spark, sf_dir)
-    assert df.count() >= 0
+    assert df.count() > 0, f"{name}: empty result proves nothing"
     assert len(df.schema.fields) > 0
