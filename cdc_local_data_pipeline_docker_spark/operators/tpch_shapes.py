@@ -19,8 +19,11 @@ from ..catalog import load_table
 
 DEC = DecimalType(18, 2)
 
-Q7_NATION_A = "NATION_1"
-Q7_NATION_B = "NATION_2"
+# Pair chosen to have bilateral trade at EVERY test sf (verified: the
+# original NATION_1/NATION_2 pair is EMPTY at sf0.001, which hash-matched
+# the oracle trivially — parity tests now assert non-empty results).
+Q7_NATION_A = "NATION_18"
+Q7_NATION_B = "NATION_19"
 
 
 def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
