@@ -116,7 +116,19 @@ def main() -> None:
         first_n, names = registry.GRADED_WINDOW, rest
     todo = names or list(registry.REGISTRY)[:first_n]
 
-    spark = get_spark(app_name="driver-sim")
+    if os.environ.get("DRIVER_SIM_VANILLA"):
+        # Bare session — none of the engine's configs (no UTC pin, no AQE
+        # tuning, default 200 shuffle partitions): what a driver that
+        # builds its own SparkSession hands the query functions.
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.appName("driver-sim-vanilla")
+            .master("local[32]")
+            .getOrCreate()
+        )
+    else:
+        spark = get_spark(app_name="driver-sim")
     spark.sparkContext.setLogLevel("ERROR")
     # Hostile-driver simulation: the real driver's session TZ is unknown;
     # DRIVER_SIM_TZ=America/New_York exposes any query that forgets to pin
