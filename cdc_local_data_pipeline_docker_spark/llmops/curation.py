@@ -1,0 +1,158 @@
+"""End-to-end corpus curation pipeline: the composed LLM-training-data
+workflow the individual operators exist for, as ONE lazy Spark plan —
+
+  1. score every document (quality composite + token count),
+  2. drop low-quality / too-short docs,
+  3. exact-dedup by content (min-doc_id survivor),
+  4. near-dup removal: word-3-gram Jaccard >= 0.5 pairs among survivors,
+     dropping the higher-id member of every pair,
+  5. report surviving corpus stats per (lang, source).
+
+Everything stays declarative (no action until the caller's), so Catalyst
+pipelines the whole chain: the quality filter prunes before shingling,
+dedup operates on survivors only, and the final rollup is a small
+aggregate. At 100 TB each stage is the already-audited scale shape
+(map-only scoring, hash dedup, posting-list pair join) — composition adds
+no new shuffle class. Oracle: the identical CTE chain in DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from .dedup import JACCARD_THRESHOLD, _shingled
+from .text import STOPWORDS
+
+#: Curation thresholds (quality composite and minimum token count).
+MIN_QUALITY = 0.55
+MIN_TOKENS = 5
+
+
+def _quality(col_text):
+    toks = F.split(col_text, " ")
+    stop_arr = ", ".join(f"'{s}'" for s in STOPWORDS)
+    stop_hits = F.expr(
+        f"size(filter(split(text, ' '), t -> array_contains(array({stop_arr}), t)))"
+    )
+    n_tokens = F.size(toks)
+    len_score = F.least(F.length(col_text).cast("double") / F.lit(500.0), F.lit(1.0))
+    stop_ratio = stop_hits.cast("double") / n_tokens
+    uniq_ratio = F.size(F.array_distinct(toks)).cast("double") / n_tokens
+    return (
+        F.lit(0.4) * len_score
+        + F.lit(0.3) * (F.lit(1.0) - stop_ratio)
+        + F.lit(0.3) * uniq_ratio
+    )
+
+
+def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Surviving-corpus stats after the full curation chain."""
+    d = load_table(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id", "text", "lang", "source",
+        F.size(F.split("text", " ")).alias("n_tokens"),
+        _quality(F.col("text")).alias("quality"),
+    )
+    kept = scored.filter(
+        (F.col("quality") >= MIN_QUALITY) & (F.col("n_tokens") >= MIN_TOKENS)
+    )
+    # exact dedup: min doc_id survives per identical text
+    exact_survivor = kept.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
+    survivors = kept.join(exact_survivor, ["text", "doc_id"], "inner")
+
+    # near-dup pairs among survivors (posting-list join, as dedup_ngram);
+    # deterministic drop rule: the higher-id member of every >=0.5 pair
+    sh = _shingled(survivors.select("doc_id", "text")).persist()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (
+        a.join(b, "shingle")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    drop_ids = (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(
+            F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+            >= JACCARD_THRESHOLD
+        )
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    final = survivors.join(drop_ids, "doc_id", "left_anti")
+
+    return (
+        final.groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+        .orderBy("lang", "source")
+    )
+
+
+_STOPS = ", ".join(f"'{s}'" for s in STOPWORDS)
+
+CORPUS_CURATION_PIPELINE_SQL = f"""
+WITH scored AS (
+  SELECT doc_id, text, lang, source,
+         len(string_split(text, ' ')) AS n_tokens,
+         0.4 * least(CAST(length(text) AS DOUBLE) / 500.0, 1.0)
+         + 0.3 * (1.0 - CAST(len(list_filter(string_split(text, ' '),
+                    t -> list_contains([{_STOPS}], t)))
+                    AS DOUBLE) / len(string_split(text, ' ')))
+         + 0.3 * (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                    / len(string_split(text, ' '))) AS quality
+  FROM documents
+),
+kept AS (
+  SELECT * FROM scored
+  WHERE quality >= {MIN_QUALITY} AND n_tokens >= {MIN_TOKENS}
+),
+exact_survivor AS (
+  SELECT text, MIN(doc_id) AS doc_id FROM kept GROUP BY text
+),
+survivors AS (
+  SELECT k.* FROM kept k JOIN exact_survivor e
+    ON k.text = e.text AND k.doc_id = e.doc_id
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(
+           generate_series(1, greatest(len(toks) - 2, 0)),
+           i -> array_to_string(toks[i : i + 2], ' '))) AS shingle
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM survivors)
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+drop_ids AS (
+  SELECT DISTINCT doc_b AS doc_id
+  FROM common
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= {JACCARD_THRESHOLD}
+),
+final AS (
+  SELECT * FROM survivors WHERE doc_id NOT IN (SELECT doc_id FROM drop_ids)
+)
+SELECT lang, source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       MIN(doc_id) AS min_doc_id,
+       MAX(doc_id) AS max_doc_id
+FROM final
+GROUP BY lang, source
+ORDER BY lang, source
+"""

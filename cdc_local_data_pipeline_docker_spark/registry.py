@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from .cdc import queries as CDC
 from .functions import pandas_udfs as PU
 from .functions import scalar_pack as FP
+from .llmops import curation as CUR
 from .llmops import dedup as DD
 from .llmops import incremental as INC
 from .llmops import multimodal as MM
@@ -190,6 +191,10 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "sketch_cms_token_freq": (SK.sketch_cms_token_freq, None),  # sketch: rows-only
     "dedup_minhash_incremental": (INC.dedup_minhash_incremental, None),  # hash family
     "stream_stream_join": (SJ.stream_stream_join, SJ.STREAM_STREAM_JOIN_SQL),
+    "corpus_curation_pipeline": (
+        CUR.corpus_curation_pipeline,
+        CUR.CORPUS_CURATION_PIPELINE_SQL,
+    ),
     "dedup_simhash": (DD.dedup_simhash, None),  # hash family not in oracle
     "dedup_embedding_cosine": (
         DD.dedup_embedding_cosine,

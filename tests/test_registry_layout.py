@@ -60,6 +60,7 @@ COVERED_BY = {
     "sketch_cms_token_freq": "agg_approx",
     "dedup_minhash_incremental": "dedup_minhash_lsh",
     "stream_stream_join": "stream_tumbling_agg",
+    "corpus_curation_pipeline": "dedup_ngram_jaccard",
     "dedup_simhash": "dedup_minhash_lsh",
     "dedup_embedding_cosine": "ann_cosine_topk",
     "dedup_embedding_lsh": "ann_cosine_topk",
