@@ -59,3 +59,16 @@ def state_counts(parsed: DataFrame) -> DataFrame:
         F.countDistinct("pk").alias("n_distinct_keys"),
         F.max("kafka_offset").alias("high_watermark"),
     )
+
+
+def state_as_of(parsed: DataFrame, table: str, offset: int) -> DataFrame:
+    """Point-in-time table state: what `latest_state` would have returned
+    after consuming offsets <= `offset` — time travel over the retained
+    changelog, a capability the reference cannot express at all (its sink
+    holds row versions with no replay order consumer; SURVEY.md §4 item 1).
+
+    The offset filter prunes BEFORE the per-key window, so the cost of an
+    as-of query scales with the prefix length, not total history; on a
+    partitioned changelog (kafka_offset-ranged files) the predicate prunes
+    at the scan."""
+    return latest_state(parsed.filter(F.col("kafka_offset") <= offset), table)

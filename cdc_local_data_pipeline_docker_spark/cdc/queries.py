@@ -192,3 +192,59 @@ ORDER BY table_name
 
 
 CDC_CHANGELOG_STATS_SQL = _changelog_stats_sql()
+
+
+#: Fixed historical offset probed by the as-of registry query: mid-stream,
+#: after the snapshot+some updates but before later updates/tombstones, so
+#: the as-of answer provably differs from the final state.
+ASOF_PROBE_OFFSET = 45
+
+
+def cdc_state_asof_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders table state as of changelog offset 45 — point-in-time query
+    over the retained changelog (cdc/latest_state.state_as_of)."""
+    from .latest_state import state_as_of
+
+    d = ensure_fixtures()
+    env = P.read_event_file(spark, os.path.join(d, "orders.jsonl"))
+    state = state_as_of(P.parse_events(env, "orders"), "orders", ASOF_PROBE_OFFSET)
+    return state.withColumn(
+        "total_amount", F.col("total_amount").cast("double")
+    ).orderBy("order_id")
+
+
+CDC_STATE_ASOF_OFFSET_SQL = f"""
+WITH env AS (
+  SELECT *,
+         CASE WHEN value IS NOT NULL AND json_valid(value) THEN value END AS v
+  FROM read_json_auto('{FIXTURE_DIR}/orders.jsonl',
+                      format='newline_delimited')
+  WHERE "offset" <= {{offset}}
+),
+parsed AS (
+  SELECT CAST(json_extract_string(key, '$.order_id') AS INT) AS pk,
+         value IS NULL AS is_tombstone,
+         value IS NOT NULL
+           AND json_extract_string(v, '$.order_id') IS NULL AS is_malformed,
+         CAST(json_extract_string(v, '$.order_id') AS INT) AS order_id,
+         CAST(json_extract_string(v, '$.customer_id') AS INT) AS customer_id,
+         make_timestamp(CAST(json_extract_string(v, '$.order_date') AS BIGINT))
+           AS order_date,
+         json_extract_string(v, '$.status') AS status,
+         CAST(CAST(json_extract_string(v, '$.total_amount') AS DECIMAL(10,2))
+              AS DOUBLE) AS total_amount,
+         json_extract_string(v, '$.shipping_address') AS shipping_address,
+         partition, "offset"
+  FROM env
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY pk
+                               ORDER BY partition DESC, "offset" DESC) AS rn
+  FROM parsed WHERE NOT is_malformed
+)
+SELECT order_id, customer_id, order_date, status, total_amount,
+       shipping_address, "offset" AS last_offset
+FROM ranked
+WHERE rn = 1 AND NOT is_tombstone
+ORDER BY order_id
+""".format(offset=ASOF_PROBE_OFFSET)

@@ -195,6 +195,10 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         CUR.corpus_curation_pipeline,
         CUR.CORPUS_CURATION_PIPELINE_SQL,
     ),
+    "cdc_state_asof_offset": (
+        CDC.cdc_state_asof_offset,
+        CDC.CDC_STATE_ASOF_OFFSET_SQL,
+    ),
     "dedup_simhash": (DD.dedup_simhash, None),  # hash family not in oracle
     "dedup_embedding_cosine": (
         DD.dedup_embedding_cosine,

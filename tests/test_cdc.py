@@ -227,3 +227,32 @@ def test_ingest_no_history_scan_and_quarantine_sink(spark, tmp_path):
         assert None not in state_ids
     else:  # fixture always has malformed rows past offset 30, but guard
         assert not os.path.exists(qdir)
+
+
+def test_state_asof_offset_is_point_in_time(spark, fixture_dir):
+    """state_as_of(offset) must equal replaying only the prefix — and must
+    DIFFER from the final state (the probe offset sits before later
+    updates/tombstones), proving the time-travel query is not a no-op."""
+    from cdc_local_data_pipeline_docker_spark.cdc.latest_state import state_as_of
+    from cdc_local_data_pipeline_docker_spark.cdc.queries import ASOF_PROBE_OFFSET
+
+    env = P.read_event_file(spark, f"{fixture_dir}/orders.jsonl")
+    parsed = P.parse_events(env, "orders")
+    asof = {
+        r.order_id: (r.status, str(r.total_amount), r.last_offset)
+        for r in state_as_of(parsed, "orders", ASOF_PROBE_OFFSET).collect()
+    }
+    final = {
+        r.order_id: (r.status, str(r.total_amount), r.last_offset)
+        for r in LS.latest_state(parsed, "orders").collect()
+    }
+    # prefix replay oracle
+    events = FX.generate_table_events("orders")
+    expected = FX.expected_live_rows(
+        [e for e in events if e["offset"] <= ASOF_PROBE_OFFSET], "orders"
+    )
+    assert set(asof) == set(expected)
+    for k in expected:
+        assert asof[k][1] == expected[k]["total_amount"]
+    assert asof != final, "probe offset must predate later changes"
+    assert all(off <= ASOF_PROBE_OFFSET for (_, _, off) in asof.values())

@@ -61,6 +61,7 @@ COVERED_BY = {
     "dedup_minhash_incremental": "dedup_minhash_lsh",
     "stream_stream_join": "stream_tumbling_agg",
     "corpus_curation_pipeline": "dedup_ngram_jaccard",
+    "cdc_state_asof_offset": "cdc_latest_state_orders",
     "dedup_simhash": "dedup_minhash_lsh",
     "dedup_embedding_cosine": "ann_cosine_topk",
     "dedup_embedding_lsh": "ann_cosine_topk",
