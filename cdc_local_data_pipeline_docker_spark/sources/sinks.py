@@ -64,3 +64,13 @@ def write_bucketed(
 
 def read_bucketed(spark: SparkSession, table_name: str) -> DataFrame:
     return spark.table(table_name)
+
+
+def read_evolved(spark: SparkSession, path: str) -> DataFrame:
+    """Read a parquet dir whose appends may carry EVOLVED schemas
+    (columns added over time — the 'CDC source grew a column' scenario):
+    `mergeSchema` unions the footers' schemas; rows written before a
+    column existed surface it as NULL. Additive evolution only — renames
+    and type changes still need a migration (same contract as Debezium's
+    own additive-compatible mode)."""
+    return spark.read.option("mergeSchema", "true").parquet(path)

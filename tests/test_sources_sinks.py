@@ -185,3 +185,27 @@ def test_text_sources_malformed_policies(spark, tmp_path):
     jgood, jbad = TS.split_corrupt(TS.read_jsonl(spark, str(jl), ddl))
     assert {r.id for r in jgood.collect()} == {1}
     assert jbad.count() == 1
+
+
+def test_schema_evolution_additive_merge(spark, tmp_path):
+    """Appends with an added column merge into one unified schema; rows
+    predating the column read as NULL — the changelog keeps working when
+    the upstream CDC source grows a field."""
+    from cdc_local_data_pipeline_docker_spark.sources.sinks import read_evolved
+
+    p = str(tmp_path / "evolving")
+    spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id LONG, status STRING"
+    ).write.mode("append").parquet(p)
+    spark.createDataFrame(
+        [(3, "c", "express")], "id LONG, status STRING, ship_mode STRING"
+    ).write.mode("append").parquet(p)
+
+    merged = read_evolved(spark, p)
+    assert set(merged.columns) == {"id", "status", "ship_mode"}
+    rows = {r.id: r for r in merged.collect()}
+    assert rows[1].ship_mode is None and rows[2].ship_mode is None
+    assert rows[3].ship_mode == "express"
+    # plain read (no mergeSchema) picks ONE footer's schema — the helper
+    # is what makes the evolved layout safe to consume
+    assert len(merged.columns) >= len(spark.read.parquet(p).columns)
