@@ -34,6 +34,20 @@ def _dir_bytes(path: str) -> int:
     return total
 
 
+def recover_compaction(table_dir: str) -> None:
+    """Crash recovery for the two-rename swap below: a crash between
+    ``rename(table_dir, old)`` and ``rename(tmp, table_dir)`` leaves no
+    live dir — restore the old snapshot; sweep stale tmp dirs either way
+    (same recovery contract as streaming/upsert._recover_state)."""
+    old = f"{table_dir}__compact_old"
+    tmp = f"{table_dir}__compact_tmp"
+    if not os.path.exists(table_dir) and os.path.exists(old):
+        os.rename(old, table_dir)
+    if os.path.exists(table_dir):
+        shutil.rmtree(old, ignore_errors=True)
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
 def compact_changelog(
     spark: SparkSession,
     table_dir: str,
@@ -43,6 +57,7 @@ def compact_changelog(
 
     Returns {files_before, files_after, bytes}. Row-preserving: callers'
     latest-state / resume logic reads the same rows afterwards."""
+    recover_compaction(table_dir)  # heal any previously cut-short swap
     files_before = sum(
         1
         for root, _d, fs in os.walk(table_dir)

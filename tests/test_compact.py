@@ -54,3 +54,30 @@ def test_compact_preserves_rows_and_semantics(spark, tmp_path):
     # ...and a post-compaction incremental sync still no-ops correctly
     m = ingest_table(spark, str(fdir / "run4.jsonl"), "orders", out)
     assert m["n_rows"] == 0
+
+
+def test_compact_swap_crash_recovery(spark, tmp_path):
+    """A crash between the swap's two renames leaves only __compact_old;
+    the next compaction (or explicit recovery) must restore it rather than
+    operating on a missing dir."""
+    import os
+
+    from cdc_local_data_pipeline_docker_spark.cdc.compact import (
+        recover_compaction,
+    )
+
+    d = str(tmp_path / "t")
+    spark.range(100).write.parquet(d)
+    before = spark.read.parquet(d).count()
+
+    os.rename(d, f"{d}__compact_old")  # simulate the crash window
+    os.makedirs(f"{d}__compact_tmp")
+    recover_compaction(d)
+    assert os.path.exists(d) and not os.path.exists(f"{d}__compact_tmp")
+    assert spark.read.parquet(d).count() == before
+
+    # end-to-end: crash again, then compaction itself recovers first
+    os.rename(d, f"{d}__compact_old")
+    report = compact_changelog(spark, d, target_file_bytes=10**9)
+    assert spark.read.parquet(d).count() == before
+    assert report["files_after"] >= 1
