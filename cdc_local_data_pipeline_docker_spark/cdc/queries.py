@@ -32,6 +32,17 @@ def ensure_fixtures() -> str:
     return FIXTURE_DIR
 
 
+# The DuckDB oracles for this module read the fixture JSONL directly, so
+# the files must exist no matter whether the grader runs the Spark query
+# or the oracle first — write them at import (cheap, deterministic,
+# byte-identical every time; guarded so an unwritable /tmp can never
+# break importing the registry).
+try:
+    ensure_fixtures()
+except OSError:  # pragma: no cover - degraded env; queries re-attempt
+    pass
+
+
 def cdc_latest_state_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Latest-wins + tombstone-applied current state of the orders topic.
 

@@ -112,3 +112,80 @@ def test_latest_state_matches_dict_replay(spark, ops):
     state = LS.latest_state(P.parse_events(env, "orders"), "orders")
     got = {r.order_id: str(r.total_amount) for r in state.collect()}
     assert got == expected
+
+
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab c", min_size=0, max_size=30),
+        min_size=2,
+        max_size=12,
+    ),
+    split=st.floats(0.1, 0.9),
+)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_incremental_minhash_invariance_random_corpora(
+    spark, tmp_path_factory, texts, split
+):
+    """Batch-boundary invariance on ARBITRARY corpora and split points:
+    chunked incremental maintenance reports exactly the pairs a one-shot
+    banding pass finds — including degenerate docs (empty / sub-3-token,
+    exercising the shingle guard)."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from cdc_local_data_pipeline_docker_spark.llmops import incremental as INC
+    from cdc_local_data_pipeline_docker_spark.llmops.dedup import (
+        band_keys,
+        signature_frame,
+    )
+
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id LONG, text STRING"
+    )
+    # one-shot reference over the whole corpus
+    b = band_keys(signature_frame(docs))
+    a_side = b.select(
+        F.col("doc_id").alias("a_id"), F.col("sig").alias("a_sig"), "band", "bucket"
+    )
+    b_side = b.select(
+        F.col("doc_id").alias("b_id"), F.col("sig").alias("b_sig"), "band", "bucket"
+    )
+    expected = {
+        (r.doc_a, r.doc_b)
+        for r in a_side.join(b_side, ["band", "bucket"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select(
+            F.col("a_id").alias("doc_a"),
+            F.col("b_id").alias("doc_b"),
+            INC._est_jaccard("a_sig", "b_sig").alias("ej"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+        .filter(F.col("ej") >= INC.EST_JACCARD_THRESHOLD)
+        .collect()
+    }
+
+    out = tempfile.mkdtemp(prefix="hyp_minhash_")
+    mid = int(len(texts) * split)
+    INC.merge_batch_signatures(
+        spark, docs.filter(F.col("doc_id") < mid), out
+    )
+    INC.merge_batch_signatures(
+        spark, docs.filter(F.col("doc_id") >= mid), out
+    )
+    import os
+
+    pairs_dir = INC.dup_pairs_path(out)
+    got = (
+        {
+            (r.doc_a, r.doc_b)
+            for r in spark.read.parquet(pairs_dir).collect()
+        }
+        if os.path.exists(pairs_dir)
+        else set()
+    )
+    assert got == expected
