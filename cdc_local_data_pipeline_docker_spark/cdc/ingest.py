@@ -122,14 +122,24 @@ def ingest_table(
     }
 
 
-def materialize_latest(spark: SparkSession, out_dir: str, table: str) -> DataFrame:
+def materialize_latest(
+    spark: SparkSession,
+    out_dir: str,
+    table: str,
+    asof_offset: int | None = None,
+) -> DataFrame:
     """Latest-state view over everything ingested so far for `table` —
     replay-safe: duplicate appends collapse because (pk, kafka_offset)
-    ranks identically."""
+    ranks identically. With ``asof_offset`` the view is the point-in-time
+    state after consuming offsets <= that watermark (time travel over the
+    retained changelog; the offset filter prunes before the per-key
+    window)."""
     from ..catalog import CDC_WIRE_SCHEMAS
     from .latest_state import latest_state  # local import, avoids cycle
 
     raw = spark.read.parquet(os.path.join(out_dir, f"{table}_parquet"))
+    if asof_offset is not None:
+        raw = raw.filter(F.col("kafka_offset") <= asof_offset)
     # Reconstruct the parsed shape from the changelog sink columns.
     wire = CDC_WIRE_SCHEMAS[table]
     parsed_like = raw.select(

@@ -38,6 +38,9 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--out-dir", required=True)
     ap.add_argument("--tables", default=",".join(CDC_PRIMARY_KEYS),
                     help="comma list (default: all four)")
+    ap.add_argument("--asof-offset", type=int, default=None,
+                    help="also report live_rows at this historical offset "
+                         "(point-in-time query over the changelog)")
     args = ap.parse_args(argv)
 
     tables = [t.strip() for t in args.tables.split(",") if t.strip()]
@@ -62,6 +65,10 @@ def main(argv: list[str] | None = None) -> int:
         )
         live = materialize_latest(spark, args.out_dir, table).count()
         metrics["live_rows"] = live
+        if args.asof_offset is not None:
+            metrics["live_rows_asof"] = materialize_latest(
+                spark, args.out_dir, table, asof_offset=args.asof_offset
+            ).count()
         report.append(metrics)
 
     print(json.dumps({"tables": report}))
