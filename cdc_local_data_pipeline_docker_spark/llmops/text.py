@@ -13,7 +13,7 @@ splits and stay inside whole-stage codegen.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
@@ -379,4 +379,97 @@ SELECT lang, source, COUNT(*) AS n_docs,
 FROM documents
 GROUP BY lang, source
 ORDER BY lang, source
+"""
+
+
+#: Winnowing window: guarantee = any match of >= WINNOW_W + 2 consecutive
+#: tokens shares at least one selected fingerprint (Schleimer et al.,
+#: "Winnowing: Local Algorithms for Document Fingerprinting", SIGMOD'03).
+WINNOW_W = 4
+
+
+def text_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint summary per document: hash every word-3-gram,
+    slide a WINNOW_W-window over the hash sequence, keep each window's
+    minimum — the selected set is a position-robust fingerprint with a
+    guaranteed-match property that a single global minimum (text_fingerprint)
+    lacks. Summary per doc: fingerprint count + digest of the sorted set.
+
+    Spark-first: posexplode'd shingle hashes + a min-over-rows window per
+    doc (one shuffle on doc_id), then a grouped digest. Hash = md5 so the
+    DuckDB oracle computes the identical minima (Spark's xxhash64 has no
+    DuckDB twin)."""
+    d = load_table(spark, sf_dir, "documents")
+    grams = d.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                """
+                transform(
+                  if(size(split(text, ' ')) < 3,
+                     array(),
+                     sequence(1, size(split(text, ' ')) - 2)),
+                  i -> md5(concat_ws(' ', slice(split(text, ' '), i, 3))))
+                """
+            )
+        ).alias("pos", "h"),
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(0, WINNOW_W - 1)
+    )
+    selected = (
+        grams.withColumn("win_min", F.min("h").over(w))
+        # windows that extend past the end are partial; keep only full ones
+        .withColumn(
+            "n_grams", F.count(F.lit(1)).over(Window.partitionBy("doc_id"))
+        )
+        .filter(F.col("pos") <= F.col("n_grams") - WINNOW_W)
+        .select("doc_id", F.col("win_min").alias("fp"))
+        .distinct()
+    )
+    return (
+        selected.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_fingerprints"),
+            F.md5(F.array_join(F.array_sort(F.collect_list("fp")), "")).alias(
+                "fp_digest"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+TEXT_WINNOWING_SQL = f"""
+WITH grams AS (
+  SELECT doc_id,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i) - 1 AS pos,
+         md5(array_to_string(toks[i : i + 2], ' ')) AS h
+  FROM (
+    SELECT doc_id, string_split(text, ' ') AS toks,
+           unnest(generate_series(1, greatest(len(string_split(text, ' ')) - 2,
+                                              0))) AS i
+    FROM documents
+  )
+),
+windowed AS (
+  SELECT doc_id, pos,
+         MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN CURRENT ROW AND {WINNOW_W - 1} FOLLOWING)
+           AS win_min,
+         COUNT(*) OVER (PARTITION BY doc_id) AS n_grams
+  FROM grams
+),
+selected AS (
+  SELECT DISTINCT doc_id, win_min AS fp
+  FROM windowed
+  WHERE pos <= n_grams - {WINNOW_W}
+)
+SELECT doc_id,
+       COUNT(*) AS n_fingerprints,
+       md5(string_agg(fp, '' ORDER BY fp)) AS fp_digest
+FROM selected
+GROUP BY doc_id
+ORDER BY doc_id
 """

@@ -211,6 +211,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "text_lang_id": (TX.text_lang_id, TX.TEXT_LANG_ID_SQL),
     "text_quality_score": (TX.text_quality_score, TX.TEXT_QUALITY_SCORE_SQL),
     "text_fingerprint": (TX.text_fingerprint, TX.TEXT_FINGERPRINT_SQL),
+    "text_winnowing": (TX.text_winnowing, TX.TEXT_WINNOWING_SQL),
     "fn_string_pack": (FP.fn_string_pack, FP.FN_STRING_PACK_SQL),
     "fn_date_pack": (FP.fn_date_pack, FP.FN_DATE_PACK_SQL),
     "fn_math_pack": (FP.fn_math_pack, FP.FN_MATH_PACK_SQL),

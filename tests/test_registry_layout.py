@@ -71,6 +71,7 @@ COVERED_BY = {
     "text_lang_id": "text_profile",
     "text_quality_score": "text_profile",
     "text_fingerprint": "text_profile",
+    "text_winnowing": "text_profile",
     "fn_string_pack": "fn_scalar_pack",
     "fn_date_pack": "fn_scalar_pack",
     "fn_math_pack": "fn_scalar_pack",
