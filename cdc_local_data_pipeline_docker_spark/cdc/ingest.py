@@ -81,7 +81,11 @@ def ingest_table(
         env = env.filter(F.col("offset") > last)
 
     parsed = P.parse_events(env, table)
-    flat = P.project_changelog(parsed, table)
+    # offset-sorted within each output file: parquet row-group min/max
+    # stats on kafka_offset then prune as-of / resume scans
+    # (materialize_latest's `kafka_offset <= N` filter skips whole row
+    # groups instead of reading all history)
+    flat = P.project_changelog(parsed, table).sortWithinPartitions("kafka_offset")
 
     obs = Observation(f"ingest_{table}")
     flat = flat.observe(

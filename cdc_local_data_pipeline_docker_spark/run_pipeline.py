@@ -41,6 +41,10 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--asof-offset", type=int, default=None,
                     help="also report live_rows at this historical offset "
                          "(point-in-time query over the changelog)")
+    ap.add_argument("--parallel", type=int, default=1,
+                    help="tables ingested concurrently (Spark schedules "
+                         "the jobs FAIR across driver threads; per-table "
+                         "offset state is independent so runs don't race)")
     args = ap.parse_args(argv)
 
     tables = [t.strip() for t in args.tables.split(",") if t.strip()]
@@ -58,18 +62,29 @@ def main(argv: list[str] | None = None) -> int:
     spark = get_spark(app_name="cdc-run-pipeline")
     spark.sparkContext.setLogLevel("ERROR")
 
-    report = []
-    for table in tables:
+    def run_one(table: str) -> dict:
         metrics = ingest_table(
             spark, os.path.join(events_dir, f"{table}.jsonl"), table, args.out_dir
         )
-        live = materialize_latest(spark, args.out_dir, table).count()
-        metrics["live_rows"] = live
+        metrics["live_rows"] = materialize_latest(
+            spark, args.out_dir, table
+        ).count()
         if args.asof_offset is not None:
             metrics["live_rows_asof"] = materialize_latest(
                 spark, args.out_dir, table, asof_offset=args.asof_offset
             ).count()
-        report.append(metrics)
+        return metrics
+
+    if args.parallel > 1:
+        # one Spark job per table in flight concurrently — the scheduler
+        # interleaves their stages across the executor cores (the
+        # multi-topic analogue of Kafka consumer-group parallelism)
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=args.parallel) as pool:
+            report = list(pool.map(run_one, tables))
+    else:
+        report = [run_one(t) for t in tables]
 
     print(json.dumps({"tables": report}))
     return 0

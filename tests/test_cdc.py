@@ -256,3 +256,36 @@ def test_state_asof_offset_is_point_in_time(spark, fixture_dir):
         assert asof[k][1] == expected[k]["total_amount"]
     assert asof != final, "probe offset must predate later changes"
     assert all(off <= ASOF_PROBE_OFFSET for (_, _, off) in asof.values())
+
+
+def test_changelog_files_sorted_by_offset(spark, tmp_path):
+    """Each written changelog file is offset-sorted so parquet row-group
+    min/max stats on kafka_offset prune as-of / resume scans instead of
+    reading all history."""
+    fdir = tmp_path / "events"
+    fdir.mkdir()
+    odir = str(tmp_path / "warehouse")
+    all_events = FX.generate_table_events("orders")
+    p = fdir / "orders.jsonl"
+    with open(p, "w") as f:
+        for e in all_events:
+            f.write(json.dumps({k: v for k, v in e.items() if k != "_kind"}) + "\n")
+    ING.ingest_table(spark, str(p), "orders", odir)
+
+    import pyspark.sql.functions as F
+
+    per_file = (
+        spark.read.parquet(f"{odir}/orders_parquet")
+        .select("kafka_offset", F.input_file_name().alias("fname"))
+        .withColumn(
+            "prev",
+            F.lag("kafka_offset").over(
+                __import__(
+                    "pyspark.sql.window", fromlist=["Window"]
+                ).Window.partitionBy("fname").orderBy(F.monotonically_increasing_id())
+            ),
+        )
+    )
+    # within every file, offsets must be non-decreasing in stored order
+    bad = per_file.filter(F.col("prev").isNotNull() & (F.col("kafka_offset") < F.col("prev")))
+    assert bad.count() == 0

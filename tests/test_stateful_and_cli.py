@@ -92,3 +92,35 @@ def test_run_pipeline_cli_end_to_end(tmp_path):
     for t in rep2["tables"]:
         assert t["n_rows"] == 0  # watermark no-op
         assert t["live_rows"] == by_table[t["table"]]["live_rows"]
+
+
+def test_run_pipeline_cli_parallel_tables(tmp_path):
+    """--parallel N ingests tables on concurrent driver threads (the
+    multi-topic analogue of Kafka consumer-group parallelism). Per-table
+    offset state is independent, so the report must be identical to a
+    sequential run."""
+    out_seq = str(tmp_path / "wh_seq")
+    out_par = str(tmp_path / "wh_par")
+    env = {"PATH": "/usr/bin:/bin", "HOME": "/root",
+           "JAVA_HOME": __import__("os").environ.get("JAVA_HOME", ""),
+           "SPARK_GRAFT_CPUS": "8"}
+    base = [
+        sys.executable, "-m",
+        "cdc_local_data_pipeline_docker_spark.run_pipeline",
+        "--tables", "orders,customers,products,order_items",
+    ]
+    rs = subprocess.run(base + ["--out-dir", out_seq],
+                        capture_output=True, text=True, env=env, timeout=300)
+    assert rs.returncode == 0, rs.stderr[-2000:]
+    rp = subprocess.run(base + ["--out-dir", out_par, "--parallel", "4"],
+                        capture_output=True, text=True, env=env, timeout=300)
+    assert rp.returncode == 0, rp.stderr[-2000:]
+
+    def canon(stdout):
+        rep = json.loads(stdout.strip().splitlines()[-1])
+        return sorted(
+            (t["table"], t["n_rows"], t["live_rows"], t["high_watermark"])
+            for t in rep["tables"]
+        )
+
+    assert canon(rs.stdout) == canon(rp.stdout)
