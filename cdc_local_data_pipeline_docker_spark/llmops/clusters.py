@@ -1,0 +1,158 @@
+"""Duplicate-cluster resolution: connected components over near-dup
+pairs, and the collapsed (canonical-only) corpus.
+
+The dedup family's pair detectors (n-gram Jaccard, MinHash+LSH, SimHash,
+embedding-LSH) emit PAIRS. A real corpus dedup needs one more step —
+pairs form a graph whose connected components are the duplicate
+clusters, and exactly one canonical document per cluster survives.
+This module adds that step as pure DataFrame ops.
+
+Algorithm: iterative hash-min label propagation. Every node starts
+labeled with its own id; each round, a node takes the minimum label in
+its neighborhood; at fixpoint, every node in a component carries the
+component's minimum id. Rounds = graph diameter. Near-dup clusters are
+small and dense (diameter is almost always <= 3-4), so propagation
+converges in a handful of rounds; per round the work is one equi-join
+shuffle on node id — no all-pairs, no driver-side graph. For adversarial
+high-diameter graphs (long chains), swap in the large-star/small-star
+alternation (Kiveris et al., "Connected Components in MapReduce and
+Beyond", SoCC'14), which converges in O(log n) rounds with the same
+join-shape per round.
+
+Lineage: each round's labels are localCheckpoint()ed — the iteration
+would otherwise stack one join per round onto a single logical plan,
+and the optimizer re-analyzes the whole history every round. In a
+production job, use a reliable checkpoint dir (or write the label table
+per round) so recovery doesn't replay the full chain.
+
+The DuckDB oracle computes the same clusters exactly with a recursive
+CTE (transitive closure -> MIN over reachable ids), so the whole
+pipeline — pair detection through cluster ids — is hash-checked.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from .dedup import DEDUP_NGRAM_JACCARD_SQL, dedup_ngram_jaccard
+
+
+def connected_components(
+    pairs: DataFrame, src: str = "doc_a", dst: str = "doc_b", max_iter: int = 25
+) -> DataFrame:
+    """(id, cluster_id) for every node appearing in ``pairs``; cluster_id
+    is the component's minimum node id. Raises if propagation hasn't
+    converged within ``max_iter`` rounds (diameter bound exceeded)."""
+    e = pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    edges = (
+        e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .distinct()
+        .persist()
+    )
+    labels = edges.select(F.col("u").alias("id")).distinct().select(
+        "id", F.col("id").alias("lbl")
+    )
+    labels = labels.localCheckpoint()
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(labels, edges.v == labels.id)
+            .groupBy("u")
+            .agg(F.min("lbl").alias("nbr_lbl"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels.id == nbr_min.u, "left")
+            .select(
+                "id",
+                F.least(F.col("lbl"), F.coalesce("nbr_lbl", "lbl")).alias("lbl"),
+            )
+        )
+        new_labels = new_labels.localCheckpoint()
+        n_changed = (
+            labels.alias("o")
+            .join(new_labels.alias("n"), "id")
+            .filter(F.col("o.lbl") != F.col("n.lbl"))
+            .count()
+        )
+        labels = new_labels
+        if n_changed == 0:
+            edges.unpersist()
+            return labels.select("id", F.col("lbl").alias("cluster_id"))
+    edges.unpersist()
+    raise RuntimeError(f"connected_components: no fixpoint in {max_iter} rounds")
+
+
+#: Recursive-CTE twin: transitive closure, then MIN over reachable ids.
+#: {pairs} must select columns (doc_a, doc_b).
+_CC_SQL_TEMPLATE = """
+WITH RECURSIVE
+pairs AS ({pairs}),
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION
+  SELECT doc_b AS u, doc_a AS v FROM pairs
+),
+reach(id, r) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+  UNION
+  SELECT e.u, w.r FROM edges e JOIN reach w ON w.id = e.v
+),
+lbl AS (SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id)
+"""
+
+_JACCARD_PAIRS_SQL = DEDUP_NGRAM_JACCARD_SQL.replace("ORDER BY doc_a, doc_b", "")
+
+
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters over the documents table: n-gram-Jaccard pairs
+    -> connected components -> (doc_id, cluster_id, cluster_size)."""
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    cc = connected_components(pairs)
+    sizes = cc.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return (
+        cc.select(F.col("id").alias("doc_id"), "cluster_id")
+        .join(sizes, "cluster_id")
+        .select("doc_id", "cluster_id", "cluster_size")
+        .orderBy("cluster_id", "doc_id")
+    )
+
+
+DEDUP_CLUSTERS_SQL = (
+    _CC_SQL_TEMPLATE.format(pairs=_JACCARD_PAIRS_SQL)
+    + """
+SELECT doc_id, cluster_id,
+       CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
+FROM lbl
+ORDER BY cluster_id, doc_id
+"""
+)
+
+
+def dedup_canonical_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus after near-dup collapse: every document except
+    non-canonical cluster members (canonical = minimum doc_id per
+    component). The removal set is tiny relative to the corpus, so the
+    anti join broadcasts it — the full corpus is never shuffled."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    cc = connected_components(pairs)
+    removed = cc.filter(F.col("id") != F.col("cluster_id")).select(
+        F.col("id").alias("doc_id")
+    )
+    return (
+        d.join(F.broadcast(removed), "doc_id", "left_anti")
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
+DEDUP_CANONICAL_CORPUS_SQL = (
+    _CC_SQL_TEMPLATE.format(pairs=_JACCARD_PAIRS_SQL)
+    + """
+SELECT doc_id, lang, source, n_chars
+FROM documents
+WHERE doc_id NOT IN (SELECT doc_id FROM lbl WHERE doc_id <> cluster_id)
+ORDER BY doc_id
+"""
+)

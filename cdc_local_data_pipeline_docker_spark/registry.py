@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from .cdc import queries as CDC
 from .functions import pandas_udfs as PU
 from .functions import scalar_pack as FP
+from .llmops import clusters as CL
 from .llmops import curation as CUR
 from .llmops import dedup as DD
 from .llmops import incremental as INC
@@ -142,9 +143,12 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "dedup_exact": (DD.dedup_exact, DD.DEDUP_EXACT_SQL),
     "dedup_ngram_jaccard": (DD.dedup_ngram_jaccard, DD.DEDUP_NGRAM_JACCARD_SQL),
     "dedup_minhash_lsh": (DD.dedup_minhash_lsh, None),  # hash family not in oracle
+    # pair graph -> duplicate clusters (connected components, exact
+    # recursive-CTE oracle) — the step that turns pair detectors into
+    # an actual corpus dedup
+    "dedup_clusters": (CL.dedup_clusters, CL.DEDUP_CLUSTERS_SQL),
     # LLM-ops: similarity search
     "ann_cosine_topk": (SIM.ann_cosine_topk, SIM.ANN_COSINE_TOPK_SQL),
-    "knn_label_vote": (SIM.knn_label_vote, SIM.KNN_LABEL_VOTE_SQL),
     # LLM-ops: text analysis
     "text_profile": (TX.text_profile, TX.TEXT_PROFILE_SQL),
     "corpus_lang_profile": (TX.corpus_lang_profile, TX.CORPUS_LANG_PROFILE_SQL),
@@ -214,6 +218,11 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "sketch_hll_distinct": (SK.sketch_hll_distinct, None),  # sketch: rows-only
     "sketch_cms_token_freq": (SK.sketch_cms_token_freq, None),  # sketch: rows-only
     "dedup_minhash_incremental": (INC.dedup_minhash_incremental, None),  # hash family
+    "dedup_canonical_corpus": (
+        CL.dedup_canonical_corpus,
+        CL.DEDUP_CANONICAL_CORPUS_SQL,
+    ),
+    "knn_label_vote": (SIM.knn_label_vote, SIM.KNN_LABEL_VOTE_SQL),
     "stream_stream_join": (SJ.stream_stream_join, SJ.STREAM_STREAM_JOIN_SQL),
     "corpus_curation_pipeline": (
         CUR.corpus_curation_pipeline,

@@ -232,3 +232,57 @@ def test_embedding_lsh_dedup_subset_and_recall(spark, sf_dir):
     assert brute, "fixture corpus must contain embedding near-dups"
     recall = len(lsh) / len(brute)
     assert recall >= 0.6, f"embedding LSH recall {recall:.2f}"
+
+
+def test_connected_components_chain_and_merge(spark):
+    """Hash-min propagation: a 5-node chain (diameter 4 — needs multiple
+    propagation rounds), a separate triangle, and a singleton pair all
+    resolve to their component's minimum id."""
+    from cdc_local_data_pipeline_docker_spark.llmops.clusters import (
+        connected_components,
+    )
+
+    pairs = spark.createDataFrame(
+        # chain 10-11-12-13-14; triangle 20-21-22; pair 30-31
+        [(11, 10), (11, 12), (13, 12), (13, 14),
+         (20, 21), (21, 22), (20, 22),
+         (31, 30)],
+        "doc_a LONG, doc_b LONG",
+    )
+    got = {
+        (r.id, r.cluster_id)
+        for r in connected_components(pairs).collect()
+    }
+    want = (
+        {(n, 10) for n in (10, 11, 12, 13, 14)}
+        | {(n, 20) for n in (20, 21, 22)}
+        | {(n, 30) for n in (30, 31)}
+    )
+    assert got == want
+
+
+def test_canonical_corpus_drops_only_nonminimal_members(spark, sf_dir):
+    """Survivors = all docs minus non-canonical cluster members; every
+    cluster keeps exactly its minimum doc_id."""
+    from cdc_local_data_pipeline_docker_spark.catalog import load_table
+    from cdc_local_data_pipeline_docker_spark.llmops.clusters import (
+        dedup_canonical_corpus,
+        dedup_clusters,
+    )
+
+    clusters = dedup_clusters(spark, sf_dir).collect()
+    survivors = {r.doc_id for r in dedup_canonical_corpus(spark, sf_dir).collect()}
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    by_cluster = {}
+    for r in clusters:
+        by_cluster.setdefault(r.cluster_id, []).append(r.doc_id)
+    n_removed = 0
+    for cid, members in by_cluster.items():
+        assert min(members) == cid
+        assert cid in survivors
+        for m in members:
+            if m != cid:
+                assert m not in survivors
+                n_removed += 1
+    assert len(survivors) == n_docs - n_removed
+    assert n_removed > 0, "fixture corpus must contain near-dups"

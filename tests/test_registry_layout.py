@@ -71,6 +71,8 @@ COVERED_BY = {
     "sketch_hll_distinct": "agg_approx",
     "sketch_cms_token_freq": "agg_approx",
     "dedup_minhash_incremental": "dedup_minhash_lsh",
+    "dedup_canonical_corpus": "dedup_clusters",
+    "knn_label_vote": "ann_cosine_topk",
     "stream_stream_join": "stream_tumbling_agg",
     "corpus_curation_pipeline": "dedup_ngram_jaccard",
     "cdc_state_asof_offset": "cdc_latest_state_orders",
