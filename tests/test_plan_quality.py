@@ -205,3 +205,50 @@ def test_runtime_bloom_filter_semi_reduction(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_bucketed_join_and_agg_have_no_exchange(spark, sf_dir, tmp_path):
+    """Co-located storage: lineitem and orders bucketed by order key join
+    with ZERO Exchange on either side (the shuffle was paid once at write
+    time), and a groupBy on the bucket key aggregates shuffle-free too.
+    This is the repeated-fact-join answer at 100 TB."""
+    from pyspark.sql import functions as F
+
+    from cdc_local_data_pipeline_docker_spark.catalog import load_table
+    from cdc_local_data_pipeline_docker_spark.plans import audit as A
+    from cdc_local_data_pipeline_docker_spark.sources.bucketed import (
+        read_bucketed,
+        write_bucketed,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    write_bucketed(li, "t_li_bkt", str(tmp_path / "li"), "l_orderkey", 8,
+                   sort_cols=("l_orderkey",))
+    write_bucketed(o, "t_o_bkt", str(tmp_path / "o"), "o_orderkey", 8,
+                   sort_cols=("o_orderkey",))
+    saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        lb, ob = read_bucketed(spark, "t_li_bkt"), read_bucketed(spark, "t_o_bkt")
+
+        j = lb.join(ob, lb.l_orderkey == ob.o_orderkey).select(
+            "l_orderkey", "l_quantity", "o_orderpriority"
+        )
+        plan = A.formatted_plan(j)
+        assert A.count(plan, "SortMergeJoin") == 1, plan
+        assert A.count(plan, "Exchange") == 0, plan
+
+        # groupBy on the bucket key: partial+final agg collapse onto the
+        # bucket layout — still no shuffle
+        g = lb.groupBy("l_orderkey").agg(F.sum("l_quantity").alias("q"))
+        gplan = A.formatted_plan(g)
+        assert A.count(gplan, "Exchange") == 0, gplan
+
+        # parity: the bucketed join equals the plain join
+        plain = li.join(o, li.l_orderkey == o.o_orderkey).count()
+        assert j.count() == plain
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+        spark.sql("DROP TABLE IF EXISTS t_li_bkt")
+        spark.sql("DROP TABLE IF EXISTS t_o_bkt")
