@@ -33,6 +33,7 @@ from .llmops import curation as CUR
 from .llmops import dedup as DD
 from .llmops import incremental as INC
 from .llmops import multimodal as MM
+from .llmops import scrub as SC
 from .llmops import similarity as SIM
 from .llmops import text as TX
 from .operators import advanced as ADV
@@ -245,6 +246,9 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "text_quality_score": (TX.text_quality_score, TX.TEXT_QUALITY_SCORE_SQL),
     "text_fingerprint": (TX.text_fingerprint, TX.TEXT_FINGERPRINT_SQL),
     "text_winnowing": (TX.text_winnowing, TX.TEXT_WINNOWING_SQL),
+    "text_pii_redact": (SC.text_pii_redact, SC.TEXT_PII_REDACT_SQL),
+    "text_stopword_scrub": (SC.text_stopword_scrub, SC.TEXT_STOPWORD_SCRUB_SQL),
+    "text_bigram_top50": (SC.text_bigram_top50, SC.TEXT_BIGRAM_TOP50_SQL),
     "fn_string_pack": (FP.fn_string_pack, FP.FN_STRING_PACK_SQL),
     "fn_date_pack": (FP.fn_date_pack, FP.FN_DATE_PACK_SQL),
     "fn_math_pack": (FP.fn_math_pack, FP.FN_MATH_PACK_SQL),

@@ -86,6 +86,9 @@ COVERED_BY = {
     "text_quality_score": "text_profile",
     "text_fingerprint": "text_profile",
     "text_winnowing": "text_profile",
+    "text_pii_redact": "text_profile",
+    "text_stopword_scrub": "text_profile",
+    "text_bigram_top50": "text_profile",
     "fn_string_pack": "fn_scalar_pack",
     "fn_date_pack": "fn_scalar_pack",
     "fn_math_pack": "fn_scalar_pack",
