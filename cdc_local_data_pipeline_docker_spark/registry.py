@@ -32,7 +32,9 @@ from .llmops import clusters as CL
 from .llmops import curation as CUR
 from .llmops import dedup as DD
 from .llmops import incremental as INC
+from .llmops import mixing as MX
 from .llmops import multimodal as MM
+from .llmops import packing as PKG
 from .llmops import scrub as SC
 from .llmops import similarity as SIM
 from .llmops import text as TX
@@ -229,6 +231,14 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         CUR.corpus_curation_pipeline,
         CUR.CORPUS_CURATION_PIPELINE_SQL,
     ),
+    # sequence packing (two-phase distributed prefix sum vs naive-window
+    # oracle) and data-mixture composition
+    "corpus_pack_sequences": (
+        PKG.corpus_pack_sequences,
+        PKG.CORPUS_PACK_SEQUENCES_SQL,
+    ),
+    "corpus_mixture_plan": (MX.corpus_mixture_plan, MX.CORPUS_MIXTURE_PLAN_SQL),
+    "corpus_mixture_sample": (MX.corpus_mixture_sample, None),  # seeded RNG
     "cdc_state_asof_offset": (
         CDC.cdc_state_asof_offset,
         CDC.CDC_STATE_ASOF_OFFSET_SQL,

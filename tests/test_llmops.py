@@ -286,3 +286,62 @@ def test_canonical_corpus_drops_only_nonminimal_members(spark, sf_dir):
                 n_removed += 1
     assert len(survivors) == n_docs - n_removed
     assert n_removed > 0, "fixture corpus must contain near-dups"
+
+
+def test_mixture_sample_rates_and_subset(spark, sf_dir):
+    """Seeded per-source sampling: deterministic under the fixed seed, a
+    subset of the corpus, keep-all tier exact, every tier within a
+    binomial tolerance of its configured rate."""
+    from cdc_local_data_pipeline_docker_spark.catalog import load_table
+    from cdc_local_data_pipeline_docker_spark.llmops.mixing import (
+        MIXTURE_RATES,
+        corpus_mixture_sample,
+    )
+
+    s1 = corpus_mixture_sample(spark, sf_dir).collect()
+    s2 = corpus_mixture_sample(spark, sf_dir).collect()
+    assert s1 == s2, "fixed seed must be deterministic"
+
+    docs = {
+        r.doc_id: r.source
+        for r in load_table(spark, sf_dir, "documents").select(
+            "doc_id", "source"
+        ).collect()
+    }
+    per_source_total: dict = {}
+    for v in docs.values():
+        per_source_total[v] = per_source_total.get(v, 0) + 1
+    per_source_got: dict = {}
+    for r in s1:
+        assert docs[r.doc_id] == r.source  # subset with correct source
+        per_source_got[r.source] = per_source_got.get(r.source, 0) + 1
+
+    for src, rate in MIXTURE_RATES.items():
+        n = per_source_total[src]
+        got = per_source_got.get(src, 0)
+        if rate == 1.0:
+            assert got == n, f"{src}: keep-all tier must keep all"
+        else:
+            # Bernoulli(n, rate): allow ~4 standard deviations
+            sd = (n * rate * (1 - rate)) ** 0.5
+            assert abs(got - rate * n) <= 4 * sd + 1, (src, got, rate * n)
+
+
+def test_pack_sequences_is_a_contiguous_stream(spark, sf_dir):
+    """Offsets tile the token stream exactly: sorted by doc_id, each
+    start_offset equals the previous start + previous n_tokens, and
+    chunk spans agree with integer division."""
+    from cdc_local_data_pipeline_docker_spark.llmops.packing import (
+        CHUNK_TOKENS,
+        corpus_pack_sequences,
+    )
+
+    rows = corpus_pack_sequences(spark, sf_dir).collect()
+    expect = 0
+    for r in rows:
+        assert r.start_offset == expect
+        assert r.start_chunk == r.start_offset // CHUNK_TOKENS
+        assert r.end_chunk == (r.start_offset + r.n_tokens - 1) // CHUNK_TOKENS
+        assert r.n_chunks_spanned == r.end_chunk - r.start_chunk + 1
+        expect += r.n_tokens
+    assert expect > 0

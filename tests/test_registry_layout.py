@@ -75,6 +75,9 @@ COVERED_BY = {
     "knn_label_vote": "ann_cosine_topk",
     "stream_stream_join": "stream_tumbling_agg",
     "corpus_curation_pipeline": "dedup_ngram_jaccard",
+    "corpus_pack_sequences": "window_analytics_pack",
+    "corpus_mixture_plan": "corpus_lang_profile",
+    "corpus_mixture_sample": "corpus_lang_profile",
     "cdc_state_asof_offset": "cdc_latest_state_orders",
     "dedup_simhash": "dedup_minhash_lsh",
     "dedup_embedding_cosine": "ann_cosine_topk",
