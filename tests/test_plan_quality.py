@@ -252,3 +252,78 @@ def test_bucketed_join_and_agg_have_no_exchange(spark, sf_dir, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
         spark.sql("DROP TABLE IF EXISTS t_li_bkt")
         spark.sql("DROP TABLE IF EXISTS t_o_bkt")
+
+
+def test_zorder_layout_prunes_two_dim_boxes(spark, sf_dir, tmp_path):
+    """Measured data-skipping: write events (a) sorted by ts only and
+    (b) z-ordered on (user_id, ts). Read real parquet footer min/max via
+    pyarrow; a two-dimensional query box must intersect strictly fewer
+    files under the z-layout, and single-dim pruning must still work."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from cdc_local_data_pipeline_docker_spark.catalog import load_table
+    from cdc_local_data_pipeline_docker_spark.sources.zorder import zorder_by
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        # NTZ has no direct long cast; UTC session pin makes this stable
+        "ts_epoch", F.expr("unix_micros(cast(ts as timestamp)) div 1000000")
+    )
+    n_files = 16
+    plain_dir = str(tmp_path / "plain")
+    z_dir = str(tmp_path / "zorder")
+    (ev.repartitionByRange(n_files, "ts_epoch")
+       .sortWithinPartitions("ts_epoch")
+       .write.mode("overwrite").parquet(plain_dir))
+    zorder_by(ev, "user_id", "ts_epoch", n_files).write.mode(
+        "overwrite"
+    ).parquet(z_dir)
+
+    def file_ranges(d):
+        out = []
+        for f in glob.glob(f"{d}/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            cols = {md.row_group(0).column(i).path_in_schema: i
+                    for i in range(md.row_group(0).num_columns)}
+            mins, maxs = {}, {}
+            for rg in range(md.num_row_groups):
+                for name in ("user_id", "ts_epoch"):
+                    st = md.row_group(rg).column(cols[name]).statistics
+                    mins[name] = min(mins.get(name, st.min), st.min)
+                    maxs[name] = max(maxs.get(name, st.max), st.max)
+            out.append((mins, maxs))
+        return out
+
+    # 2-D box: one user decile x half the month. A narrow time filter
+    # alone favors the ts-sorted layout; the z-payoff is boxes that are
+    # SELECTIVE ON BOTH dims where single-dim sort can prune only one.
+    lo_u, hi_u = 10, 24
+    lo_t = int(ev.agg(F.min("ts_epoch")).first()[0])
+    hi_t = lo_t + 15 * 86400
+
+    def overlaps(ranges):
+        return sum(
+            1
+            for mins, maxs in ranges
+            if not (maxs["user_id"] < lo_u or mins["user_id"] > hi_u
+                    or maxs["ts_epoch"] < lo_t or mins["ts_epoch"] > hi_t)
+        )
+
+    plain_ranges, z_ranges = file_ranges(plain_dir), file_ranges(z_dir)
+    assert len(plain_ranges) == n_files and len(z_ranges) == n_files
+    n_plain, n_z = overlaps(plain_ranges), overlaps(z_ranges)
+    # ts-sorted layout: the user filter prunes nothing, the ts filter
+    # keeps ~n_files/10; the z-layout must beat it on the combined box
+    assert n_z < n_plain, (n_z, n_plain)
+    # and both dims must carry non-degenerate stats under z-order:
+    # every file's user span must be a strict subset of the full domain
+    full_u = max(m["user_id"] for _, m in z_ranges) - min(
+        m["user_id"] for m, _ in z_ranges
+    )
+    tight = sum(
+        1 for mins, maxs in z_ranges
+        if maxs["user_id"] - mins["user_id"] < full_u
+    )
+    assert tight >= n_files // 2, "z-order should bound user_id spans"
