@@ -26,6 +26,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from .cdc import queries as CDC
+from .cdc import scd as SCD
 from .functions import pandas_udfs as PU
 from .functions import scalar_pack as FP
 from .llmops import clusters as CL
@@ -67,6 +68,9 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         CDC.CDC_REFERENCE_PROJECTION_SQL,
     ),
     "cdc_changelog_stats": (CDC.cdc_changelog_stats, CDC.CDC_CHANGELOG_STATS_SQL),
+    # SCD Type-2 version history from the changelog (temporal
+    # generalization of latest-state; one lead() window, exact oracle)
+    "cdc_scd2_orders": (SCD.cdc_scd2_orders, SCD.CDC_SCD2_ORDERS_SQL),
     # Structured Streaming (real streaming queries drained via AvailableNow;
     # complete/append-mode results are batch-consistent → exact oracles)
     "stream_tumbling_agg": (SJ.stream_tumbling_agg, SJ.STREAM_TUMBLING_AGG_SQL),
@@ -78,7 +82,6 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     ),
     # events analytics (batch forms; streaming twins above)
     "events_tumbling_agg": (EV.events_tumbling_agg, EV.EVENTS_TUMBLING_AGG_SQL),
-    "events_sliding_agg": (EV.events_sliding_agg, EV.EVENTS_SLIDING_AGG_SQL),
     "events_sessionize": (EV.events_sessionize, EV.EVENTS_SESSIONIZE_SQL),
     "events_rollup_reuse": (ADV.events_rollup_reuse, ADV.EVENTS_ROLLUP_REUSE_SQL),
     "events_asof_last_view": (
@@ -165,6 +168,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "fn_scalar_pack": (PK.fn_scalar_pack, PK.FN_SCALAR_PACK_SQL),
     "fn_collection_pack": (PK.fn_collection_pack, PK.FN_COLLECTION_PACK_SQL),
     # ---- 51+: variants covered by a graded sibling (pytest-verified) ----
+    "events_sliding_agg": (EV.events_sliding_agg, EV.EVENTS_SLIDING_AGG_SQL),
     "events_funnel": (EV.events_funnel, EV.EVENTS_FUNNEL_SQL),
     "events_retention_cohorts": (
         EV.events_retention_cohorts,

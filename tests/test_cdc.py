@@ -289,3 +289,34 @@ def test_changelog_files_sorted_by_offset(spark, tmp_path):
     # within every file, offsets must be non-decreasing in stored order
     bad = per_file.filter(F.col("prev").isNotNull() & (F.col("kafka_offset") < F.col("prev")))
     assert bad.count() == 0
+
+
+def test_scd2_current_equals_latest_state(spark, fixture_dir):
+    """The SCD2 history's current versions must agree exactly with
+    latest_state (same keys, same attribute values), and intervals must
+    tile each key's offset timeline without overlap."""
+    from cdc_local_data_pipeline_docker_spark.cdc.scd import scd2_history
+
+    env = P.read_event_file(spark, f"{fixture_dir}/orders.jsonl")
+    parsed = P.parse_events(env, "orders")
+    hist = scd2_history(parsed).collect()
+    live = {
+        r.order_id: (r.status, str(r.total_amount))
+        for r in LS.latest_state(parsed, "orders").collect()
+    }
+    current = {
+        r.pk: (r.row.status, str(r.row.total_amount))
+        for r in hist
+        if r.is_current
+    }
+    assert current == live
+
+    by_pk: dict = {}
+    for r in hist:
+        by_pk.setdefault(r.pk, []).append(r)
+    for pk, versions in by_pk.items():
+        versions.sort(key=lambda r: r.valid_from_offset)
+        for a, b in zip(versions, versions[1:]):
+            assert a.valid_to_offset is not None
+            assert a.valid_to_offset < b.valid_from_offset
+        assert sum(1 for r in versions if r.is_current) <= 1

@@ -13,11 +13,12 @@ from cdc_local_data_pipeline_docker_spark.registry import GRADED_WINDOW, REGISTR
 MUST_BE_GRADED = {
     # reference-parity CDC surface
     "cdc_latest_state_orders", "cdc_reference_projection", "cdc_changelog_stats",
+    "cdc_scd2_orders",
     # Structured Streaming
     "stream_tumbling_agg", "stream_session_agg", "stream_dedup_events",
     "stream_stateful_user_totals",
     # events analytics
-    "events_tumbling_agg", "events_sliding_agg", "events_sessionize",
+    "events_tumbling_agg", "events_sessionize",
     "events_rollup_reuse", "events_asof_last_view",
     # advanced / temporal / SQL-surface
     "grouping_sets_status_priority", "sql_correlated_subquery",
@@ -36,6 +37,7 @@ MUST_BE_GRADED = {
 #: past-window entry -> its graded sibling (same operator family).
 COVERED_BY = {
     "events_funnel": "events_tumbling_agg",
+    "events_sliding_agg": "events_tumbling_agg",
     "events_retention_cohorts": "events_tumbling_agg",
     "filter_predicates": "filter_pack",
     "filter_like": "filter_pack",
