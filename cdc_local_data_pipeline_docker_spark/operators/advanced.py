@@ -205,3 +205,43 @@ FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
 GROUP BY token
 ORDER BY freq DESC, token ASC
 """
+
+
+def agg_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT quartiles of quantity per return flag — the exact
+    counterpart of the approx-percentile sketch (agg_approx).
+
+    Oracle-safe by construction: percentile fractions 0.25/0.5/0.75 put
+    the interpolation weight at a dyadic rational, so the linear
+    interpolation between two integral order statistics is computed
+    exactly by BOTH engines regardless of operand order — no libm, no
+    ULP drift. (Arbitrary fractions like 0.9 would interpolate with a
+    non-representable weight and risk 1-ULP divergence between
+    `a + f*(b-a)` and `(1-f)*a + f*b` evaluation orders.)
+
+    At 100 TB: exact percentile sorts within groups — fine for bounded
+    group cardinality; for percentiles over billions of distinct values
+    per group, use the approx_percentile sketch (agg_approx) instead."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.percentile("l_quantity", F.lit(0.25)).alias("qty_p25"),
+            F.percentile("l_quantity", F.lit(0.5)).alias("qty_p50"),
+            F.percentile("l_quantity", F.lit(0.75)).alias("qty_p75"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+AGG_EXACT_PERCENTILES_SQL = """
+SELECT l_returnflag,
+       quantile_cont(l_quantity, 0.25) AS qty_p25,
+       quantile_cont(l_quantity, 0.5)  AS qty_p50,
+       quantile_cont(l_quantity, 0.75) AS qty_p75,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""

@@ -78,3 +78,121 @@ def sketch_cms_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "token string, est_freq long"
     ).orderBy("token")
+
+
+# ---------------------------------------------------------------------------
+# t-digest quantile sketch (ROADMAP item 3's applyInPandas leg).
+# ---------------------------------------------------------------------------
+
+#: t-digest compression: max centroids per digest. Rank error is
+#: O(1/TDIGEST_COMPRESSION) near the median, tighter at the tails.
+TDIGEST_COMPRESSION = 100
+
+#: Shard count for the partial-digest stage.
+TDIGEST_SHARDS = 32
+
+#: Quantiles the headline query reports.
+TDIGEST_QS = (0.5, 0.9, 0.99)
+
+
+def _compress_centroids(means, weights, compression: int):
+    """Merge (mean, weight) centroids, sorted by mean, into at most
+    ``compression`` centroids using the t-digest size bound: a centroid
+    may absorb its neighbor only while its weight stays under
+    4 * n * q(1-q) / compression at its running quantile midpoint
+    (Dunning & Ertl, 'Computing extremely accurate quantiles using
+    t-digests', arXiv:1902.04023 — the k1 size function simplified)."""
+    import numpy as np
+
+    order = np.argsort(means, kind="mergesort")
+    means, weights = np.asarray(means)[order], np.asarray(weights)[order]
+    n = float(weights.sum())
+    out_m, out_w = [], []
+    cur_m, cur_w, seen = means[0], weights[0], 0.0
+    for m, w in zip(means[1:], weights[1:]):
+        q = (seen + cur_w / 2) / n
+        cap = max(1.0, 4.0 * n * q * (1 - q) / TDIGEST_COMPRESSION)
+        if cur_w + w <= cap and len(means) > compression:
+            cur_m = (cur_m * cur_w + m * w) / (cur_w + w)
+            cur_w += w
+        else:
+            out_m.append(cur_m)
+            out_w.append(cur_w)
+            seen += cur_w
+            cur_m, cur_w = m, w
+    out_m.append(cur_m)
+    out_w.append(cur_w)
+    return out_m, out_w
+
+
+def _digest_quantile(means, weights, q: float) -> float:
+    """Quantile estimate by linear scan over cumulative centroid weight."""
+    import numpy as np
+
+    means, weights = np.asarray(means), np.asarray(weights)
+    n = weights.sum()
+    target = q * n
+    cum = 0.0
+    for m, w in zip(means, weights):
+        if cum + w >= target:
+            return float(m)
+        cum += w
+    return float(means[-1])
+
+
+def sketch_tdigest_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantiles of extended price via a two-level mergeable t-digest:
+    shard rows by hash, build one partial digest per shard
+    (applyInPandas, Arrow-batched), then merge the 32 shard digests into
+    one and read the quantiles off it.
+
+    This is the custom-mergeable-aggregate template: fixed-size partial
+    state per shard (≤ compression centroids), one tiny merge stage —
+    at 100 TB the shard digests are KBs regardless of input size, and
+    daily digests merge into monthly ones without rescanning (same
+    invariant as the HLL/CMS sketches above; the built-in twin is
+    approx_percentile in agg_approx)."""
+    import pandas as pd
+
+    li = load_table(spark, sf_dir, "lineitem")
+    sharded = li.select(
+        (F.xxhash64("l_orderkey", "l_linenumber") % TDIGEST_SHARDS)
+        .alias("shard"),
+        F.col("l_extendedprice").alias("x"),
+    )
+
+    def build_digest(pdf: pd.DataFrame) -> pd.DataFrame:
+        m, w = _compress_centroids(
+            pdf["x"].to_numpy(),
+            [1.0] * len(pdf),
+            TDIGEST_COMPRESSION,
+        )
+        return pd.DataFrame(
+            {"shard": pdf["shard"].iloc[0], "mean": m, "weight": w}
+        )
+
+    partials = sharded.groupBy("shard").applyInPandas(
+        build_digest, "shard LONG, mean DOUBLE, weight DOUBLE"
+    )
+
+    def merge_digests(pdf: pd.DataFrame) -> pd.DataFrame:
+        m, w = _compress_centroids(
+            pdf["mean"].to_numpy(), pdf["weight"].to_numpy(),
+            TDIGEST_COMPRESSION,
+        )
+        return pd.DataFrame(
+            {
+                "quantile": list(TDIGEST_QS),
+                "estimate": [_digest_quantile(m, w, q) for q in TDIGEST_QS],
+                "n_centroids": len(m),
+            }
+        )
+
+    return (
+        partials.withColumn("g", F.lit(1))
+        .groupBy("g")
+        .applyInPandas(
+            merge_digests, "quantile DOUBLE, estimate DOUBLE, n_centroids LONG"
+        )
+        .orderBy("quantile")
+    )

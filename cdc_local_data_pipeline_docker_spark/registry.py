@@ -180,6 +180,10 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "agg_rollup": (R.agg_rollup, R.AGG_ROLLUP_SQL),
     "agg_cube": (R.agg_cube, R.AGG_CUBE_SQL),
     "agg_count_distinct": (R.agg_count_distinct, R.AGG_COUNT_DISTINCT_SQL),
+    "agg_exact_percentiles": (
+        ADV.agg_exact_percentiles,
+        ADV.AGG_EXACT_PERCENTILES_SQL,
+    ),
     "window_lag_lead": (R.window_lag_lead, R.WINDOW_LAG_LEAD_SQL),
     "window_running_sum": (R.window_running_sum, R.WINDOW_RUNNING_SUM_SQL),
     "window_rank_dense": (R.window_rank_dense, R.WINDOW_RANK_DENSE_SQL),
@@ -224,6 +228,10 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     ),
     "sketch_hll_distinct": (SK.sketch_hll_distinct, None),  # sketch: rows-only
     "sketch_cms_token_freq": (SK.sketch_cms_token_freq, None),  # sketch: rows-only
+    "sketch_tdigest_quantiles": (
+        SK.sketch_tdigest_quantiles,
+        None,
+    ),  # sketch: rows-only
     "dedup_minhash_incremental": (INC.dedup_minhash_incremental, None),  # hash family
     "dedup_canonical_corpus": (
         CL.dedup_canonical_corpus,

@@ -128,3 +128,23 @@ def test_sketch_cms_overcount_bounds(spark, sf_dir):
         e = exact.get(t, 0)
         assert est[t] >= e, (t, est[t], e)
         assert est[t] <= e + 2 * CMS_EPS * n_total, (t, est[t], e, n_total)
+
+
+def test_tdigest_rank_error_bound(spark, sf_dir):
+    """Two-level t-digest: the rank of each quantile estimate must sit
+    within 2% of the requested quantile (compression=100 gives ~1%
+    near the median, tighter at the tails)."""
+    from pyspark.sql import functions as F
+
+    from cdc_local_data_pipeline_docker_spark.catalog import load_table
+    from cdc_local_data_pipeline_docker_spark.operators.sketches import (
+        sketch_tdigest_quantiles,
+    )
+
+    rows = sketch_tdigest_quantiles(spark, sf_dir).collect()
+    assert {r.quantile for r in rows} == {0.5, 0.9, 0.99}
+    li = load_table(spark, sf_dir, "lineitem")
+    n = li.count()
+    for r in rows:
+        rank = li.filter(F.col("l_extendedprice") <= r.estimate).count() / n
+        assert abs(rank - r.quantile) <= 0.02, (r.quantile, rank)

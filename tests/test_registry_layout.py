@@ -45,6 +45,7 @@ COVERED_BY = {
     "agg_rollup": "grouping_sets_status_priority",
     "agg_cube": "grouping_sets_status_priority",
     "agg_count_distinct": "agg_grouped",
+    "agg_exact_percentiles": "agg_approx",
     "window_lag_lead": "window_analytics_pack",
     "window_running_sum": "window_analytics_pack",
     "window_rank_dense": "window_analytics_pack",
@@ -72,6 +73,7 @@ COVERED_BY = {
     "q21_waiting_suppliers": "agg_salted_two_stage",
     "sketch_hll_distinct": "agg_approx",
     "sketch_cms_token_freq": "agg_approx",
+    "sketch_tdigest_quantiles": "agg_approx",
     "dedup_minhash_incremental": "dedup_minhash_lsh",
     "dedup_canonical_corpus": "dedup_clusters",
     "knn_label_vote": "ann_cosine_topk",
