@@ -239,6 +239,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     ),
     "knn_label_vote": (SIM.knn_label_vote, SIM.KNN_LABEL_VOTE_SQL),
     "stream_stream_join": (SJ.stream_stream_join, SJ.STREAM_STREAM_JOIN_SQL),
+    "stream_static_enrich": (SJ.stream_static_enrich, SJ.STREAM_STATIC_ENRICH_SQL),
     "corpus_curation_pipeline": (
         CUR.corpus_curation_pipeline,
         CUR.CORPUS_CURATION_PIPELINE_SQL,

@@ -239,3 +239,35 @@ JOIN events p
  AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
 ORDER BY view_id, purchase_id
 """
+
+
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: each micro-batch of the event stream is
+    enriched against a STATIC dimension snapshot (nation, keyed by a
+    derived tenant id). Stateless — no watermark, no join state: the
+    static side broadcasts into every micro-batch, which is exactly how
+    a 100 TB deployment enriches a firehose with reference data without
+    shuffling the stream. Append mode, exact oracle (the join is
+    deterministic row arithmetic)."""
+    from ..catalog import load_table
+
+    s = _events_stream(spark, sf_dir)
+    nation = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("tenant_key"),
+        F.col("n_name").alias("tenant_name"),
+    )
+    enriched = (
+        s.withColumn("tenant_key", (F.col("user_id") % 25).cast("int"))
+        .join(F.broadcast(nation), "tenant_key")
+        .select("event_id", "user_id", "tenant_name", "event_type", "value")
+    )
+    out = _drain(enriched, "append")
+    return out.orderBy("event_id")
+
+
+STREAM_STATIC_ENRICH_SQL = """
+SELECT event_id, user_id, n_name AS tenant_name, event_type, value
+FROM events
+JOIN nation ON n_nationkey = CAST(user_id % 25 AS INT)
+ORDER BY event_id
+"""

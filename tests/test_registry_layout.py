@@ -78,6 +78,7 @@ COVERED_BY = {
     "dedup_canonical_corpus": "dedup_clusters",
     "knn_label_vote": "ann_cosine_topk",
     "stream_stream_join": "stream_tumbling_agg",
+    "stream_static_enrich": "stream_tumbling_agg",
     "corpus_curation_pipeline": "dedup_ngram_jaccard",
     "corpus_pack_sequences": "window_analytics_pack",
     "corpus_mixture_plan": "corpus_lang_profile",
