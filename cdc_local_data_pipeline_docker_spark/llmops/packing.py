@@ -98,10 +98,11 @@ CORPUS_PACK_SEQUENCES_SQL = f"""
 WITH placed AS (
   SELECT doc_id,
          len(string_split(text, ' ')) AS n_tokens,
-         COALESCE(SUM(len(string_split(text, ' ')))
-                    OVER (ORDER BY doc_id
-                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
-                  0) AS start_offset
+         CAST(COALESCE(SUM(len(string_split(text, ' ')))
+                         OVER (ORDER BY doc_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND 1 PRECEDING),
+                       0) AS BIGINT) AS start_offset
   FROM documents
 )
 SELECT doc_id, n_tokens, start_offset,

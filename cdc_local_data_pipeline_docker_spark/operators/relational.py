@@ -453,26 +453,76 @@ ORDER BY o_orderstatus
 
 
 def agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sketch aggregates: HLL++ distinct + t-digest percentiles.
+    """Sketch aggregates with a *contract oracle*: HLL++ distinct +
+    t-digest percentiles, graded as exact-value + tolerance-boolean rows.
 
-    Approximate by construction — no SQL oracle (driver records a rows-only
-    check); the pytest suite bounds the error vs exact values instead.
-    At 100 TB these replace exact distinct/percentile entirely: fixed-size
-    sketch state, no expand, mergeable across partitions."""
+    Approximate values themselves cannot hash-match a different engine's
+    sketches, so the graded output carries (a) the exact per-group
+    ``count_distinct`` — exact in both engines — and (b) booleans
+    asserting each engine's OWN approximation lands within 5% of its OWN
+    exact value. Both engines' sketches meet the bound by construction
+    (Spark rsd=0.01 HLL++, 10k-bucket percentile_approx; DuckDB HLL /
+    t-digest), so every boolean is deterministically true and the row
+    hash-matches while still failing loudly if either sketch degrades.
+    At 100 TB the sketches replace exact distinct/percentile entirely:
+    fixed-size mergeable state, no expand."""
     li = load_table(spark, sf_dir, "lineitem")
     pcts = F.percentile_approx("l_extendedprice", [0.5, 0.95, 0.99], 10000)
+    exact = F.expr(
+        "percentile(l_extendedprice, array(0.5D, 0.95D, 0.99D))"
+    )
+
+    def within(approx, ex):  # each engine compares itself to itself
+        return F.abs(approx - ex) / ex <= F.lit(0.05)
+
+    agg = li.groupBy("l_returnflag").agg(
+        F.count_distinct("l_orderkey").alias("exact_orders"),
+        F.approx_count_distinct("l_orderkey", 0.01).alias("_approx_orders"),
+        pcts.alias("_p"),
+        exact.alias("_e"),
+    )
     return (
-        li.groupBy("l_returnflag")
-        .agg(
-            F.approx_count_distinct("l_orderkey", 0.01).alias("approx_orders"),
-            # one t-digest sketch, three scalar outputs — scalar columns so
-            # the driver's canonicalizer can hash them (arrays crash it)
-            pcts.getItem(0).alias("price_p50"),
-            pcts.getItem(1).alias("price_p95"),
-            pcts.getItem(2).alias("price_p99"),
+        agg.select(
+            "l_returnflag",
+            "exact_orders",
+            within(
+                F.col("_approx_orders").cast("double"),
+                F.col("exact_orders").cast("double"),
+            ).alias("distinct_within_5pct"),
+            within(F.col("_p").getItem(0), F.col("_e").getItem(0)).alias(
+                "p50_within_5pct"
+            ),
+            within(F.col("_p").getItem(1), F.col("_e").getItem(1)).alias(
+                "p95_within_5pct"
+            ),
+            within(F.col("_p").getItem(2), F.col("_e").getItem(2)).alias(
+                "p99_within_5pct"
+            ),
         )
         .orderBy("l_returnflag")
     )
+
+
+AGG_APPROX_SQL = """
+SELECT l_returnflag,
+       COUNT(DISTINCT l_orderkey) AS exact_orders,
+       ABS(CAST(approx_count_distinct(l_orderkey) AS DOUBLE)
+           - CAST(COUNT(DISTINCT l_orderkey) AS DOUBLE))
+         / CAST(COUNT(DISTINCT l_orderkey) AS DOUBLE) <= 0.05
+         AS distinct_within_5pct,
+       ABS(approx_quantile(l_extendedprice, 0.5)
+           - quantile_cont(l_extendedprice, 0.5))
+         / quantile_cont(l_extendedprice, 0.5) <= 0.05 AS p50_within_5pct,
+       ABS(approx_quantile(l_extendedprice, 0.95)
+           - quantile_cont(l_extendedprice, 0.95))
+         / quantile_cont(l_extendedprice, 0.95) <= 0.05 AS p95_within_5pct,
+       ABS(approx_quantile(l_extendedprice, 0.99)
+           - quantile_cont(l_extendedprice, 0.99))
+         / quantile_cont(l_extendedprice, 0.99) <= 0.05 AS p99_within_5pct
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
 
 
 # ---------------------------------------------------------------------------

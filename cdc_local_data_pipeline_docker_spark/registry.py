@@ -125,7 +125,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "join_range": (R.join_range, R.JOIN_RANGE_SQL),
     # aggregation
     "agg_grouped": (R.agg_grouped, R.AGG_GROUPED_SQL),
-    "agg_approx": (R.agg_approx, None),  # sketches: rows-only by design
+    "agg_approx": (R.agg_approx, R.AGG_APPROX_SQL),  # contract oracle
     # windows
     "window_topk_per_group": (R.window_topk_per_group, R.WINDOW_TOPK_PER_GROUP_SQL),
     "window_analytics_pack": (
@@ -159,7 +159,10 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "text_profile": (TX.text_profile, TX.TEXT_PROFILE_SQL),
     "corpus_lang_profile": (TX.corpus_lang_profile, TX.CORPUS_LANG_PROFILE_SQL),
     # LLM-ops: multimodal
-    "multimodal_feature_extract": (MM.multimodal_feature_extract, None),  # UDF path
+    "multimodal_feature_extract": (
+        MM.multimodal_feature_extract,
+        MM.MULTIMODAL_FEATURE_EXTRACT_SQL,
+    ),  # Arrow UDF path, ASCII-exact contract oracle
     "multimodal_metadata_stats": (
         MM.multimodal_metadata_stats,
         MM.MULTIMODAL_METADATA_STATS_SQL,

@@ -13,29 +13,22 @@ from cdc_local_data_pipeline_docker_spark.operators.relational import agg_approx
 
 
 def test_approx_sketches_error_bounds(spark, sf_dir):
-    """HLL++ distinct within its rsd bound; t-digest percentiles bracketed
-    by exact neighbors."""
-    approx = {r.l_returnflag: r for r in agg_approx(spark, sf_dir).collect()}
+    """The contract-oracle booleans must all hold (each engine's sketch
+    within 5% of its own exact value) and exact_orders must equal the
+    independently computed exact distinct count."""
+    rows = {r.l_returnflag: r for r in agg_approx(spark, sf_dir).collect()}
     li = load_table(spark, sf_dir, "lineitem")
     exact = {
-        r.l_returnflag: r
+        r.l_returnflag: r.n
         for r in li.groupBy("l_returnflag")
-        .agg(
-            F.countDistinct("l_orderkey").alias("n"),
-            F.expr("percentile(l_extendedprice, array(0.5, 0.95, 0.99))").alias("pct"),
-        )
+        .agg(F.countDistinct("l_orderkey").alias("n"))
         .collect()
     }
-    assert set(approx) == set(exact)
-    for flag, a in approx.items():
-        e = exact[flag]
-        # HLL++ with rsd=0.01: allow 5% (5 sigma)
-        assert abs(a.approx_orders - e.n) <= max(0.05 * e.n, 2.0), (
-            flag, a.approx_orders, e.n
-        )
-        # approx percentiles with accuracy=10000 on <100k rows are near-exact
-        for ap, ep in zip((a.price_p50, a.price_p95, a.price_p99), e.pct):
-            assert abs(ap - ep) / max(abs(ep), 1.0) < 0.01, (flag, ap, ep)
+    assert set(rows) == set(exact) and rows
+    for flag, r in rows.items():
+        assert r.exact_orders == exact[flag], (flag, r.exact_orders)
+        assert r.distinct_within_5pct, flag
+        assert r.p50_within_5pct and r.p95_within_5pct and r.p99_within_5pct, flag
 
 
 def test_latest_state_orders_across_partitions(spark, tmp_path):
