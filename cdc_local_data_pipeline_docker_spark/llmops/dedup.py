@@ -47,24 +47,58 @@ COSINE_DUP_THRESHOLD = 0.40
 # Exact dedup.
 # ---------------------------------------------------------------------------
 
-def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact content dedup over a simulated re-crawl (corpus ∪ corpus).
+def _dedup_exact_by_hash(corpus: DataFrame, hash_expr=None) -> DataFrame:
+    """(doc_id, n_copies) exact-content groups, shuffling HASHES not text.
 
-    groupBy(content) with min-id survivor choice: single shuffle on the
-    content hash, partial aggregation map-side. At 100 TB, group on
-    ``xxhash64(text)`` instead of the raw text to shrink shuffle width —
-    semantics identical modulo 2^-64 collisions."""
-    d = load_table(spark, sf_dir, "documents")
-    corpus = d.unionByName(d)  # re-crawl: every doc appears twice
-    return (
-        corpus.groupBy("text")
+    The shuffle carries (doc_id, xxhash64, md5) — ~44 bytes/row — instead
+    of full document text; at 100 TB the width difference is roughly the
+    corpus size. Exactness is preserved by a two-tier re-check:
+
+      * groups whose members all share one md5 (count_distinct(m) == 1)
+        are accepted as-is — different texts colliding on BOTH a 64-bit
+        xxhash and a 128-bit md5 is beyond-cosmic-ray (~2^-192);
+      * any group with >1 md5 is a detected xxhash collision: those few
+        hashes are re-aggregated grouping on the EXACT text (the
+        collision set is vanishingly small, so the re-check join is a
+        broadcast and the text-wide shuffle touches ~0 rows).
+    """
+    if hash_expr is None:
+        hash_expr = F.xxhash64("text")
+    hashed = corpus.select(
+        "doc_id",
+        hash_expr.alias("h"),
+        F.md5("text").alias("m"),
+    )
+    grouped = hashed.groupBy("h").agg(
+        F.min("doc_id").alias("doc_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+        F.count_distinct("m").alias("n_md5"),
+    )
+    clean = grouped.filter(F.col("n_md5") == 1).select("doc_id", "n_copies")
+    collided = grouped.filter(F.col("n_md5") > 1).select("h")
+    resolved = (
+        corpus.select("doc_id", hash_expr.alias("h"), "text")
+        .join(F.broadcast(collided), "h")
+        .groupBy("text")
         .agg(
             F.min("doc_id").alias("doc_id"),
             F.count(F.lit(1)).alias("n_copies"),
         )
         .select("doc_id", "n_copies")
-        .orderBy("doc_id")
     )
+    return clean.unionByName(resolved)
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact content dedup over a simulated re-crawl (corpus ∪ corpus).
+
+    Hash-group form: single shuffle on ``xxhash64(text)`` with min-id
+    survivor choice and an in-group exact-text re-check for detected
+    collisions (see ``_dedup_exact_by_hash``). Output columns identical
+    to the naive groupBy(text) spec the DuckDB oracle runs."""
+    d = load_table(spark, sf_dir, "documents")
+    corpus = d.unionByName(d)  # re-crawl: every doc appears twice
+    return _dedup_exact_by_hash(corpus).orderBy("doc_id")
 
 
 DEDUP_EXACT_SQL = """

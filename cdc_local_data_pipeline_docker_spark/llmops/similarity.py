@@ -301,7 +301,10 @@ def knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("neighbor_id"), "label"
     )
     votes = (
-        topk.join(F.broadcast(labels), "neighbor_id")
+        # Broadcast the BOUNDED side: topk is n_queries x k rows (~100),
+        # while the labels projection is the whole corpus — broadcasting
+        # it would be an executor-memory bomb at 100 TB.
+        F.broadcast(topk).join(labels, "neighbor_id")
         .groupBy("query_id", "label")
         .agg(F.count(F.lit(1)).alias("votes"))
     )

@@ -35,6 +35,14 @@ def formatted_plan(df: DataFrame) -> str:
     return buf.getvalue()
 
 
+def simple_plan(df: DataFrame) -> str:
+    """Single-line-per-operator physical plan (executedPlan toString) —
+    operator arguments (partitioning keys, join build side) stay on the
+    operator's own line, unlike 'formatted' which splits them into detail
+    sections."""
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
 def scan_nodes(plan: str) -> list[str]:
     """The per-scan detail blocks ('(N) Scan parquet ...' sections)."""
     blocks = re.split(r"\n\n", plan)

@@ -11,6 +11,61 @@ from cdc_local_data_pipeline_docker_spark.llmops import multimodal as MM
 from cdc_local_data_pipeline_docker_spark.llmops import similarity as SIM
 
 
+def test_dedup_exact_collision_recheck(spark):
+    """Force xxhash collisions with a deliberately weak hash (text length):
+    every group collides, the md5 tier detects all of them, and the exact
+    re-check resolves groups on the true text — results identical to the
+    naive groupBy(text)."""
+    from pyspark.sql import functions as F
+
+    corpus = spark.createDataFrame(
+        [(1, "aa"), (2, "bb"), (3, "aa"), (4, "cc"), (5, "dddd")],
+        ["doc_id", "text"],
+    )
+    got = {
+        r.doc_id: r.n_copies
+        for r in DD._dedup_exact_by_hash(
+            corpus, hash_expr=F.length("text").cast("long")
+        ).collect()
+    }
+    assert got == {1: 2, 2: 1, 4: 1, 5: 1}
+
+
+def test_dedup_exact_shuffles_hashes_not_text(spark, sf_dir):
+    """The aggregation exchange must partition on the xxhash64 key; the
+    raw text column must not cross the main shuffle (VERDICT r2 item 3:
+    at 100 TB the width difference is ~the corpus size)."""
+    import re
+
+    from cdc_local_data_pipeline_docker_spark.plans import audit as A
+
+    plan = A.simple_plan(DD.dedup_exact(spark, sf_dir))
+    ex = [ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln]
+    assert ex, plan
+    # main aggregation exchanges key on h (a bigint)
+    assert any(re.search(r"hashpartitioning\(h#\d+L", ln) for ln in ex), ex
+    # text-keyed exchanges may appear ONLY in the collision-resolve branch
+    # (post-broadcast-join, ~0 rows); the old implementation shuffled the
+    # whole corpus text — i.e. had NO h-keyed exchange and 2 text-keyed ones
+    text_ex = [ln for ln in ex if re.search(r"hashpartitioning\(text#", ln)]
+    assert len(text_ex) <= 2, text_ex
+
+
+def test_knn_vote_broadcasts_topk_not_labels(spark, sf_dir):
+    """The label join must build on the bounded top-k side (~Q*k rows),
+    never on the corpus-sized labels projection (VERDICT r2 item 2)."""
+    from cdc_local_data_pipeline_docker_spark.plans import audit as A
+
+    plan = A.simple_plan(SIM.knn_label_vote(spark, sf_dir))
+    vote_joins = [
+        ln
+        for ln in plan.splitlines()
+        if "BroadcastHashJoin" in ln and "neighbor_id" in ln
+    ]
+    assert vote_joins, plan
+    assert all("BuildLeft" in ln for ln in vote_joins), vote_joins
+
+
 @pytest.fixture(scope="module")
 def exact_pairs(spark, sf_dir):
     return {
