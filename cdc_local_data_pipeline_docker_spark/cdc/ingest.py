@@ -109,7 +109,13 @@ def ingest_table(
             # gives dead letters their own topic, kafka-topics.json:31-38).
             # Reads the cached increment — no source re-scan.
             _, bad = P.split_quarantine(flat)
-            bad.write.mode("append").parquet(
+            # Each replay of a malformed event appends another stamped
+            # copy; quarantine_view folds copies into a per-event attempt
+            # counter (the batch analogue of Debezium's retry-then-DLQ,
+            # debezium-config.json:25-27 — replay IS the retry here).
+            bad.withColumn(
+                "quarantined_at", F.current_timestamp()
+            ).write.mode("append").parquet(
                 os.path.join(out_dir, f"{table}_quarantine")
             )
     finally:
@@ -124,6 +130,29 @@ def ingest_table(
         "n_quarantined": n_bad,
         "high_watermark": hw,
     }
+
+
+def quarantine_view(spark: SparkSession, out_dir: str, table: str) -> DataFrame:
+    """Per-event DLQ state over the append-only quarantine log.
+
+    Identity is (partition, kafka_offset) — the event's coordinates in
+    the source topic. ``n_attempts`` counts how many ingest replays have
+    re-quarantined the event; ``first_seen``/``last_seen`` bracket them.
+    This completes U5 parity with the reference's retry-then-dead-letter
+    flow (debezium-config.json:25-27; kafka-topics.json:31-38): an
+    operator watches rows whose n_attempts keeps growing — those need a
+    schema fix or manual redaction, exactly like a poisoned DLQ topic.
+    One aggregation over a (tiny) malformed-only log; no state file."""
+    q = spark.read.parquet(os.path.join(out_dir, f"{table}_quarantine"))
+    return (
+        q.groupBy("partition", "kafka_offset")
+        .agg(
+            F.count(F.lit(1)).alias("n_attempts"),
+            F.min("quarantined_at").alias("first_seen"),
+            F.max("quarantined_at").alias("last_seen"),
+        )
+        .orderBy("partition", "kafka_offset")
+    )
 
 
 def materialize_latest(

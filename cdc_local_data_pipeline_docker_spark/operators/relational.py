@@ -228,6 +228,36 @@ GROUP BY c_custkey, c_name
 """
 
 
+def join_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders RIGHT JOIN customer — the mirrored form of join_left_outer
+    (Catalyst canonicalizes right→left by swapping sides; this entry
+    closes SURVEY §2.C's inner/left/right/full row textually). Preserves
+    customers with zero orders; aggregates count the nullable left-side
+    key."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey, "right")
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count("o_orderkey").alias("order_count"),
+            F.coalesce(F.sum(_dec("o_totalprice")).cast("double"), F.lit(0.0)).alias(
+                "total_spent"
+            ),
+        )
+    )
+
+
+JOIN_RIGHT_OUTER_SQL = """
+SELECT c_custkey, c_name,
+       COUNT(o_orderkey) AS order_count,
+       COALESCE(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 0.0)
+         AS total_spent
+FROM orders RIGHT JOIN customer ON o_custkey = c_custkey
+GROUP BY c_custkey, c_name
+"""
+
+
 def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Customers that have at least one urgent order (LEFT SEMI — no row
     multiplication, the probe side short-circuits on first match)."""

@@ -23,7 +23,9 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
 
+from ..catalog import CDC_WIRE_SCHEMAS
 from ..cdc import parse as P
 
 
@@ -48,6 +50,59 @@ def start_ingest_stream(
             "checkpointLocation", os.path.join(out_dir, "_checkpoints", table)
         )
         .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
+def start_multi_topic_ingest(
+    spark: SparkSession,
+    event_dir: str,
+    out_dir: str,
+    tables: tuple[str, ...] | None = None,
+):
+    """ONE streaming query over ALL table-topics (U7 consolidation).
+
+    The reference fans out one Airflow task per table, each with its own
+    offset file and Spark submit (cdc_auto_sync_every_5min.py:220-242).
+    Here a single query subscribes to every topic at once — the file
+    fixture's `*.jsonl` glob is the stand-in for Kafka's
+    ``subscribePattern`` — and fans out per-table inside ``foreachBatch``:
+    one source scan, ONE checkpoint tracking progress for all topics,
+    N table sinks. Per-table schema dispatch (P3) happens on the shared
+    micro-batch, which is persisted so N sink writes cost one scan.
+
+    foreachBatch sinks are at-least-once on batch retry; replayed appends
+    collapse downstream because latest-state dedups by (pk, partition,
+    offset) — same idempotence argument as the batch path."""
+    tables = tuple(tables or CDC_WIRE_SCHEMAS)
+    env = spark.readStream.schema(P.ENVELOPE_DDL).json(
+        os.path.join(event_dir, "*.jsonl")
+    )
+
+    def _fan_out(batch_df, _batch_id: int) -> None:
+        batch_df.persist()
+        try:
+            for table in tables:
+                # topic names are <server>.<schema>.<table>; the trailing
+                # ".<table>" match is the dispatch key (order_items never
+                # collides with orders — the dot anchors the full name)
+                sub = batch_df.filter(F.col("topic").endswith(f".{table}"))
+                flat = P.project_changelog(P.parse_events(sub, table), table)
+                flat.write.mode("append").parquet(
+                    os.path.join(out_dir, f"{table}_parquet")
+                )
+        finally:
+            batch_df.unpersist()
+
+    q = (
+        env.writeStream.foreachBatch(_fan_out)
+        .option(
+            "checkpointLocation",
+            os.path.join(out_dir, "_checkpoints", "_all_topics"),
+        )
         .trigger(availableNow=True)
         .start()
     )

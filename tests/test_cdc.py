@@ -229,6 +229,41 @@ def test_ingest_no_history_scan_and_quarantine_sink(spark, tmp_path):
         assert not os.path.exists(qdir)
 
 
+def test_quarantine_replay_accumulates_attempts(spark, tmp_path):
+    """U5 retry parity: replaying the same malformed events 3x (offset
+    state reset between runs, as a source resend would) appends 3 stamped
+    copies per event; quarantine_view folds them to n_attempts=3 with
+    first_seen <= last_seen, and the poisoned rows stay out of
+    latest-state."""
+    import os
+
+    events = FX.generate_table_events("orders")
+    n_bad = sum(1 for e in events if e["_kind"] == "malformed")
+    assert n_bad > 0
+    p = tmp_path / "events.jsonl"
+    with open(p, "w") as f:
+        for e in events:
+            f.write(json.dumps({k: v for k, v in e.items() if k != "_kind"}) + "\n")
+    odir = str(tmp_path / "wh")
+
+    for _ in range(3):
+        ING.ingest_table(spark, str(p), "orders", odir)
+        # reset the watermark: the next run re-consumes from earliest,
+        # replaying every event (including the malformed ones)
+        os.remove(os.path.join(odir, "_cdc_state", "orders.json"))
+
+    qv = ING.quarantine_view(spark, odir, "orders").collect()
+    assert len(qv) == n_bad
+    for r in qv:
+        assert r.n_attempts == 3, r
+        assert r.first_seen <= r.last_seen
+    # replayed malformed rows never surface in latest-state
+    state_ids = {
+        r.order_id for r in ING.materialize_latest(spark, odir, "orders").collect()
+    }
+    assert None not in state_ids
+
+
 def test_state_asof_offset_is_point_in_time(spark, fixture_dir):
     """state_as_of(offset) must equal replaying only the prefix — and must
     DIFFER from the final state (the probe offset sits before later

@@ -42,6 +42,7 @@ COVERED_BY = {
     "filter_predicates": "filter_pack",
     "filter_like": "filter_pack",
     "join_full_outer": "join_left_outer",
+    "join_right_outer": "join_left_outer",
     "agg_rollup": "grouping_sets_status_priority",
     "agg_cube": "grouping_sets_status_priority",
     "agg_count_distinct": "agg_grouped",

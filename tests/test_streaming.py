@@ -14,6 +14,7 @@ from cdc_local_data_pipeline_docker_spark.operators import events_analytics as E
 from cdc_local_data_pipeline_docker_spark.streaming import jobs as SJ
 from cdc_local_data_pipeline_docker_spark.streaming.ingest_stream import (
     start_ingest_stream,
+    start_multi_topic_ingest,
 )
 
 
@@ -133,6 +134,59 @@ def test_stream_cdc_ingest_checkpoint_resume(spark, tmp_path):
     expected = FX.expected_live_rows(events, "orders")
     state = {r.order_id for r in materialize_latest(spark, out_dir, "orders").collect()}
     assert state == set(expected)
+
+
+def test_multi_topic_single_query_fan_out(spark, tmp_path):
+    """U7: ONE streaming query drains all 4 table-topics — one checkpoint
+    directory tracks every topic's progress, each table's changelog and
+    latest-state come out correct, and an incremental drain (new file for
+    one topic) advances only that table without re-appending the rest."""
+    import os
+
+    from cdc_local_data_pipeline_docker_spark.cdc.ingest import materialize_latest
+
+    in_dir = tmp_path / "in"
+    out_dir = str(tmp_path / "wh")
+    tables = ("orders", "customers", "products", "order_items")
+    all_events = {t: FX.generate_table_events(t) for t in tables}
+
+    def dump(name, evs):
+        with open(in_dir / name, "w") as f:
+            for e in evs:
+                f.write(json.dumps({k: v for k, v in e.items() if k != "_kind"}) + "\n")
+
+    in_dir.mkdir()
+    for t in tables:
+        dump(f"{t}.jsonl", all_events[t][:40])
+    start_multi_topic_ingest(spark, str(in_dir), out_dir)
+
+    # exactly ONE checkpoint for the whole fan-out
+    cps = os.listdir(os.path.join(out_dir, "_checkpoints"))
+    assert cps == ["_all_topics"], cps
+    counts1 = {
+        t: spark.read.parquet(f"{out_dir}/{t}_parquet").count() for t in tables
+    }
+    assert counts1 == {t: 40 for t in tables}, counts1
+
+    # incremental drain: new events for ORDERS only
+    dump("orders_b.jsonl", all_events["orders"][40:])
+    start_multi_topic_ingest(spark, str(in_dir), out_dir)
+    counts2 = {
+        t: spark.read.parquet(f"{out_dir}/{t}_parquet").count() for t in tables
+    }
+    assert counts2["orders"] == len(all_events["orders"])
+    assert all(counts2[t] == 40 for t in tables if t != "orders"), counts2
+
+    # every table's latest-state equals the hand-replay oracle
+    for t in tables:
+        seen = all_events[t] if t == "orders" else all_events[t][:40]
+        pk_col = FX.CDC_PRIMARY_KEYS[t]
+        expected = set(FX.expected_live_rows(seen, t))
+        state = {
+            getattr(r, pk_col)
+            for r in materialize_latest(spark, out_dir, t).collect()
+        }
+        assert state == expected, t
 
 
 @pytest.mark.parametrize(
