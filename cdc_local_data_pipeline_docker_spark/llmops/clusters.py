@@ -40,7 +40,7 @@ from .dedup import DEDUP_NGRAM_JACCARD_SQL, dedup_ngram_jaccard
 
 
 def connected_components(
-    pairs: DataFrame, src: str = "doc_a", dst: str = "doc_b", max_iter: int = 25
+    pairs: DataFrame, src: str = "doc_a", dst: str = "doc_b", max_iter: int = 200
 ) -> DataFrame:
     """(id, cluster_id) for every node appearing in ``pairs``; cluster_id
     is the component's minimum node id. Raises if propagation hasn't

@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..plans.cache_scope import scoped_persist
 from .dedup import JACCARD_THRESHOLD, _shingled
 from .text import STOPWORDS
 
@@ -64,7 +65,7 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # near-dup pairs among survivors (posting-list join, as dedup_ngram);
     # deterministic drop rule: the higher-id member of every >=0.5 pair
-    sh = _shingled(survivors.select("doc_id", "text")).persist()
+    sh = scoped_persist(_shingled(survivors.select("doc_id", "text")))
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     common = (

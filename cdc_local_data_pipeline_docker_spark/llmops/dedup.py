@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..plans.cache_scope import scoped_persist
 
 #: Word-shingle width for n-gram / MinHash / SimHash dedup.
 SHINGLE_N = 3
@@ -177,7 +178,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The shingle set feeds three plan branches (two join sides + sizes);
     # caching avoids re-deriving it per branch. At 100 TB the equivalent is
     # materializing the shingle/posting table to storage once per corpus.
-    sh = _shingled(d).persist()
+    sh = scoped_persist(_shingled(d))
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
 
     a = sh.alias("a")
@@ -299,7 +300,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     cached (doc_id, shingle) frame — at 100 TB the equivalent is
     materializing the shingle/posting table to storage once per corpus."""
     d = load_table(spark, sf_dir, "documents")
-    sh = _shingled(d).persist()
+    sh = scoped_persist(_shingled(d))
     sigs = _signatures_from_shingles(sh)
     bands = band_keys(sigs).select("doc_id", "band", "bucket")
     a = bands.alias("a")
@@ -381,7 +382,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     (pigeonhole: Hamming ≤ 6 ⇒ at least one untouched block... with 4 blocks
     this holds for distance ≤ 3 strictly; ≤6 keeps high—not perfect—recall,
     the standard block-candidate trade-off). Verify = popcount of xor."""
-    sigs = simhash_signatures(spark, sf_dir).persist()  # both self-join sides
+    sigs = scoped_persist(simhash_signatures(spark, sf_dir))  # both self-join sides
     blocks = sigs.select(
         "doc_id",
         "p0",
@@ -476,7 +477,7 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     family is not oracle-expressible)."""
     from .similarity import _bucketed, _vectors
 
-    b = _bucketed(_vectors(spark, sf_dir)).persist()
+    b = scoped_persist(_bucketed(_vectors(spark, sf_dir)))
     a = b.select(
         F.col("vec_id").alias("id_a"), F.col("v").alias("va"),
         F.col("norm").alias("na"), "band", "bucket",

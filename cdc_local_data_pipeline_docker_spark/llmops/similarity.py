@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..plans.cache_scope import scoped_persist
 
 #: Number of query vectors (lowest ids) and neighbors returned.
 ANN_N_QUERIES = 20
@@ -147,7 +148,7 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded in pytest (deterministic hyperplanes). Rows-only check: the
     hash-bucket candidate set is not expressible in the SQL oracle."""
     vecs = _vectors(spark, sf_dir)
-    b = _bucketed(vecs).persist()  # feeds both the query and corpus side
+    b = scoped_persist(_bucketed(vecs))  # feeds both the query and corpus side
     q = b.filter(F.col("vec_id") < ANN_N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),

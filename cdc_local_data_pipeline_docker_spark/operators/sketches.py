@@ -72,6 +72,10 @@ def sketch_cms_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
             "tok", F.lit(CMS_EPS), F.lit(CMS_CONFIDENCE), F.lit(CMS_SEED)
         ).alias("sk")
     ).collect()[0]["sk"]
+    # Classic-mode only: the probe deserializes the sketch through the
+    # driver JVM gateway (sparkContext._jvm), which Spark Connect does
+    # not expose — under Connect, probe the blob with a small Python CMS
+    # reader instead (same hash family; the serialized layout is stable).
     jvm = spark.sparkContext._jvm
     sk = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(bytes(blob))
     rows = [(t, int(sk.estimateCount(t))) for t in CMS_PROBE_TOKENS]
@@ -156,7 +160,9 @@ def sketch_tdigest_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = load_table(spark, sf_dir, "lineitem")
     sharded = li.select(
-        (F.xxhash64("l_orderkey", "l_linenumber") % TDIGEST_SHARDS)
+        # pmod, not %: Spark % keeps the sign, which would double the
+        # shard space to (-S..S) and halve each partial digest's fill
+        F.pmod(F.xxhash64("l_orderkey", "l_linenumber"), F.lit(TDIGEST_SHARDS))
         .alias("shard"),
         F.col("l_extendedprice").alias("x"),
     )

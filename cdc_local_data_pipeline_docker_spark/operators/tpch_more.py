@@ -256,7 +256,10 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     still bit-stable."""
     li = load_table(spark, sf_dir, "lineitem")
     pv = li.groupBy("l_partkey").agg(F.sum(_rev()).alias("v_dec"))
-    pv = pv.persist()
+    # no persist: the per-part aggregate's Exchange appears in both the
+    # broadcast (total) subtree and the probe side of one plan, so AQE's
+    # exchange reuse computes the shuffle once (asserted in
+    # test_plan_quality.test_scalar_against_aggregate_reuses_exchange)
     tot = pv.agg(
         F.sum("v_dec").alias("total_dec"), F.count(F.lit(1)).alias("n_parts")
     )
@@ -375,7 +378,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     s = load_table(spark, sf_dir, "supplier")
     rev = li.groupBy("l_suppkey").agg(F.sum(_rev()).alias("rev_dec"))
-    rev = rev.persist()
+    # no persist — AQE exchange reuse (see q11_important_parts)
     mx = rev.agg(F.max("rev_dec").alias("max_dec"))
     return (
         rev.crossJoin(F.broadcast(mx))

@@ -26,6 +26,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from .cdc import queries as CDC
+from .plans import cache_scope
 from .cdc import scd as SCD
 from .functions import pandas_udfs as PU
 from .functions import scalar_pack as FP
@@ -289,8 +290,22 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
 GRADED_WINDOW = 50
 
 
+def _scoped(fn: QueryFn) -> QueryFn:
+    """Release the PREVIOUS query's scoped caches when a new query is
+    built: over a 50+-query grading/bench session at most one query's
+    persisted intermediates stay live (ADVICE r2 — persist leak)."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        cache_scope.release_previous()
+        return fn(spark, sf_dir)
+
+    run.__name__ = getattr(fn, "__name__", "query")
+    run.__doc__ = fn.__doc__
+    return run
+
+
 def queries() -> dict[str, QueryFn]:
-    return {name: fn for name, (fn, _) in REGISTRY.items()}
+    return {name: _scoped(fn) for name, (fn, _) in REGISTRY.items()}
 
 
 def oracle_sql() -> dict[str, str]:

@@ -39,31 +39,9 @@ def read_partitioned(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
-def write_bucketed(
-    df: DataFrame,
-    table_name: str,
-    bucket_col: str,
-    n_buckets: int = 32,
-    mode: str = "overwrite",
-) -> None:
-    """Persist as a bucketed+sorted managed table: rows are hash-bucketed
-    on the join key at WRITE time, so a later equi-join between two tables
-    bucketed the same way needs NO shuffle at read time — the
-    pre-partitioning both sides already satisfy the join's distribution
-    requirement. This is the co-located fact-fact join strategy for keys
-    too large to broadcast (SURVEY.md §2.C join row): pay the shuffle once
-    at ingest, amortize it over every subsequent join."""
-    (
-        df.write.mode(mode)
-        .bucketBy(n_buckets, bucket_col)
-        .sortBy(bucket_col)
-        .format("parquet")
-        .saveAsTable(table_name)
-    )
-
-
-def read_bucketed(spark: SparkSession, table_name: str) -> DataFrame:
-    return spark.table(table_name)
+from .bucketed import read_bucketed, write_bucketed  # noqa: F401
+# Single bucketed-table implementation lives in sources/bucketed.py (the
+# external-table variant); re-exported here for back-compat (ADVICE r2).
 
 
 def read_evolved(spark: SparkSession, path: str) -> DataFrame:

@@ -89,6 +89,19 @@ def test_headline_queries_codegen(spark, sf_dir, fn):
     assert A.codegen_spans(spark, lambda: fn(spark, sf_dir)) >= 2
 
 
+def test_scalar_against_aggregate_reuses_exchange(spark, sf_dir):
+    """Q11/Q15 pattern: a grouped aggregate compared against a scalar
+    derived from ITSELF must not persist — AQE computes the shared
+    Exchange once and wires a ReusedExchange into the second consumer
+    (this is why dropping the r2 .persist() calls is free)."""
+    from cdc_local_data_pipeline_docker_spark.operators import tpch_more as TM
+
+    df = TM.q11_important_parts(spark, sf_dir)
+    df.collect()  # AQE exchange reuse materializes in the final plan
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in plan, plan
+
+
 def test_aqe_splits_skewed_join(spark):
     """AQE's runtime skew-join handling actually fires: a synthetic join
     where ~90% of the left rows share one hot key must show skew=true on

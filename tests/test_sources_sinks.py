@@ -44,10 +44,12 @@ def test_bucketed_join_eliminates_shuffle(spark, sf_dir, tmp_path):
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
         S.write_bucketed(
-            load_table(spark, sf_dir, "orders"), "t_orders_b", "o_orderkey", 8
+            load_table(spark, sf_dir, "orders"),
+            "t_orders_b", str(tmp_path / "ob"), "o_orderkey", 8,
         )
         S.write_bucketed(
-            load_table(spark, sf_dir, "lineitem"), "t_lineitem_b", "l_orderkey", 8
+            load_table(spark, sf_dir, "lineitem"),
+            "t_lineitem_b", str(tmp_path / "lb"), "l_orderkey", 8,
         )
         o = S.read_bucketed(spark, "t_orders_b")
         li = S.read_bucketed(spark, "t_lineitem_b")
