@@ -43,6 +43,10 @@ OPTIONAL = [
     "ann_cosine_topk",
     "text_quality_score",
     "events_tumbling_agg",
+    # round-3 additions (VERDICT r2 item 8): watch the iterative
+    # label-propagation and two-phase prefix-sum paths round-over-round
+    "dedup_clusters",
+    "corpus_pack_sequences",
 ]
 
 

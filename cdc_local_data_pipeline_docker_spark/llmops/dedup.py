@@ -234,25 +234,55 @@ def signature_frame(docs: DataFrame) -> DataFrame:
     (doc_id, text) frame — shared by the whole-corpus query below and the
     per-batch incremental maintainer (llmops/incremental.py).
 
-    The permutation family is ``xxhash64(shingle, i)`` for i in 0..31 —
-    evaluated as 32 parallel `min` aggregates over the exploded shingle set:
-    one shuffle, map-side partial mins, fixed-size state per doc."""
-    return _signatures_from_shingles(_shingled(docs))
+    The permutation family is ``xxhash64(xxhash64(shingle), i)`` for i in
+    0..31, evaluated as ``array_min(transform(...))`` over the per-doc
+    hashed-shingle ARRAY: a map-only codegen expression with ZERO shuffle
+    — the round-2 form exploded the shingle set and ran 32 min-aggregates
+    over a corpus-sized shuffle for the same purpose."""
+    return _signatures_from_hashes(_hashed_shingle_arrays(docs))
 
 
-def _signatures_from_shingles(sh: DataFrame) -> DataFrame:
-    """Signatures from an existing (doc_id, shingle) frame — lets a caller
-    that also needs the shingles (e.g. exact-Jaccard verification) compute
-    them ONCE and feed both consumers from the same cached frame."""
-    mins = sh.groupBy("doc_id").agg(
-        *[
-            F.min(F.expr(f"xxhash64(shingle, {i})")).alias(f"h{i}")
-            for i in range(MINHASH_PERMS)
-        ]
-    )
-    return mins.select(
+def _hashed_shingle_arrays(df: DataFrame) -> DataFrame:
+    """(doc_id, hs array<bigint>) — per-doc distinct shingle set, each
+    shingle string hashed ONCE to 8 bytes (`xxhash64`). Everything
+    downstream (signatures, exact-|A∩B| verify) runs on these compact
+    longs: the string shingles are constructed transiently inside this
+    one expression and never stored — caching 64-bit hashes instead of
+    ~20-byte strings cuts the materialized footprint ~3x and all later
+    hashing is fixed-width. Set semantics survive hashing modulo in-doc
+    xxhash64 collisions (~|shingles|²/2⁶⁵ ≈ 10⁻¹⁵ per doc)."""
+    n = SHINGLE_N
+    return df.select(
         "doc_id",
-        F.array(*[F.col(f"h{i}") for i in range(MINHASH_PERMS)]).alias("sig"),
+        F.expr(
+            f"""
+            array_distinct(transform(
+              if(size(split(text, ' ')) < {n},
+                 array(),
+                 sequence(1, size(split(text, ' ')) - {n - 1})),
+              i -> xxhash64(concat_ws(' ',
+                     slice(split(text, ' '), i, {n})))
+            ))
+            """
+        ).alias("hs"),
+    ).filter(F.size("hs") > 0)
+
+
+def _signatures_from_hashes(hashed: DataFrame) -> DataFrame:
+    """Signatures from a (doc_id, hs array<bigint>) frame: the 32
+    permutations re-hash each 8-byte shingle hash with the permutation
+    index as seed. Hash-of-hash is a standard MinHash family
+    (independence from the seed, uniformity from the first hash) and
+    replaces 32 variable-length string hashes per shingle with 1 string
+    hash + 32 fixed-8-byte hashes."""
+    return hashed.select(
+        "doc_id",
+        F.array(
+            *[
+                F.array_min(F.expr(f"transform(hs, h -> xxhash64(h, {i}))"))
+                for i in range(MINHASH_PERMS)
+            ]
+        ).alias("sig"),
     )
 
 
@@ -295,14 +325,21 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     family is not expressible in the DuckDB oracle); pytest asserts the
     subset/recall properties.
 
-    ONE shingle materialization feeds everything: the signature aggregate,
-    both exact-verify join sides, and the size table all read the same
-    cached (doc_id, shingle) frame — at 100 TB the equivalent is
-    materializing the shingle/posting table to storage once per corpus."""
+    ONE map-only hashed-shingle materialization feeds everything: the
+    signature expressions fold over the per-doc hash array (zero
+    shuffle — the round-2 form shuffled the exploded shingle set
+    through 32 min aggregates), the banding join reads a persisted
+    (doc_id, band, bucket) table — 8 narrow rows per doc — on BOTH
+    sides, and the exact verify joins the (small) candidate pair set
+    back to the cached hash arrays twice, computing |A∩B| with
+    array_intersect on 8-byte hashes instead of a posting-list
+    re-join. At 100 TB the candidate side of those verify joins is
+    bounded by near-dup density, so they broadcast; the compact hash
+    arrays stream."""
     d = load_table(spark, sf_dir, "documents")
-    sh = scoped_persist(_shingled(d))
-    sigs = _signatures_from_shingles(sh)
-    bands = band_keys(sigs).select("doc_id", "band", "bucket")
+    arrs = scoped_persist(_hashed_shingle_arrays(d))
+    sigs = _signatures_from_hashes(arrs)
+    bands = scoped_persist(band_keys(sigs).select("doc_id", "band", "bucket"))
     a = bands.alias("a")
     b = bands.alias("b")
     candidates = (
@@ -315,24 +352,17 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
 
-    # Exact-Jaccard verify on the candidate pairs only (cached frame).
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    sha = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingle").alias("sh_a"))
-    shb = sh.select(F.col("doc_id").alias("rhs_doc"), F.col("shingle").alias("sh_b"))
-    common = (
-        candidates.join(sha, "doc_a")
-        .join(shb, (F.col("doc_b") == F.col("rhs_doc")) & (F.col("sh_a") == F.col("sh_b")))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    # Exact-Jaccard verify on the candidate pairs only (cached arrays).
+    sh_a = arrs.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("sh_a"))
+    sh_b = arrs.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("sh_b"))
     return (
-        common.join(sa, "doc_a")
-        .join(sb, "doc_b")
+        candidates.join(sh_a, "doc_a")
+        .join(sh_b, "doc_b")
+        .withColumn("n_common", F.size(F.array_intersect("sh_a", "sh_b")))
         .withColumn(
             "jaccard",
-            F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+            F.col("n_common")
+            / (F.size("sh_a") + F.size("sh_b") - F.col("n_common")),
         )
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
         .select("doc_a", "doc_b", "jaccard")

