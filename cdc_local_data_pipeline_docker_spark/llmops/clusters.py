@@ -51,9 +51,12 @@ def connected_components(
         .distinct()
         .persist()
     )
-    labels = edges.select(F.col("u").alias("id")).distinct().select(
-        "id", F.col("id").alias("lbl")
-    )
+    # Round 1 folded into initialization: every node appears as `u` in
+    # the symmetrized edge set, so min(id, min neighbor) comes from ONE
+    # groupBy — no separate identity-label table, one fewer iteration.
+    labels = edges.groupBy("u").agg(
+        F.least(F.first("u"), F.min("v")).alias("lbl")
+    ).select(F.col("u").alias("id"), "lbl")
     labels = labels.localCheckpoint()
     for _ in range(max_iter):
         nbr_min = (
@@ -61,21 +64,23 @@ def connected_components(
             .groupBy("u")
             .agg(F.min("lbl").alias("nbr_lbl"))
         )
+        # `changed` rides the SAME join that builds the new labels, so
+        # the convergence check is a filter-count over the checkpointed
+        # result — not a second old-vs-new join per round.
         new_labels = (
             labels.join(nbr_min, labels.id == nbr_min.u, "left")
             .select(
                 "id",
-                F.least(F.col("lbl"), F.coalesce("nbr_lbl", "lbl")).alias("lbl"),
+                F.least(F.col("lbl"), F.coalesce("nbr_lbl", "lbl")).alias(
+                    "new_lbl"
+                ),
+                (F.coalesce("nbr_lbl", "lbl") < F.col("lbl")).alias("changed"),
             )
+            .withColumnRenamed("new_lbl", "lbl")
         )
         new_labels = new_labels.localCheckpoint()
-        n_changed = (
-            labels.alias("o")
-            .join(new_labels.alias("n"), "id")
-            .filter(F.col("o.lbl") != F.col("n.lbl"))
-            .count()
-        )
-        labels = new_labels
+        n_changed = new_labels.filter("changed").count()
+        labels = new_labels.select("id", "lbl")
         if n_changed == 0:
             edges.unpersist()
             return labels.select("id", F.col("lbl").alias("cluster_id"))

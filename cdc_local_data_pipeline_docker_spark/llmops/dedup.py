@@ -173,18 +173,26 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     the simple form wins here. On a natural-language corpus with
     heavy-tailed shingle frequencies, add `HAVING count <= cap` on the
     posting lists before the self-join (mirrored in the oracle), or use
-    the MinHash+LSH variant below, whose cost is bounded by banding."""
+    the MinHash+LSH variant below, whose cost is bounded by banding.
+
+    The posting lists carry 8-byte shingle HASHES, not the shingle
+    strings: the inverted-index shuffle narrows ~3x and the join key
+    compare is a fixed-width long. Set semantics survive hashing modulo
+    xxhash64 collisions (~10^-15 per doc pair); the DuckDB oracle joins
+    the raw strings and the jaccard values still hash-match."""
     d = load_table(spark, sf_dir, "documents")
-    # The shingle set feeds three plan branches (two join sides + sizes);
-    # caching avoids re-deriving it per branch. At 100 TB the equivalent is
-    # materializing the shingle/posting table to storage once per corpus.
-    sh = scoped_persist(_shingled(d))
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    # The hashed shingle sets feed three plan branches (two posting-list
+    # sides + per-doc sizes); caching the compact arrays avoids
+    # re-deriving them per branch. At 100 TB the equivalent is
+    # materializing the posting table to storage once per corpus.
+    arrs = scoped_persist(_hashed_shingle_arrays(d))
+    sizes = arrs.select("doc_id", F.size("hs").alias("n_sh"))
+    sh = arrs.select("doc_id", F.explode("hs").alias("h"))
 
     a = sh.alias("a")
     b = sh.alias("b")
     common = (
-        a.join(b, "shingle")
+        a.join(b, "h")
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
         .groupBy(
             F.col("a.doc_id").alias("doc_a"),
