@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..plans.cache_scope import scoped_persist
-from .dedup import JACCARD_THRESHOLD, _shingled
+from .dedup import JACCARD_THRESHOLD, _hashed_shingle_arrays
 from .text import STOPWORDS
 
 #: Curation thresholds (quality composite and minimum token count).
@@ -63,13 +63,17 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact_survivor = kept.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
     survivors = kept.join(exact_survivor, ["text", "doc_id"], "inner")
 
-    # near-dup pairs among survivors (posting-list join, as dedup_ngram);
+    # near-dup pairs among survivors (hashed posting-list join, as
+    # dedup_ngram: 8-byte shingle hashes, string shingles never stored);
     # deterministic drop rule: the higher-id member of every >=0.5 pair
-    sh = scoped_persist(_shingled(survivors.select("doc_id", "text")))
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    arrs = scoped_persist(
+        _hashed_shingle_arrays(survivors.select("doc_id", "text"))
+    )
+    sizes = arrs.select("doc_id", F.size("hs").alias("n_sh"))
+    sh = arrs.select("doc_id", F.explode("hs").alias("h"))
     a, b = sh.alias("a"), sh.alias("b")
     common = (
-        a.join(b, "shingle")
+        a.join(b, "h")
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("n_common"))

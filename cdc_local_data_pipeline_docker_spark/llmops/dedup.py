@@ -386,31 +386,28 @@ def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, p0..p3) 64-bit SimHash as four 16-bit parts.
 
     Per shingle: 64-vector of ±1 from the bits of xxhash64(shingle);
-    summed elementwise per doc (aggregate+zip_with — order-independent
-    integer sums), sign → bit. Stored as four 16-bit ints so banding and
-    Hamming distance are plain integer ops."""
+    summed elementwise per doc, sign → bit. The ±1 sum for bit j is
+    ``2·|{h : bit j set}| − |hs|``, so its sign reduces to
+    ``2·size(filter(hs, bit j)) >= size(hs)`` — evaluated per-doc over
+    the hashed shingle ARRAY: fully map-only (the round-2 form shuffled
+    the exploded shingle set through 64 sum-aggregates for the same
+    bits). Stored as four 16-bit ints so banding and Hamming distance
+    are plain integer ops."""
     d = load_table(spark, sf_dir, "documents")
-    sh = _shingled(d).withColumn("h", F.expr("xxhash64(shingle)"))
-    # 64 parallel ±1 sums (flat aggregates → map-side partial agg, full
-    # codegen; far faster than a collect_list + array fold).
-    bitsums = sh.groupBy("doc_id").agg(
-        *[
-            F.sum(
-                F.expr(f"CASE WHEN (shiftright(h, {j}) & 1L) = 1L THEN 1 ELSE -1 END")
-            ).alias(f"s{j}")
-            for j in range(64)
-        ]
-    )
+    arrs = _hashed_shingle_arrays(d)
     parts = [
         F.expr(
             " + ".join(
-                f"(CASE WHEN s{16 * p + k} >= 0 THEN {1 << (15 - k)}L ELSE 0L END)"
+                "(CASE WHEN 2 * size(filter(hs, h -> (shiftright(h, {j}) & 1L)"
+                " = 1L)) >= size(hs) THEN {w}L ELSE 0L END)".format(
+                    j=16 * p + k, w=1 << (15 - k)
+                )
                 for k in range(16)
             )
         ).alias(f"p{p}")
         for p in range(4)
     ]
-    return bitsums.select("doc_id", *parts)
+    return arrs.select("doc_id", *parts)
 
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
