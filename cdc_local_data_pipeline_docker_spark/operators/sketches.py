@@ -38,25 +38,75 @@ CMS_PROBE_TOKENS = (
 def sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct orders per returnflag via HLL sketches, PLUS a global
     'ALL' row obtained by UNIONING the per-group sketches — never
-    re-reading lineitem. Two-level mergeability is the entire point:
-    partial sketches merge map-side within each group, and the group
-    sketches merge again into the corpus-wide estimate, exactly how a
-    100 TB pipeline maintains daily/global distincts from shard sketches."""
+    re-reading lineitem for the estimate. Two-level mergeability is the
+    entire point: partial sketches merge map-side within each group, and
+    the group sketches merge again into the corpus-wide estimate, exactly
+    how a 100 TB pipeline maintains daily/global distincts from shard
+    sketches.
+
+    Contract oracle (same pattern as agg_approx): each row carries the
+    EXACT distinct count — identical in both engines — plus a boolean
+    asserting this engine's OWN sketch estimate lands within 5% of its
+    OWN exact value (lgK=12 ≈ 1.6% rsd, so the bound holds
+    deterministically; DuckDB compares its own approx_count_distinct).
+    The global exact needs one extra pass (per-flag exacts cannot merge:
+    an order's lineitems can span flags) — the SKETCH path still proves
+    merge-without-rescan."""
     li = load_table(spark, sf_dir, "lineitem")
+
+    def within(approx, ex):
+        return F.abs(approx - ex) / ex <= F.lit(0.05)
+
     per_group = li.groupBy("l_returnflag").agg(
-        F.hll_sketch_agg("l_orderkey", F.lit(HLL_LGK)).alias("sk")
+        F.hll_sketch_agg("l_orderkey", F.lit(HLL_LGK)).alias("sk"),
+        F.count_distinct("l_orderkey").alias("exact_distinct_orders"),
     )
     groups = per_group.select(
         "l_returnflag",
-        F.hll_sketch_estimate("sk").alias("approx_distinct_orders"),
+        "exact_distinct_orders",
+        within(
+            F.hll_sketch_estimate("sk").cast("double"),
+            F.col("exact_distinct_orders").cast("double"),
+        ).alias("within_5pct"),
     )
-    merged = per_group.agg(
-        F.hll_union_agg("sk").alias("sk")
-    ).select(
-        F.lit("ALL").alias("l_returnflag"),
-        F.hll_sketch_estimate("sk").alias("approx_distinct_orders"),
+    merged = (
+        per_group.agg(F.hll_union_agg("sk").alias("sk"))
+        .crossJoin(
+            F.broadcast(
+                li.agg(
+                    F.count_distinct("l_orderkey").alias("exact_distinct_orders")
+                )
+            )
+        )
+        .select(
+            F.lit("ALL").alias("l_returnflag"),
+            "exact_distinct_orders",
+            within(
+                F.hll_sketch_estimate("sk").cast("double"),
+                F.col("exact_distinct_orders").cast("double"),
+            ).alias("within_5pct"),
+        )
     )
     return groups.unionByName(merged).orderBy("l_returnflag")
+
+
+SKETCH_HLL_DISTINCT_SQL = """
+SELECT l_returnflag,
+       COUNT(DISTINCT l_orderkey) AS exact_distinct_orders,
+       ABS(CAST(approx_count_distinct(l_orderkey) AS DOUBLE)
+           - CAST(COUNT(DISTINCT l_orderkey) AS DOUBLE))
+         / CAST(COUNT(DISTINCT l_orderkey) AS DOUBLE) <= 0.05 AS within_5pct
+FROM lineitem
+GROUP BY l_returnflag
+UNION ALL
+SELECT 'ALL',
+       COUNT(DISTINCT l_orderkey),
+       ABS(CAST(approx_count_distinct(l_orderkey) AS DOUBLE)
+           - CAST(COUNT(DISTINCT l_orderkey) AS DOUBLE))
+         / CAST(COUNT(DISTINCT l_orderkey) AS DOUBLE) <= 0.05
+FROM lineitem
+ORDER BY l_returnflag
+"""
 
 
 def sketch_cms_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -64,24 +114,58 @@ def sketch_cms_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     Count-Min-Sketch aggregate (fixed-size binary state, map-side merged),
     probed for the marker lexicon. The sketch crosses to the driver as a
     few KB regardless of corpus size; estimates are deterministic (seeded
-    hash family) and overcount by at most eps·N with prob. ≥ confidence."""
+    hash family) and overcount by at most eps·N with prob. ≥ confidence.
+
+    Contract oracle: each probe row carries the EXACT token frequency
+    (identical in both engines) plus a boolean pinning the CMS guarantee
+    against this engine's own exact values — exact ≤ estimate ≤ exact +
+    eps·N (the oracle's boolean is literal TRUE: DuckDB has no CMS, its
+    trivial 'sketch' is the exact count, which meets the bound by
+    definition). ONE aggregation computes the sketch, the total token
+    count, and all probe exacts in a single scan."""
     d = load_table(spark, sf_dir, "documents")
     toks = d.select(F.explode(F.split("text", " ")).alias("tok"))
-    blob = toks.agg(
+    row = toks.agg(
         F.count_min_sketch(
             "tok", F.lit(CMS_EPS), F.lit(CMS_CONFIDENCE), F.lit(CMS_SEED)
-        ).alias("sk")
-    ).collect()[0]["sk"]
+        ).alias("sk"),
+        F.count(F.lit(1)).alias("n_total"),
+        *[
+            F.sum((F.col("tok") == t).cast("long")).alias(f"c{i}")
+            for i, t in enumerate(CMS_PROBE_TOKENS)
+        ],
+    ).collect()[0]
     # Classic-mode only: the probe deserializes the sketch through the
     # driver JVM gateway (sparkContext._jvm), which Spark Connect does
     # not expose — under Connect, probe the blob with a small Python CMS
     # reader instead (same hash family; the serialized layout is stable).
     jvm = spark.sparkContext._jvm
-    sk = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(bytes(blob))
-    rows = [(t, int(sk.estimateCount(t))) for t in CMS_PROBE_TOKENS]
+    sk = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(bytes(row["sk"]))
+    bound = CMS_EPS * row["n_total"]
+    out = []
+    for i, t in enumerate(CMS_PROBE_TOKENS):
+        exact = int(row[f"c{i}"])
+        est = int(sk.estimateCount(t))
+        out.append((t, exact, exact <= est <= exact + bound))
     return spark.createDataFrame(
-        rows, "token string, est_freq long"
+        out, "token string, exact_freq long, within_eps boolean"
     ).orderBy("token")
+
+
+_CMS_PROBE_VALUES = ", ".join(f"('{t}')" for t in CMS_PROBE_TOKENS)
+
+SKETCH_CMS_TOKEN_FREQ_SQL = f"""
+WITH toks AS (
+  SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+),
+probe(token) AS (VALUES {_CMS_PROBE_VALUES})
+SELECT p.token,
+       CAST((SELECT COUNT(*) FROM toks t WHERE t.tok = p.token) AS BIGINT)
+         AS exact_freq,
+       TRUE AS within_eps
+FROM probe p
+ORDER BY token
+"""
 
 
 # ---------------------------------------------------------------------------

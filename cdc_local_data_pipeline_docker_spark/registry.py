@@ -231,8 +231,14 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         TM.q21_waiting_suppliers,
         TM.Q21_WAITING_SUPPLIERS_SQL,
     ),
-    "sketch_hll_distinct": (SK.sketch_hll_distinct, None),  # sketch: rows-only
-    "sketch_cms_token_freq": (SK.sketch_cms_token_freq, None),  # sketch: rows-only
+    "sketch_hll_distinct": (
+        SK.sketch_hll_distinct,
+        SK.SKETCH_HLL_DISTINCT_SQL,
+    ),  # contract oracle
+    "sketch_cms_token_freq": (
+        SK.sketch_cms_token_freq,
+        SK.SKETCH_CMS_TOKEN_FREQ_SQL,
+    ),  # contract oracle
     "sketch_tdigest_quantiles": (
         SK.sketch_tdigest_quantiles,
         None,
