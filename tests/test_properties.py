@@ -130,10 +130,10 @@ def test_tdigest_rank_error_bound(spark, sf_dir):
 
     from cdc_local_data_pipeline_docker_spark.catalog import load_table
     from cdc_local_data_pipeline_docker_spark.operators.sketches import (
-        sketch_tdigest_quantiles,
+        _tdigest_estimates,
     )
 
-    rows = sketch_tdigest_quantiles(spark, sf_dir).collect()
+    rows = _tdigest_estimates(spark, sf_dir).collect()
     assert {r.quantile for r in rows} == {0.5, 0.9, 0.99}
     li = load_table(spark, sf_dir, "lineitem")
     n = li.count()
