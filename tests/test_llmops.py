@@ -316,6 +316,47 @@ def test_connected_components_chain_and_merge(spark):
     assert got == want
 
 
+def test_star_contraction_matches_hashmin_and_handles_long_chains(spark):
+    """Large-star/small-star must produce identical clusters to hash-min
+    propagation on a mixed graph, converge on a 300-node chain in O(log n)
+    rounds (hash-min would need 299), and kick in automatically when
+    connected_components exhausts its round budget."""
+    from cdc_local_data_pipeline_docker_spark.llmops.clusters import (
+        connected_components,
+        connected_components_star,
+    )
+
+    # mixed graph: two chains, a triangle merge, an isolated pair
+    pairs = [(1, 2), (2, 3), (10, 11), (11, 12), (12, 10), (20, 21), (3, 4)]
+    pdf = spark.createDataFrame(pairs, ["doc_a", "doc_b"])
+    hashmin = {
+        (r.id, r.cluster_id) for r in connected_components(pdf).collect()
+    }
+    star = {
+        (r.id, r.cluster_id) for r in connected_components_star(pdf).collect()
+    }
+    assert star == hashmin and star
+
+    # 300-node chain: diameter 299 >> star's O(log n) round budget
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(300)], ["doc_a", "doc_b"]
+    )
+    got = {(r.id, r.cluster_id) for r in connected_components_star(chain).collect()}
+    assert got == {(i, 0) for i in range(301)}
+
+    # fallback: hash-min with a tiny round budget must not raise — it
+    # hands off to star contraction and still returns correct clusters
+    small_budget = {
+        (r.id, r.cluster_id)
+        for r in connected_components(
+            spark.createDataFrame([(i, i + 1) for i in range(30)],
+                                  ["doc_a", "doc_b"]),
+            max_iter=3,
+        ).collect()
+    }
+    assert small_budget == {(i, 0) for i in range(31)}
+
+
 def test_canonical_corpus_drops_only_nonminimal_members(spark, sf_dir):
     """Survivors = all docs minus non-canonical cluster members; every
     cluster keeps exactly its minimum doc_id."""
