@@ -47,6 +47,7 @@ OPTIONAL = [
     # label-propagation and two-phase prefix-sum paths round-over-round
     "dedup_clusters",
     "corpus_pack_sequences",
+    "events_transition_pairs",
 ]
 
 

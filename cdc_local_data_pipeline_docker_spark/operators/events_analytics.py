@@ -240,3 +240,73 @@ WHERE datediff('day', cohort_day, activity_day) BETWEEN 0 AND 7
 GROUP BY 1, 2
 ORDER BY cohort_day, day_offset
 """
+
+
+# ---------------------------------------------------------------------------
+# Banded self-join stressor (large-N fact-fact join; ROADMAP item).
+# ---------------------------------------------------------------------------
+
+#: Band width for the transition-pair self-join (seconds).
+TRANSITION_BAND_S = 600
+
+
+def events_transition_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-type transition counts: pairs of events by the SAME user
+    where the second lands within 10 minutes after the first.
+
+    The bench stressor for the fact-fact self-join class. The naive plan
+    joins on user_id alone and filters the band AFTER materializing
+    Σ n_u² pairs per user — quadratic in per-user activity. This plan is
+    the scale-correct banded form: bucket ts into band-width bins and
+    equi-join on (user_id, bin) with the probe side exploded to its two
+    candidate bins, so the join intermediate is bounded by ADJACENT-bin
+    co-occupancy instead of all per-user history; the exact band
+    predicate then filters bin-local candidates. Same technique as
+    join_range's broadcast banding, but for a self-join too big to
+    broadcast. The DuckDB oracle runs the naive theta join — identical
+    exact counts."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("ts"),
+        "event_type",
+        F.expr(
+            f"unix_micros(cast(ts as timestamp)) div {TRANSITION_BAND_S * 1_000_000}"
+        ).alias("bin"),
+    )
+    probe = e.select(
+        "user_id",
+        F.col("ts").alias("ts_a"),
+        F.col("event_type").alias("type_a"),
+        F.explode(F.array(F.col("bin"), F.col("bin") + 1)).alias("jbin"),
+    )
+    build = e.select(
+        "user_id",
+        F.col("bin").alias("jbin"),
+        F.col("ts").alias("ts_b"),
+        F.col("event_type").alias("type_b"),
+    )
+    pairs = probe.join(build, ["user_id", "jbin"]).filter(
+        (F.col("ts_b") > F.col("ts_a"))
+        & (
+            F.col("ts_b")
+            <= F.col("ts_a") + F.expr(f"INTERVAL {TRANSITION_BAND_S} SECONDS")
+        )
+    )
+    return (
+        pairs.groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy("type_a", "type_b")
+    )
+
+
+EVENTS_TRANSITION_PAIRS_SQL = f"""
+SELECT a.event_type AS type_a, b.event_type AS type_b,
+       COUNT(*) AS n_pairs
+FROM events a
+JOIN events b
+  ON a.user_id = b.user_id
+ AND b.ts > a.ts
+ AND b.ts <= a.ts + INTERVAL {TRANSITION_BAND_S} SECOND
+GROUP BY 1, 2
+ORDER BY type_a, type_b
+"""

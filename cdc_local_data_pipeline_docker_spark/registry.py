@@ -181,6 +181,10 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "filter_predicates": (R.filter_predicates, R.FILTER_PREDICATES_SQL),
     "filter_like": (R.filter_like, R.FILTER_LIKE_SQL),
     "join_full_outer": (R.join_full_outer, R.JOIN_FULL_OUTER_SQL),
+    "events_transition_pairs": (
+        EV.events_transition_pairs,
+        EV.EVENTS_TRANSITION_PAIRS_SQL,
+    ),  # banded self-join stressor
     "join_right_outer": (R.join_right_outer, R.JOIN_RIGHT_OUTER_SQL),
     "agg_rollup": (R.agg_rollup, R.AGG_ROLLUP_SQL),
     "agg_cube": (R.agg_cube, R.AGG_CUBE_SQL),

@@ -102,6 +102,25 @@ def test_scalar_against_aggregate_reuses_exchange(spark, sf_dir):
     assert "ReusedExchange" in plan, plan
 
 
+def test_banded_self_join_is_equi_join(spark, sf_dir):
+    """events_transition_pairs must plan its time-banded self-join as an
+    EQUI join on (user_id, bin) — never a nested-loop/cartesian over
+    per-user history; the band predicate only filters bin-local pairs."""
+    from cdc_local_data_pipeline_docker_spark.operators import (
+        events_analytics as EV,
+    )
+
+    plan = A.formatted_plan(EV.events_transition_pairs(spark, sf_dir))
+    assert A.count(plan, "BroadcastNestedLoopJoin") == 0, plan
+    assert A.count(plan, "CartesianProduct") == 0, plan
+    assert (
+        A.count(plan, "SortMergeJoin")
+        + A.count(plan, "ShuffledHashJoin")
+        + A.count(plan, "BroadcastHashJoin")
+        >= 1
+    ), plan
+
+
 def test_aqe_splits_skewed_join(spark):
     """AQE's runtime skew-join handling actually fires: a synthetic join
     where ~90% of the left rows share one hot key must show skew=true on

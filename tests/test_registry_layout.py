@@ -37,6 +37,7 @@ MUST_BE_GRADED = {
 #: past-window entry -> its graded sibling (same operator family).
 COVERED_BY = {
     "events_funnel": "events_tumbling_agg",
+    "events_transition_pairs": "join_range",
     "events_sliding_agg": "events_tumbling_agg",
     "events_retention_cohorts": "events_tumbling_agg",
     "filter_predicates": "filter_pack",
