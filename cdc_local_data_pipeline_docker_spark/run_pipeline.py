@@ -45,6 +45,10 @@ def main(argv: list[str] | None = None) -> int:
                     help="tables ingested concurrently (Spark schedules "
                          "the jobs FAIR across driver threads; per-table "
                          "offset state is independent so runs don't race)")
+    ap.add_argument("--multi-topic", action="store_true",
+                    help="ingest every table-topic through ONE streaming "
+                         "query with a single checkpoint (subscribePattern "
+                         "analogue; replaces per-table offset state)")
     args = ap.parse_args(argv)
 
     tables = [t.strip() for t in args.tables.split(",") if t.strip()]
@@ -61,6 +65,28 @@ def main(argv: list[str] | None = None) -> int:
 
     spark = get_spark(app_name="cdc-run-pipeline")
     spark.sparkContext.setLogLevel("ERROR")
+
+    if args.multi_topic:
+        from .streaming.ingest_stream import start_multi_topic_ingest
+
+        start_multi_topic_ingest(
+            spark, events_dir, args.out_dir, tables=tuple(tables)
+        )
+        report = []
+        for table in tables:
+            m = {
+                "table": table,
+                "live_rows": materialize_latest(
+                    spark, args.out_dir, table
+                ).count(),
+            }
+            if args.asof_offset is not None:
+                m["live_rows_asof"] = materialize_latest(
+                    spark, args.out_dir, table, asof_offset=args.asof_offset
+                ).count()
+            report.append(m)
+        print(json.dumps({"tables": report, "mode": "multi_topic"}))
+        return 0
 
     def run_one(table: str) -> dict:
         metrics = ingest_table(

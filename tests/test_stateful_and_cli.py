@@ -94,6 +94,44 @@ def test_run_pipeline_cli_end_to_end(tmp_path):
         assert t["live_rows"] == by_table[t["table"]]["live_rows"]
 
 
+def test_run_pipeline_cli_multi_topic(tmp_path):
+    """--multi-topic drains all tables through ONE streaming query with a
+    single checkpoint; live-row counts match the per-table batch mode and
+    a rerun is a checkpointed no-op (counts unchanged)."""
+    import os
+
+    out_batch = str(tmp_path / "wh_batch")
+    out_multi = str(tmp_path / "wh_multi")
+    env = {"PATH": "/usr/bin:/bin", "HOME": "/root",
+           "JAVA_HOME": __import__("os").environ.get("JAVA_HOME", ""),
+           "SPARK_GRAFT_CPUS": "8"}
+    base = [
+        sys.executable, "-m",
+        "cdc_local_data_pipeline_docker_spark.run_pipeline",
+        "--tables", "orders,customers",
+    ]
+    rb = subprocess.run(base + ["--out-dir", out_batch],
+                        capture_output=True, text=True, env=env, timeout=300)
+    assert rb.returncode == 0, rb.stderr[-2000:]
+    rm = subprocess.run(base + ["--out-dir", out_multi, "--multi-topic"],
+                        capture_output=True, text=True, env=env, timeout=300)
+    assert rm.returncode == 0, rm.stderr[-2000:]
+
+    def live(stdout):
+        rep = json.loads(stdout.strip().splitlines()[-1])
+        return sorted((t["table"], t["live_rows"]) for t in rep["tables"])
+
+    assert live(rb.stdout) == live(rm.stdout)
+    # one checkpoint for the whole fan-out, and NO per-table offset files
+    assert os.listdir(os.path.join(out_multi, "_checkpoints")) == ["_all_topics"]
+    assert not os.path.exists(os.path.join(out_multi, "_cdc_state"))
+
+    rm2 = subprocess.run(base + ["--out-dir", out_multi, "--multi-topic"],
+                         capture_output=True, text=True, env=env, timeout=300)
+    assert rm2.returncode == 0, rm2.stderr[-2000:]
+    assert live(rm2.stdout) == live(rm.stdout)
+
+
 def test_run_pipeline_cli_parallel_tables(tmp_path):
     """--parallel N ingests tables on concurrent driver threads (the
     multi-topic analogue of Kafka consumer-group parallelism). Per-table
