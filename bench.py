@@ -49,11 +49,20 @@ OPTIONAL = [
     "corpus_pack_sequences",
     "events_transition_pairs",
 ]
+#: Benched-name -> registry-name indirection. The graded registry entry
+#: `dedup_minhash_lsh` became the recall-contract audit (exact twin +
+#: booleans) in round 4; the bench's frozen workload is the DETECTOR
+#: itself, which now lives at `dedup_minhash_lsh_pairs` — keep timing it
+#: under the historical key so the round-over-round series stays
+#: apples-to-apples.
+ALIASES = {"dedup_minhash_lsh": "dedup_minhash_lsh_pairs"}
 
 
 def main() -> None:
     queries = registry.queries()
-    names = HEADLINE + [n for n in OPTIONAL if n in queries]
+    names = HEADLINE + [
+        n for n in OPTIONAL if ALIASES.get(n, n) in queries
+    ]
 
     # Local testdata tables are single small files: split scans finer than
     # the 128 MB cluster default so all cores participate.
@@ -73,7 +82,7 @@ def main() -> None:
     # stability for the recorded number).
     timings: dict[str, float] = {}
     for name in names:
-        fn = queries[name]
+        fn = queries[ALIASES.get(name, name)]
         best = float("inf")
         for _ in range(3):
             t0 = time.perf_counter()

@@ -43,10 +43,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one testdata table. Plain parquet scan → Catalyst gets pushdown,
     pruning, and the vectorized reader for free.
 
-    `events.ts` is written as parquet TIMESTAMP(NANOS), which Spark's reader
-    rejects natively; it is read as raw int64 (`nanosAsLong`) and truncated
-    to microseconds — exactly what DuckDB's µs-precision TIMESTAMP does, so
-    oracle comparisons agree.
+    `events.ts` has shipped in two parquet encodings across testdata
+    generations: TIMESTAMP(NANOS) — which Spark's reader rejects natively,
+    so it is read as raw int64 (`nanosAsLong`) and truncated to
+    microseconds, exactly what DuckDB's µs-precision TIMESTAMP does — and
+    plain TIMESTAMP(MICROS), which reads directly as timestamp_ntz. The
+    branch below dispatches on the resolved type so both generations load
+    to the identical (timestamp_ntz, µs) column the oracles compare.
 
     The engine pins the session timezone to UTC: parquet NTZ timestamps are
     interpreted on the naive/UTC timeline everywhere (epoch conversions,
@@ -57,10 +60,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         from pyspark.sql import functions as F
+        from pyspark.sql.types import LongType
 
-        return spark.read.parquet(f"{sf_dir}/{name}.parquet").withColumn(
-            "ts", F.expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)")
-        )
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        if isinstance(df.schema["ts"].dataType, LongType):  # nanos-as-long
+            df = df.withColumn(
+                "ts", F.expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)")
+            )
+        return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

@@ -139,6 +139,10 @@ WITH codes AS (
     SELECT doc_id, unnest(string_split(text, '')) AS ch
     FROM documents
   )
+  -- string_split('', '') yields [''] (one element), which would grade an
+  -- empty doc as n_bytes=1; dropping empty chars routes empty docs through
+  -- the COALESCE/LEFT JOIN zero branch exactly like Spark's a.size == 0.
+  WHERE ch <> ''
 ),
 stats AS (
   SELECT doc_id,

@@ -269,8 +269,14 @@ def events_transition_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.col("ts"),
         "event_type",
+        # Floor division, not `div`: `div` truncates toward zero, so for
+        # pre-1970 timestamps (negative unix_micros) the bin at zero would
+        # span two widths and adjacent-bin coverage of the band would drop
+        # pairs. pmod-based flooring stays integer-exact for any domain.
         F.expr(
-            f"unix_micros(cast(ts as timestamp)) div {TRANSITION_BAND_S * 1_000_000}"
+            "(unix_micros(cast(ts as timestamp))"
+            f" - pmod(unix_micros(cast(ts as timestamp)), {TRANSITION_BAND_S * 1_000_000}))"
+            f" div {TRANSITION_BAND_S * 1_000_000}"
         ).alias("bin"),
     )
     probe = e.select(

@@ -17,18 +17,31 @@ once per plan (see q11_important_parts / q15_top_supplier).
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame
 
+_lock = threading.RLock()
 _live: list[DataFrame] = []
 _owner: str | None = None
 
 
 def scoped_persist(df: DataFrame) -> DataFrame:
     """persist() the frame and register it for release when a DIFFERENT
-    registry query is next built."""
-    df = df.persist()
-    _live.append(df)
-    return df
+    registry query is next built.
+
+    Registrations are deduplicated by plan semantics: repeated builds of
+    the same query produce fresh DataFrame objects over one canonicalized
+    plan, and Spark's CacheManager keys the cache on that plan — so one
+    registration (and one eventual unpersist) covers all of them, and
+    ``_live`` stays bounded across bench's min-of-N reps (ADVICE r3)."""
+    with _lock:
+        for other in _live:
+            if df is other or df.sameSemantics(other):
+                return df.persist()
+        df = df.persist()
+        _live.append(df)
+        return df
 
 
 def release_previous(owner: str | None = None) -> None:
@@ -43,8 +56,18 @@ def release_previous(owner: str | None = None) -> None:
     caches are ever live. Unpersisting already-consumed caches is a
     correctness no-op — it only drops cached partitions."""
     global _owner
-    if owner is not None and owner == _owner:
-        return
-    _owner = owner
-    while _live:
-        _live.pop().unpersist()
+    with _lock:
+        if owner is not None and owner == _owner:
+            return
+        _owner = owner
+        while _live:
+            _live.pop().unpersist()
+
+
+def release() -> None:
+    """Drain every scoped persist unconditionally. For callers that invoke
+    query functions OUTSIDE the registry wrapper (pytest, library use,
+    run_pipeline paths) — they never trigger the next-query release, so
+    they call this (or a fixture/atexit does) to avoid session-lifetime
+    cache accumulation (ADVICE r3)."""
+    release_previous(None)

@@ -149,7 +149,15 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # LLM-ops: dedup
     "dedup_exact": (DD.dedup_exact, DD.DEDUP_EXACT_SQL),
     "dedup_ngram_jaccard": (DD.dedup_ngram_jaccard, DD.DEDUP_NGRAM_JACCARD_SQL),
-    "dedup_minhash_lsh": (DD.dedup_minhash_lsh, None),  # hash family not in oracle
+    # graded form = recall-contract audit (VERDICT r3 #1): the hash family
+    # itself is not oracle-expressible, so the graded row emits the exact
+    # n-gram-Jaccard pair set (oracle-computable) plus precision/recall
+    # booleans the LSH detector must satisfy — same pattern as agg_approx.
+    # The raw detector stays registered as dedup_minhash_lsh_pairs (51+).
+    "dedup_minhash_lsh": (
+        DD.dedup_minhash_lsh_contract,
+        DD.DEDUP_MINHASH_LSH_CONTRACT_SQL,
+    ),
     # pair graph -> duplicate clusters (connected components, exact
     # recursive-CTE oracle) — the step that turns pair detectors into
     # an actual corpus dedup
@@ -271,7 +279,12 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         CDC.cdc_state_asof_offset,
         CDC.CDC_STATE_ASOF_OFFSET_SQL,
     ),
+    "dedup_minhash_lsh_pairs": (DD.dedup_minhash_lsh, None),  # raw detector
     "dedup_simhash": (DD.dedup_simhash, None),  # hash family not in oracle
+    "dedup_simhash_contract": (
+        DD.dedup_simhash_contract,
+        DD.DEDUP_SIMHASH_CONTRACT_SQL,
+    ),
     "dedup_embedding_cosine": (
         DD.dedup_embedding_cosine,
         DD.DEDUP_EMBEDDING_COSINE_SQL,

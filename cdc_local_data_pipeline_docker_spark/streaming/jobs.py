@@ -39,28 +39,44 @@ SESSION_GAP = "30 minutes"
 
 
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """File-source readStream over the events table (nanos → µs, same
-    recovery as the batch catalog loader).
+    """File-source readStream over the events table, normalized to the same
+    (µs, UTC wall-clock) `ts` the batch catalog loader produces.
+
+    The testdata's parquet encoding of `ts` differs across generations —
+    TIMESTAMP(NANOS) (unreadable natively; loaded as int64 nanos) vs plain
+    TIMESTAMP(MICROS). File streams take a user schema, so the branch is
+    decided by ONE batch footer probe via the catalog loader, then the
+    stream reads with the matching schema.
 
     The file stream source wants a directory; the testdata table is a bare
     file, so it is exposed through a per-sf symlink directory."""
+    from pyspark.sql.types import LongType
+
+    from ..catalog import load_table
+
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ts_is_long = isinstance(
+        load_table(spark, sf_dir, "events").schema["ts"].dataType, LongType
+    )
     link_dir = f"/tmp/spark_graft_stream_src{sf_dir.replace('/', '_')}"
     os.makedirs(link_dir, exist_ok=True)
     link = os.path.join(link_dir, "events.parquet")
     if not os.path.exists(link):
         os.symlink(os.path.abspath(f"{sf_dir}/events.parquet"), link)
+    # Watermarks require the tz-aware TIMESTAMP type; session tz is pinned
+    # UTC above, so wall-clock values equal the ntz/naive interpretation.
+    ts_ddl = "ts LONG" if ts_is_long else "ts TIMESTAMP"
     raw = (
         spark.readStream.schema(
-            "event_id LONG, ts LONG, user_id LONG, event_type STRING, "
+            f"event_id LONG, {ts_ddl}, user_id LONG, event_type STRING, "
             "value DOUBLE, props STRING"
         )
         .parquet(link_dir)
     )
-    # Watermarks require the tz-aware TIMESTAMP type; session tz is pinned
-    # UTC above, so wall-clock values equal the ntz/naive interpretation.
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if ts_is_long:
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw
 
 
 def _drain(stream_df: DataFrame, mode: str) -> DataFrame:

@@ -9,6 +9,7 @@ import pytest
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from cdc_local_data_pipeline_docker_spark.plans import cache_scope  # noqa: E402
 from cdc_local_data_pipeline_docker_spark.session import get_spark  # noqa: E402
 
 SF_SMOKE = "/root/testdata/sf0.001"
@@ -25,3 +26,13 @@ def spark():
 @pytest.fixture(scope="session")
 def sf_dir() -> str:
     return SF_ORACLE
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _drain_scoped_caches():
+    """Tests call query functions directly (not via the registry wrapper),
+    so scoped persists would otherwise accumulate for the whole session —
+    the leak cache_scope was built to stop (ADVICE r3). Per-module drain
+    keeps caches warm within a module's related tests but bounds them."""
+    yield
+    cache_scope.release()

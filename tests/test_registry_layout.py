@@ -86,7 +86,9 @@ COVERED_BY = {
     "corpus_mixture_plan": "corpus_lang_profile",
     "corpus_mixture_sample": "corpus_lang_profile",
     "cdc_state_asof_offset": "cdc_latest_state_orders",
+    "dedup_minhash_lsh_pairs": "dedup_minhash_lsh",
     "dedup_simhash": "dedup_minhash_lsh",
+    "dedup_simhash_contract": "dedup_minhash_lsh",
     "dedup_embedding_cosine": "ann_cosine_topk",
     "dedup_embedding_lsh": "ann_cosine_topk",
     "ann_lsh_topk": "ann_cosine_topk",
