@@ -701,3 +701,50 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b")
         .orderBy("id_a", "id_b")
     )
+
+
+def dedup_embedding_lsh_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall-contract audit of the hyperplane-LSH embedding dedup (graded
+    form — the hyperplane family is not oracle-expressible, the contract
+    is; same shape as dedup_minhash_lsh_contract). Output = the exact
+    brute-force cosine pair set (the DuckDB oracle computes the same rows
+    with list_cosine_similarity) plus two booleans the oracle pins TRUE:
+
+      * ``lsh_precision_ok`` — every LSH pair is in the exact set (holds
+        by construction: the verify step IS the exact cosine threshold).
+      * ``lsh_recall_ok`` — LSH recovered ≥ 60% of the exact pairs
+        (measured floors 0.848/0.864/0.847 at sf0.001/0.01/0.1 with the
+        deterministic seeded hyperplanes)."""
+    exact = dedup_embedding_cosine(spark, sf_dir)
+    lsh = dedup_embedding_lsh(spark, sf_dir)
+    n_exact = exact.agg(F.count(F.lit(1)).alias("n_exact"))
+    n_lsh = lsh.agg(F.count(F.lit(1)).alias("n_lsh"))
+    n_escaped = lsh.join(exact, ["id_a", "id_b"], "left_anti").agg(
+        F.count(F.lit(1)).alias("n_escaped")
+    )
+    flags = (
+        n_exact.crossJoin(n_lsh)
+        .crossJoin(n_escaped)
+        .select(
+            (F.col("n_escaped") == 0).alias("lsh_precision_ok"),
+            (
+                (F.col("n_lsh") - F.col("n_escaped"))
+                >= F.lit(EMBEDDING_LSH_RECALL_BOUND) * F.col("n_exact")
+            ).alias("lsh_recall_ok"),
+        )
+    )
+    return (
+        exact.crossJoin(F.broadcast(flags))
+        .select("id_a", "id_b", "lsh_precision_ok", "lsh_recall_ok")
+        .orderBy("id_a", "id_b")
+    )
+
+
+DEDUP_EMBEDDING_LSH_CONTRACT_SQL = f"""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       TRUE AS lsh_precision_ok, TRUE AS lsh_recall_ok
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+      >= {COSINE_DUP_THRESHOLD}
+ORDER BY id_a, id_b
+"""

@@ -293,6 +293,79 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Contract-oracle recall bounds for the approximate ANN variants
+#: (same pattern as dedup.MINHASH_RECALL_BOUND): measured floors across
+#: sf0.001/0.01/0.1 with the deterministic seeded hyperplanes/centroids —
+#: LSH 0.74/0.74/0.83, IVF 0.83/0.83/0.56 — so the booleans below are
+#: deterministically true at every test sf.
+ANN_LSH_RECALL_BOUND = 0.6
+ANN_IVF_RECALL_BOUND = 0.5
+
+
+def _ann_recall_contract(
+    exact: DataFrame, approx: DataFrame, bound: float, flag_name: str
+) -> DataFrame:
+    """Exact top-k rows + one engine-computed recall boolean the DuckDB
+    oracle pins to TRUE. Recall = |approx ∩ exact| / |exact| over
+    (query_id, neighbor_id) pairs — rank disagreements don't count
+    against the detector, missing neighbors do."""
+    hits = approx.select("query_id", "neighbor_id").join(
+        exact.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"]
+    )
+    n_exact = exact.agg(F.count(F.lit(1)).alias("n_exact"))
+    n_hits = hits.agg(F.count(F.lit(1)).alias("n_hits"))
+    flags = n_exact.crossJoin(n_hits).select(
+        (F.col("n_hits") >= F.lit(bound) * F.col("n_exact")).alias(flag_name)
+    )
+    return (
+        exact.crossJoin(F.broadcast(flags))
+        .select("query_id", "rank", "neighbor_id", flag_name)
+        .orderBy("query_id", "rank")
+    )
+
+
+def ann_lsh_topk_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall-contract audit of the hyperplane-LSH ANN path (graded form:
+    the bucket family is not oracle-expressible, the contract is). Output
+    = the exact brute-force top-k plus ``lsh_recall_ok``; the oracle
+    recomputes the exact top-k in SQL and pins the boolean TRUE. At scale
+    this audit runs on a sampled query set; the detector never pays the
+    brute-force cost."""
+    exact = ann_cosine_topk(spark, sf_dir)
+    approx = ann_lsh_topk(spark, sf_dir)
+    return _ann_recall_contract(exact, approx, ANN_LSH_RECALL_BOUND, "lsh_recall_ok")
+
+
+def ann_ivf_topk_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall-contract audit of the IVF ANN path (see ann_lsh_topk_contract;
+    bound 0.5 — nprobe=4 of 16 cells trades recall for a 4x candidate cut,
+    measured floor 0.56 at sf0.1)."""
+    exact = ann_cosine_topk(spark, sf_dir)
+    approx = ann_ivf_topk(spark, sf_dir)
+    return _ann_recall_contract(exact, approx, ANN_IVF_RECALL_BOUND, "ivf_recall_ok")
+
+
+ANN_LSH_TOPK_CONTRACT_SQL = f"""
+SELECT query_id, rank, neighbor_id, TRUE AS lsh_recall_ok
+FROM (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY a.vec_id
+           ORDER BY list_cosine_similarity(a.embedding::DOUBLE[],
+                                           b.embedding::DOUBLE[]) DESC,
+                    b.vec_id ASC) AS rank
+  FROM embeddings a JOIN embeddings b ON a.vec_id != b.vec_id
+  WHERE a.vec_id < {ANN_N_QUERIES}
+)
+WHERE rank <= {ANN_TOP_K}
+ORDER BY query_id, rank
+"""
+
+ANN_IVF_TOPK_CONTRACT_SQL = ANN_LSH_TOPK_CONTRACT_SQL.replace(
+    "lsh_recall_ok", "ivf_recall_ok"
+)
+
+
 def knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-NN majority-vote label prediction for the query vectors — the
     classic downstream consumer of the ANN result: top-5 neighbors' labels,

@@ -256,6 +256,10 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         SK.SKETCH_TDIGEST_QUANTILES_SQL,
     ),  # rank-contract oracle
     "dedup_minhash_incremental": (INC.dedup_minhash_incremental, None),  # hash family
+    "dedup_minhash_incremental_contract": (
+        INC.dedup_minhash_incremental_contract,
+        INC.DEDUP_MINHASH_INCREMENTAL_CONTRACT_SQL,
+    ),
     "dedup_canonical_corpus": (
         CL.dedup_canonical_corpus,
         CL.DEDUP_CANONICAL_CORPUS_SQL,
@@ -290,8 +294,20 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         DD.DEDUP_EMBEDDING_COSINE_SQL,
     ),
     "dedup_embedding_lsh": (DD.dedup_embedding_lsh, None),  # hyperplane family
+    "dedup_embedding_lsh_contract": (
+        DD.dedup_embedding_lsh_contract,
+        DD.DEDUP_EMBEDDING_LSH_CONTRACT_SQL,
+    ),
     "ann_lsh_topk": (SIM.ann_lsh_topk, None),  # approximate by construction
+    "ann_lsh_topk_contract": (
+        SIM.ann_lsh_topk_contract,
+        SIM.ANN_LSH_TOPK_CONTRACT_SQL,
+    ),
     "ann_ivf_topk": (SIM.ann_ivf_topk, None),  # approximate by construction
+    "ann_ivf_topk_contract": (
+        SIM.ann_ivf_topk_contract,
+        SIM.ANN_IVF_TOPK_CONTRACT_SQL,
+    ),
     "text_token_stats": (TX.text_token_stats, TX.TEXT_TOKEN_STATS_SQL),
     "text_lang_id": (TX.text_lang_id, TX.TEXT_LANG_ID_SQL),
     "text_quality_score": (TX.text_quality_score, TX.TEXT_QUALITY_SCORE_SQL),

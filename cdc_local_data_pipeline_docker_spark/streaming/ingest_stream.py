@@ -34,14 +34,30 @@ def start_ingest_stream(
     event_dir: str,
     table: str,
     out_dir: str,
+    use_custom_source: bool = False,
 ):
     """Drain all available change events for `table` into the changelog
     parquet sink, exactly-once via the checkpoint. Returns the terminated
-    StreamingQuery (AvailableNow stops itself)."""
-    env = (
-        spark.readStream.schema(P.ENVELOPE_DDL)
-        .json(os.path.join(event_dir, f"{table}*.jsonl"))
-    )
+    StreamingQuery (AvailableNow stops itself).
+
+    ``use_custom_source=True`` swaps the generic json file stream for the
+    registered ``cdc_events`` Python Data Source (sources/pydatasource) —
+    same envelope schema, per-file partitions, offset-dict checkpointing —
+    proving the custom source is a drop-in for the whole ingest chain."""
+    if use_custom_source:
+        from ..sources import pydatasource as PDS
+
+        PDS.register(spark)
+        env = (
+            spark.readStream.format("cdc_events")
+            .option("path", os.path.join(event_dir, f"{table}.jsonl"))
+            .load()
+        )
+    else:
+        env = (
+            spark.readStream.schema(P.ENVELOPE_DDL)
+            .json(os.path.join(event_dir, f"{table}*.jsonl"))
+        )
     flat = P.project_changelog(P.parse_events(env, table), table)
     q = (
         flat.writeStream.format("parquet")

@@ -77,6 +77,7 @@ COVERED_BY = {
     "sketch_cms_token_freq": "agg_approx",
     "sketch_tdigest_quantiles": "agg_approx",
     "dedup_minhash_incremental": "dedup_minhash_lsh",
+    "dedup_minhash_incremental_contract": "dedup_minhash_lsh",
     "dedup_canonical_corpus": "dedup_clusters",
     "knn_label_vote": "ann_cosine_topk",
     "stream_stream_join": "stream_tumbling_agg",
@@ -91,8 +92,11 @@ COVERED_BY = {
     "dedup_simhash_contract": "dedup_minhash_lsh",
     "dedup_embedding_cosine": "ann_cosine_topk",
     "dedup_embedding_lsh": "ann_cosine_topk",
+    "dedup_embedding_lsh_contract": "ann_cosine_topk",
     "ann_lsh_topk": "ann_cosine_topk",
+    "ann_lsh_topk_contract": "ann_cosine_topk",
     "ann_ivf_topk": "ann_cosine_topk",
+    "ann_ivf_topk_contract": "ann_cosine_topk",
     "text_token_stats": "text_profile",
     "text_lang_id": "text_profile",
     "text_quality_score": "text_profile",

@@ -159,6 +159,97 @@ def test_python_datasource_cdc_events(spark, tmp_path):
     assert all_topics.rdd.getNumPartitions() == 4
 
 
+def test_python_datasource_streaming_drain_and_resume(spark, tmp_path):
+    """cdc_events streamReader (Spark 4 Data Source streaming API): an
+    AvailableNow drain equals the batch read; a second drain over the SAME
+    checkpoint after the log grew reads ONLY the appended lines (the
+    per-file line-offset dict is the resume state, like Kafka offsets)."""
+    import json as _json
+
+    from cdc_local_data_pipeline_docker_spark.cdc import fixtures as FX
+    from cdc_local_data_pipeline_docker_spark.sources import pydatasource as PDS
+
+    d = str(tmp_path / "events")
+    FX.write_fixtures(d)
+    PDS.register(spark)
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+
+    def drain():
+        q = (
+            spark.readStream.format("cdc_events")
+            .option("path", f"{d}/orders.jsonl")
+            .load()
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain()
+    batch = spark.read.format("cdc_events").option("path", f"{d}/orders.jsonl").load()
+    first = spark.read.parquet(sink)
+    assert {(r.offset, r.key) for r in first.collect()} == {
+        (r.offset, r.key) for r in batch.collect()
+    }
+
+    # the log grows by two records; the resumed drain must pick up exactly
+    # those (no re-read of history, no loss)
+    n0 = first.count()
+    top = max(r.offset for r in batch.collect())
+    with open(f"{d}/orders.jsonl", "a") as f:
+        for i in (1, 2):
+            f.write(
+                _json.dumps(
+                    {
+                        "key": f'{{"order_id": {9000 + i}}}',
+                        "value": None,
+                        "topic": "dbserver1.public.orders",
+                        "partition": 0,
+                        "offset": top + i,
+                        "timestamp": 1700000000000 + i,
+                    }
+                )
+                + "\n"
+            )
+    drain()
+    after = spark.read.parquet(sink)
+    assert after.count() == n0 + 2
+    new_offs = {r.offset for r in after.collect()} - {
+        r.offset for r in first.collect()
+    }
+    assert new_offs == {top + 1, top + 2}
+
+
+def test_ingest_stream_via_custom_source_matches_json_path(spark, tmp_path):
+    """start_ingest_stream with the cdc_events source produces the exact
+    changelog the generic json file stream produces — the custom source is
+    a drop-in for the reference-parity ingest chain (S1 wire parity as far
+    as the sandbox allows)."""
+    from cdc_local_data_pipeline_docker_spark.cdc import fixtures as FX
+    from cdc_local_data_pipeline_docker_spark.streaming import ingest_stream as IS
+
+    d = str(tmp_path / "events")
+    FX.write_fixtures(d)
+    out_json = str(tmp_path / "out_json")
+    out_ds = str(tmp_path / "out_ds")
+    IS.start_ingest_stream(spark, d, "orders", out_json)
+    IS.start_ingest_stream(spark, d, "orders", out_ds, use_custom_source=True)
+
+    a = spark.read.parquet(f"{out_json}/orders_parquet")
+    b = spark.read.parquet(f"{out_ds}/orders_parquet")
+    assert sorted(a.columns) == sorted(b.columns)
+    from collections import Counter
+
+    cols = sorted(a.columns)
+    ra = Counter(tuple(row[c] for c in cols) for row in a.collect())
+    rb = Counter(tuple(row[c] for c in cols) for row in b.collect())
+    assert ra == rb and sum(ra.values()) > 0
+
+
 def test_text_sources_malformed_policies(spark, tmp_path):
     """Fixed-schema CSV/JSONL reads: PERMISSIVE captures the raw corrupt
     record for replay, DROPMALFORMED drops it, FAILFAST raises."""
