@@ -1,0 +1,71 @@
+"""Incrementally-maintained ingest sketches (streaming/sketch_state.py):
+batch-boundary invariance and the streaming drive."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cdc_local_data_pipeline_docker_spark.cdc import fixtures as FX
+from cdc_local_data_pipeline_docker_spark.cdc import parse as P
+from cdc_local_data_pipeline_docker_spark.streaming.sketch_state import (
+    merge_batch_sketches,
+    read_sketch_summary,
+    start_sketch_stream,
+)
+
+
+def _summary_row(spark, out):
+    return read_sketch_summary(spark, out, "orders").collect()[0]
+
+
+def test_sketch_state_two_batch_replay_equals_oneshot(spark, tmp_path):
+    """Replaying the event log in two chunks yields the SAME exact count
+    and the SAME HLL distinct estimate as one shot (HLL union is a
+    per-register max — chunking cannot move it), and a merged digest whose
+    quantile estimates satisfy the one-shot rank contract."""
+    d = str(tmp_path / "events")
+    FX.write_fixtures(d)
+    env = P.read_event_file(spark, f"{d}/orders.jsonl")
+    mid = env.agg(F.expr("percentile(offset, 0.5)")).collect()[0][0]
+
+    out_inc = str(tmp_path / "inc")
+    merge_batch_sketches(spark, env.filter(F.col("offset") <= mid), "orders", out_inc, 0)
+    merge_batch_sketches(spark, env.filter(F.col("offset") > mid), "orders", out_inc, 1)
+    out_one = str(tmp_path / "one")
+    merge_batch_sketches(spark, env, "orders", out_one, 0)
+
+    inc, one = _summary_row(spark, out_inc), _summary_row(spark, out_one)
+    assert inc["n_rows"] == one["n_rows"] > 0
+    assert inc["approx_distinct_keys"] == one["approx_distinct_keys"]
+
+    # rank contract for the merged digest: each estimate's true rank over
+    # the full value set sits near its requested quantile (granularity on
+    # the small fixture is ~1/n, so the tolerance is 3/n-ish wide)
+    vals = sorted(
+        r["total_amount"]
+        for r in P.project_changelog(P.parse_events(env, "orders"), "orders")
+        .filter(~F.col("is_malformed") & ~F.col("is_tombstone"))
+        .select(F.col("total_amount").cast("double").alias("total_amount"))
+        .collect()
+        if r["total_amount"] is not None
+    )
+    n = len(vals)
+    for q, est in ((0.5, inc["p50"]), (0.9, inc["p90"]), (0.99, inc["p99"])):
+        rank = sum(v <= est for v in vals) / n
+        assert abs(rank - q) <= max(0.05, 3.0 / n), (q, est, rank)
+
+
+def test_sketch_state_streaming_drive_and_idempotent_redrain(spark, tmp_path):
+    """start_sketch_stream drains the log into sketch state; a second
+    drain over the same checkpoint is a no-op (no double counting)."""
+    d = str(tmp_path / "events")
+    FX.write_fixtures(d)
+    out = str(tmp_path / "state")
+    start_sketch_stream(spark, d, "orders", out)
+    first = _summary_row(spark, out)
+    assert first["n_rows"] > 0 and first["approx_distinct_keys"] > 0
+
+    start_sketch_stream(spark, d, "orders", out)
+    again = _summary_row(spark, out)
+    assert again["n_rows"] == first["n_rows"]
+    assert again["approx_distinct_keys"] == first["approx_distinct_keys"]
