@@ -32,6 +32,7 @@ from .functions import pandas_udfs as PU
 from .functions import scalar_pack as FP
 from .llmops import clusters as CL
 from .llmops import curation as CUR
+from .llmops import decontam as DCT
 from .llmops import dedup as DD
 from .llmops import incremental as INC
 from .llmops import mixing as MX
@@ -270,6 +271,16 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "corpus_curation_pipeline": (
         CUR.corpus_curation_pipeline,
         CUR.CORPUS_CURATION_PIPELINE_SQL,
+    ),
+    # eval hygiene: benchmark decontamination + deterministic splits
+    "corpus_decontaminate": (
+        DCT.corpus_decontaminate,
+        DCT.CORPUS_DECONTAMINATE_SQL,
+    ),
+    "corpus_split_assign": (DCT.corpus_split_assign, DCT.CORPUS_SPLIT_ASSIGN_SQL),
+    "corpus_stratified_sample": (
+        DCT.corpus_stratified_sample,
+        DCT.CORPUS_STRATIFIED_SAMPLE_SQL,
     ),
     # sequence packing (two-phase distributed prefix sum vs naive-window
     # oracle) and data-mixture composition

@@ -121,6 +121,28 @@ def test_banded_self_join_is_equi_join(spark, sf_dir):
     ), plan
 
 
+def test_decontaminate_broadcasts_benchmark_side(spark, sf_dir):
+    """Decontamination must broadcast the (small) benchmark shingle set —
+    a SortMergeJoin here would shuffle the full corpus's exploded
+    shingles, the exact cost the broadcast design avoids at 100 TB."""
+    from cdc_local_data_pipeline_docker_spark.llmops import decontam as DCT
+
+    plan = A.formatted_plan(DCT.corpus_decontaminate(spark, sf_dir))
+    assert A.count(plan, "BroadcastHashJoin") >= 1, plan
+    assert A.count(plan, "SortMergeJoin") == 0, plan
+
+
+def test_split_assign_is_map_only(spark, sf_dir):
+    """Split assignment is a pure per-row expression: no joins, no
+    aggregates — the only exchange is the cosmetic final orderBy."""
+    from cdc_local_data_pipeline_docker_spark.llmops import decontam as DCT
+
+    plan = A.formatted_plan(DCT.corpus_split_assign(spark, sf_dir))
+    assert A.count(plan, "Join") == 0, plan
+    assert A.count(plan, "HashAggregate") == 0, plan
+    assert A.count(plan, "Exchange") <= 1, plan
+
+
 def test_aqe_splits_skewed_join(spark):
     """AQE's runtime skew-join handling actually fires: a synthetic join
     where ~90% of the left rows share one hot key must show skew=true on

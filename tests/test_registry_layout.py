@@ -83,6 +83,9 @@ COVERED_BY = {
     "stream_stream_join": "stream_tumbling_agg",
     "stream_static_enrich": "stream_tumbling_agg",
     "corpus_curation_pipeline": "dedup_ngram_jaccard",
+    "corpus_decontaminate": "dedup_ngram_jaccard",
+    "corpus_split_assign": "corpus_lang_profile",
+    "corpus_stratified_sample": "corpus_lang_profile",
     "corpus_pack_sequences": "window_analytics_pack",
     "corpus_mixture_plan": "corpus_lang_profile",
     "corpus_mixture_sample": "corpus_lang_profile",
