@@ -92,3 +92,55 @@ def corpus_mixture_sample(
         .select("doc_id", "source")
         .orderBy("doc_id")
     )
+
+
+def corpus_mixture_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-threshold twin of ``corpus_mixture_sample`` with an EXACT
+    oracle: keep a doc iff its md5 bucket (first hex char of
+    md5('<source>:<doc_id>'), 16 buckets, source-salted so strata are
+    independent) falls under rate×16 — every configured rate (1, .75,
+    .5, .25) is an integer bucket count, so both engines make the
+    identical keep/drop decision per row.
+
+    Same map-only scan-ride as sampleBy, with two extra properties a
+    pipeline wants: reproducible across ENGINES (not just across runs of
+    one engine's RNG), and stable under repartitioning — the kept set is
+    a pure function of (source, doc_id). At 100 TB this is the sampler
+    you can re-run on a different cluster and diff byte-for-byte."""
+    d = load_table(spark, sf_dir, "documents")
+    c = F.ascii(
+        F.substring(
+            F.md5(F.concat(F.col("source"), F.lit(":"), F.col("doc_id").cast("string"))),
+            1,
+            1,
+        )
+    )
+    bucket = F.when(c <= 57, c - 48).otherwise(c - 87)
+    rate = F.coalesce(
+        *[F.when(F.col("source") == s, F.lit(r)) for s, r in MIXTURE_RATES.items()],
+        F.lit(0.0),
+    )
+    return (
+        d.filter(bucket < (rate * 16).cast("int"))
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    )
+
+
+CORPUS_MIXTURE_SAMPLE_HASH_SQL = f"""
+SELECT doc_id, source
+FROM (
+  SELECT doc_id, source,
+         CASE WHEN ascii(substr(md5(source || ':' || CAST(doc_id AS VARCHAR)),
+                               1, 1)) <= 57
+              THEN ascii(substr(md5(source || ':' || CAST(doc_id AS VARCHAR)),
+                               1, 1)) - 48
+              ELSE ascii(substr(md5(source || ':' || CAST(doc_id AS VARCHAR)),
+                               1, 1)) - 87
+         END AS b,
+         CAST(({_RATE_CASE}) * 16 AS INT) AS keep_buckets
+  FROM documents
+)
+WHERE b < keep_buckets
+ORDER BY doc_id
+"""

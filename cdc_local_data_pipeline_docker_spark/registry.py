@@ -290,6 +290,10 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     ),
     "corpus_mixture_plan": (MX.corpus_mixture_plan, MX.CORPUS_MIXTURE_PLAN_SQL),
     "corpus_mixture_sample": (MX.corpus_mixture_sample, None),  # seeded RNG
+    "corpus_mixture_sample_hash": (
+        MX.corpus_mixture_sample_hash,
+        MX.CORPUS_MIXTURE_SAMPLE_HASH_SQL,
+    ),  # engine-portable deterministic twin, exact oracle
     "cdc_state_asof_offset": (
         CDC.cdc_state_asof_offset,
         CDC.CDC_STATE_ASOF_OFFSET_SQL,

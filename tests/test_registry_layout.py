@@ -89,6 +89,7 @@ COVERED_BY = {
     "corpus_pack_sequences": "window_analytics_pack",
     "corpus_mixture_plan": "corpus_lang_profile",
     "corpus_mixture_sample": "corpus_lang_profile",
+    "corpus_mixture_sample_hash": "corpus_lang_profile",
     "cdc_state_asof_offset": "cdc_latest_state_orders",
     "dedup_minhash_lsh_pairs": "dedup_minhash_lsh",
     "dedup_simhash": "dedup_minhash_lsh",
