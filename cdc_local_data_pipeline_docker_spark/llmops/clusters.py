@@ -42,18 +42,78 @@ from ..catalog import load_table
 from .dedup import DEDUP_NGRAM_JACCARD_SQL, dedup_ngram_jaccard
 
 
+#: Adaptive cutoff: a pair graph at or under this many (symmetrized)
+#: edges finishes with driver-side union-find instead of the iterative
+#: distributed loop. Iterative CC is driver-COORDINATED regardless (one
+#: barrier per round); below the cutoff the entire graph costs less to
+#: move than two barriers, so finishing locally removes O(rounds) jobs —
+#: the same runtime-adaptivity argument as AQE's SMJ→BHJ conversion, and
+#: what GraphFrames' CC does below its own size threshold. 200k edges ×
+#: 16 B ≈ 3 MB: bounded driver memory at ANY corpus size, and near-dup
+#: pair graphs are tiny relative to their corpus by construction (pairs
+#: are bounded by near-dup density, not corpus size).
+CC_LOCAL_EDGE_THRESHOLD = 200_000
+
+
+def _local_union_find(edge_rows) -> list[tuple]:
+    """Exact min-label union-find over collected (u, v) rows."""
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for u, v in edge_rows:
+        if u not in parent:
+            parent[u] = u
+        if v not in parent:
+            parent[v] = v
+        ru, rv = find(u), find(v)
+        if ru != rv:  # union by min so the root IS the component min
+            if ru < rv:
+                parent[rv] = ru
+            else:
+                parent[ru] = rv
+    return [(x, find(x)) for x in parent]
+
+
 def connected_components(
-    pairs: DataFrame, src: str = "doc_a", dst: str = "doc_b", max_iter: int = 200
+    pairs: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iter: int = 200,
+    local_threshold: int | None = None,
 ) -> DataFrame:
     """(id, cluster_id) for every node appearing in ``pairs``; cluster_id
     is the component's minimum node id. Raises if propagation hasn't
-    converged within ``max_iter`` rounds (diameter bound exceeded)."""
+    converged within ``max_iter`` rounds (diameter bound exceeded).
+
+    ``local_threshold`` (default CC_LOCAL_EDGE_THRESHOLD; pass 0 to force
+    the distributed loop, as the adversarial-graph tests do) bounds the
+    adaptive driver-side finish for small graphs."""
+    if local_threshold is None:
+        local_threshold = CC_LOCAL_EDGE_THRESHOLD
     e = pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     edges = (
         e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
         .distinct()
         .persist()
     )
+    if local_threshold:
+        # One extra job (the count rides the freshly persisted edges) buys
+        # the O(rounds)-barrier escape whenever the graph is small.
+        head = edges.limit(local_threshold + 1).collect()
+        if len(head) <= local_threshold:
+            edges.unpersist()
+            spark = pairs.sparkSession
+            return spark.createDataFrame(
+                _local_union_find((r["u"], r["v"]) for r in head),
+                "id LONG, cluster_id LONG",
+            )
     # Round 1 folded into initialization: every node appears as `u` in
     # the symmetrized edge set, so min(id, min neighbor) comes from ONE
     # groupBy — no separate identity-label table, one fewer iteration.

@@ -50,6 +50,7 @@ from .operators import sketches as SK
 from .operators import tpch_more as TM
 from .operators import tpch_shapes as TQ
 from .streaming import jobs as SJ
+from .streaming import sketch_state as SKS
 from .streaming import stateful as SST
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -298,6 +299,10 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         CDC.cdc_state_asof_offset,
         CDC.CDC_STATE_ASOF_OFFSET_SQL,
     ),
+    "cdc_ingest_sketch_summary": (
+        SKS.cdc_ingest_sketch_summary,
+        SKS.CDC_INGEST_SKETCH_SUMMARY_SQL,
+    ),  # incremental sketch maintainer, contract oracle
     "dedup_minhash_lsh_pairs": (DD.dedup_minhash_lsh, None),  # raw detector
     "dedup_simhash": (DD.dedup_simhash, None),  # hash family not in oracle
     "dedup_simhash_contract": (

@@ -179,6 +179,93 @@ def start_sketch_stream(
     return q
 
 
+def cdc_ingest_sketch_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry adapter + contract oracle for the incremental sketch
+    maintainer: replay the seeded orders change stream in TWO offset-split
+    batches (exercising the merge path), then emit one row of exact values
+    both engines can compute — live-row count and exact distinct keys —
+    plus booleans the oracle pins TRUE:
+
+      * ``count_matches``    — the maintained exact counter equals the
+                               changelog's true live-row count,
+      * ``hll_within_5pct``  — the merged HLL estimate lands within 5% of
+                               the true distinct-key count (lgK=12 rsd
+                               ≈1.6%; deterministic fixtures),
+      * ``p50_rank_ok``      — the merged digest's median estimate has
+                               true rank within 0.1 of 0.5 over the
+                               total_amount values.
+
+    sf_dir is unused (CDC input is the fixture stream); kept for the
+    uniform queries() signature."""
+    import tempfile
+
+    from ..cdc.queries import ensure_fixtures
+
+    d = ensure_fixtures()
+    env = P.read_event_file(spark, os.path.join(d, "orders.jsonl"))
+    mid = env.agg(F.expr("percentile(offset, 0.5)")).collect()[0][0]
+    out = tempfile.mkdtemp(prefix="cdc_sketch_state_")
+    merge_batch_sketches(spark, env.filter(F.col("offset") <= mid), "orders", out, 0)
+    merge_batch_sketches(spark, env.filter(F.col("offset") > mid), "orders", out, 1)
+    s = read_sketch_summary(spark, out, "orders").collect()[0]
+
+    live = P.project_changelog(P.parse_events(env, "orders"), "orders").filter(
+        ~F.col("is_malformed") & ~F.col("is_tombstone")
+    )
+    ex = live.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct("pk").alias("nd"),
+    ).collect()[0]
+    vals = sorted(
+        float(r["v"])
+        for r in live.select(F.col("total_amount").cast("double").alias("v"))
+        .collect()
+        if r["v"] is not None
+    )
+    rank = sum(v <= s["p50"] for v in vals) / len(vals)
+    return spark.createDataFrame(
+        [
+            (
+                int(ex["n"]),
+                int(ex["nd"]),
+                bool(s["n_rows"] == ex["n"]),
+                bool(abs(s["approx_distinct_keys"] - ex["nd"]) <= 0.05 * ex["nd"]),
+                bool(abs(rank - 0.5) <= 0.1),
+            )
+        ],
+        "n_rows LONG, n_distinct_keys LONG, count_matches BOOLEAN, "
+        "hll_within_5pct BOOLEAN, p50_rank_ok BOOLEAN",
+    )
+
+
+def _sketch_summary_sql() -> str:
+    from ..cdc.queries import FIXTURE_DIR
+
+    return f"""
+WITH env AS (
+  SELECT *,
+         CASE WHEN value IS NOT NULL AND json_valid(value) THEN value END AS v
+  FROM read_json_auto('{FIXTURE_DIR}/orders.jsonl',
+                      format='newline_delimited')
+),
+live AS (
+  SELECT CAST(json_extract_string(key, '$.order_id') AS INT) AS pk
+  FROM env
+  WHERE value IS NOT NULL
+    AND json_extract_string(v, '$.order_id') IS NOT NULL
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       COUNT(DISTINCT pk) AS n_distinct_keys,
+       TRUE AS count_matches,
+       TRUE AS hll_within_5pct,
+       TRUE AS p50_rank_ok
+FROM live
+"""
+
+
+CDC_INGEST_SKETCH_SUMMARY_SQL = _sketch_summary_sql()
+
+
 def read_sketch_summary(
     spark: SparkSession, out_dir: str, table: str
 ) -> DataFrame:

@@ -310,9 +310,12 @@ def test_connected_components_chain_and_merge(spark):
          (31, 30)],
         "doc_a LONG, doc_b LONG",
     )
+    # local_threshold=0 forces the distributed propagation loop; the
+    # default adaptive path (driver union-find under the edge cutoff)
+    # must agree exactly
     got = {
         (r.id, r.cluster_id)
-        for r in connected_components(pairs).collect()
+        for r in connected_components(pairs, local_threshold=0).collect()
     }
     want = (
         {(n, 10) for n in (10, 11, 12, 13, 14)}
@@ -320,6 +323,10 @@ def test_connected_components_chain_and_merge(spark):
         | {(n, 30) for n in (30, 31)}
     )
     assert got == want
+    adaptive = {
+        (r.id, r.cluster_id) for r in connected_components(pairs).collect()
+    }
+    assert adaptive == want
 
 
 def test_star_contraction_matches_hashmin_and_handles_long_chains(spark):
@@ -336,7 +343,8 @@ def test_star_contraction_matches_hashmin_and_handles_long_chains(spark):
     pairs = [(1, 2), (2, 3), (10, 11), (11, 12), (12, 10), (20, 21), (3, 4)]
     pdf = spark.createDataFrame(pairs, ["doc_a", "doc_b"])
     hashmin = {
-        (r.id, r.cluster_id) for r in connected_components(pdf).collect()
+        (r.id, r.cluster_id)
+        for r in connected_components(pdf, local_threshold=0).collect()
     }
     star = {
         (r.id, r.cluster_id) for r in connected_components_star(pdf).collect()
@@ -358,6 +366,7 @@ def test_star_contraction_matches_hashmin_and_handles_long_chains(spark):
             spark.createDataFrame([(i, i + 1) for i in range(30)],
                                   ["doc_a", "doc_b"]),
             max_iter=3,
+            local_threshold=0,
         ).collect()
     }
     assert small_budget == {(i, 0) for i in range(31)}
