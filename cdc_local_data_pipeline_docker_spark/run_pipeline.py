@@ -49,6 +49,10 @@ def main(argv: list[str] | None = None) -> int:
                     help="ingest every table-topic through ONE streaming "
                          "query with a single checkpoint (subscribePattern "
                          "analogue; replaces per-table offset state)")
+    ap.add_argument("--sketch-state", action="store_true",
+                    help="also maintain per-table ingest sketches (HLL "
+                         "distinct keys + t-digest + exact count, folded "
+                         "per micro-batch) and report their summary")
     args = ap.parse_args(argv)
 
     tables = [t.strip() for t in args.tables.split(",") if t.strip()]
@@ -99,6 +103,21 @@ def main(argv: list[str] | None = None) -> int:
             metrics["live_rows_asof"] = materialize_latest(
                 spark, args.out_dir, table, asof_offset=args.asof_offset
             ).count()
+        if args.sketch_state:
+            from .streaming.sketch_state import (
+                read_sketch_summary,
+                start_sketch_stream,
+            )
+
+            start_sketch_stream(spark, events_dir, table, args.out_dir)
+            s = read_sketch_summary(spark, args.out_dir, table).collect()[0]
+            metrics["sketch"] = {
+                "n_rows": s["n_rows"],
+                "approx_distinct_keys": s["approx_distinct_keys"],
+                "p50": s["p50"],
+                "p90": s["p90"],
+                "p99": s["p99"],
+            }
         return metrics
 
     if args.parallel > 1:

@@ -94,6 +94,32 @@ def test_run_pipeline_cli_end_to_end(tmp_path):
         assert t["live_rows"] == by_table[t["table"]]["live_rows"]
 
 
+def test_run_pipeline_cli_sketch_state(tmp_path):
+    """--sketch-state maintains the per-table ingest sketches and reports
+    exact count + HLL distinct + digest quantiles alongside the sync."""
+    out = str(tmp_path / "wh")
+    cmd = [
+        sys.executable, "-m",
+        "cdc_local_data_pipeline_docker_spark.run_pipeline",
+        "--out-dir", out, "--tables", "orders", "--sketch-state",
+    ]
+    env = {"PATH": "/usr/bin:/bin", "HOME": "/root",
+           "JAVA_HOME": __import__("os").environ.get("JAVA_HOME", ""),
+           "SPARK_GRAFT_CPUS": "8",
+           # the digest stage runs applyInPandas — python workers must be
+           # THIS interpreter (the stripped PATH would resolve a bare
+           # python3 without pandas)
+           "PYSPARK_PYTHON": sys.executable}
+    r = subprocess.run(cmd, capture_output=True, text=True, env=env, timeout=300)
+    assert r.returncode == 0, r.stderr[-2000:]
+    rep = json.loads(r.stdout.strip().splitlines()[-1])
+    sk = rep["tables"][0]["sketch"]
+    assert sk["n_rows"] > 0
+    # HLL at lgK=12 on ~40 keys is exact-ish; 5% is the contract bound
+    assert abs(sk["approx_distinct_keys"] - 42) <= 0.05 * 42
+    assert sk["p50"] <= sk["p90"] <= sk["p99"]
+
+
 def test_run_pipeline_cli_multi_topic(tmp_path):
     """--multi-topic drains all tables through ONE streaming query with a
     single checkpoint; live-row counts match the per-table batch mode and
