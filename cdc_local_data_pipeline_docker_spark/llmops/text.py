@@ -473,3 +473,64 @@ FROM selected
 GROUP BY doc_id
 ORDER BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Intra-document repetition (the Gopher/MassiveText-class quality filter).
+# ---------------------------------------------------------------------------
+
+def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc repetition profile: total vs distinct word-3-grams and the
+    duplicate fraction — the standard "repetition filter" signal that
+    catches boilerplate/spam documents whose n-grams repeat internally
+    (heavily-repetitive docs are down-weighted or dropped before
+    training).
+
+    Map-only: the gram list and its distinct count are higher-order array
+    expressions over one scan, no explode, no shuffle except the cosmetic
+    final orderBy. dup_fraction = 1 - distinct/total as an
+    integer-derived single division (bit-identical in the oracle)."""
+    d = load_table(spark, sf_dir, "documents")
+    grams = F.expr(
+        """
+        transform(
+          if(size(split(text, ' ')) < 3,
+             array(),
+             sequence(1, size(split(text, ' ')) - 2)),
+          i -> concat_ws(' ', slice(split(text, ' '), i, 3))
+        )
+        """
+    )
+    return (
+        d.select("doc_id", grams.alias("g"))
+        .select(
+            "doc_id",
+            F.size("g").alias("n_grams"),
+            F.size(F.array_distinct("g")).alias("n_distinct_grams"),
+        )
+        .filter(F.col("n_grams") > 0)
+        .withColumn(
+            "dup_fraction",
+            (F.col("n_grams") - F.col("n_distinct_grams")) / F.col("n_grams"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+TEXT_REPETITION_STATS_SQL = """
+SELECT doc_id,
+       len(grams) AS n_grams,
+       len(list_distinct(grams)) AS n_distinct_grams,
+       CAST(len(grams) - len(list_distinct(grams)) AS DOUBLE) / len(grams)
+         AS dup_fraction
+FROM (
+  SELECT doc_id,
+         list_transform(
+           generate_series(1, greatest(len(string_split(text, ' ')) - 2, 0)),
+           i -> array_to_string(string_split(text, ' ')[i : i + 2], ' ')
+         ) AS grams
+  FROM documents
+)
+WHERE len(grams) > 0
+ORDER BY doc_id
+"""

@@ -332,6 +332,10 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "text_lang_id": (TX.text_lang_id, TX.TEXT_LANG_ID_SQL),
     "text_quality_score": (TX.text_quality_score, TX.TEXT_QUALITY_SCORE_SQL),
     "text_fingerprint": (TX.text_fingerprint, TX.TEXT_FINGERPRINT_SQL),
+    "text_repetition_stats": (
+        TX.text_repetition_stats,
+        TX.TEXT_REPETITION_STATS_SQL,
+    ),  # intra-doc repetition filter (Gopher-style quality signal)
     "text_winnowing": (TX.text_winnowing, TX.TEXT_WINNOWING_SQL),
     "text_pii_redact": (SC.text_pii_redact, SC.TEXT_PII_REDACT_SQL),
     "text_stopword_scrub": (SC.text_stopword_scrub, SC.TEXT_STOPWORD_SCRUB_SQL),

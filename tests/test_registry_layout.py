@@ -106,6 +106,7 @@ COVERED_BY = {
     "text_lang_id": "text_profile",
     "text_quality_score": "text_profile",
     "text_fingerprint": "text_profile",
+    "text_repetition_stats": "text_profile",
     "text_winnowing": "text_profile",
     "text_pii_redact": "text_profile",
     "text_stopword_scrub": "text_profile",
