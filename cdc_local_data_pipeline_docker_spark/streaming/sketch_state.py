@@ -57,9 +57,32 @@ from .upsert import _recover_state
 #: Default numeric column summarized by the running t-digest, per table.
 SKETCH_VALUE_COLS = {"orders": "total_amount"}
 
+#: Count-Min-Sketch geometry for the running per-key update-frequency
+#: sketch (hot-key detection over the CDC stream). eps*N overcount bound;
+#: fixed seed so two-batch replay merges to the IDENTICAL counter arrays
+#: as a one-shot pass (CMS merge is elementwise addition — exact).
+CMS_EPS = 0.001
+CMS_CONFIDENCE = 0.99
+CMS_SEED = 42
+
 _STATE_DDL = (
-    "hll BINARY, means ARRAY<DOUBLE>, weights ARRAY<DOUBLE>, n LONG"
+    "hll BINARY, cms BINARY, means ARRAY<DOUBLE>, weights ARRAY<DOUBLE>, "
+    "n LONG"
 )
+
+
+def _cms_merge(spark: SparkSession, a: bytes, b: bytes) -> bytes:
+    """Merge two serialized CountMinSketch states via the JVM sketch
+    library (classic mode; counter arrays add elementwise — exact). The
+    blobs are ~100 KB: driver-side merge is the right cost model, the
+    same shape as the HLL union and digest merge above."""
+    jvm = spark.sparkContext._jvm
+    CMS = jvm.org.apache.spark.util.sketch.CountMinSketch
+    sk = CMS.readFrom(bytes(a))
+    sk.mergeInPlace(CMS.readFrom(bytes(b)))
+    out = jvm.java.io.ByteArrayOutputStream()
+    sk.writeTo(out)
+    return bytes(out.toByteArray())
 
 
 def sketch_state_path(out_dir: str, table: str) -> str:
@@ -114,6 +137,12 @@ def merge_batch_sketches(
     )
     agg = delta.agg(
         F.hll_sketch_agg("pk", F.lit(HLL_LGK)).alias("hll"),
+        F.count_min_sketch(
+            F.col("pk").cast("string"),
+            F.lit(CMS_EPS),
+            F.lit(CMS_CONFIDENCE),
+            F.lit(CMS_SEED),
+        ).alias("cms"),
         F.count(F.lit(1)).alias("n"),
     ).collect()[0]
     b_means, b_weights = _batch_centroids(delta, value_col)
@@ -130,15 +159,25 @@ def merge_batch_sketches(
         hll = hll_pair.select(
             F.hll_union("a", "b", True).alias("u")
         ).collect()[0]["u"]
+        cms = _cms_merge(spark, s["cms"], agg["cms"])
     else:
-        means, weights, n, hll = b_means, b_weights, agg["n"], agg["hll"]
+        means, weights, n = b_means, b_weights, agg["n"]
+        hll, cms = agg["hll"], agg["cms"]
 
     if means:
         means, weights = _compress_centroids(means, weights, TDIGEST_COMPRESSION)
     means = [float(x) for x in means]  # numpy scalars -> plain doubles
     weights = [float(x) for x in weights]
     state = spark.createDataFrame(
-        [(bytes(hll) if hll is not None else None, means, weights, n)],
+        [
+            (
+                bytes(hll) if hll is not None else None,
+                bytes(cms) if cms is not None else None,
+                means,
+                weights,
+                n,
+            )
+        ],
         _STATE_DDL,
     ).coalesce(1)
 
@@ -264,6 +303,21 @@ FROM live
 
 
 CDC_INGEST_SKETCH_SUMMARY_SQL = _sketch_summary_sql()
+
+
+def probe_key_frequency(
+    spark: SparkSession, out_dir: str, table: str, keys: list[str]
+) -> dict[str, int]:
+    """Estimated update count per key from the maintained CMS — the
+    hot-key monitor: exact_count <= estimate <= exact_count + eps*N with
+    probability >= confidence, over the whole ingest history, answered
+    from ~100 KB of state without rescanning the changelog."""
+    s = spark.read.parquet(sketch_state_path(out_dir, table)).collect()[0]
+    jvm = spark.sparkContext._jvm
+    sk = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        bytes(s["cms"])
+    )
+    return {k: int(sk.estimateCount(k)) for k in keys}
 
 
 def read_sketch_summary(

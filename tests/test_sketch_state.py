@@ -9,6 +9,7 @@ from cdc_local_data_pipeline_docker_spark.cdc import fixtures as FX
 from cdc_local_data_pipeline_docker_spark.cdc import parse as P
 from cdc_local_data_pipeline_docker_spark.streaming.sketch_state import (
     merge_batch_sketches,
+    probe_key_frequency,
     read_sketch_summary,
     start_sketch_stream,
 )
@@ -53,6 +54,28 @@ def test_sketch_state_two_batch_replay_equals_oneshot(spark, tmp_path):
     for q, est in ((0.5, inc["p50"]), (0.9, inc["p90"]), (0.99, inc["p99"])):
         rank = sum(v <= est for v in vals) / n
         assert abs(rank - q) <= max(0.05, 3.0 / n), (q, est, rank)
+
+    # CMS hot-key counts: merge is elementwise counter addition, so the
+    # two-batch replay must give IDENTICAL estimates to one-shot, and
+    # every estimate must satisfy exact <= est <= exact + eps*N
+    exact = {}
+    for r in (
+        P.project_changelog(P.parse_events(env, "orders"), "orders")
+        .filter(F.expr("NOT is_malformed AND NOT is_tombstone"))
+        .groupBy(F.col("pk").cast("string").alias("k"))
+        .count()
+        .collect()
+    ):
+        exact[r["k"]] = r["count"]
+    keys = sorted(exact)
+    est_inc = probe_key_frequency(spark, out_inc, "orders", keys)
+    est_one = probe_key_frequency(spark, out_one, "orders", keys)
+    assert est_inc == est_one
+    n_total = sum(exact.values())
+    for k in keys:
+        assert exact[k] <= est_inc[k] <= exact[k] + 0.001 * n_total + 1, (
+            k, exact[k], est_inc[k],
+        )
 
 
 def test_sketch_state_streaming_drive_and_idempotent_redrain(spark, tmp_path):
