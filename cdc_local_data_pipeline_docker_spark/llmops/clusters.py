@@ -110,9 +110,21 @@ def connected_components(
         if len(head) <= local_threshold:
             edges.unpersist()
             spark = pairs.sparkSession
+            # Output schema derives from the edge column's type so the
+            # local finish accepts the same node ids (string doc keys,
+            # ints, …) as the distributed loop — behavior must not
+            # depend on graph size (ADVICE r4).
+            from pyspark.sql.types import StructField, StructType
+
+            node_t = edges.schema["u"].dataType
             return spark.createDataFrame(
                 _local_union_find((r["u"], r["v"]) for r in head),
-                "id LONG, cluster_id LONG",
+                StructType(
+                    [
+                        StructField("id", node_t),
+                        StructField("cluster_id", node_t),
+                    ]
+                ),
             )
     # Round 1 folded into initialization: every node appears as `u` in
     # the symmetrized edge set, so min(id, min neighbor) comes from ONE

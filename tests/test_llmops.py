@@ -329,6 +329,34 @@ def test_connected_components_chain_and_merge(spark):
     assert adaptive == want
 
 
+def test_connected_components_string_ids_both_paths(spark):
+    """connected_components is a generic (src, dst) API: string node ids
+    (e.g. document keys) must work on BOTH the default driver-side local
+    finish and the distributed loop with identical results — the output
+    schema derives from the edge column type, behavior must not depend on
+    graph size (ADVICE r4)."""
+    from cdc_local_data_pipeline_docker_spark.llmops.clusters import (
+        connected_components,
+    )
+
+    pairs = spark.createDataFrame(
+        [("doc-b", "doc-a"), ("doc-b", "doc-c"), ("doc-x", "doc-y")],
+        "doc_a STRING, doc_b STRING",
+    )
+    want = {
+        ("doc-a", "doc-a"), ("doc-b", "doc-a"), ("doc-c", "doc-a"),
+        ("doc-x", "doc-x"), ("doc-y", "doc-x"),
+    }
+    local = connected_components(pairs)
+    assert dict(local.dtypes) == {"id": "string", "cluster_id": "string"}
+    assert {(r.id, r.cluster_id) for r in local.collect()} == want
+    dist = {
+        (r.id, r.cluster_id)
+        for r in connected_components(pairs, local_threshold=0).collect()
+    }
+    assert dist == want
+
+
 def test_star_contraction_matches_hashmin_and_handles_long_chains(spark):
     """Large-star/small-star must produce identical clusters to hash-min
     propagation on a mixed graph, converge on a 300-node chain in O(log n)

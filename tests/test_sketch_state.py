@@ -78,6 +78,55 @@ def test_sketch_state_two_batch_replay_equals_oneshot(spark, tmp_path):
         )
 
 
+def test_sketch_state_replayed_batch_is_noop(spark, tmp_path):
+    """A replayed micro-batch (crash between the state swap and the
+    streaming commit-log write) must NOT double-count: the state stores
+    the last-applied batch_id and skips batch_id <= last (ADVICE r4,
+    medium). Additive components (exact n, CMS counters, digest) are the
+    ones at risk — HLL alone would mask the bug."""
+    d = str(tmp_path / "events")
+    FX.write_fixtures(d)
+    env = P.read_event_file(spark, f"{d}/orders.jsonl")
+    mid = env.agg(F.expr("percentile(offset, 0.5)")).collect()[0][0]
+    out = str(tmp_path / "state")
+
+    merge_batch_sketches(spark, env.filter(F.col("offset") <= mid), "orders", out, 0)
+    merge_batch_sketches(spark, env.filter(F.col("offset") > mid), "orders", out, 1)
+    before = _summary_row(spark, out)
+    keys = ["1", "2", "3"]
+    cms_before = probe_key_frequency(spark, out, "orders", keys)
+
+    # replay batch 1 (the crash-recovery path re-runs the last batch)
+    merge_batch_sketches(spark, env.filter(F.col("offset") > mid), "orders", out, 1)
+    after = _summary_row(spark, out)
+    assert after["n_rows"] == before["n_rows"]
+    assert after["approx_distinct_keys"] == before["approx_distinct_keys"]
+    assert after["p50"] == before["p50"]
+    assert probe_key_frequency(spark, out, "orders", keys) == cms_before
+
+
+def test_sketch_state_empty_batch_merge_is_safe(spark, tmp_path):
+    """An empty micro-batch (tombstone-only / no rows) aggregates to NULL
+    sketches; the merge path must pass the non-null side through instead
+    of raising TypeError and killing the stream (ADVICE r4)."""
+    d = str(tmp_path / "events")
+    FX.write_fixtures(d)
+    env = P.read_event_file(spark, f"{d}/orders.jsonl")
+    out = str(tmp_path / "state")
+
+    # empty-first: the initial state row carries NULL sketches
+    merge_batch_sketches(spark, env.filter(F.lit(False)), "orders", out, 0)
+    s0 = _summary_row(spark, out)
+    assert s0["n_rows"] == 0 and s0["approx_distinct_keys"] == 0
+    assert probe_key_frequency(spark, out, "orders", ["1"]) == {"1": 0}
+
+    # real batch merges INTO the null state; then another empty on top
+    merge_batch_sketches(spark, env, "orders", out, 1)
+    merge_batch_sketches(spark, env.filter(F.lit(False)), "orders", out, 2)
+    s = _summary_row(spark, out)
+    assert s["n_rows"] > 0 and s["approx_distinct_keys"] > 0
+
+
 def test_sketch_state_streaming_drive_and_idempotent_redrain(spark, tmp_path):
     """start_sketch_stream drains the log into sketch state; a second
     drain over the same checkpoint is a no-op (no double counting)."""
