@@ -39,7 +39,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from .dedup import DEDUP_NGRAM_JACCARD_SQL, dedup_ngram_jaccard
+from .dedup import DEDUP_NGRAM_JACCARD_SQL
 
 
 #: Adaptive cutoff: a pair graph at or under this many (symmetrized)
@@ -98,17 +98,18 @@ def connected_components(
     if local_threshold is None:
         local_threshold = CC_LOCAL_EDGE_THRESHOLD
     e = pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-    edges = (
-        e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
-        .distinct()
-        .persist()
-    )
     if local_threshold:
-        # One extra job (the count rides the freshly persisted edges) buys
-        # the O(rounds)-barrier escape whenever the graph is small.
-        head = edges.limit(local_threshold + 1).collect()
+        # Union-find is direction- and duplicate-insensitive, so the
+        # small-graph probe collects RAW pairs — before the
+        # symmetrize+distinct Exchange the distributed loop needs. The
+        # local finish therefore costs one narrow limit-job with zero
+        # shuffles (r4 profile: the up-front distinct was ~0.4 s of the
+        # 2.1 s query); limit() early-exits, so an over-threshold graph
+        # pays only the probe rows, amortized by the loop that follows.
+        head = e.limit(local_threshold + 1).collect()
         if len(head) <= local_threshold:
-            edges.unpersist()
+            import pandas as pd
+
             spark = pairs.sparkSession
             # Output schema derives from the edge column's type so the
             # local finish accepts the same node ids (string doc keys,
@@ -116,16 +117,26 @@ def connected_components(
             # depend on graph size (ADVICE r4).
             from pyspark.sql.types import StructField, StructType
 
-            node_t = edges.schema["u"].dataType
-            return spark.createDataFrame(
-                _local_union_find((r["u"], r["v"]) for r in head),
-                StructType(
-                    [
-                        StructField("id", node_t),
-                        StructField("cluster_id", node_t),
-                    ]
-                ),
+            node_t = e.schema["u"].dataType
+            schema = StructType(
+                [StructField("id", node_t), StructField("cluster_id", node_t)]
             )
+            labels = _local_union_find((r["u"], r["v"]) for r in head)
+            if not labels:
+                return spark.createDataFrame([], schema)
+            # Hand the result back as a pandas frame: the Arrow path
+            # plans a LocalTableScan, where a plain Python list becomes a
+            # pickled RDD whose every downstream task launches a Python
+            # worker (~180 ms × 32 tasks of pure block time, measured —
+            # the single largest cost in the r4 dedup_clusters profile).
+            return spark.createDataFrame(
+                pd.DataFrame(labels, columns=["id", "cluster_id"]), schema
+            )
+    edges = (
+        e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .distinct()
+        .persist()
+    )
     # Round 1 folded into initialization: every node appears as `u` in
     # the symmetrized edge set, so min(id, min neighbor) comes from ONE
     # groupBy — no separate identity-label table, one fewer iteration.
@@ -300,16 +311,33 @@ lbl AS (SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id)
 _JACCARD_PAIRS_SQL = DEDUP_NGRAM_JACCARD_SQL.replace("ORDER BY doc_a, doc_b", "")
 
 
+def _ngram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_a, doc_b) Jaccard pairs WITHOUT the presentation sort —
+    dedup_ngram_jaccard's orderBy is a range-partition Exchange its
+    consumers here immediately discard; CC input needs no order. No
+    persist either: the posting-list pair form reads the shingle arrays
+    exactly once, so a cache would only ever be written, never re-read."""
+    from .dedup import _hashed_shingle_arrays, _jaccard_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    return _jaccard_pairs(_hashed_shingle_arrays(d)).select("doc_a", "doc_b")
+
+
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup clusters over the documents table: n-gram-Jaccard pairs
-    -> connected components -> (doc_id, cluster_id, cluster_size)."""
-    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
-    cc = connected_components(pairs)
-    sizes = cc.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("cluster_size"))
+    -> connected components -> (doc_id, cluster_id, cluster_size).
+
+    cluster_size rides a window count over the cc labels — ONE exchange
+    on cluster_id, where the groupBy+join form shuffled cc twice."""
+    from pyspark.sql import Window
+
+    cc = connected_components(_ngram_pairs(spark, sf_dir))
     return (
         cc.select(F.col("id").alias("doc_id"), "cluster_id")
-        .join(sizes, "cluster_id")
-        .select("doc_id", "cluster_id", "cluster_size")
+        .withColumn(
+            "cluster_size",
+            F.count(F.lit(1)).over(Window.partitionBy("cluster_id")),
+        )
         .orderBy("cluster_id", "doc_id")
     )
 
@@ -331,8 +359,7 @@ def dedup_canonical_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     component). The removal set is tiny relative to the corpus, so the
     anti join broadcasts it — the full corpus is never shuffled."""
     d = load_table(spark, sf_dir, "documents")
-    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
-    cc = connected_components(pairs)
+    cc = connected_components(_ngram_pairs(spark, sf_dir))
     removed = cc.filter(F.col("id") != F.col("cluster_id")).select(
         F.col("id").alias("doc_id")
     )
