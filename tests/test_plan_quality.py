@@ -381,3 +381,85 @@ def test_zorder_layout_prunes_two_dim_boxes(spark, sf_dir, tmp_path):
         if maxs["user_id"] - mins["user_id"] < full_u
     )
     assert tight >= n_files // 2, "z-order should bound user_id spans"
+
+
+def test_zorder_3dim_stats_pruning(spark, sf_dir, tmp_path):
+    """Measured skipping for the round-5 extensions (VERDICT r4 item 5):
+
+    1. a 3-D query box against a 3-dim z-order layout reads STRICTLY
+       fewer files than against the 2-dim layout (the third dimension's
+       spans are unbounded under 2-D interleave);
+    2. the stats-sidecar pruned scan returns EXACTLY the rows of the
+       full-scan filter (pruning is never wrong, only file-granular);
+    3. the per-file bloom prunes an in-range-but-absent equality probe
+       that min/max alone cannot, again with a correctness check.
+    """
+    from cdc_local_data_pipeline_docker_spark.catalog import load_table
+    from cdc_local_data_pipeline_docker_spark.sources.zorder import (
+        prune_files,
+        read_zorder_table,
+        write_zorder_table,
+    )
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.expr("unix_micros(cast(ts as timestamp)) div 1000000").alias("ts_epoch"),
+        # sparse key domain (97-strides): per-file [min,max] spans contain
+        # many ABSENT values, which is exactly the gap blooms close
+        (F.col("user_id") * 97).alias("user_key"),
+        "value",
+    )
+    n_files = 32
+    all_cols = ["user_key", "ts_epoch", "value"]
+    z2_dir, z3_dir = str(tmp_path / "z2"), str(tmp_path / "z3")
+    # both sidecars record stats for ALL THREE columns — the comparison
+    # below isolates the LAYOUT: stats on a non-clustered column exist
+    # but its per-file spans are unbounded, so they prune ~nothing
+    write_zorder_table(
+        spark, ev, z2_dir, ["user_key", "ts_epoch"], n_files, stats_cols=all_cols
+    )
+    write_zorder_table(spark, ev, z3_dir, all_cols, n_files)
+
+    # box selective on (ts, value), user unfiltered — the query shape a
+    # 2-dim (user, ts) layout cannot serve: value spans stay full-range
+    lo_t = int(ev.agg(F.min("ts_epoch")).first()[0])
+    box = {
+        "ts_epoch": (lo_t, lo_t + 15 * 86400),
+        "value": (0.0, 5.0),
+    }
+    f2 = prune_files(spark, z2_dir, ranges=box)
+    f3 = prune_files(spark, z3_dir, ranges=box)
+    assert len(f3) < len(f2), (len(f3), len(f2))
+
+    # correctness: pruned scan + predicate == full-scan predicate
+    pred = F.col("ts_epoch").between(*box["ts_epoch"]) & F.col("value").between(
+        *box["value"]
+    )
+    truth = sorted(r[0] for r in ev.filter(pred).select("event_id").collect())
+    got = sorted(
+        r[0]
+        for r in read_zorder_table(spark, z3_dir, ranges=box)
+        .filter(pred)
+        .select("event_id")
+        .collect()
+    )
+    assert got == truth and truth, "pruned scan must lose no rows"
+
+    # bloom: an absent key inside the overall domain (not ≡ 0 mod 97)
+    absent = 10 * 97 + 1
+    keep_minmax = prune_files(spark, z3_dir, eq={"user_key": absent}, use_bloom=False)
+    keep_bloom = prune_files(spark, z3_dir, eq={"user_key": absent})
+    assert set(keep_bloom) <= set(keep_minmax)
+    assert len(keep_bloom) < len(keep_minmax), (
+        "bloom must prune in-range-but-absent probes beyond min/max"
+    )
+    assert read_zorder_table(spark, z3_dir, eq={"user_key": absent}).filter(
+        F.col("user_key") == absent
+    ).count() == 0
+    # a PRESENT key must survive pruning with every matching row intact
+    present = int(ev.select("user_key").first()[0])
+    n_true = ev.filter(F.col("user_key") == present).count()
+    assert read_zorder_table(spark, z3_dir, eq={"user_key": present}).filter(
+        F.col("user_key") == present
+    ).count() == n_true > 0
