@@ -303,6 +303,10 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         SKS.cdc_ingest_sketch_summary,
         SKS.CDC_INGEST_SKETCH_SUMMARY_SQL,
     ),  # incremental sketch maintainer, contract oracle
+    "cdc_hotkey_monitor": (
+        SKS.cdc_hotkey_monitor,
+        SKS.CDC_HOTKEY_MONITOR_SQL,
+    ),  # CMS hot-key probe: exact per-key counts + eps*N contract
     "dedup_minhash_lsh_pairs": (DD.dedup_minhash_lsh, None),  # raw detector
     "dedup_simhash": (DD.dedup_simhash, None),  # hash family not in oracle
     "dedup_simhash_contract": (

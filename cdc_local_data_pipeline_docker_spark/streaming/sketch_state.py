@@ -336,6 +336,88 @@ FROM live
 CDC_INGEST_SKETCH_SUMMARY_SQL = _sketch_summary_sql()
 
 
+def cdc_hotkey_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry adapter + contract oracle for the CMS hot-key monitor
+    (VERDICT r4 item 6): replay the seeded orders change stream in two
+    offset-split batches into a fresh sketch state (merge path
+    exercised), probe the five hottest keys through the maintained CMS,
+    and emit per key the EXACT update count both engines compute plus a
+    ``within_eps_n`` boolean the oracle pins TRUE — the CMS guarantee
+    exact <= estimate <= exact + eps*N (eps=0.001, confidence 0.99;
+    deterministic seed, so the boolean is reproducible, not flaky).
+
+    Hot keys are the top 5 by (update count DESC, pk ASC) — a
+    deterministic tie-break so Spark and DuckDB pick identical keys.
+    sf_dir is unused (CDC input is the fixture stream)."""
+    import shutil
+    import tempfile
+
+    from ..cdc.queries import ensure_fixtures
+
+    d = ensure_fixtures()
+    env = P.read_event_file(spark, os.path.join(d, "orders.jsonl"))
+    mid = env.agg(F.expr("percentile(offset, 0.5)")).collect()[0][0]
+    out = tempfile.mkdtemp(prefix="cdc_hotkey_state_")
+    try:
+        merge_batch_sketches(spark, env.filter(F.col("offset") <= mid), "orders", out, 0)
+        merge_batch_sketches(spark, env.filter(F.col("offset") > mid), "orders", out, 1)
+
+        live = P.project_changelog(P.parse_events(env, "orders"), "orders").filter(
+            ~F.col("is_malformed") & ~F.col("is_tombstone")
+        )
+        per_key = live.groupBy("pk").agg(F.count(F.lit(1)).alias("n_updates"))
+        n_total = live.count()
+        hot = per_key.orderBy(F.desc("n_updates"), F.asc("pk")).limit(5).collect()
+        est = probe_key_frequency(
+            spark, out, "orders", [str(r["pk"]) for r in hot]
+        )
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    eps_n = CMS_EPS * n_total
+    return spark.createDataFrame(
+        [
+            (
+                int(r["pk"]),
+                int(r["n_updates"]),
+                bool(
+                    r["n_updates"]
+                    <= est[str(r["pk"])]
+                    <= r["n_updates"] + eps_n + 1
+                ),
+            )
+            for r in hot
+        ],
+        "pk LONG, n_updates LONG, within_eps_n BOOLEAN",
+    ).orderBy(F.desc("n_updates"), F.asc("pk"))
+
+
+def _hotkey_monitor_sql() -> str:
+    from ..cdc.queries import FIXTURE_DIR
+
+    return f"""
+WITH env AS (
+  SELECT *,
+         CASE WHEN value IS NOT NULL AND json_valid(value) THEN value END AS v
+  FROM read_json_auto('{FIXTURE_DIR}/orders.jsonl',
+                      format='newline_delimited')
+),
+live AS (
+  SELECT CAST(json_extract_string(key, '$.order_id') AS BIGINT) AS pk
+  FROM env
+  WHERE value IS NOT NULL
+    AND json_extract_string(v, '$.order_id') IS NOT NULL
+)
+SELECT pk, CAST(COUNT(*) AS BIGINT) AS n_updates, TRUE AS within_eps_n
+FROM live
+GROUP BY pk
+ORDER BY n_updates DESC, pk ASC
+LIMIT 5
+"""
+
+
+CDC_HOTKEY_MONITOR_SQL = _hotkey_monitor_sql()
+
+
 def probe_key_frequency(
     spark: SparkSession, out_dir: str, table: str, keys: list[str]
 ) -> dict[str, int]:

@@ -92,6 +92,7 @@ COVERED_BY = {
     "corpus_mixture_sample_hash": "corpus_lang_profile",
     "cdc_state_asof_offset": "cdc_latest_state_orders",
     "cdc_ingest_sketch_summary": "cdc_changelog_stats",
+    "cdc_hotkey_monitor": "cdc_changelog_stats",
     "dedup_minhash_lsh_pairs": "dedup_minhash_lsh",
     "dedup_simhash": "dedup_minhash_lsh",
     "dedup_simhash_contract": "dedup_minhash_lsh",
