@@ -314,13 +314,15 @@ _JACCARD_PAIRS_SQL = DEDUP_NGRAM_JACCARD_SQL.replace("ORDER BY doc_a, doc_b", ""
 def _ngram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_a, doc_b) Jaccard pairs WITHOUT the presentation sort —
     dedup_ngram_jaccard's orderBy is a range-partition Exchange its
-    consumers here immediately discard; CC input needs no order. No
-    persist either: the posting-list pair form reads the shingle arrays
-    exactly once, so a cache would only ever be written, never re-read."""
-    from .dedup import _hashed_shingle_arrays, _jaccard_pairs
+    consumers here immediately discard; CC input needs no order. Shingle
+    arrays are persisted (three plan branches in the pair join) and the
+    scan-parallelism gate widens the interpreted shingle evaluation."""
+    from ..plans.cache_scope import scoped_persist
+    from .dedup import _hashed_shingle_arrays, _jaccard_pairs, _scan_parallel
 
     d = load_table(spark, sf_dir, "documents")
-    return _jaccard_pairs(_hashed_shingle_arrays(d)).select("doc_a", "doc_b")
+    arrs = scoped_persist(_hashed_shingle_arrays(_scan_parallel(d)))
+    return _jaccard_pairs(arrs).select("doc_a", "doc_b")
 
 
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:

