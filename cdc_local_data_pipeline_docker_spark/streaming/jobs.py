@@ -128,7 +128,7 @@ def stream_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.approx_count_distinct("user_id").alias("approx_users"),
         )
     )
-    out = _drain(agg, "complete")
+    out = _drain(agg, "complete", state_partitions=8)
     return out.select(
         F.col("window.start").alias("hour_start"),
         "event_type",
@@ -161,7 +161,7 @@ def stream_session_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("value").cast(DEC)).cast("double").alias("session_value"),
         )
     )
-    out = _drain(agg, "complete")
+    out = _drain(agg, "complete", state_partitions=8)
     return out.select(
         "user_id",
         F.col("session_window.start").alias("session_start"),
@@ -204,7 +204,7 @@ def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .dropDuplicatesWithinWatermark(["event_id"])
         .select("event_id", "user_id", "event_type", "value")
     )
-    out = _drain(deduped, "append")
+    out = _drain(deduped, "append", state_partitions=8)
     return out.orderBy("event_id")
 
 
