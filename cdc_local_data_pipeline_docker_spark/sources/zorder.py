@@ -148,6 +148,27 @@ def write_zorder_table(
     back = spark.read.parquet(path).select(
         F.input_file_name().alias("_file"), *stats_cols
     )
+    stats = _file_stats(back, stats_cols)
+    # xxhash64 output depends on the INPUT TYPE (int and long hash
+    # differently) — record each column's type so equality probes cast
+    # their literal to exactly the hashed type before re-hashing.
+    dtypes = {c: back.schema[c].dataType.simpleString() for c in stats_cols}
+    with open(os.path.join(path, _STATS_FILE), "w") as f:
+        json.dump(
+            {
+                "cols": stats_cols,
+                "zcols": list(cols),
+                "dtypes": dtypes,
+                "bloom_bits": BLOOM_BITS,
+                "files": stats,
+            },
+            f,
+        )
+
+
+def _file_stats(back: DataFrame, stats_cols: list[str]) -> dict:
+    """Per-file min/max + bloom bit sets from a (_file, *stats_cols)
+    frame — one groupBy over whatever file subset ``back`` scans."""
     aggs = []
     for c in stats_cols:
         aggs += [F.min(c).alias(f"min_{c}"), F.max(c).alias(f"max_{c}")]
@@ -158,7 +179,7 @@ def write_zorder_table(
                 ).alias(f"bloom{si}_{c}")
             )
     rows = back.groupBy("_file").agg(*aggs).collect()
-    stats = {
+    return {
         os.path.basename(r["_file"]): {
             c: {
                 "min": r[f"min_{c}"],
@@ -169,20 +190,44 @@ def write_zorder_table(
         }
         for r in rows
     }
-    # xxhash64 output depends on the INPUT TYPE (int and long hash
-    # differently) — record each column's type so equality probes cast
-    # their literal to exactly the hashed type before re-hashing.
-    dtypes = {c: back.schema[c].dataType.simpleString() for c in stats_cols}
-    with open(os.path.join(path, _STATS_FILE), "w") as f:
-        json.dump(
-            {
-                "cols": stats_cols,
-                "dtypes": dtypes,
-                "bloom_bits": BLOOM_BITS,
-                "files": stats,
-            },
-            f,
-        )
+
+
+def append_zorder_table(
+    spark: SparkSession, df: DataFrame, path: str, n_files: int = 1
+) -> list[str]:
+    """Append a batch to an existing z-order table, maintaining the
+    skipping sidecar INCREMENTALLY: the batch is z-ordered within itself
+    (on the table's recorded clustering columns, so its files also carry
+    compact spans), written in append mode, and ONLY the new files are
+    scanned for stats — existing entries are merged through untouched.
+    This is the same no-rescan economics as the streaming sketch state:
+    sidecar maintenance cost tracks the batch, not the table. Returns
+    the new file names.
+
+    Appended batches normalize their Morton ranks against their OWN
+    min/max (codes are transient, never stored), so per-file spans stay
+    tight even as the table's global domain drifts."""
+    stats_path = os.path.join(path, _STATS_FILE)
+    with open(stats_path) as f:
+        meta = json.load(f)
+    before = {
+        f for f in os.listdir(path) if f.endswith(".parquet")
+    }
+    zorder_by(df, *meta["zcols"], n_files=n_files).write.mode("append").parquet(
+        path
+    )
+    new_files = [
+        f
+        for f in os.listdir(path)
+        if f.endswith(".parquet") and f not in before
+    ]
+    back = spark.read.parquet(
+        *[os.path.join(path, f) for f in new_files]
+    ).select(F.input_file_name().alias("_file"), *meta["cols"])
+    meta["files"].update(_file_stats(back, meta["cols"]))
+    with open(stats_path, "w") as f:
+        json.dump(meta, f)
+    return sorted(new_files)
 
 
 def _xxhash64_seeded(spark: SparkSession, value, dtype: str, seed: int) -> int:

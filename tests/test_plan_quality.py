@@ -463,3 +463,72 @@ def test_zorder_3dim_stats_pruning(spark, sf_dir, tmp_path):
     assert read_zorder_table(spark, z3_dir, eq={"user_key": present}).filter(
         F.col("user_key") == present
     ).count() == n_true > 0
+
+
+def test_zorder_append_maintains_sidecar_incrementally(spark, sf_dir, tmp_path):
+    """append_zorder_table scans ONLY the appended files for stats (old
+    sidecar entries merge through byte-identical), and pruning over the
+    grown table stays row-exact — including an equality probe for a key
+    that exists only in the appended batch."""
+    import json as _json
+
+    from cdc_local_data_pipeline_docker_spark.catalog import load_table
+    from cdc_local_data_pipeline_docker_spark.sources.zorder import (
+        append_zorder_table,
+        read_zorder_table,
+        write_zorder_table,
+    )
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.expr("unix_micros(cast(ts as timestamp)) div 1000000").alias("ts_epoch"),
+        (F.col("user_id") * 97).alias("user_key"),
+        "value",
+    )
+    base = ev.filter(F.col("event_id") % 4 != 0)
+    batch = ev.filter(F.col("event_id") % 4 == 0).withColumn(
+        # a key domain disjoint from the base table: only appended files
+        # can contain it, so pruning must route the probe to them
+        "user_key", F.col("user_key") + 1_000_000
+    )
+    d = str(tmp_path / "t")
+    write_zorder_table(spark, base, d, ["user_key", "ts_epoch"], 8)
+    stats_path = f"{d}/_zorder_stats.json"
+    old_entries = _json.load(open(stats_path))["files"]
+
+    new_files = append_zorder_table(spark, batch, d, n_files=2)
+    meta = _json.load(open(stats_path))
+    assert len(new_files) >= 1
+    assert set(meta["files"]) == set(old_entries) | set(new_files)
+    for f, st in old_entries.items():  # untouched: merged through verbatim
+        assert meta["files"][f] == st
+
+    # range pruning over the grown table is row-exact
+    lo_t = int(ev.agg(F.min("ts_epoch")).first()[0])
+    box = {"ts_epoch": (lo_t, lo_t + 10 * 86400)}
+    full = base.unionByName(batch)
+    truth = sorted(
+        r[0]
+        for r in full.filter(F.col("ts_epoch").between(*box["ts_epoch"]))
+        .select("event_id")
+        .collect()
+    )
+    got = sorted(
+        r[0]
+        for r in read_zorder_table(spark, d, ranges=box)
+        .filter(F.col("ts_epoch").between(*box["ts_epoch"]))
+        .select("event_id")
+        .collect()
+    )
+    assert got == truth and truth
+
+    # an appended-only key: found, and served from new files only
+    probe = int(batch.select("user_key").first()[0])
+    files = read_zorder_table(spark, d, eq={"user_key": probe})
+    n_true = batch.filter(F.col("user_key") == probe).count()
+    assert files.filter(F.col("user_key") == probe).count() == n_true > 0
+    from cdc_local_data_pipeline_docker_spark.sources.zorder import prune_files
+
+    kept = prune_files(spark, d, eq={"user_key": probe})
+    assert set(kept) <= set(new_files), "base files must min/max-prune away"
