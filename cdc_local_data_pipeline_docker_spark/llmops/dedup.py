@@ -199,7 +199,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _jaccard_pairs(arrs).orderBy("doc_a", "doc_b")
 
 
-def _scan_parallel(df: DataFrame) -> DataFrame:
+def _scan_parallel(df: DataFrame, key: str = "doc_id") -> DataFrame:
     """Adaptive parallelism gate for PURE-SCAN inputs feeding the
     interpreted higher-order shingle expression (the CPU hot spot of the
     jaccard family — HigherOrderFunction lambdas don't codegen).
@@ -217,7 +217,7 @@ def _scan_parallel(df: DataFrame) -> DataFrame:
     spark = df.sparkSession
     cores = spark.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < cores:
-        return df.repartition(cores, "doc_id")
+        return df.repartition(cores, key)
     return df
 
 

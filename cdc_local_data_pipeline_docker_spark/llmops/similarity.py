@@ -45,10 +45,19 @@ HYPERPLANES: list[list[float]] = [
 
 
 def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """embeddings as (vec_id, v: array<double>, norm)."""
+    """embeddings as (vec_id, v: array<double>, norm).
+
+    The cosine lambdas downstream (aggregate/zip_with) are interpreted,
+    not codegen'd, so CPU width matters more than scan locality: the
+    scan-parallelism gate (dedup._scan_parallel rationale) widens the
+    small local file's 2-partition scan to core width — measured
+    0.74 s -> 0.59 s for ann_cosine_topk at sf0.1; off at cluster scale
+    where the scan already splits."""
+    from .dedup import _scan_parallel
+
+    emb = _scan_parallel(load_table(spark, sf_dir, "embeddings"), key="vec_id")
     return (
-        load_table(spark, sf_dir, "embeddings")
-        .select(
+        emb.select(
             "vec_id",
             F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v"),
         )
