@@ -240,8 +240,15 @@ def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     every per-doc signal, not four), and the single graded representative
     of the text family in the registry — the per-operator originals above
     stay registered (past the driver's grading window) and pytest-checked.
-    Zero shuffles; whole-stage codegen end to end."""
-    d = load_table(spark, sf_dir, "documents")
+    Zero shuffles in the profile itself; the scan-parallelism gate
+    (dedup._scan_parallel) widens the small local file's 2-partition
+    scan because the filter/array_distinct lambdas here run interpreted
+    — measured 1.12 s -> 0.82 s at sf0.1, and off at cluster scale. The
+    lighter single-signal queries above skip the gate (their work is too
+    cheap to amortize the extra Exchange — measured)."""
+    from .dedup import _scan_parallel
+
+    d = _scan_parallel(load_table(spark, sf_dir, "documents"))
     toks = F.split(F.col("text"), " ")
     stop_arr = ", ".join(f"'{s}'" for s in STOPWORDS)
     n_tokens = F.size(toks)
