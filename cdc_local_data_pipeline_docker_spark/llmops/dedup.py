@@ -501,6 +501,98 @@ ORDER BY doc_a, doc_b
 """
 
 
+#: Audit-slice width: first md5 hex char of 'audit:<doc_id>' under 8 of
+#: 16 buckets -> a deterministic, engine-portable 50% sample (the
+#: corpus_mixture_sample_hash idiom — both engines make identical
+#: keep/drop decisions, unlike RNG sampling). 50% keeps ~1/4 of the
+#: dup PAIRS (both endpoints must survive) — wide enough that the
+#: fixture corpus retains a non-vacuous pair set at every sf.
+AUDIT_SLICE_BUCKETS = 8
+
+
+def _audit_slice(d: DataFrame) -> DataFrame:
+    """Deterministic 50% document slice for sampled contract audits."""
+    c = F.ascii(
+        F.substring(
+            F.md5(F.concat(F.lit("audit:"), F.col("doc_id").cast("string"))),
+            1,
+            1,
+        )
+    )
+    b = F.when(c <= 57, c - 48).otherwise(c - 87)
+    return d.filter(b < AUDIT_SLICE_BUCKETS)
+
+
+def dedup_minhash_lsh_contract_sampled(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The 100 TB form of the recall-contract audit, as TESTED code
+    rather than a docstring claim: the full contract
+    (`dedup_minhash_lsh_contract`) computes the exact Jaccard twin over
+    the whole corpus — affordable at test scale, ~2x the detector at
+    any scale. A production pipeline runs the detector on everything
+    and THIS audit on a deterministic slice: exact-vs-LSH precision and
+    recall are measured within a 50% md5-bucket sample (engine-portable,
+    so the DuckDB oracle reproduces the identical slice), bounding the
+    audit cost at a fixed fraction while the booleans still catch a
+    degraded hash family or banding bug."""
+    d = _audit_slice(load_table(spark, sf_dir, "documents"))
+    arrs = scoped_persist(_hashed_shingle_arrays(_scan_parallel(d)))
+    exact = _jaccard_pairs(arrs)
+    lsh = _lsh_verified_pairs(arrs)
+
+    n_exact = exact.agg(F.count(F.lit(1)).alias("n_exact"))
+    n_lsh = lsh.agg(F.count(F.lit(1)).alias("n_lsh"))
+    n_escaped = lsh.join(exact, ["doc_a", "doc_b"], "left_anti").agg(
+        F.count(F.lit(1)).alias("n_escaped")
+    )
+    flags = (
+        n_exact.crossJoin(n_lsh)
+        .crossJoin(n_escaped)
+        .select(
+            (F.col("n_escaped") == 0).alias("lsh_precision_ok"),
+            (
+                (F.col("n_lsh") - F.col("n_escaped"))
+                >= F.lit(MINHASH_RECALL_BOUND) * F.col("n_exact")
+            ).alias("lsh_recall_ok"),
+        )
+    )
+    return (
+        exact.crossJoin(F.broadcast(flags))
+        .select("doc_a", "doc_b", "jaccard", "lsh_precision_ok", "lsh_recall_ok")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+_AUDIT_BUCKET_SQL = (
+    "CASE WHEN ascii(substr(md5('audit:' || CAST(doc_id AS VARCHAR)), 1, 1)) <= 57"
+    "     THEN ascii(substr(md5('audit:' || CAST(doc_id AS VARCHAR)), 1, 1)) - 48"
+    "     ELSE ascii(substr(md5('audit:' || CAST(doc_id AS VARCHAR)), 1, 1)) - 87 END"
+)
+
+DEDUP_MINHASH_LSH_CONTRACT_SAMPLED_SQL = f"""
+WITH sampled AS (
+  SELECT * FROM documents WHERE ({_AUDIT_BUCKET_SQL}) < {AUDIT_SLICE_BUCKETS}
+),
+sh AS ({_SHINGLED_SQL.replace("FROM documents", "FROM sampled")}),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       n_common / (sa.n_sh + sb.n_sh - n_common) AS jaccard,
+       TRUE AS lsh_precision_ok,
+       TRUE AS lsh_recall_ok
+FROM common
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= {JACCARD_THRESHOLD}
+ORDER BY doc_a, doc_b
+"""
+
+
 # ---------------------------------------------------------------------------
 # SimHash dedup.
 # ---------------------------------------------------------------------------

@@ -307,6 +307,10 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         SKS.cdc_hotkey_monitor,
         SKS.CDC_HOTKEY_MONITOR_SQL,
     ),  # CMS hot-key probe: exact per-key counts + eps*N contract
+    "dedup_minhash_lsh_contract_sampled": (
+        DD.dedup_minhash_lsh_contract_sampled,
+        DD.DEDUP_MINHASH_LSH_CONTRACT_SAMPLED_SQL,
+    ),  # the 100TB audit form: contract on a deterministic 25% md5 slice
     "dedup_minhash_lsh_pairs": (DD.dedup_minhash_lsh, None),  # raw detector
     "dedup_simhash": (DD.dedup_simhash, None),  # hash family not in oracle
     "dedup_simhash_contract": (

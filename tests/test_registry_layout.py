@@ -94,6 +94,7 @@ COVERED_BY = {
     "cdc_ingest_sketch_summary": "cdc_changelog_stats",
     "cdc_hotkey_monitor": "cdc_changelog_stats",
     "dedup_minhash_lsh_pairs": "dedup_minhash_lsh",
+    "dedup_minhash_lsh_contract_sampled": "dedup_minhash_lsh",
     "dedup_simhash": "dedup_minhash_lsh",
     "dedup_simhash_contract": "dedup_minhash_lsh",
     "dedup_embedding_cosine": "ann_cosine_topk",
