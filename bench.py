@@ -66,6 +66,11 @@ OPTIONAL = [
     # paths not yet timed round-over-round
     "stream_stream_join",
     "corpus_curation_pipeline",
+    # round-5 late additions: the span-coverage posting join and the
+    # IVF-cell-local semantic detector (new operators — baseline their
+    # cost the round they land)
+    "dedup_span_coverage",
+    "dedup_semantic",
 ]
 #: Benched-name -> registry-name indirection. The graded registry entry
 #: `dedup_minhash_lsh` became the recall-contract audit (exact twin +

@@ -541,3 +541,70 @@ FROM (
 WHERE len(grams) > 0
 ORDER BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Token-window chunking (the RAG / context-window prep op): split every
+# document into fixed-width overlapping token windows.
+# ---------------------------------------------------------------------------
+
+#: Chunk geometry: 32-token windows, stride 24 (25% overlap) — the shape
+#: retrieval pipelines feed to embedders; both are compile-time constants
+#: so the whole op stays one codegen'd explode.
+CHUNK_TOKENS = 32
+CHUNK_STRIDE = 24
+
+
+def corpus_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, chunk_start, n_chunk_tokens, chunk_text): overlapping
+    token windows per document. Start positions are 1, 1+stride, ...
+    bounded by max(T - chunk + 1, 1), so every token lands in >=1 chunk,
+    consecutive chunks overlap by chunk-stride tokens, and a doc shorter
+    than one window still yields exactly one (short) chunk.
+
+    Map-only: tokenize → sequence of starts → explode → slice+join. No
+    shuffle except the presentation sort; chunk identity is the
+    deterministic (doc_id, chunk_start) pair, so no window function is
+    needed to number chunks. 100 TB: this is the op that multiplies
+    corpus row count by ~T/stride ahead of embedding — being shuffle-free
+    matters because it runs over everything."""
+    c, s = CHUNK_TOKENS, CHUNK_STRIDE
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "doc_id",
+            F.split("text", " ").alias("t"),
+        )
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(f"sequence(1, greatest(size(t) - {c} + 1, 1), {s})")
+            ).alias("chunk_start"),
+            "t",
+        )
+        .select(
+            "doc_id",
+            "chunk_start",
+            F.expr(f"size(slice(t, chunk_start, {c}))").alias("n_chunk_tokens"),
+            F.expr(f"concat_ws(' ', slice(t, chunk_start, {c}))").alias(
+                "chunk_text"
+            ),
+        )
+        .orderBy("doc_id", "chunk_start")
+    )
+
+
+CORPUS_CHUNK_WINDOWS_SQL = f"""
+SELECT doc_id,
+       chunk_start,
+       len(t[chunk_start : chunk_start + {CHUNK_TOKENS - 1}]) AS n_chunk_tokens,
+       array_to_string(t[chunk_start : chunk_start + {CHUNK_TOKENS - 1}], ' ')
+         AS chunk_text
+FROM (
+  SELECT doc_id, t,
+         unnest(generate_series(1, greatest(len(t) - {CHUNK_TOKENS} + 1, 1),
+                                {CHUNK_STRIDE})) AS chunk_start
+  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+)
+ORDER BY doc_id, chunk_start
+"""

@@ -360,6 +360,11 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         TX.TEXT_REPETITION_STATS_SQL,
     ),  # intra-doc repetition filter (Gopher-style quality signal)
     "text_winnowing": (TX.text_winnowing, TX.TEXT_WINNOWING_SQL),
+    # token-window chunking (RAG/context prep; map-only explode)
+    "corpus_chunk_windows": (
+        TX.corpus_chunk_windows,
+        TX.CORPUS_CHUNK_WINDOWS_SQL,
+    ),
     "text_pii_redact": (SC.text_pii_redact, SC.TEXT_PII_REDACT_SQL),
     "text_stopword_scrub": (SC.text_stopword_scrub, SC.TEXT_STOPWORD_SCRUB_SQL),
     "text_bigram_top50": (SC.text_bigram_top50, SC.TEXT_BIGRAM_TOP50_SQL),

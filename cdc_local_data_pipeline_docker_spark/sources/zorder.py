@@ -307,3 +307,56 @@ def read_zorder_table(
     if not files:
         return spark.read.parquet(path).limit(0)
     return spark.read.parquet(*[os.path.join(path, f) for f in files])
+
+
+def compact_zorder_table(
+    spark: SparkSession,
+    path: str,
+    n_files: int = 1,
+    small_bytes: int = 1 << 20,
+) -> tuple[list[str], list[str]]:
+    """Incremental OPTIMIZE for a z-order table: merge the SMALL files
+    (every append leaves n_files-per-batch stragglers; < ``small_bytes``
+    each) into ``n_files`` freshly z-ordered files, leaving large files
+    untouched — the Delta/Iceberg OPTIMIZE economics where compaction
+    cost tracks the stragglers, not the table. The skipping sidecar is
+    maintained the same way: dead entries dropped, ONLY the replacement
+    files scanned for stats. Returns (removed, added) file names.
+
+    Local-FS sequencing (single writer, same assumption as the sidecar
+    itself): new files land via parquet append before the originals are
+    unlinked, so a concurrent reader of the DATA never loses rows; at
+    cluster scale this step is the table format's commit-protocol job.
+    Compacted rows re-normalize Morton ranks against their own min/max,
+    identical to append batches."""
+    stats_path = os.path.join(path, _STATS_FILE)
+    with open(stats_path) as f:
+        meta = json.load(f)
+    small = [
+        f
+        for f in meta["files"]
+        if os.path.getsize(os.path.join(path, f)) < small_bytes
+    ]
+    if len(small) <= n_files:  # nothing to gain
+        return [], []
+    merged = spark.read.parquet(*[os.path.join(path, f) for f in small])
+    before = {f for f in os.listdir(path) if f.endswith(".parquet")}
+    zorder_by(merged, *meta["zcols"], n_files=n_files).write.mode(
+        "append"
+    ).parquet(path)
+    added = [
+        f
+        for f in os.listdir(path)
+        if f.endswith(".parquet") and f not in before
+    ]
+    back = spark.read.parquet(
+        *[os.path.join(path, f) for f in added]
+    ).select(F.input_file_name().alias("_file"), *meta["cols"])
+    new_stats = _file_stats(back, meta["cols"])
+    for f in small:
+        os.remove(os.path.join(path, f))
+        del meta["files"][f]
+    meta["files"].update(new_stats)
+    with open(stats_path, "w") as f:
+        json.dump(meta, f)
+    return sorted(small), sorted(added)

@@ -532,3 +532,101 @@ def test_zorder_append_maintains_sidecar_incrementally(spark, sf_dir, tmp_path):
 
     kept = prune_files(spark, d, eq={"user_key": probe})
     assert set(kept) <= set(new_files), "base files must min/max-prune away"
+
+
+def test_span_coverage_semi_join_no_cartesian(spark, sf_dir):
+    """dedup_span_coverage: the coverage join must be the left-semi
+    equi-join on the gram key (linear in corpus tokens) — never a
+    nested-loop/cartesian pair space; grams reach the aggregate through
+    equi-exchanges only."""
+    from cdc_local_data_pipeline_docker_spark.llmops import dedup as DD
+
+    plan = A.formatted_plan(DD.dedup_span_coverage(spark, sf_dir))
+    assert A.count(plan, "CartesianProduct") == 0, plan
+    assert A.count(plan, "BroadcastNestedLoopJoin") == 0, plan
+    assert "LeftSemi" in plan, plan
+
+
+def test_semantic_dedup_broadcasts_centroids_only(spark, sf_dir):
+    """dedup_semantic: the only nested-loop join allowed is the 16-row
+    centroid broadcast (cell assignment); the pair join itself must be an
+    equi-join on cell id — Σ|cell|², never N²."""
+    from cdc_local_data_pipeline_docker_spark.llmops.similarity import dedup_semantic
+    from cdc_local_data_pipeline_docker_spark.plans import cache_scope
+
+    try:
+        plan = A.formatted_plan(dedup_semantic(spark, sf_dir))
+        assert A.count(plan, "CartesianProduct") == 0, plan
+        # centroid attach: one BNLJ over the 16-row broadcast per cells
+        # branch; the candidate pair join on "cell" must be hash-based
+        assert (
+            A.count(plan, "SortMergeJoin") + A.count(plan, "ShuffledHashJoin")
+            + A.count(plan, "BroadcastHashJoin")
+            >= 1
+        ), plan
+    finally:
+        cache_scope.release()
+
+
+def test_zorder_compaction_merges_small_files_and_keeps_pruning(
+    spark, sf_dir, tmp_path
+):
+    """compact_zorder_table: repeated appends leave straggler files;
+    compaction must shrink the file count, touch ONLY straggler sidecar
+    entries (large-file stats merge through verbatim), and preserve
+    row-exact pruned reads over the same boxes afterwards."""
+    import json as _json
+
+    from cdc_local_data_pipeline_docker_spark.catalog import load_table
+    from cdc_local_data_pipeline_docker_spark.sources.zorder import (
+        append_zorder_table,
+        compact_zorder_table,
+        read_zorder_table,
+        write_zorder_table,
+    )
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.expr("unix_micros(cast(ts as timestamp)) div 1000000").alias("ts_epoch"),
+        (F.col("user_id") * 97).alias("user_key"),
+    )
+    base = ev.filter(F.col("event_id") % 5 == 0)
+    d = str(tmp_path / "t")
+    write_zorder_table(spark, base, d, ["user_key", "ts_epoch"], 4)
+    for m in (1, 2, 3):  # three straggler appends
+        append_zorder_table(
+            spark, ev.filter(F.col("event_id") % 5 == m), d, n_files=2
+        )
+    meta0 = _json.load(open(f"{d}/_zorder_stats.json"))
+    n_before = len(meta0["files"])
+
+    removed, added = compact_zorder_table(spark, d, n_files=2)
+    meta1 = _json.load(open(f"{d}/_zorder_stats.json"))
+    assert removed and added and len(added) <= 2
+    assert len(meta1["files"]) == n_before - len(removed) + len(added)
+    for f in set(meta0["files"]) - set(removed):  # untouched entries
+        assert meta1["files"][f] == meta0["files"][f]
+    # sidecar and directory agree
+    assert set(meta1["files"]) == {
+        f for f in __import__("os").listdir(d) if f.endswith(".parquet")
+    }
+
+    # pruned reads stay row-exact over the compacted layout
+    full = ev.filter(F.col("event_id") % 5 <= 3)
+    lo_t = int(full.agg(F.min("ts_epoch")).first()[0])
+    box = {"ts_epoch": (lo_t, lo_t + 7 * 86400)}
+    truth = sorted(
+        r[0]
+        for r in full.filter(F.col("ts_epoch").between(*box["ts_epoch"]))
+        .select("event_id").collect()
+    )
+    got = sorted(
+        r[0]
+        for r in read_zorder_table(spark, d, ranges=box)
+        .filter(F.col("ts_epoch").between(*box["ts_epoch"]))
+        .select("event_id").collect()
+    )
+    assert got == truth and truth
+    # total rows conserved
+    assert read_zorder_table(spark, d).count() == full.count()

@@ -116,6 +116,7 @@ COVERED_BY = {
     "text_pii_redact": "text_profile",
     "text_stopword_scrub": "text_profile",
     "text_bigram_top50": "text_profile",
+    "corpus_chunk_windows": "explode_token_frequencies",
     "fn_string_pack": "fn_scalar_pack",
     "fn_date_pack": "fn_scalar_pack",
     "fn_math_pack": "fn_scalar_pack",
