@@ -936,8 +936,14 @@ def dedup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     occurrence once (no pairwise join), so the work is linear in corpus
     token count. The per-position explode is a bounded ×SPAN_N row
     amplification ahead of an immediate per-doc distinct."""
-    docs = load_table(spark, sf_dir, "documents")
-    grams = _span_grams(docs)
+    # scan-parallelism gate: the gram explode is an interpreted
+    # higher-order lambda (the jaccard-family hot spot) and the local
+    # single-file scan yields 2 partitions — widen to core width before
+    # it; off at cluster scale where the scan already splits
+    docs = _scan_parallel(load_table(spark, sf_dir, "documents"))
+    # both branches (dup-gram discovery, coverage join) consume the
+    # exploded grams — persist once so the interpreted explode runs once
+    grams = scoped_persist(_span_grams(docs))
 
     dup_grams = (
         grams.select("doc_id", "gram")

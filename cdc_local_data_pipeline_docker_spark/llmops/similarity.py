@@ -245,39 +245,18 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate set shrinks by ~cells/nprobe. Rows-only (centroid training
     isn't SQL-expressible); pytest bounds recall vs brute force."""
     cents = _ivf_centroids(spark, sf_dir)
-    cent_rows = [(i, cents[i]) for i in range(IVF_CELLS)]
-    cdf = spark.createDataFrame(cent_rows, "cell INT, cvec ARRAY<DOUBLE>")
-
     vecs = _vectors(spark, sf_dir)
-    # nearest cell per vector (broadcast the 16 centroids, argmin by L2)
-    scored_cells = (
-        vecs.crossJoin(F.broadcast(cdf))
-        .withColumn(
-            "d2",
-            F.expr(
-                "aggregate(zip_with(v, cvec, (x, c) -> (x - c) * (x - c)),"
-                " 0D, (acc, x) -> acc + x)"
-            ),
-        )
-    )
-    w_assign = Window.partitionBy("vec_id").orderBy(F.col("d2").asc(), F.col("cell").asc())
-    assigned = (
-        scored_cells.withColumn("rnk", F.row_number().over(w_assign))
-        .filter(F.col("rnk") == 1)
-        .select("vec_id", "v", "norm", "cell")
-    )
-
-    # queries probe their nprobe nearest cells
-    q_probe = (
-        scored_cells.filter(F.col("vec_id") < ANN_N_QUERIES)
-        .withColumn("rnk", F.row_number().over(w_assign))
-        .filter(F.col("rnk") <= IVF_NPROBE)
-        .select(
-            F.col("vec_id").alias("query_id"),
-            F.col("v").alias("qv"),
-            F.col("norm").alias("qn"),
-            "cell",
-        )
+    # nearest cell per vector / nprobe cells per query: map-only
+    # argmin over the literal centroid array (see _nearest_cells — the
+    # earlier crossJoin+row_number form shuffled 16N scored rows)
+    assigned = _nearest_cells(vecs, cents, 1)
+    q_probe = _nearest_cells(
+        vecs.filter(F.col("vec_id") < ANN_N_QUERIES), cents, IVF_NPROBE
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("norm").alias("qn"),
+        "cell",
     )
     corpus = assigned.select(
         F.col("vec_id").alias("neighbor_id"),
@@ -437,26 +416,41 @@ ORDER BY query_id
 SEMDEDUP_ASSIGN = 3
 
 
-def semantic_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(vec_id, v, norm, cell) with every vector in its SEMDEDUP_ASSIGN
-    nearest IVF cells. Map-only after the 16-row centroid broadcast."""
-    cents = _ivf_centroids(spark, sf_dir)
-    cdf = spark.createDataFrame(
-        [(i, cents[i]) for i in range(IVF_CELLS)], "cell INT, cvec ARRAY<DOUBLE>"
-    )
-    vecs = _vectors(spark, sf_dir)
-    scored = vecs.crossJoin(F.broadcast(cdf)).withColumn(
-        "d2",
+def _nearest_cells(vecs: DataFrame, cents: list[list[float]], k: int) -> DataFrame:
+    """(vec_id, v, norm, cell) with each vector in its k nearest
+    centroid cells — a genuinely MAP-ONLY pass: the centroids ride along
+    as a literal cells×dim array column, per-cell L2 comes from one
+    higher-order transform, and the top-k cells from an array_sort over
+    (d2, cell) structs. Zero joins, zero shuffles, zero window functions
+    for the assignment (the crossJoin+row_number formulation this
+    replaced shuffled cells×N scored rows just to rank ~16 values per
+    vector). struct sort orders by d2 then cell — identical tie-breaking
+    to a row_number window ordered (d2 asc, cell asc); A/B-verified
+    pair-set-identical on all three sfs. Shared by SemDeDup (k=ASSIGN)
+    and IVF ANN (k=1 corpus / k=nprobe queries)."""
+    cent_lit = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in cents])
+    top = vecs.withColumn("_cents", cent_lit).withColumn(
+        "_top",
         F.expr(
-            "aggregate(zip_with(v, cvec, (x, c) -> (x - c) * (x - c)),"
-            " 0D, (acc, x) -> acc + x)"
+            f"""
+            slice(array_sort(transform(sequence(0, {len(cents) - 1}),
+              c -> struct(
+                aggregate(zip_with(v, _cents[c], (x, y) -> (x - y) * (x - y)),
+                          0D, (acc, x) -> acc + x) AS d2,
+                c AS cell))), 1, {k})
+            """
         ),
     )
-    w = Window.partitionBy("vec_id").orderBy(F.col("d2").asc(), F.col("cell").asc())
-    return (
-        scored.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= SEMDEDUP_ASSIGN)
-        .select("vec_id", "v", "norm", "cell")
+    return top.select(
+        "vec_id", "v", "norm", F.explode(F.col("_top.cell")).alias("cell")
+    )
+
+
+def semantic_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, v, norm, cell) with every vector in its SEMDEDUP_ASSIGN
+    nearest IVF cells (see _nearest_cells — map-only, zero shuffle)."""
+    return _nearest_cells(
+        _vectors(spark, sf_dir), _ivf_centroids(spark, sf_dir), SEMDEDUP_ASSIGN
     )
 
 

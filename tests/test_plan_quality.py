@@ -547,18 +547,20 @@ def test_span_coverage_semi_join_no_cartesian(spark, sf_dir):
     assert "LeftSemi" in plan, plan
 
 
-def test_semantic_dedup_broadcasts_centroids_only(spark, sf_dir):
-    """dedup_semantic: the only nested-loop join allowed is the 16-row
-    centroid broadcast (cell assignment); the pair join itself must be an
-    equi-join on cell id — Σ|cell|², never N²."""
+def test_semantic_dedup_assignment_is_map_only(spark, sf_dir):
+    """dedup_semantic: cell assignment rides a literal centroid array
+    (no join of any kind for the argmin — the crossJoin+row_number draft
+    shuffled 16N scored rows); the ONLY join in the plan is the
+    candidate pair equi-join on cell id — Σ|cell|², never N²."""
     from cdc_local_data_pipeline_docker_spark.llmops.similarity import dedup_semantic
     from cdc_local_data_pipeline_docker_spark.plans import cache_scope
 
     try:
         plan = A.formatted_plan(dedup_semantic(spark, sf_dir))
         assert A.count(plan, "CartesianProduct") == 0, plan
-        # centroid attach: one BNLJ over the 16-row broadcast per cells
-        # branch; the candidate pair join on "cell" must be hash-based
+        assert A.count(plan, "BroadcastNestedLoopJoin") == 0, plan
+        assert A.count(plan, "Window") == 0, plan
+        # the candidate pair join on "cell" must be hash-based
         assert (
             A.count(plan, "SortMergeJoin") + A.count(plan, "ShuffledHashJoin")
             + A.count(plan, "BroadcastHashJoin")
