@@ -608,3 +608,75 @@ FROM (
 )
 ORDER BY doc_id, chunk_start
 """
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF top terms per document (keyword extraction).
+# ---------------------------------------------------------------------------
+
+#: Terms reported per document.
+TFIDF_TOP_K = 3
+
+
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, rank, token, tf, df, score): each document's TFIDF_TOP_K
+    highest-scoring terms, score = tf · N / df with the LOG-FREE idf
+    (N/df): log() is a transcendental whose last-ulp differs across
+    libms, so the oracle-compared score stays a single exact integer
+    ratio division (README correctness model) — and log is monotone, so
+    the RANKING is identical to classic log-idf anyway.
+
+    Plan: one explode → (doc, token) tf agg; token df agg on top of it
+    (no second corpus pass); N rides in as a 1-row broadcast; per-doc
+    top-k is one window. All shuffle keys are tokens/doc ids — no
+    corpus-sized state anywhere."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    )
+    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(df, "token")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("score", (F.col("tf") * F.col("n_docs")) / F.col("df"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("token").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TFIDF_TOP_K)
+        .select("doc_id", "rank", "token", "tf", "df", "score")
+        .orderBy("doc_id", "rank")
+    )
+
+
+TEXT_TFIDF_TOP_TERMS_SQL = f"""
+WITH tf AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token
+  FROM documents
+),
+tfc AS (
+  SELECT doc_id, token, count(*) AS tf FROM tf GROUP BY doc_id, token
+),
+dfc AS (
+  SELECT token, count(*) AS df FROM tfc GROUP BY token
+),
+scored AS (
+  SELECT tfc.doc_id, tfc.token, tfc.tf, dfc.df,
+         CAST(tfc.tf * (SELECT count(*) FROM documents) AS DOUBLE) / dfc.df
+           AS score
+  FROM tfc JOIN dfc USING (token)
+),
+ranked AS (
+  SELECT doc_id, token, tf, df, score,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, token ASC) AS rank
+  FROM scored
+)
+SELECT doc_id, rank, token, tf, df, score
+FROM ranked WHERE rank <= {TFIDF_TOP_K}
+ORDER BY doc_id, rank
+"""

@@ -316,3 +316,69 @@ JOIN events b
 GROUP BY 1, 2
 ORDER BY type_a, type_b
 """
+
+
+# ---------------------------------------------------------------------------
+# Z-score anomaly detection.
+# ---------------------------------------------------------------------------
+
+#: Standard-deviation multiple at which an event's value is "anomalous".
+ZSCORE_THRESHOLD = 3.0
+
+
+def events_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events whose value is ≥ 3σ from their event type's mean:
+    (event_id, event_type, value, z), sorted by event_id.
+
+    Exactness engineering (README correctness model): the moments come
+    from DECIMAL(18,2) sums — Σv and Σv² are EXACT and associative, so
+    partition order can't perturb them — cast to double once; mean,
+    variance ((Σv² − (Σv)²/n)/(n−1)) and z then use only correctly-
+    rounded IEEE ops (+,-,*,/,sqrt) on identical inputs, so Spark and
+    DuckDB produce bit-identical doubles and the |z| ≥ 3 cut keeps
+    identical rows. (Built-in stddev_samp is NOT used: engines disagree
+    in the last ulp via different streaming-update formulas.)
+
+    Plan: one grouped partial+final agg (3 groups), broadcast the tiny
+    stats row back over the fact scan, map-side filter — the fact table
+    is scanned once and never shuffled. The textbook two-pass z-score at
+    any scale."""
+    e = load_table(spark, sf_dir, "events")
+    v = F.col("value").cast(DEC)
+    stats = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(v).cast("double").alias("s1"),
+        F.sum(v * v).cast("double").alias("s2"),
+    )
+    mean = F.col("s1") / F.col("n")
+    var = (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n")) / (
+        F.col("n") - F.lit(1)
+    )
+    z = (F.col("value") - mean) / F.sqrt(var)
+    return (
+        e.join(F.broadcast(stats), "event_type")
+        .withColumn("z", z)
+        .filter(F.abs(F.col("z")) >= ZSCORE_THRESHOLD)
+        .select("event_id", "event_type", "value", "z")
+        .orderBy("event_id")
+    )
+
+
+EVENTS_ZSCORE_OUTLIERS_SQL = f"""
+WITH stats AS (
+  SELECT event_type,
+         count(*) AS n,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s1,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))
+                  * CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s2
+  FROM events GROUP BY event_type
+)
+SELECT e.event_id, e.event_type, e.value,
+       (e.value - s.s1 / s.n)
+         / sqrt((s.s2 - s.s1 * s.s1 / s.n) / (s.n - 1)) AS z
+FROM events e JOIN stats s USING (event_type)
+WHERE abs((e.value - s.s1 / s.n)
+          / sqrt((s.s2 - s.s1 * s.s1 / s.n) / (s.n - 1)))
+      >= {ZSCORE_THRESHOLD}
+ORDER BY e.event_id
+"""

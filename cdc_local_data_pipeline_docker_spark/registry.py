@@ -195,6 +195,12 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         EV.events_transition_pairs,
         EV.EVENTS_TRANSITION_PAIRS_SQL,
     ),  # banded self-join stressor
+    # z-score anomaly detection: exact decimal moments broadcast back
+    # over a single never-shuffled fact scan
+    "events_zscore_outliers": (
+        EV.events_zscore_outliers,
+        EV.EVENTS_ZSCORE_OUTLIERS_SQL,
+    ),
     "join_right_outer": (R.join_right_outer, R.JOIN_RIGHT_OUTER_SQL),
     "agg_rollup": (R.agg_rollup, R.AGG_ROLLUP_SQL),
     "agg_cube": (R.agg_cube, R.AGG_CUBE_SQL),
@@ -364,6 +370,11 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "corpus_chunk_windows": (
         TX.corpus_chunk_windows,
         TX.CORPUS_CHUNK_WINDOWS_SQL,
+    ),
+    # TF-IDF keyword extraction (log-free idf: exact integer-ratio score)
+    "text_tfidf_top_terms": (
+        TX.text_tfidf_top_terms,
+        TX.TEXT_TFIDF_TOP_TERMS_SQL,
     ),
     "text_pii_redact": (SC.text_pii_redact, SC.TEXT_PII_REDACT_SQL),
     "text_stopword_scrub": (SC.text_stopword_scrub, SC.TEXT_STOPWORD_SCRUB_SQL),

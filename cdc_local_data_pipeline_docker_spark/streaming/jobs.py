@@ -82,8 +82,9 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: Pluggable state-store backends (spark.sql.streaming.stateStore.
 #: providerClass, pinned per-query at start). The default HDFS-backed
 #: store keeps state as in-JVM-memory maps + checkpoint files — fastest
-#: for the KB-sized fixture state here (measured: RocksDB adds ~0.3 s/
-#: query of native-store open/commit at this scale). RocksDB is the
+#: for the KB-sized fixture state here (measured on stream_stream_join
+#: at sf0.1, warm min-of-3, both orders: 2.14-2.34 s HDFS vs 2.41-2.53 s
+#: RocksDB — native-store open/commit costs ~0.2-0.3 s at this scale). RocksDB is the
 #: 100 TB-state choice: state lives off-heap on local SSD, bounded
 #: memory regardless of key count, incremental changelog checkpointing —
 #: the provider to pin when a stream-stream join or dedup watermark

@@ -38,6 +38,7 @@ MUST_BE_GRADED = {
 COVERED_BY = {
     "events_funnel": "events_tumbling_agg",
     "events_transition_pairs": "join_range",
+    "events_zscore_outliers": "events_tumbling_agg",
     "events_sliding_agg": "events_tumbling_agg",
     "events_retention_cohorts": "events_tumbling_agg",
     "filter_predicates": "filter_pack",
@@ -117,6 +118,7 @@ COVERED_BY = {
     "text_stopword_scrub": "text_profile",
     "text_bigram_top50": "text_profile",
     "corpus_chunk_windows": "explode_token_frequencies",
+    "text_tfidf_top_terms": "explode_token_frequencies",
     "fn_string_pack": "fn_scalar_pack",
     "fn_date_pack": "fn_scalar_pack",
     "fn_math_pack": "fn_scalar_pack",
