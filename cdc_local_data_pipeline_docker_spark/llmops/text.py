@@ -558,9 +558,13 @@ CHUNK_STRIDE = 24
 def corpus_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, chunk_start, n_chunk_tokens, chunk_text): overlapping
     token windows per document. Start positions are 1, 1+stride, ...
-    bounded by max(T - chunk + 1, 1), so every token lands in >=1 chunk,
-    consecutive chunks overlap by chunk-stride tokens, and a doc shorter
-    than one window still yields exactly one (short) chunk.
+    bounded by B = max(T - chunk + 1, 1), PLUS a final clamped start at
+    B itself when the stride grid does not land on it — without the
+    clamp, a doc with (T - chunk) % stride != 0 silently loses its last
+    tokens (caught by the coverage property test). So: every token lands
+    in >=1 chunk, all chunks are full-width (the clamped last one simply
+    overlaps more), and a doc shorter than one window yields exactly one
+    short chunk.
 
     Map-only: tokenize → sequence of starts → explode → slice+join. No
     shuffle except the presentation sort; chunk identity is the
@@ -578,7 +582,11 @@ def corpus_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             F.explode(
-                F.expr(f"sequence(1, greatest(size(t) - {c} + 1, 1), {s})")
+                F.expr(
+                    f"""array_distinct(concat(
+                      sequence(1, greatest(size(t) - {c} + 1, 1), {s}),
+                      array(greatest(size(t) - {c} + 1, 1))))"""
+                )
             ).alias("chunk_start"),
             "t",
         )
@@ -602,8 +610,10 @@ SELECT doc_id,
          AS chunk_text
 FROM (
   SELECT doc_id, t,
-         unnest(generate_series(1, greatest(len(t) - {CHUNK_TOKENS} + 1, 1),
-                                {CHUNK_STRIDE})) AS chunk_start
+         unnest(list_distinct(list_append(
+           generate_series(1, greatest(len(t) - {CHUNK_TOKENS} + 1, 1),
+                           {CHUNK_STRIDE}),
+           greatest(len(t) - {CHUNK_TOKENS} + 1, 1)))) AS chunk_start
   FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
 )
 ORDER BY doc_id, chunk_start

@@ -530,3 +530,161 @@ def test_pack_sequences_is_a_contiguous_stream(spark, sf_dir):
         assert r.n_chunks_spanned == r.end_chunk - r.start_chunk + 1
         expect += r.n_tokens
     assert expect > 0
+
+
+def _write_docs(spark, d, rows):
+    """Write a synthetic documents table (schema-compatible with the
+    testdata) so table-bound llmops queries can run against it."""
+    spark.createDataFrame(
+        [(i, t, "en", "synthetic", len(t)) for i, t in rows],
+        "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    return str(d)
+
+
+def test_span_coverage_hand_computed_fractions(spark, tmp_path):
+    """dedup_span_coverage on a corpus with a KNOWN shared 5-token run:
+    exactly the shared positions count as covered, nothing else."""
+    from cdc_local_data_pipeline_docker_spark.llmops.dedup import (
+        dedup_span_coverage,
+    )
+
+    sf = _write_docs(spark, tmp_path, [
+        (1, "a b c d e f g h"),                   # shares gram "a b c d e"
+        (2, "p q r s t a b c d e u v"),           # ... at positions 6-10
+        (3, "k l m n o kk ll mm nn oo"),          # no cross-doc gram
+    ])
+    got = {r.doc_id: r for r in dedup_span_coverage(spark, sf).collect()}
+    assert (got[1].dup_positions, got[1].n_tokens) == (5, 8)
+    assert (got[2].dup_positions, got[2].n_tokens) == (5, 12)
+    assert (got[3].dup_positions, got[3].dup_frac) == (0, 0.0)
+    assert got[1].dup_frac == 5 / 8 and got[2].dup_frac == 5 / 12
+
+
+def test_span_coverage_exact_duplicate_is_fully_covered(spark, tmp_path):
+    """An exact duplicate pair must cover BOTH documents end-to-end
+    (every gram of each appears in the other)."""
+    from cdc_local_data_pipeline_docker_spark.llmops.dedup import (
+        dedup_span_coverage,
+    )
+
+    text = "the quick brown fox jumps over the lazy dog tonight"
+    sf = _write_docs(spark, tmp_path, [(1, text), (2, text)])
+    for r in dedup_span_coverage(spark, sf).collect():
+        assert r.dup_frac == 1.0 and r.dup_positions == r.n_tokens
+
+
+def test_chunk_windows_cover_and_reconstruct(spark, sf_dir):
+    """Chunking invariants on the real corpus: starts follow the stride
+    arithmetic, every token lands in >=1 chunk, chunks are exact slices
+    (stitching chunk prefixes reconstructs the document), and sub-window
+    docs yield exactly one short chunk."""
+    from cdc_local_data_pipeline_docker_spark.catalog import load_table
+    from cdc_local_data_pipeline_docker_spark.llmops.text import (
+        CHUNK_STRIDE,
+        CHUNK_TOKENS,
+        corpus_chunk_windows,
+    )
+
+    docs = {
+        r.doc_id: r.text.split(" ")
+        for r in load_table(spark, sf_dir, "documents").collect()
+    }
+    out = {}
+    for r in corpus_chunk_windows(spark, sf_dir).collect():
+        out.setdefault(r.doc_id, []).append(r)
+    assert set(out) == set(docs)
+    for doc_id, chunks in out.items():
+        toks = docs[doc_id]
+        T = len(toks)
+        starts = [c.chunk_start for c in chunks]
+        B = max(T - CHUNK_TOKENS + 1, 1)
+        grid = list(range(1, B + 1, CHUNK_STRIDE))
+        want_starts = grid + ([B] if grid[-1] != B else [])
+        assert starts == want_starts
+        # coverage: last chunk reaches the end; chunks are exact slices
+        assert starts[-1] + CHUNK_TOKENS - 1 >= T
+        for c in chunks:
+            want = toks[c.chunk_start - 1 : c.chunk_start - 1 + CHUNK_TOKENS]
+            assert c.chunk_text.split(" ") == want
+            assert c.n_chunk_tokens == len(want)
+        if T <= CHUNK_TOKENS:
+            assert len(chunks) == 1 and chunks[0].n_chunk_tokens == T
+
+
+def test_tfidf_terms_are_ranked_and_present(spark, sf_dir):
+    """TF-IDF output invariants: ranks are 1..k dense per doc, scores
+    non-increasing with deterministic token tie-break, every reported
+    term occurs tf times in its document."""
+    from cdc_local_data_pipeline_docker_spark.catalog import load_table
+    from cdc_local_data_pipeline_docker_spark.llmops.text import (
+        TFIDF_TOP_K,
+        text_tfidf_top_terms,
+    )
+
+    docs = {
+        r.doc_id: r.text.split(" ")
+        for r in load_table(spark, sf_dir, "documents").collect()
+    }
+    by_doc = {}
+    for r in text_tfidf_top_terms(spark, sf_dir).collect():
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert set(by_doc) == set(docs)
+    for doc_id, rows in by_doc.items():
+        assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+        assert len(rows) <= TFIDF_TOP_K
+        for a, b in zip(rows, rows[1:]):
+            assert (a.score, b.token) >= (b.score, a.token)  # desc, tie asc
+        for r in rows:
+            assert docs[doc_id].count(r.token) == r.tf
+
+
+def test_zscore_outliers_match_numpy_moments(spark, sf_dir):
+    """Flagged events must sit >=3σ out under independently-computed
+    (numpy) per-type moments, and every >=3.05σ event must be flagged
+    (the 0.05 guard absorbs float-order differences between numpy's
+    pairwise sums and the engine's exact decimal moments)."""
+    import numpy as np
+
+    from cdc_local_data_pipeline_docker_spark.catalog import load_table
+    from cdc_local_data_pipeline_docker_spark.operators.events_analytics import (
+        events_zscore_outliers,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    ).collect()
+    vals = {}
+    for r in ev:
+        vals.setdefault(r.event_type, []).append((r.event_id, r.value))
+    stats = {
+        t: (np.mean([v for _, v in xs]), np.std([v for _, v in xs], ddof=1))
+        for t, xs in vals.items()
+    }
+    flagged = {r.event_id for r in events_zscore_outliers(spark, sf_dir).collect()}
+    must_flag, must_not = set(), set()
+    for t, xs in vals.items():
+        m, s = stats[t]
+        for eid, v in xs:
+            z = abs(v - m) / s
+            if z >= 3.05:
+                must_flag.add(eid)
+            elif z < 2.95:
+                must_not.add(eid)
+    assert must_flag <= flagged
+    assert not (must_not & flagged)
+
+
+def test_semantic_dedup_subset_of_bruteforce(spark, sf_dir):
+    """SemDeDup precision: detected pairs are a subset of the exact
+    cosine pair set (the verify step IS the exact threshold)."""
+    from cdc_local_data_pipeline_docker_spark.llmops.dedup import (
+        dedup_embedding_cosine,
+    )
+    from cdc_local_data_pipeline_docker_spark.llmops.similarity import (
+        dedup_semantic,
+    )
+
+    exact = set(map(tuple, dedup_embedding_cosine(spark, sf_dir).collect()))
+    sem = set(map(tuple, dedup_semantic(spark, sf_dir).collect()))
+    assert sem and sem <= exact
