@@ -146,3 +146,59 @@ FROM final
 GROUP BY lang, source
 ORDER BY lang, source
 """
+
+
+# ---------------------------------------------------------------------------
+# Round-5 composition: span-dedup filter -> chunking — the downstream
+# half of an LLM data-prep pipeline (upstream curation above).
+# ---------------------------------------------------------------------------
+
+#: Documents whose cross-doc duplicated-span coverage exceeds this are
+#: dropped before chunking (Lee et al. 2022 report most gains from
+#: removing the heaviest-duplicated tail; 0.5 halves ~nothing on the
+#: synthetic corpus but exercises a real boundary).
+MAX_DUP_FRAC = 0.5
+
+
+def corpus_prep_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-level output of the span-filtered corpus: documents whose
+    duplicated-span coverage is <= MAX_DUP_FRAC, chunked into
+    overlapping token windows, summarized per (doc, chunk).
+
+    Deliberately a COMPOSITION of two registry operators
+    (dedup_span_coverage, corpus_chunk_windows) joined on doc_id — the
+    workflow a training-data pipeline actually runs, and proof the
+    operators compose without re-reading the corpus per stage (each is
+    one pass; the join key is the doc id, never text). The oracle is the
+    same composition in SQL CTEs."""
+    from .dedup import dedup_span_coverage
+    from .text import corpus_chunk_windows
+
+    keep = dedup_span_coverage(spark, sf_dir).filter(
+        F.col("dup_frac") <= MAX_DUP_FRAC
+    )
+    chunks = corpus_chunk_windows(spark, sf_dir)
+    return (
+        chunks.join(keep.select("doc_id", "dup_frac"), "doc_id")
+        .select("doc_id", "chunk_start", "n_chunk_tokens", "dup_frac")
+        .orderBy("doc_id", "chunk_start")
+    )
+
+
+def _prep_chunks_sql() -> str:
+    from .dedup import DEDUP_SPAN_COVERAGE_SQL
+    from .text import CORPUS_CHUNK_WINDOWS_SQL
+
+    return f"""
+WITH span AS ({DEDUP_SPAN_COVERAGE_SQL.strip()}),
+chunks AS ({CORPUS_CHUNK_WINDOWS_SQL.strip()})
+SELECT c.doc_id, c.chunk_start, c.n_chunk_tokens, s.dup_frac
+FROM chunks c JOIN span s USING (doc_id)
+WHERE s.dup_frac <= {MAX_DUP_FRAC}
+ORDER BY c.doc_id, c.chunk_start
+"""
+
+
+#: Composed oracle: the two component oracles as CTEs, joined the same
+#: way the Spark plan joins them — the composition is itself exact.
+CORPUS_PREP_CHUNKS_SQL = _prep_chunks_sql()

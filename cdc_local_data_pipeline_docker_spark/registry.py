@@ -376,6 +376,12 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         TX.text_tfidf_top_terms,
         TX.TEXT_TFIDF_TOP_TERMS_SQL,
     ),
+    # round-5 composition: span-dedup filter -> chunking, one exact
+    # oracle built from the component oracles as CTEs
+    "corpus_prep_chunks": (
+        CUR.corpus_prep_chunks,
+        CUR.CORPUS_PREP_CHUNKS_SQL,
+    ),
     "text_pii_redact": (SC.text_pii_redact, SC.TEXT_PII_REDACT_SQL),
     "text_stopword_scrub": (SC.text_stopword_scrub, SC.TEXT_STOPWORD_SCRUB_SQL),
     "text_bigram_top50": (SC.text_bigram_top50, SC.TEXT_BIGRAM_TOP50_SQL),

@@ -188,3 +188,26 @@ def test_run_pipeline_cli_parallel_tables(tmp_path):
         )
 
     assert canon(rs.stdout) == canon(rp.stdout)
+
+
+def test_udtf_ngram_exploder_matches_codegen_shingler(spark, sf_dir):
+    """Spark-4 Python UDTF surface (SQL LATERAL + DataFrame lateralJoin):
+    both forms must emit BIT-IDENTICAL rows to the codegen'd
+    higher-order-array n-gram explode (llmops/dedup._span_grams) over
+    the real corpus — the API is pinned, and so is the fact that the
+    declarative hot path loses nothing semantically."""
+    from cdc_local_data_pipeline_docker_spark.catalog import load_table
+    from cdc_local_data_pipeline_docker_spark.functions.udtfs import (
+        explode_ngrams_udtf,
+        explode_ngrams_udtf_api,
+    )
+    from cdc_local_data_pipeline_docker_spark.llmops.dedup import (
+        SPAN_N,
+        _span_grams,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    want = sorted(map(tuple, _span_grams(docs).collect()))
+    got_sql = sorted(map(tuple, explode_ngrams_udtf(spark, docs, SPAN_N).collect()))
+    got_api = sorted(map(tuple, explode_ngrams_udtf_api(docs, SPAN_N).collect()))
+    assert got_sql == want and got_api == want and len(want) > 0
