@@ -360,3 +360,26 @@ def compact_zorder_table(
     with open(stats_path, "w") as f:
         json.dump(meta, f)
     return sorted(small), sorted(added)
+
+
+def vacuum_zorder_table(path: str) -> list[str]:
+    """Delete data files NOT referenced by the skipping sidecar and
+    return their names. The sidecar is the reader's source of truth
+    (prune_files/read_zorder_table only ever hand Spark files listed in
+    it), so a crash between compaction's append and its unlink leaves
+    ORPHANS — present on disk, absent from the sidecar, invisible to
+    sidecar-driven readers, never lost data. Vacuum reclaims the space;
+    tests/test_plan_quality.py simulates the crash and proves readers
+    stay exact before and after. This is the same crash model as Delta/
+    Iceberg VACUUM: the metadata commit (here the sidecar rewrite) is
+    the atomic point, data files are immutable and cleaned lazily."""
+    with open(os.path.join(path, _STATS_FILE)) as f:
+        live = set(json.load(f)["files"])
+    orphans = [
+        f
+        for f in os.listdir(path)
+        if f.endswith(".parquet") and f not in live
+    ]
+    for f in orphans:
+        os.remove(os.path.join(path, f))
+    return sorted(orphans)

@@ -632,3 +632,67 @@ def test_zorder_compaction_merges_small_files_and_keeps_pruning(
     assert got == truth and truth
     # total rows conserved
     assert read_zorder_table(spark, d).count() == full.count()
+
+
+def test_zorder_compaction_crash_leaves_readers_exact_and_vacuumable(
+    spark, sf_dir, tmp_path
+):
+    """Crash model for compaction: the sidecar rewrite is the atomic
+    commit point. Simulate dying AFTER the merged files are appended but
+    BEFORE originals are unlinked / the sidecar updates — readers (which
+    only consume sidecar-listed files) must still see exactly the
+    pre-compaction rows; vacuum then reclaims exactly the orphans; a
+    re-run compaction converges to the same exact row set."""
+    import json as _json
+    import os as _os
+
+    from cdc_local_data_pipeline_docker_spark.catalog import load_table
+    from cdc_local_data_pipeline_docker_spark.sources.zorder import (
+        append_zorder_table,
+        compact_zorder_table,
+        read_zorder_table,
+        vacuum_zorder_table,
+        zorder_by,
+        write_zorder_table,
+    )
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.expr("unix_micros(cast(ts as timestamp)) div 1000000").alias("ts_epoch"),
+        (F.col("user_id") * 97).alias("user_key"),
+    )
+    base = ev.filter(F.col("event_id") % 3 == 0)
+    d = str(tmp_path / "t")
+    write_zorder_table(spark, base, d, ["user_key", "ts_epoch"], 4)
+    append_zorder_table(spark, ev.filter(F.col("event_id") % 3 == 1), d, n_files=2)
+    truth = sorted(
+        r[0]
+        for r in ev.filter(F.col("event_id") % 3 <= 1).select("event_id").collect()
+    )
+
+    # simulate the crash: replay compaction's append WITHOUT the
+    # unlink/sidecar steps (same data path compact_zorder_table takes)
+    meta = _json.load(open(f"{d}/_zorder_stats.json"))
+    small = [f for f in meta["files"]
+             if _os.path.getsize(_os.path.join(d, f)) < (1 << 20)]
+    merged = spark.read.parquet(*[_os.path.join(d, f) for f in small])
+    zorder_by(merged, *meta["zcols"], n_files=2).write.mode("append").parquet(d)
+
+    # readers: sidecar-driven, so the half-committed append is invisible
+    got = sorted(r[0] for r in read_zorder_table(spark, d).select("event_id").collect())
+    assert got == truth
+    on_disk = {f for f in _os.listdir(d) if f.endswith(".parquet")}
+    assert set(meta["files"]) < on_disk  # orphans exist
+
+    # vacuum reclaims exactly the orphans
+    orphans = vacuum_zorder_table(d)
+    assert sorted(on_disk - set(meta["files"])) == orphans and orphans
+    got2 = sorted(r[0] for r in read_zorder_table(spark, d).select("event_id").collect())
+    assert got2 == truth
+
+    # a re-run compaction (no crash) still converges to the same rows
+    removed, added = compact_zorder_table(spark, d, n_files=2)
+    assert removed and added
+    got3 = sorted(r[0] for r in read_zorder_table(spark, d).select("event_id").collect())
+    assert got3 == truth
