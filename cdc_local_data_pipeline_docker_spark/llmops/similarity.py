@@ -467,9 +467,16 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-only pass over a KB-sized centroid broadcast; the pair join
     shuffles on cell id. Rows-only driver check (k-means training is not
     SQL-expressible)."""
+    cells = scoped_persist(semantic_cells(spark, sf_dir))
+    return _semantic_pairs(cells).orderBy("id_a", "id_b")
+
+
+def _semantic_pairs(cells: DataFrame) -> DataFrame:
+    """Within-cell cosine-threshold pairs from a (vec_id, v, norm, cell)
+    membership frame — the join body shared by the full detector and the
+    sampled audit."""
     from .dedup import COSINE_DUP_THRESHOLD
 
-    cells = scoped_persist(semantic_cells(spark, sf_dir))
     a = cells.select(
         F.col("vec_id").alias("id_a"), F.col("v").alias("va"),
         F.col("norm").alias("na"), "cell",
@@ -490,5 +497,94 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand.withColumn("cosine", cos)
         .filter(F.col("cosine") >= COSINE_DUP_THRESHOLD)
         .select("id_a", "id_b")
+    )
+
+
+def dedup_semantic_contract_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """100 TB form of the SemDeDup audit (the md5-slice pattern proven on
+    MinHash, dedup.dedup_minhash_lsh_contract_sampled): the full
+    contract's brute-force twin is O(N²) — affordable at test scale,
+    hostile at corpus scale. Production runs the detector everywhere and
+    THIS audit on a deterministic, engine-portable 50% md5 slice of the
+    vectors, against the PRODUCTION quantizer (centroids trained on the
+    full corpus — auditing the deployed cells, not slice-local ones).
+    Output = the slice's exact cosine pair set + booleans the oracle
+    pins TRUE (precision by construction; recall ≥ the bound, measured
+    slice floors 0.966/1.00/0.828 at sf0.001/0.01/0.1)."""
+    from .dedup import (
+        AUDIT_SLICE_BUCKETS,
+        COSINE_DUP_THRESHOLD,
+        SEMANTIC_RECALL_BOUND,
+    )
+
+    vecs = _vectors(spark, sf_dir)
+    c = F.ascii(
+        F.substring(
+            F.md5(F.concat(F.lit("audit:"), F.col("vec_id").cast("string"))), 1, 1
+        )
+    )
+    bucket = F.when(c <= 57, c - 48).otherwise(c - 87)
+    sliced = scoped_persist(vecs.filter(bucket < AUDIT_SLICE_BUCKETS))
+
+    cells = _nearest_cells(sliced, _ivf_centroids(spark, sf_dir), SEMDEDUP_ASSIGN)
+    sem = _semantic_pairs(cells)
+
+    a = sliced.select(
+        F.col("vec_id").alias("id_a"), F.col("v").alias("va"), F.col("norm").alias("na")
+    )
+    b = sliced.select(
+        F.col("vec_id").alias("id_b"), F.col("v").alias("vb"), F.col("norm").alias("nb")
+    )
+    cos = F.expr(
+        "aggregate(zip_with(va, vb, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"
+    ) / (F.col("na") * F.col("nb"))
+    exact = (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", cos)
+        .filter(F.col("cosine") >= COSINE_DUP_THRESHOLD)
+        .select("id_a", "id_b")
+    )
+
+    n_exact = exact.agg(F.count(F.lit(1)).alias("n_exact"))
+    n_sem = sem.agg(F.count(F.lit(1)).alias("n_sem"))
+    n_escaped = sem.join(exact, ["id_a", "id_b"], "left_anti").agg(
+        F.count(F.lit(1)).alias("n_escaped")
+    )
+    flags = (
+        n_exact.crossJoin(n_sem)
+        .crossJoin(n_escaped)
+        .select(
+            (F.col("n_escaped") == 0).alias("sem_precision_ok"),
+            (
+                (F.col("n_sem") - F.col("n_escaped"))
+                >= F.lit(SEMANTIC_RECALL_BOUND) * F.col("n_exact")
+            ).alias("sem_recall_ok"),
+        )
+    )
+    return (
+        exact.crossJoin(F.broadcast(flags))
+        .select("id_a", "id_b", "sem_precision_ok", "sem_recall_ok")
         .orderBy("id_a", "id_b")
     )
+
+
+def _semantic_sampled_sql() -> str:
+    from .dedup import AUDIT_SLICE_BUCKETS, COSINE_DUP_THRESHOLD, _AUDIT_BUCKET_SQL
+
+    bucket = _AUDIT_BUCKET_SQL.replace("doc_id", "vec_id")
+    return f"""
+WITH sampled AS (
+  SELECT * FROM embeddings WHERE ({bucket}) < {AUDIT_SLICE_BUCKETS}
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       TRUE AS sem_precision_ok, TRUE AS sem_recall_ok
+FROM sampled a JOIN sampled b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+      >= {COSINE_DUP_THRESHOLD}
+ORDER BY id_a, id_b
+"""
+
+
+#: DuckDB twin: brute-force cosine pairs within the SAME engine-portable
+#: md5 slice + pinned booleans.
+DEDUP_SEMANTIC_CONTRACT_SAMPLED_SQL = _semantic_sampled_sql()

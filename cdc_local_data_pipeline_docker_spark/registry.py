@@ -347,6 +347,12 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         DD.dedup_semantic_contract,
         DD.DEDUP_SEMANTIC_CONTRACT_SQL,
     ),
+    # the 100TB audit form: contract on a deterministic 50% md5 slice
+    # against the full-corpus quantizer
+    "dedup_semantic_contract_sampled": (
+        SIM.dedup_semantic_contract_sampled,
+        SIM.DEDUP_SEMANTIC_CONTRACT_SAMPLED_SQL,
+    ),
     "ann_lsh_topk": (SIM.ann_lsh_topk, None),  # approximate by construction
     "ann_lsh_topk_contract": (
         SIM.ann_lsh_topk_contract,
