@@ -688,3 +688,34 @@ def test_semantic_dedup_subset_of_bruteforce(spark, sf_dir):
     exact = set(map(tuple, dedup_embedding_cosine(spark, sf_dir).collect()))
     sem = set(map(tuple, dedup_semantic(spark, sf_dir).collect()))
     assert sem and sem <= exact
+
+
+def test_chunk_windows_all_boundary_lengths(spark, tmp_path):
+    """Chunk invariants at EVERY boundary length: T=1, T=c-1, T=c,
+    T=c+1, grid-aligned (T-c)%s==0, off-grid, and multi-window docs.
+    For each: full coverage (union of [start, start+c-1] ⊇ [1, T]),
+    ascending unique starts, exact slices."""
+    from cdc_local_data_pipeline_docker_spark.llmops.text import (
+        CHUNK_STRIDE as s,
+        CHUNK_TOKENS as c,
+        corpus_chunk_windows,
+    )
+
+    lengths = sorted({1, 2, c - 1, c, c + 1, c + s, c + s - 1, c + s + 1,
+                      c + 2 * s, c + 2 * s + 3, 3 * c})
+    rows = [(t, " ".join(f"w{t}x{j}" for j in range(t))) for t in lengths]
+    sf = _write_docs(spark, tmp_path, rows)
+    out = {}
+    for r in corpus_chunk_windows(spark, sf).collect():
+        out.setdefault(r.doc_id, []).append(r)
+    assert set(out) == set(lengths)
+    for T, chunks in out.items():
+        starts = [ch.chunk_start for ch in chunks]
+        assert starts == sorted(set(starts))  # unique ascending
+        covered = set()
+        for ch in chunks:
+            assert 1 <= ch.chunk_start <= max(T - c + 1, 1)
+            assert ch.n_chunk_tokens == min(c, T - ch.chunk_start + 1)
+            covered |= set(range(ch.chunk_start,
+                                 ch.chunk_start + ch.n_chunk_tokens))
+        assert covered == set(range(1, T + 1)), f"T={T}: gap {set(range(1,T+1))-covered}"
