@@ -474,27 +474,40 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _semantic_pairs(cells: DataFrame) -> DataFrame:
     """Within-cell cosine-threshold pairs from a (vec_id, v, norm, cell)
     membership frame — the join body shared by the full detector and the
-    sampled audit."""
+    sampled audit.
+
+    Shuffle-width discipline: the cell join and the (id_a, id_b)
+    de-duplication move ONLY ids (16 bytes/row) — vectors attach
+    AFTERWARDS, once per unique pair, via two equi-joins against the
+    distinct (vec_id, v, norm) projection (broadcast at test scale,
+    id-keyed shuffle at corpus scale). The first draft carried both
+    512-byte vectors through the multi-assignment dedup shuffle — ~60×
+    the bytes for identical output."""
     from .dedup import COSINE_DUP_THRESHOLD
 
-    a = cells.select(
-        F.col("vec_id").alias("id_a"), F.col("v").alias("va"),
-        F.col("norm").alias("na"), "cell",
-    )
-    b = cells.select(
-        F.col("vec_id").alias("id_b"), F.col("v").alias("vb"),
-        F.col("norm").alias("nb"), "cell",
-    )
-    cand = (
-        a.join(b, "cell")
+    ids = (
+        cells.select(F.col("vec_id").alias("id_a"), "cell")
+        .join(cells.select(F.col("vec_id").alias("id_b"), "cell"), "cell")
         .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
+    )
+    vecs = cells.select("vec_id", "v", "norm").dropDuplicates(["vec_id"])
+    a = vecs.select(
+        F.col("vec_id").alias("id_a"), F.col("v").alias("va"),
+        F.col("norm").alias("na"),
+    )
+    b = vecs.select(
+        F.col("vec_id").alias("id_b"), F.col("v").alias("vb"),
+        F.col("norm").alias("nb"),
     )
     cos = F.expr(
         "aggregate(zip_with(va, vb, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"
     ) / (F.col("na") * F.col("nb"))
     return (
-        cand.withColumn("cosine", cos)
+        ids.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("cosine", cos)
         .filter(F.col("cosine") >= COSINE_DUP_THRESHOLD)
         .select("id_a", "id_b")
     )
