@@ -601,3 +601,57 @@ ORDER BY id_a, id_b
 #: DuckDB twin: brute-force cosine pairs within the SAME engine-portable
 #: md5 slice + pinned booleans.
 DEDUP_SEMANTIC_CONTRACT_SAMPLED_SQL = _semantic_sampled_sql()
+
+
+def corpus_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic (embedding-space) benchmark decontamination: corpus
+    vectors (vec_id >= ANN_N_QUERIES) that are NOT within the dup cosine
+    threshold of ANY eval vector (the ANN_N_QUERIES lowest ids — the
+    same held-out set the ANN queries use). The embedding-space
+    complement of the n-gram `corpus_decontaminate`: n-grams catch
+    verbatim leakage, cosine catches paraphrased leakage.
+
+    Plan: the eval set is tiny and BROADCASTS; the corpus streams
+    through one BroadcastNestedLoopJoin(LeftAnti) — each corpus vector
+    is checked against 20 eval vectors map-side and never shuffles.
+    That is the right 100 TB shape whenever the eval set fits in a
+    broadcast (eval suites are KBs-MBs); a corpus-sized eval side would
+    switch to the IVF-cell route instead. Exact oracle: NOT EXISTS with
+    list_cosine_similarity."""
+    from .dedup import COSINE_DUP_THRESHOLD
+
+    vecs = _vectors(spark, sf_dir)
+    ev = vecs.filter(F.col("vec_id") < ANN_N_QUERIES).select(
+        F.col("v").alias("ev"), F.col("norm").alias("en")
+    )
+    corpus = vecs.filter(F.col("vec_id") >= ANN_N_QUERIES)
+    cos = F.expr(
+        "aggregate(zip_with(v, ev, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"
+    ) / (F.col("norm") * F.col("en"))
+    return (
+        corpus.join(
+            F.broadcast(ev), cos >= COSINE_DUP_THRESHOLD, "left_anti"
+        )
+        .select("vec_id")
+        .orderBy("vec_id")
+    )
+
+
+def _semantic_decontaminate_sql() -> str:
+    from .dedup import COSINE_DUP_THRESHOLD
+
+    return f"""
+SELECT t.vec_id
+FROM embeddings t
+WHERE t.vec_id >= {ANN_N_QUERIES}
+  AND NOT EXISTS (
+    SELECT 1 FROM embeddings e
+    WHERE e.vec_id < {ANN_N_QUERIES}
+      AND list_cosine_similarity(t.embedding::DOUBLE[],
+                                 e.embedding::DOUBLE[])
+          >= {COSINE_DUP_THRESHOLD})
+ORDER BY t.vec_id
+"""
+
+
+CORPUS_SEMANTIC_DECONTAMINATE_SQL = _semantic_decontaminate_sql()

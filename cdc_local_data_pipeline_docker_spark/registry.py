@@ -353,6 +353,12 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         SIM.dedup_semantic_contract_sampled,
         SIM.DEDUP_SEMANTIC_CONTRACT_SAMPLED_SQL,
     ),
+    # embedding-space decontamination (paraphrase leakage; the n-gram
+    # corpus_decontaminate's semantic complement)
+    "corpus_semantic_decontaminate": (
+        SIM.corpus_semantic_decontaminate,
+        SIM.CORPUS_SEMANTIC_DECONTAMINATE_SQL,
+    ),
     "ann_lsh_topk": (SIM.ann_lsh_topk, None),  # approximate by construction
     "ann_lsh_topk_contract": (
         SIM.ann_lsh_topk_contract,

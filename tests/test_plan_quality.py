@@ -696,3 +696,19 @@ def test_zorder_compaction_crash_leaves_readers_exact_and_vacuumable(
     assert removed and added
     got3 = sorted(r[0] for r in read_zorder_table(spark, d).select("event_id").collect())
     assert got3 == truth
+
+
+def test_semantic_decontaminate_broadcasts_eval_side(spark, sf_dir):
+    """The embedding-space decontamination must stream the corpus through
+    ONE BroadcastNestedLoopJoin(LeftAnti) over the broadcast eval set —
+    the corpus itself never shuffles for the check."""
+    from cdc_local_data_pipeline_docker_spark.llmops.similarity import (
+        corpus_semantic_decontaminate,
+    )
+
+    plan = A.simple_plan(corpus_semantic_decontaminate(spark, sf_dir))
+    anti = [ln for ln in plan.splitlines()
+            if "BroadcastNestedLoopJoin" in ln and "LeftAnti" in ln]
+    assert len(anti) == 1, plan
+    assert "BuildRight" in anti[0], anti
+    assert "CartesianProduct" not in plan

@@ -104,6 +104,7 @@ COVERED_BY = {
     "dedup_semantic": "ann_cosine_topk",
     "dedup_semantic_contract": "ann_cosine_topk",
     "dedup_semantic_contract_sampled": "ann_cosine_topk",
+    "corpus_semantic_decontaminate": "ann_cosine_topk",
     "dedup_span_coverage": "dedup_minhash_lsh",
     "ann_lsh_topk": "ann_cosine_topk",
     "ann_lsh_topk_contract": "ann_cosine_topk",
