@@ -712,3 +712,49 @@ def test_semantic_decontaminate_broadcasts_eval_side(spark, sf_dir):
     assert len(anti) == 1, plan
     assert "BuildRight" in anti[0], anti
     assert "CartesianProduct" not in plan
+
+
+def test_zorder_four_dim_codes_stay_in_long_and_prune(spark, sf_dir, tmp_path):
+    """4-dim z-order exercises the bits-per-dim shrink (48//4 = 12 bits/
+    dim — the >3-dim path that keeps the interleaved code inside a
+    signed long): layout must still write, sidecar must still prune a
+    4-D box to fewer files, and the pruned scan stays row-exact."""
+    from cdc_local_data_pipeline_docker_spark.catalog import load_table
+    from cdc_local_data_pipeline_docker_spark.sources.zorder import (
+        prune_files,
+        read_zorder_table,
+        write_zorder_table,
+    )
+    from pyspark.sql import functions as F
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey",
+        F.col("l_quantity").cast("long").alias("qty"),
+        F.dayofyear("l_shipdate").alias("shipday"),
+    )
+    d = str(tmp_path / "t4")
+    cols = ["l_partkey", "l_suppkey", "qty", "shipday"]
+    write_zorder_table(spark, li, d, cols, 16)
+
+    los = li.agg(*[F.min(c).alias(c) for c in cols]).first()
+    his = li.agg(*[F.max(c).alias(c) for c in cols]).first()
+    box = {
+        c: (int(los[c]), int(los[c] + (his[c] - los[c]) // 4)) for c in cols
+    }
+    kept = prune_files(spark, d, ranges=box)
+    n_total = len(read_zorder_table(spark, d).inputFiles())
+    assert 0 < len(kept) < n_total, (len(kept), n_total)
+
+    cond = None
+    for c, (lo, hi) in box.items():
+        e = F.col(c).between(lo, hi)
+        cond = e if cond is None else (cond & e)
+    truth = sorted(
+        (r[0], r[1]) for r in li.filter(cond)
+        .select("l_orderkey", "l_partkey").collect()
+    )
+    got = sorted(
+        (r[0], r[1]) for r in read_zorder_table(spark, d, ranges=box)
+        .filter(cond).select("l_orderkey", "l_partkey").collect()
+    )
+    assert got == truth and truth
