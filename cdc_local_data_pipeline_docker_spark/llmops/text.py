@@ -690,3 +690,56 @@ SELECT doc_id, rank, token, tf, df, score
 FROM ranked WHERE rank <= {TFIDF_TOP_K}
 ORDER BY doc_id, rank
 """
+
+
+# ---------------------------------------------------------------------------
+# Corpus length histogram (the dataset-card plot behind every corpus).
+# ---------------------------------------------------------------------------
+
+#: Histogram bucket width in tokens.
+HIST_BUCKET_TOKENS = 8
+
+
+def corpus_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(bucket_lo, bucket_hi, n_docs, n_tokens_total, min_tokens,
+    max_tokens): fixed-width token-length histogram of the corpus —
+    integer-only arithmetic, so the oracle hash is exact.
+
+    One partial+final hash agg over a map-only bucket expression; at any
+    corpus size the state is #buckets rows. The fixed (compile-time)
+    bucket width is deliberate: equi-depth histograms need a quantile
+    pass first — that variant exists as agg_exact_percentiles."""
+    w = HIST_BUCKET_TOKENS
+    docs = load_table(spark, sf_dir, "documents")
+    n = F.size(F.split("text", " "))
+    return (
+        docs.select((F.floor(n / w) * w).cast("long").alias("bucket_lo"),
+                    n.alias("n_tokens"))
+        .groupBy("bucket_lo")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens_total"),
+            F.min("n_tokens").alias("min_tokens"),
+            F.max("n_tokens").alias("max_tokens"),
+        )
+        .select(
+            "bucket_lo",
+            (F.col("bucket_lo") + F.lit(w - 1)).alias("bucket_hi"),
+            "n_docs", "n_tokens_total", "min_tokens", "max_tokens",
+        )
+        .orderBy("bucket_lo")
+    )
+
+
+CORPUS_LENGTH_HISTOGRAM_SQL = f"""
+SELECT (n_tokens // {HIST_BUCKET_TOKENS}) * {HIST_BUCKET_TOKENS} AS bucket_lo,
+       (n_tokens // {HIST_BUCKET_TOKENS}) * {HIST_BUCKET_TOKENS}
+         + {HIST_BUCKET_TOKENS - 1} AS bucket_hi,
+       count(*) AS n_docs,
+       sum(n_tokens) AS n_tokens_total,
+       min(n_tokens) AS min_tokens,
+       max(n_tokens) AS max_tokens
+FROM (SELECT len(string_split(text, ' ')) AS n_tokens FROM documents)
+GROUP BY 1, 2
+ORDER BY bucket_lo
+"""

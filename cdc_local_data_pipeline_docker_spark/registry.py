@@ -383,6 +383,11 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         TX.corpus_chunk_windows,
         TX.CORPUS_CHUNK_WINDOWS_SQL,
     ),
+    # fixed-width corpus length histogram (integer-exact)
+    "corpus_length_histogram": (
+        TX.corpus_length_histogram,
+        TX.CORPUS_LENGTH_HISTOGRAM_SQL,
+    ),
     # TF-IDF keyword extraction (log-free idf: exact integer-ratio score)
     "text_tfidf_top_terms": (
         TX.text_tfidf_top_terms,

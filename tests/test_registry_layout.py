@@ -121,6 +121,7 @@ COVERED_BY = {
     "text_bigram_top50": "text_profile",
     "corpus_chunk_windows": "explode_token_frequencies",
     "text_tfidf_top_terms": "explode_token_frequencies",
+    "corpus_length_histogram": "corpus_lang_profile",
     "corpus_prep_chunks": "explode_token_frequencies",
     "fn_string_pack": "fn_scalar_pack",
     "fn_date_pack": "fn_scalar_pack",
