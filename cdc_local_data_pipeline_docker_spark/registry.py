@@ -49,6 +49,7 @@ from .operators import relational as R
 from .operators import sketches as SK
 from .operators import tpch_more as TM
 from .operators import tpch_shapes as TQ
+from .streaming import incremental_view as IV
 from .streaming import jobs as SJ
 from .streaming import sketch_state as SKS
 from .streaming import stateful as SST
@@ -313,6 +314,12 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         SKS.cdc_hotkey_monitor,
         SKS.CDC_HOTKEY_MONITOR_SQL,
     ),  # CMS hot-key probe: exact per-key counts + eps*N contract
+    # incremental view maintenance: delta-applied grouped count/sum over
+    # latest-state, exact oracle = recompute from the full changelog
+    "cdc_incremental_agg_view": (
+        IV.cdc_incremental_agg_view,
+        IV.CDC_INCREMENTAL_AGG_VIEW_SQL,
+    ),
     "dedup_minhash_lsh_contract_sampled": (
         DD.dedup_minhash_lsh_contract_sampled,
         DD.DEDUP_MINHASH_LSH_CONTRACT_SAMPLED_SQL,

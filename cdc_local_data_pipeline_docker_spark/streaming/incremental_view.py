@@ -1,0 +1,323 @@
+"""Incrementally-maintained aggregate VIEW over CDC latest-state —
+classic incremental view maintenance (IVM) for self-maintainable
+aggregates (COUNT / SUM), driven by the changelog.
+
+``upsert.py`` maintains the full latest-state ROW SET; recomputing a
+grouped aggregate from it still rescans the whole state table every
+refresh. This maintainer keeps the aggregate itself as state and applies
+per-batch DELTAS instead:
+
+    view(g) = (count, sum) over live latest-state rows with group g
+
+    per batch:  for each pk whose final image changed,
+                  -(old contribution)  +(new contribution)
+                folded into the stored per-group totals.
+
+Because CDC events carry only the NEW row image, computing the old
+contribution needs the previous image per pk — so the maintainer also
+keeps a NARROW key-state table holding just (pk, group, value, position):
+the standard IVM "auxiliary state" — column-pruned to the view's needs,
+NOT the full row. At 100 TB the key-state is a bucketed table and the
+old-image lookup is a batch-sized point-lookup MERGE; the aggregate state
+is tiny (one row per group). Refresh cost tracks batch size, never
+history size.
+
+Exactly-once across crashes (same model as sketch_state.py, plus one
+IVM-specific property): batch application order is (1) compute deltas
+against the CURRENT key-state, (2) swap key-state, (3) swap agg-state
+carrying ``last_batch_id``. A replay after (3) is skipped by the
+batch-id guard. A replay after (2) but before (3) recomputes deltas
+against the ALREADY-MERGED key-state — every batch row now ties with its
+own stored image, so -(old)+(new) cancels to ZERO and the re-applied
+delta is a no-op (pytest-pinned: test_replay_after_keystate_swap_is_zero
+_delta). Either crash point converges to the same totals.
+
+Position ordering mirrors upsert._merge_latest: (partition DESC,
+kafka_offset DESC), ties won by the incoming row (same event ⇒ same
+image ⇒ zero delta).
+
+Reference parity: the reference (kafka_to_s3_enhanced.py) has no derived
+views at all — every consumer rescans raw S3 JSON. This module is the
+EXT capability that makes the changelog useful as a serving layer.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import DecimalType
+
+from ..cdc import parse as P
+from .upsert import _recover_state
+
+DEC = DecimalType(18, 2)
+
+#: view definition: per-table (group column, summed numeric column)
+VIEW_SPECS = {"orders": ("status", "total_amount")}
+
+_KEY_DDL = (
+    "pk INT, g STRING, v DECIMAL(18,2), is_tombstone BOOLEAN, "
+    "partition INT, kafka_offset LONG"
+)
+_AGG_DDL = "g STRING, n_rows LONG, v_sum DECIMAL(18,2), last_batch_id LONG"
+
+
+def key_state_path(out_dir: str, table: str) -> str:
+    return os.path.join(out_dir, f"{table}_view_keys")
+
+
+def agg_state_path(out_dir: str, table: str) -> str:
+    return os.path.join(out_dir, f"{table}_view_agg")
+
+
+def _swap(df: DataFrame, path: str, batch_id: int) -> None:
+    """Write-new → rename swap (crash-recoverable via _recover_state)."""
+    tmp, old = f"{path}__tmp_{batch_id}", f"{path}__old_{batch_id}"
+    df.write.mode("overwrite").parquet(tmp)
+    if os.path.exists(path):
+        os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old, ignore_errors=True)
+
+
+def _narrow(delta: DataFrame, table: str) -> DataFrame:
+    """Project a parsed changelog batch to the view's key-state columns."""
+    g_col, v_col = VIEW_SPECS[table]
+    return delta.select(
+        "pk",
+        F.col(g_col).alias("g"),
+        F.col(v_col).cast(DEC).alias("v"),
+        "is_tombstone",
+        "partition",
+        "kafka_offset",
+    )
+
+
+def _batch_final(batch: DataFrame) -> DataFrame:
+    """Within-batch latest-wins: intermediate images collapse — the delta
+    is old-state → FINAL batch image, matching latest-state semantics."""
+    w = Window.partitionBy("pk").orderBy(
+        F.col("partition").desc(), F.col("kafka_offset").desc()
+    )
+    return (
+        batch.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+def _winners_with_old(final: DataFrame, keys: DataFrame) -> DataFrame:
+    """Left-join batch-final images against stored key-state (the 100 TB
+    point-lookup MERGE shape; batch-sized probe side) and keep only rows
+    that WIN by position (>= — ties are replays of the same event and
+    produce a zero delta downstream)."""
+    old = keys.select(
+        F.col("pk").alias("o_pk"),
+        F.col("g").alias("o_g"),
+        F.col("v").alias("o_v"),
+        F.col("is_tombstone").alias("o_tomb"),
+        F.col("partition").alias("o_part"),
+        F.col("kafka_offset").alias("o_off"),
+    )
+    j = final.join(old, final["pk"] == old["o_pk"], "left")
+    wins = (
+        F.col("o_pk").isNull()
+        | (F.col("partition") > F.col("o_part"))
+        | (
+            (F.col("partition") == F.col("o_part"))
+            & (F.col("kafka_offset") >= F.col("o_off"))
+        )
+    )
+    return j.filter(wins)
+
+
+def _group_deltas(won: DataFrame) -> DataFrame:
+    """-(old contribution) +(new contribution), pre-aggregated per group
+    (map-side combine; output is ≤ 2·|batch groups| rows)."""
+    minus = won.filter(F.col("o_pk").isNotNull() & ~F.col("o_tomb")).select(
+        F.col("o_g").alias("g"),
+        F.lit(-1).cast("long").alias("dn"),
+        (-F.col("o_v")).cast(DEC).alias("dv"),
+    )
+    plus = won.filter(~F.col("is_tombstone")).select(
+        F.col("g"),
+        F.lit(1).cast("long").alias("dn"),
+        F.col("v").cast(DEC).alias("dv"),
+    )
+    return (
+        minus.unionByName(plus)
+        .groupBy("g")
+        .agg(F.sum("dn").alias("dn"), F.sum("dv").cast(DEC).alias("dv"))
+    )
+
+
+def apply_view_batch(
+    spark: SparkSession,
+    batch_env: DataFrame,
+    table: str,
+    out_dir: str,
+    batch_id: int = 0,
+) -> None:
+    """Fold one micro-batch of envelope rows into the maintained view."""
+    kpath, apath = key_state_path(out_dir, table), agg_state_path(out_dir, table)
+    _recover_state(kpath)
+    _recover_state(apath)
+
+    if os.path.exists(apath):
+        last = (
+            spark.read.parquet(apath).agg(F.max("last_batch_id")).collect()[0][0]
+        )
+        if last is not None and batch_id <= last:
+            return  # fully-applied batch replayed after the agg swap
+
+    delta = P.project_changelog(P.parse_events(batch_env, table), table).filter(
+        ~F.col("is_malformed")
+    )
+    final = _batch_final(_narrow(delta, table))
+    if os.path.exists(kpath):
+        keys = spark.read.parquet(kpath)
+    else:
+        keys = spark.createDataFrame([], _KEY_DDL)
+    won = _winners_with_old(final, keys).localCheckpoint(eager=True)
+
+    # (1) deltas against CURRENT key-state
+    deltas = _group_deltas(won)
+
+    # new key-state: winners replace their old rows (tombstone markers
+    # stay so replays of older events keep losing — upsert.py semantics)
+    new_keys = keys.join(
+        won.select("pk").distinct(), "pk", "left_anti"
+    ).unionByName(won.select(*[f.name for f in keys.schema.fields]))
+
+    # new agg-state: stored totals ∪ deltas, grouped (null-safe on g by
+    # construction of groupBy), zero-count groups dropped
+    if os.path.exists(apath):
+        agg = spark.read.parquet(apath).select("g", "n_rows", "v_sum")
+    else:
+        agg = spark.createDataFrame([], _AGG_DDL).select("g", "n_rows", "v_sum")
+    new_agg = (
+        agg.select("g", F.col("n_rows").alias("dn"), F.col("v_sum").alias("dv"))
+        .unionByName(deltas)
+        .groupBy("g")
+        .agg(F.sum("dn").alias("n_rows"), F.sum("dv").cast(DEC).alias("v_sum"))
+        .filter(F.col("n_rows") > 0)
+        .withColumn("last_batch_id", F.lit(int(batch_id)))
+    )
+    new_agg = new_agg.localCheckpoint(eager=True)  # sever lineage from kpath
+
+    # (2) key-state swap, then (3) agg swap — see module docstring for the
+    # crash-window analysis of this ordering
+    _swap(new_keys.coalesce(1), kpath, batch_id)
+    _swap(new_agg.coalesce(1), apath, batch_id)
+
+
+def read_view(spark: SparkSession, out_dir: str, table: str) -> DataFrame:
+    g_col, v_col = VIEW_SPECS[table]
+    return spark.read.parquet(agg_state_path(out_dir, table)).select(
+        F.col("g").alias(g_col),
+        F.col("n_rows"),
+        F.col("v_sum").alias(f"{v_col}_sum"),
+    )
+
+
+def start_view_stream(
+    spark: SparkSession, event_dir: str, table: str, out_dir: str
+):
+    """Drain available change events, maintaining the aggregate view per
+    micro-batch (AvailableNow; checkpointed like the upsert stream)."""
+    env = spark.readStream.schema(P.ENVELOPE_DDL).json(
+        os.path.join(event_dir, f"{table}*.jsonl")
+    )
+    q = (
+        env.writeStream.foreachBatch(
+            lambda df, bid: apply_view_batch(df.sparkSession, df, table, out_dir, bid)
+        )
+        .option(
+            "checkpointLocation",
+            os.path.join(out_dir, "_checkpoints_view", table),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
+# ---------------------------------------------------------------------------
+# Registry adapter: replay the seeded orders changelog in two offset-split
+# batches through the incremental maintainer, emit the final view.
+# ---------------------------------------------------------------------------
+
+def cdc_incremental_agg_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained (status → count, sum(total_amount)) view
+    of the orders topic, built by TWO delta applications — the oracle
+    recomputes the same aggregate from the full changelog's latest state,
+    proving delta maintenance ≡ recompute.
+
+    sf_dir is unused (CDC input is the fixture stream); kept for the
+    uniform queries() signature."""
+    import tempfile
+
+    from ..cdc.queries import ensure_fixtures
+
+    d = ensure_fixtures()
+    env = P.read_event_file(spark, os.path.join(d, "orders.jsonl"))
+    mid = env.agg(F.expr("percentile(offset, 0.5)")).collect()[0][0]
+    out = tempfile.mkdtemp(prefix="cdc_view_state_")
+    try:
+        apply_view_batch(spark, env.filter(F.col("offset") <= mid), "orders", out, 0)
+        apply_view_batch(spark, env.filter(F.col("offset") > mid), "orders", out, 1)
+        rows = read_view(spark, out, "orders").collect()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    view = spark.createDataFrame(
+        rows, "status STRING, n_rows LONG, total_amount_sum DECIMAL(18,2)"
+    )
+    return view.select(
+        "status",
+        "n_rows",
+        F.col("total_amount_sum").cast("double").alias("total_amount_sum"),
+    ).orderBy("status")
+
+
+def _fixture_dir() -> str:
+    from ..cdc.queries import FIXTURE_DIR
+
+    return FIXTURE_DIR
+
+
+CDC_INCREMENTAL_AGG_VIEW_SQL = f"""
+WITH env AS (
+  SELECT *,
+         CASE WHEN value IS NOT NULL AND json_valid(value) THEN value END AS v
+  FROM read_json_auto('{_fixture_dir()}/orders.jsonl',
+                      format='newline_delimited')
+),
+parsed AS (
+  SELECT CAST(json_extract_string(key, '$.order_id') AS INT) AS pk,
+         value IS NULL AS is_tombstone,
+         value IS NOT NULL
+           AND json_extract_string(v, '$.order_id') IS NULL AS is_malformed,
+         json_extract_string(v, '$.status') AS status,
+         CAST(json_extract_string(v, '$.total_amount') AS DECIMAL(10,2))
+           AS total_amount,
+         partition, "offset"
+  FROM env
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY pk
+                               ORDER BY partition DESC, "offset" DESC) AS rn
+  FROM parsed WHERE NOT is_malformed
+)
+SELECT status,
+       COUNT(*) AS n_rows,
+       CAST(SUM(CAST(total_amount AS DECIMAL(18,2))) AS DOUBLE)
+         AS total_amount_sum
+FROM ranked
+WHERE rn = 1 AND NOT is_tombstone
+GROUP BY status
+ORDER BY status
+"""

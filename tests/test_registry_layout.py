@@ -94,6 +94,7 @@ COVERED_BY = {
     "cdc_state_asof_offset": "cdc_latest_state_orders",
     "cdc_ingest_sketch_summary": "cdc_changelog_stats",
     "cdc_hotkey_monitor": "cdc_changelog_stats",
+    "cdc_incremental_agg_view": "cdc_latest_state_orders",
     "dedup_minhash_lsh_pairs": "dedup_minhash_lsh",
     "dedup_minhash_lsh_contract_sampled": "dedup_minhash_lsh",
     "dedup_simhash": "dedup_minhash_lsh",
