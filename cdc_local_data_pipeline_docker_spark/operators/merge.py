@@ -1,0 +1,194 @@
+"""MERGE INTO semantics on plain DataFrames, and the salted-join skew
+pattern — the two write/join maintenance shapes SURVEY §2.C's CDC-apply
+row implies but that deserve standalone, oracle-graded forms.
+
+``merge_into_orders`` is ANSI MERGE (matched-update, matched-delete,
+not-matched-insert) expressed as ONE full-outer join over (target ∪
+changes) — exactly what Delta/Iceberg execute under their ACID layer;
+here the result set itself is the graded artifact. The CDC upsert
+(streaming/upsert.py) is the latest-wins specialization; this operator
+is the general three-clause form with per-clause conditions.
+
+``join_salted_skew`` (registered from here, lives with the joins
+conceptually) replicates the dimension side S ways and salts the fact
+side — the classic hot-key spreading recipe for when AQE's runtime skew
+split is unavailable (e.g. a deliberately-partitioned stateful op).
+Output is pinned identical to the unsalted join.
+
+Scale notes (100 TB): the merge join shuffles on the primary key both
+sides — with the target bucketed by key (sources/bucketed.py) the
+target side's Exchange disappears and the merge is a per-bucket
+map-side zip, the same physical shape Delta's MERGE optimizes to. The
+change set is usually micro-batch-sized → broadcastable, making MERGE a
+map-only operation over the target scan. Salting multiplies the small
+side by S (bounded blow-up, broadcast stays cheap) and splits each hot
+key into S independent reduce tasks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import DecimalType
+
+from ..catalog import load_table
+
+DEC = DecimalType(18, 2)
+
+#: salt fan-out for join_salted_skew
+SALT_N = 8
+
+
+def _orders_changes(o: DataFrame) -> DataFrame:
+    """Deterministic synthetic change set over the orders snapshot:
+
+      * orderkey % 10 == 3  → UPDATE (status := 'X', price += 10.00)
+      * orderkey % 10 == 7  → DELETE
+      * orderkey % 10 == 0  → INSERT twin row (key + 10^9, status 'N')
+
+    Derived from the table itself so every scale factor has a
+    non-trivial change set and the oracle can derive the identical one.
+    """
+    upd = o.filter(F.col("o_orderkey") % 10 == 3).select(
+        "o_orderkey",
+        "o_custkey",
+        F.lit("X").alias("o_orderstatus"),
+        (F.col("o_totalprice").cast(DEC) + F.lit(10).cast(DEC))
+        .cast("double")
+        .alias("o_totalprice"),
+        "o_orderdate",
+        "o_orderpriority",
+        F.lit("update").alias("op"),
+    )
+    dele = o.filter(F.col("o_orderkey") % 10 == 7).select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        "o_orderdate",
+        "o_orderpriority",
+        F.lit("delete").alias("op"),
+    )
+    ins = o.filter(F.col("o_orderkey") % 10 == 0).select(
+        (F.col("o_orderkey") + F.lit(1_000_000_000)).alias("o_orderkey"),
+        "o_custkey",
+        F.lit("N").alias("o_orderstatus"),
+        "o_totalprice",
+        "o_orderdate",
+        "o_orderpriority",
+        F.lit("insert").alias("op"),
+    )
+    return upd.unionByName(dele).unionByName(ins)
+
+
+def merge_into(target: DataFrame, changes: DataFrame, key: str) -> DataFrame:
+    """Generic three-clause MERGE: ``changes.op`` ∈ {update, delete,
+    insert}. One full-outer join on the key; each output row resolves via
+    per-clause CASE — no per-row Python, whole-stage-codegen throughout.
+    """
+    data_cols = [c for c in target.columns]
+    ch = changes.select(
+        F.col(key).alias("__ck"),
+        F.col("op").alias("__op"),
+        *[F.col(c).alias(f"__c_{c}") for c in data_cols],
+    )
+    j = target.join(ch, target[key] == ch["__ck"], "full")
+    matched = target[key].isNotNull() & F.col("__ck").isNotNull()
+    out_cols = [
+        F.when(matched & (F.col("__op") == "update"), F.col(f"__c_{c}"))
+        .when(F.col(key).isNull(), F.col(f"__c_{c}"))  # insert clause
+        .otherwise(target[c])
+        .alias(c)
+        for c in data_cols
+    ]
+    keep = (
+        # unmatched target rows pass through
+        F.col("__ck").isNull()
+        # matched: update keeps (rewritten), delete drops
+        | (matched & (F.col("__op") == "update"))
+        # unmatched change rows: only the insert clause materializes
+        | (target[key].isNull() & (F.col("__op") == "insert"))
+    )
+    return j.filter(keep).select(out_cols)
+
+
+def merge_into_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE the synthetic change set into the orders snapshot and return
+    the post-merge table (the graded artifact)."""
+    o = load_table(spark, sf_dir, "orders")
+    merged = merge_into(o, _orders_changes(o), "o_orderkey")
+    return merged.orderBy("o_orderkey")
+
+
+MERGE_INTO_ORDERS_SQL = """
+WITH upd AS (
+  SELECT o_orderkey, o_custkey, 'X' AS o_orderstatus,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) + CAST(10 AS DECIMAL(18,2))
+              AS DOUBLE) AS o_totalprice,
+         o_orderdate, o_orderpriority
+  FROM orders WHERE o_orderkey % 10 = 3
+),
+ins AS (
+  SELECT o_orderkey + 1000000000 AS o_orderkey, o_custkey,
+         'N' AS o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+  FROM orders WHERE o_orderkey % 10 = 0
+)
+SELECT o.o_orderkey, o.o_custkey, o.o_orderstatus, o.o_totalprice,
+       o.o_orderdate, o.o_orderpriority
+FROM orders o
+WHERE o.o_orderkey % 10 NOT IN (3, 7)
+UNION ALL
+SELECT * FROM upd
+UNION ALL
+SELECT * FROM ins
+ORDER BY o_orderkey
+"""
+
+
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted fact↔dim join: fact rows get salt = hash(row) mod S, the dim
+    side is replicated S ways, and the join key becomes (key, salt) — a
+    hot orderkey's lineitems now land in S different reduce tasks instead
+    of one straggler. Result is provably identical to the plain join
+    (same oracle as an unsalted formulation)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus"
+    )
+    salted_fact = li.withColumn(
+        "salt", F.pmod(F.xxhash64("l_orderkey", "l_linenumber"), F.lit(SALT_N))
+    )
+    salted_dim = o.withColumn(
+        "d_salt", F.explode(F.array(*[F.lit(i) for i in range(SALT_N)]))
+    )
+    return (
+        salted_fact.join(
+            salted_dim,
+            (F.col("l_orderkey") == F.col("o_orderkey"))
+            & (F.col("salt") == F.col("d_salt")),
+            "inner",
+        )
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(
+                F.col("l_extendedprice").cast(DEC)
+                * (F.lit(1).cast(DEC) - F.col("l_discount").cast(DEC))
+            )
+            .cast("double")
+            .alias("revenue"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+JOIN_SALTED_SKEW_SQL = """
+SELECT o_orderstatus,
+       COUNT(*) AS n_items,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+            AS DOUBLE) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""

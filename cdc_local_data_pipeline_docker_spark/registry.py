@@ -42,6 +42,7 @@ from .llmops import scrub as SC
 from .llmops import similarity as SIM
 from .llmops import text as TX
 from .operators import advanced as ADV
+from .operators import merge as MG
 from .operators import asof as ASOF
 from .operators import events_analytics as EV
 from .operators import packs as PK
@@ -203,6 +204,11 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         EV.EVENTS_ZSCORE_OUTLIERS_SQL,
     ),
     "join_right_outer": (R.join_right_outer, R.JOIN_RIGHT_OUTER_SQL),
+    # ANSI three-clause MERGE INTO on plain DataFrames (Delta-style apply)
+    "merge_into_orders": (MG.merge_into_orders, MG.MERGE_INTO_ORDERS_SQL),
+    # hot-key spreading: salted fact x S-replicated dim, result pinned
+    # identical to the plain join
+    "join_salted_skew": (MG.join_salted_skew, MG.JOIN_SALTED_SKEW_SQL),
     "agg_rollup": (R.agg_rollup, R.AGG_ROLLUP_SQL),
     "agg_cube": (R.agg_cube, R.AGG_CUBE_SQL),
     "agg_count_distinct": (R.agg_count_distinct, R.AGG_COUNT_DISTINCT_SQL),

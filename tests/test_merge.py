@@ -1,0 +1,88 @@
+"""MERGE INTO and salted-skew-join operators (operators/merge.py)."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from cdc_local_data_pipeline_docker_spark.operators import merge as M
+from cdc_local_data_pipeline_docker_spark.operators.relational import DEC
+from cdc_local_data_pipeline_docker_spark.catalog import load_table
+
+from .oracle import compare, duckdb_connection
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR_TEST", "/root/testdata/sf0.001")
+
+
+def test_merge_into_clause_semantics(spark):
+    """Tiny hand-built frame: each clause resolves exactly once."""
+    target = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k INT, v STRING"
+    )
+    changes = spark.createDataFrame(
+        [
+            (2, "B", "update"),   # matched-update
+            (3, None, "delete"),  # matched-delete
+            (4, "d", "insert"),   # not-matched-insert
+            (5, "E", "update"),   # unmatched update clause → no-op
+        ],
+        "k INT, v STRING, op STRING",
+    )
+    out = sorted(
+        (r["k"], r["v"]) for r in M.merge_into(target, changes, "k").collect()
+    )
+    assert out == [(1, "a"), (2, "B"), (4, "d")]
+
+
+def test_merge_into_orders_oracle(spark):
+    con = duckdb_connection(SF_DIR)
+    ok, msg = compare(M.merge_into_orders(spark, SF_DIR), con, M.MERGE_INTO_ORDERS_SQL)
+    assert ok, msg
+
+
+def test_merge_preserves_row_budget(spark):
+    """|result| = |target| - |deletes| + |inserts| (updates are 1:1)."""
+    o = load_table(spark, SF_DIR, "orders")
+    n = o.count()
+    n_del = o.filter(F.col("o_orderkey") % 10 == 7).count()
+    n_ins = o.filter(F.col("o_orderkey") % 10 == 0).count()
+    assert M.merge_into_orders(spark, SF_DIR).count() == n - n_del + n_ins
+
+
+def test_salted_join_identical_to_plain(spark):
+    """The salted formulation returns exactly the plain join's answer."""
+    li = load_table(spark, SF_DIR, "lineitem")
+    o = load_table(spark, SF_DIR, "orders")
+    plain = sorted(
+        (r["o_orderstatus"], r["n_items"], r["revenue"])
+        for r in li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(
+                F.col("l_extendedprice").cast(DEC)
+                * (F.lit(1).cast(DEC) - F.col("l_discount").cast(DEC))
+            )
+            .cast("double")
+            .alias("revenue"),
+        )
+        .collect()
+    )
+    salted = sorted(
+        (r["o_orderstatus"], r["n_items"], r["revenue"])
+        for r in M.join_salted_skew(spark, SF_DIR).collect()
+    )
+    assert salted == plain
+
+
+def test_salted_join_oracle(spark):
+    con = duckdb_connection(SF_DIR)
+    ok, msg = compare(M.join_salted_skew(spark, SF_DIR), con, M.JOIN_SALTED_SKEW_SQL)
+    assert ok, msg
+
+
+def test_salted_join_plan_no_cartesian(spark):
+    """The salt must join as an equi-key (BHJ/SMJ), never a cartesian or
+    broadcast-nested-loop fallback."""
+    plan = M.join_salted_skew(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

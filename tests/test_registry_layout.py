@@ -95,6 +95,8 @@ COVERED_BY = {
     "cdc_ingest_sketch_summary": "cdc_changelog_stats",
     "cdc_hotkey_monitor": "cdc_changelog_stats",
     "cdc_incremental_agg_view": "cdc_latest_state_orders",
+    "merge_into_orders": "cdc_latest_state_orders",
+    "join_salted_skew": "join_inner",
     "dedup_minhash_lsh_pairs": "dedup_minhash_lsh",
     "dedup_minhash_lsh_contract_sampled": "dedup_minhash_lsh",
     "dedup_simhash": "dedup_minhash_lsh",
