@@ -1,0 +1,150 @@
+"""Dataset profiling + weighted deterministic sampling — the two
+"look before you train" utilities a corpus pipeline runs first.
+
+``profile_table_stats`` is the classic column profiler (nulls, exact
+distinct, numeric min/max) computed in ONE scan + one aggregate, then
+unpivoted driver-free via ``stack`` — at 100 TB this is a single
+pass with partial aggregation; the only shuffle carries one partial
+state per partition.
+
+``corpus_weighted_sample`` is weighted Bernoulli sampling with
+ENGINE-PORTABLE determinism: P(keep doc) ∝ its weight (n_chars,
+capped), decided by  u32 < weight × K  where u32 is a 32-bit uniform
+derived from md5(doc_id) by explicit hex-digit arithmetic — integer
+compares only, so Spark and DuckDB select the IDENTICAL row set on any
+cluster layout (the same portability argument as
+llmops/mixing.corpus_mixture_sample_hash, which handles per-GROUP rates;
+this operator handles per-ROW weights — importance sampling for data
+curation). No RNG, no floating point in the decision.
+
+Scale notes: both ops are map-only or map+tiny-agg; the sampler's
+filter pushes nothing but doc_id/n_chars reads before the decision
+(column pruning keeps the text column unread for dropped rows under
+parquet late materialization).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+
+#: sampler scale: P(keep) = min(1, n_chars * K / 2^32); K = 2^32 / 4000
+#: targets p = 1 for docs ≥ 4000 chars, p = len/4000 below.
+SAMPLE_K = (1 << 32) // 4000
+
+
+def _u32_spark(key: Column) -> Column:
+    """32-bit uniform from the first 8 hex chars of md5(key), computed by
+    per-digit ascii arithmetic (identical in any engine; no conv/strtol
+    dependence)."""
+    h = F.md5(key.cast("string"))
+    val = F.lit(0).cast("long")
+    for i in range(1, 9):
+        a = F.ascii(F.substring(h, i, 1))
+        digit = F.when(a <= 57, a - 48).otherwise(a - 87).cast("long")
+        val = val * 16 + digit
+    return val
+
+
+def _u32_sql(key_sql: str) -> str:
+    expr = "CAST(0 AS BIGINT)"
+    for i in range(1, 9):
+        a = f"ascii(substr(md5(CAST({key_sql} AS VARCHAR)), {i}, 1))"
+        digit = f"(CASE WHEN {a} <= 57 THEN {a} - 48 ELSE {a} - 87 END)"
+        expr = f"({expr} * 16 + {digit})"
+    return expr
+
+
+def corpus_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep each document with probability ∝ n_chars (longer docs more
+    likely), decided by deterministic integer arithmetic — reproducible
+    across engines, partitionings, and reruns."""
+    d = load_table(spark, sf_dir, "documents")
+    u = _u32_spark(F.col("doc_id"))
+    return (
+        d.withColumn("u32", u)
+        .filter(F.col("u32") < F.col("n_chars") * F.lit(SAMPLE_K))
+        .select("doc_id", "lang", "source", "n_chars", "u32")
+        .orderBy("doc_id")
+    )
+
+
+CORPUS_WEIGHTED_SAMPLE_SQL = f"""
+SELECT doc_id, lang, source, n_chars,
+       {_u32_sql('doc_id')} AS u32
+FROM documents
+WHERE {_u32_sql('doc_id')} < n_chars * {SAMPLE_K}
+ORDER BY doc_id
+"""
+
+
+#: numeric columns of orders get min/max; all columns get nulls+distinct
+_PROFILE_NUM = {"o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"}
+_PROFILE_COLS = [
+    "o_orderkey",
+    "o_custkey",
+    "o_orderstatus",
+    "o_totalprice",
+    "o_orderdate",
+    "o_orderpriority",
+]
+
+
+def profile_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profile of orders: one aggregate over one scan, unpivoted
+    with stack — no per-column scans, no driver loop."""
+    o = load_table(spark, sf_dir, "orders")
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in _PROFILE_COLS:
+        aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"))
+        aggs.append(F.count_distinct(F.col(c)).alias(f"{c}__distinct"))
+        if c in _PROFILE_NUM:
+            # timestamps profile as epoch-µs (integer-exact in a double,
+            # engine-portable); numerics cast directly
+            if c == "o_orderdate":
+                num = F.unix_micros(F.col(c).cast("timestamp")).cast("double")
+            else:
+                num = F.col(c).cast("double")
+            aggs.append(F.min(num).alias(f"{c}__min"))
+            aggs.append(F.max(num).alias(f"{c}__max"))
+    one = o.agg(*aggs)
+    stack_args = []
+    for c in _PROFILE_COLS:
+        mn = f"`{c}__min`" if c in _PROFILE_NUM else "CAST(NULL AS DOUBLE)"
+        mx = f"`{c}__max`" if c in _PROFILE_NUM else "CAST(NULL AS DOUBLE)"
+        stack_args.append(
+            f"'{c}', __n, `{c}__nulls`, `{c}__distinct`, {mn}, {mx}"
+        )
+    stacked = one.selectExpr(
+        f"stack({len(_PROFILE_COLS)}, {', '.join(stack_args)}) AS "
+        "(column_name, n_rows, n_nulls, n_distinct, min_num, max_num)"
+    )
+    return stacked.orderBy("column_name")
+
+
+def _profile_oracle() -> str:
+    parts = []
+    for c in _PROFILE_COLS:
+        if c in _PROFILE_NUM:
+            cast = (
+                f"CAST(epoch_us({c}) AS DOUBLE)"
+                if c == "o_orderdate"
+                else f"CAST({c} AS DOUBLE)"
+            )
+            mn, mx = f"MIN({cast})", f"MAX({cast})"
+        else:
+            mn = mx = "CAST(NULL AS DOUBLE)"
+        parts.append(
+            f"SELECT '{c}' AS column_name, COUNT(*) AS n_rows, "
+            f"CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT)"
+            " AS n_nulls, "
+            f"COUNT(DISTINCT {c}) AS n_distinct, "
+            f"CAST({mn} AS DOUBLE) AS min_num, CAST({mx} AS DOUBLE) AS max_num "
+            "FROM orders"
+        )
+    return " UNION ALL ".join(parts) + " ORDER BY column_name"
+
+
+PROFILE_TABLE_STATS_SQL = _profile_oracle()

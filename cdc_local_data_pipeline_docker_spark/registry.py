@@ -43,6 +43,7 @@ from .llmops import similarity as SIM
 from .llmops import text as TX
 from .operators import advanced as ADV
 from .operators import merge as MG
+from .operators import profiling as PR
 from .operators import asof as ASOF
 from .operators import events_analytics as EV
 from .operators import packs as PK
@@ -308,6 +309,17 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         MX.corpus_mixture_sample_hash,
         MX.CORPUS_MIXTURE_SAMPLE_HASH_SQL,
     ),  # engine-portable deterministic twin, exact oracle
+    # per-ROW weighted Bernoulli sampling (importance sampling), decided
+    # by integer md5 arithmetic — deterministic across engines/layouts
+    "corpus_weighted_sample": (
+        PR.corpus_weighted_sample,
+        PR.CORPUS_WEIGHTED_SAMPLE_SQL,
+    ),
+    # one-scan column profiler (nulls / exact distinct / numeric min-max)
+    "profile_table_stats": (
+        PR.profile_table_stats,
+        PR.PROFILE_TABLE_STATS_SQL,
+    ),
     "cdc_state_asof_offset": (
         CDC.cdc_state_asof_offset,
         CDC.CDC_STATE_ASOF_OFFSET_SQL,

@@ -1,0 +1,78 @@
+"""Column profiler + weighted deterministic sampler (operators/profiling.py)."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from cdc_local_data_pipeline_docker_spark.catalog import load_table
+from cdc_local_data_pipeline_docker_spark.operators import profiling as PR
+
+from .oracle import compare, duckdb_connection
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR_TEST", "/root/testdata/sf0.001")
+
+
+def test_profile_oracle(spark):
+    con = duckdb_connection(SF_DIR)
+    ok, msg = compare(
+        PR.profile_table_stats(spark, SF_DIR), con, PR.PROFILE_TABLE_STATS_SQL
+    )
+    assert ok, msg
+
+
+def test_profile_single_aggregate_plan(spark):
+    """The profiler must be ONE scan + aggregation — no per-column scans
+    (exactly one FileScan in the executed plan)."""
+    plan = (
+        PR.profile_table_stats(spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("FileScan parquet") == 1, plan
+
+
+def test_weighted_sample_oracle(spark):
+    con = duckdb_connection(SF_DIR)
+    ok, msg = compare(
+        PR.corpus_weighted_sample(spark, SF_DIR), con, PR.CORPUS_WEIGHTED_SAMPLE_SQL
+    )
+    assert ok, msg
+
+
+def test_weighted_sample_deterministic_across_partitionings(spark):
+    """Selection is content-keyed: any repartitioning yields the same set."""
+    base = sorted(
+        r["doc_id"] for r in PR.corpus_weighted_sample(spark, SF_DIR).collect()
+    )
+    d = load_table(spark, SF_DIR, "documents").repartition(7, "lang")
+    u = PR._u32_spark(F.col("doc_id"))
+    re = sorted(
+        r["doc_id"]
+        for r in d.withColumn("u32", u)
+        .filter(F.col("u32") < F.col("n_chars") * F.lit(PR.SAMPLE_K))
+        .select("doc_id")
+        .collect()
+    )
+    assert re == base
+
+
+def test_weighted_sample_rate_tracks_weight(spark):
+    """Longer docs must be selected at a higher rate than shorter ones
+    (split the corpus at the median length; statistical sanity, seeded
+    data so the assertion is stable)."""
+    d = load_table(spark, SF_DIR, "documents")
+    med = d.approxQuantile("n_chars", [0.5], 0.0)[0]
+    u = PR._u32_spark(F.col("doc_id"))
+    flagged = d.withColumn(
+        "sel", (u < F.col("n_chars") * F.lit(PR.SAMPLE_K)).cast("long")
+    )
+    rates = {
+        r["long_doc"]: r["rate"]
+        for r in flagged.groupBy(
+            (F.col("n_chars") > med).alias("long_doc")
+        )
+        .agg((F.sum("sel") / F.count(F.lit(1))).alias("rate"))
+        .collect()
+    }
+    assert rates[True] > rates[False]

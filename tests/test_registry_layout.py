@@ -91,6 +91,8 @@ COVERED_BY = {
     "corpus_mixture_plan": "corpus_lang_profile",
     "corpus_mixture_sample": "corpus_lang_profile",
     "corpus_mixture_sample_hash": "corpus_lang_profile",
+    "corpus_weighted_sample": "corpus_lang_profile",
+    "profile_table_stats": "agg_grouped",
     "cdc_state_asof_offset": "cdc_latest_state_orders",
     "cdc_ingest_sketch_summary": "cdc_changelog_stats",
     "cdc_hotkey_monitor": "cdc_changelog_stats",
