@@ -510,11 +510,11 @@ ORDER BY doc_a, doc_b
 AUDIT_SLICE_BUCKETS = 8
 
 
-def _audit_slice(d: DataFrame) -> DataFrame:
-    """Deterministic 50% document slice for sampled contract audits."""
+def _audit_slice(d: DataFrame, key: str = "doc_id") -> DataFrame:
+    """Deterministic 50% slice (by ``key``) for sampled contract audits."""
     c = F.ascii(
         F.substring(
-            F.md5(F.concat(F.lit("audit:"), F.col("doc_id").cast("string"))),
+            F.md5(F.concat(F.lit("audit:"), F.col(key).cast("string"))),
             1,
             1,
         )
@@ -867,6 +867,98 @@ DEDUP_EMBEDDING_LSH_CONTRACT_SQL = f"""
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        TRUE AS lsh_precision_ok, TRUE AS lsh_recall_ok
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+      >= {COSINE_DUP_THRESHOLD}
+ORDER BY id_a, id_b
+"""
+
+
+def dedup_embedding_lsh_contract_sampled(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The 100 TB audit form of the embedding-LSH contract: the full
+    contract's brute-force twin is O(n²) in the corpus — the hostile
+    term at scale. Production runs the LSH detector on everything and
+    THIS audit on a deterministic 50% md5 slice of the vectors
+    (engine-portable: the oracle reproduces the identical slice), so
+    audit cost is bounded at slice² while the precision/recall booleans
+    still catch a degraded hyperplane family or banding bug. Same
+    pattern as dedup_minhash_lsh_contract_sampled."""
+    from .similarity import _bucketed, _vectors
+
+    v = scoped_persist(_audit_slice(_vectors(spark, sf_dir), key="vec_id"))
+    a = v.select(
+        F.col("vec_id").alias("id_a"), F.col("v").alias("va"),
+        F.col("norm").alias("na"),
+    )
+    b = v.select(
+        F.col("vec_id").alias("id_b"), F.col("v").alias("vb"),
+        F.col("norm").alias("nb"),
+    )
+    cos = F.expr(
+        "aggregate(zip_with(va, vb, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"
+    ) / (F.col("na") * F.col("nb"))
+    exact = (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", cos)
+        .filter(F.col("cosine") >= COSINE_DUP_THRESHOLD)
+        .select("id_a", "id_b")
+    )
+
+    bk = _bucketed(v)
+    la = bk.select(
+        F.col("vec_id").alias("id_a"), F.col("v").alias("va"),
+        F.col("norm").alias("na"), "band", "bucket",
+    )
+    lb = bk.select(
+        F.col("vec_id").alias("id_b"), F.col("v").alias("vb"),
+        F.col("norm").alias("nb"), "band", "bucket",
+    )
+    lsh = (
+        la.join(lb, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn("cosine", cos)
+        .filter(F.col("cosine") >= COSINE_DUP_THRESHOLD)
+        .select("id_a", "id_b")
+    )
+
+    n_exact = exact.agg(F.count(F.lit(1)).alias("n_exact"))
+    n_lsh = lsh.agg(F.count(F.lit(1)).alias("n_lsh"))
+    n_escaped = lsh.join(exact, ["id_a", "id_b"], "left_anti").agg(
+        F.count(F.lit(1)).alias("n_escaped")
+    )
+    flags = (
+        n_exact.crossJoin(n_lsh)
+        .crossJoin(n_escaped)
+        .select(
+            (F.col("n_escaped") == 0).alias("lsh_precision_ok"),
+            (
+                (F.col("n_lsh") - F.col("n_escaped"))
+                >= F.lit(EMBEDDING_LSH_RECALL_BOUND) * F.col("n_exact")
+            ).alias("lsh_recall_ok"),
+        )
+    )
+    return (
+        exact.crossJoin(F.broadcast(flags))
+        .select("id_a", "id_b", "lsh_precision_ok", "lsh_recall_ok")
+        .orderBy("id_a", "id_b")
+    )
+
+
+_AUDIT_VEC_BUCKET_SQL = (
+    "CASE WHEN ascii(substr(md5('audit:' || CAST(vec_id AS VARCHAR)), 1, 1)) <= 57"
+    "     THEN ascii(substr(md5('audit:' || CAST(vec_id AS VARCHAR)), 1, 1)) - 48"
+    "     ELSE ascii(substr(md5('audit:' || CAST(vec_id AS VARCHAR)), 1, 1)) - 87 END"
+)
+
+DEDUP_EMBEDDING_LSH_CONTRACT_SAMPLED_SQL = f"""
+WITH sampled AS (
+  SELECT * FROM embeddings WHERE ({_AUDIT_VEC_BUCKET_SQL}) < {AUDIT_SLICE_BUCKETS}
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       TRUE AS lsh_precision_ok, TRUE AS lsh_recall_ok
+FROM sampled a JOIN sampled b ON a.vec_id < b.vec_id
 WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
       >= {COSINE_DUP_THRESHOLD}
 ORDER BY id_a, id_b

@@ -364,6 +364,12 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         DD.dedup_embedding_lsh_contract,
         DD.DEDUP_EMBEDDING_LSH_CONTRACT_SQL,
     ),
+    # the 100TB audit form: contract on a deterministic 50% md5 slice of
+    # the vectors (bounds the N-squared brute-force twin at slice-squared)
+    "dedup_embedding_lsh_contract_sampled": (
+        DD.dedup_embedding_lsh_contract_sampled,
+        DD.DEDUP_EMBEDDING_LSH_CONTRACT_SAMPLED_SQL,
+    ),
     # SemDeDup (Abbas et al. 2023): IVF-cell-local semantic dedup —
     # detector is rows-only (k-means not SQL-expressible), contract twin
     # pins precision/recall booleans against the brute-force pair set

@@ -44,6 +44,39 @@ from .bucketed import read_bucketed, write_bucketed  # noqa: F401
 # external-table variant); re-exported here for back-compat (ADVICE r2).
 
 
+#: interchange formats the engine round-trips besides parquet
+INTERCHANGE_FORMATS = ("orc", "csv", "json")
+
+
+def write_format(df: DataFrame, path: str, fmt: str, mode: str = "overwrite") -> None:
+    """Write a table in an interchange format (ORC for columnar archive,
+    CSV/JSON for export). Text formats get an explicit timestamp format
+    so the round-trip is lossless to the microsecond."""
+    w = df.write.mode(mode).format(fmt)
+    if fmt == "csv":
+        w = w.option("header", "true").option(
+            "timestampFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS"
+        )
+    elif fmt == "json":
+        w = w.option("timestampFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+    w.save(path)
+
+
+def read_format(spark: SparkSession, path: str, fmt: str, schema) -> DataFrame:
+    """Read an interchange-format table back under an EXPLICIT schema —
+    text formats never infer (inference samples the data: nondeterministic
+    cost and type drift; ORC carries its own schema but the assert keeps
+    the contract uniform)."""
+    r = spark.read.format(fmt).schema(schema)
+    if fmt == "csv":
+        r = r.option("header", "true").option(
+            "timestampFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS"
+        )
+    elif fmt == "json":
+        r = r.option("timestampFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+    return r.load(path)
+
+
 def read_evolved(spark: SparkSession, path: str) -> DataFrame:
     """Read a parquet dir whose appends may carry EVOLVED schemas
     (columns added over time — the 'CDC source grew a column' scenario):

@@ -351,3 +351,24 @@ def test_bucketed_sidecar_bloom_prunes_point_lookups(spark, sf_dir, tmp_path):
     # at 4096 bits / ~190 distinct per file, false positives ~0)
     assert read_bucketed_pruned(spark, p, eq={"o_orderkey": -1}).count() == 0
     spark.sql("DROP TABLE IF EXISTS t_orders_sidecar")
+
+
+def test_interchange_format_roundtrips(spark, sf_dir, tmp_path):
+    """orders survives ORC/CSV/JSON round-trips bit-identically (explicit
+    schema + microsecond timestamp format on the text formats)."""
+    from cdc_local_data_pipeline_docker_spark.catalog import load_table
+    from cdc_local_data_pipeline_docker_spark.sources.sinks import (
+        INTERCHANGE_FORMATS,
+        read_format,
+        write_format,
+    )
+
+    src = load_table(spark, sf_dir, "orders")
+    want = sorted(tuple(r) for r in src.collect())
+    for fmt in INTERCHANGE_FORMATS:
+        p = str(tmp_path / f"orders_{fmt}")
+        write_format(src, p, fmt)
+        back = read_format(spark, p, fmt, src.schema)
+        assert back.schema == src.schema, fmt
+        got = sorted(tuple(r) for r in back.collect())
+        assert got == want, f"{fmt} round-trip drift"
