@@ -381,3 +381,132 @@ WHERE doc_id NOT IN (SELECT doc_id FROM lbl WHERE doc_id <> cluster_id)
 ORDER BY doc_id
 """
 )
+
+
+# ---------------------------------------------------------------------------
+# Graph centrality (PageRank) over the near-dup similarity graph — the
+# second graph algorithm family after connected components. Centrality
+# ranks WITHIN a duplicate neighborhood are a curation signal (e.g. pick
+# the most-connected member as the cluster representative instead of
+# min-id), and the operator shape — iterative join+agg with bounded
+# lineage — is the template for any fixed-point computation on Spark.
+# ---------------------------------------------------------------------------
+
+PAGERANK_DAMPING = 0.85
+#: Convergence: probe Σ|Δrank| every PAGERANK_PROBE_EVERY steps (the CC
+#: batched-probe pattern — probing every step doubles the action count)
+#: and stop at ≤ PAGERANK_TOL, hard cap PAGERANK_MAX_ITERS. The cap is
+#: sized for the slowest family: a BIPARTITE component's error decays
+#: only as damping^k (the period-2 eigenvalue −1 is damped, not mixed
+#: away), so 0.85^60 ≈ 6e-5 crosses the 1e-4 bound. Clique-ish near-dup
+#: components hit an exact fixpoint in one step (regular graph ⇒
+#: stationary = uniform) and exit at the first probe.
+PAGERANK_TOL = 1e-4
+PAGERANK_PROBE_EVERY = 5
+PAGERANK_MAX_ITERS = 60
+
+
+def pagerank(edges: DataFrame, damping: float = PAGERANK_DAMPING,
+             tol: float = PAGERANK_TOL, max_iters: int = PAGERANK_MAX_ITERS):
+    """Power iteration on an undirected (u, v) pair graph.
+
+    Returns (ranks DataFrame: id, degree, rank; final_delta; iters_run).
+
+    Scale design (100 TB): each step is ONE shuffle — join ranks to the
+    degree-annotated edge list on src, partial-aggregate contributions
+    by dst. The edge list with degrees is persisted once and reused
+    every step (at cluster scale: a bucketed table co-partitioned with
+    the rank state, making the per-step join exchange-free on the edge
+    side). Lineage is cut with localCheckpoint at every probe — without
+    it the logical plan doubles per iteration and analysis time, not
+    data, becomes the bottleneck. No dangling mass: every node of a
+    symmetrized pair graph has out-degree ≥ 1, so Σrank stays 1 exactly
+    (up to float addition error) and no teleport-redistribution pass is
+    needed."""
+    sym = edges.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionByName(
+        edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    )
+    deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("degree"))
+    sym_deg = sym.join(deg, "src").persist()
+    n = deg.count()
+    ranks = deg.select(
+        F.col("src").alias("id"),
+        "degree",
+        F.lit(1.0 / n).alias("rank"),
+    ).localCheckpoint(eager=True)
+
+    base = (1.0 - damping) / n
+    delta, i = float("inf"), 0
+    while i < max_iters and delta > tol:
+        contribs = (
+            sym_deg.join(ranks.select(F.col("id").alias("src"), "rank"), "src")
+            .select("dst", (F.col("rank") / F.col("degree")).alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("c"))
+        )
+        new_ranks = contribs.select(
+            F.col("dst").alias("id"),
+            (F.lit(base) + F.lit(damping) * F.col("c")).alias("rank"),
+        ).join(deg.select(F.col("src").alias("id"), "degree"), "id")
+        i += 1
+        if i % PAGERANK_PROBE_EVERY == 0 or i == max_iters:
+            new_ranks = new_ranks.localCheckpoint(eager=True)
+            delta = float(
+                new_ranks.select("id", "rank")
+                .join(ranks.select("id", F.col("rank").alias("prev")), "id")
+                .agg(F.sum(F.abs(F.col("rank") - F.col("prev"))).alias("d"))
+                .collect()[0]["d"]
+            )
+        ranks = new_ranks
+    sym_deg.unpersist()
+    return ranks.select("id", "degree", "rank"), delta, i
+
+
+def dedup_graph_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contract-graded PageRank over the n-gram-Jaccard pair graph.
+
+    Exact columns the oracle recomputes: the node set and each node's
+    degree (from the same pair CTE). The float ranks themselves are
+    iteration-order-dependent, so they stay OUT of the hash; what the
+    oracle pins TRUE instead:
+
+      * ``sum_rank_ok``      — Σrank within 1e-9 of 1 (mass conserved),
+      * ``ranks_positive_ok``— every rank ≥ (1-d)/n,
+      * ``converged_ok``     — the probe loop exited with Σ|Δrank| ≤
+                               PAGERANK_TOL within PAGERANK_MAX_ITERS."""
+    ranks, delta, _iters = pagerank(_ngram_pairs(spark, sf_dir))
+    agg = ranks.agg(
+        F.sum("rank").alias("s"),
+        F.min("rank").alias("mn"),
+    ).collect()[0]
+    n = ranks.count()
+    sum_ok = abs(agg["s"] - 1.0) <= 1e-9
+    pos_ok = agg["mn"] >= (1.0 - PAGERANK_DAMPING) / max(n, 1) - 1e-12
+    conv_ok = delta <= PAGERANK_TOL
+    return (
+        ranks.select(
+            F.col("id").alias("doc_id"),
+            "degree",
+            F.lit(bool(sum_ok)).alias("sum_rank_ok"),
+            F.lit(bool(pos_ok)).alias("ranks_positive_ok"),
+            F.lit(bool(conv_ok)).alias("converged_ok"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+DEDUP_GRAPH_CENTRALITY_SQL = f"""
+WITH pairs AS ({_JACCARD_PAIRS_SQL}),
+sym AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+)
+SELECT src AS doc_id, CAST(COUNT(*) AS BIGINT) AS degree,
+       TRUE AS sum_rank_ok, TRUE AS ranks_positive_ok, TRUE AS converged_ok
+FROM sym
+GROUP BY src
+ORDER BY doc_id
+"""

@@ -280,6 +280,12 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         CL.dedup_canonical_corpus,
         CL.DEDUP_CANONICAL_CORPUS_SQL,
     ),
+    # PageRank centrality over the near-dup graph (iterative join+agg
+    # with bounded lineage); exact node+degree columns, contract booleans
+    "dedup_graph_centrality": (
+        CL.dedup_graph_centrality,
+        CL.DEDUP_GRAPH_CENTRALITY_SQL,
+    ),
     "knn_label_vote": (SIM.knn_label_vote, SIM.KNN_LABEL_VOTE_SQL),
     "stream_stream_join": (SJ.stream_stream_join, SJ.STREAM_STREAM_JOIN_SQL),
     "stream_static_enrich": (SJ.stream_static_enrich, SJ.STREAM_STATIC_ENRICH_SQL),

@@ -719,3 +719,44 @@ def test_chunk_windows_all_boundary_lengths(spark, tmp_path):
             covered |= set(range(ch.chunk_start,
                                  ch.chunk_start + ch.n_chunk_tokens))
         assert covered == set(range(1, T + 1)), f"T={T}: gap {set(range(1,T+1))-covered}"
+
+
+def test_pagerank_path_graph_properties(spark):
+    """Hand-built 5-node path a-b-c-d-e: the middle node must rank
+    highest, ends lowest; mass conserved; degrees exact."""
+    from cdc_local_data_pipeline_docker_spark.llmops.clusters import pagerank
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5)], "doc_a LONG, doc_b LONG"
+    )
+    ranks, delta, iters = pagerank(edges)
+    rows = {r["id"]: (r["degree"], r["rank"]) for r in ranks.collect()}
+    assert {k: v[0] for k, v in rows.items()} == {1: 1, 2: 2, 3: 2, 4: 2, 5: 1}
+    assert abs(sum(v[1] for v in rows.values()) - 1.0) < 1e-9
+    # symmetric ranks; degree-2 interior nodes beat the degree-1 ends
+    # (2 and 4 additionally soak up the ends' full contribution, so they
+    # sit above the center — the damped-walk ordering, not a bug)
+    assert abs(rows[1][1] - rows[5][1]) < 1e-12
+    assert abs(rows[2][1] - rows[4][1]) < 1e-12
+    assert rows[3][1] > rows[1][1]
+    assert rows[2][1] > rows[3][1]
+    # bipartite path: converges only via damping^k — the probe loop must
+    # have kept iterating past the clique exit point to get here
+    assert delta <= 1e-4
+    assert iters > 5
+
+
+def test_pagerank_clique_uniform(spark):
+    """A 4-clique is regular: stationary distribution is exactly uniform
+    and the power step is a fixpoint from the first iteration."""
+    from cdc_local_data_pipeline_docker_spark.llmops.clusters import pagerank
+
+    edges = spark.createDataFrame(
+        [(i, j) for i in range(1, 5) for j in range(i + 1, 5)],
+        "doc_a LONG, doc_b LONG",
+    )
+    ranks, delta, iters = pagerank(edges)
+    for r in ranks.collect():
+        assert abs(r["rank"] - 0.25) < 1e-12
+    assert delta == 0.0
+    assert iters == 5  # first probe sees the fixpoint and exits

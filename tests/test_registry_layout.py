@@ -93,6 +93,7 @@ COVERED_BY = {
     "corpus_mixture_sample_hash": "corpus_lang_profile",
     "corpus_weighted_sample": "corpus_lang_profile",
     "dedup_embedding_lsh_contract_sampled": "dedup_minhash_lsh",
+    "dedup_graph_centrality": "dedup_clusters",
     "profile_table_stats": "agg_grouped",
     "cdc_state_asof_offset": "cdc_latest_state_orders",
     "cdc_ingest_sketch_summary": "cdc_changelog_stats",
