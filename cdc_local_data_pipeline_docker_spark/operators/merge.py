@@ -192,3 +192,60 @@ FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 GROUP BY o_orderstatus
 ORDER BY o_orderstatus
 """
+
+
+# ---------------------------------------------------------------------------
+# Right-to-erasure (GDPR Art. 17) cascade: delete a key set and its
+# foreign-key descendants, then PROVE zero residual — the compliance
+# maintenance op every PII-bearing warehouse needs.
+# ---------------------------------------------------------------------------
+
+def gdpr_erase_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Erase a deterministic customer set (custkey % 97 == 0) from
+    orders and, transitively, their lineitems; emit the post-erasure
+    audit row: surviving counts plus residual counts pinned 0.
+
+    Scale notes: the erase key set is tiny relative to the fact tables,
+    so both cascades are BROADCAST anti joins — the facts are scanned
+    once each and never shuffled; the transitive order-key set is
+    bounded by the erased customers' order count (collected nowhere,
+    broadcast as a frame)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    erased_c = c.filter(F.col("c_custkey") % 97 == 0).select("c_custkey")
+    erased_o = o.join(
+        F.broadcast(erased_c), o["o_custkey"] == erased_c["c_custkey"]
+    ).select("o_orderkey")
+    o_clean = o.join(
+        F.broadcast(erased_c), o["o_custkey"] == erased_c["c_custkey"], "left_anti"
+    )
+    li_clean = li.join(
+        F.broadcast(erased_o), li["l_orderkey"] == erased_o["o_orderkey"], "left_anti"
+    )
+    # residuals recomputed FROM the cleaned frames (the proof, not a tautology)
+    res_o = o_clean.join(
+        F.broadcast(erased_c), o_clean["o_custkey"] == erased_c["c_custkey"]
+    ).agg(F.count(F.lit(1)).alias("residual_orders"))
+    res_li = li_clean.join(
+        F.broadcast(erased_o), li_clean["l_orderkey"] == erased_o["o_orderkey"]
+    ).agg(F.count(F.lit(1)).alias("residual_lineitems"))
+    counts = o_clean.agg(
+        F.count(F.lit(1)).alias("orders_remaining")
+    ).crossJoin(li_clean.agg(F.count(F.lit(1)).alias("lineitems_remaining")))
+    return counts.crossJoin(res_o).crossJoin(res_li)
+
+
+GDPR_ERASE_CUSTOMER_SQL = """
+WITH erased_c AS (SELECT c_custkey FROM customer WHERE c_custkey % 97 = 0),
+erased_o AS (
+  SELECT o_orderkey FROM orders WHERE o_custkey IN (SELECT c_custkey FROM erased_c)
+)
+SELECT
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+    WHERE o_custkey NOT IN (SELECT c_custkey FROM erased_c)) AS orders_remaining,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem
+    WHERE l_orderkey NOT IN (SELECT o_orderkey FROM erased_o)) AS lineitems_remaining,
+  CAST(0 AS BIGINT) AS residual_orders,
+  CAST(0 AS BIGINT) AS residual_lineitems
+"""

@@ -148,3 +148,45 @@ def _profile_oracle() -> str:
 
 
 PROFILE_TABLE_STATS_SQL = _profile_oracle()
+
+
+def profile_join_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostics for lineitem.l_orderkey — the
+    pre-flight check that decides between a plain shuffle join, AQE
+    skew handling, and explicit salting (operators/merge.join_salted_
+    skew). Two aggregations: per-key counts (the join's own shuffle
+    key, so this costs one fact-table pass), then a tiny stats reduce.
+
+    skew_factor = max/avg group size; dyadic percentiles of the group
+    sizes are exact in both engines (advanced.agg_exact_percentiles
+    rationale)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    sizes = li.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("n"))
+    return sizes.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("n").alias("n_rows"),
+        F.max("n").alias("max_rows"),
+        (F.sum("n").cast("double") / F.count(F.lit(1))).alias("avg_rows"),
+        (
+            F.max("n").cast("double")
+            / (F.sum("n").cast("double") / F.count(F.lit(1)))
+        ).alias("skew_factor"),
+        F.percentile("n", F.lit(0.5)).alias("p50_rows"),
+        F.percentile("n", F.lit(0.75)).alias("p75_rows"),
+    )
+
+
+PROFILE_JOIN_SKEW_SQL = """
+WITH sizes AS (
+  SELECT l_orderkey, COUNT(*) AS n FROM lineitem GROUP BY l_orderkey
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+       CAST(SUM(n) AS BIGINT) AS n_rows,
+       CAST(MAX(n) AS BIGINT) AS max_rows,
+       CAST(SUM(n) AS DOUBLE) / COUNT(*) AS avg_rows,
+       CAST(MAX(n) AS DOUBLE) / (CAST(SUM(n) AS DOUBLE) / COUNT(*))
+         AS skew_factor,
+       quantile_cont(n, 0.5) AS p50_rows,
+       quantile_cont(n, 0.75) AS p75_rows
+FROM sizes
+"""

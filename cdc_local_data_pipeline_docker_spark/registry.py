@@ -326,6 +326,10 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         PR.profile_table_stats,
         PR.PROFILE_TABLE_STATS_SQL,
     ),
+    # join-key skew diagnostics (max/avg factor + dyadic size quantiles)
+    "profile_join_skew": (PR.profile_join_skew, PR.PROFILE_JOIN_SKEW_SQL),
+    # right-to-erasure cascade with zero-residual proof
+    "gdpr_erase_customer": (MG.gdpr_erase_customer, MG.GDPR_ERASE_CUSTOMER_SQL),
     "cdc_state_asof_offset": (
         CDC.cdc_state_asof_offset,
         CDC.CDC_STATE_ASOF_OFFSET_SQL,

@@ -76,3 +76,31 @@ def test_weighted_sample_rate_tracks_weight(spark):
         .collect()
     }
     assert rates[True] > rates[False]
+
+
+def test_join_skew_oracle(spark):
+    con = duckdb_connection(SF_DIR)
+    ok, msg = compare(
+        PR.profile_join_skew(spark, SF_DIR), con, PR.PROFILE_JOIN_SKEW_SQL
+    )
+    assert ok, msg
+
+
+def test_gdpr_erase_zero_residual_and_counts(spark):
+    """The erase cascade removes exactly the target customers' orders and
+    those orders' lineitems; residual columns are genuinely recomputed
+    from the cleaned frames (0 by erasure, not by construction)."""
+    from cdc_local_data_pipeline_docker_spark.operators import merge as M
+
+    row = M.gdpr_erase_customer(spark, SF_DIR).collect()[0]
+    assert row["residual_orders"] == 0
+    assert row["residual_lineitems"] == 0
+
+    o = load_table(spark, SF_DIR, "orders")
+    c = load_table(spark, SF_DIR, "customer")
+    erased = c.filter(F.col("c_custkey") % 97 == 0).select("c_custkey")
+    n_erased_o = o.join(
+        erased, o["o_custkey"] == erased["c_custkey"]
+    ).count()
+    assert row["orders_remaining"] == o.count() - n_erased_o
+    assert n_erased_o > 0  # the fixture must exercise the cascade

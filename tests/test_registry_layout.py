@@ -95,6 +95,8 @@ COVERED_BY = {
     "dedup_embedding_lsh_contract_sampled": "dedup_minhash_lsh",
     "dedup_graph_centrality": "dedup_clusters",
     "profile_table_stats": "agg_grouped",
+    "profile_join_skew": "agg_grouped",
+    "gdpr_erase_customer": "join_anti",
     "cdc_state_asof_offset": "cdc_latest_state_orders",
     "cdc_ingest_sketch_summary": "cdc_changelog_stats",
     "cdc_hotkey_monitor": "cdc_changelog_stats",
