@@ -758,3 +758,62 @@ def test_zorder_four_dim_codes_stay_in_long_and_prune(spark, sf_dir, tmp_path):
         .filter(cond).select("l_orderkey", "l_partkey").collect()
     )
     assert got == truth and truth
+
+
+# ---------------------------------------------------------------------------
+# Registry-wide plan hygiene: the three 100 TB scale-killers must never
+# appear uninvited anywhere in the 150+-query surface.
+# ---------------------------------------------------------------------------
+
+#: Entries whose plans legitimately contain a BroadcastNestedLoopJoin.
+#: Every one is either (a) a 1-row scalar-aggregate broadcast (threshold /
+#: flag join — constant-size build side at any corpus size), or (b) a
+#: deliberate non-equi brute-force twin inside a contract audit whose
+#: bounded cost is the documented design (sampled slices / bounded query
+#: sets). A new name failing the assert means a plan REGRESSED into a
+#: nested-loop join.
+BNLJ_WHITELIST = {
+    # (a) scalar-aggregate broadcasts
+    "q11_important_parts",        # global value-threshold scalar
+    "q22_dormant_high_balance",   # global avg-balance scalar
+    "sketch_hll_distinct",        # contract flag scalar
+    "sketch_tdigest_quantiles",   # contract flag scalar
+    "dedup_minhash_incremental_contract",
+    "gdpr_erase_customer",        # 1-row audit-count crossJoins
+    "text_tfidf_top_terms",       # corpus-N scalar
+    "knn_label_vote",             # bounded top-k broadcast
+    # (b) non-equi brute-force / contract twins (bounded by design)
+    "join_range",                 # theta join IS the operator under test
+    "dedup_minhash_lsh",          # graded contract twin + flag scalar
+    "dedup_minhash_lsh_contract_sampled",
+    "dedup_simhash_contract",
+    "dedup_embedding_cosine",     # brute-force baseline (LSH is the scale path)
+    "dedup_embedding_lsh_contract",
+    "dedup_embedding_lsh_contract_sampled",
+    "dedup_semantic_contract",
+    "dedup_semantic_contract_sampled",
+    "corpus_semantic_decontaminate",
+    "ann_cosine_topk",            # 20-query broadcast side
+    "ann_lsh_topk_contract",
+    "ann_ivf_topk_contract",
+}
+
+
+def test_registry_wide_plan_hygiene(spark):
+    """Every registry entry's physical plan: no CartesianProduct ever, no
+    row-at-a-time Python UDF (BatchEvalPython) ever — Arrow paths only —
+    and BroadcastNestedLoopJoin only where the whitelist documents a
+    scalar broadcast or a deliberate bounded brute-force twin."""
+    from cdc_local_data_pipeline_docker_spark.registry import REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+    offenders = {}
+    for name, (fn, _) in REGISTRY.items():
+        plan = fn(spark, sf)._jdf.queryExecution().executedPlan().toString()
+        if "CartesianProduct" in plan:
+            offenders[name] = "CartesianProduct"
+        elif "BatchEvalPython" in plan:
+            offenders[name] = "BatchEvalPython"
+        elif "BroadcastNestedLoopJoin" in plan and name not in BNLJ_WHITELIST:
+            offenders[name] = "unlisted BroadcastNestedLoopJoin"
+    assert not offenders, offenders
