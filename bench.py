@@ -71,6 +71,11 @@ OPTIONAL = [
     # cost the round they land)
     "dedup_span_coverage",
     "dedup_semantic",
+    # round-5 third-session additions: the MERGE apply (full-outer
+    # rewrite of the whole target) and the incrementally-maintained agg
+    # view (two foreachBatch-style delta applications + state swaps)
+    "merge_into_orders",
+    "cdc_incremental_agg_view",
 ]
 #: Benched-name -> registry-name indirection. The graded registry entry
 #: `dedup_minhash_lsh` became the recall-contract audit (exact twin +
