@@ -104,8 +104,11 @@ def merge_into(target: DataFrame, changes: DataFrame, key: str) -> DataFrame:
     keep = (
         # unmatched target rows pass through
         F.col("__ck").isNull()
-        # matched: update keeps (rewritten), delete drops
-        | (matched & (F.col("__op") == "update"))
+        # matched: delete drops; update keeps (rewritten); any other op —
+        # e.g. an insert clause that happened to match — fires NO matched
+        # clause, so the target row passes through untouched (the
+        # hypothesis sweep caught this case being dropped)
+        | (matched & (F.col("__op") != "delete"))
         # unmatched change rows: only the insert clause materializes
         | (target[key].isNull() & (F.col("__op") == "insert"))
     )

@@ -189,3 +189,152 @@ def test_incremental_minhash_invariance_random_corpora(
         else set()
     )
     assert got == expected
+
+
+# ---------------------------------------------------------------------------
+# MERGE INTO vs a pure-Python reference on arbitrary change sets.
+# ---------------------------------------------------------------------------
+
+@st.composite
+def _merge_case(draw):
+    target_keys = draw(st.lists(st.integers(1, 20), min_size=0, max_size=10,
+                                unique=True))
+    change_keys = draw(st.lists(st.integers(1, 25), min_size=0, max_size=10,
+                                unique=True))
+    ops = [draw(st.sampled_from(["update", "delete", "insert"]))
+           for _ in change_keys]
+    return target_keys, list(zip(change_keys, ops))
+
+
+@given(_merge_case())
+@_SETTINGS
+def test_merge_into_matches_python_reference(spark, case):
+    from cdc_local_data_pipeline_docker_spark.operators.merge import merge_into
+
+    target_keys, changes = case
+    target = spark.createDataFrame(
+        [(k, f"t{k}") for k in target_keys] or [(None, None)],
+        "k INT, v STRING",
+    ).filter("k IS NOT NULL")
+    ch = spark.createDataFrame(
+        [(k, f"c{k}", op) for k, op in changes] or [(None, None, None)],
+        "k INT, v STRING, op STRING",
+    ).filter("k IS NOT NULL")
+
+    # reference semantics: matched-update rewrites, matched-delete drops,
+    # not-matched-insert appends; unmatched update/delete are no-ops
+    state = {k: f"t{k}" for k in target_keys}
+    for k, op in changes:
+        if k in set(target_keys):
+            if op == "update":
+                state[k] = f"c{k}"
+            elif op == "delete":
+                state.pop(k, None)
+        elif op == "insert":
+            state[k] = f"c{k}"
+    want = sorted(state.items())
+
+    got = sorted((r["k"], r["v"]) for r in merge_into(target, ch, "k").collect())
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Incremental view deltas vs recompute on arbitrary changelogs: random
+# insert/update/delete event sequences, random batch split points.
+# ---------------------------------------------------------------------------
+
+@st.composite
+def _changelog_case(draw):
+    n_events = draw(st.integers(1, 25))
+    events = []
+    for off in range(n_events):
+        pk = draw(st.integers(1, 6))
+        kind = draw(st.sampled_from(["upsert", "upsert", "delete"]))
+        status = draw(st.sampled_from(["a", "b", "c"]))
+        amount = draw(st.integers(0, 500))
+        events.append((pk, kind, status, amount, off))
+    split = draw(st.integers(0, n_events))
+    return events, split
+
+
+@given(_changelog_case())
+@_SETTINGS
+def test_incremental_view_matches_recompute(spark, tmp_path_factory, case):
+    import json as _json
+    import shutil as _shutil
+    import tempfile
+
+    from cdc_local_data_pipeline_docker_spark.cdc import parse as P2
+    from cdc_local_data_pipeline_docker_spark.streaming import (
+        incremental_view as IV,
+    )
+
+    events, split = case
+    lines = []
+    for pk, kind, status, amount, off in events:
+        key = _json.dumps({"order_id": pk})
+        if kind == "delete":
+            val = None
+        else:
+            val = _json.dumps(
+                {
+                    "order_id": pk,
+                    "customer_id": 1,
+                    "order_date": 1700000000000000,
+                    "status": status,
+                    "total_amount": f"{amount}.00",
+                    "shipping_address": "x",
+                }
+            )
+        lines.append(
+            _json.dumps(
+                {
+                    "key": key,
+                    "value": val,
+                    "topic": "orders",
+                    "partition": 0,
+                    "offset": off,
+                    "timestamp": 1700000000000 + off,
+                }
+            )
+        )
+    d = tempfile.mkdtemp(prefix="hyp_view_")
+    try:
+        with open(f"{d}/orders.jsonl", "w") as f:
+            f.write("\n".join(lines) + "\n")
+        env = P2.read_event_file(spark, f"{d}/orders.jsonl")
+        out = tempfile.mkdtemp(prefix="hyp_view_state_")
+        try:
+            from pyspark.sql import functions as F2
+
+            IV.apply_view_batch(
+                spark, env.filter(F2.col("offset") < split), "orders", out, 0
+            )
+            IV.apply_view_batch(
+                spark, env.filter(F2.col("offset") >= split), "orders", out, 1
+            )
+            got = sorted(
+                (r["status"], r["n_rows"], str(r["total_amount_sum"]))
+                for r in IV.read_view(spark, out, "orders").collect()
+            )
+        finally:
+            _shutil.rmtree(out, ignore_errors=True)
+
+        # reference: dict replay then aggregate
+        state = {}
+        for pk, kind, status, amount, off in events:
+            if kind == "delete":
+                state[pk] = None
+            else:
+                state[pk] = (status, amount)
+        agg = {}
+        for v in state.values():
+            if v is None:
+                continue
+            s, a = v
+            n, tot = agg.get(s, (0, 0))
+            agg[s] = (n + 1, tot + a)
+        want = sorted((s, n, f"{tot}.00") for s, (n, tot) in agg.items())
+        assert got == want
+    finally:
+        _shutil.rmtree(d, ignore_errors=True)
