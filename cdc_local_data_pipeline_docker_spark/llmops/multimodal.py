@@ -202,3 +202,152 @@ FROM documents
 GROUP BY 1
 ORDER BY mime
 """
+
+
+# ---------------------------------------------------------------------------
+# Frame sampling + resize pooling: the two other media-prep shapes the
+# brief calls for, on the same opaque-binary + Arrow-batch model. The
+# payload stands in for a raw frame buffer (video) / sample buffer
+# (audio); the byte arithmetic is the deterministic fake standing where
+# a codec would sit, exercising the real batch shapes.
+# ---------------------------------------------------------------------------
+
+#: fixed-size "frame" width in bytes, and the deterministic sampling
+#: stride (every 4th frame + always the final frame — the keyframe-ish
+#: policy a video pipeline uses to bound per-item cost)
+FRAME_BYTES = 16
+FRAME_STRIDE = 4
+
+#: resize pooling target: 8 byte-domain buckets per payload
+POOL_BUCKETS = 8
+
+FRAME_SAMPLE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_frames", LongType()),
+        StructField("frame_idx", LongType()),
+        StructField("frame_checksum", LongType()),
+    ]
+)
+
+RESIZE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("bucket", LongType()),
+        StructField("n_in_bucket", LongType()),
+        StructField("pooled_mean", DoubleType()),
+    ]
+)
+
+
+def _frame_sample_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        out = {"doc_id": [], "n_frames": [], "frame_idx": [], "frame_checksum": []}
+        for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
+            a = np.frombuffer(b, dtype=np.uint8)
+            if a.size == 0:
+                continue
+            n_frames = -(-a.size // FRAME_BYTES)
+            idxs = sorted(set(range(0, n_frames, FRAME_STRIDE)) | {n_frames - 1})
+            for i in idxs:
+                seg = a[i * FRAME_BYTES : (i + 1) * FRAME_BYTES]
+                out["doc_id"].append(doc_id)
+                out["n_frames"].append(n_frames)
+                out["frame_idx"].append(i)
+                out["frame_checksum"].append(int(seg.sum(dtype=np.int64)))
+        yield pd.DataFrame(out)
+
+
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic keyframe-style sampling: every FRAME_STRIDEth
+    16-byte frame plus the final frame, with an exact per-frame byte
+    checksum. Arrow mapInPandas; zero shuffle (the explode happens
+    inside the Python batch, output partitioning inherits the scan)."""
+    media = media_table(spark, sf_dir)
+    return (
+        media.select("doc_id", "payload")
+        .mapInPandas(_frame_sample_batch, schema=FRAME_SAMPLE_SCHEMA)
+        .orderBy("doc_id", "frame_idx")
+    )
+
+
+MULTIMODAL_FRAME_SAMPLE_SQL = f"""
+WITH codes AS (
+  -- parallel unnests zip positionally in DuckDB (LATERAL generate_series
+  -- cannot take column arguments), giving (pos, code) per character
+  SELECT doc_id,
+         unnest(range(length(text))) AS pos,
+         unnest(list_transform(string_split(text, ''), c -> ascii(c))) AS code,
+         length(text) AS n
+  FROM documents WHERE length(text) > 0
+),
+framed AS (
+  SELECT doc_id, pos // {FRAME_BYTES} AS frame_idx, code,
+         -- ceil(n/F) over positives (DuckDB // truncates toward zero,
+         -- so the -((-n)//F) floor trick does NOT ceil here)
+         CAST((n + {FRAME_BYTES} - 1) // {FRAME_BYTES} AS BIGINT) AS n_frames
+  FROM codes
+),
+sums AS (
+  SELECT doc_id, n_frames, frame_idx,
+         CAST(SUM(code) AS BIGINT) AS frame_checksum
+  FROM framed GROUP BY doc_id, n_frames, frame_idx
+)
+SELECT doc_id, n_frames, CAST(frame_idx AS BIGINT) AS frame_idx,
+       frame_checksum
+FROM sums
+WHERE frame_idx % {FRAME_STRIDE} = 0 OR frame_idx = n_frames - 1
+ORDER BY doc_id, frame_idx
+"""
+
+
+def _resize_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        out = {"doc_id": [], "bucket": [], "n_in_bucket": [], "pooled_mean": []}
+        for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
+            a = np.frombuffer(b, dtype=np.uint8)
+            n = a.size
+            if n == 0:
+                continue
+            buckets = (np.arange(n, dtype=np.int64) * POOL_BUCKETS) // n
+            sums = np.bincount(buckets, weights=a, minlength=POOL_BUCKETS)
+            counts = np.bincount(buckets, minlength=POOL_BUCKETS)
+            for bk in range(POOL_BUCKETS):
+                if counts[bk] == 0:
+                    continue
+                out["doc_id"].append(doc_id)
+                out["bucket"].append(bk)
+                out["n_in_bucket"].append(int(counts[bk]))
+                out["pooled_mean"].append(float(int(sums[bk]) / int(counts[bk])))
+        yield pd.DataFrame(out)
+
+
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-domain average pooling into POOL_BUCKETS buckets — the
+    'resize to fixed dimensions' shape (bucket = floor(i*B/n), i.e. the
+    index math of nearest-neighbor downsampling). Integer sums with one
+    final double division per bucket: bit-exact in both engines."""
+    media = media_table(spark, sf_dir)
+    return (
+        media.select("doc_id", "payload")
+        .mapInPandas(_resize_batch, schema=RESIZE_SCHEMA)
+        .orderBy("doc_id", "bucket")
+    )
+
+
+MULTIMODAL_RESIZE_SQL = f"""
+WITH codes AS (
+  SELECT doc_id,
+         unnest(range(length(text))) AS pos,
+         unnest(list_transform(string_split(text, ''), c -> ascii(c))) AS code,
+         length(text) AS n
+  FROM documents WHERE length(text) > 0
+)
+SELECT doc_id,
+       CAST((pos * {POOL_BUCKETS}) // n AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_in_bucket,
+       CAST(SUM(code) AS DOUBLE) / COUNT(*) AS pooled_mean
+FROM codes
+GROUP BY doc_id, (pos * {POOL_BUCKETS}) // n
+ORDER BY doc_id, bucket
+"""

@@ -330,6 +330,13 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "profile_join_skew": (PR.profile_join_skew, PR.PROFILE_JOIN_SKEW_SQL),
     # right-to-erasure cascade with zero-residual proof
     "gdpr_erase_customer": (MG.gdpr_erase_customer, MG.GDPR_ERASE_CUSTOMER_SQL),
+    # keyframe-style deterministic frame sampling + byte-domain resize
+    # pooling (the other two media-prep shapes; Arrow mapInPandas)
+    "multimodal_frame_sample": (
+        MM.multimodal_frame_sample,
+        MM.MULTIMODAL_FRAME_SAMPLE_SQL,
+    ),
+    "multimodal_resize": (MM.multimodal_resize, MM.MULTIMODAL_RESIZE_SQL),
     "cdc_state_asof_offset": (
         CDC.cdc_state_asof_offset,
         CDC.CDC_STATE_ASOF_OFFSET_SQL,

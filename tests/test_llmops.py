@@ -760,3 +760,31 @@ def test_pagerank_clique_uniform(spark):
         assert abs(r["rank"] - 0.25) < 1e-12
     assert delta == 0.0
     assert iters == 5  # first probe sees the fixpoint and exits
+
+
+def test_multimodal_frame_sample_known_payload(spark):
+    """34-byte doc -> 3 frames (16+16+2); sampled = frame 0 (stride) and
+    frame 2 (last); checksums exact."""
+    import pandas as pd
+    from cdc_local_data_pipeline_docker_spark.llmops.multimodal import (
+        FRAME_SAMPLE_SCHEMA,
+        RESIZE_SCHEMA,
+        _frame_sample_batch,
+        _resize_batch,
+    )
+
+    payload = bytes(range(34))
+    pdf = pd.DataFrame({"doc_id": [7], "payload": [payload]})
+    rows = list(_frame_sample_batch(iter([pdf])))[0]
+    got = sorted(zip(rows["frame_idx"], rows["n_frames"], rows["frame_checksum"]))
+    assert got == [
+        (0, 3, sum(range(16))),
+        (2, 3, 32 + 33),
+    ]
+
+    rz = list(_resize_batch(iter([pdf])))[0]
+    # bucket = floor(i*8/34): buckets sized 5/4/4/4/5/4/4/4
+    assert list(rz["n_in_bucket"]) == [5, 4, 4, 4, 5, 4, 4, 4]
+    assert sum(rz["n_in_bucket"]) == 34
+    b0 = list(range(0, 5))
+    assert rz["pooled_mean"][0] == sum(b0) / len(b0)

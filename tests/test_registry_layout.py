@@ -97,6 +97,8 @@ COVERED_BY = {
     "profile_table_stats": "agg_grouped",
     "profile_join_skew": "agg_grouped",
     "gdpr_erase_customer": "join_anti",
+    "multimodal_frame_sample": "multimodal_feature_extract",
+    "multimodal_resize": "multimodal_feature_extract",
     "cdc_state_asof_offset": "cdc_latest_state_orders",
     "cdc_ingest_sketch_summary": "cdc_changelog_stats",
     "cdc_hotkey_monitor": "cdc_changelog_stats",
