@@ -53,6 +53,10 @@ def main(argv: list[str] | None = None) -> int:
                     help="also maintain per-table ingest sketches (HLL "
                          "distinct keys + t-digest + exact count, folded "
                          "per micro-batch) and report their summary")
+    ap.add_argument("--agg-view", action="store_true",
+                    help="also maintain the incrementally-updated grouped "
+                         "aggregate view (streaming/incremental_view.py; "
+                         "tables with a VIEW_SPECS entry) and report it")
     args = ap.parse_args(argv)
 
     tables = [t.strip() for t in args.tables.split(",") if t.strip()]
@@ -118,6 +122,23 @@ def main(argv: list[str] | None = None) -> int:
                 "p90": s["p90"],
                 "p99": s["p99"],
             }
+        if args.agg_view:
+            from .streaming.incremental_view import (
+                VIEW_SPECS,
+                read_view,
+                start_view_stream,
+            )
+
+            if table in VIEW_SPECS:
+                start_view_stream(spark, events_dir, table, args.out_dir)
+                metrics["agg_view"] = sorted(
+                    (
+                        {k: (float(v) if hasattr(v, "as_tuple") else v)
+                         for k, v in r.asDict().items()}
+                        for r in read_view(spark, args.out_dir, table).collect()
+                    ),
+                    key=lambda d: str(d),
+                )
         return metrics
 
     if args.parallel > 1:

@@ -211,3 +211,36 @@ def test_udtf_ngram_exploder_matches_codegen_shingler(spark, sf_dir):
     got_sql = sorted(map(tuple, explode_ngrams_udtf(spark, docs, SPAN_N).collect()))
     got_api = sorted(map(tuple, explode_ngrams_udtf_api(docs, SPAN_N).collect()))
     assert got_sql == want and got_api == want and len(want) > 0
+
+
+def test_run_pipeline_agg_view_flag(spark, tmp_path, capsys):
+    """--agg-view maintains and reports the incremental grouped view for
+    tables carrying a VIEW_SPECS entry; values equal a recompute from the
+    materialized latest state."""
+    import json
+
+    from cdc_local_data_pipeline_docker_spark import run_pipeline as RP
+    from cdc_local_data_pipeline_docker_spark.cdc.ingest import (
+        materialize_latest,
+    )
+    from pyspark.sql import functions as F
+
+    out = str(tmp_path / "wh")
+    rc = RP.main(["--out-dir", out, "--tables", "orders", "--agg-view"])
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    view = rep["tables"][0]["agg_view"]
+    assert view, "agg_view missing from the CLI report"
+
+    live = materialize_latest(spark, out, "orders")
+    want = {
+        r["status"]: (r["n"], float(r["s"]))
+        for r in live.groupBy("status")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("total_amount").cast("decimal(18,2)")).alias("s"),
+        )
+        .collect()
+    }
+    got = {d["status"]: (d["n_rows"], float(d["total_amount_sum"])) for d in view}
+    assert got == want
