@@ -417,6 +417,12 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         SIM.ann_ivf_topk_contract,
         SIM.ANN_IVF_TOPK_CONTRACT_SQL,
     ),
+    # product quantization: 4-bit codes + ADC shortlist + exact re-rank
+    "ann_pq_topk": (SIM.ann_pq_topk, None),  # quantizer not SQL-expressible
+    "ann_pq_topk_contract": (
+        SIM.ann_pq_topk_contract,
+        SIM.ANN_PQ_TOPK_CONTRACT_SQL,
+    ),
     "text_token_stats": (TX.text_token_stats, TX.TEXT_TOKEN_STATS_SQL),
     "text_lang_id": (TX.text_lang_id, TX.TEXT_LANG_ID_SQL),
     "text_quality_score": (TX.text_quality_score, TX.TEXT_QUALITY_SCORE_SQL),

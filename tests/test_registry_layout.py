@@ -97,6 +97,8 @@ COVERED_BY = {
     "profile_table_stats": "agg_grouped",
     "profile_join_skew": "agg_grouped",
     "gdpr_erase_customer": "join_anti",
+    "ann_pq_topk": "ann_cosine_topk",
+    "ann_pq_topk_contract": "ann_cosine_topk",
     "multimodal_frame_sample": "multimodal_feature_extract",
     "multimodal_resize": "multimodal_feature_extract",
     "cdc_state_asof_offset": "cdc_latest_state_orders",
