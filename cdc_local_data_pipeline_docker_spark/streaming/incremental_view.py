@@ -56,7 +56,10 @@ from .upsert import _recover_state
 DEC = DecimalType(18, 2)
 
 #: view definition: per-table (group column, summed numeric column)
-VIEW_SPECS = {"orders": ("status", "total_amount")}
+VIEW_SPECS = {
+    "orders": ("status", "total_amount"),
+    "products": ("category", "price"),
+}
 
 _KEY_DDL = (
     "pk INT, g STRING, v DECIMAL(18,2), is_tombstone BOOLEAN, "

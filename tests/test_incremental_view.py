@@ -113,3 +113,39 @@ def test_streaming_runner_matches_batch(spark, env, scratch):
     out_s = os.path.join(scratch, "stream")
     IV.start_view_stream(spark, d, "orders", out_s)
     assert _view_rows(spark, out_b) == _view_rows(spark, out_s)
+
+
+def test_products_view_matches_recompute(spark, scratch):
+    """The maintainer is table-generic: the products (category -> count,
+    sum(price)) view converges to a recompute from materialized latest
+    state."""
+    from cdc_local_data_pipeline_docker_spark.cdc.ingest import (
+        ingest_table,
+        materialize_latest,
+    )
+
+    d = ensure_fixtures()
+    penv = P.read_event_file(spark, os.path.join(d, "products.jsonl"))
+    mid = penv.agg(F.expr("percentile(offset, 0.5)")).collect()[0][0]
+    IV.apply_view_batch(spark, penv.filter(F.col("offset") <= mid),
+                        "products", scratch, 0)
+    IV.apply_view_batch(spark, penv.filter(F.col("offset") > mid),
+                        "products", scratch, 1)
+    got = sorted(
+        (r["category"], r["n_rows"], str(r["price_sum"]))
+        for r in IV.read_view(spark, scratch, "products").collect()
+    )
+
+    out = os.path.join(scratch, "wh")
+    ingest_table(spark, os.path.join(d, "products.jsonl"), "products", out)
+    live = materialize_latest(spark, out, "products")
+    want = sorted(
+        (r["category"], r["n"], str(r["s"]))
+        for r in live.groupBy("category")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("price").cast("decimal(18,2)")).alias("s"),
+        )
+        .collect()
+    )
+    assert got == want and got
