@@ -796,6 +796,8 @@ BNLJ_WHITELIST = {
     "ann_cosine_topk",            # 20-query broadcast side
     "ann_lsh_topk_contract",
     "ann_ivf_topk_contract",
+    "ann_pq_topk",                # 20-query LUT broadcast (query != vec)
+    "ann_pq_topk_contract",
 }
 
 
