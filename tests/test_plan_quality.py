@@ -819,3 +819,60 @@ def test_registry_wide_plan_hygiene(spark):
         elif "BroadcastNestedLoopJoin" in plan and name not in BNLJ_WHITELIST:
             offenders[name] = "unlisted BroadcastNestedLoopJoin"
     assert not offenders, offenders
+
+
+def test_aqe_skew_split_declined_under_same_key_agg(spark):
+    """The caveat to test_aqe_splits_skewed_join above: when the skewed
+    join FEEDS a groupBy on the SAME key, AQE declines the split —
+    splitting the hot partition would break co-partitioning and force an
+    extra shuffle, so the straggler survives. This is exactly the case
+    where explicit salting (operators/merge.join_salted_skew) is the
+    right tool, not AQE; pinned here so the boundary stays documented
+    and measured."""
+    from pyspark.sql import functions as F
+
+    conf = spark.conf
+    saved = {
+        k: conf.get(k, None)
+        for k in (
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB"
+        )
+        conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32KB")
+        conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+
+        fact = spark.range(0, 300000).select(
+            F.when(F.col("id") % 3 != 0, F.lit(7))
+            .otherwise(F.col("id") % 1000)
+            .alias("k"),
+            F.col("id").alias("payload"),
+        )
+        dim = spark.range(0, 1000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("dv")
+        )
+
+        j = fact.join(dim, "k").agg(
+            F.sum("payload").alias("s"), F.sum("dv").alias("d")
+        )
+        j.collect()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan[:2000]
+
+        g = fact.join(dim, "k").groupBy("k").count()
+        g.collect()
+        gplan = g._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" not in gplan  # co-partitioning wins over split
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                conf.unset(k)
+            else:
+                conf.set(k, v)
