@@ -382,3 +382,66 @@ WHERE abs((e.value - s.s1 / s.n)
       >= {ZSCORE_THRESHOLD}
 ORDER BY e.event_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Recursive-CTE date spine + gap fill (Spark 4 WITH RECURSIVE surface).
+# ---------------------------------------------------------------------------
+
+def events_daily_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily high-value purchase series with GAP FILL: a recursive CTE
+    generates the contiguous day spine between the corpus's min and max
+    event dates (Spark 4 ``WITH RECURSIVE``), then a left join fills
+    missing days with zeros — the canonical time-series densification
+    every dashboard needs (the filtered series has real gaps at
+    sf0.001/0.01).
+
+    Scale notes: the spine is O(days) rows — recursion depth equals the
+    date span, nothing data-sized recurses; the daily aggregate is one
+    scan with pushed filters; the fill join broadcasts the tiny spine.
+    Revenue goes through DECIMAL(18,2) for bit-exact oracle parity."""
+    ev = load_table(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("ev_gapfill")
+    return spark.sql("""
+WITH RECURSIVE spine(day) AS (
+  SELECT CAST(MIN(ts) AS DATE) FROM ev_gapfill
+  UNION ALL
+  SELECT date_add(day, 1) FROM spine
+  WHERE day < (SELECT CAST(MAX(ts) AS DATE) FROM ev_gapfill)
+),
+daily AS (
+  SELECT CAST(ts AS DATE) AS day,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS rev
+  FROM ev_gapfill
+  WHERE event_type = 'purchase' AND value > 200
+  GROUP BY CAST(ts AS DATE)
+)
+SELECT s.day, COALESCE(d.n, CAST(0 AS BIGINT)) AS n_purchases,
+       COALESCE(d.rev, CAST(0 AS DOUBLE)) AS revenue
+FROM spine s LEFT JOIN daily d ON s.day = d.day
+ORDER BY s.day
+""")
+
+
+EVENTS_DAILY_GAPFILL_SQL = """
+WITH RECURSIVE spine(day) AS (
+  SELECT CAST(MIN(ts) AS DATE) FROM events
+  UNION ALL
+  SELECT day + INTERVAL 1 DAY FROM spine
+  WHERE day < (SELECT CAST(MAX(ts) AS DATE) FROM events)
+),
+daily AS (
+  SELECT CAST(ts AS DATE) AS day,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS rev
+  FROM events
+  WHERE event_type = 'purchase' AND value > 200
+  GROUP BY CAST(ts AS DATE)
+)
+SELECT CAST(s.day AS DATE) AS day,
+       CAST(COALESCE(d.n, 0) AS BIGINT) AS n_purchases,
+       COALESCE(d.rev, CAST(0 AS DOUBLE)) AS revenue
+FROM spine s LEFT JOIN daily d ON CAST(s.day AS DATE) = d.day
+ORDER BY day
+"""

@@ -204,6 +204,11 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         EV.events_zscore_outliers,
         EV.EVENTS_ZSCORE_OUTLIERS_SQL,
     ),
+    # Spark 4 WITH RECURSIVE: date-spine generation + gap-filled series
+    "events_daily_gapfill": (
+        EV.events_daily_gapfill,
+        EV.EVENTS_DAILY_GAPFILL_SQL,
+    ),
     "join_right_outer": (R.join_right_outer, R.JOIN_RIGHT_OUTER_SQL),
     # ANSI three-clause MERGE INTO on plain DataFrames (Delta-style apply)
     "merge_into_orders": (MG.merge_into_orders, MG.MERGE_INTO_ORDERS_SQL),

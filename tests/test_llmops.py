@@ -835,3 +835,20 @@ def test_pq_codes_are_compact_and_deterministic(spark):
     }
     assert a == b
     assert all(0 <= c < PQ_K for codes in a.values() for c in codes)
+
+
+def test_events_daily_gapfill_fills_real_gaps(spark):
+    """The recursive spine is contiguous (max-min+1 days) and at the test
+    sf the filtered series has REAL zero-filled days (a gap-fill that
+    never fills is untested)."""
+    from cdc_local_data_pipeline_docker_spark.operators.events_analytics import (
+        events_daily_gapfill,
+    )
+
+    rows = events_daily_gapfill(spark, "/root/testdata/sf0.001").collect()
+    days = [r["day"] for r in rows]
+    assert (max(days) - min(days)).days + 1 == len(days)  # contiguous
+    assert len(set(days)) == len(days)
+    zero_days = [r for r in rows if r["n_purchases"] == 0]
+    assert zero_days, "fixture produced no gaps - filter needs retuning"
+    assert all(r["revenue"] == 0.0 for r in zero_days)
