@@ -111,3 +111,45 @@ def count_hash_exchanges(plan: str) -> int:
         if m and m.group(1) == "hashpartitioning":
             n += 1
     return n
+
+
+def shuffle_stats(df: DataFrame) -> dict[str, int]:
+    """EXECUTED shuffle volume of a collected DataFrame: total records
+    and bytes written across every Exchange in the final adaptive plan
+    (including reused query stages). This turns "the aggregate shuffles
+    groups, not rows" from a plan-shape claim into a measured number —
+    call AFTER an action on ``df`` (metrics are zero before execution).
+    """
+    root = df._jdf.queryExecution().executedPlan()
+    seen: set[int] = set()
+    totals = {"records_written": 0, "bytes_written": 0, "exchanges": 0}
+
+    def walk(node) -> None:
+        ident = node.id()
+        if ident in seen:
+            return
+        seen.add(ident)
+        name = node.nodeName()
+        if name == "AdaptiveSparkPlan":
+            walk(node.executedPlan())
+        if "Exchange" == name:
+            totals["exchanges"] += 1
+            it = node.metrics().iterator()
+            while it.hasNext():
+                kv = it.next()
+                key, metric = kv._1(), kv._2()
+                if key == "shuffleBytesWritten":
+                    totals["bytes_written"] += metric.value()
+                elif key == "shuffleRecordsWritten":
+                    totals["records_written"] += metric.value()
+        # shuffle/broadcast query stages wrap their subtree in .plan()
+        try:
+            walk(node.plan())
+        except Exception:
+            pass
+        ch = node.children()
+        for i in range(ch.size()):
+            walk(ch.apply(i))
+
+    walk(root)
+    return totals

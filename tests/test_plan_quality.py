@@ -876,3 +876,27 @@ def test_aqe_skew_split_declined_under_same_key_agg(spark):
                 conf.unset(k)
             else:
                 conf.set(k, v)
+
+
+def test_measured_shuffle_volume_aggregate_shuffles_groups_not_rows(spark, sf_dir):
+    """EXECUTED shuffle metrics (not plan shape): the Q1 aggregate over
+    the full lineitem scan must shuffle only per-partition GROUP partials
+    — a handful of records and KBs, independent of fact size. This is
+    the map-side-combine proof measured in bytes."""
+    df = R.q1_pricing_summary(spark, sf_dir)
+    df.collect()
+    s = A.shuffle_stats(df)
+    assert s["exchanges"] >= 1
+    assert s["records_written"] <= 100, s   # ~groups x partitions-with-data
+    assert s["bytes_written"] <= 64 * 1024, s
+
+
+def test_measured_shuffle_volume_broadcast_join_never_moves_fact(spark, sf_dir):
+    """The 3-dim star join must move only the final tiny aggregate across
+    the wire — the fact table rows join map-side against broadcast dims
+    and never enter an Exchange."""
+    df = R.join_broadcast_dims(spark, sf_dir)
+    df.collect()
+    s = A.shuffle_stats(df)
+    assert s["records_written"] <= 100, s
+    assert s["bytes_written"] <= 64 * 1024, s
