@@ -116,14 +116,29 @@ def main() -> None:
     # this VM's timing noise is 2-6x run-to-run, so one extra rep buys real
     # stability for the recorded number).
     timings: dict[str, float] = {}
+    shuffle: dict[str, list[int]] = {}
     for name in names:
         fn = queries[ALIASES.get(name, name)]
         best = float("inf")
+        df = None
         for _ in range(3):
             t0 = time.perf_counter()
-            fn(spark, SF_DIR).collect()
+            df = fn(spark, SF_DIR)
+            df.collect()
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 4)
+        # DETERMINISTIC cross-round signal: executed shuffle volume is
+        # noise-free at a fixed sf (unlike wall time on this VM) — a
+        # round-over-round change here is a PLAN change, full stop.
+        try:
+            from cdc_local_data_pipeline_docker_spark.plans.audit import (
+                shuffle_stats,
+            )
+
+            s = shuffle_stats(df)
+            shuffle[name] = [s["records_written"], s["bytes_written"]]
+        except Exception:
+            pass  # streaming adapters return post-drain frames; skip
 
     # Second scale point: min-of-2 over the same query set so the JSON
     # carries the cross-sf ratio every round.
@@ -159,6 +174,8 @@ def main() -> None:
         "calibration": calibration,
         "ingest_events_per_sec": ingest_events_per_sec,
         "sf": _sf_of(SF_DIR),
+        # name -> [shuffle records written, shuffle bytes written] at SF_DIR
+        "shuffle": shuffle,
     }
     if scale_check is not None:
         payload["scale_check"] = scale_check
