@@ -338,3 +338,85 @@ def test_incremental_view_matches_recompute(spark, tmp_path_factory, case):
         assert got == want
     finally:
         _shutil.rmtree(d, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Multimodal byte arithmetic vs a pure-Python reference on random
+# payloads (frame boundaries, empty/1-byte/exact-multiple cases).
+# ---------------------------------------------------------------------------
+
+@given(
+    st.lists(
+        st.binary(min_size=0, max_size=70),
+        min_size=1,
+        max_size=6,
+    )
+)
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_multimodal_batches_match_python_reference(payloads):
+    import pandas as pd
+
+    from cdc_local_data_pipeline_docker_spark.llmops.multimodal import (
+        FRAME_BYTES,
+        FRAME_STRIDE,
+        POOL_BUCKETS,
+        _frame_sample_batch,
+        _resize_batch,
+    )
+
+    pdf = pd.DataFrame(
+        {"doc_id": list(range(len(payloads))), "payload": payloads}
+    )
+
+    frames = list(_frame_sample_batch(iter([pdf])))[0]
+    got_f = sorted(
+        zip(frames["doc_id"], frames["frame_idx"], frames["n_frames"],
+            frames["frame_checksum"])
+    )
+    want_f = []
+    for i, b in enumerate(payloads):
+        if not b:
+            continue
+        nf = -(-len(b) // FRAME_BYTES)
+        idxs = sorted(set(range(0, nf, FRAME_STRIDE)) | {nf - 1})
+        for fi in idxs:
+            seg = b[fi * FRAME_BYTES:(fi + 1) * FRAME_BYTES]
+            want_f.append((i, fi, nf, sum(seg)))
+    assert got_f == sorted(want_f)
+
+    rz = list(_resize_batch(iter([pdf])))[0]
+    got_r = sorted(
+        zip(rz["doc_id"], rz["bucket"], rz["n_in_bucket"], rz["pooled_mean"])
+    )
+    want_r = []
+    for i, b in enumerate(payloads):
+        n = len(b)
+        if n == 0:
+            continue
+        buckets = {}
+        for pos, byte in enumerate(b):
+            bk = (pos * POOL_BUCKETS) // n
+            s, c = buckets.get(bk, (0, 0))
+            buckets[bk] = (s + byte, c + 1)
+        for bk, (s, c) in sorted(buckets.items()):
+            want_r.append((i, bk, c, s / c))
+    assert got_r == sorted(want_r)
+
+
+@given(st.one_of(st.integers(0, 10**12), st.text(max_size=20)))
+@_SETTINGS
+def test_u32_spark_matches_python_md5(spark, key):
+    """The sampler's engine-portable uniform really is md5-derived: the
+    Spark column expression equals hashlib on arbitrary keys."""
+    import hashlib
+
+    from cdc_local_data_pipeline_docker_spark.operators.profiling import (
+        _u32_spark,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(str(key),)], "k STRING")
+    got = df.select(_u32_spark(F.col("k")).alias("u")).collect()[0]["u"]
+    want = int(hashlib.md5(str(key).encode()).hexdigest()[:8], 16)
+    assert got == want
