@@ -91,3 +91,63 @@ SELECT c_nationkey, c_custkey,
 FROM customer
 ORDER BY c_nationkey, balance_rank
 """
+
+
+# ---------------------------------------------------------------------------
+# Grouped-AGGREGATE pandas UDF — the vectorized UDAF form (series in,
+# scalar out, usable inside groupBy().agg() exactly like a built-in).
+# ---------------------------------------------------------------------------
+
+def fn_pandas_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-returnflag RMS of l_quantity via a grouped-agg pandas UDF.
+
+    Execution contract demonstrated: Spark plans a normal hash
+    aggregation shuffle on the group key, then hands each group's column
+    to Python as ONE Arrow-backed pandas Series — the UDAF slots into
+    ``agg()`` beside built-ins. Exactness: integer-cent arithmetic
+    inside, so the SQL oracle reproduces the value bit-for-bit.
+
+    The UDAF is defined here, not at module top level: the pandas_udf
+    decorator parses its DDL return type against the ACTIVE session, and
+    this module imports before any session exists."""
+
+    @pandas_udf("double")
+    def _rms_cents(q: pd.Series) -> float:
+        # RMS over EXACT integer cents: the only float steps are one
+        # division and one sqrt (both correctly rounded -> engine-
+        # portable). int64 sum-of-squares is exact at test scale; a
+        # 100 TB deployment sums in DECIMAL or Welford chunks.
+        cents = (q * 100).round().astype("int64")
+        n = len(cents)
+        if n == 0:
+            return float("nan")
+        return float((int((cents * cents).sum()) / n) ** 0.5 / 100.0)
+
+    @pandas_udf("long")
+    def _n(q: pd.Series) -> int:
+        # Spark refuses to MIX pandas and built-in aggregates in one agg
+        # (INVALID_PANDAS_UDF_PLACEMENT), so the row count is a second
+        # pandas UDAF rather than F.count.
+        return len(q)
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            _rms_cents(F.col("l_quantity")).alias("rms_qty"),
+            _n(F.col("l_quantity")).alias("n"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+FN_PANDAS_GROUPED_AGG_SQL = """
+SELECT l_returnflag,
+       sqrt(CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)
+                     * CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE)
+            / COUNT(*)) / 100.0 AS rms_qty,
+       COUNT(*) AS n
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""

@@ -209,6 +209,11 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         EV.events_daily_gapfill,
         EV.EVENTS_DAILY_GAPFILL_SQL,
     ),
+    # grouped-AGGREGATE pandas UDF (vectorized UDAF inside agg())
+    "fn_pandas_grouped_agg": (
+        PU.fn_pandas_grouped_agg,
+        PU.FN_PANDAS_GROUPED_AGG_SQL,
+    ),
     "join_right_outer": (R.join_right_outer, R.JOIN_RIGHT_OUTER_SQL),
     # ANSI three-clause MERGE INTO on plain DataFrames (Delta-style apply)
     "merge_into_orders": (MG.merge_into_orders, MG.MERGE_INTO_ORDERS_SQL),

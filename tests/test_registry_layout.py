@@ -98,6 +98,7 @@ COVERED_BY = {
     "profile_join_skew": "agg_grouped",
     "validate_orders": "join_anti",
     "events_daily_gapfill": "events_tumbling_agg",
+    "fn_pandas_grouped_agg": "fn_pandas_group_rank",
     "gdpr_erase_customer": "join_anti",
     "ann_pq_topk": "ann_cosine_topk",
     "ann_pq_topk_contract": "ann_cosine_topk",
