@@ -445,3 +445,91 @@ SELECT CAST(s.day AS DATE) AS day,
 FROM spine s LEFT JOIN daily d ON CAST(s.day AS DATE) = d.day
 ORDER BY day
 """
+
+
+# ---------------------------------------------------------------------------
+# Time-constrained funnel: each stage must land within a bounded window
+# of the previous stage's completion (the conversion-window semantics of
+# product-analytics funnels), anchored on first touch.
+# ---------------------------------------------------------------------------
+
+#: conversion window between consecutive funnel stages
+FUNNEL_WINDOW_HOURS = 24
+
+
+def events_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """view → click → purchase with a 24 h conversion window per step,
+    anchored on the user's FIRST view (the anchored-first-touch model
+    every product-analytics tool defaults to — deliberately NOT maximal
+    sequence matching, which would scan all anchors).
+
+    Plan: one conditional-min aggregate for the anchor, then one
+    equi-join + filtered min per subsequent stage — every shuffle is on
+    user_id, so at scale the three aggregations co-partition and AQE
+    collapses the join exchanges (the events table is read once per
+    stage but only (user_id, ts) columns survive pruning)."""
+    e = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    w = F.expr(f"INTERVAL {FUNNEL_WINDOW_HOURS} HOURS")
+
+    anchor = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    click = (
+        e.filter(F.col("event_type") == "click")
+        .join(anchor, "user_id")
+        .filter((F.col("ts") > F.col("t_view")) & (F.col("ts") <= F.col("t_view") + w))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    purchase = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(click, "user_id")
+        .filter((F.col("ts") > F.col("t_click")) & (F.col("ts") <= F.col("t_click") + w))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    return (
+        anchor.join(click, "user_id", "left")
+        .join(purchase, "user_id", "left")
+        .agg(
+            F.count(F.lit(1)).alias("reached_view"),
+            F.sum(F.col("t_click").isNotNull().cast("long")).alias("reached_click"),
+            F.sum(F.col("t_purchase").isNotNull().cast("long")).alias(
+                "reached_purchase"
+            ),
+        )
+    )
+
+
+EVENTS_FUNNEL_WINDOWED_SQL = f"""
+WITH anchor AS (
+  SELECT user_id, MIN(ts) AS t_view
+  FROM events WHERE event_type = 'view' GROUP BY user_id
+),
+click AS (
+  SELECT e.user_id, MIN(e.ts) AS t_click
+  FROM events e JOIN anchor a ON e.user_id = a.user_id
+  WHERE e.event_type = 'click'
+    AND e.ts > a.t_view
+    AND e.ts <= a.t_view + INTERVAL {FUNNEL_WINDOW_HOURS} HOURS
+  GROUP BY e.user_id
+),
+purchase AS (
+  SELECT e.user_id, MIN(e.ts) AS t_purchase
+  FROM events e JOIN click c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase'
+    AND e.ts > c.t_click
+    AND e.ts <= c.t_click + INTERVAL {FUNNEL_WINDOW_HOURS} HOURS
+  GROUP BY e.user_id
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS reached_view,
+       CAST(SUM(CASE WHEN c.t_click IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS reached_click,
+       CAST(SUM(CASE WHEN p.t_purchase IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS reached_purchase
+FROM anchor a
+LEFT JOIN click c ON a.user_id = c.user_id
+LEFT JOIN purchase p ON a.user_id = p.user_id
+"""

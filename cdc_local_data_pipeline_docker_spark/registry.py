@@ -187,6 +187,11 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # ---- 51+: variants covered by a graded sibling (pytest-verified) ----
     "events_sliding_agg": (EV.events_sliding_agg, EV.EVENTS_SLIDING_AGG_SQL),
     "events_funnel": (EV.events_funnel, EV.EVENTS_FUNNEL_SQL),
+    # conversion-window funnel (24h per step, anchored first-touch)
+    "events_funnel_windowed": (
+        EV.events_funnel_windowed,
+        EV.EVENTS_FUNNEL_WINDOWED_SQL,
+    ),
     "events_retention_cohorts": (
         EV.events_retention_cohorts,
         EV.EVENTS_RETENTION_COHORTS_SQL,

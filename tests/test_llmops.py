@@ -852,3 +852,35 @@ def test_events_daily_gapfill_fills_real_gaps(spark):
     zero_days = [r for r in rows if r["n_purchases"] == 0]
     assert zero_days, "fixture produced no gaps - filter needs retuning"
     assert all(r["revenue"] == 0.0 for r in zero_days)
+
+
+def test_windowed_funnel_constraint_binds(spark):
+    """The 24h conversion window must actually drop conversions relative
+    to the unconstrained funnel at the test sf (a window that never binds
+    tests nothing), and stage counts must be monotone."""
+    from cdc_local_data_pipeline_docker_spark.operators.events_analytics import (
+        events_funnel,
+        events_funnel_windowed,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    w = events_funnel_windowed(spark, sf).collect()[0]
+    u = events_funnel(spark, sf).collect()[0]
+    assert w["reached_view"] >= w["reached_click"] >= w["reached_purchase"]
+    assert w["reached_purchase"] > 0
+    # windowed counts can exceed the strict first-touch ordering of the
+    # unconstrained funnel on clicks (different anchor semantics), but
+    # the 24h bound must bite SOMEWHERE relative to its own no-window
+    # variant: re-run with an enormous window and compare
+    import cdc_local_data_pipeline_docker_spark.operators.events_analytics as EV
+
+    orig = EV.FUNNEL_WINDOW_HOURS
+    try:
+        EV.FUNNEL_WINDOW_HOURS = 24 * 365
+        wide = events_funnel_windowed(spark, sf).collect()[0]
+    finally:
+        EV.FUNNEL_WINDOW_HOURS = orig
+    assert (
+        w["reached_click"] < wide["reached_click"]
+        or w["reached_purchase"] < wide["reached_purchase"]
+    )
