@@ -451,7 +451,11 @@ def pagerank(edges: DataFrame, damping: float = PAGERANK_DAMPING,
             (F.lit(base) + F.lit(damping) * F.col("c")).alias("rank"),
         ).join(deg.select(F.col("src").alias("id"), "degree"), "id")
         i += 1
-        if i % PAGERANK_PROBE_EVERY == 0 or i == max_iters:
+        # probe at i=1 as well: near-dup components are clique-ish and
+        # commonly hit the exact fixpoint on the FIRST step — the early
+        # probe exits 4 iterations (~8 jobs) sooner; non-converged graphs
+        # pay one extra tiny aggregate
+        if i == 1 or i % PAGERANK_PROBE_EVERY == 0 or i == max_iters:
             new_ranks = new_ranks.localCheckpoint(eager=True)
             delta = float(
                 new_ranks.select("id", "rank")

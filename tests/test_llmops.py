@@ -759,7 +759,7 @@ def test_pagerank_clique_uniform(spark):
     for r in ranks.collect():
         assert abs(r["rank"] - 0.25) < 1e-12
     assert delta == 0.0
-    assert iters == 5  # first probe sees the fixpoint and exits
+    assert iters == 1  # the i=1 early probe sees the fixpoint and exits
 
 
 def test_multimodal_frame_sample_known_payload(spark):
