@@ -401,19 +401,19 @@ def events_daily_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan with pushed filters; the fill join broadcasts the tiny spine.
     Revenue goes through DECIMAL(18,2) for bit-exact oracle parity."""
     ev = load_table(spark, sf_dir, "events")
-    ev.createOrReplaceTempView("ev_gapfill")
+    ev.createOrReplaceTempView("__spark_graft_ev_gapfill")
     return spark.sql("""
 WITH RECURSIVE spine(day) AS (
-  SELECT CAST(MIN(ts) AS DATE) FROM ev_gapfill
+  SELECT CAST(MIN(ts) AS DATE) FROM __spark_graft_ev_gapfill
   UNION ALL
   SELECT date_add(day, 1) FROM spine
-  WHERE day < (SELECT CAST(MAX(ts) AS DATE) FROM ev_gapfill)
+  WHERE day < (SELECT CAST(MAX(ts) AS DATE) FROM __spark_graft_ev_gapfill)
 ),
 daily AS (
   SELECT CAST(ts AS DATE) AS day,
          COUNT(*) AS n,
          CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS rev
-  FROM ev_gapfill
+  FROM __spark_graft_ev_gapfill
   WHERE event_type = 'purchase' AND value > 200
   GROUP BY CAST(ts AS DATE)
 )
