@@ -259,3 +259,105 @@ FROM ranked
 WHERE rn = 1 AND NOT is_tombstone
 ORDER BY order_id
 """.format(offset=ASOF_PROBE_OFFSET)
+
+
+def cdc_diff_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change report between two points in the changelog: the live orders
+    state at offset A = floor(max/2) diffed against the state at the head
+    — per key, whether it was inserted, deleted, or updated (status /
+    amount), with old and new images side by side. The CDC-native audit
+    query ("what changed since the last sync?") the retained changelog
+    exists to answer.
+
+    Plan: the changelog is scanned once per side (two ranked windows on
+    pk), the diff is one pk equi-join; the midpoint offset is a scalar
+    aggregate (two longs to the driver). sf_dir unused (CDC fixture
+    stream)."""
+    from .latest_state import state_as_of
+
+    d = ensure_fixtures()
+    env = P.read_event_file(spark, os.path.join(d, "orders.jsonl"))
+    half = int(
+        env.agg(F.floor(F.max("offset") / 2.0).alias("h")).collect()[0]["h"]
+    )
+    head = int(env.agg(F.max("offset")).collect()[0][0])
+    a = state_as_of(P.parse_events(env, "orders"), "orders", half).select(
+        F.col("order_id").alias("a_id"),
+        F.col("status").alias("old_status"),
+        F.col("total_amount").cast("double").alias("old_amount"),
+    )
+    b = state_as_of(P.parse_events(env, "orders"), "orders", head).select(
+        F.col("order_id").alias("b_id"),
+        F.col("status").alias("new_status"),
+        F.col("total_amount").cast("double").alias("new_amount"),
+    )
+    j = a.join(b, a["a_id"] == b["b_id"], "full")
+    kind = (
+        F.when(F.col("a_id").isNull(), F.lit("insert"))
+        .when(F.col("b_id").isNull(), F.lit("delete"))
+        .otherwise(F.lit("update"))
+    )
+    changed = (
+        F.col("a_id").isNull()
+        | F.col("b_id").isNull()
+        | ~F.col("old_status").eqNullSafe(F.col("new_status"))
+        | ~F.col("old_amount").eqNullSafe(F.col("new_amount"))
+    )
+    return (
+        j.filter(changed)
+        .select(
+            F.coalesce(F.col("a_id"), F.col("b_id")).alias("order_id"),
+            kind.alias("change_kind"),
+            "old_status",
+            "new_status",
+            "old_amount",
+            "new_amount",
+        )
+        .orderBy("order_id")
+    )
+
+
+CDC_DIFF_OFFSETS_SQL = f"""
+WITH env AS (
+  SELECT *,
+         CASE WHEN value IS NOT NULL AND json_valid(value) THEN value END AS v
+  FROM read_json_auto('{FIXTURE_DIR}/orders.jsonl',
+                      format='newline_delimited')
+),
+parsed AS (
+  SELECT CAST(json_extract_string(key, '$.order_id') AS INT) AS pk,
+         value IS NULL AS is_tombstone,
+         value IS NOT NULL
+           AND json_extract_string(v, '$.order_id') IS NULL AS is_malformed,
+         CAST(json_extract_string(v, '$.order_id') AS INT) AS order_id,
+         json_extract_string(v, '$.status') AS status,
+         CAST(CAST(json_extract_string(v, '$.total_amount') AS DECIMAL(10,2))
+              AS DOUBLE) AS total_amount,
+         partition, "offset"
+  FROM env
+),
+half AS (SELECT CAST(FLOOR(MAX("offset") / 2.0) AS BIGINT) AS h FROM env),
+ranked_a AS (
+  SELECT p.*, ROW_NUMBER() OVER (PARTITION BY pk
+                                 ORDER BY partition DESC, "offset" DESC) AS rn
+  FROM parsed p, half WHERE NOT is_malformed AND "offset" <= half.h
+),
+live_a AS (SELECT * FROM ranked_a WHERE rn = 1 AND NOT is_tombstone),
+ranked_b AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY pk
+                               ORDER BY partition DESC, "offset" DESC) AS rn
+  FROM parsed WHERE NOT is_malformed
+),
+live_b AS (SELECT * FROM ranked_b WHERE rn = 1 AND NOT is_tombstone)
+SELECT COALESCE(a.order_id, b.order_id) AS order_id,
+       CASE WHEN a.order_id IS NULL THEN 'insert'
+            WHEN b.order_id IS NULL THEN 'delete'
+            ELSE 'update' END AS change_kind,
+       a.status AS old_status, b.status AS new_status,
+       a.total_amount AS old_amount, b.total_amount AS new_amount
+FROM live_a a FULL JOIN live_b b ON a.order_id = b.order_id
+WHERE a.order_id IS NULL OR b.order_id IS NULL
+   OR a.status IS DISTINCT FROM b.status
+   OR a.total_amount IS DISTINCT FROM b.total_amount
+ORDER BY order_id
+"""

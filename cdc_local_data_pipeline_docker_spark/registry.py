@@ -358,6 +358,9 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         CDC.cdc_state_asof_offset,
         CDC.CDC_STATE_ASOF_OFFSET_SQL,
     ),
+    # offset-to-offset state diff: per-key insert/delete/update report
+    # with old and new images ("what changed since the last sync?")
+    "cdc_diff_offsets": (CDC.cdc_diff_offsets, CDC.CDC_DIFF_OFFSETS_SQL),
     "cdc_ingest_sketch_summary": (
         SKS.cdc_ingest_sketch_summary,
         SKS.CDC_INGEST_SKETCH_SUMMARY_SQL,

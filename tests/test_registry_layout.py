@@ -106,6 +106,7 @@ COVERED_BY = {
     "multimodal_frame_sample": "multimodal_feature_extract",
     "multimodal_resize": "multimodal_feature_extract",
     "cdc_state_asof_offset": "cdc_latest_state_orders",
+    "cdc_diff_offsets": "cdc_latest_state_orders",
     "cdc_ingest_sketch_summary": "cdc_changelog_stats",
     "cdc_hotkey_monitor": "cdc_changelog_stats",
     "cdc_incremental_agg_view": "cdc_latest_state_orders",
