@@ -135,10 +135,18 @@ def main() -> None:
                 shuffle_stats,
             )
 
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            driver_built = (
+                "LocalTableScan" in plan or "Scan ExistingRDD" in plan
+            ) and "FileScan" not in plan
+            if driver_built:
+                # driver-built result frame (adapter ran its work in side
+                # jobs): [0,0] here would be misleading, not informative
+                raise ValueError("driver-built frame")
             s = shuffle_stats(df)
             shuffle[name] = [s["records_written"], s["bytes_written"]]
         except Exception:
-            pass  # streaming adapters return post-drain frames; skip
+            pass  # streaming/driver-built adapters: no meaningful number
 
     # Second scale point: min-of-2 over the same query set so the JSON
     # carries the cross-sf ratio every round.

@@ -431,6 +431,12 @@ def pagerank(edges: DataFrame, damping: float = PAGERANK_DAMPING,
     deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("degree"))
     sym_deg = sym.join(deg, "src").persist()
     n = deg.count()
+    if n == 0:  # empty pair graph: empty ranks, converged trivially
+        sym_deg.unpersist()
+        empty = edges.sparkSession.createDataFrame(
+            [], "id LONG, degree LONG, rank DOUBLE"
+        )
+        return empty, 0.0, 0
     ranks = deg.select(
         F.col("src").alias("id"),
         "degree",
@@ -446,10 +452,14 @@ def pagerank(edges: DataFrame, damping: float = PAGERANK_DAMPING,
             .groupBy("dst")
             .agg(F.sum("c").alias("c"))
         )
+        # degree rides along from the CHECKPOINTED ranks frame — joining
+        # the raw `deg` here would re-execute the pair-graph groupBy on
+        # every probe job (review finding: dozens of redundant pair-join
+        # re-executions over 60 iterations)
         new_ranks = contribs.select(
             F.col("dst").alias("id"),
             (F.lit(base) + F.lit(damping) * F.col("c")).alias("rank"),
-        ).join(deg.select(F.col("src").alias("id"), "degree"), "id")
+        ).join(ranks.select("id", "degree"), "id")
         i += 1
         # probe at i=1 as well: near-dup components are clique-ish and
         # commonly hit the exact fixpoint on the FIRST step — the early
@@ -481,11 +491,17 @@ def dedup_graph_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
       * ``converged_ok``     — the probe loop exited with Σ|Δrank| ≤
                                PAGERANK_TOL within PAGERANK_MAX_ITERS."""
     ranks, delta, _iters = pagerank(_ngram_pairs(spark, sf_dir))
+    n = ranks.count()
+    if n == 0:  # no near-dup pairs at this sf/threshold: empty report
+        return spark.createDataFrame(
+            [],
+            "doc_id LONG, degree LONG, sum_rank_ok BOOLEAN, "
+            "ranks_positive_ok BOOLEAN, converged_ok BOOLEAN",
+        )
     agg = ranks.agg(
         F.sum("rank").alias("s"),
         F.min("rank").alias("mn"),
     ).collect()[0]
-    n = ranks.count()
     sum_ok = abs(agg["s"] - 1.0) <= 1e-9
     pos_ok = agg["mn"] >= (1.0 - PAGERANK_DAMPING) / max(n, 1) - 1e-12
     conv_ok = delta <= PAGERANK_TOL

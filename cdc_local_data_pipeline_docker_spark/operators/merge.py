@@ -85,7 +85,15 @@ def merge_into(target: DataFrame, changes: DataFrame, key: str) -> DataFrame:
     """Generic three-clause MERGE: ``changes.op`` ∈ {update, delete,
     insert}. One full-outer join on the key; each output row resolves via
     per-clause CASE — no per-row Python, whole-stage-codegen throughout.
-    """
+
+    PRECONDITION: ``changes`` must be key-unique — ANSI MERGE raises on
+    multiple source rows matching one target row; this plan-only form
+    cannot raise mid-plan, so duplicate change keys would instead fan the
+    matched target row out once per duplicate (pinned by
+    test_merge_duplicate_change_keys_fan_out). Producers with multi-event
+    batches collapse them first with a latest-wins pre-step, exactly like
+    the CDC upsert (streaming/upsert._merge_latest) and the incremental
+    view's _batch_final."""
     data_cols = [c for c in target.columns]
     ch = changes.select(
         F.col(key).alias("__ck"),

@@ -31,7 +31,6 @@ from .llmops.decontam import (
     SPLIT_TRAIN_BUCKETS,
     SPLIT_VAL_BUCKETS,
     _md5_bucket16,
-    corpus_decontaminate,
 )
 from .llmops.dedup import _hashed_shingle_arrays, _jaccard_pairs
 from .plans.cache_scope import scoped_persist
@@ -72,7 +71,26 @@ def prepare_corpus(spark: SparkSession, sf_dir: str, out_dir: str) -> dict:
     held_out = deduped.filter(F.col("doc_id") % BENCH_MOD == 0)
     n_eval_held_out = held_out.count()
     candidates = deduped.filter(F.col("doc_id") % BENCH_MOD != 0)
-    contaminated = corpus_decontaminate(spark, sf_dir).select("doc_id")
+    # contamination check REUSES the persisted survivor shingle arrays
+    # (review finding: calling corpus_decontaminate re-shingled the whole
+    # raw corpus, including docs already dropped). The benchmark side must
+    # still shingle from the FULL corpus — eval membership is defined on
+    # raw documents, not survivors — but that side is 1/BENCH_MOD of the
+    # data and broadcasts.
+    bench_sh = (
+        _hashed_shingle_arrays(
+            d.filter(F.col("doc_id") % BENCH_MOD == 0).select("doc_id", "text")
+        )
+        .select(F.explode("hs").alias("h"))
+        .distinct()
+    )
+    contaminated = (
+        arrs.filter(F.col("doc_id") % BENCH_MOD != 0)
+        .select("doc_id", F.explode("hs").alias("h"))
+        .join(F.broadcast(bench_sh), "h")
+        .select("doc_id")
+        .distinct()
+    )
     clean = candidates.join(F.broadcast(contaminated), "doc_id", "left_anti")
     n_clean = clean.count()
 

@@ -51,7 +51,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import DecimalType
 
 from ..cdc import parse as P
-from .upsert import _recover_state
+from .upsert import _recover_state, _swap
 
 DEC = DecimalType(18, 2)
 
@@ -65,7 +65,7 @@ _KEY_DDL = (
     "pk INT, g STRING, v DECIMAL(18,2), is_tombstone BOOLEAN, "
     "partition INT, kafka_offset LONG"
 )
-_AGG_DDL = "g STRING, n_rows LONG, v_sum DECIMAL(18,2), last_batch_id LONG"
+_AGG_DDL = "g STRING, n_rows LONG, v_sum DECIMAL(38,2), last_batch_id LONG"
 
 
 def key_state_path(out_dir: str, table: str) -> str:
@@ -76,14 +76,8 @@ def agg_state_path(out_dir: str, table: str) -> str:
     return os.path.join(out_dir, f"{table}_view_agg")
 
 
-def _swap(df: DataFrame, path: str, batch_id: int) -> None:
-    """Write-new → rename swap (crash-recoverable via _recover_state)."""
-    tmp, old = f"{path}__tmp_{batch_id}", f"{path}__old_{batch_id}"
-    df.write.mode("overwrite").parquet(tmp)
-    if os.path.exists(path):
-        os.rename(path, old)
-    os.rename(tmp, path)
-    shutil.rmtree(old, ignore_errors=True)
+# the crash-sensitive tmp/old rename dance has ONE implementation,
+# shared with the upsert maintainer (upsert._swap ↔ _recover_state)
 
 
 def _narrow(delta: DataFrame, table: str) -> DataFrame:
@@ -201,11 +195,22 @@ def apply_view_batch(
         agg = spark.read.parquet(apath).select("g", "n_rows", "v_sum")
     else:
         agg = spark.createDataFrame([], _AGG_DDL).select("g", "n_rows", "v_sum")
+    # accumulated totals live in DECIMAL(38,2): a long-lived view's sum
+    # exceeding DECIMAL(18,2) capacity would silently become NULL under
+    # non-ANSI mode and poison the state forever (review finding); (38,2)
+    # holds 10^36 — unreachable for any real ledger
     new_agg = (
-        agg.select("g", F.col("n_rows").alias("dn"), F.col("v_sum").alias("dv"))
-        .unionByName(deltas)
+        agg.select(
+            "g",
+            F.col("n_rows").alias("dn"),
+            F.col("v_sum").cast("decimal(38,2)").alias("dv"),
+        )
+        .unionByName(deltas.select("g", "dn", F.col("dv").cast("decimal(38,2)").alias("dv")))
         .groupBy("g")
-        .agg(F.sum("dn").alias("n_rows"), F.sum("dv").cast(DEC).alias("v_sum"))
+        .agg(
+            F.sum("dn").alias("n_rows"),
+            F.sum("dv").cast("decimal(38,2)").alias("v_sum"),
+        )
         .filter(F.col("n_rows") > 0)
         .withColumn("last_batch_id", F.lit(int(batch_id)))
     )

@@ -55,6 +55,20 @@ def state_table_path(out_dir: str, table: str) -> str:
     return os.path.join(out_dir, f"{table}_state")
 
 
+def _swap(df: DataFrame, path: str, batch_id: int) -> None:
+    """Write-new → rename swap; the ONE implementation of the
+    crash-recovery naming contract ``_recover_state`` understands
+    (``__tmp_<id>`` / ``__old_<id>``). Shared by the upsert, sketch, and
+    incremental-view maintainers — a drifted copy here would silently
+    break crash recovery for the others."""
+    tmp, old = f"{path}__tmp_{batch_id}", f"{path}__old_{batch_id}"
+    df.write.mode("overwrite").parquet(tmp)
+    if os.path.exists(path):
+        os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old, ignore_errors=True)
+
+
 def _recover_state(path: str) -> None:
     """Crash recovery for the two-rename swap in ``merge_batch``.
 
@@ -116,16 +130,10 @@ def start_upsert_stream(
         else:
             state = sess.createDataFrame([], delta.schema)
         merged = _merge_latest(state, delta, table)
-        tmp = f"{path}__tmp_{batch_id}"
-        merged.write.mode("overwrite").parquet(tmp)
         # atomic-ish swap: the state dir is replaced wholesale; a crash
         # before the rename leaves the old state intact and the batch
         # replays (idempotent merge)
-        old = f"{path}__old_{batch_id}"
-        if os.path.exists(path):
-            os.rename(path, old)
-        os.rename(tmp, path)
-        shutil.rmtree(old, ignore_errors=True)
+        _swap(merged, path, batch_id)
 
     env = (
         spark.readStream.schema(P.ENVELOPE_DDL)

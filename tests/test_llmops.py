@@ -884,3 +884,13 @@ def test_windowed_funnel_constraint_binds(spark):
         w["reached_click"] < wide["reached_click"]
         or w["reached_purchase"] < wide["reached_purchase"]
     )
+
+
+def test_pagerank_empty_graph(spark):
+    """No edges -> empty ranks, trivially converged (was: ZeroDivisionError)."""
+    from cdc_local_data_pipeline_docker_spark.llmops.clusters import pagerank
+
+    edges = spark.createDataFrame([], "doc_a LONG, doc_b LONG")
+    ranks, delta, iters = pagerank(edges)
+    assert ranks.count() == 0
+    assert delta == 0.0 and iters == 0

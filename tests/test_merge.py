@@ -86,3 +86,16 @@ def test_salted_join_plan_no_cartesian(spark):
     plan = M.join_salted_skew(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_merge_duplicate_change_keys_fan_out(spark):
+    """Documents the PRECONDITION: duplicate change keys fan the matched
+    row out (ANSI MERGE would error; a lazy plan cannot) — callers must
+    collapse multi-event batches latest-wins first, as the CDC upsert
+    does. This test pins the behavior so the contract stays visible."""
+    target = spark.createDataFrame([(1, "a")], "k INT, v STRING")
+    changes = spark.createDataFrame(
+        [(1, "X", "update"), (1, "Y", "update")], "k INT, v STRING, op STRING"
+    )
+    out = sorted((r["k"], r["v"]) for r in M.merge_into(target, changes, "k").collect())
+    assert out == [(1, "X"), (1, "Y")]  # fan-out, not an error

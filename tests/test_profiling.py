@@ -125,12 +125,15 @@ def test_validate_orders_oracle_and_rules(spark):
     assert rows["totalprice_non_negative"]["passed"]
 
 
-def test_validate_orders_single_plan_no_actions(spark):
-    """Building the validator triggers no jobs (fully lazy) and the fact
-    table is scanned at most 3x in one plan (agg + dup + FK), never once
-    per rule."""
-    sc = spark.sparkContext
-    before = sc.uiWebUrl  # touch nothing; building must not run jobs
+def test_validate_orders_single_plan(spark):
+    """The validator is ONE plan: the fact table is scanned at most 3x
+    (shared scan-rule agg + dup + FK), never once per rule, and no
+    rule-level aggregate leaks into a driver-side count. (The build does
+    run parquet footer-read jobs via load_table — probing the scheduler's
+    job counter for "zero jobs" was tried and is wrong, not just
+    unasserted; the plan shape is the honest invariant.)"""
     df = PR.validate_orders(spark, SF_DIR)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("FileScan parquet") <= 4  # 3x orders + 1x customer
+    # all five rules present in ONE plan output, not five actions
+    assert plan.count("Union") >= 1
