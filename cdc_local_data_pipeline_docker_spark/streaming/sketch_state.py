@@ -52,7 +52,7 @@ from ..operators.sketches import (
     _compress_centroids,
     _digest_quantile,
 )
-from .upsert import _recover_state
+from .upsert import _recover_state, _swap
 
 #: Default numeric column summarized by the running t-digest, per table.
 SKETCH_VALUE_COLS = {"orders": "total_amount"}
@@ -207,12 +207,7 @@ def merge_batch_sketches(
         _STATE_DDL,
     ).coalesce(1)
 
-    tmp, old = f"{path}__tmp_{batch_id}", f"{path}__old_{batch_id}"
-    state.write.mode("overwrite").parquet(tmp)
-    if os.path.exists(path):
-        os.rename(path, old)
-    os.rename(tmp, path)
-    shutil.rmtree(old, ignore_errors=True)
+    _swap(state, path, batch_id)  # shared crash-recoverable rename dance
 
 
 def start_sketch_stream(
