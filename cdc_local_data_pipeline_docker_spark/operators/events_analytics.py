@@ -533,3 +533,71 @@ FROM anchor a
 LEFT JOIN click c ON a.user_id = c.user_id
 LEFT JOIN purchase p ON a.user_id = p.user_id
 """
+
+
+# ---------------------------------------------------------------------------
+# A/B experiment readout on a deterministic hash assignment.
+# ---------------------------------------------------------------------------
+
+def events_ab_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-arm conversion readout with ENGINE-PORTABLE assignment: users
+    land in arm A/B by the parity of their first md5 hex char (the
+    content-keyed idiom every deterministic sampler here uses — an
+    experiment assignment must survive re-ingestion and engine swaps or
+    the readout silently mixes arms). Exact integer counts; the only
+    doubles are final single divisions."""
+    e = load_table(spark, sf_dir, "events").select("user_id", "event_type")
+    c = F.ascii(F.substring(F.md5(F.col("user_id").cast("string")), 1, 1))
+    hexval = F.when(c <= 57, c - 48).otherwise(c - 87)
+    arm = F.when(hexval % 2 == 0, F.lit("A")).otherwise(F.lit("B"))
+    per_user = (
+        e.withColumn("arm", arm)
+        .groupBy("arm", "user_id")
+        .agg(
+            F.sum((F.col("event_type") == "purchase").cast("long")).alias(
+                "n_purchases"
+            )
+        )
+    )
+    return (
+        per_user.groupBy("arm")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum((F.col("n_purchases") > 0).cast("long")).alias("n_converted"),
+            F.sum("n_purchases").alias("n_purchases"),
+            (
+                F.sum((F.col("n_purchases") > 0).cast("long")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("conversion_rate"),
+        )
+        .orderBy("arm")
+    )
+
+
+EVENTS_AB_CONVERSION_SQL = """
+WITH assigned AS (
+  SELECT user_id, event_type,
+         CASE WHEN (CASE WHEN ascii(substr(md5(CAST(user_id AS VARCHAR)), 1, 1)) <= 57
+                         THEN ascii(substr(md5(CAST(user_id AS VARCHAR)), 1, 1)) - 48
+                         ELSE ascii(substr(md5(CAST(user_id AS VARCHAR)), 1, 1)) - 87
+                    END) % 2 = 0
+              THEN 'A' ELSE 'B' END AS arm
+  FROM events
+),
+per_user AS (
+  SELECT arm, user_id,
+         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_purchases
+  FROM assigned GROUP BY arm, user_id
+)
+SELECT arm,
+       CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(SUM(CASE WHEN n_purchases > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_converted,
+       CAST(SUM(n_purchases) AS BIGINT) AS n_purchases,
+       CAST(SUM(CASE WHEN n_purchases > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+         / COUNT(*) AS conversion_rate
+FROM per_user
+GROUP BY arm
+ORDER BY arm
+"""

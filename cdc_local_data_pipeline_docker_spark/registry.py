@@ -192,6 +192,11 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         EV.events_funnel_windowed,
         EV.EVENTS_FUNNEL_WINDOWED_SQL,
     ),
+    # A/B readout on content-keyed (md5) arm assignment
+    "events_ab_conversion": (
+        EV.events_ab_conversion,
+        EV.EVENTS_AB_CONVERSION_SQL,
+    ),
     "events_retention_cohorts": (
         EV.events_retention_cohorts,
         EV.EVENTS_RETENTION_COHORTS_SQL,

@@ -100,6 +100,7 @@ COVERED_BY = {
     "events_daily_gapfill": "events_tumbling_agg",
     "fn_pandas_grouped_agg": "fn_pandas_group_rank",
     "events_funnel_windowed": "events_tumbling_agg",
+    "events_ab_conversion": "events_tumbling_agg",
     "gdpr_erase_customer": "join_anti",
     "ann_pq_topk": "ann_cosine_topk",
     "ann_pq_topk_contract": "ann_cosine_topk",
