@@ -270,3 +270,68 @@ SELECT * FROM (
 CROSS JOIN LATERAL (SELECT n_violations = 0 AS passed)
 ORDER BY rule
 """
+
+
+def customer_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer RFM feature vector (the feature-engineering
+    materialization a training pipeline schedules): recency (last order
+    date as epoch-µs), frequency (order count), monetary (exact DECIMAL
+    total + one-division average), plus the urgent-order share. One
+    grouped aggregate over orders joined to the customer dim — at scale
+    this is the classic gold-table build: fact shuffles once on the
+    (already join-keyed) customer key, dims broadcast, output lands
+    bucketed by customer for downstream point lookups
+    (sources/bucketed.py)."""
+    from pyspark.sql.types import DecimalType
+
+    DEC = DecimalType(18, 2)
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    feats = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias(
+                "total_spent"
+            ),
+            (
+                F.sum(F.col("o_totalprice").cast(DEC)).cast("double")
+                / F.count(F.lit(1))
+            ).alias("avg_order_value"),
+            F.unix_micros(F.max("o_orderdate").cast("timestamp"))
+            .cast("double")
+            .alias("last_order_epoch_us"),
+            F.sum(
+                (F.col("o_orderpriority") == "1-URGENT").cast("long")
+            ).alias("n_urgent"),
+        )
+    )
+    return (
+        feats.join(c, feats["o_custkey"] == c["c_custkey"])
+        .select(
+            F.col("c_custkey").alias("custkey"),
+            "c_name",
+            "n_orders",
+            "total_spent",
+            "avg_order_value",
+            "last_order_epoch_us",
+            "n_urgent",
+        )
+        .orderBy("custkey")
+    )
+
+
+CUSTOMER_FEATURES_SQL = """
+SELECT c.c_custkey AS custkey,
+       c.c_name,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spent,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+         AS avg_order_value,
+       CAST(epoch_us(MAX(o_orderdate)) AS DOUBLE) AS last_order_epoch_us,
+       CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_urgent
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_custkey, c.c_name
+ORDER BY custkey
+"""

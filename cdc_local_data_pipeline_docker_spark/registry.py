@@ -350,6 +350,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "profile_join_skew": (PR.profile_join_skew, PR.PROFILE_JOIN_SKEW_SQL),
     # expectation checks: null/unique/domain/FK rules, one lazy plan
     "validate_orders": (PR.validate_orders, PR.VALIDATE_ORDERS_SQL),
+    # RFM feature-table materialization (gold-table build)
+    "customer_features": (PR.customer_features, PR.CUSTOMER_FEATURES_SQL),
     # right-to-erasure cascade with zero-residual proof
     "gdpr_erase_customer": (MG.gdpr_erase_customer, MG.GDPR_ERASE_CUSTOMER_SQL),
     # keyframe-style deterministic frame sampling + byte-domain resize

@@ -97,6 +97,7 @@ COVERED_BY = {
     "profile_table_stats": "agg_grouped",
     "profile_join_skew": "agg_grouped",
     "validate_orders": "join_anti",
+    "customer_features": "agg_grouped",
     "events_daily_gapfill": "events_tumbling_agg",
     "fn_pandas_grouped_agg": "fn_pandas_group_rank",
     "events_funnel_windowed": "events_tumbling_agg",
