@@ -736,7 +736,7 @@ SELECT (n_tokens // {HIST_BUCKET_TOKENS}) * {HIST_BUCKET_TOKENS} AS bucket_lo,
        (n_tokens // {HIST_BUCKET_TOKENS}) * {HIST_BUCKET_TOKENS}
          + {HIST_BUCKET_TOKENS - 1} AS bucket_hi,
        count(*) AS n_docs,
-       sum(n_tokens) AS n_tokens_total,
+       CAST(sum(n_tokens) AS BIGINT) AS n_tokens_total,
        min(n_tokens) AS min_tokens,
        max(n_tokens) AS max_tokens
 FROM (SELECT len(string_split(text, ' ')) AS n_tokens FROM documents)
