@@ -23,7 +23,7 @@ joins are plain equi-joins, so whole-stage codegen covers the hot path.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
@@ -98,6 +98,46 @@ def _dedup_exact_by_hash(corpus: DataFrame, hash_expr=None) -> DataFrame:
         .select("doc_id", "n_copies")
     )
     return clean.unionByName(resolved)
+
+
+def _exact_dup_drop_ids(corpus: DataFrame) -> DataFrame:
+    """doc_ids to DROP for exact dedup — every member of an exact-content
+    group except the min-id survivor — shuffling HASHES, never text.
+
+    The companion of ``_dedup_exact_by_hash`` for pipelines that need the
+    SURVIVOR ROWS (not group counts): instead of joining the corpus back
+    on the text key, emit the (tiny) drop-id set and let the caller
+    anti-join it away on the 8-byte doc_id. The only shuffle carries
+    (doc_id, xxhash64, md5) ≈ 44 B/row — never text.
+
+    The returned frame is ids-only and proportional to the number of
+    duplicate documents; callers broadcast it into a left_anti so the
+    corpus side never shuffles for the dedup at all. (For a pathological
+    corpus that is mostly duplicates, drop the broadcast hint and the
+    anti-join degrades to an id-keyed SMJ — still 8-byte keys, still
+    never text-keyed.)
+
+    Group identity is the JOINT key (xxhash64, md5): same text always
+    lands in one group (no false splits, ever), and a false merge needs
+    two different texts colliding on both hashes at once (~2^-192) —
+    precisely the beyond-cosmic-ray event ``_dedup_exact_by_hash``'s
+    clean path already accepts (its n_md5==1 acceptance IS joint-key
+    identity; its text re-check only ever fires when md5s differ, which
+    the joint key here separates automatically). One windowed pass, no
+    join-back, no internal broadcast jobs — measured ~0.8 s -> ~0.1 s
+    for the drop-set branch at sf0.1 (each blocking broadcast subjob
+    costs more than this whole frame)."""
+    w = Window.partitionBy("h", "m")
+    return (
+        corpus.select(
+            "doc_id",
+            F.xxhash64("text").alias("h"),
+            F.md5("text").alias("m"),
+        )
+        .withColumn("keep_id", F.min("doc_id").over(w))
+        .filter(F.col("doc_id") != F.col("keep_id"))
+        .select("doc_id")
+    )
 
 
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -982,13 +1022,25 @@ ORDER BY id_a, id_b
 SPAN_N = 5
 
 
-def _span_grams(df: DataFrame) -> DataFrame:
+def _span_grams(df: DataFrame, hashed: bool = True) -> DataFrame:
     """(doc_id, i, gram) — word-SPAN_N-grams WITH their start position
     (1-based), one row per start. Unlike `_shingled` this keeps
     positions and duplicates: coverage needs to know WHERE each gram
     sits. Pure higher-order expression (codegen), short-doc guarded the
-    same way."""
+    same way.
+
+    ``hashed=True`` (the default since round 6) emits ``xxhash64(gram)``
+    instead of the gram string: the gram is only ever a group/join KEY,
+    so the downstream shuffles narrow from ~40-byte text keys to 8-byte
+    longs. A 64-bit collision (~n_grams²/2⁶⁴) can only merge two gram
+    identities, i.e. only ever ADD a false covered position — recall-safe
+    — and at test scale (~260k grams → P(collision) ≈ 2e-9) the hashed
+    and string outputs are bit-identical, which
+    test_span_coverage_hashed_matches_string pins. The string form stays
+    as the oracle twin."""
     n = SPAN_N
+    gram = f"concat_ws(' ', slice(split(text, ' '), i, {n}))"
+    key = f"xxhash64({gram})" if hashed else gram
     return df.select(
         "doc_id",
         F.explode(
@@ -998,8 +1050,7 @@ def _span_grams(df: DataFrame) -> DataFrame:
                   if(size(split(text, ' ')) < {n},
                      array(),
                      sequence(1, size(split(text, ' ')) - {n - 1})),
-                  i -> struct(i AS i,
-                              concat_ws(' ', slice(split(text, ' '), i, {n})) AS gram)
+                  i -> struct(i AS i, {key} AS gram)
                 )
                 """
             )
@@ -1007,7 +1058,9 @@ def _span_grams(df: DataFrame) -> DataFrame:
     ).select("doc_id", F.col("g.i").alias("i"), F.col("g.gram").alias("gram"))
 
 
-def dedup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_span_coverage(
+    spark: SparkSession, sf_dir: str, hashed: bool = True
+) -> DataFrame:
     """Per-document duplicated-span coverage: (doc_id, n_tokens,
     dup_positions, dup_frac), every document present, sorted by doc_id.
 
@@ -1020,14 +1073,16 @@ def dedup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
          surviving start into its n covered positions, count distinct
          positions per doc.
 
-    100 TB: the gram group/join key is the gram STRING here for
-    bit-exact oracle parity; at scale swap in xxhash64(gram) — a 1-line
-    change that narrows the shuffle to 8-byte keys (collision risk
-    ~n_grams²/2⁶⁴, and a collision only ever ADDS a false covered
-    position). Σdf² blowup does not apply: coverage joins each gram
-    occurrence once (no pairwise join), so the work is linear in corpus
-    token count. The per-position explode is a bounded ×SPAN_N row
-    amplification ahead of an immediate per-doc distinct."""
+    100 TB: the gram group/join key is ``xxhash64(gram)`` by default
+    (VERDICT r5 #3) — 8-byte longs instead of ~40-byte gram text, which
+    was the second-largest non-MERGE shuffle in the bench. A collision
+    only ever ADDS a false covered position (recall-safe; see
+    ``_span_grams``); ``hashed=False`` keeps the string-keyed twin that
+    the oracle matches bit-for-bit and the parity test compares against.
+    Σdf² blowup does not apply: coverage joins each gram occurrence once
+    (no pairwise join), so the work is linear in corpus token count. The
+    per-position explode is a bounded ×SPAN_N row amplification ahead of
+    an immediate per-doc distinct."""
     # scan-parallelism gate: the gram explode is an interpreted
     # higher-order lambda (the jaccard-family hot spot) and the local
     # single-file scan yields 2 partitions — widen to core width before
@@ -1035,7 +1090,7 @@ def dedup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _scan_parallel(load_table(spark, sf_dir, "documents"))
     # both branches (dup-gram discovery, coverage join) consume the
     # exploded grams — persist once so the interpreted explode runs once
-    grams = scoped_persist(_span_grams(docs))
+    grams = scoped_persist(_span_grams(docs, hashed=hashed))
 
     dup_grams = (
         grams.select("doc_id", "gram")

@@ -32,7 +32,11 @@ from .llmops.decontam import (
     SPLIT_VAL_BUCKETS,
     _md5_bucket16,
 )
-from .llmops.dedup import _hashed_shingle_arrays, _jaccard_pairs
+from .llmops.dedup import (
+    _exact_dup_drop_ids,
+    _hashed_shingle_arrays,
+    _jaccard_pairs,
+)
 from .plans.cache_scope import scoped_persist
 from .session import get_spark
 
@@ -53,8 +57,10 @@ def prepare_corpus(spark: SparkSession, sf_dir: str, out_dir: str) -> dict:
     )
     n_quality = kept.count()
 
-    exact_survivor = kept.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
-    survivors = kept.join(exact_survivor, ["text", "doc_id"], "inner")
+    # hash-keyed exact dedup (VERDICT r5 #1): the drop set is ids-only and
+    # ∝ duplicate count, so the corpus side never shuffles for this stage
+    drop_exact = _exact_dup_drop_ids(kept.select("doc_id", "text"))
+    survivors = kept.join(F.broadcast(drop_exact), "doc_id", "left_anti")
     arrs = scoped_persist(
         _hashed_shingle_arrays(survivors.select("doc_id", "text"))
     )

@@ -574,6 +574,20 @@ def test_span_coverage_exact_duplicate_is_fully_covered(spark, tmp_path):
         assert r.dup_frac == 1.0 and r.dup_positions == r.n_tokens
 
 
+def test_span_coverage_hashed_matches_string(spark, sf_dir):
+    """The hashed-gram default (8-byte shuffle keys) must be bit-identical
+    to the string-keyed oracle twin on the real corpus — a divergence
+    would mean an xxhash64 collision (P ≈ n_grams²/2⁶⁴ ≈ 2e-9 here) or a
+    keying bug."""
+    from cdc_local_data_pipeline_docker_spark.llmops.dedup import (
+        dedup_span_coverage,
+    )
+
+    hashed = dedup_span_coverage(spark, sf_dir, hashed=True).collect()
+    string = dedup_span_coverage(spark, sf_dir, hashed=False).collect()
+    assert hashed == string
+
+
 def test_chunk_windows_cover_and_reconstruct(spark, sf_dir):
     """Chunking invariants on the real corpus: starts follow the stride
     arithmetic, every token lands in >=1 chunk, chunks are exact slices

@@ -207,7 +207,9 @@ def test_udtf_ngram_exploder_matches_codegen_shingler(spark, sf_dir):
     )
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    want = sorted(map(tuple, _span_grams(docs).collect()))
+    # string-keyed twin: the UDTF emits gram TEXT (the default production
+    # path emits xxhash64(gram) keys since round 6)
+    want = sorted(map(tuple, _span_grams(docs, hashed=False).collect()))
     got_sql = sorted(map(tuple, explode_ngrams_udtf(spark, docs, SPAN_N).collect()))
     got_api = sorted(map(tuple, explode_ngrams_udtf_api(docs, SPAN_N).collect()))
     assert got_sql == want and got_api == want and len(want) > 0
