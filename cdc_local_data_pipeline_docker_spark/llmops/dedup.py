@@ -575,7 +575,12 @@ def dedup_minhash_lsh_contract_sampled(
     recall are measured within a 50% md5-bucket sample (engine-portable,
     so the DuckDB oracle reproduces the identical slice), bounding the
     audit cost at a fixed fraction while the booleans still catch a
-    degraded hash family or banding bug."""
+    degraded hash family or banding bug.
+
+    Empty-slice guard (ADVICE r5, same as the embedding form): a
+    sentinel row (doc_a = doc_b = -1, jaccard 0) carries the computed
+    booleans when the slice's exact pair set is empty, so a precision
+    violation is still graded in that case."""
     d = _audit_slice(load_table(spark, sf_dir, "documents"))
     arrs = scoped_persist(_hashed_shingle_arrays(_scan_parallel(d)))
     exact = _jaccard_pairs(arrs)
@@ -590,6 +595,7 @@ def dedup_minhash_lsh_contract_sampled(
         n_exact.crossJoin(n_lsh)
         .crossJoin(n_escaped)
         .select(
+            "n_exact",
             (F.col("n_escaped") == 0).alias("lsh_precision_ok"),
             (
                 (F.col("n_lsh") - F.col("n_escaped"))
@@ -597,11 +603,17 @@ def dedup_minhash_lsh_contract_sampled(
             ).alias("lsh_recall_ok"),
         )
     )
-    return (
-        exact.crossJoin(F.broadcast(flags))
-        .select("doc_a", "doc_b", "jaccard", "lsh_precision_ok", "lsh_recall_ok")
-        .orderBy("doc_a", "doc_b")
+    rows = exact.crossJoin(F.broadcast(flags.drop("n_exact"))).select(
+        "doc_a", "doc_b", "jaccard", "lsh_precision_ok", "lsh_recall_ok"
     )
+    sentinel = flags.filter(F.col("n_exact") == 0).select(
+        F.lit(-1).cast("long").alias("doc_a"),
+        F.lit(-1).cast("long").alias("doc_b"),
+        F.lit(0.0).alias("jaccard"),
+        "lsh_precision_ok",
+        "lsh_recall_ok",
+    )
+    return rows.unionByName(sentinel).orderBy("doc_a", "doc_b")
 
 
 _AUDIT_BUCKET_SQL = (
@@ -620,15 +632,21 @@ common AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
   FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
   GROUP BY 1, 2
+),
+pairs AS (
+  SELECT doc_a, doc_b,
+         n_common / (sa.n_sh + sb.n_sh - n_common) AS jaccard
+  FROM common
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= {JACCARD_THRESHOLD}
 )
-SELECT doc_a, doc_b,
-       n_common / (sa.n_sh + sb.n_sh - n_common) AS jaccard,
-       TRUE AS lsh_precision_ok,
-       TRUE AS lsh_recall_ok
-FROM common
-JOIN sizes sa ON sa.doc_id = doc_a
-JOIN sizes sb ON sb.doc_id = doc_b
-WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= {JACCARD_THRESHOLD}
+SELECT doc_a, doc_b, jaccard,
+       TRUE AS lsh_precision_ok, TRUE AS lsh_recall_ok
+FROM pairs
+UNION ALL
+SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), CAST(0 AS DOUBLE), TRUE, TRUE
+WHERE NOT EXISTS (SELECT 1 FROM pairs)
 ORDER BY doc_a, doc_b
 """
 
@@ -923,7 +941,15 @@ def dedup_embedding_lsh_contract_sampled(
     (engine-portable: the oracle reproduces the identical slice), so
     audit cost is bounded at slice² while the precision/recall booleans
     still catch a degraded hyperplane family or banding bug. Same
-    pattern as dedup_minhash_lsh_contract_sampled."""
+    pattern as dedup_minhash_lsh_contract_sampled.
+
+    Empty-slice guard (ADVICE r5): rows are exact×flags, so when the
+    sampled slice happens to contain ZERO exact pairs the flag columns
+    would vanish with them — a spurious LSH pair (precision violation)
+    would be invisible. A sentinel row (id_a = id_b = -1) carrying the
+    computed booleans is emitted exactly when the exact set is empty;
+    the oracle emits the same sentinel with both booleans pinned TRUE,
+    so precision regressions stay graded in that case too."""
     from .similarity import _bucketed, _vectors
 
     v = scoped_persist(_audit_slice(_vectors(spark, sf_dir), key="vec_id"))
@@ -972,6 +998,7 @@ def dedup_embedding_lsh_contract_sampled(
         n_exact.crossJoin(n_lsh)
         .crossJoin(n_escaped)
         .select(
+            "n_exact",
             (F.col("n_escaped") == 0).alias("lsh_precision_ok"),
             (
                 (F.col("n_lsh") - F.col("n_escaped"))
@@ -979,11 +1006,16 @@ def dedup_embedding_lsh_contract_sampled(
             ).alias("lsh_recall_ok"),
         )
     )
-    return (
-        exact.crossJoin(F.broadcast(flags))
-        .select("id_a", "id_b", "lsh_precision_ok", "lsh_recall_ok")
-        .orderBy("id_a", "id_b")
+    rows = exact.crossJoin(F.broadcast(flags.drop("n_exact"))).select(
+        "id_a", "id_b", "lsh_precision_ok", "lsh_recall_ok"
     )
+    sentinel = flags.filter(F.col("n_exact") == 0).select(
+        F.lit(-1).cast("long").alias("id_a"),
+        F.lit(-1).cast("long").alias("id_b"),
+        "lsh_precision_ok",
+        "lsh_recall_ok",
+    )
+    return rows.unionByName(sentinel).orderBy("id_a", "id_b")
 
 
 _AUDIT_VEC_BUCKET_SQL = (
@@ -995,12 +1027,17 @@ _AUDIT_VEC_BUCKET_SQL = (
 DEDUP_EMBEDDING_LSH_CONTRACT_SAMPLED_SQL = f"""
 WITH sampled AS (
   SELECT * FROM embeddings WHERE ({_AUDIT_VEC_BUCKET_SQL}) < {AUDIT_SLICE_BUCKETS}
+),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM sampled a JOIN sampled b ON a.vec_id < b.vec_id
+  WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+        >= {COSINE_DUP_THRESHOLD}
 )
-SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-       TRUE AS lsh_precision_ok, TRUE AS lsh_recall_ok
-FROM sampled a JOIN sampled b ON a.vec_id < b.vec_id
-WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
-      >= {COSINE_DUP_THRESHOLD}
+SELECT id_a, id_b, TRUE AS lsh_precision_ok, TRUE AS lsh_recall_ok FROM pairs
+UNION ALL
+SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), TRUE, TRUE
+WHERE NOT EXISTS (SELECT 1 FROM pairs)
 ORDER BY id_a, id_b
 """
 

@@ -523,7 +523,12 @@ def dedup_semantic_contract_sampled(spark: SparkSession, sf_dir: str) -> DataFra
     full corpus — auditing the deployed cells, not slice-local ones).
     Output = the slice's exact cosine pair set + booleans the oracle
     pins TRUE (precision by construction; recall ≥ the bound, measured
-    slice floors 0.966/1.00/0.828 at sf0.001/0.01/0.1)."""
+    slice floors 0.966/1.00/0.828 at sf0.001/0.01/0.1).
+
+    Empty-slice guard (ADVICE r5, same as the embedding-LSH form): a
+    sentinel row (id_a = id_b = -1) carries the computed booleans when
+    the slice's exact pair set is empty, so a precision violation is
+    still graded in that case."""
     from .dedup import (
         AUDIT_SLICE_BUCKETS,
         COSINE_DUP_THRESHOLD,
@@ -567,6 +572,7 @@ def dedup_semantic_contract_sampled(spark: SparkSession, sf_dir: str) -> DataFra
         n_exact.crossJoin(n_sem)
         .crossJoin(n_escaped)
         .select(
+            "n_exact",
             (F.col("n_escaped") == 0).alias("sem_precision_ok"),
             (
                 (F.col("n_sem") - F.col("n_escaped"))
@@ -574,11 +580,16 @@ def dedup_semantic_contract_sampled(spark: SparkSession, sf_dir: str) -> DataFra
             ).alias("sem_recall_ok"),
         )
     )
-    return (
-        exact.crossJoin(F.broadcast(flags))
-        .select("id_a", "id_b", "sem_precision_ok", "sem_recall_ok")
-        .orderBy("id_a", "id_b")
+    rows = exact.crossJoin(F.broadcast(flags.drop("n_exact"))).select(
+        "id_a", "id_b", "sem_precision_ok", "sem_recall_ok"
     )
+    sentinel = flags.filter(F.col("n_exact") == 0).select(
+        F.lit(-1).cast("long").alias("id_a"),
+        F.lit(-1).cast("long").alias("id_b"),
+        "sem_precision_ok",
+        "sem_recall_ok",
+    )
+    return rows.unionByName(sentinel).orderBy("id_a", "id_b")
 
 
 def _semantic_sampled_sql() -> str:
@@ -588,12 +599,17 @@ def _semantic_sampled_sql() -> str:
     return f"""
 WITH sampled AS (
   SELECT * FROM embeddings WHERE ({bucket}) < {AUDIT_SLICE_BUCKETS}
+),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM sampled a JOIN sampled b ON a.vec_id < b.vec_id
+  WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+        >= {COSINE_DUP_THRESHOLD}
 )
-SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-       TRUE AS sem_precision_ok, TRUE AS sem_recall_ok
-FROM sampled a JOIN sampled b ON a.vec_id < b.vec_id
-WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
-      >= {COSINE_DUP_THRESHOLD}
+SELECT id_a, id_b, TRUE AS sem_precision_ok, TRUE AS sem_recall_ok FROM pairs
+UNION ALL
+SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), TRUE, TRUE
+WHERE NOT EXISTS (SELECT 1 FROM pairs)
 ORDER BY id_a, id_b
 """
 

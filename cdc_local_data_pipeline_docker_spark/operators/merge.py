@@ -44,11 +44,17 @@ def _orders_changes(o: DataFrame) -> DataFrame:
 
       * orderkey % 10 == 3  → UPDATE (status := 'X', price += 10.00)
       * orderkey % 10 == 7  → DELETE
-      * orderkey % 10 == 0  → INSERT twin row (key + 10^9, status 'N')
+      * orderkey % 10 == 0  → INSERT twin row (key := max(o_orderkey)
+        + 1 + key, status 'N')
 
     Derived from the table itself so every scale factor has a
     non-trivial change set and the oracle can derive the identical one.
-    """
+    The insert-key offset is DERIVED from max(o_orderkey) (ADVICE r5: a
+    fixed +1e9 collides with real orderkeys once SF ≳ 167, at which
+    point the DataFrame merge treats the insert as a matched no-op while
+    the SQL oracle unconditionally unions it) — max + 1 + key is unique
+    (key is unique) and strictly above every real key at ANY scale. The
+    1-row max aggregate broadcasts; no collect."""
     upd = o.filter(F.col("o_orderkey") % 10 == 3).select(
         "o_orderkey",
         "o_custkey",
@@ -69,14 +75,19 @@ def _orders_changes(o: DataFrame) -> DataFrame:
         "o_orderpriority",
         F.lit("delete").alias("op"),
     )
-    ins = o.filter(F.col("o_orderkey") % 10 == 0).select(
-        (F.col("o_orderkey") + F.lit(1_000_000_000)).alias("o_orderkey"),
-        "o_custkey",
-        F.lit("N").alias("o_orderstatus"),
-        "o_totalprice",
-        "o_orderdate",
-        "o_orderpriority",
-        F.lit("insert").alias("op"),
+    mx = o.agg(F.max("o_orderkey").alias("__maxkey"))
+    ins = (
+        o.filter(F.col("o_orderkey") % 10 == 0)
+        .crossJoin(F.broadcast(mx))
+        .select(
+            (F.col("__maxkey") + 1 + F.col("o_orderkey")).alias("o_orderkey"),
+            "o_custkey",
+            F.lit("N").alias("o_orderstatus"),
+            "o_totalprice",
+            "o_orderdate",
+            "o_orderpriority",
+            F.lit("insert").alias("op"),
+        )
     )
     return upd.unionByName(dele).unionByName(ins)
 
@@ -140,8 +151,9 @@ WITH upd AS (
   FROM orders WHERE o_orderkey % 10 = 3
 ),
 ins AS (
-  SELECT o_orderkey + 1000000000 AS o_orderkey, o_custkey,
-         'N' AS o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+  SELECT (SELECT MAX(o_orderkey) FROM orders) + 1 + o_orderkey AS o_orderkey,
+         o_custkey, 'N' AS o_orderstatus, o_totalprice, o_orderdate,
+         o_orderpriority
   FROM orders WHERE o_orderkey % 10 = 0
 )
 SELECT o.o_orderkey, o.o_custkey, o.o_orderstatus, o.o_totalprice,

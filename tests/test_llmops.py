@@ -574,6 +574,67 @@ def test_span_coverage_exact_duplicate_is_fully_covered(spark, tmp_path):
         assert r.dup_frac == 1.0 and r.dup_positions == r.n_tokens
 
 
+def test_embedding_sampled_contract_sentinel_on_empty_slice(spark, tmp_path):
+    """ADVICE r5: when the audit slice contains zero exact duplicate
+    pairs, the contract must still emit its booleans (as a sentinel row)
+    so a spurious-LSH-pair precision violation stays visible — and the
+    oracle SQL must produce the identical sentinel."""
+    import duckdb
+
+    from cdc_local_data_pipeline_docker_spark.llmops.dedup import (
+        DEDUP_EMBEDDING_LSH_CONTRACT_SAMPLED_SQL,
+        dedup_embedding_lsh_contract_sampled,
+    )
+
+    # 8 one-hot 64-dim vectors: every pairwise cosine is 0 → no exact pairs
+    rows = [(i, [1.0 if d == i else 0.0 for d in range(64)], 0) for i in range(8)]
+    spark.createDataFrame(
+        rows, "vec_id LONG, embedding ARRAY<FLOAT>, label INT"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/embeddings.parquet")
+
+    out = [tuple(r) for r in
+           dedup_embedding_lsh_contract_sampled(spark, str(tmp_path)).collect()]
+    assert out == [(-1, -1, True, True)]
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/embeddings.parquet/*.parquet')"
+    )
+    assert con.execute(DEDUP_EMBEDDING_LSH_CONTRACT_SAMPLED_SQL).fetchall() == [
+        (-1, -1, True, True)
+    ]
+
+
+def test_minhash_sampled_contract_sentinel_on_empty_slice(spark, tmp_path):
+    """Same empty-slice sentinel guarantee for the MinHash sampled audit
+    (all-distinct corpus → zero exact Jaccard pairs)."""
+    import duckdb
+
+    from cdc_local_data_pipeline_docker_spark.llmops.dedup import (
+        DEDUP_MINHASH_LSH_CONTRACT_SAMPLED_SQL,
+        dedup_minhash_lsh_contract_sampled,
+    )
+
+    sf = _write_docs(spark, tmp_path, [
+        (1, "alpha beta gamma delta epsilon zeta"),
+        (2, "one two three four five six seven"),
+        (3, "red orange yellow green blue indigo violet"),
+    ])
+    out = [tuple(r) for r in
+           dedup_minhash_lsh_contract_sampled(spark, sf).collect()]
+    assert out == [(-1, -1, 0.0, True, True)]
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf}/documents.parquet/*.parquet')"
+    )
+    assert con.execute(DEDUP_MINHASH_LSH_CONTRACT_SAMPLED_SQL).fetchall() == [
+        (-1, -1, 0.0, True, True)
+    ]
+
+
 def test_span_coverage_hashed_matches_string(spark, sf_dir):
     """The hashed-gram default (8-byte shuffle keys) must be bit-identical
     to the string-keyed oracle twin on the real corpus — a divergence
