@@ -89,7 +89,13 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # events analytics (batch forms; streaming twins above)
     "events_tumbling_agg": (EV.events_tumbling_agg, EV.EVENTS_TUMBLING_AGG_SQL),
     "events_sessionize": (EV.events_sessionize, EV.EVENTS_SESSIONIZE_SQL),
-    "events_rollup_reuse": (ADV.events_rollup_reuse, ADV.EVENTS_ROLLUP_REUSE_SQL),
+    # incremental view maintenance (r5 flagship, rotated into the window
+    # r6): delta-applied grouped count/sum over latest-state, exact
+    # oracle = recompute from the full changelog
+    "cdc_incremental_agg_view": (
+        IV.cdc_incremental_agg_view,
+        IV.CDC_INCREMENTAL_AGG_VIEW_SQL,
+    ),
     "events_asof_last_view": (
         ASOF.events_asof_last_view,
         ASOF.EVENTS_ASOF_LAST_VIEW_SQL,
@@ -125,10 +131,18 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # joins
     "join_inner": (R.join_inner, R.JOIN_INNER_SQL),
     "join_broadcast_dims": (R.join_broadcast_dims, R.JOIN_BROADCAST_DIMS_SQL),
-    "join_left_outer": (R.join_left_outer, R.JOIN_LEFT_OUTER_SQL),
+    # ANSI three-clause MERGE INTO (r5 flagship, rotated into the window
+    # r6): one full-outer join + per-clause CASE, the Delta-MERGE shape
+    "merge_into_orders": (MG.merge_into_orders, MG.MERGE_INTO_ORDERS_SQL),
     "join_semi": (R.join_semi, R.JOIN_SEMI_SQL),
     "join_anti": (R.join_anti, R.JOIN_ANTI_SQL),
-    "join_range": (R.join_range, R.JOIN_RANGE_SQL),
+    # substring-level dedup (Lee et al. 2022; r5 flagship, rotated into
+    # the window r6): per-doc duplicated-span coverage, exact positional
+    # oracle over hashed-gram keys
+    "dedup_span_coverage": (
+        DD.dedup_span_coverage,
+        DD.DEDUP_SPAN_COVERAGE_SQL,
+    ),
     # aggregation
     "agg_grouped": (R.agg_grouped, R.AGG_GROUPED_SQL),
     "agg_approx": (R.agg_approx, R.AGG_APPROX_SQL),  # contract oracle
@@ -171,7 +185,13 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "ann_cosine_topk": (SIM.ann_cosine_topk, SIM.ANN_COSINE_TOPK_SQL),
     # LLM-ops: text analysis
     "text_profile": (TX.text_profile, TX.TEXT_PROFILE_SQL),
-    "corpus_lang_profile": (TX.corpus_lang_profile, TX.CORPUS_LANG_PROFILE_SQL),
+    # SemDeDup recall-contract audit (r5 flagship, rotated into the
+    # window r6): exact cosine pair set + precision/recall booleans the
+    # oracle pins TRUE (the detector itself is rows-only at 51+)
+    "dedup_semantic_contract": (
+        DD.dedup_semantic_contract,
+        DD.DEDUP_SEMANTIC_CONTRACT_SQL,
+    ),
     # LLM-ops: multimodal
     "multimodal_feature_extract": (
         MM.multimodal_feature_extract,
@@ -185,6 +205,12 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "fn_scalar_pack": (PK.fn_scalar_pack, PK.FN_SCALAR_PACK_SQL),
     "fn_collection_pack": (PK.fn_collection_pack, PK.FN_COLLECTION_PACK_SQL),
     # ---- 51+: variants covered by a graded sibling (pytest-verified) ----
+    # rotated OUT of the window in r6 (VERDICT r5 #2) in favor of the
+    # round-5 flagship operators; each family keeps a graded sibling
+    "events_rollup_reuse": (ADV.events_rollup_reuse, ADV.EVENTS_ROLLUP_REUSE_SQL),
+    "join_left_outer": (R.join_left_outer, R.JOIN_LEFT_OUTER_SQL),
+    "join_range": (R.join_range, R.JOIN_RANGE_SQL),
+    "corpus_lang_profile": (TX.corpus_lang_profile, TX.CORPUS_LANG_PROFILE_SQL),
     "events_sliding_agg": (EV.events_sliding_agg, EV.EVENTS_SLIDING_AGG_SQL),
     "events_funnel": (EV.events_funnel, EV.EVENTS_FUNNEL_SQL),
     # conversion-window funnel (24h per step, anchored first-touch)
@@ -225,8 +251,6 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         PU.FN_PANDAS_GROUPED_AGG_SQL,
     ),
     "join_right_outer": (R.join_right_outer, R.JOIN_RIGHT_OUTER_SQL),
-    # ANSI three-clause MERGE INTO on plain DataFrames (Delta-style apply)
-    "merge_into_orders": (MG.merge_into_orders, MG.MERGE_INTO_ORDERS_SQL),
     # hot-key spreading: salted fact x S-replicated dim, result pinned
     # identical to the plain join
     "join_salted_skew": (MG.join_salted_skew, MG.JOIN_SALTED_SKEW_SQL),
@@ -376,24 +400,11 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         SKS.cdc_hotkey_monitor,
         SKS.CDC_HOTKEY_MONITOR_SQL,
     ),  # CMS hot-key probe: exact per-key counts + eps*N contract
-    # incremental view maintenance: delta-applied grouped count/sum over
-    # latest-state, exact oracle = recompute from the full changelog
-    "cdc_incremental_agg_view": (
-        IV.cdc_incremental_agg_view,
-        IV.CDC_INCREMENTAL_AGG_VIEW_SQL,
-    ),
     "dedup_minhash_lsh_contract_sampled": (
         DD.dedup_minhash_lsh_contract_sampled,
         DD.DEDUP_MINHASH_LSH_CONTRACT_SAMPLED_SQL,
     ),  # the 100TB audit form: contract on a deterministic 25% md5 slice
     "dedup_minhash_lsh_pairs": (DD.dedup_minhash_lsh, None),  # raw detector
-    # substring-level dedup (Lee et al. 2022): per-doc duplicated-span
-    # coverage with an exact positional oracle — graded sibling of the
-    # whole-doc dedup family
-    "dedup_span_coverage": (
-        DD.dedup_span_coverage,
-        DD.DEDUP_SPAN_COVERAGE_SQL,
-    ),
     "dedup_simhash": (DD.dedup_simhash, None),  # hash family not in oracle
     "dedup_simhash_contract": (
         DD.dedup_simhash_contract,
@@ -415,13 +426,9 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         DD.DEDUP_EMBEDDING_LSH_CONTRACT_SAMPLED_SQL,
     ),
     # SemDeDup (Abbas et al. 2023): IVF-cell-local semantic dedup —
-    # detector is rows-only (k-means not SQL-expressible), contract twin
-    # pins precision/recall booleans against the brute-force pair set
+    # detector is rows-only (k-means not SQL-expressible); its contract
+    # twin is graded in the window
     "dedup_semantic": (SIM.dedup_semantic, None),
-    "dedup_semantic_contract": (
-        DD.dedup_semantic_contract,
-        DD.DEDUP_SEMANTIC_CONTRACT_SQL,
-    ),
     # the 100TB audit form: contract on a deterministic 50% md5 slice
     # against the full-corpus quantizer
     "dedup_semantic_contract_sampled": (

@@ -18,8 +18,7 @@ MUST_BE_GRADED = {
     "stream_tumbling_agg", "stream_session_agg", "stream_dedup_events",
     "stream_stateful_user_totals",
     # events analytics
-    "events_tumbling_agg", "events_sessionize",
-    "events_rollup_reuse", "events_asof_last_view",
+    "events_tumbling_agg", "events_sessionize", "events_asof_last_view",
     # advanced / temporal / SQL-surface
     "grouping_sets_status_priority", "sql_correlated_subquery",
     "window_range_frame", "agg_minby_maxby", "agg_pivot_status",
@@ -27,8 +26,12 @@ MUST_BE_GRADED = {
     # pandas-UDF surface
     "fn_pandas_normalize", "fn_pandas_group_rank",
     # round-2 canonicalizer/HUGEINT fix proofs
-    "agg_approx", "corpus_lang_profile", "multimodal_feature_extract",
+    "agg_approx", "multimodal_feature_extract",
     "multimodal_metadata_stats", "fn_collection_pack",
+    # round-5 flagship operators rotated into the window in round 6
+    # (VERDICT r5 #2): MERGE, IVM, span-level dedup, SemDeDup contract
+    "merge_into_orders", "cdc_incremental_agg_view",
+    "dedup_span_coverage", "dedup_semantic_contract",
     # family packs (each the graded representative of its family)
     "filter_pack", "window_analytics_pack", "set_ops_pack", "fn_scalar_pack",
     "text_profile",
@@ -36,15 +39,20 @@ MUST_BE_GRADED = {
 
 #: past-window entry -> its graded sibling (same operator family).
 COVERED_BY = {
+    # rotated out of the window in round 6 (VERDICT r5 #2)
+    "events_rollup_reuse": "events_tumbling_agg",
+    "join_left_outer": "join_inner",
+    "join_range": "join_inner",
+    "corpus_lang_profile": "text_profile",
     "events_funnel": "events_tumbling_agg",
-    "events_transition_pairs": "join_range",
+    "events_transition_pairs": "join_inner",
     "events_zscore_outliers": "events_tumbling_agg",
     "events_sliding_agg": "events_tumbling_agg",
     "events_retention_cohorts": "events_tumbling_agg",
     "filter_predicates": "filter_pack",
     "filter_like": "filter_pack",
-    "join_full_outer": "join_left_outer",
-    "join_right_outer": "join_left_outer",
+    "join_full_outer": "join_inner",
+    "join_right_outer": "join_inner",
     "agg_rollup": "grouping_sets_status_priority",
     "agg_cube": "grouping_sets_status_priority",
     "agg_count_distinct": "agg_grouped",
@@ -85,13 +93,13 @@ COVERED_BY = {
     "stream_static_enrich": "stream_tumbling_agg",
     "corpus_curation_pipeline": "dedup_ngram_jaccard",
     "corpus_decontaminate": "dedup_ngram_jaccard",
-    "corpus_split_assign": "corpus_lang_profile",
-    "corpus_stratified_sample": "corpus_lang_profile",
+    "corpus_split_assign": "text_profile",
+    "corpus_stratified_sample": "text_profile",
     "corpus_pack_sequences": "window_analytics_pack",
-    "corpus_mixture_plan": "corpus_lang_profile",
-    "corpus_mixture_sample": "corpus_lang_profile",
-    "corpus_mixture_sample_hash": "corpus_lang_profile",
-    "corpus_weighted_sample": "corpus_lang_profile",
+    "corpus_mixture_plan": "text_profile",
+    "corpus_mixture_sample": "text_profile",
+    "corpus_mixture_sample_hash": "text_profile",
+    "corpus_weighted_sample": "text_profile",
     "dedup_embedding_lsh_contract_sampled": "dedup_minhash_lsh",
     "dedup_graph_centrality": "dedup_clusters",
     "profile_table_stats": "agg_grouped",
@@ -111,8 +119,6 @@ COVERED_BY = {
     "cdc_diff_offsets": "cdc_latest_state_orders",
     "cdc_ingest_sketch_summary": "cdc_changelog_stats",
     "cdc_hotkey_monitor": "cdc_changelog_stats",
-    "cdc_incremental_agg_view": "cdc_latest_state_orders",
-    "merge_into_orders": "cdc_latest_state_orders",
     "join_salted_skew": "join_inner",
     "dedup_minhash_lsh_pairs": "dedup_minhash_lsh",
     "dedup_minhash_lsh_contract_sampled": "dedup_minhash_lsh",
@@ -121,11 +127,9 @@ COVERED_BY = {
     "dedup_embedding_cosine": "ann_cosine_topk",
     "dedup_embedding_lsh": "ann_cosine_topk",
     "dedup_embedding_lsh_contract": "ann_cosine_topk",
-    "dedup_semantic": "ann_cosine_topk",
-    "dedup_semantic_contract": "ann_cosine_topk",
-    "dedup_semantic_contract_sampled": "ann_cosine_topk",
+    "dedup_semantic": "dedup_semantic_contract",
+    "dedup_semantic_contract_sampled": "dedup_semantic_contract",
     "corpus_semantic_decontaminate": "ann_cosine_topk",
-    "dedup_span_coverage": "dedup_minhash_lsh",
     "ann_lsh_topk": "ann_cosine_topk",
     "ann_lsh_topk_contract": "ann_cosine_topk",
     "ann_ivf_topk": "ann_cosine_topk",
@@ -141,8 +145,8 @@ COVERED_BY = {
     "text_bigram_top50": "text_profile",
     "corpus_chunk_windows": "explode_token_frequencies",
     "text_tfidf_top_terms": "explode_token_frequencies",
-    "corpus_length_histogram": "corpus_lang_profile",
-    "corpus_prep_chunks": "explode_token_frequencies",
+    "corpus_length_histogram": "text_profile",
+    "corpus_prep_chunks": "dedup_span_coverage",
     "fn_string_pack": "fn_scalar_pack",
     "fn_date_pack": "fn_scalar_pack",
     "fn_math_pack": "fn_scalar_pack",
