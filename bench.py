@@ -77,6 +77,15 @@ OPTIONAL = [
     "merge_into_orders",
     "cdc_incremental_agg_view",
 ]
+#: Entries whose wall time is sf-INVARIANT fixed machinery (measured
+#: identical at sf0.01 and sf0.1 across rounds 4-5): streaming
+#: micro-batch setup/checkpoint/state-store commits and the IVM
+#: fixture-build + delta-apply + state-swap cycle. Their sum is emitted
+#: as "fixed_floor" so the headline total decomposes into a
+#: data-scaling component and a constant floor (VERDICT r5 #8) — a
+#: floor change is a machinery change, not a data-path regression.
+FIXED_FLOOR = {"stream_stream_join", "cdc_incremental_agg_view"}
+
 #: Benched-name -> registry-name indirection. The graded registry entry
 #: `dedup_minhash_lsh` became the recall-contract audit (exact twin +
 #: booleans) in round 4; the bench's frozen workload is the DETECTOR
@@ -174,11 +183,18 @@ def main() -> None:
     ingest_events_per_sec = _bench_ingest(spark)
 
     total = round(sum(timings.values()), 4)
+    fixed_floor = round(
+        sum(t for n, t in timings.items() if n in FIXED_FLOOR), 4
+    )
     payload = {
         "metric": "headline_queries_total_wall",
         "value": total,
         "unit": "sec",
         "queries": timings,
+        # decomposition: value = scaling_value + fixed_floor (sf-invariant
+        # streaming/IVM machinery entries listed in FIXED_FLOOR)
+        "fixed_floor": fixed_floor,
+        "scaling_value": round(total - fixed_floor, 4),
         "calibration": calibration,
         "ingest_events_per_sec": ingest_events_per_sec,
         "sf": _sf_of(SF_DIR),

@@ -574,6 +574,23 @@ def test_span_coverage_exact_duplicate_is_fully_covered(spark, tmp_path):
         assert r.dup_frac == 1.0 and r.dup_positions == r.n_tokens
 
 
+def test_semdedup_cell_count_is_scale_adaptive():
+    """VERDICT r5 #5: the SemDeDup quantizer's cell count must derive
+    from corpus size — constant at the testdata floor (so the measured
+    recall floors still apply), ~N/target in the scaling regime, capped
+    where the bounded training sample could no longer seed every cell."""
+    f = SIM._semdedup_cells_for
+    # every test sf sits at the floor -> behavior (and floors) unchanged
+    assert f(500) == SIM.IVF_CELLS
+    assert f(2_000) == SIM.IVF_CELLS
+    assert f(8_000) == SIM.IVF_CELLS
+    # scaling regime: ceil(n / target)
+    assert f(1_000_000) == 2_000
+    assert f(1_000_001) == 2_001
+    # cap: the Lloyd loop trains on <= IVF_TRAIN_CAP samples
+    assert f(10**9) == SIM.IVF_TRAIN_CAP // 4
+
+
 def test_embedding_sampled_contract_sentinel_on_empty_slice(spark, tmp_path):
     """ADVICE r5: when the audit slice contains zero exact duplicate
     pairs, the contract must still emit its booleans (as a sentinel row)
