@@ -68,20 +68,17 @@ def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DOT = "aggregate(zip_with(qv, nv, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"
 
 
-def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact cosine top-5 neighbors for the 20 lowest-id vectors.
-
-    The query side is tiny → broadcast; the corpus scans once. Emits
-    (query_id, rank, neighbor_id) — ints only, so the oracle hash-compare
-    is exact (the float similarity stays internal; ties are broken by
-    neighbor id)."""
-    vecs = _vectors(spark, sf_dir)
-    q = vecs.filter(F.col("vec_id") < ANN_N_QUERIES).select(
+def _brute_topk(queries: DataFrame, corpus: DataFrame) -> DataFrame:
+    """Exact cosine top-k of ``corpus`` members for each query row —
+    both sides are (vec_id, v, norm) frames. The query side is bounded →
+    broadcast; the corpus scans once and never shuffles (the window
+    partitions on query_id over Q×N scored rows, Q bounded)."""
+    q = queries.select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),
         F.col("norm").alias("qn"),
     )
-    n = vecs.select(
+    n = corpus.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("v").alias("nv"),
         F.col("norm").alias("nn"),
@@ -100,6 +97,17 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "rank", "neighbor_id")
         .orderBy("query_id", "rank")
     )
+
+
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 neighbors for the 20 lowest-id vectors.
+
+    The query side is tiny → broadcast; the corpus scans once. Emits
+    (query_id, rank, neighbor_id) — ints only, so the oracle hash-compare
+    is exact (the float similarity stays internal; ties are broken by
+    neighbor id)."""
+    vecs = _vectors(spark, sf_dir)
+    return _brute_topk(vecs.filter(F.col("vec_id") < ANN_N_QUERIES), vecs)
 
 
 ANN_COSINE_TOPK_SQL = f"""
@@ -156,8 +164,21 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact cosine re-ranks only those. Recall vs the brute-force baseline is
     bounded in pytest (deterministic hyperplanes). Rows-only check: the
     hash-bucket candidate set is not expressible in the SQL oracle."""
+    return _lsh_topk_impl(spark, sf_dir, slice_corpus=False)
+
+
+def _lsh_topk_impl(
+    spark: SparkSession, sf_dir: str, slice_corpus: bool
+) -> DataFrame:
+    """LSH detector body; ``slice_corpus`` restricts the CORPUS side to
+    the deterministic md5 audit slice (the sampled-contract form —
+    bucketing is per-vector map-only, so slicing the bucketed frame is
+    identical to bucketing the sliced corpus)."""
+    from .dedup import _audit_slice
+
     vecs = _vectors(spark, sf_dir)
     b = scoped_persist(_bucketed(vecs))  # feeds both the query and corpus side
+    nsrc = _audit_slice(b, key="vec_id") if slice_corpus else b
     q = b.filter(F.col("vec_id") < ANN_N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),
@@ -165,7 +186,7 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "band",
         "bucket",
     )
-    n = b.select(
+    n = nsrc.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("v").alias("nv"),
         F.col("norm").alias("nn"),
@@ -246,12 +267,24 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-only pass, the probe is a broadcast join on cell id, and the
     candidate set shrinks by ~cells/nprobe. Rows-only (centroid training
     isn't SQL-expressible); pytest bounds recall vs brute force."""
+    return _ivf_topk_impl(spark, sf_dir, slice_corpus=False)
+
+
+def _ivf_topk_impl(
+    spark: SparkSession, sf_dir: str, slice_corpus: bool
+) -> DataFrame:
+    """IVF detector body; ``slice_corpus`` restricts the CORPUS side to
+    the md5 audit slice, against the PRODUCTION (full-corpus-trained)
+    quantizer — the sampled-contract form audits the deployed cells."""
+    from .dedup import _audit_slice
+
     cents = _ivf_centroids(spark, sf_dir)
     vecs = _vectors(spark, sf_dir)
+    corpus_v = _audit_slice(vecs, key="vec_id") if slice_corpus else vecs
     # nearest cell per vector / nprobe cells per query: map-only
     # argmin over the literal centroid array (see _nearest_cells — the
     # earlier crossJoin+row_number form shuffled 16N scored rows)
-    assigned = _nearest_cells(vecs, cents, 1)
+    assigned = _nearest_cells(corpus_v, cents, 1)
     q_probe = _nearest_cells(
         vecs.filter(F.col("vec_id") < ANN_N_QUERIES), cents, IVF_NPROBE
     ).select(
@@ -804,11 +837,25 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     is 8 array lookups + adds inside codegen — no shuffle, no vector
     reads. Rows-only (quantizer training is not SQL-expressible);
     the contract twin below bounds recall vs exact cosine."""
+    return _pq_topk_impl(spark, sf_dir, slice_corpus=False)
+
+
+def _pq_topk_impl(
+    spark: SparkSession, sf_dir: str, slice_corpus: bool
+) -> DataFrame:
+    """PQ-ADC detector body; ``slice_corpus`` restricts the CORPUS side
+    (codes and the re-rank vectors) to the md5 audit slice, against the
+    PRODUCTION codebooks — the sampled-contract form audits the deployed
+    quantizer (encoding is per-vector map-only, so encoding the slice is
+    identical to slicing the encoded corpus)."""
     import numpy as np
+
+    from .dedup import _audit_slice
 
     books = _pq_codebooks(spark, sf_dir)
     vecs = _vectors(spark, sf_dir)
-    codes = _pq_codes(vecs, books)
+    corpus_v = _audit_slice(vecs, key="vec_id") if slice_corpus else vecs
+    codes = _pq_codes(corpus_v, books)
 
     # per-query LUT: partial L2² between the query's unit subvectors and
     # every centroid — PQ_M×PQ_K doubles per query, built driver-side
@@ -862,7 +909,7 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v").alias("qv"),
         F.col("norm").alias("qn"),
     )
-    n = vecs.select(
+    n = corpus_v.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("v").alias("nv"),
         F.col("norm").alias("nn"),
@@ -896,3 +943,102 @@ def ann_pq_topk_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
 ANN_PQ_TOPK_CONTRACT_SQL = ANN_LSH_TOPK_CONTRACT_SQL.replace(
     "lsh_recall_ok", "pq_recall_ok"
 )
+
+
+# ---------------------------------------------------------------------------
+# Sampled-slice ANN contract twins (VERDICT r5 #6): the full contracts
+# recompute exact brute-force ground truth over the WHOLE corpus per
+# query — Q·N work that production would not pay. The 100 TB audit form
+# restricts the CORPUS side to the deterministic engine-portable 50% md5
+# slice (the pattern proven on minhash/embedding/semantic): exact top-k
+# within the slice is Q·N/2, the detector runs against the SAME slice
+# with its PRODUCTION parameters (full-corpus hyperplanes / centroids /
+# codebooks — auditing what is deployed), and the oracle reproduces the
+# identical slice in SQL. Queries stay the standard probe set.
+# ---------------------------------------------------------------------------
+
+#: Measured slice-recall floors (deterministic: seeded hyperplanes /
+#: centroids / codebooks, md5 slice) at sf0.001 / 0.01 / 0.1:
+#:   LSH 0.74 / 0.70 / 0.76   IVF 0.81 / 0.79 / 0.50   PQ 0.95 / 0.91 / 0.75
+#: Bounds sit under every floor with margin (IVF's sf0.1 slice floor is
+#: exactly 0.50 — nprobe=4/16 again, consistent with the full contract's
+#: 0.56 — so its bound drops to 0.45). Fixture-sensitive: re-measure on
+#: any testdata regeneration (test_ann_sampled_contract_floors records
+#: the per-sf measurement in its assertion message).
+ANN_LSH_SAMPLED_RECALL_BOUND = 0.6
+ANN_IVF_SAMPLED_RECALL_BOUND = 0.45
+ANN_PQ_SAMPLED_RECALL_BOUND = 0.6
+
+
+def _sampled_exact_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-k ground truth with the corpus restricted to the
+    md5 audit slice (queries = the standard probe set)."""
+    from .dedup import _audit_slice
+
+    vecs = _vectors(spark, sf_dir)
+    return _brute_topk(
+        vecs.filter(F.col("vec_id") < ANN_N_QUERIES),
+        _audit_slice(vecs, key="vec_id"),
+    )
+
+
+def ann_lsh_topk_contract_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampled-slice recall audit of the hyperplane-LSH ANN path: exact
+    slice top-k rows + ``lsh_recall_ok`` the oracle pins TRUE."""
+    return _ann_recall_contract(
+        _sampled_exact_topk(spark, sf_dir),
+        _lsh_topk_impl(spark, sf_dir, slice_corpus=True),
+        ANN_LSH_SAMPLED_RECALL_BOUND,
+        "lsh_recall_ok",
+    )
+
+
+def ann_ivf_topk_contract_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampled-slice recall audit of the IVF ANN path (production
+    quantizer, sliced corpus)."""
+    return _ann_recall_contract(
+        _sampled_exact_topk(spark, sf_dir),
+        _ivf_topk_impl(spark, sf_dir, slice_corpus=True),
+        ANN_IVF_SAMPLED_RECALL_BOUND,
+        "ivf_recall_ok",
+    )
+
+
+def ann_pq_topk_contract_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampled-slice recall audit of the PQ-ADC path (production
+    codebooks, sliced corpus)."""
+    return _ann_recall_contract(
+        _sampled_exact_topk(spark, sf_dir),
+        _pq_topk_impl(spark, sf_dir, slice_corpus=True),
+        ANN_PQ_SAMPLED_RECALL_BOUND,
+        "pq_recall_ok",
+    )
+
+
+def _ann_sampled_contract_sql(flag: str) -> str:
+    from .dedup import AUDIT_SLICE_BUCKETS, _AUDIT_BUCKET_SQL
+
+    bucket = _AUDIT_BUCKET_SQL.replace("doc_id", "vec_id")
+    return f"""
+WITH sampled AS (
+  SELECT * FROM embeddings WHERE ({bucket}) < {AUDIT_SLICE_BUCKETS}
+)
+SELECT query_id, rank, neighbor_id, TRUE AS {flag}
+FROM (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY a.vec_id
+           ORDER BY list_cosine_similarity(a.embedding::DOUBLE[],
+                                           b.embedding::DOUBLE[]) DESC,
+                    b.vec_id ASC) AS rank
+  FROM embeddings a JOIN sampled b ON a.vec_id != b.vec_id
+  WHERE a.vec_id < {ANN_N_QUERIES}
+)
+WHERE rank <= {ANN_TOP_K}
+ORDER BY query_id, rank
+"""
+
+
+ANN_LSH_TOPK_CONTRACT_SAMPLED_SQL = _ann_sampled_contract_sql("lsh_recall_ok")
+ANN_IVF_TOPK_CONTRACT_SAMPLED_SQL = _ann_sampled_contract_sql("ivf_recall_ok")
+ANN_PQ_TOPK_CONTRACT_SAMPLED_SQL = _ann_sampled_contract_sql("pq_recall_ok")

@@ -457,6 +457,21 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         SIM.ann_pq_topk_contract,
         SIM.ANN_PQ_TOPK_CONTRACT_SQL,
     ),
+    # the 100TB audit forms (VERDICT r5 #6): recall contracts on the
+    # deterministic 50% md5 corpus slice against the PRODUCTION
+    # hyperplanes/centroids/codebooks — exact-slice oracles
+    "ann_lsh_topk_contract_sampled": (
+        SIM.ann_lsh_topk_contract_sampled,
+        SIM.ANN_LSH_TOPK_CONTRACT_SAMPLED_SQL,
+    ),
+    "ann_ivf_topk_contract_sampled": (
+        SIM.ann_ivf_topk_contract_sampled,
+        SIM.ANN_IVF_TOPK_CONTRACT_SAMPLED_SQL,
+    ),
+    "ann_pq_topk_contract_sampled": (
+        SIM.ann_pq_topk_contract_sampled,
+        SIM.ANN_PQ_TOPK_CONTRACT_SAMPLED_SQL,
+    ),
     "text_token_stats": (TX.text_token_stats, TX.TEXT_TOKEN_STATS_SQL),
     "text_lang_id": (TX.text_lang_id, TX.TEXT_LANG_ID_SQL),
     "text_quality_score": (TX.text_quality_score, TX.TEXT_QUALITY_SCORE_SQL),

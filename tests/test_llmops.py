@@ -899,10 +899,68 @@ def test_ann_pq_recall_bounds(spark):
         (r["query_id"], r["neighbor_id"]) for r in ann_pq_topk(spark, sf).collect()
     }
     recall = len(pq & exact) / len(exact)
-    assert recall >= ANN_PQ_RECALL_BOUND, recall
+    # VERDICT r5 #7: the assertion message RECORDS the measured floor
+    # (0.89 at sf0.001 on the 2026-08-13 testdata) so a silent testdata
+    # regeneration that erodes the margin fails loudly with the new
+    # number instead of silently shrinking headroom.
+    assert recall >= ANN_PQ_RECALL_BOUND, (
+        f"PQ recall@{sf} = {recall:.3f} vs bound {ANN_PQ_RECALL_BOUND} "
+        f"(prior measured floor 0.89; floors 0.89/0.95/0.71 at "
+        f"sf0.001/0.01/0.1 on the 2026-08-13 testdata — if this fails "
+        f"after a testdata refresh, re-measure and re-pin the bound)"
+    )
     # precision of the re-ranked output: every returned neighbor is a real
     # corpus vector ranked by EXACT cosine within the shortlist
     assert len(pq) == len(exact)
+
+
+def test_ann_sampled_contract_floors(spark, sf_dir):
+    """Sampled-slice ANN contracts (VERDICT r5 #6): detector-on-slice
+    recall vs exact-slice top-k stays above each family's bound, and the
+    assertion message records the measured value per family so fixture
+    drift is loud. Also pins that all three contract outputs carry the
+    TRUE flag the oracle expects."""
+    from cdc_local_data_pipeline_docker_spark.llmops.similarity import (
+        ANN_IVF_SAMPLED_RECALL_BOUND,
+        ANN_LSH_SAMPLED_RECALL_BOUND,
+        ANN_PQ_SAMPLED_RECALL_BOUND,
+        _ivf_topk_impl,
+        _lsh_topk_impl,
+        _pq_topk_impl,
+        _sampled_exact_topk,
+        ann_ivf_topk_contract_sampled,
+        ann_lsh_topk_contract_sampled,
+        ann_pq_topk_contract_sampled,
+    )
+
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in _sampled_exact_topk(spark, sf_dir).collect()
+    }
+    assert exact
+    fams = [
+        ("lsh", _lsh_topk_impl, ANN_LSH_SAMPLED_RECALL_BOUND,
+         ann_lsh_topk_contract_sampled, "lsh_recall_ok"),
+        ("ivf", _ivf_topk_impl, ANN_IVF_SAMPLED_RECALL_BOUND,
+         ann_ivf_topk_contract_sampled, "ivf_recall_ok"),
+        ("pq", _pq_topk_impl, ANN_PQ_SAMPLED_RECALL_BOUND,
+         ann_pq_topk_contract_sampled, "pq_recall_ok"),
+    ]
+    for name, impl, bound, contract, flag in fams:
+        approx = {
+            (r.query_id, r.neighbor_id)
+            for r in impl(spark, sf_dir, True).collect()
+        }
+        recall = len(approx & exact) / len(exact)
+        assert recall >= bound, (
+            f"{name} sampled-slice recall = {recall:.3f} vs bound {bound} "
+            f"(measured floors on the 2026-08-13 testdata: LSH "
+            f"0.74/0.70/0.76, IVF 0.81/0.79/0.50, PQ 0.95/0.91/0.75 at "
+            f"sf0.001/0.01/0.1 — re-measure and re-pin after any "
+            f"testdata refresh)"
+        )
+        rows = contract(spark, sf_dir).collect()
+        assert rows and all(r[flag] for r in rows)
 
 
 def test_pq_codes_are_compact_and_deterministic(spark):

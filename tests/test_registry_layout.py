@@ -132,8 +132,11 @@ COVERED_BY = {
     "corpus_semantic_decontaminate": "ann_cosine_topk",
     "ann_lsh_topk": "ann_cosine_topk",
     "ann_lsh_topk_contract": "ann_cosine_topk",
+    "ann_lsh_topk_contract_sampled": "ann_cosine_topk",
     "ann_ivf_topk": "ann_cosine_topk",
     "ann_ivf_topk_contract": "ann_cosine_topk",
+    "ann_ivf_topk_contract_sampled": "ann_cosine_topk",
+    "ann_pq_topk_contract_sampled": "ann_cosine_topk",
     "text_token_stats": "text_profile",
     "text_lang_id": "text_profile",
     "text_quality_score": "text_profile",
