@@ -1,0 +1,207 @@
+"""Cross-corpus dedup: deduplicate a NEW document batch against a
+REFERENCE corpus (the previous snapshot / what the model already trained
+on) — the incremental-crawl counterpart of the self-dedup family. The
+reference set here is the deterministic slice doc_id % REF_MOD == 0 (a
+stand-in for "last month's corpus"), candidates are everything else.
+
+Two drop tiers, mirroring corpus_curation_pipeline's stages but BETWEEN
+two corpora instead of within one:
+
+  1. exact: a candidate whose content already exists in the reference
+     (joint (xxhash64, md5) key — same 2^-192 identity argument as
+     dedup._exact_dup_drop_ids; the shuffle carries 44-byte hash rows,
+     never text);
+  2. near: a surviving candidate sharing word-3-gram Jaccard ≥ 0.5 with
+     ANY reference doc (posting-list join between the two corpora's
+     hashed-shingle arrays — pair space Σ_h df_cand(h)·df_ref(h), the
+     two-sided analogue of the self-join's Σdf²).
+
+Output: per (lang, source) audit counts — candidates, exact-dropped,
+near-dropped, surviving. Exact DuckDB oracle (CTE chain below).
+
+100 TB: the reference side is typically the BIG side (the accumulated
+corpus); nothing here materializes it beyond its hash/shingle
+projections, both joins key on 8-byte hashes, and the per-tier drop id
+sets are candidate-bounded. Incremental runs reuse the reference's
+persisted shingle posting table (the same artifact prep_corpus already
+materializes once per corpus).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..plans.cache_scope import scoped_persist
+from .dedup import (
+    JACCARD_THRESHOLD,
+    SHINGLE_N,
+    _hashed_shingle_arrays,
+    _scan_parallel,
+)
+
+#: Reference-corpus membership: doc_id % REF_MOD == 0.
+REF_MOD = 7
+
+
+def _hashed(df: DataFrame) -> DataFrame:
+    return df.select(
+        "doc_id",
+        F.xxhash64("text").alias("h"),
+        F.md5("text").alias("m"),
+    )
+
+
+def _jaccard_pairs_between(cand: DataFrame, ref: DataFrame) -> DataFrame:
+    """(doc_a=candidate, doc_b=reference) pairs with Jaccard ≥ threshold
+    between two (doc_id, hs) hashed-shingle frames — the two-corpus
+    analogue of dedup._jaccard_pairs (no doc_a < doc_b constraint: sides
+    are disjoint by construction)."""
+    ca = cand.select(F.col("doc_id").alias("doc_a"), F.explode("hs").alias("h"))
+    rb = ref.select(F.col("doc_id").alias("doc_b"), F.explode("hs").alias("h"))
+    common = ca.join(rb, "h").groupBy("doc_a", "doc_b").agg(
+        F.count(F.lit(1)).alias("n_common")
+    )
+    sa = cand.select(F.col("doc_id").alias("doc_a"), F.size("hs").alias("n_a"))
+    sb = ref.select(F.col("doc_id").alias("doc_b"), F.size("hs").alias("n_b"))
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+        )
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def corpus_dedup_against_reference(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-(lang, source) audit of deduplicating the candidate batch
+    against the reference corpus: (lang, source, n_candidates,
+    n_exact_dropped, n_near_dropped, n_surviving), sorted."""
+    d = _scan_parallel(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "text", "lang", "source"
+    )
+    ref = d.filter(F.col("doc_id") % REF_MOD == 0)
+    cand = d.filter(F.col("doc_id") % REF_MOD != 0)
+
+    # tier 1: exact content already in the reference — 44-byte hash rows
+    # meet on (h, m); candidates drop, text never shuffles
+    exact_drop = (
+        _hashed(cand)
+        .join(_hashed(ref).select("h", "m").distinct(), ["h", "m"], "left_semi")
+        .select("doc_id")
+    )
+    survivors1 = cand.join(F.broadcast(exact_drop), "doc_id", "left_anti")
+
+    # tier 2: near-dup vs the reference among tier-1 survivors
+    cand_sh = scoped_persist(
+        _hashed_shingle_arrays(survivors1.select("doc_id", "text"))
+    )
+    ref_sh = _hashed_shingle_arrays(ref.select("doc_id", "text"))
+    near_drop = (
+        _jaccard_pairs_between(cand_sh, ref_sh)
+        .select(F.col("doc_a").alias("doc_id"))
+        .distinct()
+    )
+    survivors2 = survivors1.join(F.broadcast(near_drop), "doc_id", "left_anti")
+
+    base = cand.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_candidates")
+    )
+    ex = (
+        cand.join(exact_drop, "doc_id", "left_semi")
+        .groupBy("lang", "source")
+        .agg(F.count(F.lit(1)).alias("n_exact_dropped"))
+    )
+    nr = (
+        cand.join(near_drop, "doc_id", "left_semi")
+        .groupBy("lang", "source")
+        .agg(F.count(F.lit(1)).alias("n_near_dropped"))
+    )
+    sv = survivors2.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_surviving")
+    )
+    return (
+        base.join(ex, ["lang", "source"], "left")
+        .join(nr, ["lang", "source"], "left")
+        .join(sv, ["lang", "source"], "left")
+        .select(
+            "lang",
+            "source",
+            "n_candidates",
+            F.coalesce("n_exact_dropped", F.lit(0)).alias("n_exact_dropped"),
+            F.coalesce("n_near_dropped", F.lit(0)).alias("n_near_dropped"),
+            F.coalesce("n_surviving", F.lit(0)).alias("n_surviving"),
+        )
+        .orderBy("lang", "source")
+    )
+
+
+CORPUS_DEDUP_AGAINST_REFERENCE_SQL = f"""
+WITH ref AS (
+  SELECT * FROM documents WHERE doc_id % {REF_MOD} = 0
+),
+cand AS (
+  SELECT * FROM documents WHERE doc_id % {REF_MOD} != 0
+),
+exact_drop AS (
+  SELECT doc_id FROM cand
+  WHERE text IN (SELECT text FROM ref)
+),
+surv1 AS (
+  SELECT * FROM cand WHERE doc_id NOT IN (SELECT doc_id FROM exact_drop)
+),
+sh_c AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(
+           generate_series(1, greatest(len(toks) - {SHINGLE_N - 1}, 0)),
+           i -> array_to_string(toks[i : i + {SHINGLE_N - 1}], ' '))) AS shingle
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM surv1)
+),
+sh_r AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(
+           generate_series(1, greatest(len(toks) - {SHINGLE_N - 1}, 0)),
+           i -> array_to_string(toks[i : i + {SHINGLE_N - 1}], ' '))) AS shingle
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM ref)
+),
+sizes_c AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh_c GROUP BY doc_id),
+sizes_r AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh_r GROUP BY doc_id),
+common AS (
+  SELECT c.doc_id AS doc_a, r.doc_id AS doc_b, COUNT(*) AS n_common
+  FROM sh_c c JOIN sh_r r ON c.shingle = r.shingle
+  GROUP BY 1, 2
+),
+near_drop AS (
+  SELECT DISTINCT doc_a AS doc_id
+  FROM common
+  JOIN sizes_c sa ON sa.doc_id = doc_a
+  JOIN sizes_r sb ON sb.doc_id = doc_b
+  WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= {JACCARD_THRESHOLD}
+),
+surv2 AS (
+  SELECT * FROM surv1 WHERE doc_id NOT IN (SELECT doc_id FROM near_drop)
+)
+SELECT b.lang, b.source,
+       b.n_candidates,
+       COALESCE(e.n, 0) AS n_exact_dropped,
+       COALESCE(nr.n, 0) AS n_near_dropped,
+       COALESCE(s.n, 0) AS n_surviving
+FROM (SELECT lang, source, COUNT(*) AS n_candidates FROM cand
+      GROUP BY lang, source) b
+LEFT JOIN (SELECT lang, source, COUNT(*) AS n FROM cand
+           WHERE doc_id IN (SELECT doc_id FROM exact_drop)
+           GROUP BY lang, source) e USING (lang, source)
+LEFT JOIN (SELECT lang, source, COUNT(*) AS n FROM cand
+           WHERE doc_id IN (SELECT doc_id FROM near_drop)
+           GROUP BY lang, source) nr USING (lang, source)
+LEFT JOIN (SELECT lang, source, COUNT(*) AS n FROM surv2
+           GROUP BY lang, source) s USING (lang, source)
+ORDER BY b.lang, b.source
+"""

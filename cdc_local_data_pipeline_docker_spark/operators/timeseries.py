@@ -1,0 +1,254 @@
+"""Time-series repair/robust-stats operators over the events table:
+linear-interpolation resampling onto a fixed grid, and median/MAD robust
+outlier detection — the two shapes a metrics/feature pipeline needs that
+the existing gap-fill (events_daily_gapfill: presence) and z-score
+(events_zscore_outliers: moment-based) entries don't cover.
+
+Both are exact-oracle graded. Exactness engineering follows the README
+correctness model: time arithmetic stays in integer epoch-MICROSECONDS
+(exactly representable in doubles: ~1.7e15 < 2^53), interpolation uses
+only correctly-rounded IEEE ops (+,-,*,/) in the identical expression
+shape in both engines, and medians are the LOWER median selected by
+row_number — pure element selection, zero arithmetic — so even-count
+groups can't diverge in the last ulp the way (a+b)/2 vs 0.5a+0.5b can.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+
+#: Resample grid step and the deterministic user subset (bounds output
+#: size: ~720 hourly points per user over the 30-day fixture span).
+RESAMPLE_USER_MOD = 10
+
+#: MAD outlier cut: |value - median| > MAD_K * MAD.
+MAD_K = 3.0
+
+
+def events_resample_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user hourly resample of ``value`` with linear interpolation:
+    (user_id, grid_ts, value) for every hour grid point between the
+    user's first and last observation (users with user_id % 10 == 0).
+
+    Plan — the one-pass union-and-window gap-fill, NOT a range join:
+      1. observations dedup to one row per (user, ts) via min_by(event_id)
+         (deterministic survivor, no arithmetic);
+      2. the per-user hourly grid comes from one tiny group agg
+         (min/max ts) + sequence() explode — map-only after a 1-row-per-
+         user aggregate;
+      3. grid ∪ observations sort once per user (ONE shuffle on user_id);
+         two window passes pick the surrounding observations — prev =
+         last non-null obs looking back, next = first non-null obs
+         looking forward, with obs ordered before a grid point at the
+         same instant so an exact hit interpolates to itself (frac = 0);
+      4. value = pv + (nv - pv) * (g - tp) / (tn - tp) on integer-micro
+         timestamps — identical expression in the oracle, bit-exact.
+    Leading grid points before the first observation clamp to the next
+    value (the trailing edge cannot occur: the grid ends at
+    trunc(max_ts) ≤ max_ts).
+
+    100 TB: everything partitions by user_id — one Exchange carrying
+    (user, ts, value), windows reuse it; grid density is bounded by the
+    observed span so no user explodes; no join, no N² anything. The
+    window state is O(1) per row (running last/first)."""
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id") % RESAMPLE_USER_MOD == 0
+    )
+    obs = (
+        e.groupBy("user_id", "ts")
+        .agg(F.min_by("value", "event_id").alias("value"))
+        .select(
+            "user_id",
+            F.expr("unix_micros(cast(ts as timestamp))").alias("t_us"),
+            F.lit(0).alias("is_grid"),
+            "value",
+        )
+    )
+    grid = (
+        e.groupBy("user_id")
+        .agg(F.min("ts").alias("mn"), F.max("ts").alias("mx"))
+        .select(
+            "user_id",
+            F.explode(
+                F.expr(
+                    "sequence(date_trunc('hour', mn), date_trunc('hour', mx),"
+                    " interval 1 hour)"
+                )
+            ).alias("g"),
+        )
+        .select(
+            "user_id",
+            F.expr("unix_micros(cast(g as timestamp))").alias("t_us"),
+            F.lit(1).alias("is_grid"),
+            F.lit(None).cast("double").alias("value"),
+        )
+    )
+    u = obs.unionByName(grid)
+    # total order per user: (t_us, is_grid) — obs sorts before a grid
+    # point at the same instant, and (user, ts) is unique post-dedup
+    back = (
+        Window.partitionBy("user_id")
+        .orderBy("t_us", "is_grid")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    fwd = (
+        Window.partitionBy("user_id")
+        .orderBy("t_us", "is_grid")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    ot = F.when(F.col("is_grid") == 0, F.col("t_us"))
+    ov = F.when(F.col("is_grid") == 0, F.col("value"))
+    ann = (
+        u.withColumn("pt", F.last(ot, ignorenulls=True).over(back))
+        .withColumn("pv", F.last(ov, ignorenulls=True).over(back))
+        .withColumn("nt", F.first(ot, ignorenulls=True).over(fwd))
+        .withColumn("nv", F.first(ov, ignorenulls=True).over(fwd))
+    )
+    frac = (F.col("t_us") - F.col("pt")).cast("double") / (
+        F.col("nt") - F.col("pt")
+    ).cast("double")
+    interp = (
+        F.when(F.col("pt").isNull(), F.col("nv"))  # leading-edge clamp
+        .when(F.col("nt").isNull(), F.col("pv"))
+        .when(F.col("nt") == F.col("pt"), F.col("pv"))  # exact hit
+        .otherwise(F.col("pv") + (F.col("nv") - F.col("pv")) * frac)
+    )
+    return (
+        ann.filter(F.col("is_grid") == 1)
+        .select(
+            "user_id",
+            F.expr("cast(timestamp_micros(t_us) as timestamp_ntz)").alias(
+                "grid_ts"
+            ),
+            interp.alias("value"),
+        )
+        .orderBy("user_id", "grid_ts")
+    )
+
+
+EVENTS_RESAMPLE_INTERPOLATE_SQL = f"""
+WITH obs AS (
+  SELECT user_id, epoch_us(ts) AS t_us, 0 AS is_grid,
+         arg_min(value, event_id) AS value
+  FROM events WHERE user_id % {RESAMPLE_USER_MOD} = 0
+  GROUP BY user_id, epoch_us(ts)
+),
+grid AS (
+  SELECT user_id, epoch_us(unnest(generate_series(
+           date_trunc('hour', mn), date_trunc('hour', mx),
+           INTERVAL 1 HOUR))) AS t_us,
+         1 AS is_grid, CAST(NULL AS DOUBLE) AS value
+  FROM (SELECT user_id, min(ts) AS mn, max(ts) AS mx
+        FROM events WHERE user_id % {RESAMPLE_USER_MOD} = 0
+        GROUP BY user_id)
+),
+u AS (SELECT * FROM obs UNION ALL SELECT * FROM grid),
+ann AS (
+  SELECT user_id, t_us, is_grid,
+    last_value(CASE WHEN is_grid = 0 THEN t_us END IGNORE NULLS) OVER (
+      PARTITION BY user_id ORDER BY t_us, is_grid
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt,
+    last_value(CASE WHEN is_grid = 0 THEN value END IGNORE NULLS) OVER (
+      PARTITION BY user_id ORDER BY t_us, is_grid
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+    first_value(CASE WHEN is_grid = 0 THEN t_us END IGNORE NULLS) OVER (
+      PARTITION BY user_id ORDER BY t_us, is_grid
+      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt,
+    first_value(CASE WHEN is_grid = 0 THEN value END IGNORE NULLS) OVER (
+      PARTITION BY user_id ORDER BY t_us, is_grid
+      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv
+  FROM u
+)
+SELECT user_id, make_timestamp(t_us) AS grid_ts,
+       CASE WHEN pt IS NULL THEN nv
+            WHEN nt IS NULL THEN pv
+            WHEN nt = pt THEN pv
+            ELSE pv + (nv - pv) * (CAST(t_us - pt AS DOUBLE)
+                                   / CAST(nt - pt AS DOUBLE))
+       END AS value
+FROM ann
+WHERE is_grid = 1
+ORDER BY user_id, grid_ts
+"""
+
+
+def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outliers per event type: |value − median| > 3·MAD, where
+    both the median and the MAD (median absolute deviation) are LOWER
+    medians — pure row selection via row_number at position (n+1) div 2
+    with (value, event_id) tie-break, so there is NO averaging arithmetic
+    and both engines pick the identical element. Emits (event_id,
+    event_type, value, med, mad), sorted by event_id.
+
+    The z-score twin (events_zscore_outliers) is moment-based and blows
+    up under heavy tails; median/MAD is the robust version every metrics
+    pipeline keeps next to it.
+
+    100 TB: exact per-group medians sort WITHIN each group (two window
+    passes over one group-keyed Exchange each) — the right call when
+    groups ≫ cores; for few huge groups the shipped t-digest sketch is
+    the approximate scale path and THIS operator is its exact-oracle
+    twin (the same split as agg_approx vs exact distinct). The fact scan
+    joins the 3-row stats frame by broadcast — it never shuffles for the
+    final filter."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    w1 = Window.partitionBy("event_type").orderBy("value", "event_id")
+    med = (
+        e.withColumn("rn", F.row_number().over(w1))
+        .withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("event_type")))
+        .filter(F.col("rn") == F.expr("(n + 1) div 2"))
+        .select("event_type", F.col("value").alias("med"))
+    )
+    dev = e.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("value") - F.col("med"))
+    )
+    w2 = Window.partitionBy("event_type").orderBy("adev", "event_id")
+    mad = (
+        dev.withColumn("rn", F.row_number().over(w2))
+        .withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("event_type")))
+        .filter(F.col("rn") == F.expr("(n + 1) div 2"))
+        .select("event_type", F.col("adev").alias("mad"))
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .filter(F.col("adev") > F.lit(MAD_K) * F.col("mad"))
+        .select("event_id", "event_type", "value", "med", "mad")
+        .orderBy("event_id")
+    )
+
+
+EVENTS_MAD_OUTLIERS_SQL = f"""
+WITH e AS (SELECT event_id, event_type, value FROM events),
+med AS (
+  SELECT event_type, value AS med
+  FROM (SELECT event_type, value,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY value, event_id) AS rn,
+               COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM e)
+  WHERE rn = (n + 1) // 2
+),
+dev AS (
+  SELECT e.event_id, e.event_type, e.value, m.med,
+         abs(e.value - m.med) AS adev
+  FROM e JOIN med m USING (event_type)
+),
+mad AS (
+  SELECT event_type, adev AS mad
+  FROM (SELECT event_type, adev, event_id,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY adev, event_id) AS rn,
+               COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM dev)
+  WHERE rn = (n + 1) // 2
+)
+SELECT d.event_id, d.event_type, d.value, d.med, ma.mad
+FROM dev d JOIN mad ma USING (event_type)
+WHERE d.adev > {MAD_K} * ma.mad
+ORDER BY d.event_id
+"""

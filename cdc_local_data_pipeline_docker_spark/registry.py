@@ -38,6 +38,7 @@ from .llmops import incremental as INC
 from .llmops import mixing as MX
 from .llmops import multimodal as MM
 from .llmops import packing as PKG
+from .llmops import refdedup as RFD
 from .llmops import scrub as SC
 from .llmops import similarity as SIM
 from .llmops import text as TX
@@ -49,6 +50,7 @@ from .operators import events_analytics as EV
 from .operators import packs as PK
 from .operators import relational as R
 from .operators import sketches as SK
+from .operators import timeseries as TS
 from .operators import tpch_more as TM
 from .operators import tpch_shapes as TQ
 from .streaming import incremental_view as IV
@@ -245,6 +247,18 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         EV.events_daily_gapfill,
         EV.EVENTS_DAILY_GAPFILL_SQL,
     ),
+    # linear-interpolation resample onto an hourly grid (union+window
+    # gap-fill, one user-keyed Exchange — no range join); exact oracle
+    "events_resample_interpolate": (
+        TS.events_resample_interpolate,
+        TS.EVENTS_RESAMPLE_INTERPOLATE_SQL,
+    ),
+    # median/MAD robust outliers (lower-median row selection — zero
+    # averaging arithmetic, engine-exact); the z-score entry's robust twin
+    "events_mad_outliers": (
+        TS.events_mad_outliers,
+        TS.EVENTS_MAD_OUTLIERS_SQL,
+    ),
     # grouped-AGGREGATE pandas UDF (vectorized UDAF inside agg())
     "fn_pandas_grouped_agg": (
         PU.fn_pandas_grouped_agg,
@@ -336,6 +350,12 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "corpus_curation_pipeline": (
         CUR.corpus_curation_pipeline,
         CUR.CORPUS_CURATION_PIPELINE_SQL,
+    ),
+    # cross-corpus dedup: new batch vs reference snapshot (exact hash
+    # tier + two-corpus posting-list near-dup tier), exact audit oracle
+    "corpus_dedup_against_reference": (
+        RFD.corpus_dedup_against_reference,
+        RFD.CORPUS_DEDUP_AGAINST_REFERENCE_SQL,
     ),
     # eval hygiene: benchmark decontamination + deterministic splits
     "corpus_decontaminate": (

@@ -780,6 +780,7 @@ BNLJ_WHITELIST = {
     "sketch_tdigest_quantiles",   # contract flag scalar
     "dedup_minhash_incremental_contract",
     "gdpr_erase_customer",        # 1-row audit-count crossJoins
+    "merge_into_orders",          # 1-row max(o_orderkey) insert-offset scalar
     "text_tfidf_top_terms",       # corpus-N scalar
     "knn_label_vote",             # bounded top-k broadcast
     # (b) non-equi brute-force / contract twins (bounded by design)
@@ -798,6 +799,10 @@ BNLJ_WHITELIST = {
     "ann_ivf_topk_contract",
     "ann_pq_topk",                # 20-query LUT broadcast (query != vec)
     "ann_pq_topk_contract",
+    # slice-corpus audit twins: same bounded 20-query broadcast shape
+    "ann_lsh_topk_contract_sampled",
+    "ann_ivf_topk_contract_sampled",
+    "ann_pq_topk_contract_sampled",
 }
 
 

@@ -93,6 +93,7 @@ COVERED_BY = {
     "stream_static_enrich": "stream_tumbling_agg",
     "corpus_curation_pipeline": "dedup_ngram_jaccard",
     "corpus_decontaminate": "dedup_ngram_jaccard",
+    "corpus_dedup_against_reference": "dedup_ngram_jaccard",
     "corpus_split_assign": "text_profile",
     "corpus_stratified_sample": "text_profile",
     "corpus_pack_sequences": "window_analytics_pack",
@@ -107,6 +108,8 @@ COVERED_BY = {
     "validate_orders": "join_anti",
     "customer_features": "agg_grouped",
     "events_daily_gapfill": "events_tumbling_agg",
+    "events_resample_interpolate": "events_tumbling_agg",
+    "events_mad_outliers": "events_tumbling_agg",
     "fn_pandas_grouped_agg": "fn_pandas_group_rank",
     "events_funnel_windowed": "events_tumbling_agg",
     "events_ab_conversion": "events_tumbling_agg",

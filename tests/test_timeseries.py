@@ -1,0 +1,118 @@
+"""Property tests for operators/timeseries.py (oracle parity runs via
+test_oracle_parity on the registry entries; these pin the semantic
+invariants the oracle can't express)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cdc_local_data_pipeline_docker_spark.catalog import load_table
+from cdc_local_data_pipeline_docker_spark.operators import timeseries as TS
+
+
+def test_resample_grid_is_hourly_and_bounded(spark, sf_dir):
+    """Every user's grid is exactly hourly, spans [trunc(min_ts),
+    trunc(max_ts)], and is dense (no missing hours)."""
+    out = TS.events_resample_interpolate(spark, sf_dir)
+    g = out.groupBy("user_id").agg(
+        F.min("grid_ts").alias("gmin"),
+        F.max("grid_ts").alias("gmax"),
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct("grid_ts").alias("nd"),
+    )
+    src = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id") % TS.RESAMPLE_USER_MOD == 0)
+        .groupBy("user_id")
+        .agg(
+            F.expr("date_trunc('hour', min(ts))").alias("emin"),
+            F.expr("date_trunc('hour', max(ts))").alias("emax"),
+        )
+    )
+    for r in g.join(src, "user_id").collect():
+        assert r.gmin == r.emin and r.gmax == r.emax
+        span_hours = int((r.gmax - r.gmin).total_seconds()) // 3600 + 1
+        assert r.n == r.nd == span_hours, (r.user_id, r.n, span_hours)
+
+
+def test_resample_interpolation_is_between_neighbors(spark, sf_dir):
+    """Interpolated values are convex combinations: each grid value lies
+    within [min, max] of that user's observed values, and a grid point
+    landing exactly on an observation reproduces it bit-for-bit."""
+    out = TS.events_resample_interpolate(spark, sf_dir)
+    obs = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id") % TS.RESAMPLE_USER_MOD == 0)
+        .groupBy("user_id", "ts")
+        .agg(F.min_by("value", "event_id").alias("value"))
+    )
+    bounds = {
+        r.user_id: (r.lo, r.hi)
+        for r in obs.groupBy("user_id")
+        .agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+        .collect()
+    }
+    rows = out.collect()
+    assert rows
+    for r in rows:
+        lo, hi = bounds[r.user_id]
+        assert lo <= r.value <= hi, (r.user_id, r.grid_ts, r.value)
+
+
+def test_resample_hand_computed(spark, tmp_path):
+    """Known fixture: on-the-hour observations reproduce exactly (frac=0
+    branch), a midpoint interpolates to the arithmetic middle, and a
+    grid point before the first observation clamps to the next value."""
+    from datetime import datetime
+
+    rows = [
+        # user 0: obs at 00:00 (10.0) and 02:00 (30.0) → grid 00/01/02
+        (1, datetime(2024, 1, 1, 0, 0, 0), 0, "a", 10.0, "{}"),
+        (2, datetime(2024, 1, 1, 2, 0, 0), 0, "a", 30.0, "{}"),
+        # user 10: first obs at 00:30 → grid point 00:00 clamps to 5.0
+        (3, datetime(2024, 1, 1, 0, 30, 0), 10, "a", 5.0, "{}"),
+        (4, datetime(2024, 1, 1, 1, 30, 0), 10, "a", 9.0, "{}"),
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id LONG, ts TIMESTAMP_NTZ, user_id LONG, event_type STRING,"
+        " value DOUBLE, props STRING",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    got = {
+        (r.user_id, r.grid_ts): r.value
+        for r in TS.events_resample_interpolate(spark, str(tmp_path)).collect()
+    }
+    assert got == {
+        (0, datetime(2024, 1, 1, 0, 0, 0)): 10.0,
+        (0, datetime(2024, 1, 1, 1, 0, 0)): 20.0,  # exact midpoint
+        (0, datetime(2024, 1, 1, 2, 0, 0)): 30.0,
+        (10, datetime(2024, 1, 1, 0, 0, 0)): 5.0,  # leading-edge clamp
+        (10, datetime(2024, 1, 1, 1, 0, 0)): 5.0 + (9.0 - 5.0) * 0.5,
+    }
+
+
+def test_mad_outliers_satisfy_definition(spark, sf_dir):
+    """Every emitted row violates the 3-MAD band; med/mad are constant
+    per event type; and the lower-median matches a local recomputation."""
+    out = TS.events_mad_outliers(spark, sf_dir).collect()
+    assert out
+    per_type: dict[str, tuple[float, float]] = {}
+    for r in out:
+        assert abs(r.value - r.med) > TS.MAD_K * r.mad
+        prev = per_type.setdefault(r.event_type, (r.med, r.mad))
+        assert prev == (r.med, r.mad)
+    vals: dict[str, list] = {}
+    for r in (
+        load_table(spark, sf_dir, "events")
+        .select("event_id", "event_type", "value")
+        .collect()
+    ):
+        vals.setdefault(r.event_type, []).append((r.value, r.event_id))
+    for et, (med, mad) in per_type.items():
+        vs = sorted(vals[et])
+        lower_med = vs[(len(vs) + 1) // 2 - 1][0]
+        assert med == lower_med
+        devs = sorted(
+            (abs(v - lower_med), eid) for v, eid in vals[et]
+        )
+        assert mad == devs[(len(devs) + 1) // 2 - 1][0]
