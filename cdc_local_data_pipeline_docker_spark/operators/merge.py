@@ -142,6 +142,77 @@ def merge_into_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merged.orderBy("o_orderkey")
 
 
+def merge_into_lowshuffle(
+    target: DataFrame, changes: DataFrame, key: str
+) -> DataFrame:
+    """The LOW-SHUFFLE MERGE: identical semantics to ``merge_into`` for a
+    micro-batch-sized change set, with the target NEVER entering an
+    Exchange — the shape Delta's low-shuffle merge optimizes to, and the
+    right plan whenever |changes| fits a broadcast (CDC micro-batches,
+    GDPR deletes, backfill patches).
+
+    Spark's BroadcastHashJoin does not support FULL OUTER, so the single
+    full-outer join of ``merge_into`` splits into two broadcast passes:
+
+      1. matched pass — target LEFT-broadcast-joins the changes;
+         per-clause CASE rewrites updates, drops deletes, passes
+         everything else through. The target streams map-side.
+      2. insert pass — the insert-clause changes minus the MATCHED keys.
+         The matched-key set comes from a left-semi scan of the target
+         against the broadcast changes — its size is bounded by
+         |changes|, so it broadcasts into the anti-join (the target is
+         scanned twice, shuffled never; scans are the cheap currency at
+         100 TB, Exchanges the expensive one).
+
+    Same key-uniqueness precondition as ``merge_into``; results are
+    pinned identical by test_merge_lowshuffle_equivalence, and the
+    no-Exchange claim by test_merge_lowshuffle_plan_has_no_shuffle."""
+    data_cols = [c for c in target.columns]
+    ch = changes.select(
+        F.col(key).alias("__ck"),
+        F.col("op").alias("__op"),
+        *[F.col(c).alias(f"__c_{c}") for c in data_cols],
+    )
+    bc = F.broadcast(ch)
+
+    j = target.join(bc, target[key] == F.col("__ck"), "left")
+    matched = F.col("__ck").isNotNull()
+    kept = j.filter(~matched | (F.col("__op") != "delete")).select(
+        *[
+            F.when(matched & (F.col("__op") == "update"), F.col(f"__c_{c}"))
+            .otherwise(target[c])
+            .alias(c)
+            for c in data_cols
+        ]
+    )
+
+    matched_keys = (
+        target.join(bc, target[key] == F.col("__ck"), "left_semi")
+        .select(F.col(key).alias("__mk"))
+    )
+    inserts = (
+        ch.filter(F.col("__op") == "insert")
+        .join(
+            F.broadcast(matched_keys),
+            F.col("__ck") == F.col("__mk"),
+            "left_anti",
+        )
+        .select(*[F.col(f"__c_{c}").alias(c) for c in data_cols])
+    )
+    return kept.unionByName(inserts)
+
+
+def merge_into_orders_lowshuffle(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The low-shuffle MERGE applied to the same orders change set —
+    result identical to merge_into_orders (same oracle), target
+    shuffle-free (plan-audited)."""
+    o = load_table(spark, sf_dir, "orders")
+    merged = merge_into_lowshuffle(o, _orders_changes(o), "o_orderkey")
+    return merged.orderBy("o_orderkey")
+
+
 MERGE_INTO_ORDERS_SQL = """
 WITH upd AS (
   SELECT o_orderkey, o_custkey, 'X' AS o_orderstatus,

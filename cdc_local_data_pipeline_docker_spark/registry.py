@@ -265,6 +265,13 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         PU.FN_PANDAS_GROUPED_AGG_SQL,
     ),
     "join_right_outer": (R.join_right_outer, R.JOIN_RIGHT_OUTER_SQL),
+    # low-shuffle MERGE: broadcast change set, target never enters an
+    # Exchange (two broadcast passes replace the full-outer join) —
+    # result identical to merge_into_orders, same oracle
+    "merge_into_orders_lowshuffle": (
+        MG.merge_into_orders_lowshuffle,
+        MG.MERGE_INTO_ORDERS_SQL,
+    ),
     # hot-key spreading: salted fact x S-replicated dim, result pinned
     # identical to the plain join
     "join_salted_skew": (MG.join_salted_skew, MG.JOIN_SALTED_SKEW_SQL),

@@ -99,3 +99,55 @@ def test_merge_duplicate_change_keys_fan_out(spark):
     )
     out = sorted((r["k"], r["v"]) for r in M.merge_into(target, changes, "k").collect())
     assert out == [(1, "X"), (1, "Y")]  # fan-out, not an error
+
+
+def test_merge_lowshuffle_equivalence(spark):
+    """The low-shuffle MERGE must produce the identical post-merge table
+    to the full-outer form on the real change set."""
+    a = M.merge_into_orders(spark, SF_DIR).collect()
+    b = M.merge_into_orders_lowshuffle(spark, SF_DIR).collect()
+    assert a == b and len(a) > 0
+
+
+def test_merge_lowshuffle_plan_has_no_shuffle(spark):
+    """The target must stream map-side: no SortMergeJoin and no
+    hash-partitioned Exchange anywhere in the plan — only broadcast
+    exchanges (the change-set subplan's 1-row max aggregate uses a
+    SinglePartition exchange, and the presentation sort a range one;
+    neither moves the target)."""
+    plan = (
+        M.merge_into_orders_lowshuffle(spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "SortMergeJoin" not in plan
+    assert "Exchange hashpartitioning" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_merge_lowshuffle_clause_semantics(spark):
+    """Clause-level parity with merge_into on a hand fixture, including
+    the matched-insert no-op and unmatched-update/delete no-ops."""
+    target = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k INT, v STRING"
+    )
+    changes = spark.createDataFrame(
+        [
+            (1, "A", "update"),
+            (2, None, "delete"),
+            (3, "Z", "insert"),   # matched insert -> no-op
+            (4, "d", "insert"),   # unmatched insert -> materializes
+            (5, "E", "update"),   # unmatched update -> no-op
+            (6, None, "delete"),  # unmatched delete -> no-op
+        ],
+        "k INT, v STRING, op STRING",
+    )
+    want = sorted(
+        (r["k"], r["v"]) for r in M.merge_into(target, changes, "k").collect()
+    )
+    got = sorted(
+        (r["k"], r["v"])
+        for r in M.merge_into_lowshuffle(target, changes, "k").collect()
+    )
+    assert got == want == [(1, "A"), (3, "c"), (4, "d")]

@@ -781,6 +781,7 @@ BNLJ_WHITELIST = {
     "dedup_minhash_incremental_contract",
     "gdpr_erase_customer",        # 1-row audit-count crossJoins
     "merge_into_orders",          # 1-row max(o_orderkey) insert-offset scalar
+    "merge_into_orders_lowshuffle",  # same scalar in the change-set subplan
     "text_tfidf_top_terms",       # corpus-N scalar
     "knn_label_vote",             # bounded top-k broadcast
     # (b) non-equi brute-force / contract twins (bounded by design)

@@ -123,6 +123,7 @@ COVERED_BY = {
     "cdc_ingest_sketch_summary": "cdc_changelog_stats",
     "cdc_hotkey_monitor": "cdc_changelog_stats",
     "join_salted_skew": "join_inner",
+    "merge_into_orders_lowshuffle": "merge_into_orders",
     "dedup_minhash_lsh_pairs": "dedup_minhash_lsh",
     "dedup_minhash_lsh_contract_sampled": "dedup_minhash_lsh",
     "dedup_simhash": "dedup_minhash_lsh",
