@@ -76,6 +76,14 @@ OPTIONAL = [
     # view (two foreachBatch-style delta applications + state swaps)
     "merge_into_orders",
     "cdc_incremental_agg_view",
+    # round-6 additions: the shuffle-free MERGE twin (A/B against the
+    # full-outer form above) and the two-corpus posting-list dedup.
+    # (events_resample_interpolate is deliberately NOT benched: its
+    # sf0.1 result is a 105k-row timestamp frame, so >80% of its wall is
+    # driver-side row materialization — a collect artifact, not operator
+    # cost; the plan itself executes in ~1 s.)
+    "merge_into_orders_lowshuffle",
+    "corpus_dedup_against_reference",
 ]
 #: Entries whose wall time is sf-INVARIANT fixed machinery (measured
 #: identical at sf0.01 and sf0.1 across rounds 4-5): streaming

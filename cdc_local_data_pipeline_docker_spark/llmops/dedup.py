@@ -819,8 +819,14 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     Brute-force upper-triangle pair join — correct baseline at test scale;
     the 100 TB path is the LSH-bucketed variant (similarity.ann_lsh_topk)
     which replaces the O(n²) pair space with per-bucket joins. Emits only
-    the id pair (no float column) so the oracle hash-compare is exact."""
-    e = _with_norm(load_table(spark, sf_dir, "embeddings"))
+    the id pair (no float column) so the oracle hash-compare is exact.
+
+    Scan-parallelism gate on the source (r6): the pair join is a BNLJ
+    whose stream side inherits the scan's partitioning — the single-file
+    local scan yielded 1 partition, so ONE core evaluated every
+    interpreted cosine lambda (measured 9.1 s for 125k pairs at sf0.01
+    on local[8]; ~0.6 s gated). Off at cluster scale."""
+    e = _with_norm(_scan_parallel(load_table(spark, sf_dir, "embeddings"), key="vec_id"))
     a = e.select(
         F.col("vec_id").alias("id_a"), F.col("v").alias("va"), F.col("norm").alias("na")
     )
