@@ -30,6 +30,7 @@ from .plans import cache_scope
 from .cdc import scd as SCD
 from .functions import pandas_udfs as PU
 from .functions import scalar_pack as FP
+from .functions import variant_pack as VP
 from .llmops import clusters as CL
 from .llmops import curation as CUR
 from .llmops import decontam as DCT
@@ -537,6 +538,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "fn_math_pack": (FP.fn_math_pack, FP.FN_MATH_PACK_SQL),
     "fn_array_pack": (FP.fn_array_pack, FP.FN_ARRAY_PACK_SQL),
     "fn_json_pack": (FP.fn_json_pack, FP.FN_JSON_PACK_SQL),
+    # Spark 4 VARIANT semi-structured path (parse once, typed path reads)
+    "fn_variant_pack": (VP.fn_variant_pack, VP.FN_VARIANT_PACK_SQL),
     "fn_map_pack": (FP.fn_map_pack, FP.FN_MAP_PACK_SQL),
     "fn_conditional_pack": (FP.fn_conditional_pack, FP.FN_CONDITIONAL_PACK_SQL),
 }

@@ -160,6 +160,7 @@ COVERED_BY = {
     "fn_conditional_pack": "fn_scalar_pack",
     "fn_array_pack": "fn_collection_pack",
     "fn_json_pack": "fn_collection_pack",
+    "fn_variant_pack": "fn_collection_pack",
     "fn_map_pack": "fn_collection_pack",
 }
 

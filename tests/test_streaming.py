@@ -229,3 +229,58 @@ def test_state_store_providers_agree(spark, sf_dir):
     assert (
         spark.conf.get("spark.sql.streaming.stateStore.providerClass", None) is None
     )
+
+
+def test_statestore_reader_matches_batch_recompute(spark, sf_dir, tmp_path):
+    """Spark 4 state-store observability (streaming/state_inspect): after
+    draining a keyed streaming aggregation, reading the checkpoint's
+    state files directly must reproduce the exact per-key totals a batch
+    recompute gives — no query running, no input replay. Also pins
+    batchId time travel (the retained snapshot of the same single-batch
+    run) and that the reader is key-complete."""
+    from cdc_local_data_pipeline_docker_spark.catalog import load_table
+    from cdc_local_data_pipeline_docker_spark.streaming.jobs import (
+        _events_stream,
+    )
+    from cdc_local_data_pipeline_docker_spark.streaming.state_inspect import (
+        read_query_state,
+    )
+
+    ckpt = str(tmp_path / "ckpt")
+    s = _events_stream(spark, sf_dir)
+    agg = s.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,2)")).alias("total"),
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("state_inspect_probe")
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    state = {
+        r["key"]["user_id"]: (r["value"]["count"], r["value"]["sum"])
+        for r in read_query_state(spark, ckpt).collect()
+    }
+    want = {
+        r["user_id"]: (r["n"], r["total"])
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("total"),
+        )
+        .collect()
+    }
+    assert state == want and len(state) > 0
+
+    # batchId time travel: the single drained batch is snapshot 0
+    state0 = {
+        r["key"]["user_id"]: (r["value"]["count"], r["value"]["sum"])
+        for r in read_query_state(spark, ckpt, batch_id=0).collect()
+    }
+    assert state0 == want
