@@ -84,8 +84,15 @@ def corpus_dedup_against_reference(
     """Per-(lang, source) audit of deduplicating the candidate batch
     against the reference corpus: (lang, source, n_candidates,
     n_exact_dropped, n_near_dropped, n_surviving), sorted."""
-    d = _scan_parallel(load_table(spark, sf_dir, "documents")).select(
-        "doc_id", "text", "lang", "source"
+    # persisted once: the audit's plan branches read the corpus ~6 times
+    # (hash tier both sides, shingle tier both sides, three count
+    # rollups) — at 100 TB this is the "materialize the projected corpus
+    # once per audit run" step, and the reference side's shingle table
+    # is the artifact prep_corpus already persists per corpus
+    d = scoped_persist(
+        _scan_parallel(load_table(spark, sf_dir, "documents")).select(
+            "doc_id", "text", "lang", "source"
+        )
     )
     ref = d.filter(F.col("doc_id") % REF_MOD == 0)
     cand = d.filter(F.col("doc_id") % REF_MOD != 0)
