@@ -54,21 +54,28 @@ def events_resample_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     (user, ts, value), windows reuse it; grid density is bounded by the
     observed span so no user explodes; no join, no N² anything. The
     window state is O(1) per row (running last/first)."""
+    from ..plans.cache_scope import scoped_persist
+
     e = load_table(spark, sf_dir, "events").filter(
         F.col("user_id") % RESAMPLE_USER_MOD == 0
     )
-    obs = (
-        e.groupBy("user_id", "ts")
-        .agg(F.min_by("value", "event_id").alias("value"))
-        .select(
-            "user_id",
-            F.expr("unix_micros(cast(ts as timestamp))").alias("t_us"),
-            F.lit(0).alias("is_grid"),
-            "value",
+    # obs feeds BOTH union branches (rows + per-user grid bounds):
+    # persist the deduped observations so the raw scan and its (user, ts)
+    # aggregation run once — the grid bounds over obs equal the bounds
+    # over the raw events by construction (dedup only collapses ties)
+    obs_ts = scoped_persist(
+        e.groupBy("user_id", "ts").agg(
+            F.min_by("value", "event_id").alias("value")
         )
     )
+    obs = obs_ts.select(
+        "user_id",
+        F.expr("unix_micros(cast(ts as timestamp))").alias("t_us"),
+        F.lit(0).alias("is_grid"),
+        "value",
+    )
     grid = (
-        e.groupBy("user_id")
+        obs_ts.groupBy("user_id")
         .agg(F.min("ts").alias("mn"), F.max("ts").alias("mx"))
         .select(
             "user_id",
