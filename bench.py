@@ -187,8 +187,12 @@ def main() -> None:
     # CDC ingest throughput: events/sec through the full parse → type
     # recovery → changelog write path on the seeded fixture stream
     # (ROADMAP item 8). min-of-2 like the queries; fresh warehouse per run
-    # so every run does identical work.
+    # so every run does identical work. The sequential number keeps the
+    # historical series comparable; the parallel one is the CLI
+    # `--parallel 4` shape (four table jobs in flight — the multi-topic
+    # consumer-group analogue, and what a deployment actually runs).
     ingest_events_per_sec = _bench_ingest(spark)
+    ingest_events_per_sec_parallel = _bench_ingest(spark, parallel=4)
 
     total = round(sum(timings.values()), 4)
     fixed_floor = round(
@@ -205,6 +209,7 @@ def main() -> None:
         "scaling_value": round(total - fixed_floor, 4),
         "calibration": calibration,
         "ingest_events_per_sec": ingest_events_per_sec,
+        "ingest_events_per_sec_parallel": ingest_events_per_sec_parallel,
         "sf": _sf_of(SF_DIR),
         # name -> [shuffle records written, shuffle bytes written] at SF_DIR
         "shuffle": shuffle,
@@ -234,11 +239,14 @@ def _calibration_probe(spark) -> float:
     return round(best, 4)
 
 
-def _bench_ingest(spark) -> float:
+def _bench_ingest(spark, parallel: int = 1) -> float:
     """Events/sec through ingest_table (parse → changelog append) over the
-    4-topic fixture set, REPLICATE×-duplicated to a measurable size."""
+    4-topic fixture set, REPLICATE×-duplicated to a measurable size.
+    ``parallel`` > 1 ingests the tables concurrently (one Spark job per
+    table in flight — the run_pipeline --parallel shape)."""
     import shutil
     import tempfile
+    from concurrent.futures import ThreadPoolExecutor
 
     from cdc_local_data_pipeline_docker_spark.cdc import fixtures as FX
     from cdc_local_data_pipeline_docker_spark.cdc import ingest as ING
@@ -264,15 +272,30 @@ def _bench_ingest(spark) -> float:
                 f.write("\n".join(out_lines) + "\n")
             n_events += lines * replicate
 
+        tables = ("customers", "orders", "order_items", "products")
         best = float("inf")
         for _ in range(2):
             wh = tempfile.mkdtemp(prefix="bench_ingest_wh_")
             try:
                 t0 = time.perf_counter()
-                for table in ("customers", "orders", "order_items", "products"):
-                    ING.ingest_table(
-                        spark, os.path.join(src, f"{table}.jsonl"), table, wh
-                    )
+                if parallel > 1:
+                    with ThreadPoolExecutor(max_workers=parallel) as pool:
+                        list(
+                            pool.map(
+                                lambda t: ING.ingest_table(
+                                    spark,
+                                    os.path.join(src, f"{t}.jsonl"),
+                                    t,
+                                    wh,
+                                ),
+                                tables,
+                            )
+                        )
+                else:
+                    for table in tables:
+                        ING.ingest_table(
+                            spark, os.path.join(src, f"{table}.jsonl"), table, wh
+                        )
                 best = min(best, time.perf_counter() - t0)
             finally:
                 shutil.rmtree(wh, ignore_errors=True)
