@@ -237,6 +237,19 @@ def test_merge_into_matches_python_reference(spark, case):
     got = sorted((r["k"], r["v"]) for r in merge_into(target, ch, "k").collect())
     assert got == want
 
+    # the low-shuffle rewrite must agree with the full-outer form (and
+    # therefore with the reference) on every generated case — including
+    # matched inserts, unmatched updates/deletes, and empty sides
+    from cdc_local_data_pipeline_docker_spark.operators.merge import (
+        merge_into_lowshuffle,
+    )
+
+    got_ls = sorted(
+        (r["k"], r["v"])
+        for r in merge_into_lowshuffle(target, ch, "k").collect()
+    )
+    assert got_ls == want
+
 
 # ---------------------------------------------------------------------------
 # Incremental view deltas vs recompute on arbitrary changelogs: random
