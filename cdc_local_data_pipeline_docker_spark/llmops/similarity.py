@@ -223,11 +223,47 @@ IVF_TRAIN_SAMPLE_MOD = 10
 IVF_TRAIN_CAP = 20_000
 
 
+#: Process-lifetime quantizer cache: (kind, table fingerprint, params) ->
+#: trained centroids/codebooks. Training is DETERMINISTIC (seeded init,
+#: hash-filtered sample), so caching changes nothing but wall time — and
+#: it is the production shape: quantizers are trained once per corpus
+#: snapshot and reused by every query against it (FAISS-style offline
+#: training). The fingerprint (file paths + sizes + mtimes) invalidates
+#: on any testdata regeneration. Bounded: small dicts of KB-MB floats,
+#: evicted FIFO past 16 entries.
+_QUANTIZER_CACHE: dict = {}
+
+
+def _embeddings_fingerprint(sf_dir: str):
+    import os
+
+    p = os.path.join(sf_dir, "embeddings.parquet")
+    if os.path.isdir(p):
+        entries = tuple(
+            (f, os.path.getsize(os.path.join(p, f)),
+             os.stat(os.path.join(p, f)).st_mtime_ns)
+            for f in sorted(os.listdir(p))
+        )
+        return (os.path.realpath(p), entries)
+    st = os.stat(p)
+    return (os.path.realpath(p), st.st_size, st.st_mtime_ns)
+
+
+def _quantizer_cached(kind: str, sf_dir: str, params, builder):
+    key = (kind, _embeddings_fingerprint(sf_dir), params)
+    if key not in _QUANTIZER_CACHE:
+        if len(_QUANTIZER_CACHE) >= 16:
+            _QUANTIZER_CACHE.pop(next(iter(_QUANTIZER_CACHE)))
+        _QUANTIZER_CACHE[key] = builder()
+    return _QUANTIZER_CACHE[key]
+
+
 def _ivf_centroids(
     spark: SparkSession, sf_dir: str, cells: int = IVF_CELLS
 ) -> list[list[float]]:
     """k-means centroids for the IVF coarse quantizer, trained with a few
-    Lloyd iterations on a BOUNDED deterministic sample.
+    Lloyd iterations on a BOUNDED deterministic sample (cached per corpus
+    fingerprint — see _QUANTIZER_CACHE).
 
     The sample predicate is xxhash64(vec_id) % MOD == 0 — a pure scan-side
     filter, reproducible independent of partitioning (unlike df.sample,
@@ -237,6 +273,14 @@ def _ivf_centroids(
     size. Falls back to the full (capped) corpus when the sample is too
     small to seed every cell. Init = lowest-id sample vectors: fully
     deterministic end to end."""
+    return _quantizer_cached(
+        "ivf", sf_dir, cells, lambda: _train_ivf_centroids(spark, sf_dir, cells)
+    )
+
+
+def _train_ivf_centroids(
+    spark: SparkSession, sf_dir: str, cells: int
+) -> list[list[float]]:
     import numpy as np
 
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
@@ -770,7 +814,16 @@ def _pq_codebooks(spark: SparkSession, sf_dir: str) -> list[list[list[float]]]:
     """Per-subspace centroids trained on the same bounded deterministic
     sample as the IVF quantizer (scan-side xxhash filter + TakeOrdered
     cap; driver memory bounded at any corpus size), on UNIT-normalized
-    vectors. codebooks[m][k] = centroid k of subspace m."""
+    vectors. codebooks[m][k] = centroid k of subspace m. Cached per
+    corpus fingerprint (see _QUANTIZER_CACHE)."""
+    return _quantizer_cached(
+        "pq", sf_dir, (PQ_M, PQ_K), lambda: _train_pq_codebooks(spark, sf_dir)
+    )
+
+
+def _train_pq_codebooks(
+    spark: SparkSession, sf_dir: str
+) -> list[list[list[float]]]:
     import numpy as np
 
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
