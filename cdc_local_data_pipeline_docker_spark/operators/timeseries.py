@@ -229,6 +229,97 @@ def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_value_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization audit per event type: clamp ``value`` to the
+    [p05, p95] order statistics and report (event_type, n, p05, p95,
+    n_clipped_low, n_clipped_high, winsorized_sum) — the standard
+    heavy-tail taming step before a moment-based model sees the data.
+
+    Exactness: the percentile positions are PURE INTEGERS —
+    pos_q = ceil(q·n) computed as (q_num·n + q_den − 1) div q_den — and
+    the statistics are row SELECTIONS at those positions under the total
+    order (value, event_id), so both engines pick identical elements
+    with zero float arithmetic. The winsorized sum runs through
+    DECIMAL(18,2) (exact, associative) and casts to double once.
+
+    100 TB: same split as events_mad_outliers — per-group sorts are the
+    exact form (right when groups ≫ cores); the t-digest sketch is the
+    approximate scale path for few huge groups. The 3-row stats frame
+    broadcasts back over one never-shuffled fact scan."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    ranked = e.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n", F.count(F.lit(1)).over(Window.partitionBy("event_type"))
+    )
+    pos05 = F.expr("(n + 19) div 20")         # ceil(n/20)
+    pos95 = F.expr("(19 * n + 19) div 20")    # ceil(19n/20)
+    stats = (
+        ranked.filter((F.col("rn") == pos05) | (F.col("rn") == pos95))
+        .groupBy("event_type")
+        .agg(
+            F.max("n").alias("n"),
+            F.min(
+                F.when(F.col("rn") == pos05, F.col("value"))
+            ).alias("p05"),
+            F.max(
+                F.when(F.col("rn") == pos95, F.col("value"))
+            ).alias("p95"),
+        )
+    )
+    clamped = F.least(F.greatest(F.col("value"), F.col("p05")), F.col("p95"))
+    return (
+        e.join(F.broadcast(stats), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.max("n").alias("n"),
+            F.max("p05").alias("p05"),
+            F.max("p95").alias("p95"),
+            F.sum((F.col("value") < F.col("p05")).cast("long")).alias(
+                "n_clipped_low"
+            ),
+            F.sum((F.col("value") > F.col("p95")).cast("long")).alias(
+                "n_clipped_high"
+            ),
+            F.sum(clamped.cast("decimal(18,2)"))
+            .cast("double")
+            .alias("winsorized_sum"),
+        )
+        .orderBy("event_type")
+    )
+
+
+EVENTS_VALUE_WINSORIZE_SQL = """
+WITH e AS (SELECT event_id, event_type, value FROM events),
+ranked AS (
+  SELECT event_type, value,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY value, event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM e
+),
+stats AS (
+  SELECT event_type, MAX(n) AS n,
+         MIN(CASE WHEN rn = (n + 19) // 20 THEN value END) AS p05,
+         MAX(CASE WHEN rn = (19 * n + 19) // 20 THEN value END) AS p95
+  FROM ranked
+  WHERE rn = (n + 19) // 20 OR rn = (19 * n + 19) // 20
+  GROUP BY event_type
+)
+SELECT e.event_type, MAX(s.n) AS n, MAX(s.p05) AS p05, MAX(s.p95) AS p95,
+       CAST(SUM(CASE WHEN e.value < s.p05 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_clipped_low,
+       CAST(SUM(CASE WHEN e.value > s.p95 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_clipped_high,
+       CAST(SUM(CAST(least(greatest(e.value, s.p05), s.p95)
+                     AS DECIMAL(18,2))) AS DOUBLE) AS winsorized_sum
+FROM e JOIN stats s USING (event_type)
+GROUP BY e.event_type
+ORDER BY e.event_type
+"""
+
+
 EVENTS_MAD_OUTLIERS_SQL = f"""
 WITH e AS (SELECT event_id, event_type, value FROM events),
 med AS (

@@ -260,6 +260,12 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         TS.events_mad_outliers,
         TS.EVENTS_MAD_OUTLIERS_SQL,
     ),
+    # winsorization audit: integer-position order statistics + clamped
+    # DECIMAL sum — heavy-tail taming before moment-based models
+    "events_value_winsorize": (
+        TS.events_value_winsorize,
+        TS.EVENTS_VALUE_WINSORIZE_SQL,
+    ),
     # grouped-AGGREGATE pandas UDF (vectorized UDAF inside agg())
     "fn_pandas_grouped_agg": (
         PU.fn_pandas_grouped_agg,

@@ -110,6 +110,7 @@ COVERED_BY = {
     "events_daily_gapfill": "events_tumbling_agg",
     "events_resample_interpolate": "events_tumbling_agg",
     "events_mad_outliers": "events_tumbling_agg",
+    "events_value_winsorize": "events_tumbling_agg",
     "fn_pandas_grouped_agg": "fn_pandas_group_rank",
     "events_funnel_windowed": "events_tumbling_agg",
     "events_ab_conversion": "events_tumbling_agg",

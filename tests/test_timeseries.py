@@ -116,3 +116,27 @@ def test_mad_outliers_satisfy_definition(spark, sf_dir):
             (abs(v - lower_med), eid) for v, eid in vals[et]
         )
         assert mad == devs[(len(devs) + 1) // 2 - 1][0]
+
+
+def test_winsorize_definition(spark, sf_dir):
+    """p05/p95 match local order-statistic selection at ceil(n/20) /
+    ceil(19n/20); clipped counts and the winsorized sum follow."""
+    out = {r.event_type: r for r in TS.events_value_winsorize(spark, sf_dir).collect()}
+    vals: dict[str, list] = {}
+    for r in (
+        load_table(spark, sf_dir, "events")
+        .select("event_id", "event_type", "value")
+        .collect()
+    ):
+        vals.setdefault(r.event_type, []).append((r.value, r.event_id))
+    assert out and set(out) == set(vals)
+    for et, vs in vals.items():
+        vs = sorted(vs)
+        n = len(vs)
+        p05 = vs[(n + 19) // 20 - 1][0]
+        p95 = vs[(19 * n + 19) // 20 - 1][0]
+        r = out[et]
+        assert (r.n, r.p05, r.p95) == (n, p05, p95)
+        assert r.n_clipped_low == sum(1 for v, _ in vs if v < p05)
+        assert r.n_clipped_high == sum(1 for v, _ in vs if v > p95)
+        assert r.p05 <= r.p95
