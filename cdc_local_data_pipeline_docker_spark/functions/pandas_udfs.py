@@ -151,3 +151,46 @@ FROM lineitem
 GROUP BY l_returnflag
 ORDER BY l_returnflag
 """
+
+
+# ---------------------------------------------------------------------------
+# Spark 4 Arrow-optimized Python UDF (useArrow=True): the third rung of
+# the Python-function ladder this module covers — row-at-a-time Python
+# SEMANTICS with Arrow-batched TRANSFER, i.e. the drop-in upgrade for
+# legacy per-row UDFs that can't be vectorized (pandas UDFs remain the
+# hot path when the logic vectorizes). Physical plan shows
+# ArrowEvalPython, never BatchEvalPython (the registry-wide hygiene
+# sweep pins BatchEvalPython = 0 everywhere).
+# ---------------------------------------------------------------------------
+
+def _name_tag(name: str) -> str:
+    # per-row Python on purpose: the kind of branchy string logic legacy
+    # UDFs contain; exactly reproducible in SQL for the oracle
+    toks = name.split(" ") if name else []
+    return f"{len(toks)}-{toks[0].lower()}" if toks else "0-"
+
+
+def fn_arrow_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-optimized Python UDF over customer names: (c_custkey,
+    name_tag) — kept scalar-simple; the point is the API surface and the
+    ArrowEvalPython plan node. Oracle: the same string surgery in SQL."""
+    from pyspark.sql.functions import udf
+
+    name_tag = udf(_name_tag, "string", useArrow=True)
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        c.select(
+            "c_custkey",
+            name_tag(F.col("c_name")).alias("name_tag"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+FN_ARROW_UDF_SQL = """
+SELECT c_custkey,
+       CAST(len(string_split(c_name, ' ')) AS VARCHAR) || '-'
+         || lower(string_split(c_name, ' ')[1]) AS name_tag
+FROM customer
+ORDER BY c_custkey
+"""

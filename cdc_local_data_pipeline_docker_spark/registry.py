@@ -271,6 +271,10 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         PU.fn_pandas_grouped_agg,
         PU.FN_PANDAS_GROUPED_AGG_SQL,
     ),
+    # Spark 4 Arrow-optimized Python UDF (useArrow=True): per-row Python
+    # semantics, Arrow-batched transfer — ArrowEvalPython, never
+    # BatchEvalPython (the hygiene sweep pins the latter to 0)
+    "fn_arrow_udf": (PU.fn_arrow_udf, PU.FN_ARROW_UDF_SQL),
     "join_right_outer": (R.join_right_outer, R.JOIN_RIGHT_OUTER_SQL),
     # low-shuffle MERGE: broadcast change set, target never enters an
     # Exchange (two broadcast passes replace the full-outer join) —

@@ -112,6 +112,7 @@ COVERED_BY = {
     "events_mad_outliers": "events_tumbling_agg",
     "events_value_winsorize": "events_tumbling_agg",
     "fn_pandas_grouped_agg": "fn_pandas_group_rank",
+    "fn_arrow_udf": "fn_pandas_normalize",
     "events_funnel_windowed": "events_tumbling_agg",
     "events_ab_conversion": "events_tumbling_agg",
     "gdpr_erase_customer": "join_anti",
