@@ -906,3 +906,43 @@ def test_measured_shuffle_volume_broadcast_join_never_moves_fact(spark, sf_dir):
     s = A.shuffle_stats(df)
     assert s["records_written"] <= 100, s
     assert s["bytes_written"] <= 64 * 1024, s
+
+
+def test_curation_dedup_never_shuffles_text(spark, sf_dir):
+    """VERDICT r5 #1 regression pin: the curation pipeline's exact-dedup
+    stage must stay hash-keyed — no Exchange anywhere in the plan may
+    partition on the raw text column (the old groupBy("text") +
+    text-keyed join-back was the largest shuffle in the bench)."""
+    import re
+
+    from cdc_local_data_pipeline_docker_spark.llmops.curation import (
+        corpus_curation_pipeline,
+    )
+    from cdc_local_data_pipeline_docker_spark.plans import audit as A
+
+    plan = A.simple_plan(corpus_curation_pipeline(spark, sf_dir))
+    ex = [ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln]
+    assert ex, plan  # the posting-list join still shuffles (hashes)
+    text_keyed = [ln for ln in ex if re.search(r"hashpartitioning\(text#", ln)]
+    assert not text_keyed, text_keyed
+
+
+def test_span_coverage_shuffles_hashed_gram_keys(spark, sf_dir):
+    """VERDICT r5 #3 regression pin: dedup_span_coverage's gram
+    group/join Exchanges must key on the xxhash64 LONG (gram#..L), never
+    a string gram."""
+    import re
+
+    from cdc_local_data_pipeline_docker_spark.llmops.dedup import (
+        dedup_span_coverage,
+    )
+    from cdc_local_data_pipeline_docker_spark.plans import audit as A
+
+    plan = A.simple_plan(dedup_span_coverage(spark, sf_dir))
+    gram_ex = [
+        ln
+        for ln in plan.splitlines()
+        if "Exchange hashpartitioning" in ln and "gram#" in ln
+    ]
+    assert gram_ex, plan
+    assert all(re.search(r"gram#\d+L", ln) for ln in gram_ex), gram_ex
