@@ -57,6 +57,7 @@ from .operators import tpch_shapes as TQ
 from .streaming import incremental_view as IV
 from .streaming import jobs as SJ
 from .streaming import sketch_state as SKS
+from .streaming import state_inspect as SIN
 from .streaming import stateful as SST
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -365,6 +366,13 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "knn_label_vote": (SIM.knn_label_vote, SIM.KNN_LABEL_VOTE_SQL),
     "stream_stream_join": (SJ.stream_stream_join, SJ.STREAM_STREAM_JOIN_SQL),
     "stream_static_enrich": (SJ.stream_static_enrich, SJ.STREAM_STATIC_ENRICH_SQL),
+    # state-store observability, graded: drain a keyed agg, read the
+    # answer back FROM THE STATE FILES (statestore source), oracle =
+    # the plain batch aggregate
+    "stream_state_snapshot": (
+        SIN.stream_state_snapshot,
+        SIN.STREAM_STATE_SNAPSHOT_SQL,
+    ),
     "corpus_curation_pipeline": (
         CUR.corpus_curation_pipeline,
         CUR.CORPUS_CURATION_PIPELINE_SQL,

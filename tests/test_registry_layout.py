@@ -91,6 +91,7 @@ COVERED_BY = {
     "knn_label_vote": "ann_cosine_topk",
     "stream_stream_join": "stream_tumbling_agg",
     "stream_static_enrich": "stream_tumbling_agg",
+    "stream_state_snapshot": "stream_stateful_user_totals",
     "corpus_curation_pipeline": "dedup_ngram_jaccard",
     "corpus_decontaminate": "dedup_ngram_jaccard",
     "corpus_dedup_against_reference": "dedup_ngram_jaccard",
