@@ -321,6 +321,88 @@ ORDER BY doc_a, doc_b
 """
 
 
+#: Document-frequency cap for the capped posting-list detector: shingles
+#: appearing in more than this many documents are dropped from CANDIDATE
+#: GENERATION (the Σdf² pair-space killer at 100 TB: one viral boilerplate
+#: shingle with df=10⁶ alone contributes 5·10¹¹ pairs). The fixture's df
+#: ceiling is small (max df 9/7/25 at sf0.001/0.01/0.1), which cramps
+#: the cap choice: 10 prunes real shingles at sf0.1 while keeping
+#: recall 1.0 at every sf (measured; 5 would prune everywhere but drop
+#: recall to 0.49 at sf0.1 — the fixture's dup pairs share
+#: mid-frequency shingles, unlike real boilerplate whose df is orders
+#: beyond any dup-group size).
+NGRAM_DF_CAP = 10
+
+
+def dedup_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs via DF-CAPPED posting lists + exact full-set
+    verification — the production form of `dedup_ngram_jaccard` whose
+    docstring documents this lever; here it is tested code with an exact
+    oracle.
+
+    Candidate pairs come only from shingles with df ≤ NGRAM_DF_CAP (the
+    hot-shingle set is by definition SMALL — one row per ultra-common
+    shingle — and broadcasts into the anti-join); the survivors are then
+    verified on the FULL shingle sets (``_exact_verify``), so every
+    emitted jaccard is exact and precision is 1.0. Recall is what the cap
+    trades: a pair is missed only if ALL its shared shingles are hot —
+    exactly the boilerplate-only overlaps a curation pipeline wants to
+    ignore. Pair space drops from Σdf² to Σ_{{df≤cap}} df² ≤ cap·Σdf."""
+    d = load_table(spark, sf_dir, "documents")
+    arrs = scoped_persist(_hashed_shingle_arrays(_scan_parallel(d)))
+    sh = arrs.select("doc_id", F.explode("hs").alias("h"))
+    hot = (
+        sh.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > NGRAM_DF_CAP)
+        .select("h")
+    )
+    posting = sh.join(F.broadcast(hot), "h", "left_anti")
+    a = posting.alias("a")
+    b = posting.alias("b")
+    candidates = (
+        a.join(b, "h")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    return _exact_verify(candidates, arrs).orderBy("doc_a", "doc_b")
+
+
+DEDUP_NGRAM_JACCARD_CAPPED_SQL = f"""
+WITH sh AS ({_SHINGLED_SQL}),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+hot AS (
+  SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) > {NGRAM_DF_CAP}
+),
+posting AS (
+  SELECT * FROM sh WHERE shingle NOT IN (SELECT shingle FROM hot)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM posting a JOIN posting b
+    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+),
+common AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.doc_a
+  JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       n_common / (sa.n_sh + sb.n_sh - n_common) AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= {JACCARD_THRESHOLD}
+ORDER BY doc_a, doc_b
+"""
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH dedup.
 # ---------------------------------------------------------------------------
@@ -456,6 +538,16 @@ def _lsh_verified_pairs(arrs: DataFrame) -> DataFrame:
     )
 
     # Exact-Jaccard verify on the candidate pairs only (cached arrays).
+    return _exact_verify(candidates, arrs)
+
+
+def _exact_verify(candidates: DataFrame, arrs: DataFrame) -> DataFrame:
+    """Exact-Jaccard verification of a (doc_a, doc_b) candidate frame
+    against the FULL (doc_id, hs) shingle sets: array_intersect over the
+    bounded candidate set, threshold at JACCARD_THRESHOLD. Candidate
+    generation decides RECALL; this step makes precision 1.0 and the
+    emitted jaccard exact regardless of how candidates were found —
+    shared by the MinHash-banding and df-capped posting detectors."""
     sh_a = arrs.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("sh_a"))
     sh_b = arrs.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("sh_b"))
     return (

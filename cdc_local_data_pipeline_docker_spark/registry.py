@@ -451,6 +451,13 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         DD.DEDUP_MINHASH_LSH_CONTRACT_SAMPLED_SQL,
     ),  # the 100TB audit form: contract on a deterministic 25% md5 slice
     "dedup_minhash_lsh_pairs": (DD.dedup_minhash_lsh, None),  # raw detector
+    # df-capped posting-list detector + exact full-set verify: the
+    # production stop-shingle form of dedup_ngram_jaccard (Σdf² pair
+    # space bounded at cap·Σdf), exact oracle
+    "dedup_ngram_jaccard_capped": (
+        DD.dedup_ngram_jaccard_capped,
+        DD.DEDUP_NGRAM_JACCARD_CAPPED_SQL,
+    ),
     "dedup_simhash": (DD.dedup_simhash, None),  # hash family not in oracle
     "dedup_simhash_contract": (
         DD.dedup_simhash_contract,

@@ -1044,3 +1044,40 @@ def test_pagerank_empty_graph(spark):
     ranks, delta, iters = pagerank(edges)
     assert ranks.count() == 0
     assert delta == 0.0 and iters == 0
+
+
+def test_ngram_capped_prunes_hot_shingles_and_keeps_recall(spark, sf_dir):
+    """The df cap actually prunes (the hot-shingle set is non-empty at
+    sf0.1 — the fixture's df ceiling is lower at smaller sfs), and the
+    capped detector still finds every full-detector pair at the test sf
+    — dup pairs share rare shingles; only boilerplate-only overlaps are
+    at risk."""
+    from pyspark.sql import functions as F
+
+    from cdc_local_data_pipeline_docker_spark.catalog import load_table
+    from cdc_local_data_pipeline_docker_spark.llmops.dedup import (
+        NGRAM_DF_CAP,
+        _hashed_shingle_arrays,
+        dedup_ngram_jaccard,
+        dedup_ngram_jaccard_capped,
+    )
+
+    arrs = _hashed_shingle_arrays(
+        load_table(spark, "/root/testdata/sf0.1", "documents").select(
+            "doc_id", "text"
+        )
+    )
+    n_hot = (
+        arrs.select(F.explode("hs").alias("h"))
+        .groupBy("h")
+        .count()
+        .filter(F.col("count") > NGRAM_DF_CAP)
+        .count()
+    )
+    assert n_hot > 0, "cap prunes nothing even at sf0.1 — re-tune it"
+
+    full = {(r.doc_a, r.doc_b): r.jaccard
+            for r in dedup_ngram_jaccard(spark, sf_dir).collect()}
+    capped = {(r.doc_a, r.doc_b): r.jaccard
+              for r in dedup_ngram_jaccard_capped(spark, sf_dir).collect()}
+    assert capped == full

@@ -128,6 +128,7 @@ COVERED_BY = {
     "join_salted_skew": "join_inner",
     "merge_into_orders_lowshuffle": "merge_into_orders",
     "dedup_minhash_lsh_pairs": "dedup_minhash_lsh",
+    "dedup_ngram_jaccard_capped": "dedup_ngram_jaccard",
     "dedup_minhash_lsh_contract_sampled": "dedup_minhash_lsh",
     "dedup_simhash": "dedup_minhash_lsh",
     "dedup_simhash_contract": "dedup_minhash_lsh",
