@@ -361,3 +361,120 @@ WHERE a.order_id IS NULL OR b.order_id IS NULL
    OR a.total_amount IS DISTINCT FROM b.total_amount
 ORDER BY order_id
 """
+
+
+def cdc_gold_customer_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gold-table composition over TWO CDC topics: latest-state customers
+    joined with a per-customer rollup of latest-state orders —
+    (customer_id, email, n_orders, total_spend, last_order_ts). The
+    workflow a warehouse actually serves from its CDC silver layer, and
+    proof the latest-state operator composes across topics (deletes and
+    rewrites in EITHER stream flow through to the gold row).
+
+    Exactness: total_spend sums the state's DECIMAL(10,2) (exact,
+    associative) and casts to double once; customers with no live orders
+    carry 0 / 0.0 / NULL-timestamp. Scale: the per-customer rollup is
+    orders-state-sized and aggregates before the join; the dim side joins
+    it broadcast (at 100 TB the rollup is the small side — one row per
+    customer WITH orders)."""
+    d = ensure_fixtures()
+    cust = latest_state(
+        P.parse_events(
+            P.read_event_file(spark, os.path.join(d, "customers.jsonl")),
+            "customers",
+        ),
+        "customers",
+    )
+    ords = latest_state(
+        P.parse_events(
+            P.read_event_file(spark, os.path.join(d, "orders.jsonl")),
+            "orders",
+        ),
+        "orders",
+    )
+    agg = ords.groupBy("customer_id").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("total_amount").cast("double").alias("total_spend"),
+        F.max("order_date").alias("last_order_ts"),
+    )
+    return (
+        cust.select("customer_id", "email")
+        .join(F.broadcast(agg), "customer_id", "left")
+        .select(
+            "customer_id",
+            "email",
+            F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+            F.coalesce("total_spend", F.lit(0.0)).alias("total_spend"),
+            "last_order_ts",
+        )
+        .orderBy("customer_id")
+    )
+
+
+CDC_GOLD_CUSTOMER_ORDERS_SQL = f"""
+WITH c_env AS (
+  SELECT *,
+         CASE WHEN value IS NOT NULL AND json_valid(value) THEN value END AS v
+  FROM read_json_auto('{FIXTURE_DIR}/customers.jsonl',
+                      format='newline_delimited')
+),
+c_parsed AS (
+  SELECT CAST(json_extract_string(key, '$.customer_id') AS INT) AS pk,
+         value IS NULL AS is_tombstone,
+         value IS NOT NULL
+           AND json_extract_string(v, '$.customer_id') IS NULL AS is_malformed,
+         CAST(json_extract_string(v, '$.customer_id') AS INT) AS customer_id,
+         json_extract_string(v, '$.email') AS email,
+         partition, "offset"
+  FROM c_env
+),
+c_ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY pk
+                               ORDER BY partition DESC, "offset" DESC) AS rn
+  FROM c_parsed WHERE NOT is_malformed
+),
+cust AS (
+  SELECT customer_id, email FROM c_ranked WHERE rn = 1 AND NOT is_tombstone
+),
+o_env AS (
+  SELECT *,
+         CASE WHEN value IS NOT NULL AND json_valid(value) THEN value END AS v
+  FROM read_json_auto('{FIXTURE_DIR}/orders.jsonl',
+                      format='newline_delimited')
+),
+o_parsed AS (
+  SELECT CAST(json_extract_string(key, '$.order_id') AS INT) AS pk,
+         value IS NULL AS is_tombstone,
+         value IS NOT NULL
+           AND json_extract_string(v, '$.order_id') IS NULL AS is_malformed,
+         CAST(json_extract_string(v, '$.customer_id') AS INT) AS customer_id,
+         make_timestamp(CAST(json_extract_string(v, '$.order_date') AS BIGINT))
+           AS order_date,
+         CAST(json_extract_string(v, '$.total_amount') AS DECIMAL(10,2))
+           AS total_amount,
+         partition, "offset"
+  FROM o_env
+),
+o_ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY pk
+                               ORDER BY partition DESC, "offset" DESC) AS rn
+  FROM o_parsed WHERE NOT is_malformed
+),
+live_orders AS (
+  SELECT customer_id, total_amount, order_date
+  FROM o_ranked WHERE rn = 1 AND NOT is_tombstone
+),
+agg AS (
+  SELECT customer_id,
+         CAST(COUNT(*) AS BIGINT) AS n_orders,
+         CAST(SUM(total_amount) AS DOUBLE) AS total_spend,
+         MAX(order_date) AS last_order_ts
+  FROM live_orders GROUP BY customer_id
+)
+SELECT c.customer_id, c.email,
+       COALESCE(a.n_orders, 0) AS n_orders,
+       COALESCE(a.total_spend, 0.0) AS total_spend,
+       a.last_order_ts
+FROM cust c LEFT JOIN agg a USING (customer_id)
+ORDER BY c.customer_id
+"""

@@ -438,6 +438,13 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # offset-to-offset state diff: per-key insert/delete/update report
     # with old and new images ("what changed since the last sync?")
     "cdc_diff_offsets": (CDC.cdc_diff_offsets, CDC.CDC_DIFF_OFFSETS_SQL),
+    # gold-table composition across TWO topics: latest-state customers
+    # joined with the latest-state orders rollup (the CDC silver layer's
+    # actual consumer), exact two-replay oracle
+    "cdc_gold_customer_orders": (
+        CDC.cdc_gold_customer_orders,
+        CDC.CDC_GOLD_CUSTOMER_ORDERS_SQL,
+    ),
     "cdc_ingest_sketch_summary": (
         SKS.cdc_ingest_sketch_summary,
         SKS.CDC_INGEST_SKETCH_SUMMARY_SQL,

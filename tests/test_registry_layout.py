@@ -123,6 +123,7 @@ COVERED_BY = {
     "multimodal_resize": "multimodal_feature_extract",
     "cdc_state_asof_offset": "cdc_latest_state_orders",
     "cdc_diff_offsets": "cdc_latest_state_orders",
+    "cdc_gold_customer_orders": "cdc_latest_state_orders",
     "cdc_ingest_sketch_summary": "cdc_changelog_stats",
     "cdc_hotkey_monitor": "cdc_changelog_stats",
     "join_salted_skew": "join_inner",
