@@ -151,3 +151,44 @@ def test_merge_lowshuffle_clause_semantics(spark):
         for r in M.merge_into_lowshuffle(target, changes, "k").collect()
     )
     assert got == want == [(1, "A"), (3, "c"), (4, "d")]
+
+
+def test_merge_on_bucketed_target_drops_target_exchange(spark, tmp_path):
+    """The third MERGE regime (SCALE.md): with the target bucketed on
+    the merge key, the full-outer join consumes the bucket layout — the
+    TARGET side's Exchange disappears and only the (micro-batch-sized)
+    change set shuffles. Result pinned identical to the plain-table
+    merge."""
+    from cdc_local_data_pipeline_docker_spark.catalog import load_table
+    from cdc_local_data_pipeline_docker_spark.sources.bucketed import (
+        read_bucketed,
+        write_bucketed,
+    )
+
+    o = load_table(spark, SF_DIR, "orders")
+    write_bucketed(
+        o, "t_merge_bkt", str(tmp_path / "ob"), "o_orderkey", 8,
+        sort_cols=("o_orderkey",),
+    )
+    try:
+        ob = read_bucketed(spark, "t_merge_bkt").select(*o.columns)
+        merged = M.merge_into(ob, M._orders_changes(ob), "o_orderkey")
+        plan = merged._jdf.queryExecution().executedPlan().toString()
+        join_ex = [
+            ln
+            for ln in plan.splitlines()
+            if "Exchange hashpartitioning" in ln
+        ]
+        # exactly ONE join-side exchange: the change set (keyed __ck);
+        # the bucketed target never shuffles
+        assert len(join_ex) == 1, plan
+        assert "__ck" in join_ex[0], join_ex
+        assert plan.count("SortMergeJoin") == 1, plan
+
+        want = sorted(
+            map(tuple, M.merge_into(o, M._orders_changes(o), "o_orderkey").collect())
+        )
+        got = sorted(map(tuple, merged.collect()))
+        assert got == want and len(got) > 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_merge_bkt")
