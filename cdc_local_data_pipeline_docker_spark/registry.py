@@ -54,6 +54,7 @@ from .operators import sketches as SK
 from .operators import timeseries as TS
 from .operators import tpch_more as TM
 from .operators import tpch_shapes as TQ
+from .streaming import incremental_join_view as IJV
 from .streaming import incremental_view as IV
 from .streaming import jobs as SJ
 from .streaming import sketch_state as SKS
@@ -443,6 +444,13 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # actual consumer), exact two-replay oracle
     "cdc_gold_customer_orders": (
         CDC.cdc_gold_customer_orders,
+        CDC.CDC_GOLD_CUSTOMER_ORDERS_SQL,
+    ),
+    # IVM over the JOIN view: the same gold table maintained by four
+    # interleaved per-topic delta batches (recompute-affected-keys — MAX
+    # columns are not delta-maintainable); oracle = full recompute
+    "cdc_incremental_join_view": (
+        IJV.cdc_incremental_join_view,
         CDC.CDC_GOLD_CUSTOMER_ORDERS_SQL,
     ),
     "cdc_ingest_sketch_summary": (

@@ -1,0 +1,276 @@
+"""Incrementally-maintained JOIN view over TWO CDC topics — IVM for the
+gold table ``cdc_gold_customer_orders`` (latest-state customers ⋈
+latest-state orders rollup), refreshed per micro-batch at batch-sized
+cost.
+
+``incremental_view.py`` maintains self-maintainable aggregates (COUNT /
+SUM) by pure delta arithmetic. A JOIN view with a MAX column is NOT
+self-maintainable (deleting the max order needs the runner-up), so this
+maintainer uses the other standard IVM strategy — RECOMPUTE AFFECTED
+KEYS from narrow auxiliary state:
+
+  state:  cust_keys  (customer pk → email + position)      — narrow
+          ord_keys   (order pk → customer_id, amount, date) — narrow
+          gold       (one row per live customer + last_batch_id)
+
+  per batch (either topic):
+    1. batch-final images merge into that topic's key-state
+       (latest-wins by (partition, offset), ties won by the incoming
+       row — the upsert position rule);
+    2. the AFFECTED customer set = customer_ids referenced by the
+       batch's old images ∪ new images (an order UPDATE can move an
+       order between customers: BOTH sides' gold rows change);
+    3. gold rows for affected customers recompute from the merged
+       key-states (point-lookup joins, affected-sized) and replace
+       their old gold rows.
+
+  Per-batch cost ∝ |batch| + the affected customers' state slice —
+  never history size. At 100 TB both key-states are bucketed tables and
+  step 3 is a bucket-pruned point-lookup join.
+
+Crash model (same dance as incremental_view): key-state swaps happen
+BEFORE the gold swap that carries ``last_batch_id``. A replay after the
+gold swap is skipped by the batch-id guard; a replay in between re-runs
+the merge — every batch row ties with its own stored image and still
+"wins" (>= tie rule), the affected set is identical, and recomputing
+from already-merged state yields the identical gold rows: idempotent by
+recomputation (pytest-pinned).
+
+Oracle: the two-replay gold SQL (cdc/queries.CDC_GOLD_CUSTOMER_ORDERS
+_SQL) — maintained view ≡ full recompute, proving the delta machinery.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..cdc import parse as P
+from .upsert import _recover_state, _swap
+
+_CUST_DDL = (
+    "pk INT, email STRING, is_tombstone BOOLEAN, partition INT, "
+    "kafka_offset LONG"
+)
+_ORD_DDL = (
+    "pk INT, customer_id INT, total_amount DECIMAL(10,2), "
+    "order_date TIMESTAMP_NTZ, is_tombstone BOOLEAN, partition INT, "
+    "kafka_offset LONG"
+)
+_GOLD_DDL = (
+    "customer_id INT, email STRING, n_orders LONG, "
+    "total_spend DECIMAL(38,2), last_order_ts TIMESTAMP_NTZ, "
+    "last_batch_id LONG"
+)
+
+
+def _path(out_dir: str, name: str) -> str:
+    return os.path.join(out_dir, name)
+
+
+def _narrow(delta: DataFrame, topic: str) -> DataFrame:
+    if topic == "customers":
+        return delta.select(
+            "pk", "email", "is_tombstone", "partition", "kafka_offset"
+        )
+    return delta.select(
+        "pk",
+        "customer_id",
+        "total_amount",
+        "order_date",
+        "is_tombstone",
+        "partition",
+        "kafka_offset",
+    )
+
+
+def _batch_final(batch: DataFrame) -> DataFrame:
+    w = Window.partitionBy("pk").orderBy(
+        F.col("partition").desc(), F.col("kafka_offset").desc()
+    )
+    return (
+        batch.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+def _merge_keys(final: DataFrame, keys: DataFrame):
+    """(winners-with-old-image, merged key-state). Old-image columns come
+    back prefixed ``o_``; winners are batch rows at-or-above the stored
+    position (ties win → replays merge idempotently)."""
+    cols = keys.columns
+    old = keys.select(*[F.col(c).alias(f"o_{c}") for c in cols])
+    j = final.join(old, final["pk"] == old["o_pk"], "left")
+    wins = (
+        F.col("o_pk").isNull()
+        | (F.col("partition") > F.col("o_partition"))
+        | (
+            (F.col("partition") == F.col("o_partition"))
+            & (F.col("kafka_offset") >= F.col("o_kafka_offset"))
+        )
+    )
+    won = j.filter(wins).localCheckpoint(eager=True)
+    merged = keys.join(
+        won.select("pk").distinct(), "pk", "left_anti"
+    ).unionByName(won.select(*cols))
+    return won, merged
+
+
+def _read_or_empty(spark: SparkSession, path: str, ddl: str) -> DataFrame:
+    if os.path.exists(path):
+        return spark.read.parquet(path)
+    return spark.createDataFrame([], ddl)
+
+
+def apply_join_view_batch(
+    spark: SparkSession,
+    batch_env: DataFrame,
+    topic: str,
+    out_dir: str,
+    batch_id: int,
+) -> None:
+    """Fold one micro-batch of ``topic`` envelope rows into the gold
+    view. ``batch_id`` must be monotone across ALL topics' batches (it
+    is the streaming runner's epoch — one foreachBatch id sequence)."""
+    assert topic in ("customers", "orders"), topic
+    cpath = _path(out_dir, "gold_cust_keys")
+    opath = _path(out_dir, "gold_ord_keys")
+    gpath = _path(out_dir, "gold_view")
+    for p in (cpath, opath, gpath):
+        _recover_state(p)
+
+    if os.path.exists(gpath):
+        last = (
+            spark.read.parquet(gpath).agg(F.max("last_batch_id")).collect()[0][0]
+        )
+        if last is not None and batch_id <= last:
+            return  # fully-applied batch replayed after the gold swap
+
+    delta = P.project_changelog(
+        P.parse_events(batch_env, topic), topic
+    ).filter(~F.col("is_malformed"))
+    final = _batch_final(_narrow(delta, topic))
+
+    cust = _read_or_empty(spark, cpath, _CUST_DDL)
+    ords = _read_or_empty(spark, opath, _ORD_DDL)
+
+    if topic == "customers":
+        won, merged = _merge_keys(final, cust)
+        affected = won.select(F.col("pk").alias("customer_id"))
+        cust = merged
+        topic_path, topic_state = cpath, cust
+    else:
+        won, merged = _merge_keys(final, ords)
+        affected = (
+            won.select("customer_id")
+            .unionByName(
+                won.select(F.col("o_customer_id").alias("customer_id"))
+            )
+            .filter(F.col("customer_id").isNotNull())
+        )
+        ords = merged
+        topic_path, topic_state = opath, ords
+    affected = affected.distinct().localCheckpoint(eager=True)
+
+    # recompute gold rows for the affected customers from MERGED state:
+    # point-lookup joins, affected-sized (broadcast the affected set)
+    cust_live = (
+        cust.filter(~F.col("is_tombstone"))
+        .join(F.broadcast(affected), cust["pk"] == affected["customer_id"], "left_semi")
+        .select(F.col("pk").alias("customer_id"), "email")
+    )
+    ord_live = ords.filter(~F.col("is_tombstone")).join(
+        F.broadcast(affected), "customer_id", "left_semi"
+    )
+    agg = ord_live.groupBy("customer_id").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("total_amount").cast("decimal(38,2)").alias("total_spend"),
+        F.max("order_date").alias("last_order_ts"),
+    )
+    recomputed = (
+        cust_live.join(agg, "customer_id", "left")
+        .select(
+            "customer_id",
+            "email",
+            F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+            F.coalesce(
+                "total_spend", F.lit(0).cast("decimal(38,2)")
+            ).alias("total_spend"),
+            "last_order_ts",
+        )
+        .withColumn("last_batch_id", F.lit(int(batch_id)))
+    )
+
+    gold = _read_or_empty(spark, gpath, _GOLD_DDL)
+    new_gold = gold.join(
+        F.broadcast(affected), "customer_id", "left_anti"
+    ).unionByName(recomputed)
+    new_gold = new_gold.localCheckpoint(eager=True)
+
+    # key-state first, gold (with the batch-id guard) last — the crash
+    # window between the two replays idempotently (module docstring)
+    _swap(topic_state.coalesce(1), topic_path, batch_id)
+    _swap(new_gold.coalesce(1), gpath, batch_id)
+
+
+def read_join_view(spark: SparkSession, out_dir: str) -> DataFrame:
+    return spark.read.parquet(_path(out_dir, "gold_view")).select(
+        "customer_id",
+        "email",
+        "n_orders",
+        F.col("total_spend").cast("double").alias("total_spend"),
+        "last_order_ts",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Registry adapter: replay both topics' changelogs in interleaved
+# offset-split batches through the maintainer; emit the final view.
+# ---------------------------------------------------------------------------
+
+def cdc_incremental_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained customers⋈orders gold view, built by
+    FOUR interleaved delta applications (customers₀, orders₀,
+    customers₁, orders₁) — the oracle recomputes the identical view from
+    both full changelogs, proving join-view maintenance ≡ recompute.
+
+    sf_dir is unused (CDC input is the fixture stream); kept for the
+    uniform queries() signature."""
+    import tempfile
+
+    from ..cdc.queries import ensure_fixtures
+
+    d = ensure_fixtures()
+    out = tempfile.mkdtemp(prefix="cdc_join_view_")
+    try:
+        env, mid = {}, {}
+        for topic in ("customers", "orders"):
+            env[topic] = P.read_event_file(
+                spark, os.path.join(d, f"{topic}.jsonl")
+            )
+            mid[topic] = (
+                env[topic].agg(F.expr("percentile(offset, 0.5)")).collect()[0][0]
+            )
+        halves = [
+            ("customers", F.col("offset") <= mid["customers"]),
+            ("orders", F.col("offset") <= mid["orders"]),
+            ("customers", F.col("offset") > mid["customers"]),
+            ("orders", F.col("offset") > mid["orders"]),
+        ]
+        for bid, (topic, pred) in enumerate(halves):
+            apply_join_view_batch(
+                spark, env[topic].filter(pred), topic, out, bid
+            )
+        rows = read_join_view(spark, out).collect()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    view = spark.createDataFrame(
+        rows,
+        "customer_id INT, email STRING, n_orders LONG, "
+        "total_spend DOUBLE, last_order_ts TIMESTAMP_NTZ",
+    )
+    return view.orderBy("customer_id")

@@ -1,0 +1,140 @@
+"""Incremental JOIN-view maintenance (streaming/incremental_join_view):
+maintained gold view ≡ full recompute under any batch chunking, replay
+idempotence through the batch-id guard AND the tie-win recompute path,
+and the cross-customer order-move case that makes join-view IVM harder
+than single-table aggregation."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from cdc_local_data_pipeline_docker_spark.cdc import parse as P
+from cdc_local_data_pipeline_docker_spark.cdc.queries import ensure_fixtures
+from cdc_local_data_pipeline_docker_spark.streaming import (
+    incremental_join_view as IJV,
+)
+
+
+def _full_recompute(spark):
+    from cdc_local_data_pipeline_docker_spark.cdc.queries import (
+        cdc_gold_customer_orders,
+    )
+
+    return sorted(
+        map(tuple, cdc_gold_customer_orders(spark, "unused").collect())
+    )
+
+
+def _view(spark, out):
+    return sorted(
+        map(
+            tuple,
+            IJV.read_join_view(spark, out).orderBy("customer_id").collect(),
+        )
+    )
+
+
+@pytest.mark.parametrize("n_chunks", [1, 2, 4])
+def test_join_view_matches_recompute_any_chunking(spark, tmp_path, n_chunks):
+    d = ensure_fixtures()
+    out = str(tmp_path / f"jv{n_chunks}")
+    bid = 0
+    for topic in ("customers", "orders"):
+        env = P.read_event_file(spark, os.path.join(d, f"{topic}.jsonl"))
+        hi = env.agg(F.max("offset")).collect()[0][0]
+        step = (hi + 1) / n_chunks
+        for i in range(n_chunks):
+            lo, up = i * step, (i + 1) * step
+            IJV.apply_join_view_batch(
+                spark,
+                env.filter((F.col("offset") >= lo) & (F.col("offset") < up)),
+                topic,
+                out,
+                bid,
+            )
+            bid += 1
+    assert _view(spark, out) == _full_recompute(spark)
+
+
+def test_join_view_replay_idempotent(spark, tmp_path):
+    """Replaying the last batch with the SAME id is skipped by the
+    guard; replaying the same events with a NEW id goes through the full
+    tie-win recompute path and must leave the view unchanged (the
+    crash-window-between-swaps argument, exercised end to end)."""
+    d = ensure_fixtures()
+    out = str(tmp_path / "jvr")
+    envs = {
+        t: P.read_event_file(spark, os.path.join(d, f"{t}.jsonl"))
+        for t in ("customers", "orders")
+    }
+    IJV.apply_join_view_batch(spark, envs["customers"], "customers", out, 0)
+    IJV.apply_join_view_batch(spark, envs["orders"], "orders", out, 1)
+    want = _view(spark, out)
+    # guard path
+    IJV.apply_join_view_batch(spark, envs["orders"], "orders", out, 1)
+    assert _view(spark, out) == want
+    # tie-win full-path replay (new id, same events)
+    IJV.apply_join_view_batch(spark, envs["orders"], "orders", out, 2)
+    IJV.apply_join_view_batch(spark, envs["customers"], "customers", out, 3)
+    assert _view(spark, out) == want
+
+
+def _env_df(spark, topic, rows):
+    """rows: (key_json, value_json_or_None, partition, offset)"""
+    data = [
+        (k, v, topic, p, o, 1_700_000_000_000_000 + o)
+        for (k, v, p, o) in rows
+    ]
+    return spark.createDataFrame(data, P.ENVELOPE_DDL)
+
+
+def test_join_view_order_move_and_customer_delete(spark, tmp_path):
+    """An order UPDATE that moves the order to another customer must
+    refresh BOTH customers' gold rows; a customer tombstone must remove
+    its gold row while its orphaned orders contribute nowhere."""
+    out = str(tmp_path / "jvm")
+    cust = _env_df(spark, "customers", [
+        ('{"customer_id": 1}',
+         '{"customer_id": 1, "email": "a@x", "first_name": "A",'
+         ' "last_name": "A", "phone": "1"}', 0, 0),
+        ('{"customer_id": 2}',
+         '{"customer_id": 2, "email": "b@x", "first_name": "B",'
+         ' "last_name": "B", "phone": "2"}', 0, 1),
+    ])
+    orders0 = _env_df(spark, "orders", [
+        ('{"order_id": 10}',
+         '{"order_id": 10, "customer_id": 1, "order_date": 1700000000000000,'
+         ' "status": "new", "total_amount": "10.00",'
+         ' "shipping_address": "s"}', 0, 0),
+    ])
+    IJV.apply_join_view_batch(spark, cust, "customers", out, 0)
+    IJV.apply_join_view_batch(spark, orders0, "orders", out, 1)
+    v = {r[0]: r for r in _view(spark, out)}
+    assert v[1][2] == 1 and v[1][3] == 10.0   # customer 1 owns the order
+    assert v[2][2] == 0 and v[2][3] == 0.0
+
+    # move order 10 from customer 1 to customer 2
+    orders1 = _env_df(spark, "orders", [
+        ('{"order_id": 10}',
+         '{"order_id": 10, "customer_id": 2, "order_date": 1700000100000000,'
+         ' "status": "new", "total_amount": "10.00",'
+         ' "shipping_address": "s"}', 0, 1),
+    ])
+    IJV.apply_join_view_batch(spark, orders1, "orders", out, 2)
+    v = {r[0]: r for r in _view(spark, out)}
+    assert v[1][2] == 0 and v[1][3] == 0.0    # old side refreshed
+    assert v[2][2] == 1 and v[2][3] == 10.0   # new side refreshed
+
+    # tombstone customer 2: gold row disappears, orphan order contributes
+    # nowhere
+    cust_del = _env_df(spark, "customers", [
+        ('{"customer_id": 2}', None, 0, 2),
+    ])
+    IJV.apply_join_view_batch(spark, cust_del, "customers", out, 3)
+    v = {r[0]: r for r in _view(spark, out)}
+    assert set(v) == {1}
+    assert v[1][2] == 0 and v[1][3] == 0.0

@@ -124,6 +124,7 @@ COVERED_BY = {
     "cdc_state_asof_offset": "cdc_latest_state_orders",
     "cdc_diff_offsets": "cdc_latest_state_orders",
     "cdc_gold_customer_orders": "cdc_latest_state_orders",
+    "cdc_incremental_join_view": "cdc_incremental_agg_view",
     "cdc_ingest_sketch_summary": "cdc_changelog_stats",
     "cdc_hotkey_monitor": "cdc_changelog_stats",
     "join_salted_skew": "join_inner",
