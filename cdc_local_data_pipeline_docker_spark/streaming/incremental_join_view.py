@@ -38,6 +38,15 @@ recomputation (pytest-pinned).
 
 Oracle: the two-replay gold SQL (cdc/queries.CDC_GOLD_CUSTOMER_ORDERS
 _SQL) — maintained view ≡ full recompute, proving the delta machinery.
+
+Streaming deployment note: ``batch_id`` must be monotone across BOTH
+topics (the guard compares against one stored watermark), so a live
+deployment runs ONE multiplexed stream over both topics — the
+multi-topic single-query pattern ingest_stream.start_multi_topic_ingest
+already uses — whose single foreachBatch epoch sequence supplies the id
+and routes each topic's slice through apply_join_view_batch in turn.
+Two independent per-topic streams would interleave two id sequences and
+trip the guard; don't.
 """
 
 from __future__ import annotations
