@@ -743,3 +743,80 @@ FROM (SELECT len(string_split(text, ' ')) AS n_tokens FROM documents)
 GROUP BY 1, 2
 ORDER BY bucket_lo
 """
+
+
+# ---------------------------------------------------------------------------
+# OOV-rate quality scoring (CCNet-style vocabulary signal): the fraction
+# of a document's tokens outside the corpus's own top-K vocabulary — the
+# cheap LM-free proxy for "does this text look like the corpus" that
+# curation pipelines use to flag gibberish, boilerplate-mangled, and
+# wrong-language documents.
+# ---------------------------------------------------------------------------
+
+#: Vocabulary size: the K most frequent tokens (by total occurrences,
+#: ties broken by token text — deterministic in both engines).
+OOV_VOCAB_K = 100
+
+
+def text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_tokens, n_oov, oov_rate) per document, sorted: tokens
+    outside the corpus top-OOV_VOCAB_K vocabulary, counted per
+    OCCURRENCE. oov_rate is one integer/integer division — exact.
+
+    100 TB plan: token counts are a partial+final agg over exploded
+    tokens (token-sized shuffle rows); the top-K is TakeOrdered (never a
+    global sort) and BROADCASTS — K rows — so the per-doc scoring pass
+    is map-side: explode, broadcast hash anti-probe, per-doc count. In
+    production the vocabulary is computed once per corpus snapshot and
+    reused, exactly like the quantizers."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("tok").asc())
+        .limit(OOV_VOCAB_K)
+        .select("tok")
+    )
+    marked = toks.join(
+        F.broadcast(vocab.withColumn("in_vocab", F.lit(1))), "tok", "left"
+    )
+    return (
+        marked.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.col("in_vocab").isNull().cast("long")).alias("n_oov"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_oov",
+            (F.col("n_oov") / F.col("n_tokens")).alias("oov_rate"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+TEXT_OOV_RATE_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+vocab AS (
+  SELECT tok FROM (
+    SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok
+    ORDER BY cnt DESC, tok ASC LIMIT {OOV_VOCAB_K}
+  )
+),
+marked AS (
+  SELECT t.doc_id, v.tok IS NOT NULL AS in_vocab
+  FROM toks t LEFT JOIN vocab v USING (tok)
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(CASE WHEN in_vocab THEN 0 ELSE 1 END) AS BIGINT) AS n_oov,
+       CAST(SUM(CASE WHEN in_vocab THEN 0 ELSE 1 END) AS BIGINT)
+         / CAST(COUNT(*) AS BIGINT) AS oov_rate
+FROM marked
+GROUP BY doc_id
+ORDER BY doc_id
+"""

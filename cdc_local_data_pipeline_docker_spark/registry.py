@@ -559,6 +559,9 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         TX.corpus_length_histogram,
         TX.CORPUS_LENGTH_HISTOGRAM_SQL,
     ),
+    # OOV-rate quality signal vs the corpus top-K vocabulary
+    # (CCNet-style LM-free proxy; integer-exact ratio)
+    "text_oov_rate": (TX.text_oov_rate, TX.TEXT_OOV_RATE_SQL),
     # TF-IDF keyword extraction (log-free idf: exact integer-ratio score)
     "text_tfidf_top_terms": (
         TX.text_tfidf_top_terms,

@@ -158,6 +158,7 @@ COVERED_BY = {
     "text_bigram_top50": "text_profile",
     "corpus_chunk_windows": "explode_token_frequencies",
     "text_tfidf_top_terms": "explode_token_frequencies",
+    "text_oov_rate": "text_profile",
     "corpus_length_histogram": "text_profile",
     "corpus_prep_chunks": "dedup_span_coverage",
     "fn_string_pack": "fn_scalar_pack",
