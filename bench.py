@@ -84,6 +84,14 @@ OPTIONAL = [
     # cost; the plan itself executes in ~1 s.)
     "merge_into_orders_lowshuffle",
     "corpus_dedup_against_reference",
+    # round-7 additions (VERDICT r6 #6): the post-fix gold composition
+    # (AQE-chosen join, no forced broadcast) and one timeseries
+    # representative (MAD outliers — small result frame, so the timing
+    # is operator cost, not driver-side row materialization; the
+    # resample entry stays un-benched for the collect-artifact reason
+    # above)
+    "cdc_gold_customer_orders",
+    "events_mad_outliers",
 ]
 #: Entries whose wall time is sf-INVARIANT fixed machinery (measured
 #: identical at sf0.01 and sf0.1 across rounds 4-5): streaming
@@ -216,7 +224,20 @@ def main() -> None:
     }
     if scale_check is not None:
         payload["scale_check"] = scale_check
-    print(json.dumps(payload))
+    line = json.dumps(payload)
+    # the driver truncates BENCH_r{N} tails to the last ~2000 chars (ate
+    # the r5/r6 headline totals) — persist the full record alongside the
+    # stdout contract (VERDICT r6 #7); committed per round
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "bench_last.json"),
+            "w",
+        ) as f:
+            f.write(line + "\n")
+    except OSError:
+        pass  # read-only checkout: stdout still carries the record
+    print(line)
 
 
 def _calibration_probe(spark) -> float:

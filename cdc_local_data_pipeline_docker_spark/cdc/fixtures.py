@@ -118,8 +118,14 @@ def generate_table_events(
                     "status": rng.choice(_STATUSES),
                     "total_amount": f"{rng.randint(1000, 500000) / 100:.2f}",
                     "shipping_address": f"{i} Elm St"}
-        return {"order_item_id": i, "order_id": rng.randint(1, 2),
-                "product_id": rng.randint(1, 4), "quantity": rng.randint(1, 5),
+        # FK fan-out across the full key ranges the orders/products
+        # topics emit (ids 1-42 / 1-44): the gold rollup along the
+        # second FK edge (cdc_gold_order_lines) needs lines spread over
+        # many orders and products, including some whose parent later
+        # gets a tombstone — the original 1-2/1-4 ranges collapsed the
+        # gold table to two rows and never exercised a deleted parent.
+        return {"order_item_id": i, "order_id": rng.randint(1, 42),
+                "product_id": rng.randint(1, 44), "quantity": rng.randint(1, 5),
                 "unit_price": f"{rng.randint(100, 99999) / 100:.2f}",
                 "subtotal": f"{rng.randint(100, 99999) / 100:.2f}"}
 

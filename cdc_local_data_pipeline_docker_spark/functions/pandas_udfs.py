@@ -163,11 +163,17 @@ ORDER BY l_returnflag
 # sweep pins BatchEvalPython = 0 everywhere).
 # ---------------------------------------------------------------------------
 
-def _name_tag(name: str) -> str:
+def _name_tag(name: str) -> str | None:
     # per-row Python on purpose: the kind of branchy string logic legacy
-    # UDFs contain; exactly reproducible in SQL for the oracle
-    toks = name.split(" ") if name else []
-    return f"{len(toks)}-{toks[0].lower()}" if toks else "0-"
+    # UDFs contain; exactly reproducible in SQL for the oracle. NULL in
+    # yields NULL out — matching the oracle's `||` NULL propagation on
+    # ALL inputs, not just the never-null TPC-H names (ADVICE r6: the
+    # old '0-' fallback silently diverged on NULL); '' splits to ['']
+    # and tags '1-' in both engines.
+    if name is None:
+        return None
+    toks = name.split(" ")
+    return f"{len(toks)}-{toks[0].lower()}"
 
 
 def fn_arrow_udf(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -29,6 +29,7 @@ from .dedup import (
     _hashed_shingle_arrays,
     _jaccard_pairs,
     _scan_parallel,
+    anti_join_drop_ids,
 )
 from .text import STOPWORDS
 
@@ -87,7 +88,7 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # see dedup._exact_dup_drop_ids for the collision-exactness argument).
     # Output and oracle are unchanged.
     drop_exact = _exact_dup_drop_ids(kept.select("doc_id", "text"))
-    survivors = kept.join(F.broadcast(drop_exact), "doc_id", "left_anti")
+    survivors = anti_join_drop_ids(kept, drop_exact)
 
     # near-dup pairs among survivors via the shared pair generator
     # (dedup._jaccard_pairs: hashed posting-list self-join; arrs

@@ -140,6 +140,38 @@ def _exact_dup_drop_ids(corpus: DataFrame) -> DataFrame:
     )
 
 
+#: Broadcast gate for ids-only drop sets: row bound under which the
+#: drop-set side of an anti-join is hinted broadcast. 5M ids at ~16 B of
+#: row payload ≈ 80 MB serialized — far inside Spark's 8 GB broadcast
+#: hard limit with driver/executor headroom; past the bound the
+#: anti-join falls back to an id-keyed shuffle join (8-byte keys, still
+#: never text).
+DROP_SET_BROADCAST_MAX_ROWS = 5_000_000
+
+
+def anti_join_drop_ids(
+    corpus: DataFrame, drop_ids: DataFrame, key: str = "doc_id"
+) -> DataFrame:
+    """``corpus`` minus the ids-only ``drop_ids`` set, broadcast-hinted
+    only when the set is COUNTED small (ADVICE r6: drop-set size is
+    duplicate-count-proportional — usually tiny, but data-dependent, and
+    an unconditional hint OOMs the driver on a duplicate-heavy corpus).
+
+    The ids frame is persisted then counted — one extra ids-only job
+    whose cost is dwarfed by computing the drop set itself, and the
+    persisted partitions feed the join, so the drop-set plan still runs
+    once. Under the bound the corpus side never shuffles (broadcast
+    anti-join); over it the join degrades to id-keyed SMJ — slower,
+    never unsafe. Callers inside a registry query get cache release via
+    cache_scope like every other scoped persist."""
+    from ..plans.cache_scope import scoped_persist
+
+    drop_ids = scoped_persist(drop_ids.select(key))
+    if drop_ids.count() <= DROP_SET_BROADCAST_MAX_ROWS:
+        drop_ids = F.broadcast(drop_ids)
+    return corpus.join(drop_ids, key, "left_anti")
+
+
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact content dedup over a simulated re-crawl (corpus ∪ corpus).
 

@@ -39,6 +39,7 @@ from .dedup import (
     SHINGLE_N,
     _hashed_shingle_arrays,
     _scan_parallel,
+    anti_join_drop_ids,
 )
 
 #: Reference-corpus membership: doc_id % REF_MOD == 0.
@@ -104,7 +105,7 @@ def corpus_dedup_against_reference(
         .join(_hashed(ref).select("h", "m").distinct(), ["h", "m"], "left_semi")
         .select("doc_id")
     )
-    survivors1 = cand.join(F.broadcast(exact_drop), "doc_id", "left_anti")
+    survivors1 = anti_join_drop_ids(cand, exact_drop)
 
     # tier 2: near-dup vs the reference among tier-1 survivors
     cand_sh = scoped_persist(
@@ -116,7 +117,7 @@ def corpus_dedup_against_reference(
         .select(F.col("doc_a").alias("doc_id"))
         .distinct()
     )
-    survivors2 = survivors1.join(F.broadcast(near_drop), "doc_id", "left_anti")
+    survivors2 = anti_join_drop_ids(survivors1, near_drop)
 
     base = cand.groupBy("lang", "source").agg(
         F.count(F.lit(1)).alias("n_candidates")

@@ -36,6 +36,7 @@ from .llmops.dedup import (
     _exact_dup_drop_ids,
     _hashed_shingle_arrays,
     _jaccard_pairs,
+    anti_join_drop_ids,
 )
 from .plans.cache_scope import scoped_persist
 from .session import get_spark
@@ -60,7 +61,7 @@ def prepare_corpus(spark: SparkSession, sf_dir: str, out_dir: str) -> dict:
     # hash-keyed exact dedup (VERDICT r5 #1): the drop set is ids-only and
     # ∝ duplicate count, so the corpus side never shuffles for this stage
     drop_exact = _exact_dup_drop_ids(kept.select("doc_id", "text"))
-    survivors = kept.join(F.broadcast(drop_exact), "doc_id", "left_anti")
+    survivors = anti_join_drop_ids(kept, drop_exact)
     arrs = scoped_persist(
         _hashed_shingle_arrays(survivors.select("doc_id", "text"))
     )

@@ -66,7 +66,14 @@ def stream_state_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(600)
+        # awaitTermination returns False on timeout with the query still
+        # running — reading the checkpoint then would see a partial
+        # commit log (ADVICE r6). Stop and fail loudly instead.
+        if not q.awaitTermination(600):
+            q.stop()
+            raise TimeoutError(
+                "stream_state_snapshot: AvailableNow drain exceeded 600 s"
+            )
         pdf = (
             read_query_state(spark, ckpt)
             .select(

@@ -138,3 +138,72 @@ def test_join_view_order_move_and_customer_delete(spark, tmp_path):
     v = {r[0]: r for r in _view(spark, out)}
     assert set(v) == {1}
     assert v[1][2] == 0 and v[1][3] == 0.0
+
+
+def test_join_view_skewed_customer_refresh_stays_affected_sized(
+    spark, tmp_path
+):
+    """VERDICT r6 #8: hot-key fixture — one customer owns 90% of the
+    orders. The affected-keys recompute must NOT degrade to a full
+    recompute: a batch touching one COLD customer's order refreshes
+    exactly that customer's gold row (pinned via the state's
+    last_batch_id), and a batch touching the HOT customer refreshes only
+    the hot row — its cost is the hot customer's own state slice, which
+    IS the affected slice, never the whole table."""
+    out = str(tmp_path / "jvs")
+    n_cold = 10
+    cust = _env_df(spark, "customers", [
+        (f'{{"customer_id": {c}}}',
+         f'{{"customer_id": {c}, "email": "c{c}@x", "first_name": "F",'
+         f' "last_name": "L", "phone": "{c}"}}', 0, c)
+        for c in range(1, n_cold + 2)
+    ])
+
+    def _order(oid, cid, off, amount="10.00"):
+        return (
+            f'{{"order_id": {oid}}}',
+            f'{{"order_id": {oid}, "customer_id": {cid},'
+            f' "order_date": {1700000000000000 + oid},'
+            f' "status": "new", "total_amount": "{amount}",'
+            f' "shipping_address": "s"}}', 0, off,
+        )
+
+    # customer 1 (hot): orders 100-189; customers 2..11: one order each
+    rows = [_order(100 + i, 1, i) for i in range(90)]
+    rows += [_order(200 + c, c, 90 + c) for c in range(2, n_cold + 2)]
+    orders = _env_df(spark, "orders", rows)
+    IJV.apply_join_view_batch(spark, cust, "customers", out, 0)
+    IJV.apply_join_view_batch(spark, orders, "orders", out, 1)
+    v = {r[0]: r for r in _view(spark, out)}
+    assert v[1][2] == 90 and v[2][2] == 1
+
+    gold = os.path.join(out, "gold_view")
+
+    # cold-customer batch: exactly ONE gold row carries the new batch id
+    cold_upd = _env_df(
+        spark, "orders", [_order(202, 2, 101, amount="99.00")]
+    )
+    IJV.apply_join_view_batch(spark, cold_upd, "orders", out, 2)
+    raw = spark.read.parquet(gold)
+    touched = {
+        r.customer_id
+        for r in raw.filter(F.col("last_batch_id") == 2).collect()
+    }
+    assert touched == {2}
+    v = {r[0]: r for r in _view(spark, out)}
+    assert v[2][3] == 99.0 and v[1][2] == 90  # hot row untouched
+
+    # hot-customer batch: only the hot row refreshes — affected-sized,
+    # even though that customer owns 90% of the order state
+    hot_upd = _env_df(
+        spark, "orders", [_order(100, 1, 102, amount="55.00")]
+    )
+    IJV.apply_join_view_batch(spark, hot_upd, "orders", out, 3)
+    raw = spark.read.parquet(gold)
+    touched = {
+        r.customer_id
+        for r in raw.filter(F.col("last_batch_id") == 3).collect()
+    }
+    assert touched == {1}
+    v = {r[0]: r for r in _view(spark, out)}
+    assert v[1][2] == 90 and v[1][3] == 10.0 * 89 + 55.0

@@ -591,6 +591,31 @@ def test_semdedup_cell_count_is_scale_adaptive():
     assert f(10**9) == SIM.IVF_TRAIN_CAP // 4
 
 
+def test_ivf_ann_cell_count_is_scale_adaptive():
+    """VERDICT r6 #3: the IVF ANN quantizer gets the same adaptive
+    treatment as its SemDeDup sibling — constant 16 cells at every test
+    sf (measured recall floors unchanged), cells ≈ N/target beyond, so
+    the per-query candidate set stays ≈ nprobe·target rows and the
+    SCANNED FRACTION shrinks with N instead of sitting at 25%."""
+    f = SIM._ivf_cells_for
+    assert f(500) == SIM.IVF_CELLS
+    assert f(2_000) == SIM.IVF_CELLS
+    assert f(8_000) == SIM.IVF_CELLS
+    assert f(1_000_000) == 2_000
+    assert f(10**9) == SIM.IVF_TRAIN_CAP // 4
+    # the index property itself: candidate fraction nprobe/cells shrinks
+    for n_small, n_big in ((10_000, 100_000), (100_000, 1_000_000)):
+        frac = lambda n: SIM.IVF_NPROBE / f(n)
+        assert frac(n_big) < frac(n_small)
+    # and the absolute candidate count stays ~constant in the scaling
+    # regime below the training cap (beyond cells*target = 2.5M vectors
+    # the cap holds cells at TRAIN_CAP//4 and the documented move is
+    # hierarchical per-shard quantization)
+    for n in (100_000, 1_000_000, 2_500_000):
+        cand = SIM.IVF_NPROBE * n / f(n)
+        assert cand <= SIM.IVF_NPROBE * SIM.IVF_CELL_TARGET * 1.01
+
+
 def test_embedding_sampled_contract_sentinel_on_empty_slice(spark, tmp_path):
     """ADVICE r5: when the audit slice contains zero exact duplicate
     pairs, the contract must still emit its booleans (as a sentinel row)

@@ -946,3 +946,21 @@ def test_span_coverage_shuffles_hashed_gram_keys(spark, sf_dir):
     ]
     assert gram_ex, plan
     assert all(re.search(r"gram#\d+L", ln) for ln in gram_ex), gram_ex
+
+
+def test_gold_customer_orders_has_no_forced_join_strategy(spark, sf_dir):
+    """VERDICT r6 #1 regression pin: the customers⋈rollup join in
+    cdc_gold_customer_orders must carry NO join-strategy hint — the
+    per-customer rollup has customer-dim cardinality, so a forced
+    broadcast would exceed the 8 GB broadcast limit at 100 TB. AQE may
+    still CHOOSE a broadcast at fixture scale (fine: that is a runtime
+    size decision); what must not appear is a hint in the optimized
+    logical plan."""
+    from cdc_local_data_pipeline_docker_spark.cdc.queries import (
+        cdc_gold_customer_orders,
+    )
+
+    df = cdc_gold_customer_orders(spark, sf_dir)
+    optimized = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "strategy=broadcast" not in optimized, optimized
+    assert "UnresolvedHint" not in optimized, optimized

@@ -13,25 +13,29 @@ from cdc_local_data_pipeline_docker_spark.registry import GRADED_WINDOW, REGISTR
 MUST_BE_GRADED = {
     # reference-parity CDC surface
     "cdc_latest_state_orders", "cdc_reference_projection", "cdc_changelog_stats",
-    "cdc_scd2_orders",
     # Structured Streaming
     "stream_tumbling_agg", "stream_session_agg", "stream_dedup_events",
     "stream_stateful_user_totals",
     # events analytics
-    "events_tumbling_agg", "events_sessionize", "events_asof_last_view",
+    "events_tumbling_agg", "events_asof_last_view",
     # advanced / temporal / SQL-surface
     "grouping_sets_status_priority", "sql_correlated_subquery",
-    "window_range_frame", "agg_minby_maxby", "agg_pivot_status",
-    "agg_salted_two_stage", "explode_token_frequencies", "set_ops_bag_semantics",
+    "agg_pivot_status",
+    "agg_salted_two_stage", "explode_token_frequencies",
     # pandas-UDF surface
     "fn_pandas_normalize", "fn_pandas_group_rank",
     # round-2 canonicalizer/HUGEINT fix proofs
     "agg_approx", "multimodal_feature_extract",
     "multimodal_metadata_stats", "fn_collection_pack",
     # round-5 flagship operators rotated into the window in round 6
-    # (VERDICT r5 #2): MERGE, IVM, span-level dedup, SemDeDup contract
-    "merge_into_orders", "cdc_incremental_agg_view",
-    "dedup_span_coverage", "dedup_semantic_contract",
+    # (VERDICT r5 #2): MERGE, IVM, span-level dedup
+    "merge_into_orders", "cdc_incremental_agg_view", "dedup_span_coverage",
+    # round-6 flagships + FK-chain gold pair rotated in / added in
+    # round 7 (VERDICT r6 #2/#4/#5)
+    "merge_into_orders_lowshuffle", "cdc_gold_customer_orders",
+    "cdc_incremental_join_view", "events_resample_interpolate",
+    "cdc_gold_order_lines", "cdc_incremental_order_lines_view",
+    "dedup_semantic_contract_sampled",
     # family packs (each the graded representative of its family)
     "filter_pack", "window_analytics_pack", "set_ops_pack", "fn_scalar_pack",
     "text_profile",
@@ -39,6 +43,14 @@ MUST_BE_GRADED = {
 
 #: past-window entry -> its graded sibling (same operator family).
 COVERED_BY = {
+    # rotated out of the window in round 7 (VERDICT r6 #4/#5)
+    "cdc_scd2_orders": "cdc_latest_state_orders",
+    "events_sessionize": "stream_session_agg",
+    "window_range_frame": "window_analytics_pack",
+    "agg_minby_maxby": "agg_grouped",
+    "set_ops_bag_semantics": "set_ops_pack",
+    "dedup_exact": "dedup_ngram_jaccard",
+    "dedup_semantic_contract": "dedup_semantic_contract_sampled",
     # rotated out of the window in round 6 (VERDICT r5 #2)
     "events_rollup_reuse": "events_tumbling_agg",
     "join_left_outer": "join_inner",
@@ -109,7 +121,6 @@ COVERED_BY = {
     "validate_orders": "join_anti",
     "customer_features": "agg_grouped",
     "events_daily_gapfill": "events_tumbling_agg",
-    "events_resample_interpolate": "events_tumbling_agg",
     "events_mad_outliers": "events_tumbling_agg",
     "events_value_winsorize": "events_tumbling_agg",
     "fn_pandas_grouped_agg": "fn_pandas_group_rank",
@@ -123,12 +134,9 @@ COVERED_BY = {
     "multimodal_resize": "multimodal_feature_extract",
     "cdc_state_asof_offset": "cdc_latest_state_orders",
     "cdc_diff_offsets": "cdc_latest_state_orders",
-    "cdc_gold_customer_orders": "cdc_latest_state_orders",
-    "cdc_incremental_join_view": "cdc_incremental_agg_view",
     "cdc_ingest_sketch_summary": "cdc_changelog_stats",
     "cdc_hotkey_monitor": "cdc_changelog_stats",
     "join_salted_skew": "join_inner",
-    "merge_into_orders_lowshuffle": "merge_into_orders",
     "dedup_minhash_lsh_pairs": "dedup_minhash_lsh",
     "dedup_ngram_jaccard_capped": "dedup_ngram_jaccard",
     "dedup_minhash_lsh_contract_sampled": "dedup_minhash_lsh",
@@ -137,8 +145,7 @@ COVERED_BY = {
     "dedup_embedding_cosine": "ann_cosine_topk",
     "dedup_embedding_lsh": "ann_cosine_topk",
     "dedup_embedding_lsh_contract": "ann_cosine_topk",
-    "dedup_semantic": "dedup_semantic_contract",
-    "dedup_semantic_contract_sampled": "dedup_semantic_contract",
+    "dedup_semantic": "dedup_semantic_contract_sampled",
     "corpus_semantic_decontaminate": "ann_cosine_topk",
     "ann_lsh_topk": "ann_cosine_topk",
     "ann_lsh_topk_contract": "ann_cosine_topk",
