@@ -382,7 +382,10 @@ def cdc_gold_customer_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer_id when the rollup outgrows the threshold; both sides are
     already customer_id-partitioned after the groupBy, so the shuffle
     form adds one exchange on the dim side only. A plan test pins that
-    the logical plan carries no join-strategy hint."""
+    the logical plan carries no join-strategy hint, and the 100 TB
+    endgame — both latest-states bucketed on customer_id, refresh plans
+    with ZERO Exchange — is demonstrated in
+    test_gold_refresh_on_bucketed_silver_is_exchange_free."""
     d = ensure_fixtures()
     cust = latest_state(
         P.parse_events(

@@ -111,11 +111,11 @@ def _exact_dup_drop_ids(corpus: DataFrame) -> DataFrame:
     (doc_id, xxhash64, md5) ≈ 44 B/row — never text.
 
     The returned frame is ids-only and proportional to the number of
-    duplicate documents; callers broadcast it into a left_anti so the
-    corpus side never shuffles for the dedup at all. (For a pathological
-    corpus that is mostly duplicates, drop the broadcast hint and the
-    anti-join degrades to an id-keyed SMJ — still 8-byte keys, still
-    never text-keyed.)
+    duplicate documents; callers consume it through
+    ``anti_join_drop_ids``, which COUNTS the set and broadcasts only
+    under DROP_SET_BROADCAST_MAX_ROWS — a pathological mostly-duplicate
+    corpus degrades to an id-keyed SMJ (still 8-byte keys, still never
+    text) instead of OOMing the driver (ADVICE r6).
 
     Group identity is the JOINT key (xxhash64, md5): same text always
     lands in one group (no false splits, ever), and a false merge needs

@@ -57,6 +57,10 @@ def main(argv: list[str] | None = None) -> int:
                     help="also maintain the incrementally-updated grouped "
                          "aggregate view (streaming/incremental_view.py; "
                          "tables with a VIEW_SPECS entry) and report it")
+    ap.add_argument("--gold-views", action="store_true",
+                    help="also maintain BOTH multi-topic gold join views "
+                         "(customers⋈orders and order_items⋈products) via "
+                         "the multiplexed IVM streams and report them")
     args = ap.parse_args(argv)
 
     tables = [t.strip() for t in args.tables.split(",") if t.strip()]
@@ -152,7 +156,37 @@ def main(argv: list[str] | None = None) -> int:
     else:
         report = [run_one(t) for t in tables]
 
-    print(json.dumps({"tables": report}))
+    payload = {"tables": report}
+    if args.gold_views:
+        from .streaming.incremental_join_view import (
+            read_join_view,
+            start_join_view_stream,
+        )
+        from .streaming.incremental_order_lines_view import (
+            read_order_lines_view,
+            start_order_lines_view_stream,
+        )
+
+        def _json_rows(df):
+            return sorted(
+                (
+                    {k: (str(v) if hasattr(v, "isoformat") else v)
+                     for k, v in r.asDict().items()}
+                    for r in df.collect()
+                ),
+                key=lambda d: str(d),
+            )
+
+        start_join_view_stream(spark, events_dir, args.out_dir)
+        start_order_lines_view_stream(spark, events_dir, args.out_dir)
+        payload["gold_customer_orders"] = _json_rows(
+            read_join_view(spark, args.out_dir)
+        )
+        payload["gold_order_lines"] = _json_rows(
+            read_order_lines_view(spark, args.out_dir)
+        )
+
+    print(json.dumps(payload))
     return 0
 
 

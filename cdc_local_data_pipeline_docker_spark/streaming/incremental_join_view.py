@@ -46,7 +46,9 @@ multi-topic single-query pattern ingest_stream.start_multi_topic_ingest
 already uses — whose single foreachBatch epoch sequence supplies the id
 and routes each topic's slice through apply_join_view_batch in turn.
 Two independent per-topic streams would interleave two id sequences and
-trip the guard; don't.
+trip the guard; don't. This wiring is EXECUTABLE here as
+``start_join_view_stream`` (epoch → per-topic monotone sub-ids; see
+``start_multiplexed_view_stream``), checkpoint-resume tested.
 """
 
 from __future__ import annotations
@@ -224,6 +226,81 @@ def apply_join_view_batch(
     # window between the two replays idempotently (module docstring)
     _swap(topic_state.coalesce(1), topic_path, batch_id)
     _swap(new_gold.coalesce(1), gpath, batch_id)
+
+
+def start_multiplexed_view_stream(
+    spark: SparkSession,
+    event_dir: str,
+    out_dir: str,
+    topics: tuple[str, ...],
+    apply_fn,
+    checkpoint_name: str,
+):
+    """The module docstring's deployment note made EXECUTABLE: one
+    Structured Streaming query over every topic's envelope files (the
+    ``*.jsonl`` glob stands in for Kafka ``subscribePattern``), whose
+    single foreachBatch epoch sequence drives ALL per-topic delta
+    applications.
+
+    The batch-id guard compares one stored watermark, so the epoch id
+    is fanned into a per-topic MONOTONE sub-id: ``epoch*len(topics) +
+    topic_index`` with a fixed routing order. A crash mid-epoch (topic 0
+    applied, topic 1 not) replays the epoch: sub-id 0 is skipped by the
+    guard, sub-id 1 applies — exactly the idempotence the two-swap crash
+    model already proves per batch. Empty topic slices are skipped (an
+    empty slice is empty on replay too, and the guard is <=, so gaps in
+    the sub-id sequence are harmless).
+
+    Shared by the customers⋈orders view and the order_items⋈products
+    view (incremental_order_lines_view) — same routing, different
+    ``apply_fn``/``topics``."""
+    env = spark.readStream.schema(P.ENVELOPE_DDL).json(
+        os.path.join(event_dir, "*.jsonl")
+    )
+
+    def _route(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_df.persist()
+        try:
+            for i, t in enumerate(topics):
+                sl = batch_df.filter(F.col("topic").endswith(f".{t}"))
+                if sl.isEmpty():
+                    continue
+                apply_fn(
+                    batch_df.sparkSession,
+                    sl,
+                    t,
+                    out_dir,
+                    epoch_id * len(topics) + i,
+                )
+        finally:
+            batch_df.unpersist()
+
+    q = (
+        env.writeStream.foreachBatch(_route)
+        .option(
+            "checkpointLocation", os.path.join(out_dir, checkpoint_name)
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
+def start_join_view_stream(
+    spark: SparkSession, event_dir: str, out_dir: str
+):
+    """Drain available customers/orders change events through the
+    join-view maintainer via ONE multiplexed stream (AvailableNow,
+    checkpointed — incremental: a later call picks up only new files)."""
+    return start_multiplexed_view_stream(
+        spark,
+        event_dir,
+        out_dir,
+        ("customers", "orders"),
+        apply_join_view_batch,
+        "_checkpoints_join_view",
+    )
 
 
 def read_join_view(spark: SparkSession, out_dir: str) -> DataFrame:

@@ -195,6 +195,25 @@ def apply_order_lines_batch(
     _swap(new_gold.coalesce(1), gpath, batch_id)
 
 
+def start_order_lines_view_stream(
+    spark: SparkSession, event_dir: str, out_dir: str
+):
+    """Drain available order_items/products change events through the
+    order-lines maintainer via ONE multiplexed stream (see
+    incremental_join_view.start_multiplexed_view_stream for the epoch →
+    per-topic sub-id routing and its crash/replay argument)."""
+    from .incremental_join_view import start_multiplexed_view_stream
+
+    return start_multiplexed_view_stream(
+        spark,
+        event_dir,
+        out_dir,
+        ("order_items", "products"),
+        apply_order_lines_batch,
+        "_checkpoints_order_lines_view",
+    )
+
+
 def read_order_lines_view(spark: SparkSession, out_dir: str) -> DataFrame:
     return spark.read.parquet(_path(out_dir, "lines_gold_view")).select(
         "order_id",

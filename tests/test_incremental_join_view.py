@@ -207,3 +207,35 @@ def test_join_view_skewed_customer_refresh_stays_affected_sized(
     assert touched == {1}
     v = {r[0]: r for r in _view(spark, out)}
     assert v[1][2] == 90 and v[1][3] == 10.0 * 89 + 55.0
+
+
+def test_join_view_multiplexed_stream_and_checkpoint_resume(
+    spark, tmp_path
+):
+    """The deployment wiring, end to end: ONE Structured Streaming query
+    over both topics' files maintains the join view (epoch → per-topic
+    monotone sub-ids), and a SECOND drain after a new orders file lands
+    picks up only the new events via the checkpoint and leaves the view
+    ≡ full recompute over everything seen."""
+    import shutil
+
+    d = ensure_fixtures()
+    in_dir = tmp_path / "stream_in"
+    in_dir.mkdir()
+    out = str(tmp_path / "jv_stream")
+    # split the orders changelog: first 30 events now, the rest later
+    with open(os.path.join(d, "orders.jsonl")) as f:
+        order_lines = f.readlines()
+    shutil.copy(os.path.join(d, "customers.jsonl"), in_dir / "customers.jsonl")
+    (in_dir / "orders_a.jsonl").write_text("".join(order_lines[:30]))
+
+    IJV.start_join_view_stream(spark, str(in_dir), out)
+    # partial view: only the first 30 order events are folded in
+    partial = _view(spark, out)
+    assert partial  # customers exist; rollup reflects the partial stream
+
+    # second drain: the remaining order events land as a new file
+    (in_dir / "orders_b.jsonl").write_text("".join(order_lines[30:]))
+    IJV.start_join_view_stream(spark, str(in_dir), out)
+    assert _view(spark, out) == _full_recompute(spark)
+    assert _view(spark, out) != partial or len(order_lines) <= 30

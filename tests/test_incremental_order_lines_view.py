@@ -158,3 +158,18 @@ def test_order_lines_dim_fanout_and_deletes(spark, tmp_path):
     OLV.apply_order_lines_batch(spark, idel, "order_items", out, 4)
     v = {r[0]: r for r in _view(spark, out)}
     assert set(v) == {10}
+
+
+def test_order_lines_multiplexed_stream_matches_recompute(spark, tmp_path):
+    """One multiplexed stream over order_items+products files maintains
+    the order-lines view ≡ full recompute (AvailableNow drain)."""
+    import shutil
+
+    d = ensure_fixtures()
+    in_dir = tmp_path / "stream_in"
+    in_dir.mkdir()
+    for t in ("order_items", "products"):
+        shutil.copy(os.path.join(d, f"{t}.jsonl"), in_dir / f"{t}.jsonl")
+    out = str(tmp_path / "olv_stream")
+    OLV.start_order_lines_view_stream(spark, str(in_dir), out)
+    assert _view(spark, out) == _full_recompute(spark)

@@ -246,3 +246,44 @@ def test_run_pipeline_agg_view_flag(spark, tmp_path, capsys):
     }
     got = {d["status"]: (d["n_rows"], float(d["total_amount_sum"])) for d in view}
     assert got == want
+
+
+def test_run_pipeline_gold_views_flag(spark, tmp_path, capsys):
+    """--gold-views maintains BOTH multi-topic gold join views via the
+    multiplexed IVM streams and reports them; values equal the two-replay
+    recompute queries."""
+    import json
+
+    from cdc_local_data_pipeline_docker_spark import run_pipeline as RP
+    from cdc_local_data_pipeline_docker_spark.cdc.queries import (
+        cdc_gold_customer_orders,
+        cdc_gold_order_lines,
+    )
+
+    out = str(tmp_path / "wh")
+    rc = RP.main(["--out-dir", out, "--gold-views"])
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+    got_cust = {
+        d["customer_id"]: (d["n_orders"], round(d["total_spend"], 2))
+        for d in rep["gold_customer_orders"]
+    }
+    want_cust = {
+        r.customer_id: (r.n_orders, round(r.total_spend, 2))
+        for r in cdc_gold_customer_orders(spark, "unused").collect()
+    }
+    assert got_cust == want_cust
+
+    got_lines = {
+        d["order_id"]: (d["n_lines"], d["total_units"],
+                        round(d["order_subtotal"], 2), d["n_products"],
+                        d["n_categories"])
+        for d in rep["gold_order_lines"]
+    }
+    want_lines = {
+        r.order_id: (r.n_lines, r.total_units, round(r.order_subtotal, 2),
+                     r.n_products, r.n_categories)
+        for r in cdc_gold_order_lines(spark, "unused").collect()
+    }
+    assert got_lines == want_lines
