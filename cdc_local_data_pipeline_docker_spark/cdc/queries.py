@@ -592,3 +592,99 @@ LEFT JOIN products_live p USING (product_id)
 GROUP BY i.order_id
 ORDER BY i.order_id
 """
+
+
+def cdc_fk_integrity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit across the CDC topics — one row per
+    FK edge of the reference schema (orders→customers init.sql:29,
+    order_items→orders/products init.sql:41-42) with live-child and
+    orphan counts. CDC streams deliver per-table, so a parent DELETE is
+    visible before (or without) its children's — the warehouse-side
+    check every CDC consumer runs after a sync, and the reference's
+    count-based verification (U8) upgraded from per-table row counts to
+    cross-table consistency.
+
+    Scale: each edge is one anti-join of a child latest-state projection
+    (child pk + FK, 8-16 bytes/row) against the parent's pk set; AQE
+    broadcasts bounded parent sides (customers/products dims), the
+    orders⋈order_items edge shuffles on the natural key. Counts
+    aggregate map-side."""
+    d = ensure_fixtures()
+
+    def _state(table):
+        return latest_state(
+            P.parse_events(
+                P.read_event_file(spark, os.path.join(d, f"{table}.jsonl")),
+                table,
+            ),
+            table,
+        )
+
+    cust = _state("customers").select("customer_id")
+    ords = _state("orders").select("order_id", "customer_id")
+    items = _state("order_items").select(
+        "order_item_id", "order_id", "product_id"
+    )
+    prods = _state("products").select("product_id")
+
+    def _edge(name, child, fk, parent):
+        n = child.agg(F.count(F.lit(1)).alias("n"))
+        orphans = child.join(parent, fk, "left_anti").agg(
+            F.count(F.lit(1)).alias("o")
+        )
+        return n.crossJoin(orphans).select(
+            F.lit(name).alias("fk_edge"),
+            F.col("n").alias("n_child_rows"),
+            F.col("o").alias("n_orphans"),
+        )
+
+    return (
+        _edge("order_items->orders", items, "order_id",
+              ords.select("order_id"))
+        .unionByName(
+            _edge("order_items->products", items, "product_id", prods)
+        )
+        .unionByName(
+            _edge("orders->customers", ords.select("customer_id"),
+                  "customer_id", cust)
+        )
+        .orderBy("fk_edge")
+    )
+
+
+CDC_FK_INTEGRITY_REPORT_SQL = f"""
+WITH {_latest_state_cte("customers", "customer_id", '''
+         CAST(json_extract_string(v, '$.customer_id') AS INT)
+           AS customer_id''')},
+{_latest_state_cte("orders", "order_id", '''
+         CAST(json_extract_string(v, '$.order_id') AS INT) AS order_id,
+         CAST(json_extract_string(v, '$.customer_id') AS INT)
+           AS customer_id''')},
+{_latest_state_cte("order_items", "order_item_id", '''
+         CAST(json_extract_string(v, '$.order_item_id') AS INT)
+           AS order_item_id,
+         CAST(json_extract_string(v, '$.order_id') AS INT) AS order_id,
+         CAST(json_extract_string(v, '$.product_id') AS INT)
+           AS product_id''')},
+{_latest_state_cte("products", "product_id", '''
+         CAST(json_extract_string(v, '$.product_id') AS INT)
+           AS product_id''')}
+SELECT 'order_items->orders' AS fk_edge,
+       (SELECT COUNT(*) FROM order_items_live) AS n_child_rows,
+       (SELECT COUNT(*) FROM order_items_live i
+        WHERE NOT EXISTS (SELECT 1 FROM orders_live o
+                          WHERE o.order_id = i.order_id)) AS n_orphans
+UNION ALL
+SELECT 'order_items->products',
+       (SELECT COUNT(*) FROM order_items_live),
+       (SELECT COUNT(*) FROM order_items_live i
+        WHERE NOT EXISTS (SELECT 1 FROM products_live p
+                          WHERE p.product_id = i.product_id))
+UNION ALL
+SELECT 'orders->customers',
+       (SELECT COUNT(*) FROM orders_live),
+       (SELECT COUNT(*) FROM orders_live o
+        WHERE NOT EXISTS (SELECT 1 FROM customers_live c
+                          WHERE c.customer_id = o.customer_id))
+ORDER BY fk_edge
+"""

@@ -479,6 +479,12 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # offset-to-offset state diff: per-key insert/delete/update report
     # with old and new images ("what changed since the last sync?")
     "cdc_diff_offsets": (CDC.cdc_diff_offsets, CDC.CDC_DIFF_OFFSETS_SQL),
+    # referential-integrity audit across all three FK edges (U8 upgraded
+    # from per-table counts to cross-table consistency; r7)
+    "cdc_fk_integrity_report": (
+        CDC.cdc_fk_integrity_report,
+        CDC.CDC_FK_INTEGRITY_REPORT_SQL,
+    ),
     "cdc_ingest_sketch_summary": (
         SKS.cdc_ingest_sketch_summary,
         SKS.CDC_INGEST_SKETCH_SUMMARY_SQL,

@@ -1143,3 +1143,35 @@ def test_ann_ivf_adaptive_cells_beyond_floor(spark, tmp_path):
     }
     recall = len(ivf & brute) / len(brute)
     assert recall >= SIM.ANN_IVF_RECALL_BOUND, f"recall = {recall:.2f}"
+
+
+def test_anti_join_drop_ids_gate_degrades_to_shuffle_join(spark, monkeypatch):
+    """ADVICE r6: the drop-set broadcast hint is size-GATED. Under the
+    bound the anti-join broadcasts (corpus never shuffles); over it —
+    forced here by shrinking the bound to 0 — the hint is withheld, the
+    join degrades to an id-keyed non-broadcast plan, and the RESULT is
+    identical. A duplicate-heavy corpus can slow down, never OOM."""
+    from cdc_local_data_pipeline_docker_spark.llmops import dedup as DD
+    from cdc_local_data_pipeline_docker_spark.plans import audit as A
+
+    corpus = spark.createDataFrame(
+        [(i, f"text {i % 3}") for i in range(30)], ["doc_id", "text"]
+    )
+    drop = DD._exact_dup_drop_ids(corpus)
+
+    hinted = DD.anti_join_drop_ids(corpus, drop)
+    hp = A.formatted_plan(hinted)
+    assert A.count(hp, "BroadcastHashJoin") >= 1, hp
+
+    monkeypatch.setattr(DD, "DROP_SET_BROADCAST_MAX_ROWS", 0)
+    saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plain = DD.anti_join_drop_ids(corpus, drop)
+        pp = A.formatted_plan(plain)
+        assert A.count(pp, "BroadcastHashJoin") == 0, pp
+        assert sorted(r.doc_id for r in plain.collect()) == sorted(
+            r.doc_id for r in hinted.collect()
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
