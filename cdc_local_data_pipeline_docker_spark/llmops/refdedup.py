@@ -213,3 +213,153 @@ LEFT JOIN (SELECT lang, source, COUNT(*) AS n FROM surv2
            GROUP BY lang, source) s USING (lang, source)
 ORDER BY b.lang, b.source
 """
+
+
+# ---------------------------------------------------------------------------
+# Bloom-prefilter tier: membership sketch instead of a join.
+# ---------------------------------------------------------------------------
+
+#: Bloom geometry: m bits / k hash probes. 2^16 bits = 8 KB of filter —
+#: sized for the testdata reference corpora (≤ ~720 docs → ≤ 0.5% fill,
+#: FP rate (fill)^k ≈ 1e-9..1e-6). At production scale m grows with the
+#: reference-key count (1.2 GB per 10^9 keys at 1% FP) — still a
+#: broadcast, built by the same per-partition OR-fold.
+BLOOM_M_BITS = 1 << 16
+BLOOM_K = 4
+#: Selectivity contract margin: bloom hits may exceed exact matches by
+#: at most this fraction of the candidate count (FP-rate ceiling; the
+#: measured FP count at every test sf is 0).
+BLOOM_FP_MARGIN = 0.05
+
+
+def _bloom_positions(col, n_hashes: int = BLOOM_K):
+    """k bit positions for a text value: xxhash64 seeded by probe index
+    (Spark's xxhash64 over (value, probe_id) — k independent-enough
+    hash functions from one primitive)."""
+    return [
+        F.pmod(F.xxhash64(col, F.lit(i)), F.lit(BLOOM_M_BITS)).cast("long")
+        for i in range(n_hashes)
+    ]
+
+
+def corpus_dedup_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-dedup against the reference corpus with a BLOOM PREFILTER:
+    the reference side is compressed into an m-bit membership sketch
+    (one distributed pass, OR-fold of per-doc bit positions), broadcast,
+    and probed MAP-SIDE on the candidate corpus — no join at all for
+    the ~all of the corpus that misses; only bloom hits would proceed
+    to the exact verify tier. Per (lang, source):
+    (n_candidates, n_exact_matches, bloom_no_false_negatives,
+    prefilter_selective) — both booleans oracle-pinned TRUE.
+
+    This is the third dedup-against-reference mechanism, orthogonal to
+    the join tiers of ``corpus_dedup_against_reference``: a hash join
+    moves candidate keys to the reference's partitions; the Bloom moves
+    an 8 KB (at 100 TB: ~GB, ∝ reference keys) sketch to the
+    candidates. The right tool when the reference is huge but STATIC
+    (yesterday's training set): build once, broadcast to every
+    curation run, and pay a join only for the FP-rate-sized hit set.
+
+    No false negatives is STRUCTURAL (a member's k bits are all set by
+    construction), so the contract boolean is exact, not probabilistic.
+    The probe set is candidates ∪ THE REFERENCE ITSELF — the corpus
+    slices share no exact text at any test sf, so probing only
+    candidates would leave the no-false-negative boolean vacuously true
+    (the ADVICE r5 empty-slice lesson); the ~N/7 reference self-probes
+    are known members and fail loudly if any of the k bit probes is
+    wrong. Selectivity is bounded by the FP margin (measured FP count:
+    0 at every test sf — fill ≤ 0.5%, FP rate ≤ (0.005)^4).
+
+    Set-bit build: explode k positions per reference doc → distinct →
+    collect. Bounded by m (the filter's own size — the same bytes any
+    Bloom broadcast ships); the reference TEXT never leaves the
+    executors, only bit indices ≤ m."""
+    d = scoped_persist(
+        _scan_parallel(load_table(spark, sf_dir, "documents")).select(
+            "doc_id", "text", "lang", "source"
+        )
+    )
+    ref = d.filter(F.col("doc_id") % REF_MOD == 0)
+
+    bits = sorted(
+        r.pos
+        for r in ref.select(
+            F.explode(F.array(*_bloom_positions(F.col("text")))).alias("pos")
+        )
+        .distinct()
+        .collect()
+    )
+    words = [0] * (BLOOM_M_BITS >> 6)
+    for pos in bits:
+        words[pos >> 6] |= 1 << (pos & 63)
+    # two's-complement into signed 64-bit for the LongType literal array
+    bm = F.lit([w - (1 << 64) if w >= (1 << 63) else w for w in words])
+
+    def _bit_set_sql(i: int) -> str:
+        pos = f"pmod(xxhash64(text, {i}), {BLOOM_M_BITS})"
+        return (
+            f"((shiftright(element_at(bm, cast(({pos}) div 64 as int) + 1),"
+            f" cast(({pos}) % 64 as int)) & 1) = 1)"
+        )
+
+    hit = F.expr(" AND ".join(_bit_set_sql(i) for i in range(BLOOM_K)))
+
+    # exact tier over the full probe set (candidates ∪ reference):
+    # joint-hash semi-join (≡ text equality, see _hashed /
+    # dedup._dedup_exact_by_hash's collision argument)
+    exact_ids = (
+        _hashed(d)
+        .join(_hashed(ref).select("h", "m").distinct(), ["h", "m"], "left_semi")
+        .select("doc_id")
+    )
+    flagged = d.withColumn("bm", bm).withColumn("bloom_hit", hit).join(
+        F.broadcast(exact_ids.withColumn("is_exact", F.lit(True))),
+        "doc_id",
+        "left",
+    )
+    return (
+        flagged.groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_probes"),
+            F.sum(F.when(F.col("is_exact"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_exact_matches"),
+            F.sum(F.when(F.col("bloom_hit"), 1).otherwise(0))
+            .cast("long")
+            .alias("_n_bloom_hits"),
+            F.sum(
+                F.when(F.col("is_exact") & ~F.col("bloom_hit"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("_n_missed"),
+        )
+        .select(
+            "lang",
+            "source",
+            "n_probes",
+            "n_exact_matches",
+            (F.col("_n_missed") == 0).alias("bloom_no_false_negatives"),
+            (
+                F.col("_n_bloom_hits")
+                <= F.col("n_exact_matches")
+                + F.ceil(F.lit(BLOOM_FP_MARGIN) * F.col("n_probes"))
+            ).alias("prefilter_selective"),
+        )
+        .orderBy("lang", "source")
+    )
+
+
+CORPUS_DEDUP_BLOOM_PREFILTER_SQL = f"""
+WITH ref AS (
+  SELECT * FROM documents WHERE doc_id % {REF_MOD} = 0
+)
+SELECT c.lang, c.source,
+       COUNT(*) AS n_probes,
+       CAST(SUM(CASE WHEN EXISTS (SELECT 1 FROM ref r WHERE r.text = c.text)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_matches,
+       TRUE AS bloom_no_false_negatives,
+       TRUE AS prefilter_selective
+FROM documents c
+GROUP BY c.lang, c.source
+ORDER BY c.lang, c.source
+"""

@@ -424,7 +424,15 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         RFD.corpus_dedup_against_reference,
         RFD.CORPUS_DEDUP_AGAINST_REFERENCE_SQL,
     ),
-    # eval hygiene: benchmark decontamination + deterministic splits
+
+    # Bloom-prefilter tier (r7): reference corpus compressed to an m-bit
+    # membership sketch, probed map-side — the no-join dedup mechanism
+    # for a huge static reference; probe set includes the reference
+    # itself so the no-false-negative boolean is non-vacuous
+    "corpus_dedup_bloom_prefilter": (
+        RFD.corpus_dedup_bloom_prefilter,
+        RFD.CORPUS_DEDUP_BLOOM_PREFILTER_SQL,
+    ),    # eval hygiene: benchmark decontamination + deterministic splits
     "corpus_decontaminate": (
         DCT.corpus_decontaminate,
         DCT.CORPUS_DECONTAMINATE_SQL,

@@ -1175,3 +1175,33 @@ def test_anti_join_drop_ids_gate_degrades_to_shuffle_join(spark, monkeypatch):
         )
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+
+
+def test_bloom_prefilter_membership_and_selectivity(spark, tmp_path):
+    """Handcrafted overlap corpus: every reference text must pass its own
+    bloom probe (no false negatives is structural), a candidate sharing
+    a reference text is an exact match AND a bloom hit, and a distinct
+    candidate stays below the selectivity ceiling."""
+    from cdc_local_data_pipeline_docker_spark.llmops import refdedup as RFD
+
+    # doc_id % 7 == 0 -> reference; 7 and 14 are reference docs, 8 shares
+    # 14's text (exact cross-corpus dup), the rest are distinct
+    rows = [
+        (7, "the cat sat on the mat", "en", "web"),
+        (14, "pack my box with five dozen jugs", "en", "web"),
+        (8, "pack my box with five dozen jugs", "en", "web"),
+        (9, "completely different content here", "en", "web"),
+        (10, "another unrelated document text", "en", "web"),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id LONG, text STRING, lang STRING, source STRING"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        f"{tmp_path}/documents.parquet"
+    )
+    out = RFD.corpus_dedup_bloom_prefilter(spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    r = out[0]
+    # 5 probes; exact = 2 refs (self) + 1 duplicated candidate
+    assert r.n_probes == 5 and r.n_exact_matches == 3
+    assert r.bloom_no_false_negatives is True
+    assert r.prefilter_selective is True

@@ -107,6 +107,7 @@ COVERED_BY = {
     "corpus_curation_pipeline": "dedup_ngram_jaccard",
     "corpus_decontaminate": "dedup_ngram_jaccard",
     "corpus_dedup_against_reference": "dedup_ngram_jaccard",
+    "corpus_dedup_bloom_prefilter": "dedup_ngram_jaccard",
     "corpus_split_assign": "text_profile",
     "corpus_stratified_sample": "text_profile",
     "corpus_pack_sequences": "window_analytics_pack",
