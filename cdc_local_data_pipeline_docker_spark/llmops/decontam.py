@@ -149,3 +149,104 @@ FROM (
 WHERE rn <= {STRATIFIED_K}
 ORDER BY lang, pick
 """
+
+
+def corpus_split_leak_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-split contamination audit: every near-dup pair in the
+    corpus (word-3-gram Jaccard ≥ 0.5 — the dedup family's detector,
+    which subsumes exact duplicates at Jaccard 1.0) labeled with its
+    endpoints' train/val/test assignment; one row per unordered split
+    pair — (split_a, split_b, n_dup_pairs, is_cross_split). Rows with
+    is_cross_split AND n_dup_pairs > 0 are evaluation leaks: a test
+    document whose near-twin sits in train (the C4/Pile-era audit every
+    corpus release now runs; splits alone don't prevent it because
+    near-dups land in buckets independently).
+
+    Scale: the pair detector is the bounded posting-list join (at 100 TB
+    the df-capped or LSH form — same audit, same labeling); the split
+    label is map-side md5 arithmetic on doc_id, and the labeling joins
+    attach one 5-byte string to ids-only pair rows. Nothing here adds a
+    corpus-sized shuffle beyond the detector's own."""
+    from .dedup import _hashed_shingle_arrays, _jaccard_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = _jaccard_pairs(
+        _hashed_shingle_arrays(d.select("doc_id", "text"))
+    ).select("doc_a", "doc_b")
+    b = _md5_bucket16(F.col("doc_id"))
+    split = (
+        F.when(b < SPLIT_TRAIN_BUCKETS, F.lit("train"))
+        .when(b < SPLIT_TRAIN_BUCKETS + SPLIT_VAL_BUCKETS, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    splits = d.select("doc_id", split.alias("split"))
+    sa = splits.select(
+        F.col("doc_id").alias("doc_a"), F.col("split").alias("sa")
+    )
+    sb = splits.select(
+        F.col("doc_id").alias("doc_b"), F.col("split").alias("sb")
+    )
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            F.least("sa", "sb").alias("split_a"),
+            F.greatest("sa", "sb").alias("split_b"),
+        )
+        .groupBy("split_a", "split_b")
+        .agg(F.count(F.lit(1)).alias("n_dup_pairs"))
+        .withColumn(
+            "is_cross_split", F.col("split_a") != F.col("split_b")
+        )
+        .orderBy("split_a", "split_b")
+    )
+
+
+def _split_leak_audit_sql() -> str:
+    from .dedup import JACCARD_THRESHOLD, _SHINGLED_SQL
+
+    return f"""
+WITH sh AS ({_SHINGLED_SQL}),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT doc_a, doc_b
+  FROM common
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= {JACCARD_THRESHOLD}
+),
+splits AS (
+  SELECT doc_id,
+         CASE WHEN b < {SPLIT_TRAIN_BUCKETS} THEN 'train'
+              WHEN b < {SPLIT_TRAIN_BUCKETS + SPLIT_VAL_BUCKETS} THEN 'val'
+              ELSE 'test' END AS split
+  FROM (
+    SELECT doc_id,
+           CASE WHEN ascii(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) <= 57
+                THEN ascii(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 48
+                ELSE ascii(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 87
+           END AS b
+    FROM documents
+  )
+),
+lab AS (
+  SELECT least(s1.split, s2.split) AS split_a,
+         greatest(s1.split, s2.split) AS split_b
+  FROM pairs
+  JOIN splits s1 ON s1.doc_id = pairs.doc_a
+  JOIN splits s2 ON s2.doc_id = pairs.doc_b
+)
+SELECT split_a, split_b, COUNT(*) AS n_dup_pairs,
+       split_a != split_b AS is_cross_split
+FROM lab
+GROUP BY split_a, split_b
+ORDER BY split_a, split_b
+"""
+
+
+CORPUS_SPLIT_LEAK_AUDIT_SQL = _split_leak_audit_sql()

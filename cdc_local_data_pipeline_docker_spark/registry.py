@@ -438,6 +438,12 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         DCT.CORPUS_DECONTAMINATE_SQL,
     ),
     "corpus_split_assign": (DCT.corpus_split_assign, DCT.CORPUS_SPLIT_ASSIGN_SQL),
+    # cross-split contamination audit (r7): near-dup pairs labeled with
+    # their endpoints' split — cross-split rows are evaluation leaks
+    "corpus_split_leak_audit": (
+        DCT.corpus_split_leak_audit,
+        DCT.CORPUS_SPLIT_LEAK_AUDIT_SQL,
+    ),
     "corpus_stratified_sample": (
         DCT.corpus_stratified_sample,
         DCT.CORPUS_STRATIFIED_SAMPLE_SQL,

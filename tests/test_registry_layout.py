@@ -109,6 +109,7 @@ COVERED_BY = {
     "corpus_dedup_against_reference": "dedup_ngram_jaccard",
     "corpus_dedup_bloom_prefilter": "dedup_ngram_jaccard",
     "corpus_split_assign": "text_profile",
+    "corpus_split_leak_audit": "dedup_ngram_jaccard",
     "corpus_stratified_sample": "text_profile",
     "corpus_pack_sequences": "window_analytics_pack",
     "corpus_mixture_plan": "text_profile",
