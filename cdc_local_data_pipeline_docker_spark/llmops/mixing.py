@@ -144,3 +144,89 @@ FROM (
 WHERE b < keep_buckets
 ORDER BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Deterministic seeded corpus shuffle into balanced training shards
+# ---------------------------------------------------------------------------
+
+#: Epoch seed baked into the shuffle key — a new epoch string re-shuffles
+#: the whole corpus without touching any other input.
+SHUFFLE_SEED = "epoch0"
+#: Shard count. 16 hex values split evenly over 8 shards, so the
+#: first-hex-digit bucket is exactly uniform over md5's output space.
+N_SHARDS = 8
+
+_SHARD_DIGIT = (
+    "CASE WHEN ascii(substr(shuffle_key, 1, 1)) BETWEEN 48 AND 57 "
+    "THEN ascii(substr(shuffle_key, 1, 1)) - 48 "
+    "ELSE ascii(substr(shuffle_key, 1, 1)) - 87 END"
+)
+
+
+def corpus_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic seeded global shuffle of the corpus into N balanced
+    training shards — the step between curation and tokenization in every
+    LLM data pipeline (examples must reach training in an order that is
+    random-looking, reproducible, and resumable).
+
+    shuffle_key = md5('<seed>:<doc_id>') gives a pseudorandom total order
+    that is a pure function of (seed, doc_id): re-running on any cluster,
+    any partitioning, any engine yields the identical order. shard =
+    first-hex-digit(key) % 8 is map-only (no shuffle, no global sort, no
+    driver state) and balanced in expectation — at 100 TB each shard is
+    within a fraction of a percent of 1/N by the binomial bound, which is
+    what training wants (NOT exact-equal ntile sharding, whose global
+    row_number needs a single-partition window — a scale-killer).
+    The physical write path is ``write_training_shards``."""
+    d = load_table(spark, sf_dir, "documents")
+    keyed = d.select(
+        "doc_id",
+        F.md5(
+            F.concat(F.lit(SHUFFLE_SEED), F.lit(":"), F.col("doc_id").cast("string"))
+        ).alias("shuffle_key"),
+    )
+    return keyed.select(
+        "doc_id",
+        "shuffle_key",
+        (F.expr(_SHARD_DIGIT) % N_SHARDS).cast("int").alias("shard"),
+    ).orderBy("shuffle_key")
+
+
+CORPUS_SHUFFLE_SHARDS_SQL = f"""
+SELECT doc_id, shuffle_key,
+       CAST(({_SHARD_DIGIT}) % {N_SHARDS} AS INT) AS shard
+FROM (
+  SELECT doc_id,
+         md5('{SHUFFLE_SEED}:' || CAST(doc_id AS VARCHAR)) AS shuffle_key
+  FROM documents
+)
+ORDER BY shuffle_key
+"""
+
+
+def write_training_shards(
+    docs: DataFrame, path: str, n_shards: int = N_SHARDS, seed: str = SHUFFLE_SEED
+) -> None:
+    """Materialize the shuffled corpus as ``path/shard=K/*.parquet``.
+
+    One hash-repartition on the shard id (the only shuffle), then a
+    per-partition sort on the shuffle key: every output file is written
+    by exactly one task's one shard slice, so each FILE is internally
+    ordered by shuffle_key — a training reader that streams files in
+    any order still sees a seeded pseudorandom example order, and a
+    resume can seek within a file by key. No global sort, no ntile, no
+    single-partition window anywhere."""
+    keyed = docs.select(
+        "*",
+        F.md5(
+            F.concat(F.lit(seed), F.lit(":"), F.col("doc_id").cast("string"))
+        ).alias("shuffle_key"),
+    ).withColumn("shard", (F.expr(_SHARD_DIGIT) % n_shards).cast("int"))
+    (
+        keyed.repartition(n_shards, "shard")
+        .sortWithinPartitions("shard", "shuffle_key")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(path)
+    )

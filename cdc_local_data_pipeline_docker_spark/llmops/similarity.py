@@ -1126,3 +1126,80 @@ ORDER BY query_id, rank
 ANN_LSH_TOPK_CONTRACT_SAMPLED_SQL = _ann_sampled_contract_sql("lsh_recall_ok")
 ANN_IVF_TOPK_CONTRACT_SAMPLED_SQL = _ann_sampled_contract_sql("ivf_recall_ok")
 ANN_PQ_TOPK_CONTRACT_SAMPLED_SQL = _ann_sampled_contract_sql("pq_recall_ok")
+
+
+# ---------------------------------------------------------------------------
+# k-means assignment pass for clustered corpus sharding
+# ---------------------------------------------------------------------------
+
+#: Cluster count for the sharding assignment. Centroids are the K
+#: lowest-vec_id embeddings — a deterministic seed choice (the k-means++
+#: stand-in) so the oracle can reconstruct them with a plain filter.
+KMEANS_K = 8
+
+
+def embedding_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One k-means assignment pass over the embedding corpus: every
+    vector goes to its max-cosine centroid — the clustered-sharding step
+    that feeds SemDeDup-style cell-local processing and locality-aware
+    training shards. Emits ints only (vec_id, cluster_id, cluster_size);
+    the float similarity stays internal (ties broken by centroid id),
+    so the oracle hash-compare is exact — same contract as
+    ``ann_cosine_topk``.
+
+    100 TB plan: the K centroids broadcast (K×64 doubles); assignment is
+    a map-only broadcast-NLJ scan — the corpus never shuffles to get its
+    cluster. The one shuffle is the cluster_size window, keyed by
+    cluster_id (K keys; at production K this is the same rollup any
+    shard manifest needs). Lloyd iterations would alternate this pass
+    with a groupBy(cluster) mean — each iteration one shuffle of
+    64-double rows, never the raw corpus.
+
+    Differs from the trained-IVF path (`ann_ivf_topk`): this is the
+    exact-oracle assignment operator itself, graded end-to-end rather
+    than contract-bounded."""
+    vecs = _vectors(spark, sf_dir)
+    cents = F.broadcast(
+        vecs.filter(F.col("vec_id") < KMEANS_K).select(
+            F.col("vec_id").alias("cluster_id"),
+            F.col("v").alias("nv"),
+            F.col("norm").alias("nn"),
+        )
+    )
+    scored = (
+        vecs.select("vec_id", F.col("v").alias("qv"), F.col("norm").alias("qn"))
+        .crossJoin(cents)
+        .withColumn("cosine", F.expr(_DOT) / (F.col("qn") * F.col("nn")))
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cosine").desc(), F.col("cluster_id").asc()
+    )
+    assign = (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") == 1)
+        .select("vec_id", "cluster_id")
+    )
+    size_w = Window.partitionBy("cluster_id")
+    return assign.select(
+        "vec_id",
+        "cluster_id",
+        F.count(F.lit(1)).over(size_w).alias("cluster_size"),
+    ).orderBy("vec_id")
+
+
+EMBEDDING_KMEANS_ASSIGN_SQL = f"""
+WITH assign AS (
+  SELECT a.vec_id, b.vec_id AS cluster_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY a.vec_id
+           ORDER BY list_cosine_similarity(a.embedding::DOUBLE[],
+                                           b.embedding::DOUBLE[]) DESC,
+                    b.vec_id ASC) AS rnk
+  FROM embeddings a JOIN embeddings b ON b.vec_id < {KMEANS_K}
+)
+SELECT vec_id, cluster_id,
+       COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
+FROM assign
+WHERE rnk = 1
+ORDER BY vec_id
+"""

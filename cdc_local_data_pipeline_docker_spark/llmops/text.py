@@ -820,3 +820,82 @@ FROM marked
 GROUP BY doc_id
 ORDER BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Unigram-frequency rarity scores (perplexity-proxy quality filter)
+# ---------------------------------------------------------------------------
+
+#: Vocabulary head that is broadcast for the skew-proof scoring join.
+#: Zipf's law puts most token OCCURRENCES in the head, so the shuffle-join
+#: tail is both small and un-skewed. 16 keeps BOTH tiers exercised on the
+#: synthetic corpus (its whole vocabulary is 31 tokens); production sizes
+#: it to the broadcast budget (e.g. top 100k tokens ≈ a few MB).
+RARITY_HOT_K = 16
+
+
+def text_unigram_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-frequency rarity profile per document — the CCNet-style
+    perplexity-proxy quality filter, kept transcendental-free so the
+    oracle hash-matches (log differs in the last ulp across engines;
+    README correctness model): a document of frequent tokens has high
+    mean corpus count (low perplexity ⇔ boilerplate-ish), one with many
+    hapaxes is noisy/rare. Emits (doc_id, n_tokens, mean_tok_count,
+    min_tok_count, hapax_tokens). All sums are integer-valued (exact
+    under any accumulation order); the single division per row is the
+    only float op.
+
+    100 TB plan: the unigram table is a partial+final agg over exploded
+    tokens. The scoring join toks⋈vocab is keyed by token — a raw
+    shuffle join would put EVERY occurrence of 'the' in one reducer
+    (classic Zipf skew). Two tiers instead: the top-RARITY_HOT_K head
+    (TakeOrdered, never a global sort) broadcasts and resolves the bulk
+    of occurrences map-side; only the residual tail — whose per-key
+    cardinality is bounded by the K-th head count — takes the shuffle
+    join. The vocabulary is computed once per corpus snapshot and
+    reused, exactly like the ANN quantizers."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    hot = vocab.orderBy(F.col("cnt").desc(), F.col("tok").asc()).limit(RARITY_HOT_K)
+    marked = toks.join(F.broadcast(hot), "tok", "left")
+    hot_rows = marked.filter(F.col("cnt").isNotNull()).select("doc_id", "cnt")
+    cold_rows = (
+        marked.filter(F.col("cnt").isNull())
+        .select("doc_id", "tok")
+        .join(vocab, "tok")
+        .select("doc_id", "cnt")
+    )
+    return (
+        hot_rows.unionByName(cold_rows)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            (F.sum("cnt").cast("double") / F.count(F.lit(1))).alias(
+                "mean_tok_count"
+            ),
+            F.min("cnt").alias("min_tok_count"),
+            F.sum(F.when(F.col("cnt") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("hapax_tokens"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+TEXT_UNIGRAM_RARITY_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+vocab AS (
+  SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok
+)
+SELECT t.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(v.cnt) AS DOUBLE) / COUNT(*) AS mean_tok_count,
+       CAST(MIN(v.cnt) AS BIGINT) AS min_tok_count,
+       CAST(SUM(CASE WHEN v.cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax_tokens
+FROM toks t JOIN vocab v USING (tok)
+GROUP BY t.doc_id
+ORDER BY doc_id
+"""

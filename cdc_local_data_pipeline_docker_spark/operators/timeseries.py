@@ -350,3 +350,74 @@ FROM dev d JOIN mad ma USING (event_type)
 WHERE d.adev > {MAD_K} * ma.mad
 ORDER BY d.event_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Bounded-window EWMA smoothing
+# ---------------------------------------------------------------------------
+
+#: EWMA decay. 1/2 is deliberate: every weight 0.5^j is a pure power of
+#: two, so weight*value is an exponent shift — EXACT in IEEE — and the
+#: only rounding anywhere is the 8-term additions, which both engines
+#: execute in the identical pinned association order.
+EWMA_ALPHA = 0.5
+#: Window depth. 0.5^8 < 0.4% residual mass — the unbounded EWMA's
+#: recursive form (state_t = a·x + (1-a)·state_{t-1}) is sequential and
+#: engine-divergent; the bounded form is a pure window expression.
+EWMA_LAGS = 8
+
+_EWMA_OVER = "OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)"
+
+
+def _ewma_sql() -> str:
+    num = "CAST(0 AS DOUBLE)"
+    den = "CAST(0 AS DOUBLE)"
+    for j in range(EWMA_LAGS):
+        w = repr(EWMA_ALPHA**j)
+        lv = "value" if j == 0 else f"lag(value, {j}) {_EWMA_OVER}"
+        num += f" + COALESCE(({lv}) * CAST({w} AS DOUBLE), CAST(0 AS DOUBLE))"
+        den += (
+            f" + CASE WHEN ({lv}) IS NOT NULL"
+            f" THEN CAST({w} AS DOUBLE) ELSE CAST(0 AS DOUBLE) END"
+        )
+    return (
+        "SELECT event_id, user_id, ts, value,\n"
+        f"       ({num}) / ({den}) AS ewma\n"
+        "FROM events\nORDER BY event_id"
+    )
+
+
+def events_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user bounded-window EWMA of ``value`` (α=1/2 over the last
+    EWMA_LAGS observations, ordered by ts then event_id): the smoothing
+    pass a metrics/feature pipeline runs before thresholding. The
+    normalizer sums only the weights of PRESENT lags, so the head of
+    each user's series (fewer than 8 priors) is an exact truncated EWMA
+    rather than a zero-padded one.
+
+    Exactness: weights are powers of two (exact scaling); numerator and
+    denominator are built by the same left-to-right 8-term chain in both
+    engines; the one division per row is correctly rounded — bit-exact
+    without any rounding fudge.
+
+    100 TB: one Exchange on user_id that all eight lag frames share
+    (Spark collapses same-spec window functions into ONE Window node,
+    O(1) running state per row); no join, no self-union — linear scan
+    cost, the plan you'd want for a billion-user metrics table."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    num = F.lit(0).cast("double")
+    den = F.lit(0).cast("double")
+    for j in range(EWMA_LAGS):
+        wgt = F.lit(EWMA_ALPHA**j)
+        lv = F.col("value") if j == 0 else F.lag("value", j).over(w)
+        num = num + F.coalesce(lv * wgt, F.lit(0).cast("double"))
+        den = den + F.when(lv.isNotNull(), wgt).otherwise(F.lit(0).cast("double"))
+    return e.select(
+        "event_id", "user_id", "ts", "value", (num / den).alias("ewma")
+    ).orderBy("event_id")
+
+
+EVENTS_EWMA_SMOOTH_SQL = _ewma_sql()

@@ -315,6 +315,12 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         TS.events_value_winsorize,
         TS.EVENTS_VALUE_WINSORIZE_SQL,
     ),
+    # bounded-window EWMA smoothing (power-of-two weights + pinned
+    # association order — bit-exact; ONE shared Window exchange)
+    "events_ewma_smooth": (
+        TS.events_ewma_smooth,
+        TS.EVENTS_EWMA_SMOOTH_SQL,
+    ),
     # grouped-AGGREGATE pandas UDF (vectorized UDAF inside agg())
     "fn_pandas_grouped_agg": (
         PU.fn_pandas_grouped_agg,
@@ -460,6 +466,13 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         MX.corpus_mixture_sample_hash,
         MX.CORPUS_MIXTURE_SAMPLE_HASH_SQL,
     ),  # engine-portable deterministic twin, exact oracle
+    # seeded pseudorandom total order + map-only hash sharding — the
+    # shuffle-before-tokenization step of a training pipeline; physical
+    # write path in MX.write_training_shards (pytest-pinned)
+    "corpus_shuffle_shards": (
+        MX.corpus_shuffle_shards,
+        MX.CORPUS_SHUFFLE_SHARDS_SQL,
+    ),
     # per-ROW weighted Bernoulli sampling (importance sampling), decided
     # by integer md5 arithmetic — deterministic across engines/layouts
     "corpus_weighted_sample": (
@@ -560,6 +573,12 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         SIM.ANN_IVF_TOPK_CONTRACT_SQL,
     ),
     # product quantization: 4-bit codes + ADC shortlist + exact re-rank
+    # k-means assignment pass for clustered corpus sharding: exact
+    # oracle (ints-only output, deterministic seed centroids broadcast)
+    "embedding_kmeans_assign": (
+        SIM.embedding_kmeans_assign,
+        SIM.EMBEDDING_KMEANS_ASSIGN_SQL,
+    ),
     "ann_pq_topk": (SIM.ann_pq_topk, None),  # quantizer not SQL-expressible
     "ann_pq_topk_contract": (
         SIM.ann_pq_topk_contract,
@@ -602,6 +621,12 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # OOV-rate quality signal vs the corpus top-K vocabulary
     # (CCNet-style LM-free proxy; integer-exact ratio)
     "text_oov_rate": (TX.text_oov_rate, TX.TEXT_OOV_RATE_SQL),
+    # unigram-frequency rarity profile (perplexity proxy without the
+    # transcendental): Zipf-skew-proof two-tier vocab join
+    "text_unigram_rarity": (
+        TX.text_unigram_rarity,
+        TX.TEXT_UNIGRAM_RARITY_SQL,
+    ),
     # TF-IDF keyword extraction (log-free idf: exact integer-ratio score)
     "text_tfidf_top_terms": (
         TX.text_tfidf_top_terms,

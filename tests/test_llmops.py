@@ -1205,3 +1205,94 @@ def test_bloom_prefilter_membership_and_selectivity(spark, tmp_path):
     assert r.n_probes == 5 and r.n_exact_matches == 3
     assert r.bloom_no_false_negatives is True
     assert r.prefilter_selective is True
+
+
+def test_write_training_shards_deterministic_balanced_and_sorted(
+    spark, sf_dir, tmp_path
+):
+    """The physical shuffle-shard write: (a) round-trips the corpus
+    exactly, (b) every row lands in the shard its key dictates (pure
+    function of seed+doc_id, so byte-reproducible on any cluster),
+    (c) shard sizes are binomially balanced, (d) every FILE is
+    internally ordered by shuffle_key."""
+    import glob
+
+    from cdc_local_data_pipeline_docker_spark.catalog import load_table
+    from cdc_local_data_pipeline_docker_spark.llmops import mixing as MX
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = str(tmp_path / "shards")
+    MX.write_training_shards(docs, out)
+
+    back = spark.read.parquet(out)
+    n = docs.count()
+    assert back.count() == n
+    # (b) shard matches the declarative assignment for every doc
+    assign = {
+        r.doc_id: r.shard for r in MX.corpus_shuffle_shards(spark, sf_dir).collect()
+    }
+    for r in back.select("doc_id", "shard").collect():
+        assert assign[r.doc_id] == r.shard
+    # (c) balance: each shard within 5 sigma of n/N_SHARDS
+    import math
+
+    exp = n / MX.N_SHARDS
+    tol = 5 * math.sqrt(exp)
+    sizes = {r.shard: r.cnt for r in back.groupBy("shard").count()
+             .withColumnRenamed("count", "cnt").collect()}
+    assert len(sizes) == MX.N_SHARDS
+    for s, c in sizes.items():
+        assert abs(c - exp) < tol, (s, c, exp)
+    # (d) per-file internal order by shuffle_key
+    for f in glob.glob(f"{out}/shard=*/**/*.parquet", recursive=True):
+        keys = [r.shuffle_key for r in spark.read.parquet(f).collect()]
+        assert keys == sorted(keys), f
+
+
+def test_unigram_rarity_two_tier_join_plan_and_hot_coverage(spark, sf_dir):
+    """The scoring join is skew-proof: the Zipf head resolves through a
+    broadcast (no shuffle of hot-token occurrences) and only the tail
+    takes the shuffled join; both tiers are exercised at test scale."""
+    from cdc_local_data_pipeline_docker_spark.llmops import text as TX
+    from cdc_local_data_pipeline_docker_spark.plans import audit as A
+
+    df = TX.text_unigram_rarity(spark, sf_dir)
+    plan = A.formatted_plan(df)
+    assert A.count(plan, "BroadcastHashJoin") >= 1, plan
+    # both tiers carry rows: some token occurrences are hot, some cold
+    from pyspark.sql import functions as F
+
+    from cdc_local_data_pipeline_docker_spark.catalog import load_table
+
+    toks = load_table(spark, sf_dir, "documents").select(
+        F.explode(F.split("text", " ")).alias("tok")
+    )
+    vocab = toks.groupBy("tok").count()
+    assert vocab.count() > TX.RARITY_HOT_K  # a cold tail exists
+    # sanity: a doc whose every token is unique has mean_tok_count >= 1
+    # and hapax_tokens == n_tokens only if all its tokens are hapaxes
+    row = df.orderBy("doc_id").first()
+    assert row.min_tok_count >= 1
+    assert 0 <= row.hapax_tokens <= row.n_tokens
+
+
+def test_kmeans_assign_structure(spark, sf_dir):
+    """Every vector is assigned exactly once to one of the K seed
+    centroids; each centroid vector assigns to itself (cosine 1 with
+    itself beats any tie by id); sizes sum to N."""
+    from cdc_local_data_pipeline_docker_spark.llmops import similarity as S
+
+    out = SIM.embedding_kmeans_assign(spark, sf_dir)
+    rows = out.collect()
+    n = SIM._vectors(spark, sf_dir).count()
+    assert len(rows) == n
+    assert {r.cluster_id for r in rows} <= set(range(S.KMEANS_K))
+    for r in rows:
+        if r.vec_id < S.KMEANS_K:
+            assert r.cluster_id == r.vec_id, r
+    by_cluster = {}
+    for r in rows:
+        by_cluster.setdefault(r.cluster_id, set()).add(r.vec_id)
+    assert sum(len(v) for v in by_cluster.values()) == n
+    for r in rows:
+        assert r.cluster_size == len(by_cluster[r.cluster_id])

@@ -780,6 +780,7 @@ BNLJ_WHITELIST = {
     "sketch_tdigest_quantiles",   # contract flag scalar
     "dedup_minhash_incremental_contract",
     "gdpr_erase_customer",        # 1-row audit-count crossJoins
+    "cdc_fk_integrity_report",    # 1-row-x-1-row per-edge count crossJoins
     "merge_into_orders",          # 1-row max(o_orderkey) insert-offset scalar
     "merge_into_orders_lowshuffle",  # same scalar in the change-set subplan
     "text_tfidf_top_terms",       # corpus-N scalar
@@ -796,6 +797,7 @@ BNLJ_WHITELIST = {
     "dedup_semantic_contract_sampled",
     "corpus_semantic_decontaminate",
     "ann_cosine_topk",            # 20-query broadcast side
+    "embedding_kmeans_assign",    # K-centroid broadcast (map-only assign)
     "ann_lsh_topk_contract",
     "ann_ivf_topk_contract",
     "ann_pq_topk",                # 20-query LUT broadcast (query != vec)

@@ -146,6 +146,7 @@ COVERED_BY = {
     "dedup_simhash": "dedup_minhash_lsh",
     "dedup_simhash_contract": "dedup_minhash_lsh",
     "dedup_embedding_cosine": "ann_cosine_topk",
+    "embedding_kmeans_assign": "ann_cosine_topk",
     "dedup_embedding_lsh": "ann_cosine_topk",
     "dedup_embedding_lsh_contract": "ann_cosine_topk",
     "dedup_semantic": "dedup_semantic_contract_sampled",
@@ -169,6 +170,9 @@ COVERED_BY = {
     "corpus_chunk_windows": "explode_token_frequencies",
     "text_tfidf_top_terms": "explode_token_frequencies",
     "text_oov_rate": "text_profile",
+    "text_unigram_rarity": "explode_token_frequencies",
+    "corpus_shuffle_shards": "text_profile",
+    "events_ewma_smooth": "events_tumbling_agg",
     "corpus_length_histogram": "text_profile",
     "corpus_prep_chunks": "dedup_span_coverage",
     "fn_string_pack": "fn_scalar_pack",

@@ -140,3 +140,51 @@ def test_winsorize_definition(spark, sf_dir):
         assert r.n_clipped_low == sum(1 for v, _ in vs if v < p05)
         assert r.n_clipped_high == sum(1 for v, _ in vs if v > p95)
         assert r.p05 <= r.p95
+
+
+def test_ewma_hand_computed(spark, tmp_path):
+    """Three events for one user: the truncated-normalizer EWMA must match
+    the hand calculation exactly (alpha=1/2 weights are exact in IEEE)."""
+    import pandas as pd
+
+    from cdc_local_data_pipeline_docker_spark.operators.timeseries import (
+        events_ewma_smooth,
+    )
+
+    rows = pd.DataFrame(
+        {
+            "event_id": [0, 1, 2],
+            "ts": pd.to_datetime(["2024-01-01", "2024-01-02", "2024-01-03"]),
+            "user_id": [7, 7, 7],
+            "event_type": ["a", "a", "a"],
+            "value": [4.0, 2.0, 1.0],
+            "props": ["{}", "{}", "{}"],
+        }
+    )
+    spark.createDataFrame(rows).write.mode("overwrite").parquet(
+        str(tmp_path / "events.parquet")
+    )
+    got = {
+        r["event_id"]: r["ewma"]
+        for r in events_ewma_smooth(spark, str(tmp_path)).collect()
+    }
+    assert got[0] == 4.0  # only itself
+    assert got[1] == (2.0 + 0.5 * 4.0) / 1.5
+    assert got[2] == (1.0 + 0.5 * 2.0 + 0.25 * 4.0) / 1.75
+
+
+def test_ewma_single_window_exchange(spark, sf_dir):
+    """All 8 lag frames share one window spec -> exactly one hash-partition
+    exchange (plus the final presentation sort's range exchange)."""
+    from cdc_local_data_pipeline_docker_spark.operators.timeseries import (
+        events_ewma_smooth,
+    )
+
+    plan = (
+        events_ewma_smooth(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert plan.count("Window") == 1, plan
