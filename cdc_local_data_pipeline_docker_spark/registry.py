@@ -512,6 +512,12 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         CDC.cdc_fk_integrity_report,
         CDC.CDC_FK_INTEGRITY_REPORT_SQL,
     ),
+    # cross-topic snapshot-consistency cut: watermark = min over topics
+    # of max(broker ts); every table replayed only through the watermark
+    "cdc_consistent_cut_state": (
+        CDC.cdc_consistent_cut_state,
+        CDC.CDC_CONSISTENT_CUT_STATE_SQL,
+    ),
     "cdc_ingest_sketch_summary": (
         SKS.cdc_ingest_sketch_summary,
         SKS.CDC_INGEST_SKETCH_SUMMARY_SQL,

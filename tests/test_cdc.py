@@ -355,3 +355,35 @@ def test_scd2_current_equals_latest_state(spark, fixture_dir):
             assert a.valid_to_offset is not None
             assert a.valid_to_offset < b.valid_from_offset
         assert sum(1 for r in versions if r.is_current) <= 1
+
+
+def test_consistent_cut_excludes_tail_events_and_uses_min_watermark(spark):
+    """The watermark is min over topics of max(broker ts), and at least
+    one topic has events AFTER it (otherwise the cut is vacuous and the
+    test data proves nothing)."""
+    import json
+
+    from cdc_local_data_pipeline_docker_spark.cdc import queries as Q
+
+    d = Q.ensure_fixtures()
+    totals, maxes = {}, {}
+    for t in ("customers", "order_items", "orders", "products"):
+        ts = [
+            json.loads(line)["timestamp"]
+            for line in open(f"{d}/{t}.jsonl", encoding="utf-8")
+        ]
+        totals[t], maxes[t] = len(ts), max(ts)
+    expected_cut = min(maxes.values())
+
+    rows = {r.table_topic: r for r in Q.cdc_consistent_cut_state(spark, "").collect()}
+    assert set(rows) == set(totals)
+    for t, r in rows.items():
+        assert r.cut_ts_ms == expected_cut
+        assert r.n_live <= r.n_events_applied <= totals[t]
+    # non-vacuous: some topic really is truncated by the cut
+    truncating = [
+        t for t, r in rows.items()
+        # applied counts non-malformed only; strictly-after events exist
+        if maxes[t] > expected_cut
+    ]
+    assert truncating, "no topic extends past the watermark"

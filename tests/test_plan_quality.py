@@ -781,6 +781,7 @@ BNLJ_WHITELIST = {
     "dedup_minhash_incremental_contract",
     "gdpr_erase_customer",        # 1-row audit-count crossJoins
     "cdc_fk_integrity_report",    # 1-row-x-1-row per-edge count crossJoins
+    "cdc_consistent_cut_state",   # watermark + count scalar crossJoins
     "merge_into_orders",          # 1-row max(o_orderkey) insert-offset scalar
     "merge_into_orders_lowshuffle",  # same scalar in the change-set subplan
     "text_tfidf_top_terms",       # corpus-N scalar

@@ -137,6 +137,7 @@ COVERED_BY = {
     "cdc_state_asof_offset": "cdc_latest_state_orders",
     "cdc_diff_offsets": "cdc_latest_state_orders",
     "cdc_fk_integrity_report": "cdc_changelog_stats",
+    "cdc_consistent_cut_state": "cdc_changelog_stats",
     "cdc_ingest_sketch_summary": "cdc_changelog_stats",
     "cdc_hotkey_monitor": "cdc_changelog_stats",
     "join_salted_skew": "join_inner",
