@@ -809,3 +809,85 @@ UNION ALL{_cut_row("orders")}
 UNION ALL{_cut_row("products")}
 ORDER BY table_topic
 """
+
+
+def cdc_changelog_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kafka log compaction as a batch operator: collapse each key's
+    event sequence to its LAST event — tombstones RETAINED as explicit
+    delete markers (unlike latest_state, which drops dead keys), plus
+    fold provenance (events folded, offset range). The compacted
+    changelog is replayable: applying it to an empty state yields the
+    same state as replaying the full log, while downstream consumers
+    still see the deletes they must propagate.
+
+    One shuffle on the PK; per-key stats ride the SAME window partition
+    as the winner ranking (count/min/max over pk), so compaction costs
+    exactly one Exchange + sort — the latest_state plan. On a 100 TB
+    changelog laid out in offset-ranged files, an offset predicate
+    prunes at the scan and AQE splits hot keys; output size is ~|keys|,
+    independent of history length — the point of compaction."""
+    from pyspark.sql import Window
+
+    d = ensure_fixtures()
+    env = P.read_event_file(spark, os.path.join(d, "orders.jsonl"))
+    parsed = P.parse_events(env, "orders").filter(~F.col("is_malformed"))
+    pkw = Window.partitionBy("pk")
+    w = pkw.orderBy(F.col("partition").desc(), F.col("kafka_offset").desc())
+    return (
+        parsed.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_events_folded", F.count(F.lit(1)).over(pkw))
+        .withColumn("first_offset", F.min("kafka_offset").over(pkw))
+        .withColumn("last_offset", F.max("kafka_offset").over(pkw))
+        .filter(F.col("rn") == 1)
+        .select(
+            "pk",
+            F.when(F.col("is_tombstone"), F.lit("delete"))
+            .otherwise(F.lit("upsert"))
+            .alias("net_op"),
+            "n_events_folded",
+            "first_offset",
+            "last_offset",
+            F.col("row.customer_id").alias("customer_id"),
+            F.col("row.status").alias("status"),
+            F.col("row.total_amount").cast("double").alias("total_amount"),
+        )
+        .orderBy("pk")
+    )
+
+
+CDC_CHANGELOG_COMPACT_SQL = f"""
+WITH env AS (
+  SELECT *,
+         CASE WHEN value IS NOT NULL AND json_valid(value) THEN value END AS v
+  FROM read_json_auto('{FIXTURE_DIR}/orders.jsonl',
+                      format='newline_delimited')
+),
+parsed AS (
+  SELECT CAST(json_extract_string(key, '$.order_id') AS INT) AS pk,
+         value IS NULL AS is_tombstone,
+         value IS NOT NULL
+           AND json_extract_string(v, '$.order_id') IS NULL AS is_malformed,
+         CAST(json_extract_string(v, '$.customer_id') AS INT) AS customer_id,
+         json_extract_string(v, '$.status') AS status,
+         CAST(CAST(json_extract_string(v, '$.total_amount') AS DECIMAL(10,2))
+              AS DOUBLE) AS total_amount,
+         partition, "offset"
+  FROM env
+),
+ranked AS (
+  SELECT *,
+         ROW_NUMBER() OVER (PARTITION BY pk
+                            ORDER BY partition DESC, "offset" DESC) AS rn,
+         CAST(COUNT(*) OVER (PARTITION BY pk) AS BIGINT) AS n_events_folded,
+         MIN("offset") OVER (PARTITION BY pk) AS first_offset,
+         MAX("offset") OVER (PARTITION BY pk) AS last_offset
+  FROM parsed WHERE NOT is_malformed
+)
+SELECT pk,
+       CASE WHEN is_tombstone THEN 'delete' ELSE 'upsert' END AS net_op,
+       n_events_folded, first_offset, last_offset,
+       customer_id, status, total_amount
+FROM ranked
+WHERE rn = 1
+ORDER BY pk
+"""

@@ -383,6 +383,79 @@ ORDER BY doc_id
 )
 
 
+def dedup_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup collapse keeping the HIGHEST-QUALITY cluster member
+    (ties -> lowest doc_id) instead of the min-id canonical — the
+    curation-grade survivor rule: when near-duplicates differ
+    (truncation, boilerplate injection), survival should follow the
+    quality signal, not insertion order. The score is the shared
+    composite from text.quality_score_col, term-identical to the graded
+    text_quality_score entry, so both engines rank ties identically.
+
+    Scale design (100 TB): cluster labels exist only for documents that
+    appear in a near-dup pair — a tiny fraction of the corpus — so the
+    label frame broadcasts into the corpus join that fetches text for
+    scoring; the quality expression runs map-side on that slice only
+    (never the full corpus); the per-cluster argmax is one window over
+    the labeled slice; and the loser ids broadcast into an anti-join, so
+    the corpus itself is never shuffled (same shape as
+    dedup_canonical_corpus)."""
+    from pyspark.sql import Window
+
+    from .text import quality_score_col
+
+    d = load_table(spark, sf_dir, "documents")
+    cc = connected_components(_ngram_pairs(spark, sf_dir))
+    labels = cc.select(F.col("id").alias("doc_id"), "cluster_id")
+    scored = (
+        d.select("doc_id", "text")
+        .join(F.broadcast(labels), "doc_id")
+        .select("doc_id", "cluster_id", quality_score_col().alias("q"))
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("q").desc(), F.col("doc_id")
+    )
+    losers = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") > 1)
+        .select("doc_id")
+    )
+    return (
+        d.join(F.broadcast(losers), "doc_id", "left_anti")
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
+def _keep_best_sql() -> str:
+    from .text import QUALITY_SCORE_SQL
+
+    return (
+        _CC_SQL_TEMPLATE.format(pairs=_JACCARD_PAIRS_SQL)
+        + f""",
+scored AS (
+  SELECT l.doc_id, l.cluster_id, {QUALITY_SCORE_SQL} AS q
+  FROM lbl l JOIN documents USING (doc_id)
+),
+losers AS (
+  SELECT doc_id FROM (
+    SELECT doc_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY cluster_id ORDER BY q DESC, doc_id) AS rn
+    FROM scored)
+  WHERE rn > 1
+)
+SELECT doc_id, lang, source, n_chars
+FROM documents
+WHERE doc_id NOT IN (SELECT doc_id FROM losers)
+ORDER BY doc_id
+"""
+    )
+
+
+DEDUP_KEEP_BEST_QUALITY_SQL = _keep_best_sql()
+
+
 # ---------------------------------------------------------------------------
 # Graph centrality (PageRank) over the near-dup similarity graph — the
 # second graph algorithm family after connected components. Centrality

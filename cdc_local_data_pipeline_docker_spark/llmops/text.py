@@ -13,7 +13,7 @@ splits and stay inside whole-stage codegen.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
@@ -146,6 +146,37 @@ ORDER BY doc_id
 
 
 TEXT_LANG_ID_SQL = _lang_id_sql()
+
+
+def quality_score_col() -> Column:
+    """The composite quality score as a reusable Column over `text` —
+    identical term-by-term to text_quality_score's inline form (same
+    association order), so any consumer (keep-best dedup) hash-matches
+    the same SQL expression (QUALITY_SCORE_SQL)."""
+    toks = F.split(F.col("text"), " ")
+    stop_arr = ", ".join(f"'{s}'" for s in STOPWORDS)
+    n_tokens = F.size(toks)
+    stop_hits = F.expr(
+        f"size(filter(split(text, ' '), t -> array_contains(array({stop_arr}), t)))"
+    )
+    uniq = F.size(F.array_distinct(toks))
+    len_score = F.least(F.length("text").cast("double") / F.lit(500.0), F.lit(1.0))
+    return (
+        F.lit(0.4) * len_score
+        + F.lit(0.3) * (F.lit(1.0) - stop_hits.cast("double") / n_tokens)
+        + F.lit(0.3) * (uniq.cast("double") / n_tokens)
+    )
+
+
+#: the same score as one DuckDB SQL expression over a `text` column
+QUALITY_SCORE_SQL = (
+    "0.4 * least(CAST(length(text) AS DOUBLE) / 500.0, 1.0)"
+    " + 0.3 * (1.0 - CAST(len(list_filter(string_split(text, ' '),"
+    f" t -> list_contains([{', '.join(repr(s) for s in STOPWORDS)}], t)))"
+    " AS DOUBLE) / len(string_split(text, ' ')))"
+    " + 0.3 * (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)"
+    " / len(string_split(text, ' ')))"
+)
 
 
 def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:

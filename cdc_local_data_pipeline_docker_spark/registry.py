@@ -44,6 +44,7 @@ from .llmops import scrub as SC
 from .llmops import similarity as SIM
 from .llmops import text as TX
 from .operators import advanced as ADV
+from .operators import entity as ER
 from .operators import merge as MG
 from .operators import profiling as PR
 from .operators import asof as ASOF
@@ -404,6 +405,22 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         CL.dedup_canonical_corpus,
         CL.DEDUP_CANONICAL_CORPUS_SQL,
     ),
+    # entity resolution (r7): blocked fuzzy matching over structured
+    # records — block equi-join bounds the pair space, levenshtein
+    # verify runs in the join's residual filter (codegen), resolution
+    # window picks each record's best match; exact oracles
+    "er_blocked_fuzzy_match": (
+        ER.er_blocked_fuzzy_match,
+        ER.ER_BLOCKED_FUZZY_MATCH_SQL,
+    ),
+    "er_best_match": (ER.er_best_match, ER.ER_BEST_MATCH_SQL),
+    # keep-best survivor rule (r7): per near-dup cluster keep the
+    # highest-quality member (shared composite score), not min-id —
+    # the curation-grade canonicalization; corpus never shuffles
+    "dedup_keep_best_quality": (
+        CL.dedup_keep_best_quality,
+        CL.DEDUP_KEEP_BEST_QUALITY_SQL,
+    ),
     # PageRank centrality over the near-dup graph (iterative join+agg
     # with bounded lineage); exact node+degree columns, contract booleans
     "dedup_graph_centrality": (
@@ -506,6 +523,13 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # offset-to-offset state diff: per-key insert/delete/update report
     # with old and new images ("what changed since the last sync?")
     "cdc_diff_offsets": (CDC.cdc_diff_offsets, CDC.CDC_DIFF_OFFSETS_SQL),
+    # Kafka log compaction as a batch operator (r7): last event per key
+    # with tombstones RETAINED as delete markers + fold provenance; one
+    # Exchange+sort (the latest_state plan), output ~|keys|
+    "cdc_changelog_compact": (
+        CDC.cdc_changelog_compact,
+        CDC.CDC_CHANGELOG_COMPACT_SQL,
+    ),
     # referential-integrity audit across all three FK edges (U8 upgraded
     # from per-table counts to cross-table consistency; r7)
     "cdc_fk_integrity_report": (

@@ -1296,3 +1296,42 @@ def test_kmeans_assign_structure(spark, sf_dir):
     assert sum(len(v) for v in by_cluster.values()) == n
     for r in rows:
         assert r.cluster_size == len(by_cluster[r.cluster_id])
+
+
+def test_keep_best_quality_survivor_is_cluster_quality_argmax(spark, sf_dir):
+    """The keep-best survivor rule must actually follow the quality
+    signal: (a) survivor count equals the min-id canonical collapse (one
+    survivor per cluster either way), (b) the survivor sets DIFFER on the
+    real testdata (the rule is non-degenerate — some cluster's best member
+    is not its min id), and (c) within every cluster the survivor is the
+    (quality desc, doc_id asc) argmax recomputed independently here."""
+    from pyspark.sql import functions as F
+
+    from cdc_local_data_pipeline_docker_spark.catalog import load_table
+    from cdc_local_data_pipeline_docker_spark.llmops import clusters as CL
+    from cdc_local_data_pipeline_docker_spark.llmops.text import quality_score_col
+
+    canon = {r.doc_id for r in CL.dedup_canonical_corpus(spark, sf_dir).collect()}
+    best = {r.doc_id for r in CL.dedup_keep_best_quality(spark, sf_dir).collect()}
+    assert len(canon) == len(best)
+    assert canon != best, "keep-best degenerated to the min-id rule"
+
+    labels = CL.connected_components(CL._ngram_pairs(spark, sf_dir))
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", quality_score_col().alias("q")
+    )
+    rows = (
+        labels.select(F.col("id").alias("doc_id"), "cluster_id")
+        .join(docs, "doc_id")
+        .collect()
+    )
+    by_cluster: dict = {}
+    for r in rows:
+        by_cluster.setdefault(r.cluster_id, []).append((r.q, r.doc_id))
+    for cid, members in by_cluster.items():
+        winner = min(members, key=lambda t: (-t[0], t[1]))[1]
+        for q, doc_id in members:
+            assert (doc_id in best) == (doc_id == winner), (
+                f"cluster {cid}: expected winner {winner}, "
+                f"but doc {doc_id} survival={doc_id in best}"
+            )

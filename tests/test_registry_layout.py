@@ -100,6 +100,14 @@ COVERED_BY = {
     "dedup_minhash_incremental": "dedup_minhash_lsh",
     "dedup_minhash_incremental_contract": "dedup_minhash_lsh",
     "dedup_canonical_corpus": "dedup_clusters",
+    "dedup_keep_best_quality": "dedup_clusters",
+    # entity resolution: block equi-join + residual verify — join family
+    # graded by join_inner/join_broadcast_dims; window resolution graded
+    # by window_topk_per_group
+    "er_blocked_fuzzy_match": "join_inner",
+    "er_best_match": "window_topk_per_group",
+    # log compaction = the latest-state window plan with tombstones kept
+    "cdc_changelog_compact": "cdc_latest_state_orders",
     "knn_label_vote": "ann_cosine_topk",
     "stream_stream_join": "stream_tumbling_agg",
     "stream_static_enrich": "stream_tumbling_agg",
