@@ -92,6 +92,11 @@ OPTIONAL = [
     # above)
     "cdc_gold_customer_orders",
     "events_mad_outliers",
+    # round-7 second-session additions: the ER pipeline composition
+    # (block join + levenshtein verify + CC + survivorship) and the
+    # skew-safe salted top-k (A/B narrative vs the plain window form)
+    "er_golden_record",
+    "window_topk_salted",
 ]
 #: Entries whose wall time is sf-INVARIANT fixed machinery (measured
 #: identical at sf0.01 and sf0.1 across rounds 4-5): streaming

@@ -245,3 +245,59 @@ FROM lineitem
 GROUP BY l_returnflag
 ORDER BY l_returnflag
 """
+
+
+def window_topk_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe top-k per HOT group — the window sibling of
+    agg_salted_two_stage: event_type has 5 values, so the plain
+    rank-then-filter window sends 1/5 of the corpus to each of 5
+    reducers and sorts it there. Stage 1 takes a per-(key, salt) local
+    top-5 (array_sort over (neg value, id) structs — deterministic
+    tie-break identical to the window's ORDER BY), spreading each hot
+    key over SALT_BUCKETS reducers with bounded per-reducer sort state;
+    stage 2 ranks the surviving <= SALT_BUCKETS x 5 candidates per key.
+    Every global top-5 row is its salt bucket's top-5, so the composition
+    is exact — the oracle runs the plain window form."""
+    k = 5
+    e = load_table(spark, sf_dir, "events")
+    salted = e.withColumn(
+        "salt", (F.col("event_id") % SALT_BUCKETS).cast("int")
+    )
+    stage1 = (
+        salted.groupBy("event_type", "salt")
+        .agg(
+            F.expr(
+                f"""
+                slice(array_sort(collect_list(
+                  struct(-value AS nv, event_id AS id, value AS v))), 1, {k})
+                """
+            ).alias("cand")
+        )
+        .select(
+            "event_type",
+            F.explode("cand").alias("c"),
+        )
+        .select("event_type", F.col("c.id").alias("event_id"),
+                F.col("c.v").alias("value"))
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("value").desc(), F.col("event_id").asc()
+    )
+    return (
+        stage1.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("event_type", "event_id", "value", "rn")
+        .orderBy("event_type", "rn")
+    )
+
+
+WINDOW_TOPK_SALTED_SQL = """
+SELECT event_type, event_id, value, rn
+FROM (
+  SELECT event_type, event_id, value,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY value DESC, event_id ASC) AS rn
+  FROM events)
+WHERE rn <= 5
+ORDER BY event_type, rn
+"""

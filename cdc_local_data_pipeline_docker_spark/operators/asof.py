@@ -190,3 +190,38 @@ FROM ua LEFT JOIN ia ON ua.o_custkey = ia.o_custkey
         LEFT JOIN ea ON ua.o_custkey = ea.o_custkey
 ORDER BY ua.o_custkey
 """
+
+
+def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL pipe syntax (Spark 4.0, SPARK-49555): the same logical plan a
+    chained DataFrame expression builds, declared as `|>` stages — scan
+    |> filter |> join |> aggregate |> having-filter |> order. Exercises
+    the parser surface only: Catalyst sees the identical resolved plan
+    (pushdown/pruning/broadcast all apply), so the DuckDB oracle is the
+    classic GROUP BY form of the same query."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_pv")
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer_pv")
+    return spark.sql(
+        """
+        FROM orders_pv
+        |> WHERE o_orderstatus = 'O'
+        |> JOIN customer_pv ON o_custkey = c_custkey
+        |> AGGREGATE COUNT(*) AS order_count,
+                     CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                       AS revenue
+           GROUP BY c_mktsegment
+        |> WHERE order_count > 10
+        |> ORDER BY c_mktsegment
+        """
+    )
+
+
+SQL_PIPE_SYNTAX_SQL = """
+SELECT c_mktsegment, COUNT(*) AS order_count,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+WHERE o_orderstatus = 'O'
+GROUP BY c_mktsegment
+HAVING COUNT(*) > 10
+ORDER BY c_mktsegment
+"""

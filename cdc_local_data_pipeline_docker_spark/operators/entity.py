@@ -156,3 +156,74 @@ FROM (
 WHERE rn = 1
 ORDER BY custkey
 """
+
+
+def er_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full entity-resolution pipeline: blocked candidates ->
+    levenshtein verify -> connected components (match pairs are a graph;
+    an entity is a component) -> survivorship (golden record): one row
+    per resolved entity carrying the canonical member (the component's
+    minimum key — which IS the hash-min cluster label), the member
+    count, and a merge rule over attributes (max account balance — the
+    'keep richest' survivorship rule).
+
+    Scale: reuses the dedup family's CC machinery (hash-min label
+    propagation, one key-equi-join shuffle per round, star-contraction
+    fallback); the match graph is orders of magnitude smaller than the
+    record corpus, so the survivorship joins broadcast the labels."""
+    from ..llmops.clusters import connected_components
+
+    c = load_table(spark, sf_dir, "customer")
+    pairs = _candidate_pairs(c).select(
+        F.col("custkey_a").alias("doc_a"), F.col("custkey_b").alias("doc_b")
+    )
+    cc = connected_components(pairs)
+    members = cc.select(F.col("id").alias("c_custkey"), "cluster_id")
+    golden = (
+        c.join(F.broadcast(members), "c_custkey")
+        .groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.max(F.col("c_acctbal")).cast("double").alias("max_acctbal"),
+        )
+    )
+    survivor = c.select(
+        F.col("c_custkey").alias("cluster_id"),
+        F.col("c_name").alias("survivor_name"),
+    )
+    return (
+        golden.join(F.broadcast(survivor), "cluster_id")
+        .select("cluster_id", "n_members", "survivor_name", "max_acctbal")
+        .orderBy("cluster_id")
+    )
+
+
+def _golden_sql() -> str:
+    from ..llmops.clusters import _CC_SQL_TEMPLATE
+
+    pairs = f"""
+  SELECT a.c_custkey AS doc_a, b.c_custkey AS doc_b
+  FROM customer a
+  JOIN customer b
+    ON a.c_nationkey = b.c_nationkey
+   AND a.c_mktsegment = b.c_mktsegment
+   AND a.c_custkey < b.c_custkey
+  WHERE levenshtein(a.c_name, b.c_name) <= {ER_MAX_EDIT_DISTANCE}
+"""
+    return (
+        _CC_SQL_TEMPLATE.format(pairs=pairs)
+        + """
+SELECT l.cluster_id,
+       CAST(COUNT(*) AS BIGINT) AS n_members,
+       s.c_name AS survivor_name,
+       CAST(MAX(c.c_acctbal) AS DOUBLE) AS max_acctbal
+FROM lbl l
+JOIN customer c ON l.doc_id = c.c_custkey
+JOIN customer s ON s.c_custkey = l.cluster_id
+GROUP BY l.cluster_id, s.c_name
+ORDER BY cluster_id
+"""
+    )
+
+
+ER_GOLDEN_RECORD_SQL = _golden_sql()

@@ -342,6 +342,12 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         ADV.agg_exact_percentiles,
         ADV.AGG_EXACT_PERCENTILES_SQL,
     ),
+    # Spark 4 pipe-syntax SQL (r7): parser surface only — Catalyst sees
+    # the identical resolved plan; oracle = the classic GROUP BY form
+    "sql_pipe_syntax": (ASOF.sql_pipe_syntax, ASOF.SQL_PIPE_SYNTAX_SQL),
+    # skew-safe top-k on hot keys (r7): per-salt local top-k then a
+    # bounded final rank — the window sibling of agg_salted_two_stage
+    "window_topk_salted": (ADV.window_topk_salted, ADV.WINDOW_TOPK_SALTED_SQL),
     "window_lag_lead": (R.window_lag_lead, R.WINDOW_LAG_LEAD_SQL),
     "window_running_sum": (R.window_running_sum, R.WINDOW_RUNNING_SUM_SQL),
     "window_rank_dense": (R.window_rank_dense, R.WINDOW_RANK_DENSE_SQL),
@@ -414,6 +420,9 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         ER.ER_BLOCKED_FUZZY_MATCH_SQL,
     ),
     "er_best_match": (ER.er_best_match, ER.ER_BEST_MATCH_SQL),
+    # full ER pipeline: match graph -> connected components -> golden
+    # record (survivorship merge); recursive-CTE + join oracle
+    "er_golden_record": (ER.er_golden_record, ER.ER_GOLDEN_RECORD_SQL),
     # keep-best survivor rule (r7): per near-dup cluster keep the
     # highest-quality member (shared composite score), not min-id —
     # the curation-grade canonicalization; corpus never shuffles
@@ -430,6 +439,13 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "knn_label_vote": (SIM.knn_label_vote, SIM.KNN_LABEL_VOTE_SQL),
     "stream_stream_join": (SJ.stream_stream_join, SJ.STREAM_STREAM_JOIN_SQL),
     "stream_static_enrich": (SJ.stream_static_enrich, SJ.STREAM_STATIC_ENRICH_SQL),
+    # chained stateful operators in one query (r7, Spark 3.4+): hourly
+    # windows feed a daily rollup window; append-mode finalization cutoff
+    # (days closed by the watermark) is part of the graded semantics
+    "stream_chained_windows": (
+        SJ.stream_chained_windows,
+        SJ.STREAM_CHAINED_WINDOWS_SQL,
+    ),
     # state-store observability, graded: drain a keyed agg, read the
     # answer back FROM THE STATE FILES (statestore source), oracle =
     # the plain batch aggregate
@@ -608,6 +624,13 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "embedding_kmeans_assign": (
         SIM.embedding_kmeans_assign,
         SIM.EMBEDDING_KMEANS_ASSIGN_SQL,
+    ),
+    # distributed Lloyd k-means training (r7): per-iteration shuffle is
+    # k x dim x n_partitions partial rows — independent of corpus size;
+    # contract oracle pins cardinality + Lloyd invariants as booleans
+    "embedding_kmeans_train": (
+        SIM.embedding_kmeans_train,
+        SIM.EMBEDDING_KMEANS_TRAIN_SQL,
     ),
     "ann_pq_topk": (SIM.ann_pq_topk, None),  # quantizer not SQL-expressible
     "ann_pq_topk_contract": (

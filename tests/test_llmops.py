@@ -1335,3 +1335,28 @@ def test_keep_best_quality_survivor_is_cluster_quality_argmax(spark, sf_dir):
                 f"cluster {cid}: expected winner {winner}, "
                 f"but doc {doc_id} survival={doc_id in best}"
             )
+
+
+def test_kmeans_train_lloyd_invariants(spark, sf_dir):
+    """Distributed Lloyd: SSE drops strictly on the first update and is
+    monotone non-increasing throughout (1-ulp tolerance for float
+    partial-sum ordering); training converges inside the cap; centroids
+    keep the k x dim shape; every vector lands in a valid cluster."""
+    from cdc_local_data_pipeline_docker_spark.llmops import similarity as SIM
+
+    vecs = SIM._vectors(spark, sf_dir)
+    cents, hist, converged = SIM.kmeans_train(vecs, SIM.KMEANS_K)
+    assert converged, f"no convergence in {SIM.KMEANS_TRAIN_MAX_ITERS} iters"
+    assert len(hist) >= 2 and hist[1] < hist[0] * 0.99, (
+        "first Lloyd update should strictly reduce SSE"
+    )
+    assert all(
+        hist[i + 1] <= hist[i] * (1.0 + 1e-12) for i in range(len(hist) - 1)
+    ), f"SSE not monotone: {hist}"
+    assert len(cents) == SIM.KMEANS_K
+    dims = {len(c) for c in cents}
+    assert len(dims) == 1
+    assigned = SIM._assign_with_d2(vecs, cents)
+    ids = [r.cluster_id for r in assigned.select("cluster_id").collect()]
+    assert all(0 <= c < SIM.KMEANS_K for c in ids)
+    assert len(ids) == vecs.count()

@@ -106,8 +106,20 @@ COVERED_BY = {
     # by window_topk_per_group
     "er_blocked_fuzzy_match": "join_inner",
     "er_best_match": "window_topk_per_group",
+    "er_golden_record": "dedup_clusters",
     # log compaction = the latest-state window plan with tombstones kept
     "cdc_changelog_compact": "cdc_latest_state_orders",
+    # Lloyd training: same map-only assignment family as the graded
+    # assign pass; iterative machinery pytest-pinned
+    "embedding_kmeans_train": "ann_cosine_topk",
+    # pipe syntax resolves to the same plan family as SQL-declared
+    # join+agg — graded by the correlated-subquery SQL entry
+    "sql_pipe_syntax": "sql_correlated_subquery",
+    # salted top-k: skew family graded by agg_salted_two_stage
+    "window_topk_salted": "agg_salted_two_stage",
+    # chained stateful windows: streaming window family graded by
+    # stream_tumbling_agg
+    "stream_chained_windows": "stream_tumbling_agg",
     "knn_label_vote": "ann_cosine_topk",
     "stream_stream_join": "stream_tumbling_agg",
     "stream_static_enrich": "stream_tumbling_agg",
