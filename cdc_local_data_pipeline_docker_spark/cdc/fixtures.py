@@ -181,6 +181,37 @@ def expected_live_rows(events: list[dict], table: str) -> dict[int, dict]:
     return live
 
 
+def write_drift_fixture(out_dir: str) -> str:
+    """Write <out_dir>/orders_drift.jsonl: the orders topic with SCHEMA
+    DRIFT injected — extra payload fields Debezium would start emitting
+    after a source-side ALTER TABLE (loyalty_tier on offsets ≡3 mod 7,
+    discount_code on offsets ≡5 mod 11). Injection is offset-keyed, so
+    the file is byte-identical on every call like the base fixtures;
+    the shared orders.jsonl is untouched (its oracles depend on exact
+    bytes)."""
+    os.makedirs(out_dir, exist_ok=True)
+    path = os.path.join(out_dir, "orders_drift.jsonl")
+    with open(path, "w") as f:
+        for e in generate_table_events("orders"):
+            e = {k: v for k, v in e.items() if k != "_kind"}
+            v = e["value"]
+            if isinstance(v, str):
+                try:
+                    row = json.loads(v)
+                except ValueError:
+                    row = None
+                if isinstance(row, dict):
+                    off = e["offset"]
+                    if off % 7 == 3:
+                        row["loyalty_tier"] = "gold"
+                    if off % 11 == 5:
+                        row["discount_code"] = f"DC{off}"
+                    e["value"] = json.dumps(row)
+            f.write(json.dumps(e))
+            f.write("\n")
+    return path
+
+
 def write_fixtures(
     out_dir: str, tables: tuple[str, ...] = tuple(CDC_PRIMARY_KEYS), **kwargs
 ) -> dict[str, str]:

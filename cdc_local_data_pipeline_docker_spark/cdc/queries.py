@@ -891,3 +891,68 @@ FROM ranked
 WHERE rn = 1
 ORDER BY pk
 """
+
+
+def _drift_fixture() -> str:
+    """(Re)write the drift topic; byte-identical every call."""
+    return FX.write_drift_fixture(FIXTURE_DIR)
+
+
+try:  # oracle reads the same file — must exist whichever side runs first
+    _drift_fixture()
+except OSError:  # pragma: no cover - degraded env; query re-attempts
+    pass
+
+#: the declared orders wire schema — anything else in a payload is drift
+_ORDERS_DECLARED = ", ".join(f"'{f}'" for f in _ORDERS_FIELDS)
+
+
+def cdc_schema_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-drift detection: payload fields NOT in the declared wire
+    schema, per field — what Debezium starts emitting the moment the
+    source table gets an ALTER TABLE ADD COLUMN. The fixed-schema parse
+    path (CDC_WIRE_SCHEMAS) silently drops such fields; this report is
+    the monitor that tells the operator the declared schema is stale,
+    with arrival provenance (event count, first/last offset) per
+    drifted field.
+
+    Map-only: json_object_keys + explode on the raw payload (NULL for
+    invalid JSON, filtering the malformed rows in the same expression);
+    the aggregation groups on the drifted-field name — cardinality =
+    number of NEW columns, i.e. tiny. At 100 TB this is one scan with a
+    partial agg; no joins, no state."""
+    d = _drift_fixture()
+    env = P.read_event_file(spark, d)
+    keys = (
+        env.filter(F.col("value").isNotNull())
+        .select(
+            F.col("offset").alias("kafka_offset"),
+            F.explode(F.expr("json_object_keys(value)")).alias("field"),
+        )
+    )
+    return (
+        keys.filter(~F.expr(f"field IN ({_ORDERS_DECLARED})"))
+        .groupBy("field")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("kafka_offset").alias("first_offset"),
+            F.max("kafka_offset").alias("last_offset"),
+        )
+        .orderBy("field")
+    )
+
+
+CDC_SCHEMA_DRIFT_REPORT_SQL = f"""
+SELECT field, COUNT(*) AS n_events,
+       MIN("offset") AS first_offset,
+       MAX("offset") AS last_offset
+FROM (
+  SELECT "offset", unnest(json_keys(value)) AS field
+  FROM read_json_auto('{FIXTURE_DIR}/orders_drift.jsonl',
+                      format='newline_delimited')
+  WHERE value IS NOT NULL AND json_valid(value)
+)
+WHERE field NOT IN ({_ORDERS_DECLARED})
+GROUP BY field
+ORDER BY field
+"""

@@ -601,3 +601,94 @@ FROM per_user
 GROUP BY arm
 ORDER BY arm
 """
+
+
+def events_watermark_lateness_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Watermark-delay tuning audit: for each candidate delay, how many
+    events would Structured Streaming drop as late? An event is late
+    when its event time is older than the watermark at its arrival —
+    modeled exactly as running max(ts) over arrival order (event_id,
+    the ingest sequence of this topic) minus the delay, strictly-prior
+    rows only (an event cannot be late against itself). This is THE
+    report to run before choosing `withWatermark`: the knob trades
+    state size against silent data loss, and guessing it is the
+    classic streaming-pipeline failure.
+
+    Scale note: the running max uses a global arrival order — exact for
+    a single-partition (keyed) topic, which is what the CDC fixtures
+    model. On a multi-partition topic run the same window PARTITIONED BY
+    the source partition (Spark's watermark is min-of-per-partition
+    maxes, so per-partition lateness bounds the real drop count from
+    above); the global form here is the strictest audit."""
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    run = e.select(
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    ).withColumn("prior_max_us", F.max("us").over(w))
+
+    def n_late(delay_s: int):
+        return F.sum(
+            F.when(
+                F.col("prior_max_us") - F.col("us") > delay_s * 1_000_000,
+                F.lit(1),
+            ).otherwise(F.lit(0))
+        )
+
+    agg = run.agg(
+        F.count(F.lit(1)).alias("n_events"),
+        n_late(60).alias("n60"),
+        n_late(600).alias("n600"),
+        n_late(3600).alias("n3600"),
+    )
+    return agg.select(
+        F.expr(
+            "stack(3, '1 minute', 60L, n60, '10 minutes', 600L, n600,"
+            " '1 hour', 3600L, n3600) AS (delay_label, delay_seconds, n_late)"
+        ),
+        "n_events",
+    ).select(
+        "delay_label",
+        "delay_seconds",
+        "n_late",
+        "n_events",
+        (F.col("n_late").cast("double") / F.col("n_events")).alias(
+            "late_fraction"
+        ),
+    ).orderBy("delay_seconds")
+
+
+EVENTS_WATERMARK_LATENESS_AUDIT_SQL = """
+WITH run AS (
+  SELECT epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+         MAX(epoch_us(CAST(ts AS TIMESTAMP))) OVER (
+           ORDER BY event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prior_max_us
+  FROM events
+),
+agg AS (
+  SELECT COUNT(*) AS n_events,
+         SUM(CASE WHEN prior_max_us - us > 60000000 THEN 1 ELSE 0 END) AS n60,
+         SUM(CASE WHEN prior_max_us - us > 600000000 THEN 1 ELSE 0 END) AS n600,
+         SUM(CASE WHEN prior_max_us - us > 3600000000 THEN 1 ELSE 0 END) AS n3600
+  FROM run
+)
+SELECT delay_label, delay_seconds,
+       CAST(n_late AS BIGINT) AS n_late,
+       CAST(n_events AS BIGINT) AS n_events,
+       CAST(n_late AS DOUBLE) / n_events AS late_fraction
+FROM (
+  SELECT '1 minute' AS delay_label, CAST(60 AS BIGINT) AS delay_seconds,
+         n60 AS n_late, n_events FROM agg
+  UNION ALL
+  SELECT '10 minutes', 600, n600, n_events FROM agg
+  UNION ALL
+  SELECT '1 hour', 3600, n3600, n_events FROM agg
+)
+ORDER BY delay_seconds
+"""

@@ -322,6 +322,12 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         TS.events_ewma_smooth,
         TS.EVENTS_EWMA_SMOOTH_SQL,
     ),
+    # watermark-delay tuning audit (r7): events a candidate delay would
+    # drop as late — running max(ts) over arrival order, strictly-prior
+    "events_watermark_lateness_audit": (
+        EV.events_watermark_lateness_audit,
+        EV.EVENTS_WATERMARK_LATENESS_AUDIT_SQL,
+    ),
     # grouped-AGGREGATE pandas UDF (vectorized UDAF inside agg())
     "fn_pandas_grouped_agg": (
         PU.fn_pandas_grouped_agg,
@@ -539,6 +545,12 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # offset-to-offset state diff: per-key insert/delete/update report
     # with old and new images ("what changed since the last sync?")
     "cdc_diff_offsets": (CDC.cdc_diff_offsets, CDC.CDC_DIFF_OFFSETS_SQL),
+    # schema-drift monitor (r7): payload fields outside the declared
+    # wire schema, with arrival provenance — map-only json_object_keys
+    "cdc_schema_drift_report": (
+        CDC.cdc_schema_drift_report,
+        CDC.CDC_SCHEMA_DRIFT_REPORT_SQL,
+    ),
     # Kafka log compaction as a batch operator (r7): last event per key
     # with tombstones RETAINED as delete markers + fold provenance; one
     # Exchange+sort (the latest_state plan), output ~|keys|

@@ -109,6 +109,11 @@ COVERED_BY = {
     "er_golden_record": "dedup_clusters",
     # log compaction = the latest-state window plan with tombstones kept
     "cdc_changelog_compact": "cdc_latest_state_orders",
+    # drift monitor: parse-family map-only scan graded by the reference
+    # projection entry
+    "cdc_schema_drift_report": "cdc_reference_projection",
+    # lateness audit: events window family graded by events_tumbling_agg
+    "events_watermark_lateness_audit": "events_tumbling_agg",
     # Lloyd training: same map-only assignment family as the graded
     # assign pass; iterative machinery pytest-pinned
     "embedding_kmeans_train": "ann_cosine_topk",
