@@ -172,10 +172,16 @@ def er_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
     fallback); the match graph is orders of magnitude smaller than the
     record corpus, so the survivorship joins broadcast the labels."""
     from ..llmops.clusters import connected_components
+    from ..plans.cache_scope import scoped_persist
 
     c = load_table(spark, sf_dir, "customer")
-    pairs = _candidate_pairs(c).select(
-        F.col("custkey_a").alias("doc_a"), F.col("custkey_b").alias("doc_b")
+    # CC probes its edge input several times (local-finish probe +
+    # propagation rounds): persist the verified pairs so the block join
+    # + levenshtein verify run once, not per probe
+    pairs = scoped_persist(
+        _candidate_pairs(c).select(
+            F.col("custkey_a").alias("doc_a"), F.col("custkey_b").alias("doc_b")
+        )
     )
     cc = connected_components(pairs)
     members = cc.select(F.col("id").alias("c_custkey"), "cluster_id")
