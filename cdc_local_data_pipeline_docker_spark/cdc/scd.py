@@ -97,3 +97,111 @@ FROM (SELECT *, kafka_offset AS valid_from_offset FROM versioned)
 WHERE NOT is_tombstone
 ORDER BY pk, valid_from_offset
 """
+
+
+def cdc_temporal_join_items_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (temporal) join across topics: each order_items
+    change event enriched with the ORDER VERSION valid at that event's
+    broker timestamp — "what did the parent row look like WHEN this
+    change happened", the query SCD2 history exists to answer. The
+    validity axis is the shared broker-append time (epoch ms), so the
+    join is meaningful across topics where per-topic offsets are not.
+
+    Versions partition each key's timeline into disjoint [from, next-1]
+    intervals, so the range join matches AT MOST ONE version per item
+    event (left join keeps items that precede their order's first
+    version or reference a deleted order — the temporal orphans the FK
+    report counts). Physical shape: equi-join on order_id with the
+    range residual — one keyed SMJ shuffle, the same cost class as the
+    latest-state join; at 100 TB the dimension side is the (small)
+    version history, broadcastable per AQE."""
+    d = ensure_fixtures()
+    items_env = P.read_event_file(spark, os.path.join(d, "order_items.jsonl"))
+    orders_env = P.read_event_file(spark, os.path.join(d, "orders.jsonl"))
+    items = (
+        P.parse_events(items_env, "order_items")
+        .filter(~F.col("is_malformed") & ~F.col("is_tombstone"))
+        .select(
+            F.col("kafka_offset").alias("item_offset"),
+            F.col("row.order_item_id").alias("order_item_id"),
+            F.col("row.order_id").alias("order_id"),
+            F.unix_millis("kafka_timestamp").alias("item_ts_ms"),
+        )
+    )
+    o = P.parse_events(orders_env, "orders").filter(~F.col("is_malformed"))
+    w = Window.partitionBy("pk").orderBy("kafka_offset")
+    vers = (
+        o.withColumn("ts_ms", F.unix_millis("kafka_timestamp"))
+        .withColumn("valid_to_ms", F.lead("ts_ms").over(w) - F.lit(1))
+        .filter(~F.col("is_tombstone"))
+        .select(
+            F.col("pk").alias("v_order_id"),
+            F.col("row.status").alias("order_status"),
+            F.col("ts_ms").alias("order_valid_from_ms"),
+            "valid_to_ms",
+        )
+    )
+    return (
+        items.join(
+            vers,
+            (items.order_id == vers.v_order_id)
+            & (items.item_ts_ms >= vers.order_valid_from_ms)
+            & (
+                vers.valid_to_ms.isNull()
+                | (items.item_ts_ms <= vers.valid_to_ms)
+            ),
+            "left",
+        )
+        .select(
+            "item_offset", "order_item_id", "order_id", "item_ts_ms",
+            "order_status", "order_valid_from_ms",
+        )
+        .orderBy("item_offset")
+    )
+
+
+CDC_TEMPORAL_JOIN_ITEMS_ORDERS_SQL = f"""
+WITH ienv AS (
+  SELECT *,
+         CASE WHEN value IS NOT NULL AND json_valid(value) THEN value END AS v
+  FROM read_json_auto('{FIXTURE_DIR}/order_items.jsonl',
+                      format='newline_delimited')
+),
+items AS (
+  SELECT "offset" AS item_offset,
+         CAST(json_extract_string(v, '$.order_item_id') AS INT)
+           AS order_item_id,
+         CAST(json_extract_string(v, '$.order_id') AS INT) AS order_id,
+         "timestamp" AS item_ts_ms
+  FROM ienv
+  WHERE value IS NOT NULL
+    AND json_extract_string(v, '$.order_item_id') IS NOT NULL
+),
+oenv AS (
+  SELECT *,
+         CASE WHEN value IS NOT NULL AND json_valid(value) THEN value END AS v
+  FROM read_json_auto('{FIXTURE_DIR}/orders.jsonl',
+                      format='newline_delimited')
+),
+overs AS (
+  SELECT pk, is_tombstone, status, ts_ms,
+         LEAD(ts_ms) OVER (PARTITION BY pk ORDER BY "offset") - 1
+           AS valid_to_ms
+  FROM (
+    SELECT CAST(json_extract_string(key, '$.order_id') AS INT) AS pk,
+           value IS NULL AS is_tombstone,
+           json_extract_string(v, '$.status') AS status,
+           "timestamp" AS ts_ms, "offset"
+    FROM oenv
+    WHERE NOT (value IS NOT NULL
+               AND json_extract_string(v, '$.order_id') IS NULL))
+)
+SELECT i.item_offset, i.order_item_id, i.order_id, i.item_ts_ms,
+       o.status AS order_status, o.ts_ms AS order_valid_from_ms
+FROM items i
+LEFT JOIN (SELECT * FROM overs WHERE NOT is_tombstone) o
+  ON i.order_id = o.pk
+ AND i.item_ts_ms >= o.ts_ms
+ AND (o.valid_to_ms IS NULL OR i.item_ts_ms <= o.valid_to_ms)
+ORDER BY item_offset
+"""

@@ -432,3 +432,25 @@ def test_changelog_compact_replays_to_latest_state(spark):
             except ValueError:
                 pass  # malformed JSON — quarantined by the parser
     assert sum(r.n_events_folded for r in compacted) == n_good
+
+
+def test_temporal_join_matches_at_most_one_version_and_is_nonvacuous(spark):
+    """Disjoint validity intervals => every item event matches at most
+    one order version (row count == item-event count), and the fixture
+    exercises BOTH join sides: enriched rows and temporal orphans
+    (items preceding their order's first version or referencing a
+    deleted order)."""
+    from cdc_local_data_pipeline_docker_spark.cdc import scd as SCD
+
+    rows = SCD.cdc_temporal_join_items_orders(spark, "").collect()
+    assert len(rows) == len({r.item_offset for r in rows}), (
+        "an item event matched more than one order version"
+    )
+    enriched = [r for r in rows if r.order_status is not None]
+    orphans = [r for r in rows if r.order_status is None]
+    assert enriched and orphans, (
+        f"join not exercised on both sides: {len(enriched)} enriched, "
+        f"{len(orphans)} orphans"
+    )
+    for r in enriched:
+        assert r.order_valid_from_ms <= r.item_ts_ms

@@ -17,11 +17,17 @@ MUST_BE_GRADED = {
     "stream_tumbling_agg", "stream_session_agg", "stream_dedup_events",
     "stream_stateful_user_totals",
     # events analytics
-    "events_tumbling_agg", "events_asof_last_view",
+    "events_tumbling_agg",
     # advanced / temporal / SQL-surface
     "grouping_sets_status_priority", "sql_correlated_subquery",
-    "agg_pivot_status",
     "agg_salted_two_stage", "explode_token_frequencies",
+    # round-7 second-session flagships rotated in (displacing
+    # events_asof_last_view, agg_pivot_status, join_semi, join_anti —
+    # each family keeps a graded sibling): the cross-topic point-in-time
+    # join, chained stateful streaming, the ER golden record, and the
+    # keep-best-quality collapse
+    "cdc_temporal_join_items_orders", "stream_chained_windows",
+    "er_golden_record", "dedup_keep_best_quality",
     # pandas-UDF surface
     "fn_pandas_normalize", "fn_pandas_group_rank",
     # round-2 canonicalizer/HUGEINT fix proofs
@@ -43,6 +49,11 @@ MUST_BE_GRADED = {
 
 #: past-window entry -> its graded sibling (same operator family).
 COVERED_BY = {
+    # rotated out in the r7 second session (flagship swap-in)
+    "join_semi": "join_inner",
+    "join_anti": "join_inner",
+    "agg_pivot_status": "agg_grouped",
+    "events_asof_last_view": "cdc_temporal_join_items_orders",
     # rotated out of the window in round 7 (VERDICT r6 #4/#5)
     "cdc_scd2_orders": "cdc_latest_state_orders",
     "events_sessionize": "stream_session_agg",
@@ -79,18 +90,18 @@ COVERED_BY = {
     "q7_volume_shipping": "q5_local_supplier_volume",
     "q8_market_share": "q5_local_supplier_volume",
     "q2_min_cost_supplier": "q17_small_quantity_revenue",
-    "q20_excess_shippers": "join_semi",
+    "q20_excess_shippers": "join_inner",
     "q13_customer_distribution": "agg_grouped",
-    "q22_dormant_high_balance": "join_anti",
-    "q4_order_priority": "join_semi",
+    "q22_dormant_high_balance": "join_inner",
+    "q4_order_priority": "join_inner",
     "q6_forecast_revenue": "q1_pricing_summary",
     "q9_product_profit": "q5_local_supplier_volume",
     "q10_returned_items": "q3_shipping_priority",
     "q11_important_parts": "q17_small_quantity_revenue",
-    "q12_late_priority_mix": "agg_pivot_status",
+    "q12_late_priority_mix": "agg_grouped",
     "q14_promo_revenue": "q17_small_quantity_revenue",
     "q15_top_supplier": "q17_small_quantity_revenue",
-    "q16_parts_supplier": "join_anti",
+    "q16_parts_supplier": "join_inner",
     "q18_large_orders": "q3_shipping_priority",
     "q19_disjunctive_revenue": "filter_pack",
     "q21_waiting_suppliers": "agg_salted_two_stage",
@@ -100,13 +111,11 @@ COVERED_BY = {
     "dedup_minhash_incremental": "dedup_minhash_lsh",
     "dedup_minhash_incremental_contract": "dedup_minhash_lsh",
     "dedup_canonical_corpus": "dedup_clusters",
-    "dedup_keep_best_quality": "dedup_clusters",
     # entity resolution: block equi-join + residual verify — join family
     # graded by join_inner/join_broadcast_dims; window resolution graded
     # by window_topk_per_group
     "er_blocked_fuzzy_match": "join_inner",
     "er_best_match": "window_topk_per_group",
-    "er_golden_record": "dedup_clusters",
     # log compaction = the latest-state window plan with tombstones kept
     "cdc_changelog_compact": "cdc_latest_state_orders",
     # drift monitor: parse-family map-only scan graded by the reference
@@ -122,9 +131,6 @@ COVERED_BY = {
     "sql_pipe_syntax": "sql_correlated_subquery",
     # salted top-k: skew family graded by agg_salted_two_stage
     "window_topk_salted": "agg_salted_two_stage",
-    # chained stateful windows: streaming window family graded by
-    # stream_tumbling_agg
-    "stream_chained_windows": "stream_tumbling_agg",
     "knn_label_vote": "ann_cosine_topk",
     "stream_stream_join": "stream_tumbling_agg",
     "stream_static_enrich": "stream_tumbling_agg",
@@ -145,7 +151,7 @@ COVERED_BY = {
     "dedup_graph_centrality": "dedup_clusters",
     "profile_table_stats": "agg_grouped",
     "profile_join_skew": "agg_grouped",
-    "validate_orders": "join_anti",
+    "validate_orders": "join_inner",
     "customer_features": "agg_grouped",
     "events_daily_gapfill": "events_tumbling_agg",
     "events_mad_outliers": "events_tumbling_agg",
@@ -154,7 +160,7 @@ COVERED_BY = {
     "fn_arrow_udf": "fn_pandas_normalize",
     "events_funnel_windowed": "events_tumbling_agg",
     "events_ab_conversion": "events_tumbling_agg",
-    "gdpr_erase_customer": "join_anti",
+    "gdpr_erase_customer": "join_inner",
     "ann_pq_topk": "ann_cosine_topk",
     "ann_pq_topk_contract": "ann_cosine_topk",
     "multimodal_frame_sample": "multimodal_feature_extract",
