@@ -72,3 +72,35 @@ def state_as_of(parsed: DataFrame, table: str, offset: int) -> DataFrame:
     partitioned changelog (kafka_offset-ranged files) the predicate prunes
     at the scan."""
     return latest_state(parsed.filter(F.col("kafka_offset") <= offset), table)
+
+
+def compact_changelog(parsed: DataFrame) -> DataFrame:
+    """Kafka log compaction over a parsed changelog: the LAST event per
+    key, tombstones RETAINED as delete markers, plus fold provenance
+    (events folded, offset range). `latest_state` is this minus the
+    delete markers; compaction keeps them because downstream consumers
+    replaying the compacted log must see the deletes.
+
+    One pk Exchange + sort; the per-key stats ride the SAME window
+    partition as the winner ranking, so provenance costs nothing extra.
+    Output is ~|keys| rows regardless of history length."""
+    pkw = Window.partitionBy("pk")
+    w = pkw.orderBy(F.col("partition").desc(), F.col("kafka_offset").desc())
+    return (
+        parsed.filter(~F.col("is_malformed"))
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("n_events_folded", F.count(F.lit(1)).over(pkw))
+        .withColumn("first_offset", F.min("kafka_offset").over(pkw))
+        .withColumn("last_offset", F.max("kafka_offset").over(pkw))
+        .filter(F.col("rn") == 1)
+        .select(
+            "pk",
+            F.when(F.col("is_tombstone"), F.lit("delete"))
+            .otherwise(F.lit("upsert"))
+            .alias("net_op"),
+            "n_events_folded",
+            "first_offset",
+            "last_offset",
+            "row",
+        )
+    )

@@ -825,28 +825,18 @@ def cdc_changelog_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly one Exchange + sort — the latest_state plan. On a 100 TB
     changelog laid out in offset-ranged files, an offset predicate
     prunes at the scan and AQE splits hot keys; output size is ~|keys|,
-    independent of history length — the point of compaction."""
-    from pyspark.sql import Window
+    independent of history length — the point of compaction.
+
+    Logic lives in latest_state.compact_changelog (hypothesis-swept on
+    random event sequences); this adapter binds it to the orders topic."""
+    from .latest_state import compact_changelog
 
     d = ensure_fixtures()
     env = P.read_event_file(spark, os.path.join(d, "orders.jsonl"))
-    parsed = P.parse_events(env, "orders").filter(~F.col("is_malformed"))
-    pkw = Window.partitionBy("pk")
-    w = pkw.orderBy(F.col("partition").desc(), F.col("kafka_offset").desc())
     return (
-        parsed.withColumn("rn", F.row_number().over(w))
-        .withColumn("n_events_folded", F.count(F.lit(1)).over(pkw))
-        .withColumn("first_offset", F.min("kafka_offset").over(pkw))
-        .withColumn("last_offset", F.max("kafka_offset").over(pkw))
-        .filter(F.col("rn") == 1)
+        compact_changelog(P.parse_events(env, "orders"))
         .select(
-            "pk",
-            F.when(F.col("is_tombstone"), F.lit("delete"))
-            .otherwise(F.lit("upsert"))
-            .alias("net_op"),
-            "n_events_folded",
-            "first_offset",
-            "last_offset",
+            "pk", "net_op", "n_events_folded", "first_offset", "last_offset",
             F.col("row.customer_id").alias("customer_id"),
             F.col("row.status").alias("status"),
             F.col("row.total_amount").cast("double").alias("total_amount"),

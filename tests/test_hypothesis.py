@@ -433,3 +433,58 @@ def test_u32_spark_matches_python_md5(spark, key):
     got = df.select(_u32_spark(F.col("k")).alias("u")).collect()[0]["u"]
     want = int(hashlib.md5(str(key).encode()).hexdigest()[:8], 16)
     assert got == want
+
+
+@given(_event_sequence())
+@_SETTINGS
+def test_changelog_compaction_matches_replay_on_random_sequences(spark, ops):
+    """Compaction invariants on ARBITRARY event sequences (including a
+    key whose FIRST event is a tombstone — unreachable in the fixture):
+    one output row per key; net_op/last_offset/fold counts match a dict
+    replay; upsert rows carry the last payload; and applying the
+    compacted log to empty state reproduces latest_state exactly."""
+    events = []
+    last: dict[int, tuple] = {}   # pk -> (kind, amount, offset)
+    folds: dict[int, int] = {}
+    firsts: dict[int, int] = {}
+    for offset, (pk, kind, disc) in enumerate(ops):
+        if kind == "delete":
+            value = None
+            last[pk] = ("delete", None, offset)
+        else:
+            amount = f"{(disc % 99999) / 100 + 1:.2f}"
+            value = json.dumps(
+                {"order_id": pk, "customer_id": 1, "order_date": 0,
+                 "status": f"s{disc}", "total_amount": amount,
+                 "shipping_address": "x"}
+            )
+            last[pk] = ("upsert", amount, offset)
+        folds[pk] = folds.get(pk, 0) + 1
+        firsts.setdefault(pk, offset)
+        events.append({"key": json.dumps({"order_id": pk}), "value": value,
+                       "topic": "t", "partition": 0, "offset": offset,
+                       "timestamp": 0})
+    env = spark.createDataFrame(
+        [(e["key"], e["value"], e["topic"], e["partition"], e["offset"],
+          e["timestamp"]) for e in events],
+        P.ENVELOPE_DDL,
+    )
+    parsed = P.parse_events(env, "orders")
+    rows = {r.pk: r for r in LS.compact_changelog(parsed).collect()}
+    assert set(rows) == set(last)
+    for pk, (kind, amount, offset) in last.items():
+        r = rows[pk]
+        assert r.net_op == kind
+        assert r.last_offset == offset
+        assert r.first_offset == firsts[pk]
+        assert r.n_events_folded == folds[pk]
+        got_amount = None if r.row is None or r.row.total_amount is None \
+            else str(r.row.total_amount)
+        assert got_amount == amount
+
+    # replay contract: compacted upserts == latest_state
+    state = {r.order_id: str(r.total_amount)
+             for r in LS.latest_state(parsed, "orders").collect()}
+    applied = {pk: amount for pk, (kind, amount, _) in last.items()
+               if kind == "upsert"}
+    assert state == applied
