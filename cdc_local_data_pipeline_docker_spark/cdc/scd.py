@@ -128,7 +128,18 @@ def cdc_temporal_join_items_orders(spark: SparkSession, sf_dir: str) -> DataFram
             F.unix_millis("kafka_timestamp").alias("item_ts_ms"),
         )
     )
-    o = P.parse_events(orders_env, "orders").filter(~F.col("is_malformed"))
+    orders_parsed = P.parse_events(orders_env, "orders")
+    return point_in_time_enrich(items, orders_parsed).orderBy("item_offset")
+
+
+def point_in_time_enrich(items: DataFrame, orders_parsed: DataFrame) -> DataFrame:
+    """Core of the temporal join (hypothesis-swept on random sequences):
+    items (item_offset, order_item_id, order_id, item_ts_ms) left-joined
+    to the order version whose [ts, next_event_ts - 1] broker-time
+    interval contains item_ts_ms. Assumes per-topic broker time is
+    strictly increasing with offset (Kafka per-partition append order),
+    so intervals are disjoint and each event matches at most once."""
+    o = orders_parsed.filter(~F.col("is_malformed"))
     w = Window.partitionBy("pk").orderBy("kafka_offset")
     vers = (
         o.withColumn("ts_ms", F.unix_millis("kafka_timestamp"))
@@ -156,7 +167,6 @@ def cdc_temporal_join_items_orders(spark: SparkSession, sf_dir: str) -> DataFram
             "item_offset", "order_item_id", "order_id", "item_ts_ms",
             "order_status", "order_valid_from_ms",
         )
-        .orderBy("item_offset")
     )
 
 

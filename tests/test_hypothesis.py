@@ -488,3 +488,68 @@ def test_changelog_compaction_matches_replay_on_random_sequences(spark, ops):
     applied = {pk: amount for pk, (kind, amount, _) in last.items()
                if kind == "upsert"}
     assert state == applied
+
+
+@st.composite
+def _temporal_case(draw):
+    orders = draw(st.lists(
+        st.tuples(st.integers(1, 4), st.sampled_from(["upsert", "delete"]),
+                  st.integers(0, 999)),
+        min_size=1, max_size=15,
+    ))
+    items = draw(st.lists(
+        st.tuples(st.integers(1, 4), st.integers(0, 999)),
+        min_size=1, max_size=15,
+    ))
+    return orders, items
+
+
+@given(_temporal_case())
+@_SETTINGS
+def test_temporal_join_matches_bruteforce_on_random_sequences(spark, case):
+    """Point-in-time enrich vs a per-event brute-force version lookup on
+    random changelogs: each item event must see the order version whose
+    broker-time interval contains it — including deleted-order windows
+    (tombstone closes the interval; items landing after it are orphans)
+    and items preceding the order's first version."""
+    from cdc_local_data_pipeline_docker_spark.cdc.scd import point_in_time_enrich
+
+    orders_ops, items_ops = case
+    base = 1_700_000_000_000
+    order_events = []
+    timeline: dict[int, list[tuple[int, str | None]]] = {}
+    for offset, (pk, kind, jit) in enumerate(orders_ops):
+        ts = base + offset * 1000 + jit  # strictly increasing (gap > jitter)
+        status = None if kind == "delete" else f"s{offset}"
+        value = None if kind == "delete" else json.dumps(
+            {"order_id": pk, "customer_id": 1, "order_date": 0,
+             "status": status, "total_amount": "1.00", "shipping_address": "x"}
+        )
+        timeline.setdefault(pk, []).append((ts, status))
+        order_events.append(
+            (json.dumps({"order_id": pk}), value, "t", 0, offset, ts)
+        )
+    item_rows = []
+    expected = {}
+    for offset, (order_id, jit) in enumerate(items_ops):
+        ts = base + offset * 1000 + jit
+        item_rows.append((offset, offset, order_id, ts))
+        # brute force: last order event at or before ts; tombstone → orphan
+        ver = None
+        for ets, status in timeline.get(order_id, []):
+            if ets <= ts:
+                ver = (ets, status)
+        expected[offset] = (
+            (None, None) if ver is None or ver[1] is None else (ver[1], ver[0])
+        )
+    orders_env = spark.createDataFrame(order_events, P.ENVELOPE_DDL)
+    items_df = spark.createDataFrame(
+        item_rows, "item_offset LONG, order_item_id INT, order_id INT, "
+        "item_ts_ms LONG"
+    )
+    out = point_in_time_enrich(items_df, P.parse_events(orders_env, "orders"))
+    got = {
+        r.item_offset: (r.order_status, r.order_valid_from_ms)
+        for r in out.collect()
+    }
+    assert got == expected
