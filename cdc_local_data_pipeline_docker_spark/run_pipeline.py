@@ -61,6 +61,11 @@ def main(argv: list[str] | None = None) -> int:
                     help="also maintain BOTH multi-topic gold join views "
                          "(customers⋈orders and order_items⋈products) via "
                          "the multiplexed IVM streams and report them")
+    ap.add_argument("--compact", action="store_true",
+                    help="also report the compacted changelog per table "
+                         "(last event per key, tombstones retained as "
+                         "delete markers): upsert/delete marker counts "
+                         "and the fold ratio events/keys")
     args = ap.parse_args(argv)
 
     tables = [t.strip() for t in args.tables.split(",") if t.strip()]
@@ -125,6 +130,28 @@ def main(argv: list[str] | None = None) -> int:
                 "p50": s["p50"],
                 "p90": s["p90"],
                 "p99": s["p99"],
+            }
+        if args.compact:
+            from pyspark.sql import functions as F
+
+            from .cdc.latest_state import compact_changelog
+            from .cdc.parse import parse_events, read_event_file
+
+            env = read_event_file(
+                spark, os.path.join(events_dir, f"{table}.jsonl")
+            )
+            c = compact_changelog(parse_events(env, table))
+            s = c.agg(
+                F.count(F.lit(1)).alias("n_keys"),
+                F.sum((F.col("net_op") == "delete").cast("long")).alias(
+                    "n_delete_markers"
+                ),
+                F.sum("n_events_folded").alias("n_events"),
+            ).collect()[0]
+            metrics["compact"] = {
+                "n_keys": s.n_keys,
+                "n_delete_markers": s.n_delete_markers,
+                "fold_ratio": round(s.n_events / max(s.n_keys, 1), 3),
             }
         if args.agg_view:
             from .streaming.incremental_view import (

@@ -287,3 +287,26 @@ def test_run_pipeline_gold_views_flag(spark, tmp_path, capsys):
         for r in cdc_gold_order_lines(spark, "unused").collect()
     }
     assert got_lines == want_lines
+
+
+def test_run_pipeline_compact_flag(spark, tmp_path, capsys):
+    """--compact reports the compacted-changelog summary per table and its
+    numbers reconcile with the pipeline's own state: n_keys − delete
+    markers = live rows, and the fold counts cover every non-malformed
+    event (n_events = fold_ratio × n_keys)."""
+    import json
+
+    from cdc_local_data_pipeline_docker_spark import run_pipeline as RP
+    from cdc_local_data_pipeline_docker_spark.cdc import fixtures as FX
+
+    out = str(tmp_path / "wh")
+    rc = RP.main(["--out-dir", out, "--tables", "orders", "--compact"])
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    t = rep["tables"][0]
+    c = t["compact"]
+    assert c["n_keys"] - c["n_delete_markers"] == t["live_rows"]
+    events = FX.generate_table_events("orders")
+    n_good = sum(1 for e in events if e["_kind"] != "malformed")
+    assert round(c["fold_ratio"] * c["n_keys"]) == n_good
+    assert c["n_delete_markers"] > 0
