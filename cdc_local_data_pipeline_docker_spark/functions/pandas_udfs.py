@@ -200,3 +200,57 @@ SELECT c_custkey,
 FROM customer
 ORDER BY c_custkey
 """
+
+
+def fn_arrow_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInArrow: the zero-copy batch API below mapInPandas — the
+    iterator yields pyarrow.RecordBatch directly, skipping the
+    Arrow→pandas conversion mapInPandas pays per batch (the right call
+    when the Python work is itself Arrow/NumPy-native, e.g. tensor
+    codecs). Demonstrated on the discounted-price expression so the
+    oracle is the plain SQL twin; in the engine the hot path for THIS
+    expression stays the built-in column form — the entry pins the API
+    shape for workloads that genuinely need Python.
+
+    Scale: identical distribution story to mapInPandas — map-only over
+    Arrow batches, no shuffle; batch size bounded by
+    spark.sql.execution.arrow.maxRecordsPerBatch."""
+    import pyarrow as pa
+
+    def batches(it):
+        for rb in it:
+            tbl = pa.table(rb)
+            ext = tbl.column("l_extendedprice").cast(pa.float64())
+            disc = tbl.column("l_discount").cast(pa.float64())
+            one = pa.compute.subtract(pa.scalar(1.0), disc)
+            # cast passthrough keys explicitly: the declared output
+            # schema is authoritative and Arrow will NOT widen int32
+            # parquet columns for you (getLong crash otherwise)
+            out = pa.table(
+                {
+                    "l_orderkey": tbl.column("l_orderkey").cast(pa.int64()),
+                    "l_linenumber": tbl.column("l_linenumber").cast(pa.int64()),
+                    "disc_price": pa.compute.multiply(ext, one),
+                }
+            )
+            yield from out.to_batches()
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") < 200)
+        .select("l_orderkey", "l_linenumber", "l_extendedprice", "l_discount")
+    )
+    return li.mapInArrow(
+        batches,
+        "l_orderkey LONG, l_linenumber LONG, disc_price DOUBLE",
+    ).orderBy("l_orderkey", "l_linenumber")
+
+
+FN_ARROW_MAP_SQL = """
+SELECT l_orderkey, l_linenumber,
+       CAST(l_extendedprice AS DOUBLE) * (1.0 - CAST(l_discount AS DOUBLE))
+         AS disc_price
+FROM lineitem
+WHERE l_orderkey < 200
+ORDER BY l_orderkey, l_linenumber
+"""

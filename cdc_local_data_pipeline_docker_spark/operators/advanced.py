@@ -301,3 +301,51 @@ FROM (
 WHERE rn <= 5
 ORDER BY event_type, rn
 """
+
+
+def reshape_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long reshape via the DataFrame unpivot/melt API (Spark 3.4+)
+    — the inverse of agg_pivot_status, as the API form rather than the
+    `stack` SQL expression the column profiler uses. Four lineitem
+    measures become (key, measure, value) rows.
+
+    Scale: unpivot is a map-only Expand (each input row emits one row
+    per measure, no shuffle); the Exchange here is only the
+    presentation sort."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") < 100)
+        .select(
+            "l_orderkey", "l_linenumber",
+            F.col("l_quantity").cast("double").alias("quantity"),
+            F.col("l_extendedprice").cast("double").alias("extendedprice"),
+            F.col("l_discount").cast("double").alias("discount"),
+            F.col("l_tax").cast("double").alias("tax"),
+        )
+    )
+    return li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["quantity", "extendedprice", "discount", "tax"],
+        "measure",
+        "value",
+    ).orderBy("l_orderkey", "l_linenumber", "measure")
+
+
+RESHAPE_UNPIVOT_MEASURES_SQL = """
+SELECT l_orderkey, l_linenumber, measure, value
+FROM (
+  SELECT l_orderkey, l_linenumber, 'quantity' AS measure,
+         CAST(l_quantity AS DOUBLE) AS value FROM lineitem
+  UNION ALL
+  SELECT l_orderkey, l_linenumber, 'extendedprice',
+         CAST(l_extendedprice AS DOUBLE) FROM lineitem
+  UNION ALL
+  SELECT l_orderkey, l_linenumber, 'discount',
+         CAST(l_discount AS DOUBLE) FROM lineitem
+  UNION ALL
+  SELECT l_orderkey, l_linenumber, 'tax',
+         CAST(l_tax AS DOUBLE) FROM lineitem
+)
+WHERE l_orderkey < 100
+ORDER BY l_orderkey, l_linenumber, measure
+"""

@@ -466,6 +466,14 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # rotated out r7 second session (agg family keeps agg_grouped,
     # agg_approx, agg_salted_two_stage, grouping_sets in-window)
     "agg_pivot_status": (ADV.agg_pivot_status, ADV.AGG_PIVOT_STATUS_SQL),
+    # wide→long reshape via the unpivot/melt API (r7): map-only Expand,
+    # the inverse of the pivot above
+    "reshape_unpivot_measures": (
+        ADV.reshape_unpivot_measures,
+        ADV.RESHAPE_UNPIVOT_MEASURES_SQL,
+    ),
+    # mapInArrow (r7): the zero-copy RecordBatch API below mapInPandas
+    "fn_arrow_map": (PU.fn_arrow_map, PU.FN_ARROW_MAP_SQL),
     # state-store observability, graded: drain a keyed agg, read the
     # answer back FROM THE STATE FILES (statestore source), oracle =
     # the plain batch aggregate

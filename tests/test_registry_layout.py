@@ -53,6 +53,9 @@ COVERED_BY = {
     "join_semi": "join_inner",
     "join_anti": "join_inner",
     "agg_pivot_status": "agg_grouped",
+    # reshape + Arrow-batch API surface (r7 second session)
+    "reshape_unpivot_measures": "agg_grouped",
+    "fn_arrow_map": "fn_pandas_normalize",
     "events_asof_last_view": "cdc_temporal_join_items_orders",
     # rotated out of the window in round 7 (VERDICT r6 #4/#5)
     "cdc_scd2_orders": "cdc_latest_state_orders",
