@@ -1360,3 +1360,55 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors,
        TRUE AS assignment_argmin_ok
 FROM embeddings
 """
+
+
+# ---------------------------------------------------------------------------
+# Filtered vector search: metadata predicate + top-k in one query — the
+# production ANN shape (e.g. "nearest neighbors among label=X only").
+# ---------------------------------------------------------------------------
+
+ANN_FILTER_LABEL = 3
+
+
+def ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered vector search: exact cosine top-k restricted to corpus
+    members with label == ANN_FILTER_LABEL. Pre-filtering (predicate
+    BEFORE the similarity scan) is the correct production strategy when
+    the filter is selective: the scored candidate space shrinks to the
+    matching slice, and the filter pushes down to the parquet scan
+    (PushedFilters) so non-matching vectors are never decoded.
+    Post-filtering (top-k first, filter after) would return < k results
+    whenever the neighborhood is dominated by other labels — the classic
+    filtered-ANN correctness trap this entry's oracle would catch.
+
+    Plan shape = _brute_topk on the slice: bounded query side
+    broadcasts, the filtered corpus scans once and never shuffles. The
+    IVF variant at scale probes cells but applies the same predicate to
+    cell members map-side."""
+    vecs = _vectors(spark, sf_dir)
+    labels = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    filtered = (
+        vecs.join(labels, "vec_id")
+        .filter(F.col("label") == ANN_FILTER_LABEL)
+        .select("vec_id", "v", "norm")
+    )
+    return _brute_topk(vecs.filter(F.col("vec_id") < ANN_N_QUERIES), filtered)
+
+
+ANN_FILTERED_TOPK_SQL = f"""
+SELECT query_id, rank, neighbor_id
+FROM (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY a.vec_id
+           ORDER BY list_cosine_similarity(a.embedding::DOUBLE[],
+                                           b.embedding::DOUBLE[]) DESC,
+                    b.vec_id ASC) AS rank
+  FROM embeddings a
+  JOIN embeddings b
+    ON a.vec_id != b.vec_id AND b.label = {ANN_FILTER_LABEL}
+  WHERE a.vec_id < {ANN_N_QUERIES}
+)
+WHERE rank <= {ANN_TOP_K}
+ORDER BY query_id, rank
+"""

@@ -659,6 +659,9 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         SIM.embedding_kmeans_assign,
         SIM.EMBEDDING_KMEANS_ASSIGN_SQL,
     ),
+    # filtered vector search (r7): metadata predicate + top-k in one
+    # query — PRE-filtering (the post-filter form silently returns < k)
+    "ann_filtered_topk": (SIM.ann_filtered_topk, SIM.ANN_FILTERED_TOPK_SQL),
     # distributed Lloyd k-means training (r7): per-iteration shuffle is
     # k x dim x n_partitions partial rows — independent of corpus size;
     # contract oracle pins cardinality + Lloyd invariants as booleans

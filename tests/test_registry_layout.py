@@ -129,6 +129,7 @@ COVERED_BY = {
     # Lloyd training: same map-only assignment family as the graded
     # assign pass; iterative machinery pytest-pinned
     "embedding_kmeans_train": "ann_cosine_topk",
+    "ann_filtered_topk": "ann_cosine_topk",
     # pipe syntax resolves to the same plan family as SQL-declared
     # join+agg — graded by the correlated-subquery SQL entry
     "sql_pipe_syntax": "sql_correlated_subquery",
