@@ -946,3 +946,113 @@ WHERE field NOT IN ({_ORDERS_DECLARED})
 GROUP BY field
 ORDER BY field
 """
+
+
+# ---------------------------------------------------------------------------
+# DBLog-style incremental snapshot merge (cdc/snapshot_merge.py) bound to
+# the orders topic with a fixed 4-chunk spec. The chunk watermarks are
+# interior log offsets (the fixture log spans offsets 0..74), so the
+# merge exercises all regimes: keys finalized before their chunk's
+# watermark (snapshot wins), keys changed after it (log wins), and keys
+# whose post-watermark net effect is a delete (dropped).
+
+#: (chunk_id, pk_lo, pk_hi, watermark_offset) — half-open ranges that
+#: partition the order_id space; watermarks increase (chunks run in
+#: sequence against a moving log, the DBLog schedule).
+SNAPSHOT_CHUNKS = (
+    (1, 0, 10, 18),
+    (2, 10, 25, 35),
+    (3, 25, 10000, 52),
+    (4, 10000, 2147483647, 68),
+)
+
+
+def cdc_snapshot_chunk_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunked-snapshot + changelog merge for the orders topic: the
+    consistent final state with per-key provenance (which side won and
+    under which chunk's watermark). merged ≡ cdc_latest_state_orders on
+    the shared columns — the DBLog correctness theorem, also
+    hypothesis-swept on random logs × chunkings."""
+    from .snapshot_merge import CHUNKS_DDL, merge_incremental_snapshot
+
+    d = ensure_fixtures()
+    env = P.read_event_file(spark, os.path.join(d, "orders.jsonl"))
+    chunks = spark.createDataFrame(list(SNAPSHOT_CHUNKS), CHUNKS_DDL)
+    merged = merge_incremental_snapshot(P.parse_events(env, "orders"), chunks)
+    return merged.select(
+        F.col("pk").alias("order_id"),
+        "chunk_id",
+        "watermark_offset",
+        "src",
+        F.col("row.customer_id").alias("customer_id"),
+        F.col("row.status").alias("status"),
+        F.col("row.total_amount").cast("double").alias("total_amount"),
+        "last_offset",
+    ).orderBy("order_id")
+
+
+_CHUNK_VALUES = ", ".join(f"({c}, {lo}, {hi}, {w})" for c, lo, hi, w in SNAPSHOT_CHUNKS)
+
+CDC_SNAPSHOT_CHUNK_MERGE_SQL = f"""
+WITH env AS (
+  SELECT *,
+         CASE WHEN value IS NOT NULL AND json_valid(value) THEN value END AS v
+  FROM read_json_auto('{FIXTURE_DIR}/orders.jsonl',
+                      format='newline_delimited')
+),
+parsed AS (
+  SELECT CAST(json_extract_string(key, '$.order_id') AS INT) AS pk,
+         value IS NULL AS is_tombstone,
+         value IS NOT NULL
+           AND json_extract_string(v, '$.order_id') IS NULL AS is_malformed,
+         CAST(json_extract_string(v, '$.customer_id') AS INT) AS customer_id,
+         json_extract_string(v, '$.status') AS status,
+         CAST(CAST(json_extract_string(v, '$.total_amount') AS DECIMAL(10,2))
+              AS DOUBLE) AS total_amount,
+         partition, "offset"
+  FROM env
+),
+chunks(chunk_id, pk_lo, pk_hi, watermark_offset) AS (
+  VALUES {_CHUNK_VALUES}
+),
+evc AS (
+  SELECT p.*, c.chunk_id, c.watermark_offset
+  FROM parsed p JOIN chunks c ON p.pk >= c.pk_lo AND p.pk < c.pk_hi
+  WHERE NOT p.is_malformed
+),
+lastf AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY pk
+                               ORDER BY partition DESC, "offset" DESC) AS rn
+  FROM evc
+),
+lf AS (
+  SELECT pk, chunk_id, watermark_offset, is_tombstone,
+         customer_id, status, total_amount, "offset" AS last_offset
+  FROM lastf WHERE rn = 1
+),
+snapf AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY pk
+                               ORDER BY partition DESC, "offset" DESC) AS rn
+  FROM evc WHERE "offset" <= watermark_offset
+),
+sf AS (
+  SELECT pk, is_tombstone AS s_tomb, customer_id AS s_cust,
+         status AS s_status, total_amount AS s_amt
+  FROM snapf WHERE rn = 1
+)
+SELECT lf.pk AS order_id, lf.chunk_id, lf.watermark_offset,
+       CASE WHEN last_offset > watermark_offset
+            THEN 'log' ELSE 'snapshot' END AS src,
+       CASE WHEN last_offset > watermark_offset
+            THEN lf.customer_id ELSE sf.s_cust END AS customer_id,
+       CASE WHEN last_offset > watermark_offset
+            THEN lf.status ELSE sf.s_status END AS status,
+       CASE WHEN last_offset > watermark_offset
+            THEN lf.total_amount ELSE sf.s_amt END AS total_amount,
+       lf.last_offset
+FROM lf LEFT JOIN sf ON lf.pk = sf.pk
+WHERE CASE WHEN last_offset > watermark_offset
+           THEN NOT lf.is_tombstone
+           ELSE sf.pk IS NOT NULL AND NOT sf.s_tomb END
+ORDER BY order_id
+"""

@@ -53,6 +53,7 @@ from .operators import packs as PK
 from .operators import relational as R
 from .operators import sketches as SK
 from .operators import timeseries as TS
+from .operators import basket as BK
 from .operators import tpch_more as TM
 from .operators import tpch_shapes as TQ
 from .streaming import incremental_join_view as IJV
@@ -580,6 +581,13 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         CDC.cdc_changelog_compact,
         CDC.CDC_CHANGELOG_COMPACT_SQL,
     ),
+    # DBLog/Debezium incremental snapshot merge (r7): chunked PK-range
+    # snapshot + live changelog reconciled to the consistent state with
+    # per-key provenance — one pk-keyed hash agg, broadcast chunk spec
+    "cdc_snapshot_chunk_merge": (
+        CDC.cdc_snapshot_chunk_merge,
+        CDC.CDC_SNAPSHOT_CHUNK_MERGE_SQL,
+    ),
     # referential-integrity audit across all three FK edges (U8 upgraded
     # from per-table counts to cross-table consistency; r7)
     "cdc_fk_integrity_report": (
@@ -740,6 +748,21 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "fn_variant_pack": (VP.fn_variant_pack, VP.FN_VARIANT_PACK_SQL),
     "fn_map_pack": (FP.fn_map_pack, FP.FN_MAP_PACK_SQL),
     "fn_conditional_pack": (FP.fn_conditional_pack, FP.FN_CONDITIONAL_PACK_SQL),
+    # frequent-pattern mining (r7): A-priori pair mining — basket-keyed
+    # pair expansion bounded per basket, vocabulary-bounded broadcasts,
+    # exact integer counts with IEEE-identical support/lift ratios
+    "mine_brand_pair_lift": (
+        BK.mine_brand_pair_lift,
+        BK.MINE_BRAND_PAIR_LIFT_SQL,
+    ),
+    # triangle counting + clustering coefficients over the lift>1
+    # co-occurrence graph: degree-ordered orientation (each triangle
+    # closes once; wedge space bounded by sum out-deg^2); oracle is the
+    # brute neighbor-pair form
+    "graph_triangle_count": (
+        BK.graph_triangle_count,
+        BK.GRAPH_TRIANGLE_COUNT_SQL,
+    ),
 }
 
 #: Number of entries the grading driver evaluates (first N in dict order).

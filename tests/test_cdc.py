@@ -454,3 +454,29 @@ def test_temporal_join_matches_at_most_one_version_and_is_nonvacuous(spark):
     )
     for r in enriched:
         assert r.order_valid_from_ms <= r.item_ts_ms
+
+
+def test_snapshot_chunk_merge_equals_latest_state_with_live_provenance(spark):
+    """The DBLog theorem on the fixture log: chunked-snapshot + changelog
+    merge reproduces latest_state exactly on the shared columns, and the
+    provenance is non-vacuous — both 'snapshot' and 'log' winners occur,
+    and src='log' holds exactly when the key's last change is past its
+    chunk's watermark."""
+    from cdc_local_data_pipeline_docker_spark.cdc import queries as Q
+
+    merged = Q.cdc_snapshot_chunk_merge(spark, "").collect()
+    state = {
+        r.order_id: r for r in Q.cdc_latest_state_orders(spark, "").collect()
+    }
+    assert {r.order_id for r in merged} == set(state)
+    for r in merged:
+        s = state[r.order_id]
+        assert (r.customer_id, r.status) == (s.customer_id, s.status)
+        assert r.total_amount == s.total_amount
+        assert r.last_offset == s.last_offset
+        assert r.src == ("log" if r.last_offset > r.watermark_offset
+                         else "snapshot")
+    srcs = {r.src for r in merged}
+    assert srcs == {"log", "snapshot"}, f"degenerate chunk spec: {srcs}"
+    # the chunk spec really partitions the key space into multiple chunks
+    assert len({r.chunk_id for r in merged}) >= 3

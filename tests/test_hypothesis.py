@@ -553,3 +553,65 @@ def test_temporal_join_matches_bruteforce_on_random_sequences(spark, case):
         for r in out.collect()
     }
     assert got == expected
+
+
+@st.composite
+def _snapshot_merge_case(draw):
+    ops = draw(_event_sequence())
+    # random chunking of the pk space 1..5: sorted interior cut points
+    cuts = sorted(draw(st.lists(st.integers(2, 5), max_size=2, unique=True)))
+    bounds = [1, *cuts, 6]
+    # per-chunk watermark offsets anywhere in (or past) the log
+    wms = draw(st.lists(st.integers(0, 30), min_size=len(bounds) - 1,
+                        max_size=len(bounds) - 1))
+    chunks = [
+        (i + 1, bounds[i], bounds[i + 1], wms[i])
+        for i in range(len(bounds) - 1)
+    ]
+    return ops, chunks
+
+
+@given(_snapshot_merge_case())
+@_SETTINGS
+def test_snapshot_chunk_merge_theorem_on_random_logs_and_chunkings(spark, case):
+    """The DBLog correctness theorem on ARBITRARY logs and chunk specs:
+    for ANY partition of the key space and ANY per-chunk watermarks, the
+    chunked-snapshot + changelog merge equals full-replay latest_state,
+    and provenance follows the last_offset-vs-watermark rule."""
+    from cdc_local_data_pipeline_docker_spark.cdc.snapshot_merge import (
+        CHUNKS_DDL,
+        merge_incremental_snapshot,
+    )
+
+    ops, chunks = case
+    events = []
+    last: dict[int, tuple] = {}
+    for offset, (pk, kind, disc) in enumerate(ops):
+        if kind == "delete":
+            value = None
+            last[pk] = ("delete", None, offset)
+        else:
+            amount = f"{(disc % 99999) / 100 + 1:.2f}"
+            value = json.dumps(
+                {"order_id": pk, "customer_id": 1, "order_date": 0,
+                 "status": f"s{disc}", "total_amount": amount,
+                 "shipping_address": "x"}
+            )
+            last[pk] = ("upsert", amount, offset)
+        events.append((json.dumps({"order_id": pk}), value, "t", 0, offset, 0))
+    env = spark.createDataFrame(events, P.ENVELOPE_DDL)
+    parsed = P.parse_events(env, "orders")
+    chunk_df = spark.createDataFrame(chunks, CHUNKS_DDL)
+    merged = {r.pk: r for r in
+              merge_incremental_snapshot(parsed, chunk_df).collect()}
+
+    want = {pk: amount for pk, (kind, amount, _) in last.items()
+            if kind == "upsert"}
+    assert {pk: str(m.row.total_amount) for pk, m in merged.items()} == want
+    wm_of = {}
+    for _cid, lo, hi, wm in chunks:
+        for pk in range(lo, hi):
+            wm_of[pk] = wm
+    for pk, m in merged.items():
+        assert m.last_offset == last[pk][2]
+        assert m.src == ("log" if m.last_offset > wm_of[pk] else "snapshot")

@@ -808,6 +808,11 @@ BNLJ_WHITELIST = {
     "ann_lsh_topk_contract_sampled",
     "ann_ivf_topk_contract_sampled",
     "ann_pq_topk_contract_sampled",
+    "ann_filtered_topk",          # same bounded query-side broadcast
+    # (c) bounded-metadata range joins / scalar stats (r7 third session)
+    "cdc_snapshot_chunk_merge",   # pk-range join vs the KB chunk-spec table
+    "mine_brand_pair_lift",       # 1-row n_baskets scalar crossJoin
+    "graph_triangle_count",       # same scalar inside the edge builder
 }
 
 

@@ -113,6 +113,10 @@ COVERED_BY = {
     "sketch_tdigest_quantiles": "agg_approx",
     "dedup_minhash_incremental": "dedup_minhash_lsh",
     "dedup_minhash_incremental_contract": "dedup_minhash_lsh",
+    # round-7 third-session additions (pending window rotation)
+    "cdc_snapshot_chunk_merge": "cdc_latest_state_orders",
+    "mine_brand_pair_lift": "agg_grouped",
+    "graph_triangle_count": "join_inner",
     "dedup_canonical_corpus": "dedup_clusters",
     # entity resolution: block equi-join + residual verify — join family
     # graded by join_inner/join_broadcast_dims; window resolution graded
