@@ -692,3 +692,104 @@ FROM (
 )
 ORDER BY delay_seconds
 """
+
+
+# ---------------------------------------------------------------------------
+# Marketing-style conversion attribution.
+# ---------------------------------------------------------------------------
+
+#: Event types that count as attributable touches, and the conversion.
+ATTRIB_TOUCH_TYPES = ("click", "view")
+ATTRIB_CONVERSION_TYPE = "purchase"
+
+#: A touch only gets credit within this lookback before the conversion.
+ATTRIB_WINDOW_HOURS = 24
+
+
+def events_attribution_last_touch(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Last-touch attribution: for every purchase, the most recent
+    click/view by the same user within the 24 h lookback — else the
+    purchase is 'direct'. One user-keyed window pass (last-ignore-nulls
+    over touch-projected columns), no self-join: the classic carry-
+    forward formulation, so at 100 TB the cost is one user shuffle
+    shared with every other per-user window query.
+
+    Columns: purchase_event_id, user_id, purchase_ts, touch_event_id,
+    touch_type, touch_ts, channel ('click'/'view'/'direct'). Out-of-
+    window touches null out — the carry must not leak credit past the
+    lookback."""
+    e = load_table(spark, sf_dir, "events")
+    is_touch = F.col("event_type").isin(*ATTRIB_TOUCH_TYPES)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    carried = e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        F.last(F.when(is_touch, F.col("event_id")), ignorenulls=True)
+        .over(w)
+        .alias("touch_event_id"),
+        F.last(F.when(is_touch, F.col("event_type")), ignorenulls=True)
+        .over(w)
+        .alias("touch_type"),
+        F.last(F.when(is_touch, F.col("ts")), ignorenulls=True)
+        .over(w)
+        .alias("touch_ts"),
+    )
+    in_window = (
+        F.col("touch_ts").isNotNull()
+        & (
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            - F.unix_micros(F.col("touch_ts").cast("timestamp"))
+            <= ATTRIB_WINDOW_HOURS * 3600 * 1_000_000
+        )
+    )
+    return (
+        carried.filter(F.col("event_type") == ATTRIB_CONVERSION_TYPE)
+        .select(
+            F.col("event_id").alias("purchase_event_id"),
+            "user_id",
+            F.col("ts").alias("purchase_ts"),
+            F.when(in_window, F.col("touch_event_id")).alias("touch_event_id"),
+            F.when(in_window, F.col("touch_ts")).alias("touch_ts"),
+            F.coalesce(F.when(in_window, F.col("touch_type")), F.lit("direct"))
+            .alias("channel"),
+        )
+        .orderBy("purchase_event_id")
+    )
+
+
+EVENTS_ATTRIBUTION_LAST_TOUCH_SQL = f"""
+WITH carried AS (
+  SELECT event_id, user_id, ts, event_type,
+         last_value(CASE WHEN event_type IN ('click', 'view')
+                         THEN event_id END IGNORE NULLS) OVER w
+           AS touch_event_id,
+         last_value(CASE WHEN event_type IN ('click', 'view')
+                         THEN event_type END IGNORE NULLS) OVER w
+           AS touch_type,
+         last_value(CASE WHEN event_type IN ('click', 'view')
+                         THEN ts END IGNORE NULLS) OVER w AS touch_ts
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+flagged AS (
+  SELECT *,
+         touch_ts IS NOT NULL
+           AND epoch_us(ts) - epoch_us(touch_ts)
+               <= {ATTRIB_WINDOW_HOURS * 3600 * 1_000_000} AS in_window
+  FROM carried
+)
+SELECT event_id AS purchase_event_id, user_id, ts AS purchase_ts,
+       CASE WHEN in_window THEN touch_event_id END AS touch_event_id,
+       CASE WHEN in_window THEN touch_ts END AS touch_ts,
+       COALESCE(CASE WHEN in_window THEN touch_type END, 'direct') AS channel
+FROM flagged
+WHERE event_type = 'purchase'
+ORDER BY purchase_event_id
+"""

@@ -40,6 +40,7 @@ from .llmops import mixing as MX
 from .llmops import multimodal as MM
 from .llmops import packing as PKG
 from .llmops import refdedup as RFD
+from .llmops import retrieval as RV
 from .llmops import scrub as SC
 from .llmops import similarity as SIM
 from .llmops import text as TX
@@ -54,6 +55,8 @@ from .operators import relational as R
 from .operators import sketches as SK
 from .operators import timeseries as TS
 from .operators import basket as BK
+from .operators import intervals as IT
+from .operators import skyline as SKY
 from .operators import tpch_more as TM
 from .operators import tpch_shapes as TQ
 from .streaming import incremental_join_view as IJV
@@ -762,6 +765,28 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "graph_triangle_count": (
         BK.graph_triangle_count,
         BK.GRAPH_TRIANGLE_COUNT_SQL,
+    ),
+    # ranked retrieval (r7): inverted-index BM25 with fixed-point
+    # rational-idf scoring (aggregation-order-independent BIGINT sums)
+    # and reciprocal-rank fusion of two rankers — the RAG read path
+    "search_bm25_topk": (RV.search_bm25_topk, RV.SEARCH_BM25_TOPK_SQL),
+    "search_hybrid_rrf": (RV.search_hybrid_rrf, RV.SEARCH_HYBRID_RRF_SQL),
+    # sweep-line session concurrency via two-phase distributed prefix sum
+    # (hour-local windows + metadata-sized carry spine)
+    "events_session_concurrency": (
+        IT.events_session_concurrency,
+        IT.EVENTS_SESSION_CONCURRENCY_SQL,
+    ),
+    # 2-D Pareto skyline via the date-spine reduction (domain-bounded
+    # candidate set; no all-pairs dominance scan)
+    "orders_pareto_frontier": (
+        SKY.orders_pareto_frontier,
+        SKY.ORDERS_PARETO_FRONTIER_SQL,
+    ),
+    # last-touch conversion attribution: carry-forward window, no self-join
+    "events_attribution_last_touch": (
+        EV.events_attribution_last_touch,
+        EV.EVENTS_ATTRIBUTION_LAST_TOUCH_SQL,
     ),
 }
 

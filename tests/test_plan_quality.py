@@ -813,6 +813,8 @@ BNLJ_WHITELIST = {
     "cdc_snapshot_chunk_merge",   # pk-range join vs the KB chunk-spec table
     "mine_brand_pair_lift",       # 1-row n_baskets scalar crossJoin
     "graph_triangle_count",       # same scalar inside the edge builder
+    "search_bm25_topk",           # 1-row (N, avgdl) corpus-stats broadcast
+    "search_hybrid_rrf",          # same stats row via the shared scorer
 }
 
 

@@ -117,6 +117,17 @@ COVERED_BY = {
     "cdc_snapshot_chunk_merge": "cdc_latest_state_orders",
     "mine_brand_pair_lift": "agg_grouped",
     "graph_triangle_count": "join_inner",
+    # ranked retrieval: token explode/posting-agg family graded by
+    # explode_token_frequencies; the fused ranker is the per-group
+    # ranked-window family
+    "search_bm25_topk": "explode_token_frequencies",
+    "search_hybrid_rrf": "window_topk_per_group",
+    # sweep-line concurrency: events time-bucket rollup family
+    "events_session_concurrency": "events_tumbling_agg",
+    # skyline: running-max window + broadcast join-back
+    "orders_pareto_frontier": "window_analytics_pack",
+    # attribution: carry-forward (last ignore-nulls) window family
+    "events_attribution_last_touch": "events_resample_interpolate",
     "dedup_canonical_corpus": "dedup_clusters",
     # entity resolution: block equi-join + residual verify — join family
     # graded by join_inner/join_broadcast_dims; window resolution graded
