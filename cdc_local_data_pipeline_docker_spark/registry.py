@@ -205,14 +205,20 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         PK.window_analytics_pack,
         PK.WINDOW_ANALYTICS_PACK_SQL,
     ),
-    # sort / limit / set ops
-    "sort_limit_topn": (R.sort_limit_topn, R.SORT_LIMIT_TOPN_SQL),
+    # r7 third-session flagship rotated into the window (displacing
+    # sort_limit_topn, whose top-k family stays graded via
+    # window_topk_per_group): inverted-index BM25 with fixed-point
+    # rational-idf scoring
+    "search_bm25_topk": (RV.search_bm25_topk, RV.SEARCH_BM25_TOPK_SQL),
     "set_ops_pack": (PK.set_ops_pack, PK.SET_OPS_PACK_SQL),
     # multi-join analytics
     "q3_shipping_priority": (R.q3_shipping_priority, R.Q3_SHIPPING_PRIORITY_SQL),
-    "q5_local_supplier_volume": (
-        R.q5_local_supplier_volume,
-        R.Q5_LOCAL_SUPPLIER_VOLUME_SQL,
+    # r7 third-session flagship rotated into the window (displacing
+    # q5_local_supplier_volume — the 6-table join family stays graded
+    # via q3/q17): DBLog chunked-snapshot + changelog merge
+    "cdc_snapshot_chunk_merge": (
+        CDC.cdc_snapshot_chunk_merge,
+        CDC.CDC_SNAPSHOT_CHUNK_MERGE_SQL,
     ),
     "q17_small_quantity_revenue": (
         TQ.q17_small_quantity_revenue,
@@ -584,12 +590,11 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         CDC.cdc_changelog_compact,
         CDC.CDC_CHANGELOG_COMPACT_SQL,
     ),
-    # DBLog/Debezium incremental snapshot merge (r7): chunked PK-range
-    # snapshot + live changelog reconciled to the consistent state with
-    # per-key provenance — one pk-keyed hash agg, broadcast chunk spec
-    "cdc_snapshot_chunk_merge": (
-        CDC.cdc_snapshot_chunk_merge,
-        CDC.CDC_SNAPSHOT_CHUNK_MERGE_SQL,
+    # rotated out of the window in the r7 third session (multi-join
+    # family graded by q3/q17)
+    "q5_local_supplier_volume": (
+        R.q5_local_supplier_volume,
+        R.Q5_LOCAL_SUPPLIER_VOLUME_SQL,
     ),
     # referential-integrity audit across all three FK edges (U8 upgraded
     # from per-table counts to cross-table consistency; r7)
@@ -766,10 +771,10 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         BK.graph_triangle_count,
         BK.GRAPH_TRIANGLE_COUNT_SQL,
     ),
-    # ranked retrieval (r7): inverted-index BM25 with fixed-point
-    # rational-idf scoring (aggregation-order-independent BIGINT sums)
-    # and reciprocal-rank fusion of two rankers — the RAG read path
-    "search_bm25_topk": (RV.search_bm25_topk, RV.SEARCH_BM25_TOPK_SQL),
+    # rotated out of the window in the r7 third session (top-k family
+    # graded by window_topk_per_group)
+    "sort_limit_topn": (R.sort_limit_topn, R.SORT_LIMIT_TOPN_SQL),
+    # RRF fusion of the graded BM25 ranker with a lexical-coverage ranker
     "search_hybrid_rrf": (RV.search_hybrid_rrf, RV.SEARCH_HYBRID_RRF_SQL),
     # sweep-line session concurrency via two-phase distributed prefix sum
     # (hour-local windows + metadata-sized carry spine)

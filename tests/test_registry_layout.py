@@ -36,6 +36,11 @@ MUST_BE_GRADED = {
     # round-5 flagship operators rotated into the window in round 6
     # (VERDICT r5 #2): MERGE, IVM, span-level dedup
     "merge_into_orders", "cdc_incremental_agg_view", "dedup_span_coverage",
+    # round-7 third-session flagships rotated in (displacing
+    # sort_limit_topn and q5_local_supplier_volume, both families keep
+    # graded siblings): fixed-point BM25 retrieval and the DBLog
+    # chunked-snapshot merge
+    "search_bm25_topk", "cdc_snapshot_chunk_merge",
     # round-6 flagships + FK-chain gold pair rotated in / added in
     # round 7 (VERDICT r6 #2/#4/#5)
     "merge_into_orders_lowshuffle", "cdc_gold_customer_orders",
@@ -90,15 +95,15 @@ COVERED_BY = {
     "set_intersect": "set_ops_pack",
     "set_except": "set_ops_pack",
     "distinct_pairs": "set_ops_pack",
-    "q7_volume_shipping": "q5_local_supplier_volume",
-    "q8_market_share": "q5_local_supplier_volume",
+    "q7_volume_shipping": "q3_shipping_priority",
+    "q8_market_share": "q3_shipping_priority",
     "q2_min_cost_supplier": "q17_small_quantity_revenue",
     "q20_excess_shippers": "join_inner",
     "q13_customer_distribution": "agg_grouped",
     "q22_dormant_high_balance": "join_inner",
     "q4_order_priority": "join_inner",
     "q6_forecast_revenue": "q1_pricing_summary",
-    "q9_product_profit": "q5_local_supplier_volume",
+    "q9_product_profit": "q3_shipping_priority",
     "q10_returned_items": "q3_shipping_priority",
     "q11_important_parts": "q17_small_quantity_revenue",
     "q12_late_priority_mix": "agg_grouped",
@@ -114,14 +119,15 @@ COVERED_BY = {
     "dedup_minhash_incremental": "dedup_minhash_lsh",
     "dedup_minhash_incremental_contract": "dedup_minhash_lsh",
     # round-7 third-session additions (pending window rotation)
-    "cdc_snapshot_chunk_merge": "cdc_latest_state_orders",
     "mine_brand_pair_lift": "agg_grouped",
     "graph_triangle_count": "join_inner",
-    # ranked retrieval: token explode/posting-agg family graded by
-    # explode_token_frequencies; the fused ranker is the per-group
-    # ranked-window family
-    "search_bm25_topk": "explode_token_frequencies",
-    "search_hybrid_rrf": "window_topk_per_group",
+    # rotated out in the r7 third session (flagship swap-in: BM25 and
+    # the DBLog snapshot merge took these slots)
+    "sort_limit_topn": "window_topk_per_group",
+    "q5_local_supplier_volume": "q3_shipping_priority",
+    # the fused ranker shares the graded BM25 scorer; per-query ranked
+    # windows graded by window_topk_per_group
+    "search_hybrid_rrf": "search_bm25_topk",
     # sweep-line concurrency: events time-bucket rollup family
     "events_session_concurrency": "events_tumbling_agg",
     # skyline: running-max window + broadcast join-back
