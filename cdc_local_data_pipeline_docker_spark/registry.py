@@ -55,6 +55,7 @@ from .operators import relational as R
 from .operators import sketches as SK
 from .operators import timeseries as TS
 from .operators import basket as BK
+from .operators import growth as GR
 from .operators import intervals as IT
 from .operators import skyline as SKY
 from .operators import tpch_more as TM
@@ -792,6 +793,21 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "events_attribution_last_touch": (
         EV.events_attribution_last_touch,
         EV.EVENTS_ATTRIBUTION_LAST_TOUCH_SQL,
+    ),
+    # growth accounting (r7): first-seen reduction + day-spine cumsum;
+    # sliding-window distinct with the documented replication trade;
+    # lagged Pearson over exact BIGINT sums (sqrt-only — no libm drift)
+    "events_cumulative_unique_users": (
+        GR.events_cumulative_unique_users,
+        GR.EVENTS_CUMULATIVE_UNIQUE_USERS_SQL,
+    ),
+    "events_rolling_active_users": (
+        GR.events_rolling_active_users,
+        GR.EVENTS_ROLLING_ACTIVE_USERS_SQL,
+    ),
+    "events_lag_correlation": (
+        GR.events_lag_correlation,
+        GR.EVENTS_LAG_CORRELATION_SQL,
     ),
 }
 

@@ -815,6 +815,7 @@ BNLJ_WHITELIST = {
     "graph_triangle_count",       # same scalar inside the edge builder
     "search_bm25_topk",           # 1-row (N, avgdl) corpus-stats broadcast
     "search_hybrid_rrf",          # same stats row via the shared scorer
+    "events_lag_correlation",     # 4-row lag spine + 1-row hour bounds
 }
 
 

@@ -134,6 +134,10 @@ COVERED_BY = {
     "orders_pareto_frontier": "window_analytics_pack",
     # attribution: carry-forward (last ignore-nulls) window family
     "events_attribution_last_touch": "events_resample_interpolate",
+    # growth accounting: events time-bucket rollup family
+    "events_cumulative_unique_users": "events_tumbling_agg",
+    "events_rolling_active_users": "events_tumbling_agg",
+    "events_lag_correlation": "events_tumbling_agg",
     "dedup_canonical_corpus": "dedup_clusters",
     # entity resolution: block equi-join + residual verify — join family
     # graded by join_inner/join_broadcast_dims; window resolution graded
