@@ -31,6 +31,7 @@ from .cdc import scd as SCD
 from .functions import pandas_udfs as PU
 from .functions import scalar_pack as FP
 from .functions import variant_pack as VP
+from .llmops import bpe as B_PE
 from .llmops import clusters as CL
 from .llmops import curation as CUR
 from .llmops import decontam as DCT
@@ -809,6 +810,11 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         GR.events_lag_correlation,
         GR.EVENTS_LAG_CORRELATION_SQL,
     ),
+    # distributed BPE tokenizer training (r7): corpus-sized work is one
+    # word-frequency reduce; the merge loop is vocabulary-sized (k-means
+    # contract shape; exact replay pytest-pinned vs the textbook impl)
+    "bpe_train_contract": (B_PE.bpe_train_contract, B_PE.BPE_TRAIN_CONTRACT_SQL),
+    "bpe_train_merges": (B_PE.bpe_train_merges, None),  # iterative argmax
 }
 
 #: Number of entries the grading driver evaluates (first N in dict order).

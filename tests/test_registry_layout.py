@@ -138,6 +138,10 @@ COVERED_BY = {
     "events_cumulative_unique_users": "events_tumbling_agg",
     "events_rolling_active_users": "events_tumbling_agg",
     "events_lag_correlation": "events_tumbling_agg",
+    # BPE training: token explode/agg family graded by
+    # explode_token_frequencies; iterative loop pytest-pinned
+    "bpe_train_contract": "explode_token_frequencies",
+    "bpe_train_merges": "explode_token_frequencies",
     "dedup_canonical_corpus": "dedup_clusters",
     # entity resolution: block equi-join + residual verify — join family
     # graded by join_inner/join_broadcast_dims; window resolution graded
