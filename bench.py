@@ -97,6 +97,13 @@ OPTIONAL = [
     # skew-safe salted top-k (A/B narrative vs the plain window form)
     "er_golden_record",
     "window_topk_salted",
+    # round-7 third-session additions: the DBLog snapshot merge and the
+    # inverted-index BM25 retrieval (both rotated into the graded
+    # window), plus the two-phase sweep-line concurrency — each a new
+    # family whose cost needs a baseline the round it lands
+    "cdc_snapshot_chunk_merge",
+    "search_bm25_topk",
+    "events_session_concurrency",
 ]
 #: Entries whose wall time is sf-INVARIANT fixed machinery (measured
 #: identical at sf0.01 and sf0.1 across rounds 4-5): streaming
