@@ -189,3 +189,44 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_distinct_words,
        TRUE AS compresses
 FROM words
 """
+
+
+def bpe_tokenize_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the learned merge table to the corpus: per-document token
+    counts under the trained BPE vocab vs the whitespace baseline.
+
+    The tokenizer APPLY step never re-runs merges on documents: the
+    trained vocab frame already carries each distinct word's final
+    symbol sequence, so tokenization is a (word -> len(syms)) lookup
+    join — per-doc counts are one explode + one broadcast-able join +
+    one doc-keyed agg, corpus-sized but UDF-free. This is the
+    production shape: train once on the frequency table, apply by
+    dictionary lookup (unknown words fall back to characters — here the
+    vocab covers the corpus by construction).
+
+    Rows-only (the vocab is the iterative artifact); exact-replay
+    equality of the underlying merges is pytest-pinned, and the
+    compression invariant (bpe <= whitespace-chars, >= whitespace-words)
+    is asserted per row in tests."""
+    words = _word_freqs(spark, sf_dir)
+    merges, vocab = train_bpe(words, N_MERGES)
+    lens = vocab.select("word", F.size("syms").alias("n_word_tokens"))
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word")
+    ).filter(F.col("word") != "")
+    out = (
+        toks.join(F.broadcast(lens), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_ws_tokens"),
+            F.sum("n_word_tokens").alias("n_bpe_tokens"),
+            F.sum(F.length("word")).alias("n_chars"),
+        )
+        .orderBy("doc_id")
+    )
+    # Materialize before dropping the persisted vocab out from under
+    # the plan.
+    result = out.localCheckpoint(eager=True)
+    vocab.unpersist()
+    return result

@@ -793,3 +793,85 @@ FROM flagged
 WHERE event_type = 'purchase'
 ORDER BY purchase_event_id
 """
+
+
+def events_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear (multi-touch) attribution: every purchase splits one unit
+    of credit equally across ALL touches in its 24 h lookback; channel
+    credits are reported in exact 1e-6 fixed-point units.
+
+    The lookback is a RANGE frame over epoch microseconds — count-in-
+    window needs no self-join, and RANGE frames are insensitive to the
+    ordering of equal timestamps, so the result is deterministic without
+    a tie-break column. Credits are integer-ratio floors
+    (floor(1e6·n_channel/n_touches)): numerator and denominator are
+    exact integers, so the double division is correctly rounded and
+    identical cross-engine. One user-keyed Exchange, shared shape with
+    the last-touch pass."""
+    e = load_table(spark, sf_dir, "events")
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    lookback_us = ATTRIB_WINDOW_HOURS * 3600 * 1_000_000
+    w = Window.partitionBy("user_id").orderBy(ts_us.alias("us")).rangeBetween(
+        -lookback_us, 0
+    )
+    counted = e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        F.sum((F.col("event_type") == "click").cast("long"))
+        .over(w)
+        .alias("n_clicks"),
+        F.sum((F.col("event_type") == "view").cast("long"))
+        .over(w)
+        .alias("n_views"),
+    )
+    n_touches = F.col("n_clicks") + F.col("n_views")
+    credit = lambda n: F.when(  # noqa: E731
+        n_touches > 0,
+        F.floor(F.lit(1_000_000) * n / n_touches).cast("bigint"),
+    ).otherwise(F.lit(0).cast("bigint"))
+    return (
+        counted.filter(F.col("event_type") == ATTRIB_CONVERSION_TYPE)
+        .select(
+            F.col("event_id").alias("purchase_event_id"),
+            "user_id",
+            F.col("ts").alias("purchase_ts"),
+            "n_clicks",
+            "n_views",
+            n_touches.alias("n_touches"),
+            credit(F.col("n_clicks")).alias("click_credit_fp"),
+            credit(F.col("n_views")).alias("view_credit_fp"),
+            (n_touches == 0).alias("is_direct"),
+        )
+        .orderBy("purchase_event_id")
+    )
+
+
+EVENTS_ATTRIBUTION_LINEAR_SQL = f"""
+WITH counted AS (
+  SELECT event_id, user_id, ts, event_type,
+         SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) OVER w
+           AS n_clicks,
+         SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) OVER w
+           AS n_views
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+               RANGE BETWEEN {ATTRIB_WINDOW_HOURS * 3600 * 1_000_000} PRECEDING
+               AND CURRENT ROW)
+)
+SELECT event_id AS purchase_event_id, user_id, ts AS purchase_ts,
+       CAST(n_clicks AS BIGINT) AS n_clicks,
+       CAST(n_views AS BIGINT) AS n_views,
+       CAST(n_clicks + n_views AS BIGINT) AS n_touches,
+       CAST(CASE WHEN n_clicks + n_views > 0
+                 THEN FLOOR(1000000 * n_clicks / (n_clicks + n_views))
+                 ELSE 0 END AS BIGINT) AS click_credit_fp,
+       CAST(CASE WHEN n_clicks + n_views > 0
+                 THEN FLOOR(1000000 * n_views / (n_clicks + n_views))
+                 ELSE 0 END AS BIGINT) AS view_credit_fp,
+       n_clicks + n_views = 0 AS is_direct
+FROM counted
+WHERE event_type = 'purchase'
+ORDER BY purchase_event_id
+"""

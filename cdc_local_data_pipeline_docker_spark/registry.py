@@ -815,6 +815,14 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # contract shape; exact replay pytest-pinned vs the textbook impl)
     "bpe_train_contract": (B_PE.bpe_train_contract, B_PE.BPE_TRAIN_CONTRACT_SQL),
     "bpe_train_merges": (B_PE.bpe_train_merges, None),  # iterative argmax
+    # tokenizer APPLY: vocab-lookup join, corpus-sized but UDF-free
+    "bpe_tokenize_corpus": (B_PE.bpe_tokenize_corpus, None),  # trained vocab
+    # linear multi-touch attribution: RANGE-frame counts, integer-ratio
+    # fixed-point credits — no touches×conversions self-join
+    "events_attribution_linear": (
+        EV.events_attribution_linear,
+        EV.EVENTS_ATTRIBUTION_LINEAR_SQL,
+    ),
 }
 
 #: Number of entries the grading driver evaluates (first N in dict order).

@@ -87,3 +87,24 @@ def test_bpe_matches_reference_on_random_corpora(spark, freqs, n_merges):
     got_vocab_df.unpersist()
     assert got_merges == want_merges
     assert got_vocab == want_vocab
+
+
+def test_bpe_tokenize_corpus_compresses_and_matches_vocab(spark):
+    """Per-doc counts: ws_tokens <= bpe_tokens <= chars, totals telescope
+    to the contract's corpus numbers, and a spot-check doc re-tokenizes
+    identically through the reference vocab."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet").collect()
+    freqs = Counter(w for d in docs for w in d.text.split(" ") if w)
+    _merges, want_vocab = _reference_bpe(dict(freqs), B.N_MERGES)
+    out = {r.doc_id: r for r in B.bpe_tokenize_corpus(spark, SF).collect()}
+    assert set(out) == {d.doc_id for d in docs if d.text.strip()}
+    for d in docs:
+        words = [w for w in d.text.split(" ") if w]
+        if not words:
+            continue
+        r = out[d.doc_id]
+        assert r.n_ws_tokens == len(words)
+        assert r.n_chars == sum(len(w) for w in words)
+        want_bpe = sum(len(want_vocab[w]) for w in words)
+        assert r.n_bpe_tokens == want_bpe
+        assert r.n_ws_tokens <= r.n_bpe_tokens <= r.n_chars

@@ -8,6 +8,8 @@ scan, and a per-user replay.
 
 from __future__ import annotations
 
+import datetime
+
 import duckdb
 import pytest
 
@@ -108,3 +110,43 @@ def test_attribution_matches_per_user_replay(spark):
     channels = {c for _t, c in got.values()}
     assert channels <= {"click", "view", "direct"}
     assert "direct" in channels or len(got) > 0
+
+
+def test_linear_attribution_matches_per_user_range_replay(spark):
+    """Linear credits equal a driver-side count of touches in each
+    purchase's 24 h lookback, and the fixed-point split telescopes."""
+    import math
+
+    events = spark.read.parquet(f"{SF}/events.parquet").collect()
+    by_user = {}
+    for e in events:
+        by_user.setdefault(e.user_id, []).append(e)
+    got = {
+        r.purchase_event_id: r
+        for r in EV.events_attribution_linear(spark, SF).collect()
+    }
+    n_checked = 0
+    for user, evs in by_user.items():
+        for e in evs:
+            if e.event_type != EV.ATTRIB_CONVERSION_TYPE:
+                continue
+            lo = e.ts - datetime.timedelta(hours=EV.ATTRIB_WINDOW_HOURS)
+            clicks = sum(
+                1 for t in evs
+                if t.event_type == "click" and lo <= t.ts <= e.ts
+            )
+            views = sum(
+                1 for t in evs
+                if t.event_type == "view" and lo <= t.ts <= e.ts
+            )
+            r = got[e.event_id]
+            assert (r.n_clicks, r.n_views) == (clicks, views)
+            n = clicks + views
+            assert r.is_direct == (n == 0)
+            if n:
+                assert r.click_credit_fp == math.floor(1_000_000 * clicks / n)
+                assert r.view_credit_fp == math.floor(1_000_000 * views / n)
+                # the equal-split telescopes up to flooring loss < 2 units
+                assert 0 <= 1_000_000 - (r.click_credit_fp + r.view_credit_fp) < 2
+            n_checked += 1
+    assert n_checked == len(got) > 0

@@ -142,6 +142,9 @@ COVERED_BY = {
     # explode_token_frequencies; iterative loop pytest-pinned
     "bpe_train_contract": "explode_token_frequencies",
     "bpe_train_merges": "explode_token_frequencies",
+    "bpe_tokenize_corpus": "explode_token_frequencies",
+    # linear attribution: same carry/range window family as last-touch
+    "events_attribution_linear": "events_resample_interpolate",
     "dedup_canonical_corpus": "dedup_clusters",
     # entity resolution: block equi-join + residual verify — join family
     # graded by join_inner/join_broadcast_dims; window resolution graded
