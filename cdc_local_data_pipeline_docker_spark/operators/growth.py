@@ -241,3 +241,79 @@ SELECT lag_hours, n_hours, sum_x, sum_y,
 FROM agg
 ORDER BY lag_hours
 """
+
+
+#: Relative-error bound for the HLL rolling form (lgK=12 ≈ 1.6% rsd).
+HLL_REL_BOUND = 0.05
+
+
+def events_rolling_active_users_hll(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The sketch form of `events_rolling_active_users` — the shape that
+    survives 100 TB. The exact sliding-distinct replicates every event
+    window/slide (=7) times; this form sketches each DAY once (one
+    corpus-sized pass, no replication) and then UNIONS 7 day-sketches
+    per window — the fan-out runs on the day spine (calendar-sized), so
+    sliding-window cost is independent of event volume. This is how a
+    production pipeline maintains WAU/MAU from daily shard sketches.
+
+    Contract oracle (sketch_hll_distinct pattern): each row carries the
+    EXACT window distinct (identical in both engines) plus a boolean
+    asserting this engine's OWN merged-sketch estimate lands within
+    {HLL_REL_BOUND:.0%} of its OWN exact value."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(F.date_trunc("day", F.col("ts")).alias("day")).agg(
+        F.hll_sketch_agg("user_id", F.lit(12)).alias("sk")
+    )
+    days = spark.createDataFrame(
+        [(k,) for k in range(ROLLING_DAYS)], "k INT"
+    )
+    merged = (
+        daily.crossJoin(F.broadcast(days))
+        .select(
+            (
+                F.col("day") - F.make_dt_interval(days=F.col("k"))
+            ).alias("window_start"),
+            "sk",
+        )
+        .groupBy("window_start")
+        .agg(F.hll_union_agg("sk").alias("sk"))
+    )
+    exact = events_rolling_active_users(spark, sf_dir).select(
+        "window_start", F.col("n_active_users").alias("exact_active_users")
+    )
+    return (
+        merged.join(exact, "window_start")
+        .select(
+            "window_start",
+            "exact_active_users",
+            (
+                F.abs(
+                    F.hll_sketch_estimate("sk").cast("double")
+                    - F.col("exact_active_users")
+                )
+                / F.col("exact_active_users")
+                <= F.lit(HLL_REL_BOUND)
+            ).alias("estimate_within_bound"),
+        )
+        .orderBy("window_start")
+    )
+
+
+EVENTS_ROLLING_ACTIVE_USERS_HLL_SQL = f"""
+WITH assigned AS (
+  SELECT date_trunc('day', ts) - INTERVAL (k) DAY AS window_start,
+         user_id
+  FROM events, (SELECT unnest(generate_series(0, {ROLLING_DAYS - 1})) AS k)
+)
+SELECT window_start,
+       COUNT(DISTINCT user_id) AS exact_active_users,
+       ABS(CAST(approx_count_distinct(user_id) AS DOUBLE)
+           - COUNT(DISTINCT user_id))
+         / COUNT(DISTINCT user_id) <= {HLL_REL_BOUND}
+         AS estimate_within_bound
+FROM assigned
+GROUP BY window_start
+ORDER BY window_start
+"""

@@ -128,3 +128,114 @@ FROM swept
 GROUP BY hour_start
 ORDER BY hour_start
 """
+
+
+def sessions_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap self-join: pairs of DIFFERENT users whose
+    sessions overlapped in time (co-presence), with the exact overlap
+    window. The missing classic join shape between equi (relational.py)
+    and as-of (asof.py): both sides are intervals.
+
+    Scale design: the naive form is an inequality self-join — O(N²) and
+    planner-hostile. This is the BINNED interval join: every session
+    explodes to the hour buckets it covers (fan-out = session duration,
+    bounded by the 30-min-gap construction), pairs equi-join INSIDE a
+    bucket (pair space Σ_b active_b² — concurrency-bounded, not
+    corpus-bounded), and each surviving pair is emitted by exactly ONE
+    bucket — the one containing its overlap start — so no dedup shuffle
+    is needed. Hot buckets (flash-crowd hours) are the skew case; the
+    salting playbook applies to the bucket key.
+
+    Intervals are CLOSED (touching sessions co-present for an instant,
+    the concurrency sweep's convention); overlap_us is then >= 0."""
+    sessions = events_sessionize(spark, sf_dir).select(
+        "user_id",
+        "session_seq",
+        F.col("session_start").alias("s_start"),
+        F.col("session_end").alias("s_end"),
+    )
+    binned = sessions.select(
+        "*",
+        F.explode(
+            F.sequence(
+                F.date_trunc("hour", F.col("s_start")),
+                F.date_trunc("hour", F.col("s_end")),
+                F.expr("INTERVAL 1 HOUR"),
+            )
+        ).alias("bucket"),
+    )
+    # both sides alias EVERY column (fresh attribute ids) so the
+    # self-join is unambiguous to the analyzer
+    a = binned.select(
+        F.col("user_id").alias("u1"),
+        F.col("session_seq").alias("seq1"),
+        F.col("s_start").alias("start1"),
+        F.col("s_end").alias("end1"),
+        F.col("bucket").alias("bucket_a"),
+    )
+    b = binned.select(
+        F.col("user_id").alias("u2"),
+        F.col("session_seq").alias("seq2"),
+        F.col("s_start").alias("start2"),
+        F.col("s_end").alias("end2"),
+        F.col("bucket").alias("bucket_b"),
+    )
+    o_start = F.greatest("start1", "start2")
+    o_end = F.least("end1", "end2")
+    return (
+        a.join(b, F.col("bucket_a") == F.col("bucket_b"))
+        .filter(
+            (F.col("u1") < F.col("u2"))
+            & (o_start <= o_end)
+            # emit-once rule: only the bucket where the overlap starts
+            & (F.date_trunc("hour", o_start) == F.col("bucket_a"))
+        )
+        .select(
+            "u1",
+            "seq1",
+            "u2",
+            "seq2",
+            o_start.alias("overlap_start"),
+            o_end.alias("overlap_end"),
+            (
+                F.unix_micros(o_end.cast("timestamp"))
+                - F.unix_micros(o_start.cast("timestamp"))
+            ).alias("overlap_us"),
+        )
+        .orderBy("u1", "seq1", "u2", "seq2")
+    )
+
+
+# Oracle: the naive inequality self-join over the same sessionization —
+# algebraically what the binned emit-once join computes.
+SESSIONS_OVERLAP_PAIRS_SQL = """
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN epoch_us(ts) - epoch_us(LAG(ts, 1) OVER w) > 1800000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessions AS (
+  SELECT user_id, session_seq, MIN(ts) AS s_start, MAX(ts) AS s_end
+  FROM (
+    SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW) AS session_seq
+    FROM flagged
+  )
+  GROUP BY user_id, session_seq
+)
+SELECT a.user_id AS u1, CAST(a.session_seq AS BIGINT) AS seq1,
+       b.user_id AS u2, CAST(b.session_seq AS BIGINT) AS seq2,
+       GREATEST(a.s_start, b.s_start) AS overlap_start,
+       LEAST(a.s_end, b.s_end) AS overlap_end,
+       epoch_us(LEAST(a.s_end, b.s_end))
+         - epoch_us(GREATEST(a.s_start, b.s_start)) AS overlap_us
+FROM sessions a
+JOIN sessions b
+  ON a.user_id < b.user_id
+ AND a.s_start <= b.s_end
+ AND b.s_start <= a.s_end
+ORDER BY u1, seq1, u2, seq2
+"""

@@ -823,6 +823,18 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         EV.events_attribution_linear,
         EV.EVENTS_ATTRIBUTION_LINEAR_SQL,
     ),
+    # binned interval-overlap self-join (co-presence pairs): pair space
+    # Σ_b active_b², emit-once bucket rule — no O(N²) inequality join
+    "sessions_overlap_pairs": (
+        IT.sessions_overlap_pairs,
+        IT.SESSIONS_OVERLAP_PAIRS_SQL,
+    ),
+    # sketch form of rolling active users: daily HLL once, 7-way union
+    # on the day spine — no event replication (the 100 TB WAU shape)
+    "events_rolling_active_users_hll": (
+        GR.events_rolling_active_users_hll,
+        GR.EVENTS_ROLLING_ACTIVE_USERS_HLL_SQL,
+    ),
 }
 
 #: Number of entries the grading driver evaluates (first N in dict order).

@@ -150,3 +150,54 @@ def test_linear_attribution_matches_per_user_range_replay(spark):
                 assert 0 <= 1_000_000 - (r.click_credit_fp + r.view_credit_fp) < 2
             n_checked += 1
     assert n_checked == len(got) > 0
+
+
+def test_overlap_pairs_brute_and_emit_once(spark):
+    """The binned emit-once join equals a brute interval scan, every
+    pair appears exactly once, and the bucket trick is non-vacuous
+    (multi-hour sessions exist)."""
+    sessions = EV.events_sessionize(spark, SF).collect()
+    brute = {}
+    for i, s1 in enumerate(sessions):
+        for s2 in sessions[i + 1:]:
+            if s1.user_id == s2.user_id:
+                continue
+            a, b = sorted((s1, s2), key=lambda s: s.user_id)
+            lo = max(a.session_start, b.session_start)
+            hi = min(a.session_end, b.session_end)
+            if lo <= hi:
+                brute[(a.user_id, a.session_seq, b.user_id, b.session_seq)] = (
+                    lo, hi
+                )
+    out = IT.sessions_overlap_pairs(spark, SF).collect()
+    got = {
+        (r.u1, r.seq1, r.u2, r.seq2): (r.overlap_start, r.overlap_end)
+        for r in out
+    }
+    assert len(out) == len(got), "a pair was emitted by more than one bucket"
+    assert got == brute
+    for r in out:
+        us = (r.overlap_end - r.overlap_start) / datetime.timedelta(
+            microseconds=1
+        )
+        assert r.overlap_us == us >= 0
+    multi_hour = [
+        s for s in sessions
+        if s.session_start.replace(minute=0, second=0, microsecond=0)
+        != s.session_end.replace(minute=0, second=0, microsecond=0)
+    ]
+    assert multi_hour, "fixture degenerate: no session spans an hour boundary"
+
+
+def test_rolling_hll_bound_holds_everywhere(spark):
+    from cdc_local_data_pipeline_docker_spark.operators import growth as GR
+
+    out = GR.events_rolling_active_users_hll(spark, SF).collect()
+    exact = {
+        r.window_start: r.n_active_users
+        for r in GR.events_rolling_active_users(spark, SF).collect()
+    }
+    assert {r.window_start for r in out} == set(exact)
+    for r in out:
+        assert r.exact_active_users == exact[r.window_start]
+        assert r.estimate_within_bound

@@ -143,6 +143,10 @@ COVERED_BY = {
     "bpe_train_contract": "explode_token_frequencies",
     "bpe_train_merges": "explode_token_frequencies",
     "bpe_tokenize_corpus": "explode_token_frequencies",
+    # binned interval join: join family + the sessionize base
+    "sessions_overlap_pairs": "join_inner",
+    # sketch WAU: approx-agg contract family
+    "events_rolling_active_users_hll": "agg_approx",
     # linear attribution: same carry/range window family as last-touch
     "events_attribution_linear": "events_resample_interpolate",
     "dedup_canonical_corpus": "dedup_clusters",
