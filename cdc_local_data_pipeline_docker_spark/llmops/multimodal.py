@@ -351,3 +351,108 @@ FROM codes
 GROUP BY doc_id, (pos * {POOL_BUCKETS}) // n
 ORDER BY doc_id, bucket
 """
+
+
+# ---------------------------------------------------------------------------
+# Perceptual-hash near-duplicate detection (image dedup for training data).
+# ---------------------------------------------------------------------------
+
+#: Bands for the hamming join: 8 blocks of 8 bits. Pigeonhole: two hashes
+#: within hamming distance <= PHASH_MAX_HAMMING (= bands - 1) MUST agree
+#: on at least one whole block, so banding recall is EXACTLY 1 for the
+#: emitted distance range — not probabilistic.
+PHASH_BANDS = 8
+PHASH_MAX_HAMMING = PHASH_BANDS - 1
+
+PHASH_SCHEMA = StructType(
+    [StructField("doc_id", LongType()), StructField("phash", LongType())]
+)
+
+
+def _phash_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Average-hash over the payload byte stream: split into 64 chunks,
+    bit i set iff chunk mean > global mean — the aHash algorithm with
+    bytes standing where the decoded 8x8 luminance grid would be (the
+    deterministic fake of this module; swap the chunking for real pixels
+    when `decode_media` gains a codec)."""
+    for pdf in batches:
+
+        def _hash(b: bytes) -> int:
+            a = np.frombuffer(b, dtype=np.uint8)
+            if a.size == 0:
+                return 0
+            chunks = np.array_split(a.astype(np.int64), 64)
+            means = np.array([c.mean() if c.size else 0.0 for c in chunks])
+            bits = means > a.mean()
+            h = 0
+            for i, bit in enumerate(bits):
+                if bit:
+                    h |= 1 << i
+            # keep in signed-64 range for the LongType column
+            return h - (1 << 64) if h >= 1 << 63 else h
+
+        yield pd.DataFrame(
+            {"doc_id": pdf["doc_id"], "phash": pdf["payload"].map(_hash)}
+        )
+
+
+def multimodal_phash_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, phash): the 64-bit perceptual hash per media row — one
+    Arrow mapInPandas pass, corpus-sized, map-only."""
+    return media_table(spark, sf_dir).mapInPandas(
+        _phash_batch, PHASH_SCHEMA
+    )
+
+
+def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc1, doc2, hamming): every pair of media rows whose perceptual
+    hashes are within hamming distance {PHASH_MAX_HAMMING} — EXACTLY
+    (banding recall 1 by pigeonhole; pytest verifies against the brute
+    all-pairs scan).
+
+    Scale design: hashes are map-only; the candidate space is the banded
+    self-join Σ_(band,val) n² — never all-pairs; hamming evaluates as
+    bit_count(xor) inside the join residual (codegen, no UDF); a pair
+    matching in several bands dedupes in the pair-keyed group-by, which
+    also carries the distance. Rows-only entry: the hash itself is a
+    Python artifact, so no SQL oracle exists — correctness is the exact
+    pytest brute twin, the SimHash pattern."""
+    hashes = multimodal_phash_hashes(spark, sf_dir)
+    bands = spark.createDataFrame(
+        [(i,) for i in range(PHASH_BANDS)], "band INT"
+    )
+    banded = hashes.crossJoin(F.broadcast(bands)).select(
+        "doc_id",
+        "phash",
+        "band",
+        # column-valued shift needs the SQL form (the Python wrapper only
+        # accepts a literal bit count)
+        F.expr("shiftrightunsigned(phash, band * 8) & 255").alias("band_val"),
+    )
+    a = banded.select(
+        F.col("doc_id").alias("doc1"),
+        F.col("phash").alias("h1"),
+        F.col("band").alias("band_a"),
+        F.col("band_val").alias("val_a"),
+    )
+    b = banded.select(
+        F.col("doc_id").alias("doc2"),
+        F.col("phash").alias("h2"),
+        F.col("band").alias("band_b"),
+        F.col("band_val").alias("val_b"),
+    )
+    hamming = F.bit_count(F.col("h1").bitwiseXOR(F.col("h2")))
+    return (
+        a.join(
+            b,
+            (F.col("band_a") == F.col("band_b"))
+            & (F.col("val_a") == F.col("val_b")),
+        )
+        .filter(
+            (F.col("doc1") < F.col("doc2"))
+            & (hamming <= F.lit(PHASH_MAX_HAMMING))
+        )
+        .groupBy("doc1", "doc2")
+        .agg(F.min(hamming).alias("hamming"))
+        .orderBy("doc1", "doc2")
+    )

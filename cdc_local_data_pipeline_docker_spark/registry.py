@@ -835,6 +835,10 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         GR.events_rolling_active_users_hll,
         GR.EVENTS_ROLLING_ACTIVE_USERS_HLL_SQL,
     ),
+    # perceptual-hash media near-dup: banded hamming join with EXACT
+    # recall (pigeonhole over 8x8-bit bands); hash is a Python artifact
+    # so the twin is the pytest brute scan, not SQL
+    "multimodal_phash_dedup": (MM.multimodal_phash_dedup, None),
 }
 
 #: Number of entries the grading driver evaluates (first N in dict order).

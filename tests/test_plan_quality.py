@@ -816,6 +816,7 @@ BNLJ_WHITELIST = {
     "search_bm25_topk",           # 1-row (N, avgdl) corpus-stats broadcast
     "search_hybrid_rrf",          # same stats row via the shared scorer
     "events_lag_correlation",     # 4-row lag spine + 1-row hour bounds
+    "multimodal_phash_dedup",     # 8-row band spine broadcast
 }
 
 

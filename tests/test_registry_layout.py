@@ -147,6 +147,8 @@ COVERED_BY = {
     "sessions_overlap_pairs": "join_inner",
     # sketch WAU: approx-agg contract family
     "events_rolling_active_users_hll": "agg_approx",
+    # media near-dup: multimodal Arrow family + banded-join dedup family
+    "multimodal_phash_dedup": "multimodal_feature_extract",
     # linear attribution: same carry/range window family as last-touch
     "events_attribution_linear": "events_resample_interpolate",
     "dedup_canonical_corpus": "dedup_clusters",
