@@ -225,3 +225,35 @@ GROUP BY c_mktsegment
 HAVING COUNT(*) > 10
 ORDER BY c_mktsegment
 """
+
+
+def sql_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL correlated subquery (Spark 3.4+/SQL:2016): per urgent-
+    priority customer, their 2 most expensive orders — the "top-N per
+    entity" idiom as the planner-decorrelated LATERAL join rather than a
+    hand-written window. Catalyst rewrites the per-row subquery into a
+    ranked join; the plan shape is the window_topk family's, but the
+    DECLARATION surface is what this entry covers (both engines run the
+    same standard SQL)."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer_v")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_2v")
+    return spark.sql(
+        _LATERAL_SQL.format(c="customer_v", o="orders_2v")
+    )
+
+
+_LATERAL_SQL = """
+SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+FROM {c} c,
+LATERAL (
+  SELECT o_orderkey, o_totalprice
+  FROM {o} o
+  WHERE o.o_custkey = c.c_custkey
+  ORDER BY o_totalprice DESC, o_orderkey ASC
+  LIMIT 2
+) t
+WHERE c.c_mktsegment = 'BUILDING'
+ORDER BY c_custkey, o_totalprice DESC, o_orderkey
+"""
+
+SQL_LATERAL_TOPN_SQL = _LATERAL_SQL.format(c="customer", o="orders")

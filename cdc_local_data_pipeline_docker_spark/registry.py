@@ -839,6 +839,9 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # recall (pigeonhole over 8x8-bit bands); hash is a Python artifact
     # so the twin is the pytest brute scan, not SQL
     "multimodal_phash_dedup": (MM.multimodal_phash_dedup, None),
+    # LATERAL correlated subquery (SQL:2016 surface): planner-
+    # decorrelated top-N per entity
+    "sql_lateral_topn": (ASOF.sql_lateral_topn, ASOF.SQL_LATERAL_TOPN_SQL),
 }
 
 #: Number of entries the grading driver evaluates (first N in dict order).

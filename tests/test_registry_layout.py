@@ -149,6 +149,8 @@ COVERED_BY = {
     "events_rolling_active_users_hll": "agg_approx",
     # media near-dup: multimodal Arrow family + banded-join dedup family
     "multimodal_phash_dedup": "multimodal_feature_extract",
+    # LATERAL: SQL-declaration family graded by sql_correlated_subquery
+    "sql_lateral_topn": "sql_correlated_subquery",
     # linear attribution: same carry/range window family as last-touch
     "events_attribution_linear": "events_resample_interpolate",
     "dedup_canonical_corpus": "dedup_clusters",
