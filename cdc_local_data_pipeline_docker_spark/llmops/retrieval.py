@@ -80,15 +80,17 @@ def _query_terms(spark: SparkSession):
     ).distinct()
 
 
-def _scored_matches(spark: SparkSession, sf_dir: str):
-    """(query_id, doc_id, score_fp, n_terms_matched, dl): the BM25 join.
+def scored_matches_from_index(spark: SparkSession, tf, dl, df, stats):
+    """(query_id, doc_id, score_fp, n_terms_matched, dl): the BM25 join,
+    over ANY materialization of the inverted-index frames — the corpus
+    build (`_postings`) or an incrementally-maintained index
+    (streaming/incremental_postings.py), which MUST score identically.
 
     The whole score is ONE fixed expression tree per (query, doc, term):
       idf_r  = (2*(N-df)+1) / (2*df+1)            -- exact ints, 1 division
       tfsat  = tf*(K1+1) / (tf + K1*((1-B) + B*dl/avgdl))
       fp     = floor(idf_r * tfsat * SCALE)        -- exact BIGINT
     then SUM(fp) as BIGINT — aggregation-order-independent."""
-    tf, dl, df, stats = _postings(spark, sf_dir)
     qt = _query_terms(spark)
     avgdl = F.col("sum_dl").cast("double") / F.col("n_docs")
     idf_r = ((F.lit(2) * (F.col("n_docs") - F.col("df")) + F.lit(1)).cast(
@@ -120,11 +122,13 @@ def _scored_matches(spark: SparkSession, sf_dir: str):
     )
 
 
-def search_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-{TOP_K} documents per benchmark query under fixed-point
-    rational-idf BM25; ties break on doc_id. Columns: query_id, rank,
-    doc_id, score_fp (1e-6 units), n_terms_matched."""
-    scored = _scored_matches(spark, sf_dir)
+def _scored_matches(spark: SparkSession, sf_dir: str):
+    tf, dl, df, stats = _postings(spark, sf_dir)
+    return scored_matches_from_index(spark, tf, dl, df, stats)
+
+
+def topk_from_scored(scored) -> DataFrame:
+    """The shared per-query top-{TOP_K} ranking over a scored frame."""
     w = Window.partitionBy("query_id").orderBy(
         F.col("score_fp").desc(), F.col("doc_id").asc()
     )
@@ -134,6 +138,13 @@ def search_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "rank", "doc_id", "score_fp", "n_terms_matched")
         .orderBy("query_id", "rank")
     )
+
+
+def search_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{TOP_K} documents per benchmark query under fixed-point
+    rational-idf BM25; ties break on doc_id. Columns: query_id, rank,
+    doc_id, score_fp (1e-6 units), n_terms_matched."""
+    return topk_from_scored(_scored_matches(spark, sf_dir))
 
 
 def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -63,6 +63,7 @@ from .operators import tpch_more as TM
 from .operators import tpch_shapes as TQ
 from .streaming import incremental_join_view as IJV
 from .streaming import incremental_order_lines_view as OLV
+from .streaming import incremental_postings as IP
 from .streaming import incremental_view as IV
 from .streaming import jobs as SJ
 from .streaming import sketch_state as SKS
@@ -842,6 +843,13 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # LATERAL correlated subquery (SQL:2016 surface): planner-
     # decorrelated top-N per entity
     "sql_lateral_topn": (ASOF.sql_lateral_topn, ASOF.SQL_LATERAL_TOPN_SQL),
+    # IVM for search: the BM25 inverted index maintained by document
+    # upsert/delete deltas; final live set = documents, so the BATCH
+    # oracle grades the maintained index bit-for-bit
+    "search_bm25_topk_incremental": (
+        IP.search_bm25_topk_incremental,
+        RV.SEARCH_BM25_TOPK_SQL,
+    ),
 }
 
 #: Number of entries the grading driver evaluates (first N in dict order).

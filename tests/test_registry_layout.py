@@ -151,6 +151,8 @@ COVERED_BY = {
     "multimodal_phash_dedup": "multimodal_feature_extract",
     # LATERAL: SQL-declaration family graded by sql_correlated_subquery
     "sql_lateral_topn": "sql_correlated_subquery",
+    # postings IVM: graded batch twin + the IVM family
+    "search_bm25_topk_incremental": "search_bm25_topk",
     # linear attribution: same carry/range window family as last-touch
     "events_attribution_linear": "events_resample_interpolate",
     "dedup_canonical_corpus": "dedup_clusters",
