@@ -61,6 +61,7 @@ from .operators import intervals as IT
 from .operators import skyline as SKY
 from .operators import tpch_more as TM
 from .operators import tpch_shapes as TQ
+from .sources import tablelog as TLG
 from .streaming import incremental_join_view as IJV
 from .streaming import incremental_order_lines_view as OLV
 from .streaming import incremental_postings as IP
@@ -849,6 +850,14 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "search_bm25_topk_incremental": (
         IP.search_bm25_topk_incremental,
         RV.SEARCH_BM25_TOPK_SQL,
+    ),
+    # transaction-log table format (r7 fourth session): versioned
+    # manifests + atomic put-if-absent commits on plain parquet — time
+    # travel across append / CoW-delete / compact graded against a
+    # pure-SQL replay of the same slice algebra
+    "tablelog_time_travel": (
+        TLG.tablelog_time_travel,
+        TLG.TABLELOG_TIME_TRAVEL_SQL,
     ),
 }
 

@@ -153,6 +153,9 @@ COVERED_BY = {
     "sql_lateral_topn": "sql_correlated_subquery",
     # postings IVM: graded batch twin + the IVM family
     "search_bm25_topk_incremental": "search_bm25_topk",
+    # table-format commits resolve to plain filtered parquet snapshots;
+    # the storage protocol itself is pytest-pinned (test_tablelog.py)
+    "tablelog_time_travel": "filter_pack",
     # linear attribution: same carry/range window family as last-touch
     "events_attribution_linear": "events_resample_interpolate",
     "dedup_canonical_corpus": "dedup_clusters",

@@ -1,0 +1,128 @@
+"""Transaction-log table format: commit atomicity, snapshot isolation,
+time travel, file-level copy-on-write delete, conflict detection, crash
+invisibility, vacuum, and compaction content identity."""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from cdc_local_data_pipeline_docker_spark.sources import tablelog as TL
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture()
+def root():
+    d = tempfile.mkdtemp(prefix="tablelog_test_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _orders(spark):
+    return spark.read.parquet(os.path.join(SF, "orders.parquet")).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+
+
+def test_append_read_time_travel(spark, root):
+    o = _orders(spark)
+    a = o.filter(F.col("o_orderkey") % 3 == 0)
+    b = o.filter(F.col("o_orderkey") % 3 == 1)
+    assert TL.log_append(spark, root, a) == 0
+    assert TL.log_append(spark, root, b) == 1
+    # latest sees both, version 0 sees only the first
+    assert TL.log_read(spark, root).count() == a.count() + b.count()
+    assert TL.log_read(spark, root, version=0).count() == a.count()
+    # snapshot content is exact, not just counted
+    got = {r[0] for r in TL.log_read(spark, root, version=0).select("o_orderkey").collect()}
+    want = {r[0] for r in a.select("o_orderkey").collect()}
+    assert got == want
+
+
+def test_delete_rewrites_only_affected_files(spark, root):
+    o = _orders(spark)
+    # two commits -> two disjoint file sets; delete a predicate that only
+    # matches rows in the second commit's files
+    TL.log_append(spark, root, o.filter(F.col("o_orderkey") % 2 == 0))
+    TL.log_append(spark, root, o.filter(F.col("o_orderkey") % 2 == 1))
+    before = TL._read_manifest(root, 1)
+    files_of_v0 = set(TL._read_manifest(root, 0)["live"])
+    v = TL.log_delete_where(
+        spark, root, "o_orderkey % 2 = 1 AND o_orderstatus = 'F'"
+    )
+    m = TL._read_manifest(root, v)
+    # every file added by commit 0 is carried BY REFERENCE (file-level CoW)
+    assert files_of_v0 <= set(m["live"])
+    assert not (files_of_v0 & set(m["remove"]))
+    # the affected files are exactly commit 1's (odd keys live only there)
+    assert set(m["remove"]) == set(before["live"]) - files_of_v0
+    # content: deleted rows gone, everything else intact
+    snap = TL.log_read(spark, root)
+    assert snap.filter("o_orderkey % 2 = 1 AND o_orderstatus = 'F'").count() == 0
+    expect = o.filter("NOT (o_orderkey % 2 = 1 AND o_orderstatus = 'F')").count()
+    assert snap.count() == expect
+
+
+def test_delete_noop_commits_empty_delta(spark, root):
+    o = _orders(spark)
+    TL.log_append(spark, root, o.limit(50))
+    v = TL.log_delete_where(spark, root, "o_orderkey < 0")
+    m = TL._read_manifest(root, v)
+    assert m["add"] == [] and m["remove"] == []
+    assert TL.log_read(spark, root).count() == 50
+
+
+def test_commit_conflict_and_append_rebase(spark, root):
+    o = _orders(spark)
+    TL.log_append(spark, root, o.limit(10))
+    # a direct put-if-absent on an existing version must fail atomically
+    with pytest.raises(TL.CommitConflict):
+        TL._commit(root, 0, {"version": 0, "action": "append", "add": [],
+                             "remove": [], "live": [], "ts": 0})
+    # append auto-rebases: simulate a racing writer by pre-publishing v1,
+    # then appending — the append must land at v2 with BOTH live sets
+    live0 = TL._live_files(root, 0)
+    TL._commit(root, 1, {"version": 1, "action": "append", "add": [],
+                         "remove": [], "live": live0, "ts": 0})
+    v = TL.log_append(spark, root, o.limit(5))
+    assert v == 2
+    assert set(live0) <= set(TL._live_files(root, 2))
+
+
+def test_crash_window_and_vacuum(spark, root):
+    o = _orders(spark)
+    TL.log_append(spark, root, o.limit(20))
+    n = TL.log_read(spark, root).count()
+    # crashed writer: data files exist, no manifest ever published
+    orphans = TL._write_data_files(o.limit(7), root, "crashed-commit")
+    assert orphans
+    # readers are unaffected — the manifest is the source of truth
+    assert TL.log_read(spark, root).count() == n
+    deleted = TL.log_vacuum(root)
+    assert set(deleted) == set(orphans)
+    assert TL.log_read(spark, root).count() == n
+    # vacuum with retention drops old versions' exclusive files + manifests
+    TL.log_compact(spark, root, target_files=1)
+    TL.log_vacuum(root, retain_versions=1)
+    assert TL._versions(root) == [1]
+    assert TL.log_read(spark, root).count() == n
+
+
+def test_compact_is_content_identical(spark, root):
+    o = _orders(spark)
+    TL.log_append(spark, root, o.filter(F.col("o_orderkey") % 3 == 0))
+    TL.log_append(spark, root, o.filter(F.col("o_orderkey") % 3 == 1))
+    before = sorted(TL.log_read(spark, root).collect())
+    v = TL.log_compact(spark, root, target_files=1)
+    after = sorted(TL.log_read(spark, root).collect())
+    assert before == after
+    assert len(TL._live_files(root, v)) == 1
+    # time travel across the OPTIMIZE still resolves the old files
+    assert sorted(TL.log_read(spark, root, version=1).collect()) == before
+    hist = TL.log_history(root)
+    assert [h["action"] for h in hist] == ["append", "append", "compact"]
