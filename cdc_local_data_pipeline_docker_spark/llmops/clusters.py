@@ -603,3 +603,105 @@ FROM sym
 GROUP BY src
 ORDER BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# BFS shortest hops — graph-distance family (third graph primitive after
+# connected components and PageRank). Hop distance to the cluster's
+# canonical member is a duplicate-graph DIAGNOSTIC: distance-0/1 members
+# are direct near-dups of the exemplar, while a long chain (A~B~C~D with
+# no A~D edge) signals transitive-closure over-merging — the standard
+# failure mode of threshold-based near-dup clustering, invisible to the
+# cluster label itself.
+# ---------------------------------------------------------------------------
+
+#: Hop cap shared by the Spark loop and the recursive-CTE oracle (the
+#: oracle's recursion must be depth-bounded to terminate on cycles, so
+#: both engines pin the SAME horizon; near-dup components are clique-ish
+#: with diameters ≲4 — 64 is an adversarial-chain allowance).
+BFS_MAX_HOPS = 64
+
+
+def shortest_hops(pairs: DataFrame, roots: DataFrame) -> DataFrame:
+    """Multi-source BFS over an undirected (doc_a, doc_b) pair graph:
+    (id, hops) = minimum edge count from any node of ``roots`` (a
+    one-column `id` frame). Nodes unreachable within BFS_MAX_HOPS are
+    absent from the result.
+
+    Scale design (100 TB): textbook Pregel BFS — per round, ONE join of
+    the edge list against the CURRENT FRONTIER (frontier-sized, not
+    graph-sized) plus an anti-join against the visited set; lineage is
+    cut with localCheckpoint each round so the plan stays flat. The
+    visited set grows toward |V|, but it joins on the same id key every
+    round — at cluster scale both sides bucket on id and the anti-join
+    is exchange-free. Round count = eccentricity of the root set, and
+    each round's frontier is disjoint from all previous ones, so total
+    joined rows across the whole run = |V| + Σ frontier-expansions =
+    O(|E|): BFS does linear total work, iteratively."""
+    e = pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+    edges = (
+        e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .distinct()
+        .persist()
+    )
+    frontier = roots.select(F.col("id"), F.lit(0).cast("long").alias("hops"))
+    frontier = frontier.localCheckpoint(eager=True)
+    visited = frontier
+    for d in range(1, BFS_MAX_HOPS + 1):
+        nxt = (
+            edges.join(
+                frontier.select(F.col("id").alias("u")), "u"
+            )
+            .select(F.col("v").alias("id"))
+            .distinct()
+            .join(visited.select("id"), "id", "left_anti")
+            .withColumn("hops", F.lit(d).cast("long"))
+        )
+        nxt = nxt.localCheckpoint(eager=True)
+        if nxt.limit(1).count() == 0:
+            break
+        visited = visited.union(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    edges.unpersist()
+    return visited
+
+
+def graph_shortest_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, cluster_id, hops) over the n-gram-Jaccard near-dup graph:
+    hop distance from each document to its cluster's canonical member
+    (the minimum doc id — the exemplar dedup_canonical_corpus keeps).
+
+    Exact oracle: the same transitive-closure CTE that labels clusters
+    extends one level to a depth-bounded BFS closure; MIN(d) per node is
+    the shortest-path length. Ints only — hash-exact."""
+    pairs = _ngram_pairs(spark, sf_dir).persist()
+    cc = connected_components(pairs)
+    roots = cc.select(F.col("cluster_id").alias("id")).distinct()
+    hops = shortest_hops(pairs, roots)
+    out = (
+        cc.select(F.col("id").alias("doc_id"), "cluster_id")
+        .join(hops.withColumnRenamed("id", "doc_id"), "doc_id")
+        .orderBy("cluster_id", "doc_id")
+    )
+    out = out.localCheckpoint(eager=True)
+    pairs.unpersist()
+    return out
+
+
+GRAPH_SHORTEST_HOPS_SQL = (
+    _CC_SQL_TEMPLATE.format(pairs=_JACCARD_PAIRS_SQL)
+    + f""",
+roots AS (SELECT DISTINCT cluster_id AS id FROM lbl),
+bfs(id, d) AS (
+  SELECT id, 0 FROM roots
+  UNION
+  SELECT e.v, b.d + 1
+  FROM bfs b JOIN edges e ON e.u = b.id
+  WHERE b.d < {BFS_MAX_HOPS}
+),
+hops AS (SELECT id, MIN(d) AS hops FROM bfs GROUP BY id)
+SELECT l.doc_id, l.cluster_id, CAST(h.hops AS BIGINT) AS hops
+FROM lbl l JOIN hops h ON h.id = l.doc_id
+ORDER BY cluster_id, doc_id
+"""
+)

@@ -851,6 +851,13 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         IP.search_bm25_topk_incremental,
         RV.SEARCH_BM25_TOPK_SQL,
     ),
+    # BFS shortest hops (r7 fourth session): graph-distance family —
+    # hop count to the cluster's canonical member over the near-dup
+    # graph; exact depth-bounded recursive-CTE oracle
+    "graph_shortest_hops": (
+        CL.graph_shortest_hops,
+        CL.GRAPH_SHORTEST_HOPS_SQL,
+    ),
     # transaction-log table format (r7 fourth session): versioned
     # manifests + atomic put-if-absent commits on plain parquet — time
     # travel across append / CoW-delete / compact graded against a

@@ -1360,3 +1360,31 @@ def test_kmeans_train_lloyd_invariants(spark, sf_dir):
     ids = [r.cluster_id for r in assigned.select("cluster_id").collect()]
     assert all(0 <= c < SIM.KMEANS_K for c in ids)
     assert len(ids) == vecs.count()
+
+
+def test_shortest_hops_chain_triangle_and_multisource(spark):
+    """BFS hop distances: a 5-node chain rooted at one end yields 0..4
+    (multiple frontier rounds), a triangle is all distance <=1 from its
+    root, and multi-source BFS takes the MINIMUM over roots per node."""
+    from cdc_local_data_pipeline_docker_spark.llmops.clusters import (
+        shortest_hops,
+    )
+
+    pairs = spark.createDataFrame(
+        # chain 10-11-12-13-14; triangle 20-21-22
+        [(11, 10), (11, 12), (13, 12), (13, 14),
+         (20, 21), (21, 22), (20, 22)],
+        "doc_a LONG, doc_b LONG",
+    )
+    roots = spark.createDataFrame([(10,), (20,)], "id LONG")
+    got = {r["id"]: r["hops"] for r in shortest_hops(pairs, roots).collect()}
+    assert got == {10: 0, 11: 1, 12: 2, 13: 3, 14: 4, 20: 0, 21: 1, 22: 1}
+    # two roots INSIDE one component: distance is the min over both
+    roots2 = spark.createDataFrame([(10,), (14,)], "id LONG")
+    got2 = {
+        r["id"]: r["hops"]
+        for r in shortest_hops(
+            pairs.filter("doc_a < 20"), roots2
+        ).collect()
+    }
+    assert got2 == {10: 0, 11: 1, 12: 2, 13: 1, 14: 0}

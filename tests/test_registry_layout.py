@@ -198,6 +198,7 @@ COVERED_BY = {
     "corpus_weighted_sample": "text_profile",
     "dedup_embedding_lsh_contract_sampled": "dedup_minhash_lsh",
     "dedup_graph_centrality": "dedup_clusters",
+    "graph_shortest_hops": "dedup_clusters",
     "profile_table_stats": "agg_grouped",
     "profile_join_skew": "agg_grouped",
     "validate_orders": "join_inner",
