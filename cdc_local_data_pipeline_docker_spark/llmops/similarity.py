@@ -1412,3 +1412,91 @@ FROM (
 WHERE rank <= {ANN_TOP_K}
 ORDER BY query_id, rank
 """
+
+
+def contrastive_triplet_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each query
+    vector, the nearest SAME-label neighbor (the positive) and the
+    nearest DIFFERENT-label neighbor (the hard negative) — the triplet
+    (anchor, positive, hardest-negative) that contrastive losses
+    (triplet / InfoNCE) train on. Mining negatives near the decision
+    boundary is what makes the loss informative; random negatives are
+    trivially separated and contribute ~zero gradient.
+
+    One scored pass: the bounded query side broadcasts, the corpus
+    scans once, and a single window partitioned by (query_id, same)
+    picks both winners — rank 1 per side — folded to one row per query
+    by a conditional max (ints only, so the oracle hash is exact; the
+    float similarity stays internal, same contract as ann_cosine_topk).
+
+    100 TB: exact mining is one corpus scan per query batch (Q bounded
+    by the training-batch size, broadcast). Corpus-scale all-pairs
+    mining swaps the scored join for the IVF cell-local candidate space
+    (ann_ivf_topk) — hard negatives need only be NEAR-nearest, so an
+    approximate shortlist with exact re-rank is the production form;
+    the window and fold below are unchanged."""
+    from .dedup import _scan_parallel
+
+    emb = _scan_parallel(load_table(spark, sf_dir, "embeddings"), key="vec_id")
+    vecs = emb.select(
+        "vec_id",
+        "label",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v"),
+    ).withColumn("norm", F.expr("sqrt(aggregate(v, 0D, (acc, x) -> acc + x * x))"))
+    q = vecs.filter(F.col("vec_id") < ANN_N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("q_label"),
+        F.col("v").alias("qv"),
+        F.col("norm").alias("qn"),
+    )
+    n = vecs.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("n_label"),
+        F.col("v").alias("nv"),
+        F.col("norm").alias("nn"),
+    )
+    scored = (
+        F.broadcast(q)
+        .join(n, F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", F.expr(_DOT) / (F.col("qn") * F.col("nn")))
+        .withColumn("same", F.col("q_label") == F.col("n_label"))
+    )
+    w = Window.partitionBy("query_id", "same").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") == 1)
+        .groupBy("query_id")
+        .agg(
+            F.max(F.when(F.col("same"), F.col("neighbor_id"))).alias(
+                "positive_id"
+            ),
+            F.max(F.when(~F.col("same"), F.col("neighbor_id"))).alias(
+                "negative_id"
+            ),
+        )
+        .orderBy("query_id")
+    )
+
+
+CONTRASTIVE_TRIPLET_MINING_SQL = f"""
+WITH scored AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         (a.label = b.label) AS same,
+         ROW_NUMBER() OVER (
+           PARTITION BY a.vec_id, (a.label = b.label)
+           ORDER BY list_cosine_similarity(a.embedding::DOUBLE[],
+                                           b.embedding::DOUBLE[]) DESC,
+                    b.vec_id ASC) AS rank
+  FROM embeddings a JOIN embeddings b ON a.vec_id != b.vec_id
+  WHERE a.vec_id < {ANN_N_QUERIES}
+)
+SELECT query_id,
+       MAX(CASE WHEN same THEN neighbor_id END) AS positive_id,
+       MAX(CASE WHEN NOT same THEN neighbor_id END) AS negative_id
+FROM scored
+WHERE rank = 1
+GROUP BY query_id
+ORDER BY query_id
+"""

@@ -851,6 +851,13 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         IP.search_bm25_topk_incremental,
         RV.SEARCH_BM25_TOPK_SQL,
     ),
+    # contrastive triplet mining (r7 fourth session): nearest same-label
+    # positive + nearest different-label hard negative per query vector
+    # — the (anchor, positive, negative) miner for contrastive training
+    "contrastive_triplet_mining": (
+        SIM.contrastive_triplet_mining,
+        SIM.CONTRASTIVE_TRIPLET_MINING_SQL,
+    ),
     # BFS shortest hops (r7 fourth session): graph-distance family —
     # hop count to the cluster's canonical member over the near-dup
     # graph; exact depth-bounded recursive-CTE oracle

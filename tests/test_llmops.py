@@ -1388,3 +1388,28 @@ def test_shortest_hops_chain_triangle_and_multisource(spark):
         ).collect()
     }
     assert got2 == {10: 0, 11: 1, 12: 2, 13: 1, 14: 0}
+
+
+def test_contrastive_triplets_label_semantics(spark, sf_dir):
+    """Every mined positive shares the anchor's label; every hard
+    negative differs — checked against the raw embeddings table."""
+    from cdc_local_data_pipeline_docker_spark.llmops.similarity import (
+        contrastive_triplet_mining,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "label"
+    )
+    t = contrastive_triplet_mining(spark, sf_dir)
+    joined = (
+        t.join(emb.withColumnRenamed("vec_id", "query_id")
+               .withColumnRenamed("label", "q_label"), "query_id")
+        .join(emb.withColumnRenamed("vec_id", "positive_id")
+              .withColumnRenamed("label", "p_label"), "positive_id")
+        .join(emb.withColumnRenamed("vec_id", "negative_id")
+              .withColumnRenamed("label", "n_label"), "negative_id")
+    ).collect()
+    assert len(joined) == 20
+    for r in joined:
+        assert r["p_label"] == r["q_label"]
+        assert r["n_label"] != r["q_label"]

@@ -181,6 +181,7 @@ COVERED_BY = {
     # salted top-k: skew family graded by agg_salted_two_stage
     "window_topk_salted": "agg_salted_two_stage",
     "knn_label_vote": "ann_cosine_topk",
+    "contrastive_triplet_mining": "ann_cosine_topk",
     "stream_stream_join": "stream_tumbling_agg",
     "stream_static_enrich": "stream_tumbling_agg",
     "stream_state_snapshot": "stream_stateful_user_totals",
