@@ -421,3 +421,120 @@ def events_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 EVENTS_EWMA_SMOOTH_SQL = _ewma_sql()
+
+
+#: CUSUM alarm threshold in value units (the comparison is scale-free:
+#: cusum is in count·value units, so the test is cusum > n · λ).
+CUSUM_LAMBDA = "2000.00"
+
+
+def events_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sided-free (upward) CUSUM drift detection per event_type:
+    when does the value stream run persistently ABOVE its long-run mean,
+    and by how much?
+
+    The textbook CUSUM recursion S_t = max(0, S_{t-1} + (x_t − μ)) is
+    not a window function — but it has the closed form
+
+        S_t = P_t − min_{0 ≤ j ≤ t} P_j,   P_t = Σ_{i ≤ t} (x_i − μ),
+        (P_0 = 0, the empty prefix — hence the 0-clamped running min)
+
+    (the running sum minus its running minimum: resetting at zero is
+    exactly "restart from the lowest prefix"), which IS two stacked
+    window aggregates over one partition ordering. That closed form is
+    what makes CUSUM distributable at all.
+
+    Exactness: μ never materializes (dividing by n would round).
+    Multiply through by n instead — d_i = n·x_i − Σx over DECIMAL(18,2)
+    values — so every prefix sum is an exact DECIMAL; the single
+    division-free alarm test is cusum > n·λ. The only float is the
+    final presentation cast.
+
+    100 TB: one Exchange on event_type feeds both window passes (same
+    partitioning + ordering → one Sort, two Window operators) and the
+    final partial+final aggregate. A per-KEY sequential scan is inherent
+    to CUSUM's definition; the production lever for monster keys is
+    pre-aggregating to per-hour partial sums (3600× fewer window rows,
+    identical drift signal at hour resolution) — the same one-Exchange
+    shape on a bounded spine."""
+    e = load_table(spark, sf_dir, "events")
+    v = F.col("value").cast("decimal(18,2)")
+    stats = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.sum(v).alias("s")
+    )
+    d = (
+        e.join(F.broadcast(stats), "event_type")
+        .select(
+            "event_type",
+            "ts",
+            "event_id",
+            "n",
+            (F.col("n") * v - F.col("s")).alias("d"),
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    p = d.withColumn("p", F.sum("d").over(w))
+    # the running min clamps at 0 — the virtual EMPTY prefix P_0 = 0 is
+    # a legal reset point in the recursion (without it, drift beginning
+    # at the very first observation is silently under-counted)
+    c = p.withColumn(
+        "cusum",
+        F.col("p")
+        - F.least(F.lit(0).cast("decimal(18,2)"), F.min("p").over(w)),
+    )
+    alarm = F.col("cusum") > F.col("n") * F.lit(CUSUM_LAMBDA).cast(
+        "decimal(18,2)"
+    )
+    return (
+        c.groupBy("event_type")
+        .agg(
+            F.max("n").alias("n_points"),
+            F.sum(alarm.cast("long")).alias("n_alarms"),
+            F.min(F.when(alarm, F.col("ts"))).alias("first_alarm_ts"),
+            # integer cents, not a double cast: DECIMAL→DOUBLE is the
+            # one conversion the engines round differently (DuckDB's
+            # int128/scale path vs BigDecimal.doubleValue, 1 ulp apart)
+            (F.max("cusum") * 100).cast("long").alias("max_cusum_cents"),
+        )
+        .orderBy("event_type")
+    )
+
+
+EVENTS_CUSUM_DRIFT_SQL = f"""
+WITH stats AS (
+  SELECT event_type, COUNT(*) AS n, SUM(CAST(value AS DECIMAL(18,2))) AS s
+  FROM events GROUP BY event_type
+),
+d AS (
+  SELECT e.event_type, e.ts, e.event_id, st.n,
+         st.n * CAST(e.value AS DECIMAL(18,2)) - st.s AS d
+  FROM events e JOIN stats st USING (event_type)
+),
+p AS (
+  SELECT event_type, ts, event_id, n,
+         SUM(d) OVER (PARTITION BY event_type ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p
+  FROM d
+),
+c AS (
+  SELECT event_type, ts, n,
+         p - LEAST(CAST(0 AS DECIMAL(18,2)),
+                   MIN(p) OVER (PARTITION BY event_type
+                                ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND CURRENT ROW)) AS cusum
+  FROM p
+)
+SELECT event_type,
+       MAX(n) AS n_points,
+       SUM(CASE WHEN cusum > n * CAST({CUSUM_LAMBDA} AS DECIMAL(18,2))
+                THEN 1 ELSE 0 END)::BIGINT AS n_alarms,
+       MIN(CASE WHEN cusum > n * CAST({CUSUM_LAMBDA} AS DECIMAL(18,2))
+                THEN ts END) AS first_alarm_ts,
+       CAST(MAX(cusum) * 100 AS BIGINT) AS max_cusum_cents
+FROM c GROUP BY event_type ORDER BY event_type
+"""

@@ -851,6 +851,13 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         IP.search_bm25_topk_incremental,
         RV.SEARCH_BM25_TOPK_SQL,
     ),
+    # CUSUM drift detection (r7 fourth session): the max(0, ·) recursion
+    # distributed via its prefix-minus-running-min closed form — two
+    # stacked windows on one Exchange, division-free DECIMAL alarm test
+    "events_cusum_drift": (
+        TS.events_cusum_drift,
+        TS.EVENTS_CUSUM_DRIFT_SQL,
+    ),
     # contrastive triplet mining (r7 fourth session): nearest same-label
     # positive + nearest different-label hard negative per query vector
     # — the (anchor, positive, negative) miner for contrastive training

@@ -188,3 +188,35 @@ def test_ewma_single_window_exchange(spark, sf_dir):
     )
     assert plan.count("Exchange hashpartitioning") == 1, plan
     assert plan.count("Window") == 1, plan
+
+
+def test_cusum_closed_form_matches_textbook_recursion(spark):
+    """S_t = P_t - min_{j<=t} P_j  ==  S_t = max(0, S_{t-1} + d_t):
+    pin the distributable closed form against the sequential textbook
+    recursion on a constructed series with a deliberate drift segment."""
+    from decimal import Decimal
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    vals = [Decimal(x) for x in
+            ("1.00 2.00 -3.00 4.00 4.00 4.00 -20.00 1.00 5.00 5.00").split()]
+    # textbook recursion (drift-corrected series d_t used directly)
+    s, expect = Decimal(0), []
+    for d in vals:
+        s = max(Decimal(0), s + d)
+        expect.append(s)
+    df = spark.createDataFrame(
+        [(i, str(v)) for i, v in enumerate(vals)], "i LONG, d_str STRING"
+    ).select("i", F.col("d_str").cast("decimal(18,2)").alias("d"))
+    w = Window.orderBy("i").rowsBetween(Window.unboundedPreceding, 0)
+    p = df.withColumn("p", F.sum("d").over(w))
+    # closed form: the running min is clamped at 0 (the virtual empty
+    # prefix P_0 = 0), exactly the recursion's reset-at-zero floor
+    c = p.withColumn(
+        "cusum",
+        F.col("p") - F.least(F.lit(0).cast("decimal(18,2)"),
+                             F.min("p").over(w)),
+    )
+    got = [r["cusum"] for r in c.orderBy("i").collect()]
+    assert [Decimal(x) for x in got] == expect
