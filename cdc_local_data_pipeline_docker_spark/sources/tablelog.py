@@ -71,6 +71,7 @@ __all__ = [
     "CommitConflict",
     "log_append",
     "log_delete_where",
+    "log_merge",
     "log_compact",
     "log_read",
     "log_history",
@@ -115,17 +116,72 @@ def _latest_version(root: str) -> int | None:
     return vs[-1] if vs else None
 
 
-def _write_data_files(df: DataFrame, root: str, token: str) -> list[str]:
-    """Write ``df`` under data/<token>/ and return the part files as
-    root-relative paths. The directory is unique per commit attempt, so
-    a losing/crashed writer never collides with a winner's files."""
+def _write_data_files(
+    df: DataFrame, root: str, token: str, stats_cols: list[str] | None = None
+) -> tuple[list[str], dict[str, dict[str, list]]]:
+    """Write ``df`` under data/<token>/; return (root-relative part
+    files, per-file min/max stats for ``stats_cols``). The directory is
+    unique per commit attempt, so a losing/crashed writer never collides
+    with a winner's files.
+
+    The stats pass is ONE distributed aggregation over the just-written
+    files grouped by ``input_file_name()`` — KBs of manifest state per
+    thousand files, the Delta/Iceberg file-skipping shape. Only numeric
+    and string columns are JSON-stable enough to record; anything else
+    is skipped (its files simply never prune)."""
     out_dir = os.path.join(root, _DATA_DIR, token)
     df.write.mode("error").parquet(out_dir)
     rel = []
     for f in sorted(os.listdir(out_dir)):
         if f.endswith(".parquet"):
             rel.append(os.path.join(_DATA_DIR, token, f))
-    return rel
+    stats: dict[str, dict[str, list]] = {}
+    if stats_cols and rel:
+        from pyspark.sql import functions as F
+
+        spark = df.sparkSession
+        back = spark.read.parquet(out_dir)
+        keep = [
+            c
+            for c in stats_cols
+            if c in back.columns
+            and back.schema[c].dataType.typeName()
+            in {"long", "integer", "short", "byte", "double", "float",
+                "string", "date", "decimal"}
+        ]
+        if keep:
+            aggs = []
+            for c in keep:
+                aggs += [F.min(c).alias(f"mn_{c}"), F.max(c).alias(f"mx_{c}")]
+            rows = (
+                back.groupBy(F.input_file_name().alias("_f"))
+                .agg(*aggs)
+                .collect()
+            )
+            for r in rows:
+                tail = next((p for p in rel if r["_f"].endswith(p)), None)
+                if tail is None:
+                    continue
+                stats[tail] = {
+                    c: [
+                        _json_val(r[f"mn_{c}"]),
+                        _json_val(r[f"mx_{c}"]),
+                    ]
+                    for c in keep
+                }
+    return rel, stats
+
+
+def _json_val(v):
+    """JSON-stable scalar for manifest stats (Decimal/date → str)."""
+    import datetime
+    import decimal
+
+    if isinstance(v, decimal.Decimal):
+        return str(v)
+    if isinstance(v, (datetime.date, datetime.datetime)):
+        return v.isoformat()
+    return v
 
 
 def _commit(root: str, version: int, manifest: dict) -> int:
@@ -159,13 +215,25 @@ def _live_files(root: str, version: int | None = None) -> list[str]:
     return list(_read_manifest(root, version)["live"])
 
 
-def log_append(spark: SparkSession, root: str, df: DataFrame) -> int:
+def _base_stats(root: str, base: int | None) -> dict:
+    if base is None:
+        return {}
+    return dict(_read_manifest(root, base).get("stats", {}))
+
+
+def log_append(
+    spark: SparkSession,
+    root: str,
+    df: DataFrame,
+    stats_cols: list[str] | None = None,
+) -> int:
     """Commit ``df`` as new files appended to the table; returns the new
-    version. Appends never conflict logically, so on CommitConflict the
-    already-written data files are simply re-published against the newer
-    snapshot (no rewrite)."""
+    version. ``stats_cols`` records per-file min/max in the manifest for
+    reader-side file skipping. Appends never conflict logically, so on
+    CommitConflict the already-written data files are simply
+    re-published against the newer snapshot (no rewrite)."""
     token = uuid.uuid4().hex[:12]
-    added = _write_data_files(df, root, token)
+    added, new_stats = _write_data_files(df, root, token, stats_cols)
     while True:
         base = _latest_version(root)
         live = _live_files(root, base) if base is not None else []
@@ -176,6 +244,8 @@ def log_append(spark: SparkSession, root: str, df: DataFrame) -> int:
             "add": added,
             "remove": [],
             "live": live + added,
+            "stats": {**_base_stats(root, base), **new_stats},
+            "schema": df.schema.simpleString(),
             "ts": time.time(),
         }
         try:
@@ -185,14 +255,46 @@ def log_append(spark: SparkSession, root: str, df: DataFrame) -> int:
 
 
 def log_read(
-    spark: SparkSession, root: str, version: int | None = None
+    spark: SparkSession,
+    root: str,
+    version: int | None = None,
+    prune: tuple[str, object, object] | None = None,
 ) -> DataFrame:
     """Snapshot read at ``version`` (default: latest). Resolves the file
     list from ONE manifest — never lists the data directory, so
-    concurrent commits and crash garbage are invisible."""
+    concurrent commits and crash garbage are invisible.
+
+    ``prune=(col, lo, hi)`` applies manifest-level file skipping: only
+    files whose recorded [min, max] span overlaps the closed range
+    survive; files without stats are always kept (skipping is safe-only,
+    like parquet row-group pruning one level up). The predicate itself
+    is NOT applied — callers keep their own filter so pruning can never
+    change results, only scan less."""
+    if version is None:
+        version = _latest_version(root)
     files = _live_files(root, version)
     if not files:
         raise ValueError(f"no table at {root} (version={version})")
+    if prune is not None:
+        col, lo, hi = prune
+        stats = _read_manifest(root, version).get("stats", {})
+        files = [
+            f
+            for f in files
+            if f not in stats
+            or col not in stats[f]
+            or stats[f][col][0] is None
+            or not (stats[f][col][0] > hi or stats[f][col][1] < lo)
+        ]
+        if not files:
+            # every file pruned: preserve the schema via an empty scan
+            # of ONE live file with a false filter
+            from pyspark.sql import functions as F
+
+            one = _live_files(root, version)[0]
+            return spark.read.parquet(os.path.join(root, one)).filter(
+                F.lit(False)
+            )
     return spark.read.parquet(*[os.path.join(root, f) for f in files])
 
 
@@ -231,6 +333,7 @@ def log_delete_where(spark: SparkSession, root: str, predicate: str) -> int:
             "add": [],
             "remove": [],
             "live": live,
+            "stats": _base_stats(root, base),
             "predicate": predicate,
             "ts": time.time(),
         }
@@ -239,15 +342,94 @@ def log_delete_where(spark: SparkSession, root: str, predicate: str) -> int:
         *[os.path.join(root, f) for f in affected]
     ).filter(~F.expr(predicate))
     token = uuid.uuid4().hex[:12]
-    added = _write_data_files(survivors, root, token)
+    stats_cols = sorted(
+        {c for s in _base_stats(root, base).values() for c in s}
+    )
+    added, new_stats = _write_data_files(survivors, root, token, stats_cols)
     untouched = [f for f in live if f not in set(affected)]
+    carried = {
+        f: s for f, s in _base_stats(root, base).items() if f in set(untouched)
+    }
     manifest = {
         "version": base + 1,
         "action": "delete",
         "add": added,
         "remove": affected,
         "live": untouched + added,
+        "stats": {**carried, **new_stats},
         "predicate": predicate,
+        "ts": time.time(),
+    }
+    return _commit(root, base + 1, manifest)
+
+
+def log_merge(
+    spark: SparkSession, root: str, changes: DataFrame, key_col: str
+) -> int:
+    """ACID MERGE INTO at the storage layer: upsert ``changes`` (one row
+    per key; the target must be key-unique, the merge.py precondition)
+    with file-level copy-on-write —
+
+      matched keys   → their files are rewritten with the old images
+                       dropped (the change row supplies the new image),
+      unmatched keys → plain inserts,
+
+    all in ONE commit: {remove: affected files, add: rewritten ∪ new}.
+    Files containing no matched key are carried by reference, so the
+    rewrite cost tracks the MATCH LOCALITY, not the table size — with
+    key-clustered files (z-order/bucketing upstream) a point-update
+    batch touches a handful of files; this is the Delta low-shuffle
+    MERGE economics expressed as manifest arithmetic.
+
+    The affected-file probe broadcasts the (bounded) change-key set
+    against one `input_file_name()` scan — predicate-pushed, file-path-
+    sized collect. Conflict policy: like delete, MERGE conflicts with
+    any concurrent commit, so CommitConflict propagates."""
+    from pyspark.sql import functions as F
+
+    base = _latest_version(root)
+    if base is None:
+        raise ValueError(f"no table at {root}")
+    live = _live_files(root, base)
+    snap = spark.read.parquet(*[os.path.join(root, f) for f in live])
+    keys = changes.select(F.col(key_col)).distinct()
+    # input_file_name() must bind below the join (single-source rule):
+    # project it on the scan side, THEN semi-join the broadcast keys
+    probe = snap.select(
+        key_col, F.input_file_name().alias("_tablelog_file")
+    )
+    affected_abs = {
+        r[0]
+        for r in probe.join(F.broadcast(keys), key_col, "left_semi")
+        .select("_tablelog_file")
+        .distinct()
+        .collect()
+    }
+    affected = [f for f in live if any(a.endswith(f) for a in affected_abs)]
+    survivors = None
+    if affected:
+        survivors = spark.read.parquet(
+            *[os.path.join(root, f) for f in affected]
+        ).join(F.broadcast(keys), key_col, "left_anti")
+    new_rows = (
+        survivors.unionByName(changes) if survivors is not None else changes
+    )
+    token = uuid.uuid4().hex[:12]
+    stats_cols = sorted(
+        {c for s in _base_stats(root, base).values() for c in s}
+    )
+    added, new_stats = _write_data_files(new_rows, root, token, stats_cols)
+    untouched = [f for f in live if f not in set(affected)]
+    carried = {
+        f: s for f, s in _base_stats(root, base).items() if f in set(untouched)
+    }
+    manifest = {
+        "version": base + 1,
+        "action": "merge",
+        "add": added,
+        "remove": affected,
+        "live": untouched + added,
+        "stats": {**carried, **new_stats},
         "ts": time.time(),
     }
     return _commit(root, base + 1, manifest)
@@ -263,13 +445,19 @@ def log_compact(spark: SparkSession, root: str, target_files: int = 1) -> int:
     live = _live_files(root, base)
     snap = spark.read.parquet(*[os.path.join(root, f) for f in live])
     token = uuid.uuid4().hex[:12]
-    added = _write_data_files(snap.coalesce(target_files), root, token)
+    stats_cols = sorted(
+        {c for s in _base_stats(root, base).values() for c in s}
+    )
+    added, new_stats = _write_data_files(
+        snap.coalesce(target_files), root, token, stats_cols
+    )
     manifest = {
         "version": base + 1,
         "action": "compact",
         "add": added,
         "remove": live,
         "live": added,
+        "stats": new_stats,
         "ts": time.time(),
     }
     return _commit(root, base + 1, manifest)

@@ -99,7 +99,7 @@ def test_crash_window_and_vacuum(spark, root):
     TL.log_append(spark, root, o.limit(20))
     n = TL.log_read(spark, root).count()
     # crashed writer: data files exist, no manifest ever published
-    orphans = TL._write_data_files(o.limit(7), root, "crashed-commit")
+    orphans, _ = TL._write_data_files(o.limit(7), root, "crashed-commit")
     assert orphans
     # readers are unaffected — the manifest is the source of truth
     assert TL.log_read(spark, root).count() == n
@@ -126,3 +126,80 @@ def test_compact_is_content_identical(spark, root):
     assert sorted(TL.log_read(spark, root, version=1).collect()) == before
     hist = TL.log_history(root)
     assert [h["action"] for h in hist] == ["append", "append", "compact"]
+
+
+def test_manifest_stats_prune_files(spark, root):
+    o = _orders(spark)
+    # three appends with DISJOINT key ranges -> disjoint per-file stats
+    for lo, hi in [(0, 500), (500, 1000), (1000, 1500)]:
+        TL.log_append(
+            spark, root,
+            o.filter(f"o_orderkey >= {lo} AND o_orderkey < {hi}"),
+            stats_cols=["o_orderkey"],
+        )
+    m = TL._read_manifest(root, 2)
+    assert set(m["stats"]) == set(m["live"])  # every live file has stats
+    all_files = m["live"]
+    pruned = TL.log_read(spark, root, prune=("o_orderkey", 600, 700))
+    kept = {f for f in all_files
+            if any(pruned.inputFiles() and inp.endswith(f)
+                   for inp in pruned.inputFiles())}
+    # only the middle commit's files survive the prune
+    mid = set(TL._read_manifest(root, 1)["add"])
+    assert kept == mid and len(kept) < len(all_files)
+    # pruning never changes results once the real filter applies
+    a = (TL.log_read(spark, root, prune=("o_orderkey", 600, 700))
+         .filter("o_orderkey BETWEEN 600 AND 700").count())
+    b = (TL.log_read(spark, root)
+         .filter("o_orderkey BETWEEN 600 AND 700").count())
+    assert a == b > 0
+    # a fully-pruned range returns an EMPTY frame with the right schema
+    none = TL.log_read(spark, root, prune=("o_orderkey", 10**9, 2 * 10**9))
+    assert none.count() == 0
+    assert none.columns == TL.log_read(spark, root).columns
+
+
+def test_merge_upsert_file_level_cow(spark, root):
+    o = _orders(spark)
+    TL.log_append(spark, root, o.filter("o_orderkey < 500"),
+                  stats_cols=["o_orderkey"])
+    TL.log_append(spark, root, o.filter("o_orderkey >= 500"),
+                  stats_cols=["o_orderkey"])
+    files_v0 = set(TL._read_manifest(root, 0)["add"])
+    # changes: update 3 existing low keys + insert 2 brand-new keys —
+    # all change keys sit in commit 0's range, so commit 1's files must
+    # be carried by reference
+    updates = (o.filter("o_orderkey IN (1, 2, 3)")
+               .withColumn("o_orderstatus", F.lit("Z")))
+    inserts = spark.createDataFrame(
+        [(10**9, "N", 1.0), (10**9 + 1, "N", 2.0)],
+        "o_orderkey LONG, o_orderstatus STRING, o_totalprice DOUBLE",
+    )
+    v = TL.log_merge(spark, root, updates.unionByName(inserts), "o_orderkey")
+    m = TL._read_manifest(root, v)
+    assert m["action"] == "merge"
+    # every rewritten file held a matched key -> all from commit 0
+    assert set(m["remove"]) <= files_v0 and m["remove"]
+    # files from commit 1 (no matched keys) are untouched
+    files_v1 = set(TL._read_manifest(root, 1)["add"])
+    assert files_v1 <= set(m["live"]) and not (files_v1 & set(m["remove"]))
+    snap = TL.log_read(spark, root)
+    # MERGE semantics: updated images, inserts present, count = old + 2
+    assert snap.filter("o_orderkey IN (1, 2, 3)").count() == \
+        o.filter("o_orderkey IN (1, 2, 3)").count()
+    assert (snap.filter("o_orderkey IN (1, 2, 3) AND o_orderstatus = 'Z'")
+            .count() == o.filter("o_orderkey IN (1, 2, 3)").count())
+    assert snap.filter("o_orderkey >= 1000000000").count() == 2
+    assert snap.count() == o.count() + 2
+    # key-uniqueness preserved
+    assert (snap.groupBy("o_orderkey").count().filter("count > 1").count()
+            == 0)
+    # stats carried + refreshed: every live file still has stats
+    assert set(m["stats"]) == set(m["live"])
+
+
+def test_schema_recorded_in_manifest(spark, root):
+    o = _orders(spark)
+    TL.log_append(spark, root, o.limit(5))
+    m = TL._read_manifest(root, 0)
+    assert "o_orderkey" in m["schema"] and "o_totalprice" in m["schema"]
