@@ -68,6 +68,7 @@ from .streaming import incremental_postings as IP
 from .streaming import incremental_view as IV
 from .streaming import jobs as SJ
 from .streaming import sketch_state as SKS
+from .streaming import tablelog_upsert as TLU
 from .streaming import state_inspect as SIN
 from .streaming import stateful as SST
 
@@ -850,6 +851,13 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "search_bm25_topk_incremental": (
         IP.search_bm25_topk_incremental,
         RV.SEARCH_BM25_TOPK_SQL,
+    ),
+    # streaming CDC -> ACID table format (r7 fourth session): one MERGE
+    # commit per micro-batch with batch-id idempotence; the maintained
+    # table is graded against the full-changelog latest-state oracle
+    "stream_tablelog_upsert": (
+        TLU.stream_tablelog_upsert,
+        CDC.CDC_LATEST_STATE_ORDERS_SQL,
     ),
     # equal-frequency feature binning (r7 fourth session): exact global
     # ntile deciles + per-bin stats in DECIMAL cents; the documented

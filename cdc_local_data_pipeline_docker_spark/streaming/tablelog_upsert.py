@@ -1,0 +1,229 @@
+"""Streaming CDC upsert into the transaction-log table format —
+exactly-once foreachBatch MERGE with batch-id idempotence.
+
+This closes the loop between the engine's two maintenance layers:
+`streaming/upsert.py` keeps latest-state via whole-directory swaps
+(correct, but every batch rewrites the full state), while
+`sources/tablelog.py` provides ACID manifests with file-level
+copy-on-write. Composed, each micro-batch commits ONE manifest that
+rewrites only the files containing the batch's keys — per-batch cost
+tracks batch locality, not state size, and readers get snapshot
+isolation + time travel over the maintained table for free (each
+micro-batch IS a table version: `log_read(root, version=k)` is the
+state after batch k).
+
+Exactly-once, precisely: the streaming checkpoint replays an
+uncommitted batch after a crash; the manifest records the batch id, so
+
+  * crash BEFORE manifest publish → data files are invisible orphans
+    (vacuumable); the replay re-merges against the old snapshot and
+    publishes once;
+  * crash AFTER publish → the replay sees batch_id ≤ recorded and
+    no-ops.
+
+Both windows land on the same final state — the commit's atomicity
+point (one hard-link) is the idempotence boundary, the same contract
+Delta's `txn` action gives streaming writers.
+
+Late/duplicate events across batches are handled by the merge itself:
+matched state rows re-enter a latest-wins window against the batch
+delta keyed on (partition, kafka_offset) — `upsert._merge_latest`,
+unchanged — so replayed or out-of-order events lose ties
+deterministically. Tombstone winners stay in the table as deletion
+markers (readers filter), keeping later replays of older events
+losers; the files holding only dead markers compact away.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import CDC_WIRE_SCHEMAS
+from ..cdc import parse as P
+from ..sources import tablelog as TL
+from .upsert import _merge_latest
+
+#: Columns of the maintained state table (the projected-changelog shape
+#: minus DLQ payload columns the state doesn't need).
+def _state_cols(table: str) -> list[str]:
+    wire = CDC_WIRE_SCHEMAS[table]
+    return ["pk", *[f.name for f in wire.fields], "is_tombstone",
+            "partition", "kafka_offset"]
+
+
+def log_merge_cdc(
+    spark: SparkSession,
+    root: str,
+    delta: DataFrame,
+    table: str,
+    batch_id: int,
+) -> int:
+    """MERGE one CDC micro-batch into the tablelog table at ``root``;
+    returns the committed (or already-current) version.
+
+    Replay guard: the manifest records ``batch_id``; a batch id ≤ the
+    recorded one is a checkpoint replay and no-ops. File-level CoW: only
+    files containing the batch's keys rewrite; the rewrite re-runs
+    latest-wins between the matched state rows and the delta, so
+    ordering is by (partition, kafka_offset), never arrival."""
+    cols = _state_cols(table)
+    delta = delta.select(cols)
+    base = TL._latest_version(root)
+    if base is not None:
+        m = TL._read_manifest(root, base)
+        last = m.get("batch_id")
+        if last is not None and batch_id <= last:
+            return base  # checkpoint replay of a published batch
+    if base is None:
+        merged = _merge_latest(
+            spark.createDataFrame([], delta.schema), delta, table
+        )
+        token = uuid.uuid4().hex[:12]
+        added, stats = TL._write_data_files(merged, root, token, ["pk"])
+        manifest = {
+            "version": 0,
+            "action": "cdc_merge",
+            "add": added,
+            "remove": [],
+            "live": added,
+            "stats": stats,
+            "batch_id": batch_id,
+            "ts": time.time(),
+        }
+        return TL._commit(root, 0, manifest)
+    live = TL._live_files(root, base)
+    snap = spark.read.parquet(*[os.path.join(root, f) for f in live])
+    keys = delta.select("pk").distinct()
+    probe = snap.select("pk", F.input_file_name().alias("_f"))
+    affected_abs = {
+        r[0]
+        for r in probe.join(F.broadcast(keys), "pk", "left_semi")
+        .select("_f").distinct().collect()
+    }
+    affected = [f for f in live if any(a.endswith(f) for a in affected_abs)]
+    if affected:
+        aff_rows = spark.read.parquet(
+            *[os.path.join(root, f) for f in affected]
+        )
+        survivors = aff_rows.join(F.broadcast(keys), "pk", "left_anti")
+        matched = aff_rows.join(F.broadcast(keys), "pk", "left_semi")
+    else:
+        survivors = None
+        matched = spark.createDataFrame([], delta.schema)
+    merged = _merge_latest(matched.select(cols), delta, table)
+    new_rows = (
+        survivors.select(cols).unionByName(merged)
+        if survivors is not None
+        else merged
+    )
+    token = uuid.uuid4().hex[:12]
+    added, stats = TL._write_data_files(new_rows, root, token, ["pk"])
+    untouched = [f for f in live if f not in set(affected)]
+    carried = {
+        f: s
+        for f, s in TL._base_stats(root, base).items()
+        if f in set(untouched)
+    }
+    manifest = {
+        "version": base + 1,
+        "action": "cdc_merge",
+        "add": added,
+        "remove": affected,
+        "live": untouched + added,
+        "stats": {**carried, **stats},
+        "batch_id": batch_id,
+        "ts": time.time(),
+    }
+    return TL._commit(root, base + 1, manifest)
+
+
+def read_live(spark: SparkSession, root: str, table: str) -> DataFrame:
+    """Live rows of the maintained table (tombstone markers filtered),
+    in the latest_state output shape (wire fields + last_offset)."""
+    wire = CDC_WIRE_SCHEMAS[table]
+    return (
+        TL.log_read(spark, root)
+        .filter(~F.col("is_tombstone"))
+        .select(
+            *[f.name for f in wire.fields],
+            F.col("kafka_offset").alias("last_offset"),
+        )
+    )
+
+
+def start_tablelog_upsert_stream(
+    spark: SparkSession, event_dir: str, table: str, root: str, out_dir: str
+):
+    """Drain available change events into the tablelog table at ``root``
+    — one ACID MERGE commit per micro-batch (maxFilesPerTrigger=1 keeps
+    multi-chunk fixtures as genuinely separate batches)."""
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        sess = batch_df.sparkSession
+        delta = P.project_changelog(
+            P.parse_events(batch_df, table), table
+        ).filter(~F.col("is_malformed"))
+        log_merge_cdc(sess, root, delta, table, batch_id)
+
+    env = (
+        spark.readStream.schema(P.ENVELOPE_DDL)
+        .option("maxFilesPerTrigger", 1)
+        .json(os.path.join(event_dir, f"{table}*.jsonl"))
+    )
+    q = (
+        env.writeStream.foreachBatch(merge_batch)
+        .option(
+            "checkpointLocation",
+            os.path.join(out_dir, "_checkpoints_tablelog", table),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
+def stream_tablelog_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: the orders changelog streamed through per-batch
+    ACID MERGE commits (3 chunked micro-batches), then the live state
+    read back FROM THE TABLE FORMAT. Oracle: the same full-changelog
+    latest-state SQL that grades cdc_latest_state_orders — the
+    maintained table must equal the batch recompute exactly.
+
+    sf_dir is unused (CDC input is the seeded change stream); kept for
+    the uniform queries() signature."""
+    import shutil
+    import tempfile
+
+    from ..cdc.queries import ensure_fixtures
+
+    d = ensure_fixtures()
+    work = tempfile.mkdtemp(prefix="tablelog_stream_")
+    try:
+        # chunk the fixture changelog into 3 files -> 3 micro-batches
+        with open(os.path.join(d, "orders.jsonl")) as fh:
+            lines = fh.readlines()
+        ev_dir = os.path.join(work, "events")
+        os.makedirs(ev_dir)
+        n = len(lines)
+        cuts = [0, n // 3, 2 * n // 3, n]
+        for i in range(3):
+            with open(
+                os.path.join(ev_dir, f"orders_chunk{i}.jsonl"), "w"
+            ) as out:
+                out.writelines(lines[cuts[i]:cuts[i + 1]])
+        root = os.path.join(work, "table")
+        start_tablelog_upsert_stream(spark, ev_dir, "orders", root, work)
+        out = (
+            read_live(spark, root, "orders")
+            .withColumn("total_amount", F.col("total_amount").cast("double"))
+            .orderBy("order_id")
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

@@ -1,0 +1,145 @@
+"""Streaming CDC → tablelog MERGE: exactly-once batch-id guard, crash
+replay windows, out-of-order delta ordering, and stream ≡ batch parity."""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from cdc_local_data_pipeline_docker_spark.cdc import parse as P
+from cdc_local_data_pipeline_docker_spark.cdc.latest_state import latest_state
+from cdc_local_data_pipeline_docker_spark.cdc.queries import ensure_fixtures
+from cdc_local_data_pipeline_docker_spark.sources import tablelog as TL
+from cdc_local_data_pipeline_docker_spark.streaming import (
+    tablelog_upsert as TU,
+)
+
+
+@pytest.fixture()
+def root():
+    d = tempfile.mkdtemp(prefix="tablelog_upsert_test_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _deltas(spark, n_chunks=2):
+    """The orders fixture changelog projected and split into offset-
+    contiguous chunks."""
+    d = ensure_fixtures()
+    env = P.read_event_file(spark, os.path.join(d, "orders.jsonl"))
+    parsed = P.parse_events(env, "orders")
+    proj = P.project_changelog(parsed, "orders").filter("NOT is_malformed")
+    hi = proj.agg(F.max("kafka_offset")).collect()[0][0]
+    step = (hi + 1) // n_chunks + 1
+    return parsed, [
+        proj.filter(
+            (F.col("kafka_offset") >= i * step)
+            & (F.col("kafka_offset") < (i + 1) * step)
+        )
+        for i in range(n_chunks)
+    ]
+
+
+def _live(spark, root):
+    return TU.read_live(spark, root, "orders")
+
+
+def test_merge_cdc_matches_batch_latest_state(spark, root):
+    parsed, chunks = _deltas(spark, 3)
+    for i, c in enumerate(chunks):
+        TU.log_merge_cdc(spark, root, c, "orders", i)
+    want = sorted(
+        (r["order_id"], r["last_offset"])
+        for r in latest_state(parsed, "orders").collect()
+    )
+    got = sorted(
+        (r["order_id"], r["last_offset"]) for r in _live(spark, root).collect()
+    )
+    assert got == want and got
+
+
+def test_batch_id_replay_is_noop(spark, root):
+    _, chunks = _deltas(spark, 2)
+    v0 = TU.log_merge_cdc(spark, root, chunks[0], "orders", 0)
+    v1 = TU.log_merge_cdc(spark, root, chunks[1], "orders", 1)
+    before = sorted(_live(spark, root).collect())
+    # checkpoint replay of batch 1: same id -> no new version, same state
+    assert TU.log_merge_cdc(spark, root, chunks[1], "orders", 1) == v1
+    assert TL._latest_version(root) == v1 > v0
+    assert sorted(_live(spark, root).collect()) == before
+
+
+def test_crash_before_publish_replays_clean(spark, root):
+    _, chunks = _deltas(spark, 2)
+    TU.log_merge_cdc(spark, root, chunks[0], "orders", 0)
+    # simulate a crash AFTER data files, BEFORE manifest: write orphans
+    orphans, _ = TL._write_data_files(chunks[1], root, "crashed-batch")
+    state_before = sorted(_live(spark, root).collect())
+    assert sorted(_live(spark, root).collect()) == state_before
+    # the replayed batch merges against the OLD snapshot and publishes
+    TU.log_merge_cdc(spark, root, chunks[1], "orders", 1)
+    n_live = _live(spark, root).count()
+    # orphans were never referenced; vacuum removes exactly them
+    deleted = TL.log_vacuum(root)
+    assert set(deleted) == set(orphans)
+    assert _live(spark, root).count() == n_live
+
+
+def test_out_of_order_delta_loses_ties(spark, root):
+    """A later BATCH carrying an older offset for a key must not clobber
+    the newer state image (latest-wins is by offset, not arrival)."""
+    parsed, _ = _deltas(spark, 1)
+    proj = P.project_changelog(parsed, "orders").filter("NOT is_malformed")
+    # find a pk with >= 2 events: apply the NEWEST first, then replay an
+    # older one in a later batch
+    multi = (
+        proj.groupBy("pk").count().filter("count >= 2").limit(1).collect()
+    )
+    pk = multi[0]["pk"]
+    evs = proj.filter(F.col("pk") == pk).orderBy("kafka_offset").collect()
+    newest_off, oldest_off = evs[-1]["kafka_offset"], evs[0]["kafka_offset"]
+    TU.log_merge_cdc(
+        spark, root, proj.filter(F.col("kafka_offset") == newest_off),
+        "orders", 0,
+    )
+    TU.log_merge_cdc(
+        spark, root, proj.filter(F.col("kafka_offset") == oldest_off),
+        "orders", 1,
+    )
+    snap = TL.log_read(spark, root).filter(F.col("pk") == pk).collect()
+    assert len(snap) == 1 and snap[0]["kafka_offset"] == newest_off
+
+
+def test_stream_runner_parity_with_direct_merges(spark, root):
+    """The foreachBatch runner lands the same table as direct chunked
+    merges (and as the batch recompute)."""
+    parsed, _ = _deltas(spark, 1)
+    d = ensure_fixtures()
+    work = tempfile.mkdtemp(prefix="tablelog_stream_test_")
+    try:
+        with open(os.path.join(d, "orders.jsonl")) as fh:
+            lines = fh.readlines()
+        ev = os.path.join(work, "events")
+        os.makedirs(ev)
+        half = len(lines) // 2
+        for i, chunk in enumerate([lines[:half], lines[half:]]):
+            with open(os.path.join(ev, f"orders_c{i}.jsonl"), "w") as out:
+                out.writelines(chunk)
+        TU.start_tablelog_upsert_stream(spark, ev, "orders", root, work)
+        # two files + maxFilesPerTrigger=1 -> two commits
+        assert TL._latest_version(root) == 1
+        want = sorted(
+            (r["order_id"], r["last_offset"])
+            for r in latest_state(parsed, "orders").collect()
+        )
+        got = sorted(
+            (r["order_id"], r["last_offset"])
+            for r in _live(spark, root).collect()
+        )
+        assert got == want
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
