@@ -435,22 +435,43 @@ def log_merge(
     return _commit(root, base + 1, manifest)
 
 
-def log_compact(spark: SparkSession, root: str, target_files: int = 1) -> int:
+def log_compact(
+    spark: SparkSession,
+    root: str,
+    target_files: int = 1,
+    zorder_cols: list[str] | None = None,
+    stats_cols: list[str] | None = None,
+) -> int:
     """OPTIMIZE: rewrite the live set into ``target_files`` files —
     content-identical, so readers on any version are unaffected and time
-    travel crosses the compaction seamlessly."""
+    travel crosses the compaction seamlessly.
+
+    ``zorder_cols`` (2+ numeric columns) is OPTIMIZE ZORDER BY: the
+    rewrite range-partitions + sorts along the Morton curve of those
+    columns (sources/zorder.py), so each output file covers a compact
+    hyper-rectangle — which is exactly what makes the manifest's
+    min/max stats prune: post-ZORDER, a range probe on any clustered
+    column keeps O(matching) files instead of all of them. This is the
+    one commit where clustering pays its shuffle; every subsequent
+    pruned read amortizes it."""
     base = _latest_version(root)
     if base is None:
         raise ValueError(f"no table at {root}")
     live = _live_files(root, base)
     snap = spark.read.parquet(*[os.path.join(root, f) for f in live])
     token = uuid.uuid4().hex[:12]
-    stats_cols = sorted(
-        {c for s in _base_stats(root, base).values() for c in s}
-    )
-    added, new_stats = _write_data_files(
-        snap.coalesce(target_files), root, token, stats_cols
-    )
+    if stats_cols is None:
+        stats_cols = sorted(
+            {c for s in _base_stats(root, base).values() for c in s}
+        )
+    if zorder_cols:
+        from .zorder import zorder_by
+
+        out = zorder_by(snap, *zorder_cols, n_files=target_files)
+        stats_cols = sorted(set(stats_cols) | set(zorder_cols))
+    else:
+        out = snap.coalesce(target_files)
+    added, new_stats = _write_data_files(out, root, token, stats_cols)
     manifest = {
         "version": base + 1,
         "action": "compact",

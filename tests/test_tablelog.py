@@ -203,3 +203,42 @@ def test_schema_recorded_in_manifest(spark, root):
     TL.log_append(spark, root, o.limit(5))
     m = TL._read_manifest(root, 0)
     assert "o_orderkey" in m["schema"] and "o_totalprice" in m["schema"]
+
+
+def test_optimize_zorder_makes_stats_prune(spark, root):
+    """OPTIMIZE ZORDER BY: after a clustered compaction, a key-range
+    probe keeps strictly fewer files than after a plain compaction of
+    the same data into the same file count — and content is identical."""
+    o = _orders(spark)
+    # hash-scatter the append into 8 files: every file spans the full
+    # key range, so the range probe below can prune NOTHING
+    TL.log_append(spark, root, o.repartition(8, "o_orderkey"),
+                  stats_cols=["o_orderkey"])
+    before = sorted(TL.log_read(spark, root).collect())
+
+    stats_plain = TL._read_manifest(root, 0)["stats"]
+    lo, hi = 100, 200
+    keep_plain = [
+        f for f, s in stats_plain.items()
+        if not (s["o_orderkey"][0] > hi or s["o_orderkey"][1] < lo)
+    ]
+    assert len(keep_plain) == 8  # scattered layout: stats are useless
+
+    v_z = TL.log_compact(
+        spark, root, target_files=8,
+        zorder_cols=["o_orderkey", "o_totalprice"],
+    )
+    m = TL._read_manifest(root, v_z)
+    assert len(m["live"]) == 8
+    keep_z = [
+        f for f, s in m["stats"].items()
+        if not (s["o_orderkey"][0] > hi or s["o_orderkey"][1] < lo)
+    ]
+    assert len(keep_z) < len(keep_plain)  # clustering made stats selective
+    # pruned read + real filter is row-exact vs the unpruned read
+    a = (TL.log_read(spark, root, prune=("o_orderkey", lo, hi))
+         .filter(f"o_orderkey BETWEEN {lo} AND {hi}").count())
+    b = (TL.log_read(spark, root)
+         .filter(f"o_orderkey BETWEEN {lo} AND {hi}").count())
+    assert a == b > 0
+    assert sorted(TL.log_read(spark, root).collect()) == before
