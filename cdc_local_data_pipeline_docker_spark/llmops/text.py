@@ -930,3 +930,85 @@ FROM toks t JOIN vocab v USING (tok)
 GROUP BY t.doc_id
 ORDER BY doc_id
 """
+
+
+def text_bigram_coherence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram conditional-probability coherence per document — the next
+    rung of the LM-free quality ladder above `text_unigram_rarity`: for
+    every adjacent token pair the corpus-level conditional
+    P(w2 | w1) = c(w1 w2) / c(w1 ·) says how predictable the document's
+    local transitions are. Word salad scores low (its transitions are
+    corpus-rare); boilerplate scores high — exactly the surprisal signal
+    a KenLM quality filter uses, without the log.
+
+    Exactness: the conditional is kept as the integer fixed point
+    ⌊1e6 · c2 / c1⌋ (integer floor division — both engines exact on
+    BIGINT), so the per-doc sum is accumulation-order-free and the
+    result hashes bit-identically. Emits (doc_id, n_bigrams,
+    sum_cond_fp, min_cond_fp); consumers divide once for the mean.
+
+    100 TB: bigram extraction is a map-only array expression (no window,
+    no posexplode self-join) — slice+zip over the token array; the
+    bigram stats table is one partial+final agg; the scoring join keys
+    on (w1, w2), whose Zipf skew is far flatter than unigrams' — and the
+    unigram two-tier trick (broadcast head / shuffle tail, see
+    text_unigram_rarity) drops in unchanged if a corpus proves
+    pair-skewed."""
+    d = load_table(spark, sf_dir, "documents")
+    big = (
+        d.select("doc_id", F.split("text", " ").alias("a"))
+        .filter(F.size("a") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(a) - 2),"
+                    " i -> struct(a[i] AS w1, a[i + 1] AS w2))"
+                )
+            ).alias("bg"),
+        )
+        .select("doc_id", "bg.w1", "bg.w2")
+    )
+    stats = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    pref = stats.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    scored = (
+        big.join(stats, ["w1", "w2"])
+        .join(pref, "w1")
+        .select("doc_id", F.expr("(1000000 * c2) div c1").alias("r"))
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("r").alias("sum_cond_fp"),
+            F.min("r").alias("min_cond_fp"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+TEXT_BIGRAM_COHERENCE_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split(text, ' ')) AS tok,
+         generate_subscripts(string_split(text, ' '), 1) AS pos
+  FROM documents
+),
+big AS (
+  SELECT doc_id, w1, w2 FROM (
+    SELECT doc_id, tok AS w1,
+           LEAD(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+    FROM toks)
+  WHERE w2 IS NOT NULL
+),
+stats AS (SELECT w1, w2, COUNT(*) AS c2 FROM big GROUP BY w1, w2),
+pref AS (SELECT w1, SUM(c2) AS c1 FROM stats GROUP BY w1),
+scored AS (
+  SELECT b.doc_id, (1000000 * s.c2) // p.c1 AS r
+  FROM big b JOIN stats s USING (w1, w2) JOIN pref p USING (w1)
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       CAST(SUM(r) AS BIGINT) AS sum_cond_fp,
+       CAST(MIN(r) AS BIGINT) AS min_cond_fp
+FROM scored GROUP BY doc_id ORDER BY doc_id
+"""

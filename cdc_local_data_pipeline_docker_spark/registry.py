@@ -852,6 +852,13 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         IP.search_bm25_topk_incremental,
         RV.SEARCH_BM25_TOPK_SQL,
     ),
+    # bigram conditional-probability coherence (r7 fourth session): the
+    # KenLM-style surprisal quality signal, log-free via integer
+    # fixed-point floor division; map-only bigram extraction
+    "text_bigram_coherence": (
+        TX.text_bigram_coherence,
+        TX.TEXT_BIGRAM_COHERENCE_SQL,
+    ),
     # streaming CDC -> ACID table format (r7 fourth session): one MERGE
     # commit per micro-batch with batch-id idempotence; the maintained
     # table is graded against the full-changelog latest-state oracle

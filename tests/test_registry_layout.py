@@ -256,6 +256,7 @@ COVERED_BY = {
     "text_tfidf_top_terms": "explode_token_frequencies",
     "text_oov_rate": "text_profile",
     "text_unigram_rarity": "explode_token_frequencies",
+    "text_bigram_coherence": "explode_token_frequencies",
     "corpus_shuffle_shards": "text_profile",
     "events_ewma_smooth": "events_tumbling_agg",
     "events_cusum_drift": "events_tumbling_agg",
