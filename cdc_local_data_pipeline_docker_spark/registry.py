@@ -181,7 +181,15 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "filter_pack": (PK.filter_pack, PK.FILTER_PACK_SQL),
     # joins
     "join_inner": (R.join_inner, R.JOIN_INNER_SQL),
-    "join_broadcast_dims": (R.join_broadcast_dims, R.JOIN_BROADCAST_DIMS_SQL),
+    # r7 fourth-session rotation: streaming CDC -> ACID tablelog MERGE
+    # takes this slot (the storage-format flagship: per-micro-batch
+    # manifest commits with batch-id idempotence, graded against the
+    # full-changelog latest-state oracle); join_broadcast_dims keeps
+    # graded sibling join_inner and stays registered + plan-pinned
+    "stream_tablelog_upsert": (
+        TLU.stream_tablelog_upsert,
+        CDC.CDC_LATEST_STATE_ORDERS_SQL,
+    ),
     # ANSI three-clause MERGE INTO (r5 flagship, rotated into the window
     # r6): one full-outer join + per-clause CASE, the Delta-MERGE shape
     "merge_into_orders": (MG.merge_into_orders, MG.MERGE_INTO_ORDERS_SQL),
@@ -859,13 +867,9 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         TX.text_bigram_coherence,
         TX.TEXT_BIGRAM_COHERENCE_SQL,
     ),
-    # streaming CDC -> ACID table format (r7 fourth session): one MERGE
-    # commit per micro-batch with batch-id idempotence; the maintained
-    # table is graded against the full-changelog latest-state oracle
-    "stream_tablelog_upsert": (
-        TLU.stream_tablelog_upsert,
-        CDC.CDC_LATEST_STATE_ORDERS_SQL,
-    ),
+    # rotated out in the r7 fourth session (stream_tablelog_upsert took
+    # the slot; the broadcast-join plan assertions stay pytest-pinned)
+    "join_broadcast_dims": (R.join_broadcast_dims, R.JOIN_BROADCAST_DIMS_SQL),
     # equal-frequency feature binning (r7 fourth session): exact global
     # ntile deciles + per-bin stats in DECIMAL cents; the documented
     # scale path swaps the global sort for approx cut points

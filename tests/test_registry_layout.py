@@ -185,7 +185,8 @@ COVERED_BY = {
     "stream_stream_join": "stream_tumbling_agg",
     "stream_static_enrich": "stream_tumbling_agg",
     "stream_state_snapshot": "stream_stateful_user_totals",
-    "stream_tablelog_upsert": "cdc_latest_state_orders",
+    # rotated out r7 fourth session (stream_tablelog_upsert swapped in)
+    "join_broadcast_dims": "join_inner",
     "corpus_curation_pipeline": "dedup_ngram_jaccard",
     "corpus_decontaminate": "dedup_ngram_jaccard",
     "corpus_dedup_against_reference": "dedup_ngram_jaccard",
