@@ -1056,3 +1056,155 @@ WHERE CASE WHEN last_offset > watermark_offset
            ELSE sf.pk IS NOT NULL AND NOT sf.s_tomb END
 ORDER BY order_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Anti-entropy reconciliation: range checksums between two state snapshots
+# ---------------------------------------------------------------------------
+
+#: PK-range width for the checksum report (production sizes this so each
+#: range maps to a storage unit — a file, a bucket — e.g. 1M keys/range).
+RECON_RANGE_SIZE = 8
+
+
+def _row_u32(cols: str = "order_id") -> "F.Column":
+    """Order-insensitive row digest: 32-bit md5-integer of the canonical
+    row string. Timestamps enter as epoch-micros and DECIMALs as integer
+    cents, so the string is engine-independent (no float/ts formatting)."""
+    from ..operators.profiling import _u32_spark
+
+    return _u32_spark(
+        F.concat_ws(
+            "|",
+            F.col("order_id"),
+            F.col("customer_id"),
+            # ntz → epoch micros; read_event_file pinned the session TZ
+            # to UTC, so the cast is deterministic (the engine-wide rule)
+            F.expr("unix_micros(cast(order_date as timestamp))"),
+            F.col("status"),
+            (F.col("total_amount") * 100).cast("long"),
+            F.col("shipping_address"),
+            F.col("last_offset"),
+        )
+    )
+
+
+def cdc_state_checksum_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which PK ranges changed between the offset-45 snapshot and the
+    current state? — the anti-entropy / incremental-repair primitive
+    (DBA table checksums, rsync, Cassandra repair): each side reduces to
+    one (range, row_count, checksum) row, the comparison joins
+    METADATA-sized frames, and only divergent ranges ever need row-level
+    work (cdc_diff_offsets is that follow-up, scoped to the ranges this
+    report names).
+
+    The checksum is a SUM of per-row 32-bit md5 integers — commutative,
+    so it needs no ordering guarantee and distributes as a plain partial
+    +final aggregate; a range's checksum collides with probability
+    ~2^-32 per comparison (and the row count is checked independently).
+    At 100 TB: two scans (or one, when both states come from one
+    retained changelog as here), two tiny aggregates, one broadcast
+    join — O(ranges) driver output, never O(rows)."""
+    d = ensure_fixtures()
+    from .latest_state import latest_state, state_as_of
+
+    env = P.read_event_file(spark, os.path.join(d, "orders.jsonl"))
+    parsed = P.parse_events(env, "orders")
+
+    def side(state, tag):
+        return (
+            state.withColumn("u", _row_u32())
+            .groupBy(
+                (F.col("order_id") - F.col("order_id") % RECON_RANGE_SIZE)
+                .alias("range_start")
+            )
+            .agg(
+                F.count(F.lit(1)).alias(f"n_{tag}"),
+                F.sum("u").alias(f"sum_{tag}"),
+            )
+        )
+
+    a = side(state_as_of(parsed, "orders", ASOF_PROBE_OFFSET), "a")
+    b = side(latest_state(parsed, "orders"), "b")
+    return (
+        a.join(b, "range_start", "full_outer")
+        .select(
+            "range_start",
+            F.coalesce("n_a", F.lit(0)).alias("n_a"),
+            F.coalesce("n_b", F.lit(0)).alias("n_b"),
+            F.coalesce("sum_a", F.lit(0)).alias("sum_a"),
+            F.coalesce("sum_b", F.lit(0)).alias("sum_b"),
+        )
+        .filter(
+            (F.col("n_a") != F.col("n_b")) | (F.col("sum_a") != F.col("sum_b"))
+        )
+        .orderBy("range_start")
+    )
+
+
+def _recon_state_sql(offset_bound: str) -> str:
+    """The parsed→ranked→live-state CTE chain over the fixture changelog,
+    as a parenthesized subquery (offset_bound: SQL boolean)."""
+    return f"""(
+  WITH env AS (
+    SELECT *,
+           CASE WHEN value IS NOT NULL AND json_valid(value) THEN value END
+             AS v
+    FROM read_json_auto('{FIXTURE_DIR}/orders.jsonl',
+                        format='newline_delimited')
+    WHERE {offset_bound}
+  ),
+  parsed AS (
+    SELECT CAST(json_extract_string(key, '$.order_id') AS INT) AS pk,
+           value IS NULL AS is_tombstone,
+           value IS NOT NULL
+             AND json_extract_string(v, '$.order_id') IS NULL AS is_malformed,
+           CAST(json_extract_string(v, '$.order_id') AS INT) AS order_id,
+           CAST(json_extract_string(v, '$.customer_id') AS INT)
+             AS customer_id,
+           CAST(json_extract_string(v, '$.order_date') AS BIGINT)
+             AS order_date_us,
+           json_extract_string(v, '$.status') AS status,
+           CAST(CAST(json_extract_string(v, '$.total_amount')
+                     AS DECIMAL(10,2)) * 100 AS BIGINT) AS cents,
+           json_extract_string(v, '$.shipping_address') AS shipping_address,
+           partition, "offset"
+    FROM env
+  ),
+  ranked AS (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY pk
+                                 ORDER BY partition DESC, "offset" DESC) AS rn
+    FROM parsed WHERE NOT is_malformed
+  )
+  SELECT order_id, customer_id, order_date_us, status, cents,
+         shipping_address, "offset" AS last_offset
+  FROM ranked WHERE rn = 1 AND NOT is_tombstone
+)"""
+
+
+def _recon_side_sql(offset_bound: str) -> str:
+    from ..operators.profiling import _u32_sql
+
+    key = ("order_id || '|' || customer_id || '|' || order_date_us || '|' ||"
+           " status || '|' || cents || '|' || shipping_address || '|' ||"
+           " last_offset")
+    return f"""
+  SELECT order_id - order_id % {RECON_RANGE_SIZE} AS range_start,
+         COUNT(*) AS n, SUM({_u32_sql(key)}) AS checksum
+  FROM {_recon_state_sql(offset_bound)} GROUP BY 1
+"""
+
+
+CDC_STATE_CHECKSUM_RANGES_SQL = f"""
+WITH sa AS ({_recon_side_sql(f'"offset" <= {ASOF_PROBE_OFFSET}')}),
+sb AS ({_recon_side_sql("TRUE")})
+SELECT COALESCE(sa.range_start, sb.range_start) AS range_start,
+       CAST(COALESCE(sa.n, 0) AS BIGINT) AS n_a,
+       CAST(COALESCE(sb.n, 0) AS BIGINT) AS n_b,
+       CAST(COALESCE(sa.checksum, 0) AS BIGINT) AS sum_a,
+       CAST(COALESCE(sb.checksum, 0) AS BIGINT) AS sum_b
+FROM sa FULL OUTER JOIN sb ON sa.range_start = sb.range_start
+WHERE COALESCE(sa.n, 0) != COALESCE(sb.n, 0)
+   OR COALESCE(sa.checksum, 0) != COALESCE(sb.checksum, 0)
+ORDER BY range_start
+"""

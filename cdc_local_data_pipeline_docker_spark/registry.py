@@ -860,6 +860,13 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         IP.search_bm25_topk_incremental,
         RV.SEARCH_BM25_TOPK_SQL,
     ),
+    # anti-entropy reconciliation (r7 fourth session): which PK ranges
+    # differ between two state snapshots, via commutative md5-integer
+    # range checksums — O(ranges) output, row work only where divergent
+    "cdc_state_checksum_ranges": (
+        CDC.cdc_state_checksum_ranges,
+        CDC.CDC_STATE_CHECKSUM_RANGES_SQL,
+    ),
     # bigram conditional-probability coherence (r7 fourth session): the
     # KenLM-style surprisal quality signal, log-free via integer
     # fixed-point floor division; map-only bigram extraction

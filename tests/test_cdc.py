@@ -480,3 +480,43 @@ def test_snapshot_chunk_merge_equals_latest_state_with_live_provenance(spark):
     assert srcs == {"log", "snapshot"}, f"degenerate chunk spec: {srcs}"
     # the chunk spec really partitions the key space into multiple chunks
     assert len({r.chunk_id for r in merged}) >= 3
+
+
+def test_checksum_ranges_name_exactly_the_changed_ranges(spark):
+    """The range-checksum report and a row-level state diff must agree:
+    a range appears iff some key in it changed image, appeared, or
+    disappeared between the two snapshots."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from cdc_local_data_pipeline_docker_spark.cdc import parse as P
+    from cdc_local_data_pipeline_docker_spark.cdc.latest_state import (
+        latest_state,
+        state_as_of,
+    )
+    from cdc_local_data_pipeline_docker_spark.cdc.queries import (
+        ASOF_PROBE_OFFSET,
+        RECON_RANGE_SIZE,
+        cdc_state_checksum_ranges,
+        ensure_fixtures,
+    )
+
+    d = ensure_fixtures()
+    env = P.read_event_file(spark, os.path.join(d, "orders.jsonl"))
+    parsed = P.parse_events(env, "orders")
+    cols = ["order_id", "customer_id", "status", "shipping_address",
+            "last_offset"]
+    a = {r["order_id"]: tuple(r[c] for c in cols)
+         for r in state_as_of(parsed, "orders", ASOF_PROBE_OFFSET).collect()}
+    b = {r["order_id"]: tuple(r[c] for c in cols)
+         for r in latest_state(parsed, "orders").collect()}
+    changed_keys = {k for k in set(a) | set(b) if a.get(k) != b.get(k)}
+    want_ranges = {k - k % RECON_RANGE_SIZE for k in changed_keys}
+    got = cdc_state_checksum_ranges(spark, "unused").collect()
+    assert {r["range_start"] for r in got} == want_ranges and want_ranges
+    # counts per side are exact range cardinalities
+    for r in got:
+        lo = r["range_start"]
+        assert r["n_a"] == sum(1 for k in a if k - k % RECON_RANGE_SIZE == lo)
+        assert r["n_b"] == sum(1 for k in b if k - k % RECON_RANGE_SIZE == lo)

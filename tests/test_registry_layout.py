@@ -221,6 +221,7 @@ COVERED_BY = {
     "multimodal_resize": "multimodal_feature_extract",
     "cdc_state_asof_offset": "cdc_latest_state_orders",
     "cdc_diff_offsets": "cdc_latest_state_orders",
+    "cdc_state_checksum_ranges": "cdc_latest_state_orders",
     "cdc_fk_integrity_report": "cdc_changelog_stats",
     "cdc_consistent_cut_state": "cdc_changelog_stats",
     "cdc_ingest_sketch_summary": "cdc_changelog_stats",
