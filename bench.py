@@ -104,6 +104,16 @@ OPTIONAL = [
     "cdc_snapshot_chunk_merge",
     "search_bm25_topk",
     "events_session_concurrency",
+    # round-7 fourth-session additions: CUSUM drift (two stacked windows
+    # on one Exchange — a genuinely sf-scaling window path), the bigram
+    # LM-coherence scorer (corpus-sized pair join), and contrastive
+    # triplet mining (one scored corpus scan). The tablelog entries stay
+    # un-benched: their wall is commit machinery + fixture-sized
+    # collects (storage costs are measured in tests/test_tablelog.py);
+    # graph_shortest_hops wall is CC+BFS round count, not data.
+    "events_cusum_drift",
+    "text_bigram_coherence",
+    "contrastive_triplet_mining",
 ]
 #: Entries whose wall time is sf-INVARIANT fixed machinery (measured
 #: identical at sf0.01 and sf0.1 across rounds 4-5): streaming
