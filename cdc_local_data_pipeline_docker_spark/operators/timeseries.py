@@ -538,3 +538,74 @@ SELECT event_type,
        CAST(MAX(cusum) * 100 AS BIGINT) AS max_cusum_cents
 FROM c GROUP BY event_type ORDER BY event_type
 """
+
+
+#: Equal-width histogram bucket width for the drift monitor (values in
+#: the events fixture span [0, ~500)) and the bucket cap.
+DRIFT_BUCKET_WIDTH = 50
+DRIFT_BUCKET_CAP = 9
+
+
+def events_drift_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift monitor between two halves of the stream —
+    the PSI/chi-square check a training pipeline runs before trusting a
+    new data batch, kept transcendental-free: PSI's log is replaced by
+    the per-bucket chi-square contribution (n1−n2)²/(n1+n2), which
+    ranks drift identically for monitoring purposes and is exact in
+    integer fixed point.
+
+    Split: event_id parity — content-keyed (any partitioning, any
+    arrival order), balanced, and deterministic in both engines; a
+    production monitor splits by time window instead (same plan).
+    Emits one row per (event_type, bucket): both counts and
+    chi2_fp = ⌊1e6·(n1−n2)²/(n1+n2)⌋. Consumers sum chi2_fp per type
+    against a threshold.
+
+    100 TB: ONE scan → map-side bucket assignment (two integer ops) →
+    one partial+final agg on (type, bucket) — a few hundred output
+    rows regardless of input size; no joins, no windows."""
+    e = load_table(spark, sf_dir, "events")
+    # explicit FLOOR: Spark's double→long cast truncates but DuckDB's
+    # rounds — floor is the one spelling both engines share
+    b = F.least(
+        F.floor(F.col("value") / DRIFT_BUCKET_WIDTH).cast("long"),
+        F.lit(DRIFT_BUCKET_CAP).cast("long"),
+    )
+    h = (
+        e.select(
+            "event_type",
+            b.alias("bucket"),
+            (F.col("event_id") % 2 == 0).alias("first_half"),
+        )
+        .groupBy("event_type", "bucket")
+        .agg(
+            F.sum(F.col("first_half").cast("long")).alias("n1"),
+            F.sum((~F.col("first_half")).cast("long")).alias("n2"),
+        )
+    )
+    return h.select(
+        "event_type",
+        "bucket",
+        "n1",
+        "n2",
+        F.expr("(1000000 * (n1 - n2) * (n1 - n2)) div (n1 + n2)").alias(
+            "chi2_fp"
+        ),
+    ).orderBy("event_type", "bucket")
+
+
+EVENTS_DRIFT_HISTOGRAM_SQL = f"""
+WITH h AS (
+  SELECT event_type,
+         LEAST(CAST(FLOOR(value / {DRIFT_BUCKET_WIDTH}) AS BIGINT),
+               {DRIFT_BUCKET_CAP}) AS bucket,
+         SUM(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END) AS n1,
+         SUM(CASE WHEN event_id % 2 = 0 THEN 0 ELSE 1 END) AS n2
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, bucket,
+       CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+       CAST((1000000 * (n1 - n2) * (n1 - n2)) // (n1 + n2) AS BIGINT)
+         AS chi2_fp
+FROM h ORDER BY event_type, bucket
+"""

@@ -860,6 +860,13 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         IP.search_bm25_topk_incremental,
         RV.SEARCH_BM25_TOPK_SQL,
     ),
+    # distribution-drift monitor (r7 fourth session): PSI-style
+    # histogram comparison with integer chi-square fixed points — one
+    # scan, one (type, bucket) agg, output size independent of input
+    "events_drift_histogram": (
+        TS.events_drift_histogram,
+        TS.EVENTS_DRIFT_HISTOGRAM_SQL,
+    ),
     # anti-entropy reconciliation (r7 fourth session): which PK ranges
     # differ between two state snapshots, via commutative md5-integer
     # range checksums — O(ranges) output, row work only where divergent

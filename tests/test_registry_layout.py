@@ -262,6 +262,7 @@ COVERED_BY = {
     "corpus_shuffle_shards": "text_profile",
     "events_ewma_smooth": "events_tumbling_agg",
     "events_cusum_drift": "events_tumbling_agg",
+    "events_drift_histogram": "events_tumbling_agg",
     "corpus_length_histogram": "text_profile",
     "corpus_prep_chunks": "dedup_span_coverage",
     "fn_string_pack": "fn_scalar_pack",
