@@ -705,3 +705,92 @@ FROM lbl l JOIN hops h ON h.id = l.doc_id
 ORDER BY cluster_id, doc_id
 """
 )
+
+
+#: Terms reported per cluster by the labeling operator.
+CLUSTER_LABEL_TOP_K = 3
+
+
+def dedup_cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top characteristic terms per near-dup cluster — c-TF-IDF
+    (class-based TF-IDF, the BERTopic labeling recipe): treat each
+    cluster as one pseudo-document, score term t in cluster c by
+    tf(t, c) · N / df_clusters(t), and report the top
+    CLUSTER_LABEL_TOP_K. This is how a curation pipeline answers "WHAT
+    is duplicated?" — boilerplate templates, licence blocks, scraped
+    mirrors — rather than just how much.
+
+    Log-free exactness: the idf stays the integer ratio N/df (same
+    monotonicity argument as text_tfidf_top_terms), so the score is the
+    exact BIGINT (tf · N · 1e6) ÷ df under integer floor division;
+    ranking ties break on the term string. Ints+strings only.
+
+    100 TB: cluster labels come from the already-audited CC pass; token
+    counting is explode + one (cluster, term) partial+final agg (the
+    pair space is corpus tokens, map-side combinable); df_clusters is a
+    second small agg over the distinct (cluster, term) pairs; the final
+    top-k is a window over cluster-term counts — bounded by the
+    vocabulary of each cluster, not the corpus."""
+    from pyspark.sql import Window
+
+    pairs = _ngram_pairs(spark, sf_dir).persist()
+    cc = connected_components(pairs)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = (
+        cc.select(F.col("id").alias("doc_id"), "cluster_id")
+        .join(docs, "doc_id")
+        .select("cluster_id", F.explode(F.split("text", " ")).alias("term"))
+    )
+    tf = toks.groupBy("cluster_id", "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    n_clusters = tf.select("cluster_id").distinct().count()
+    df_c = tf.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df")
+    )  # tf rows are distinct (cluster, term) pairs already
+    scored = tf.join(df_c, "term").select(
+        "cluster_id",
+        "term",
+        "tf",
+        F.expr(f"(tf * {n_clusters} * 1000000) div df").alias("score_fp"),
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("score_fp").desc(), F.col("term").asc()
+    )
+    out = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= CLUSTER_LABEL_TOP_K)
+        .select("cluster_id", "rank", "term", "tf", "score_fp")
+        .orderBy("cluster_id", "rank")
+    )
+    out = out.localCheckpoint(eager=True)
+    pairs.unpersist()
+    return out
+
+
+DEDUP_CLUSTER_LABELS_SQL = (
+    _CC_SQL_TEMPLATE.format(pairs=_JACCARD_PAIRS_SQL)
+    + f""",
+toks AS (
+  SELECT l.cluster_id, unnest(string_split(d.text, ' ')) AS term
+  FROM lbl l JOIN documents d ON d.doc_id = l.doc_id
+),
+tf AS (
+  SELECT cluster_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2
+),
+nc AS (SELECT COUNT(DISTINCT cluster_id) AS n FROM tf),
+dfc AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT t.cluster_id, t.term, t.tf,
+         (t.tf * nc.n * 1000000) // d.df AS score_fp,
+         ROW_NUMBER() OVER (PARTITION BY t.cluster_id
+                            ORDER BY (t.tf * nc.n * 1000000) // d.df DESC,
+                                     t.term ASC) AS rank
+  FROM tf t JOIN dfc d USING (term) CROSS JOIN nc
+)
+SELECT cluster_id, CAST(rank AS BIGINT) AS rank, term,
+       CAST(tf AS BIGINT) AS tf, CAST(score_fp AS BIGINT) AS score_fp
+FROM scored WHERE rank <= {CLUSTER_LABEL_TOP_K}
+ORDER BY cluster_id, rank
+"""
+)

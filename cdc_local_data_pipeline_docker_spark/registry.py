@@ -905,6 +905,13 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         SIM.contrastive_triplet_mining,
         SIM.CONTRASTIVE_TRIPLET_MINING_SQL,
     ),
+    # c-TF-IDF cluster labeling (r7 fourth session): WHAT is duplicated
+    # — top characteristic terms per near-dup cluster, log-free integer
+    # scoring (the BERTopic labeling recipe over the CC labels)
+    "dedup_cluster_labels": (
+        CL.dedup_cluster_labels,
+        CL.DEDUP_CLUSTER_LABELS_SQL,
+    ),
     # BFS shortest hops (r7 fourth session): graph-distance family —
     # hop count to the cluster's canonical member over the near-dup
     # graph; exact depth-bounded recursive-CTE oracle

@@ -202,6 +202,7 @@ COVERED_BY = {
     "dedup_embedding_lsh_contract_sampled": "dedup_minhash_lsh",
     "dedup_graph_centrality": "dedup_clusters",
     "graph_shortest_hops": "dedup_clusters",
+    "dedup_cluster_labels": "dedup_clusters",
     "profile_table_stats": "agg_grouped",
     "features_quantile_bins": "window_analytics_pack",
     "profile_join_skew": "agg_grouped",
