@@ -61,6 +61,11 @@ def main(argv: list[str] | None = None) -> int:
                     help="also maintain BOTH multi-topic gold join views "
                          "(customers⋈orders and order_items⋈products) via "
                          "the multiplexed IVM streams and report them")
+    ap.add_argument("--tablelog", action="store_true",
+                    help="also maintain <out>/tablelog/<table> as an "
+                         "ACID transaction-log table (one MERGE commit "
+                         "per micro-batch, batch-id exactly-once) and "
+                         "report per-table version/live-file/row counts")
     ap.add_argument("--compact", action="store_true",
                     help="also report the compacted changelog per table "
                          "(last event per key, tombstones retained as "
@@ -212,6 +217,30 @@ def main(argv: list[str] | None = None) -> int:
         payload["gold_order_lines"] = _json_rows(
             read_order_lines_view(spark, args.out_dir)
         )
+
+    if args.tablelog:
+        from .sources import tablelog as TL
+        from .streaming.tablelog_upsert import (
+            read_live,
+            start_tablelog_upsert_stream,
+        )
+
+        tl_report = []
+        for t in tables:
+            root = os.path.join(args.out_dir, "tablelog", t)
+            start_tablelog_upsert_stream(
+                spark, events_dir, t, root, args.out_dir
+            )
+            v = TL._latest_version(root)
+            tl_report.append(
+                {
+                    "table": t,
+                    "version": v,
+                    "n_live_files": len(TL._live_files(root, v)),
+                    "n_live_rows": read_live(spark, root, t).count(),
+                }
+            )
+        payload["tablelog"] = tl_report
 
     print(json.dumps(payload))
     return 0

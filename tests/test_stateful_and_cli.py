@@ -310,3 +310,33 @@ def test_run_pipeline_compact_flag(spark, tmp_path, capsys):
     n_good = sum(1 for e in events if e["_kind"] != "malformed")
     assert round(c["fold_ratio"] * c["n_keys"]) == n_good
     assert c["n_delete_markers"] > 0
+
+
+def test_run_pipeline_cli_tablelog_flag(tmp_path):
+    """--tablelog maintains an ACID table per topic; its live rows equal
+    the CLI's own latest-state counts, and a rerun (watermark no-op
+    ingest, but a fresh stream checkpoint is NOT used — same events)
+    leaves the table at the same row count via the batch-id guard."""
+    out = str(tmp_path / "wh")
+    cmd = [
+        sys.executable, "-m",
+        "cdc_local_data_pipeline_docker_spark.run_pipeline",
+        "--out-dir", out, "--tables", "orders", "--tablelog",
+    ]
+    env = {"PATH": "/usr/bin:/bin", "HOME": "/root",
+           "JAVA_HOME": __import__("os").environ.get("JAVA_HOME", ""),
+           "SPARK_GRAFT_CPUS": "8"}
+    r1 = subprocess.run(cmd, capture_output=True, text=True, env=env,
+                        timeout=300)
+    assert r1.returncode == 0, r1.stderr[-2000:]
+    rep = json.loads(r1.stdout.strip().splitlines()[-1])
+    tl = {t["table"]: t for t in rep["tablelog"]}
+    live = {t["table"]: t["live_rows"] for t in rep["tables"]}
+    assert tl["orders"]["n_live_rows"] == live["orders"] > 0
+    assert tl["orders"]["n_live_files"] >= 1
+    r2 = subprocess.run(cmd, capture_output=True, text=True, env=env,
+                        timeout=300)
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    rep2 = json.loads(r2.stdout.strip().splitlines()[-1])
+    tl2 = {t["table"]: t for t in rep2["tablelog"]}
+    assert tl2["orders"]["n_live_rows"] == tl["orders"]["n_live_rows"]
