@@ -927,6 +927,13 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         TLG.tablelog_time_travel,
         TLG.TABLELOG_TIME_TRAVEL_SQL,
     ),
+    # per-commit change feed (Delta CDF shape): add/remove file lists
+    # resolve the delta with no snapshot diffing; graded on the
+    # boundary-independent net row change per version
+    "tablelog_change_feed": (
+        TLG.tablelog_change_feed,
+        TLG.TABLELOG_CHANGE_FEED_SQL,
+    ),
 }
 
 #: Number of entries the grading driver evaluates (first N in dict order).

@@ -601,3 +601,99 @@ UNION ALL
 SELECT * FROM v4
 ORDER BY version_read, o_orderkey
 """
+
+
+def log_changes(
+    spark: SparkSession, root: str, version: int
+) -> tuple[DataFrame | None, DataFrame | None]:
+    """Change feed for one commit: (added_rows, removed_rows) as
+    DataFrames (None when that side is empty) — the Delta CDF shape at
+    file granularity. A commit's delta is resolved entirely from its
+    manifest's add/remove lists: no snapshot diffing, no history replay;
+    consumers (downstream IVMs, audit jobs, replication) read exactly
+    the files that changed. For an append that's the new files only;
+    for a CoW delete/merge the removed files carry the OLD images and
+    the added files the rewritten ones — a keyed anti-join between the
+    two sides recovers row-level before/after when needed."""
+    m = _read_manifest(root, version)
+    add = (
+        spark.read.parquet(*[os.path.join(root, f) for f in m["add"]])
+        if m["add"]
+        else None
+    )
+    rem = (
+        spark.read.parquet(*[os.path.join(root, f) for f in m["remove"]])
+        if m["remove"]
+        else None
+    )
+    return add, rem
+
+
+def tablelog_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: the per-commit change feed of the same 5-commit
+    fixture table as `tablelog_time_travel`, reduced to the
+    SQL-replayable invariant — net row change per version (added −
+    removed row counts). File-level accounting (which rows co-rewrite
+    with a delete) depends on physical file boundaries, so the graded
+    contract is the boundary-independent net; the row-level feed is
+    exercised in pytest via the snapshot-count invariant.
+
+      v0/v1/v3 appends: net = slice size; v2 delete: net = −|status F
+      among keys %3 ∈ {0,1}|; v4 compact: net = 0."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ..catalog import load_table
+
+    cols = ["o_orderkey", "o_orderstatus", "o_totalprice"]
+    orders = load_table(spark, sf_dir, "orders").select(*cols)
+    root = tempfile.mkdtemp(prefix="tablelog_cdf_")
+    try:
+        log_append(spark, root, orders.filter(F.col("o_orderkey") % 3 == 0))
+        log_append(spark, root, orders.filter(F.col("o_orderkey") % 3 == 1))
+        log_delete_where(spark, root, "o_orderstatus = 'F'")
+        log_append(spark, root, orders.filter(F.col("o_orderkey") % 3 == 2))
+        log_compact(spark, root, target_files=2)
+        rows = []
+        for v in _versions(root):
+            m = _read_manifest(root, v)
+            add, rem = log_changes(spark, root, v)
+            rows.append(
+                (
+                    v,
+                    m["action"],
+                    (add.count() if add is not None else 0)
+                    - (rem.count() if rem is not None else 0),
+                )
+            )
+        return spark.createDataFrame(
+            rows, "version LONG, action STRING, net_rows LONG"
+        ).orderBy("version")
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+TABLELOG_CHANGE_FEED_SQL = """
+WITH n AS (
+  SELECT
+    (SELECT COUNT(*) FROM orders WHERE o_orderkey % 3 = 0) AS n0,
+    (SELECT COUNT(*) FROM orders WHERE o_orderkey % 3 = 1) AS n1,
+    (SELECT COUNT(*) FROM orders
+      WHERE o_orderkey % 3 IN (0, 1) AND o_orderstatus = 'F') AS nf,
+    (SELECT COUNT(*) FROM orders WHERE o_orderkey % 3 = 2) AS n2
+)
+SELECT * FROM (
+  SELECT 0::BIGINT AS version, 'append' AS action,
+         CAST(n0 AS BIGINT) AS net_rows FROM n
+  UNION ALL
+  SELECT 1, 'append', CAST(n1 AS BIGINT) FROM n
+  UNION ALL
+  SELECT 2, 'delete', CAST(-nf AS BIGINT) FROM n
+  UNION ALL
+  SELECT 3, 'append', CAST(n2 AS BIGINT) FROM n
+  UNION ALL
+  SELECT 4, 'compact', 0 FROM n
+)
+ORDER BY version
+"""

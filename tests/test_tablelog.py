@@ -242,3 +242,38 @@ def test_optimize_zorder_makes_stats_prune(spark, root):
          .filter(f"o_orderkey BETWEEN {lo} AND {hi}").count())
     assert a == b > 0
     assert sorted(TL.log_read(spark, root).collect()) == before
+
+
+def test_change_feed_snapshot_invariant(spark, root):
+    """Every commit's (added − removed) row counts must telescope to the
+    snapshot count delta — the change-feed conservation law — and the
+    merge commit's removed side carries the OLD images (row-level CDF)."""
+    o = _orders(spark)
+    TL.log_append(spark, root, o.filter("o_orderkey < 700"))
+    TL.log_append(spark, root, o.filter("o_orderkey >= 700"))
+    TL.log_delete_where(spark, root, "o_orderstatus = 'F'")
+    # two keys guaranteed live post-delete (picked from the snapshot)
+    live_keys = [r[0] for r in TL.log_read(spark, root)
+                 .select("o_orderkey").orderBy("o_orderkey")
+                 .limit(2).collect()]
+    updates = (o.filter(F.col("o_orderkey").isin(live_keys))
+               .withColumn("o_orderstatus", F.lit("Z")))
+    TL.log_merge(spark, root, updates, "o_orderkey")
+    counts = {v: TL.log_read(spark, root, version=v).count()
+              for v in TL._versions(root)}
+    for v in TL._versions(root):
+        add, rem = TL.log_changes(spark, root, v)
+        net = (add.count() if add is not None else 0) - (
+            rem.count() if rem is not None else 0)
+        prev = counts[v - 1] if v > 0 else 0
+        assert counts[v] - prev == net
+    # row-level before/after on the merge commit
+    v = TL._latest_version(root)
+    add, rem = TL.log_changes(spark, root, v)
+    upd_keys = {r[0] for r in updates.select("o_orderkey").collect()}
+    old = {r["o_orderstatus"] for r in rem.collect()
+           if r["o_orderkey"] in upd_keys}
+    new = {r["o_orderstatus"] for r in add.collect()
+           if r["o_orderkey"] in upd_keys}
+    if upd_keys:
+        assert new == {"Z"} and "Z" not in old
