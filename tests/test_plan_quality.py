@@ -817,6 +817,7 @@ BNLJ_WHITELIST = {
     "search_bm25_topk",           # 1-row (N, avgdl) corpus-stats broadcast
     "search_hybrid_rrf",          # same stats row via the shared scorer
     "events_lag_correlation",     # 4-row lag spine + 1-row hour bounds
+    "events_rolling_active_users_hll",  # 7-row day-spine crossJoin fan-out
     "multimodal_phash_dedup",     # 8-row band spine broadcast
     "search_bm25_topk_incremental",  # same 1-row stats broadcast as batch
 }
