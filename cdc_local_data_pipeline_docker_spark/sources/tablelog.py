@@ -295,7 +295,8 @@ def log_read(
             return spark.read.parquet(os.path.join(root, one)).filter(
                 F.lit(False)
             )
-    return spark.read.parquet(*[os.path.join(root, f) for f in files])
+    dvs = _read_manifest(root, version).get("dv", {})
+    return _read_with_dv(spark, root, files, dvs)
 
 
 def log_delete_where(spark: SparkSession, root: str, predicate: str) -> int:
@@ -314,6 +315,7 @@ def log_delete_where(spark: SparkSession, root: str, predicate: str) -> int:
     if base is None:
         raise ValueError(f"no table at {root}")
     live = _live_files(root, base)
+    dvs = _read_manifest(root, base).get("dv", {})
     snap = spark.read.parquet(*[os.path.join(root, f) for f in live])
     affected_abs = {
         r[0]
@@ -333,14 +335,17 @@ def log_delete_where(spark: SparkSession, root: str, predicate: str) -> int:
             "add": [],
             "remove": [],
             "live": live,
+            "dv": dvs,
             "stats": _base_stats(root, base),
             "predicate": predicate,
             "ts": time.time(),
         }
         return _commit(root, base + 1, manifest)
-    survivors = spark.read.parquet(
-        *[os.path.join(root, f) for f in affected]
-    ).filter(~F.expr(predicate))
+    # rewrite reads THROUGH any deletion vectors on the affected files
+    # (dead rows must not resurrect); their vectors then retire
+    survivors = _read_with_dv(spark, root, affected, dvs).filter(
+        ~F.expr(predicate)
+    )
     token = uuid.uuid4().hex[:12]
     stats_cols = sorted(
         {c for s in _base_stats(root, base).values() for c in s}
@@ -356,6 +361,7 @@ def log_delete_where(spark: SparkSession, root: str, predicate: str) -> int:
         "add": added,
         "remove": affected,
         "live": untouched + added,
+        "dv": {f: d for f, d in dvs.items() if f in set(untouched)},
         "stats": {**carried, **new_stats},
         "predicate": predicate,
         "ts": time.time(),
@@ -391,6 +397,7 @@ def log_merge(
     if base is None:
         raise ValueError(f"no table at {root}")
     live = _live_files(root, base)
+    dvs = _read_manifest(root, base).get("dv", {})
     snap = spark.read.parquet(*[os.path.join(root, f) for f in live])
     keys = changes.select(F.col(key_col)).distinct()
     # input_file_name() must bind below the join (single-source rule):
@@ -408,9 +415,11 @@ def log_merge(
     affected = [f for f in live if any(a.endswith(f) for a in affected_abs)]
     survivors = None
     if affected:
-        survivors = spark.read.parquet(
-            *[os.path.join(root, f) for f in affected]
-        ).join(F.broadcast(keys), key_col, "left_anti")
+        # rewrite reads through deletion vectors (dead rows must not
+        # resurrect); the affected files' vectors then retire
+        survivors = _read_with_dv(spark, root, affected, dvs).join(
+            F.broadcast(keys), key_col, "left_anti"
+        )
     new_rows = (
         survivors.unionByName(changes) if survivors is not None else changes
     )
@@ -429,6 +438,7 @@ def log_merge(
         "add": added,
         "remove": affected,
         "live": untouched + added,
+        "dv": {f: d for f, d in dvs.items() if f in set(untouched)},
         "stats": {**carried, **new_stats},
         "ts": time.time(),
     }
@@ -458,7 +468,11 @@ def log_compact(
     if base is None:
         raise ValueError(f"no table at {root}")
     live = _live_files(root, base)
-    snap = spark.read.parquet(*[os.path.join(root, f) for f in live])
+    # read THROUGH any deletion vectors: compaction materializes them
+    # (the new files carry no dead rows, the manifest carries no dv map)
+    snap = _read_with_dv(
+        spark, root, live, _read_manifest(root, base).get("dv", {})
+    )
     token = uuid.uuid4().hex[:12]
     if stats_cols is None:
         stats_cols = sorted(
@@ -512,7 +526,9 @@ def log_vacuum(root: str, retain_versions: int = 0) -> list[str]:
     keep = vs if retain_versions <= 0 else vs[-retain_versions:]
     referenced: set[str] = set()
     for v in keep:
-        referenced.update(_read_manifest(root, v)["live"])
+        m = _read_manifest(root, v)
+        referenced.update(m["live"])
+        referenced.update(m.get("dv", {}).values())
     deleted = []
     data_root = os.path.join(root, _DATA_DIR)
     for dirpath, _dirs, files in os.walk(data_root):
@@ -697,3 +713,138 @@ SELECT * FROM (
 )
 ORDER BY version
 """
+
+
+# ---------------------------------------------------------------------------
+# Merge-on-read deletion vectors
+# ---------------------------------------------------------------------------
+
+def log_delete_where_mor(
+    spark: SparkSession, root: str, predicate: str
+) -> int:
+    """Merge-on-read DELETE: instead of rewriting affected files (the
+    copy-on-write path), write a DELETION VECTOR per affected file —
+    the (file, row position) list of dead rows — and commit only the
+    KB-sized vectors. Readers anti-join the broadcast DV on the
+    parquet reader's hidden (_metadata.file_path, _metadata.row_index)
+    identity, so a delete touching millions of wide rows costs minutes
+    of scan and kilobytes of write instead of rewriting terabytes —
+    Delta/Iceberg v2 deletion-vector economics.
+
+    The write-amplification trade: CoW pays at delete time and keeps
+    reads clean; MoR pays a per-read anti-join until a compaction
+    materializes the vectors (log_compact drops them — it rewrites
+    content through the DV-applied read). Point deletes / GDPR erasure
+    on huge tables want MoR; bulk reshaping wants CoW.
+
+    DV files are parquet (file tail + row_index) under the commit's own
+    data dir; the manifest maps data-file → dv-file cumulatively, so a
+    second MoR delete on an already-vectored file UNIONS positions via
+    a fresh vector that supersedes the old (the old stays for time
+    travel)."""
+    from pyspark.sql import functions as F
+
+    base = _latest_version(root)
+    if base is None:
+        raise ValueError(f"no table at {root}")
+    m = _read_manifest(root, base)
+    live = m["live"]
+    dvs: dict[str, str] = dict(m.get("dv", {}))
+    # read WITH existing vectors applied so re-deletes don't duplicate
+    snap = _read_with_dv(spark, root, live, dvs).filter(F.expr(predicate))
+    hits = snap.select(
+        F.col("_metadata.file_path").alias("_fp"),
+        F.col("_metadata.row_index").alias("row_index"),
+    )
+    token = uuid.uuid4().hex[:12]
+    dv_dir = os.path.join(root, _DATA_DIR, token)
+    rows = hits.collect()  # positions of deleted rows: KB-scale metadata;
+    # at production scale this stays distributed (write per-file DV
+    # partitions directly); the grouping below is the same computation
+    by_file: dict[str, list[int]] = {}
+    for r in rows:
+        tail = next((f for f in live if r["_fp"].endswith(f)), None)
+        if tail is not None:
+            by_file.setdefault(tail, []).append(r["row_index"])
+    if not by_file:
+        manifest = {**{k: m[k] for k in ("live",)},
+                    "version": base + 1, "action": "delete_mor",
+                    "add": [], "remove": [], "dv": dvs,
+                    "stats": _base_stats(root, base),
+                    "predicate": predicate, "ts": time.time()}
+        return _commit(root, base + 1, manifest)
+    os.makedirs(dv_dir, exist_ok=True)
+    new_dvs = dict(dvs)
+    added = []
+    for i, (f, idxs) in enumerate(sorted(by_file.items())):
+        # new vector = old vector (if any) ∪ new positions
+        old = []
+        if f in dvs:
+            old = [
+                r["row_index"]
+                for r in spark.read.parquet(
+                    os.path.join(root, dvs[f])
+                ).collect()
+            ]
+        dv_df = spark.createDataFrame(
+            [(x,) for x in sorted(set(old) | set(idxs))],
+            "row_index LONG",
+        ).coalesce(1)
+        sub = os.path.join(dv_dir, f"dv-{i:04d}")
+        dv_df.write.mode("error").parquet(sub)
+        part = next(
+            p for p in sorted(os.listdir(sub)) if p.endswith(".parquet")
+        )
+        rel = os.path.join(_DATA_DIR, token, f"dv-{i:04d}", part)
+        new_dvs[f] = rel
+        added.append(rel)
+    manifest = {
+        "version": base + 1,
+        "action": "delete_mor",
+        "add": added,  # DV files ride the add list so vacuum sees them
+        "remove": [],
+        "live": live,
+        "dv": new_dvs,
+        "stats": _base_stats(root, base),
+        "predicate": predicate,
+        "ts": time.time(),
+    }
+    return _commit(root, base + 1, manifest)
+
+
+def _read_with_dv(
+    spark: SparkSession, root: str, files: list[str], dvs: dict[str, str]
+) -> DataFrame:
+    """Scan ``files`` with deletion vectors applied: rows whose
+    (file, row_index) appears in a vector are filtered by ONE broadcast
+    anti-join. The DV side is KB-sized by construction."""
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(*[os.path.join(root, f) for f in files])
+    needed = {f: dv for f, dv in dvs.items() if f in set(files)}
+    if not needed:
+        return df
+    dv_frames = []
+    for f, dv in needed.items():
+        dv_frames.append(
+            spark.read.parquet(os.path.join(root, dv)).select(
+                F.lit(f).alias("_dv_file"), F.col("row_index")
+            )
+        )
+    all_dv = dv_frames[0]
+    for d in dv_frames[1:]:
+        all_dv = all_dv.unionByName(d)
+    with_id = df.select(
+        "*",
+        F.element_at(
+            F.split(F.col("_metadata.file_path"), "/data/"), -1
+        ).alias("_tail"),
+        F.col("_metadata.row_index").alias("_ri"),
+    ).withColumn("_tail", F.concat(F.lit(_DATA_DIR + "/"), F.col("_tail")))
+    out = with_id.join(
+        F.broadcast(all_dv),
+        (F.col("_tail") == F.col("_dv_file"))
+        & (F.col("_ri") == F.col("row_index")),
+        "left_anti",
+    )
+    return out.drop("_tail", "_ri")

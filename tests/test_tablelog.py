@@ -277,3 +277,51 @@ def test_change_feed_snapshot_invariant(spark, root):
            if r["o_orderkey"] in upd_keys}
     if upd_keys:
         assert new == {"Z"} and "Z" not in old
+
+
+def test_delete_mor_deletion_vectors(spark, root):
+    """Merge-on-read delete: no data file rewrites (vectors only),
+    reads apply the DVs, a second MoR delete unions positions, time
+    travel before the delete still sees everything, CoW operations
+    read through vectors (no resurrection), and compaction
+    materializes them away."""
+    o = _orders(spark)
+    TL.log_append(spark, root, o.filter("o_orderkey < 800"))
+    TL.log_append(spark, root, o.filter("o_orderkey >= 800"))
+    n_all = TL.log_read(spark, root).count()
+    data_files_before = set(TL._live_files(root, 1))
+
+    v = TL.log_delete_where_mor(spark, root, "o_orderstatus = 'F'")
+    m = TL._read_manifest(root, v)
+    # live data files unchanged — only vectors were written
+    assert set(m["live"]) == data_files_before
+    assert m["dv"]  # at least one vector
+    n_f = o.filter("o_orderstatus = 'F'").count()
+    snap = TL.log_read(spark, root)
+    assert snap.count() == n_all - n_f
+    assert snap.filter("o_orderstatus = 'F'").count() == 0
+    # hidden identity columns do not leak into the read schema
+    assert set(snap.columns) == {"o_orderkey", "o_orderstatus",
+                                 "o_totalprice"}
+    # time travel to the pre-delete version still sees every row
+    assert TL.log_read(spark, root, version=1).count() == n_all
+
+    # second MoR delete on the SAME files unions positions
+    v2 = TL.log_delete_where_mor(spark, root, "o_orderstatus = 'O'")
+    n_o = o.filter("o_orderstatus = 'O'").count()
+    assert TL.log_read(spark, root).count() == n_all - n_f - n_o
+    # a CoW delete now must NOT resurrect vectored rows
+    TL.log_delete_where(spark, root, "o_orderkey % 10 = 3")
+    expect = o.filter(
+        "o_orderstatus NOT IN ('F','O') AND o_orderkey % 10 <> 3"
+    ).count()
+    assert TL.log_read(spark, root).count() == expect
+    # compaction materializes: no dv map, same content
+    before = sorted(TL.log_read(spark, root).collect())
+    vc = TL.log_compact(spark, root, target_files=2)
+    assert not TL._read_manifest(root, vc).get("dv")
+    assert sorted(TL.log_read(spark, root).collect()) == before
+    # vacuum keeps DV files referenced by retained manifests
+    TL.log_vacuum(root)
+    assert TL.log_read(spark, root, version=v2).count() == \
+        n_all - n_f - n_o
