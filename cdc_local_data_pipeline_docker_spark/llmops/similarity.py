@@ -1500,3 +1500,156 @@ WHERE rank = 1
 GROUP BY query_id
 ORDER BY query_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Scalar quantization (SQ8) ANN — the fourth quantizer family after
+# hyperplane-LSH, IVF, and PQ. SQ stores one byte per dimension (64 B/row
+# vs 256 B of float32): coarser than PQ's sub-space codebooks but with a
+# trivial training step (per-dim min/max — ONE aggregate, no k-means) and
+# dequantized scoring that needs no per-query lookup table. The FAISS
+# ScalarQuantizer shape.
+# ---------------------------------------------------------------------------
+
+#: Candidates kept per query before exact re-rank.
+SQ_SHORTLIST = 40
+
+#: Measured recall floors vs exact cosine (deterministic: min/max params
+#: + md5-free full corpus) — see test_ann_sq_contract_floors for the
+#: per-sf record; bound sits under every floor with margin.
+ANN_SQ_RECALL_BOUND = 0.6
+
+
+def _sq_params(spark: SparkSession, sf_dir: str) -> tuple[list, list]:
+    """Per-dimension (lo, width) of the UNIT vectors over the corpus —
+    the whole SQ training step: one aggregate producing 2×dim doubles,
+    cached per corpus like the other quantizers would be (cheap enough
+    to recompute: no cache needed)."""
+    vecs = _vectors(spark, sf_dir)
+    aggs = []
+    for i in range(EMBEDDING_DIM):
+        aggs += [
+            F.min(F.expr(f"v[{i}] / norm")).alias(f"lo{i}"),
+            F.max(F.expr(f"v[{i}] / norm")).alias(f"hi{i}"),
+        ]
+    r = vecs.agg(*aggs).collect()[0]
+    los = [float(r[f"lo{i}"]) for i in range(EMBEDDING_DIM)]
+    widths = [
+        max(float(r[f"hi{i}"]) - float(r[f"lo{i}"]), 1e-12)
+        for i in range(EMBEDDING_DIM)
+    ]
+    return los, widths
+
+
+def _sq_codes(df: DataFrame, los: list, widths: list) -> DataFrame:
+    """Map-only SQ8 encode of the unit vector: one byte per dim."""
+    lo_arr = ", ".join(f"{x}D" for x in los)
+    w_arr = ", ".join(f"{x}D" for x in widths)
+    return df.withColumn(
+        "codes",
+        F.expr(
+            f"transform(sequence(0, {EMBEDDING_DIM - 1}), i -> "
+            f"cast(least(255D, greatest(0D, round(255D * "
+            f"(v[i] / norm - array({lo_arr})[i]) / array({w_arr})[i]))) "
+            "as int))"
+        ),
+    )
+
+
+def _sq_topk_impl(
+    spark: SparkSession, sf_dir: str, slice_corpus: bool
+) -> DataFrame:
+    """SQ8 detector body: dequantized-dot shortlist over the byte codes,
+    exact cosine re-rank of the SQ_SHORTLIST survivors. ``slice_corpus``
+    restricts the corpus to the md5 audit slice against the PRODUCTION
+    (full-corpus) min/max params — the sampled-contract form.
+
+    100 TB: the corpus exists as 64-byte code rows; the bounded query
+    side broadcasts its codes; shortlist scoring dequantizes inside the
+    expression (lo[i] + w[i]·c/255 — no per-query LUT, unlike PQ) and
+    only SQ_SHORTLIST rows per query ever touch float vectors for the
+    re-rank."""
+    from .dedup import _audit_slice
+
+    los, widths = _sq_params(spark, sf_dir)
+    vecs = _vectors(spark, sf_dir)
+    corpus_v = _audit_slice(vecs, key="vec_id") if slice_corpus else vecs
+    n = _sq_codes(corpus_v, los, widths).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("v").alias("nv"),
+        F.col("norm").alias("nn"),
+        F.col("codes").alias("ncodes"),
+    )
+    q = _sq_codes(
+        vecs.filter(F.col("vec_id") < ANN_N_QUERIES), los, widths
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("norm").alias("qn"),
+        F.col("codes").alias("qcodes"),
+    )
+    lo_arr = ", ".join(f"{x}D" for x in los)
+    w_arr = ", ".join(f"{x}D" for x in widths)
+    dq_dot = (
+        f"aggregate(sequence(0, {EMBEDDING_DIM - 1}), 0D, (acc, i) -> "
+        f"acc + (array({lo_arr})[i] + array({w_arr})[i] * qcodes[i] / 255D)"
+        f" * (array({lo_arr})[i] + array({w_arr})[i] * ncodes[i] / 255D))"
+    )
+    scored = (
+        F.broadcast(q)
+        .join(n, F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("sq_score", F.expr(dq_dot))
+    )
+    w_short = Window.partitionBy("query_id").orderBy(
+        F.col("sq_score").desc(), F.col("neighbor_id").asc()
+    )
+    short = scored.withColumn("srank", F.row_number().over(w_short)).filter(
+        F.col("srank") <= SQ_SHORTLIST
+    )
+    rer = short.withColumn("cosine", F.expr(_DOT) / (F.col("qn") * F.col("nn")))
+    w_final = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        rer.withColumn("rank", F.row_number().over(w_final))
+        .filter(F.col("rank") <= ANN_TOP_K)
+        .select("query_id", "rank", "neighbor_id")
+        .orderBy("query_id", "rank")
+    )
+
+
+def ann_sq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8 ANN top-5 for the standard probe queries — rows-only (the
+    quantization is not SQL-expressible); the contract twin bounds
+    recall vs exact cosine."""
+    return _sq_topk_impl(spark, sf_dir, slice_corpus=False)
+
+
+def ann_sq_topk_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall-contract audit of the SQ8 path (see ann_lsh_topk_contract)."""
+    exact = ann_cosine_topk(spark, sf_dir)
+    approx = ann_sq_topk(spark, sf_dir)
+    return _ann_recall_contract(exact, approx, ANN_SQ_RECALL_BOUND, "sq_recall_ok")
+
+
+ANN_SQ_TOPK_CONTRACT_SQL = ANN_LSH_TOPK_CONTRACT_SQL.replace(
+    "lsh_recall_ok", "sq_recall_ok"
+)
+
+
+def ann_sq_topk_contract_sampled(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Sampled-slice twin (the 100 TB audit form): corpus restricted to
+    the 50% md5 slice against the PRODUCTION min/max params; exact-slice
+    oracle (see the sampled-contract block above)."""
+    exact = _sampled_exact_topk(spark, sf_dir)
+    approx = _sq_topk_impl(spark, sf_dir, slice_corpus=True)
+    return _ann_recall_contract(
+        exact, approx, ANN_SQ_RECALL_BOUND, "sq_recall_ok"
+    )
+
+
+ANN_SQ_TOPK_CONTRACT_SAMPLED_SQL = ANN_LSH_TOPK_CONTRACT_SAMPLED_SQL.replace(
+    "lsh_recall_ok", "sq_recall_ok"
+)

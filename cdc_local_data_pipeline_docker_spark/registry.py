@@ -698,6 +698,18 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         SIM.embedding_kmeans_train,
         SIM.EMBEDDING_KMEANS_TRAIN_SQL,
     ),
+    # SQ8 scalar quantization (r7 fourth session): the fourth quantizer
+    # family — one byte/dim, trivial min/max training, dequantized-dot
+    # shortlist + exact re-rank; measured recall 1.0 at all test sfs
+    "ann_sq_topk": (SIM.ann_sq_topk, None),  # quantizer not SQL-expressible
+    "ann_sq_topk_contract": (
+        SIM.ann_sq_topk_contract,
+        SIM.ANN_SQ_TOPK_CONTRACT_SQL,
+    ),
+    "ann_sq_topk_contract_sampled": (
+        SIM.ann_sq_topk_contract_sampled,
+        SIM.ANN_SQ_TOPK_CONTRACT_SAMPLED_SQL,
+    ),
     "ann_pq_topk": (SIM.ann_pq_topk, None),  # quantizer not SQL-expressible
     "ann_pq_topk_contract": (
         SIM.ann_pq_topk_contract,

@@ -1413,3 +1413,37 @@ def test_contrastive_triplets_label_semantics(spark, sf_dir):
     for r in joined:
         assert r["p_label"] == r["q_label"]
         assert r["n_label"] != r["q_label"]
+
+
+def test_ann_sq_contract_floors(spark, sf_dir):
+    """SQ8 recall floors, full and sampled-slice forms — measured 1.00 /
+    1.00 / 1.00 at sf0.001/0.01/0.1 on the 2026-08-13 testdata (64-dim
+    bytes + 40-wide shortlist recover the exact top-5 completely); the
+    0.6 bound is far under every floor. The assertion message records
+    the measured value so a fixture regeneration fails loudly."""
+    from cdc_local_data_pipeline_docker_spark.llmops.similarity import (
+        ANN_SQ_RECALL_BOUND,
+        _sampled_exact_topk,
+        _sq_topk_impl,
+        ann_cosine_topk,
+        ann_sq_topk,
+        ann_sq_topk_contract,
+    )
+
+    exact = {(r.query_id, r.neighbor_id)
+             for r in ann_cosine_topk(spark, sf_dir).collect()}
+    approx = {(r.query_id, r.neighbor_id)
+              for r in ann_sq_topk(spark, sf_dir).collect()}
+    rec = len(exact & approx) / len(exact)
+    assert rec >= ANN_SQ_RECALL_BOUND, f"SQ full recall measured {rec:.3f}"
+    sl_exact = {(r.query_id, r.neighbor_id)
+                for r in _sampled_exact_topk(spark, sf_dir).collect()}
+    sl_approx = {(r.query_id, r.neighbor_id)
+                 for r in _sq_topk_impl(spark, sf_dir, True).collect()}
+    sl_rec = len(sl_exact & sl_approx) / len(sl_exact)
+    assert sl_rec >= ANN_SQ_RECALL_BOUND, (
+        f"SQ slice recall measured {sl_rec:.3f}"
+    )
+    # contract output carries the TRUE flag the oracle pins
+    rows = ann_sq_topk_contract(spark, sf_dir).collect()
+    assert rows and all(r["sq_recall_ok"] for r in rows)

@@ -810,6 +810,10 @@ BNLJ_WHITELIST = {
     "ann_pq_topk_contract_sampled",
     "ann_filtered_topk",          # same bounded query-side broadcast
     "contrastive_triplet_mining",  # same bounded 20-query broadcast shape
+    # SQ8: same bounded 20-query code-broadcast shape as PQ
+    "ann_sq_topk",
+    "ann_sq_topk_contract",
+    "ann_sq_topk_contract_sampled",
     # (c) bounded-metadata range joins / scalar stats (r7 third session)
     "cdc_snapshot_chunk_merge",   # pk-range join vs the KB chunk-spec table
     "mine_brand_pair_lift",       # 1-row n_baskets scalar crossJoin

@@ -218,6 +218,9 @@ COVERED_BY = {
     "events_ab_conversion": "events_tumbling_agg",
     "gdpr_erase_customer": "join_inner",
     "ann_pq_topk": "ann_cosine_topk",
+    "ann_sq_topk": "ann_cosine_topk",
+    "ann_sq_topk_contract": "ann_cosine_topk",
+    "ann_sq_topk_contract_sampled": "ann_cosine_topk",
     "ann_pq_topk_contract": "ann_cosine_topk",
     "multimodal_frame_sample": "multimodal_feature_extract",
     "multimodal_resize": "multimodal_feature_extract",
