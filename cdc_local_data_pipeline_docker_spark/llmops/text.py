@@ -1012,3 +1012,42 @@ SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
        CAST(MIN(r) AS BIGINT) AS min_cond_fp
 FROM scored GROUP BY doc_id ORDER BY doc_id
 """
+
+
+def corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row corpus datasheet — the header block of a dataset card
+    (Datasheets for Datasets / Dataset Cards): volume, language and
+    source diversity, and the exact-duplicate rate, in ONE scan.
+
+    exact_dup_docs = rows − distinct(md5(text)): the same content-hash
+    identity the dedup family uses, as a single aggregate — the summary
+    number; `dedup_exact` / `dedup_clusters` are the row-level drill-in.
+
+    100 TB: one pass, partial+final aggregation; the two DISTINCTs are
+    over bounded domains (langs, sources) except the text hash, which
+    Spark executes as a partial-distinct expand — at extreme scale swap
+    it for the HLL sketch (sketch_hll_distinct) and accept ±2%."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("source").alias("n_sources"),
+        (F.count(F.lit(1)) - F.countDistinct(F.md5("text"))).alias(
+            "exact_dup_docs"
+        ),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
+CORPUS_DATACARD_SQL = """
+SELECT COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       COUNT(DISTINCT lang) AS n_langs,
+       COUNT(DISTINCT source) AS n_sources,
+       COUNT(*) - COUNT(DISTINCT md5(text)) AS exact_dup_docs,
+       CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+       CAST(MAX(n_chars) AS BIGINT) AS max_chars
+FROM documents
+"""

@@ -396,3 +396,50 @@ SELECT bin, COUNT(*) AS n_rows,
          AS sum_cents
 FROM binned GROUP BY bin ORDER BY bin
 """
+
+
+#: k-anonymity threshold: quasi-identifier combinations with fewer than
+#: K members are re-identification risks.
+K_ANON = 5
+
+
+def privacy_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the customer quasi-identifiers
+    (nation, market segment, account-balance band): every equivalence
+    class with its size and an `at_risk` flag for classes below
+    K_ANON — the pre-release privacy check that pairs with the
+    `gdpr_erase_customer` cascade (erasure handles named individuals;
+    k-anonymity catches rows re-identifiable WITHOUT a name).
+
+    The balance band uses explicit FLOOR (the Spark-truncates /
+    DuckDB-rounds cast trap) over a 1000-unit width, so the
+    quasi-identifier is deterministic in both engines.
+
+    100 TB: one scan → one partial+final aggregate on the QI tuple;
+    output is bounded by the QI domain, not the row count. Generalizing
+    a failing audit (widening bands until every class passes) re-runs
+    the same single-agg plan per candidate laddering — each probe is
+    one cheap pass."""
+    c = load_table(spark, sf_dir, "customer")
+    band = F.floor(F.col("c_acctbal") / 1000).cast("long")
+    return (
+        c.groupBy(
+            F.col("c_nationkey").alias("nationkey"),
+            F.col("c_mktsegment").alias("mktsegment"),
+            band.alias("acctbal_band"),
+        )
+        .agg(F.count(F.lit(1)).alias("class_size"))
+        .withColumn("at_risk", F.col("class_size") < K_ANON)
+        .orderBy("nationkey", "mktsegment", "acctbal_band")
+    )
+
+
+PRIVACY_K_ANONYMITY_AUDIT_SQL = f"""
+SELECT c_nationkey AS nationkey, c_mktsegment AS mktsegment,
+       CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS acctbal_band,
+       COUNT(*) AS class_size,
+       COUNT(*) < {K_ANON} AS at_risk
+FROM customer
+GROUP BY 1, 2, 3
+ORDER BY nationkey, mktsegment, acctbal_band
+"""

@@ -917,6 +917,15 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         SIM.contrastive_triplet_mining,
         SIM.CONTRASTIVE_TRIPLET_MINING_SQL,
     ),
+    # privacy: k-anonymity audit (r7 fourth session) — quasi-identifier
+    # equivalence classes with at-risk flags; one scan, one QI-tuple agg
+    "privacy_k_anonymity_audit": (
+        PR.privacy_k_anonymity_audit,
+        PR.PRIVACY_K_ANONYMITY_AUDIT_SQL,
+    ),
+    # one-row corpus datasheet (r7 fourth session): volume, diversity,
+    # exact-dup rate in one scan — the dataset-card header block
+    "corpus_datacard": (TX.corpus_datacard, TX.CORPUS_DATACARD_SQL),
     # c-TF-IDF cluster labeling (r7 fourth session): WHAT is duplicated
     # — top characteristic terms per near-dup cluster, log-free integer
     # scoring (the BERTopic labeling recipe over the CC labels)

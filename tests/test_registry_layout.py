@@ -217,6 +217,8 @@ COVERED_BY = {
     "events_funnel_windowed": "events_tumbling_agg",
     "events_ab_conversion": "events_tumbling_agg",
     "gdpr_erase_customer": "join_inner",
+    "privacy_k_anonymity_audit": "agg_grouped",
+    "corpus_datacard": "text_profile",
     "ann_pq_topk": "ann_cosine_topk",
     "ann_sq_topk": "ann_cosine_topk",
     "ann_sq_topk_contract": "ann_cosine_topk",
