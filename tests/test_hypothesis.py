@@ -615,3 +615,102 @@ def test_snapshot_chunk_merge_theorem_on_random_logs_and_chunkings(spark, case):
     for pk, m in merged.items():
         assert m.last_offset == last[pk][2]
         assert m.src == ("log" if m.last_offset > wm_of[pk] else "snapshot")
+
+
+# ---------------------------------------------------------------------------
+# tablelog: model-based sweep — random op sequences vs a dict model
+# ---------------------------------------------------------------------------
+
+@st.composite
+def _tablelog_ops(draw):
+    """A random program over a keyed table: appends of fresh key blocks,
+    predicate deletes (CoW or MoR), upsert merges, and compactions."""
+    ops = []
+    next_key = 0
+    n = draw(st.integers(3, 7))
+    # first op must be an append
+    for i in range(n):
+        kind = (
+            "append"
+            if i == 0
+            else draw(st.sampled_from(
+                ["append", "delete", "delete_mor", "merge", "compact"]
+            ))
+        )
+        if kind == "append":
+            width = draw(st.integers(1, 6))
+            ops.append(("append", list(range(next_key, next_key + width))))
+            next_key += width
+        elif kind in ("delete", "delete_mor"):
+            mod = draw(st.integers(2, 5))
+            rem = draw(st.integers(0, mod - 1))
+            ops.append((kind, (mod, rem)))
+        elif kind == "merge":
+            # update a random slice of existing keys + insert fresh ones
+            upd = draw(st.lists(st.integers(0, max(next_key - 1, 0)),
+                                max_size=4, unique=True))
+            fresh = draw(st.integers(0, 2))
+            ins = list(range(next_key, next_key + fresh))
+            next_key += fresh
+            ops.append(("merge", (upd, ins, draw(st.integers(1, 99)))))
+        else:
+            ops.append(("compact", draw(st.integers(1, 3))))
+    return ops
+
+
+@given(_tablelog_ops())
+@_SETTINGS
+def test_tablelog_model_based(spark, ops):
+    """Every version of a random append/delete/MoR-delete/merge/compact
+    program must equal a pure-Python dict model replayed to that point —
+    snapshot correctness AND time travel over arbitrary histories."""
+    import shutil
+    import tempfile
+
+    from cdc_local_data_pipeline_docker_spark.sources import tablelog as TL
+
+    root = tempfile.mkdtemp(prefix="tablelog_hyp_")
+    try:
+        model: dict[int, int] = {}
+        snapshots = []
+        for kind, arg in ops:
+            if kind == "append":
+                df = spark.createDataFrame(
+                    [(k, 0) for k in arg], "k LONG, val LONG"
+                )
+                TL.log_append(spark, root, df)
+                model.update({k: 0 for k in arg})
+            elif kind in ("delete", "delete_mor"):
+                mod, rem = arg
+                pred = f"k % {mod} = {rem}"
+                if kind == "delete":
+                    TL.log_delete_where(spark, root, pred)
+                else:
+                    TL.log_delete_where_mor(spark, root, pred)
+                model = {k: v for k, v in model.items() if k % mod != rem}
+            elif kind == "merge":
+                upd, ins, val = arg
+                keys = sorted(set(upd) | set(ins))
+                if not keys:
+                    keys = [0] if 0 in model else [10**6]
+                df = spark.createDataFrame(
+                    [(k, val) for k in keys], "k LONG, val LONG"
+                )
+                TL.log_merge(spark, root, df, "k")
+                model.update({k: val for k in keys})
+            else:
+                TL.log_compact(spark, root, target_files=arg)
+            snapshots.append(dict(model))
+        # final state and EVERY historical version match the model
+        for v, snap in enumerate(snapshots):
+            got = {
+                r["k"]: r["val"]
+                for r in TL.log_read(spark, root, version=v).collect()
+            }
+            assert got == snap, f"version {v}: {got} != {snap}"
+        # vacuum must not disturb any retained version
+        TL.log_vacuum(root)
+        got = {r["k"]: r["val"] for r in TL.log_read(spark, root).collect()}
+        assert got == snapshots[-1]
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
