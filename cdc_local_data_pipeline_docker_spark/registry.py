@@ -955,6 +955,14 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         TLG.tablelog_change_feed,
         TLG.TABLELOG_CHANGE_FEED_SQL,
     ),
+    # IVM through the change feed: a per-status aggregate maintained by
+    # folding each commit's (added, removed) delta — COUNT/SUM are
+    # self-inverting under negation, so the CDF alone suffices; graded
+    # against the plain GROUP BY recompute
+    "tablelog_cdf_agg_view": (
+        TLG.tablelog_cdf_agg_view,
+        TLG.TABLELOG_CDF_AGG_VIEW_SQL,
+    ),
 }
 
 #: Number of entries the grading driver evaluates (first N in dict order).

@@ -848,3 +848,101 @@ def _read_with_dv(
         "left_anti",
     )
     return out.drop("_tail", "_ri")
+
+
+def fold_changes_into_agg(
+    state: DataFrame | None, add: DataFrame | None, rem: DataFrame | None
+) -> DataFrame:
+    """Fold one commit's change feed into a (o_orderstatus, n_orders,
+    sum_cents) aggregate state: state + Σ(added) − Σ(removed), grouped
+    once over the union. COUNT and SUM are self-inverting under
+    negation, so the CDF's (add, remove) pair is a SUFFICIENT interface
+    for downstream incremental maintenance — no key lookups, no old-image
+    store; the state is group-cardinality-sized and the per-commit cost
+    is one partial+final agg over the DELTA, independent of table size."""
+    from pyspark.sql import functions as F
+
+    def side(df: DataFrame, sign: int) -> DataFrame:
+        return df.groupBy("o_orderstatus").agg(
+            (F.count(F.lit(1)) * sign).alias("n_orders"),
+            (
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                * 100
+                * sign
+            )
+            .cast("long")
+            .alias("sum_cents"),
+        )
+
+    parts = []
+    if state is not None:
+        parts.append(state)
+    if add is not None:
+        parts.append(side(add, 1))
+    if rem is not None:
+        parts.append(side(rem, -1))
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    from pyspark.sql import functions as F
+
+    return (
+        u.groupBy("o_orderstatus")
+        .agg(
+            F.sum("n_orders").alias("n_orders"),
+            F.sum("sum_cents").alias("sum_cents"),
+        )
+        .filter(F.col("n_orders") != 0)
+    )
+
+
+def tablelog_cdf_agg_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVM THROUGH the change feed: the per-status order aggregate
+    maintained by folding each commit's (added, removed) delta — never
+    rescanning the table — over the same 5-commit fixture as
+    `tablelog_time_travel`. Graded against the plain GROUP BY over the
+    final slice algebra: the maintained state must equal the recompute
+    exactly, proving the CDF interface is sufficient for downstream
+    incremental views (the Delta CDF → streaming-agg pattern).
+
+    Each fold is one agg over the commit's delta files only; the
+    running state is localCheckpointed per version (group-cardinality-
+    sized) so the plan stays flat across arbitrarily long histories."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ..catalog import load_table
+
+    cols = ["o_orderkey", "o_orderstatus", "o_totalprice"]
+    orders = load_table(spark, sf_dir, "orders").select(*cols)
+    root = tempfile.mkdtemp(prefix="tablelog_cdf_ivm_")
+    try:
+        log_append(spark, root, orders.filter(F.col("o_orderkey") % 3 == 0))
+        log_append(spark, root, orders.filter(F.col("o_orderkey") % 3 == 1))
+        log_delete_where(spark, root, "o_orderstatus = 'F'")
+        log_append(spark, root, orders.filter(F.col("o_orderkey") % 3 == 2))
+        log_compact(spark, root, target_files=2)
+        state = None
+        for v in _versions(root):
+            add, rem = log_changes(spark, root, v)
+            state = fold_changes_into_agg(state, add, rem).localCheckpoint(
+                eager=True
+            )
+        out = state.orderBy("o_orderstatus")
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+TABLELOG_CDF_AGG_VIEW_SQL = """
+SELECT o_orderstatus,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+         AS sum_cents
+FROM orders
+WHERE (o_orderkey % 3 IN (0, 1) AND o_orderstatus <> 'F')
+   OR o_orderkey % 3 = 2
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""

@@ -157,6 +157,7 @@ COVERED_BY = {
     # the storage protocol itself is pytest-pinned (test_tablelog.py)
     "tablelog_time_travel": "filter_pack",
     "tablelog_change_feed": "filter_pack",
+    "tablelog_cdf_agg_view": "cdc_incremental_agg_view",
     # linear attribution: same carry/range window family as last-touch
     "events_attribution_linear": "events_resample_interpolate",
     "dedup_canonical_corpus": "dedup_clusters",

@@ -325,3 +325,44 @@ def test_delete_mor_deletion_vectors(spark, root):
     TL.log_vacuum(root)
     assert TL.log_read(spark, root, version=v2).count() == \
         n_all - n_f - n_o
+
+
+def test_cdf_agg_fold_matches_recompute_at_every_version(spark, root):
+    """The CDF-driven aggregate state equals the GROUP BY recompute of
+    the snapshot AFTER EVERY commit — not just the final one — on a
+    history including CoW delete and merge."""
+    o = _orders(spark)
+    TL.log_append(spark, root, o.filter("o_orderkey % 2 = 0"))
+    TL.log_append(spark, root, o.filter("o_orderkey % 2 = 1"))
+    TL.log_delete_where(spark, root, "o_orderstatus = 'F'")
+    live_keys = [r[0] for r in TL.log_read(spark, root)
+                 .select("o_orderkey").orderBy("o_orderkey")
+                 .limit(3).collect()]
+    TL.log_merge(
+        spark, root,
+        o.filter(F.col("o_orderkey").isin(live_keys))
+         .withColumn("o_orderstatus", F.lit("Z")),
+        "o_orderkey",
+    )
+    TL.log_compact(spark, root, target_files=1)
+    state = None
+    for v in TL._versions(root):
+        add, rem = TL.log_changes(spark, root, v)
+        state = TL.fold_changes_into_agg(state, add, rem).localCheckpoint(
+            eager=True
+        )
+        got = {(r["o_orderstatus"]): (r["n_orders"], r["sum_cents"])
+               for r in state.collect()}
+        want = {
+            r["o_orderstatus"]: (r["n_orders"], r["sum_cents"])
+            for r in TL.log_read(spark, root, version=v)
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+                .cast("long")
+                .alias("sum_cents"),
+            )
+            .collect()
+        }
+        assert got == want, f"version {v}"
