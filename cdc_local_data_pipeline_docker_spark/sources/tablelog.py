@@ -630,8 +630,44 @@ def log_changes(
     the files that changed. For an append that's the new files only;
     for a CoW delete/merge the removed files carry the OLD images and
     the added files the rewritten ones — a keyed anti-join between the
-    two sides recovers row-level before/after when needed."""
+    two sides recovers row-level before/after when needed.
+
+    MoR-delete commits add VECTORS, not data files, so their row-level
+    delta is resolved differently: removed = the newly-dead positions
+    joined back to their data files; no added rows."""
     m = _read_manifest(root, version)
+    if m["action"] == "delete_mor":
+        from pyspark.sql import functions as F
+
+        prev_dv = (
+            _read_manifest(root, version - 1).get("dv", {})
+            if version > 0
+            else {}
+        )
+        dead_frames = []
+        for f, dv in m.get("dv", {}).items():
+            new_pos = spark.read.parquet(os.path.join(root, dv))
+            if f in prev_dv:  # only the delta positions are newly dead
+                old_pos = spark.read.parquet(os.path.join(root, prev_dv[f]))
+                new_pos = new_pos.join(old_pos, "row_index", "left_anti")
+            rows = (
+                spark.read.parquet(os.path.join(root, f))
+                .select("*", F.col("_metadata.row_index").alias("_ri"))
+                .join(
+                    F.broadcast(
+                        new_pos.withColumnRenamed("row_index", "_ri")
+                    ),
+                    "_ri",
+                )
+                .drop("_ri")
+            )
+            dead_frames.append(rows)
+        if not dead_frames:
+            return None, None
+        rem = dead_frames[0]
+        for d in dead_frames[1:]:
+            rem = rem.unionByName(d)
+        return None, rem
     add = (
         spark.read.parquet(*[os.path.join(root, f) for f in m["add"]])
         if m["add"]

@@ -366,3 +366,38 @@ def test_cdf_agg_fold_matches_recompute_at_every_version(spark, root):
             .collect()
         }
         assert got == want, f"version {v}"
+
+
+def test_change_feed_over_mor_delete(spark, root):
+    """A MoR-delete commit's change feed exposes exactly the newly-dead
+    rows (position-delta joined back to data files) — so the
+    conservation law holds across MoR histories too, and the CDF-driven
+    aggregate can be maintained through vectored deletes."""
+    o = _orders(spark)
+    TL.log_append(spark, root, o.filter("o_orderkey < 600"))
+    TL.log_delete_where_mor(spark, root, "o_orderstatus = 'F'")
+    TL.log_delete_where_mor(spark, root, "o_orderstatus = 'O'")
+    counts = {v: TL.log_read(spark, root, version=v).count()
+              for v in TL._versions(root)}
+    state = None
+    for v in TL._versions(root):
+        add, rem = TL.log_changes(spark, root, v)
+        net = (add.count() if add is not None else 0) - (
+            rem.count() if rem is not None else 0)
+        prev = counts[v - 1] if v > 0 else 0
+        assert counts[v] - prev == net, f"version {v}"
+        state = TL.fold_changes_into_agg(state, add, rem).localCheckpoint(
+            eager=True
+        )
+    # CDF-maintained aggregate equals the final snapshot recompute
+    got = {r["o_orderstatus"]: r["n_orders"] for r in state.collect()}
+    want = {
+        r["o_orderstatus"]: r["cnt"]
+        for r in TL.log_read(spark, root)
+        .groupBy("o_orderstatus").agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    assert got == want
+    # the second MoR delete's removed side is ONLY the 'O' rows
+    _, rem2 = TL.log_changes(spark, root, 2)
+    assert {r["o_orderstatus"] for r in rem2.collect()} == {"O"}
