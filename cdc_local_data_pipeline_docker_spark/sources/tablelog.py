@@ -244,6 +244,14 @@ def log_append(
             "add": added,
             "remove": [],
             "live": live + added,
+            # deletion vectors on carried files MUST ride along — the
+            # model-based sweep caught an append resurrecting
+            # MoR-deleted rows when this map was dropped
+            "dv": (
+                _read_manifest(root, base).get("dv", {})
+                if base is not None
+                else {}
+            ),
             "stats": {**_base_stats(root, base), **new_stats},
             "schema": df.schema.simpleString(),
             "ts": time.time(),

@@ -97,6 +97,7 @@ def log_merge_cdc(
         }
         return TL._commit(root, 0, manifest)
     live = TL._live_files(root, base)
+    base_dvs = TL._read_manifest(root, base).get("dv", {})
     snap = spark.read.parquet(*[os.path.join(root, f) for f in live])
     keys = delta.select("pk").distinct()
     probe = snap.select("pk", F.input_file_name().alias("_f"))
@@ -107,9 +108,8 @@ def log_merge_cdc(
     }
     affected = [f for f in live if any(a.endswith(f) for a in affected_abs)]
     if affected:
-        aff_rows = spark.read.parquet(
-            *[os.path.join(root, f) for f in affected]
-        )
+        # read through any deletion vectors (mixed MoR + CDC histories)
+        aff_rows = TL._read_with_dv(spark, root, affected, base_dvs)
         survivors = aff_rows.join(F.broadcast(keys), "pk", "left_anti")
         matched = aff_rows.join(F.broadcast(keys), "pk", "left_semi")
     else:
@@ -135,6 +135,9 @@ def log_merge_cdc(
         "add": added,
         "remove": affected,
         "live": untouched + added,
+        # carry deletion vectors on untouched files (the log_append
+        # resurrection bug class — see tablelog.log_append)
+        "dv": {f: d for f, d in base_dvs.items() if f in set(untouched)},
         "stats": {**carried, **stats},
         "batch_id": batch_id,
         "ts": time.time(),
