@@ -304,7 +304,19 @@ def log_read(
                 F.lit(False)
             )
     dvs = _read_manifest(root, version).get("dv", {})
-    return _read_with_dv(spark, root, files, dvs)
+    # schema evolution: when commits up to this version recorded more
+    # than one writer schema, merge parquet footers so late columns
+    # surface (earlier files read them as NULL). Gated — footer merging
+    # costs a per-file read, so same-schema tables skip it; production
+    # keeps the schema set in the latest manifest instead of re-reading
+    # history (same information, one lookup).
+    schemas = {
+        _read_manifest(root, v).get("schema")
+        for v in _versions(root)
+        if v <= version
+    } - {None}
+    merge = len(schemas) > 1
+    return _read_with_dv(spark, root, files, dvs, merge_schema=merge)
 
 
 def log_delete_where(spark: SparkSession, root: str, predicate: str) -> int:
@@ -857,14 +869,20 @@ def log_delete_where_mor(
 
 
 def _read_with_dv(
-    spark: SparkSession, root: str, files: list[str], dvs: dict[str, str]
+    spark: SparkSession,
+    root: str,
+    files: list[str],
+    dvs: dict[str, str],
+    merge_schema: bool = False,
 ) -> DataFrame:
     """Scan ``files`` with deletion vectors applied: rows whose
     (file, row_index) appears in a vector are filtered by ONE broadcast
     anti-join. The DV side is KB-sized by construction."""
     from pyspark.sql import functions as F
 
-    df = spark.read.parquet(*[os.path.join(root, f) for f in files])
+    df = spark.read.option(
+        "mergeSchema", "true" if merge_schema else "false"
+    ).parquet(*[os.path.join(root, f) for f in files])
     needed = {f: dv for f, dv in dvs.items() if f in set(files)}
     if not needed:
         return df
@@ -990,3 +1008,27 @@ WHERE (o_orderkey % 3 IN (0, 1) AND o_orderstatus <> 'F')
 GROUP BY o_orderstatus
 ORDER BY o_orderstatus
 """
+
+
+def log_restore(spark: SparkSession, root: str, version: int) -> int:
+    """RESTORE the table to a historical version — a METADATA-ONLY
+    commit whose live set (and deletion vectors, and stats) are the
+    target version's. Nothing is copied: the restored version's files
+    are still on disk (vacuum retention permitting), so rollback after
+    a bad write is one KB manifest regardless of table size — the Delta
+    RESTORE shape. History is preserved: the bad versions stay
+    time-travelable and the restore is itself a new version."""
+    target = _read_manifest(root, version)
+    base = _latest_version(root)
+    manifest = {
+        "version": base + 1,
+        "action": "restore",
+        "add": [],
+        "remove": [],
+        "live": target["live"],
+        "dv": target.get("dv", {}),
+        "stats": target.get("stats", {}),
+        "restored_from": version,
+        "ts": time.time(),
+    }
+    return _commit(root, base + 1, manifest)

@@ -401,3 +401,40 @@ def test_change_feed_over_mor_delete(spark, root):
     # the second MoR delete's removed side is ONLY the 'O' rows
     _, rem2 = TL.log_changes(spark, root, 2)
     assert {r["o_orderstatus"] for r in rem2.collect()} == {"O"}
+
+
+def test_restore_is_metadata_only_rollback(spark, root):
+    o = _orders(spark)
+    TL.log_append(spark, root, o.filter("o_orderkey < 500"))
+    good = sorted(TL.log_read(spark, root).collect())
+    TL.log_delete_where(spark, root, "o_orderstatus = 'F'")  # "bad" write
+    TL.log_append(spark, root, o.filter("o_orderkey >= 1400"))
+    v = TL.log_restore(spark, root, 0)
+    m = TL._read_manifest(root, v)
+    assert m["action"] == "restore" and m["restored_from"] == 0
+    assert m["add"] == [] and m["remove"] == []  # metadata-only
+    assert sorted(TL.log_read(spark, root).collect()) == good
+    # the rolled-back versions stay time-travelable
+    n_f = o.filter("o_orderkey < 500 AND o_orderstatus = 'F'").count()
+    n_hi = o.filter("o_orderkey >= 1400").count()
+    assert TL.log_read(spark, root, version=2).count() == \
+        len(good) - n_f + n_hi
+
+
+def test_schema_evolution_merge_on_read(spark, root):
+    o = _orders(spark)
+    TL.log_append(spark, root, o.limit(10))
+    # a later writer adds a column; earlier files read it as NULL
+    TL.log_append(
+        spark, root,
+        o.filter("o_orderkey > 100").limit(5)
+         .withColumn("region_tag", F.lit("eu")),
+    )
+    snap = TL.log_read(spark, root)
+    assert "region_tag" in snap.columns
+    assert snap.count() == 15
+    assert snap.filter("region_tag IS NULL").count() == 10
+    assert snap.filter("region_tag = 'eu'").count() == 5
+    # single-schema tables skip footer merging (no phantom columns)
+    snap0 = TL.log_read(spark, root, version=0)
+    assert "region_tag" not in snap0.columns
