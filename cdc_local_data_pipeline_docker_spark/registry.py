@@ -963,6 +963,27 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         TLG.tablelog_cdf_agg_view,
         TLG.TABLELOG_CDF_AGG_VIEW_SQL,
     ),
+    # r7 fifth session: the delta-log rungs. Column mapping — rename and
+    # drop as metadata-only commits (name-mapping, zero data I/O); the
+    # graded contract is read correctness across the mapping, with the
+    # no-files-touched property pinned in pytest
+    "tablelog_column_mapping": (
+        TLG.tablelog_column_mapping,
+        TLG.TABLELOG_COLUMN_MAPPING_SQL,
+    ),
+    # snapshot resolution through a parquet checkpoint: 12 commits cross
+    # the cadence (10), the entry raises if the checkpoint is missing,
+    # and reads resolve as checkpoint + bounded delta replay
+    "tablelog_checkpointed_read": (
+        TLG.tablelog_checkpointed_read,
+        TLG.TABLELOG_CHECKPOINTED_READ_SQL,
+    ),
+    # per-file bloom stats: point lookups on a hash-scattered table
+    # where min/max spans prune nothing; pruning itself is pytest-pinned
+    "tablelog_bloom_point_lookup": (
+        TLG.tablelog_bloom_point_lookup,
+        TLG.TABLELOG_BLOOM_POINT_LOOKUP_SQL,
+    ),
 }
 
 #: Number of entries the grading driver evaluates (first N in dict order).

@@ -1,8 +1,11 @@
-"""Transaction-log table format on plain parquet: versioned manifests,
-atomic optimistic commits, snapshot-isolated reads, time travel,
-file-level copy-on-write delete, compaction (OPTIMIZE), and VACUUM —
-the Delta/Iceberg commit-protocol mechanics built from first principles
-on the filesystem Spark already writes to.
+"""Transaction-log table format on plain parquet: versioned DELTA
+manifests with periodic parquet checkpoints, atomic optimistic commits,
+snapshot-isolated reads, time travel, file-level copy-on-write delete,
+merge-on-read deletion vectors, column mapping (rename/drop as
+metadata-only commits), per-file min/max + bloom stats for file
+skipping, compaction (OPTIMIZE), and VACUUM — the Delta/Iceberg
+commit-protocol mechanics built from first principles on the
+filesystem Spark already writes to.
 
 Why an engine needs this at 100 TB: a bare parquet directory has no
 atomic multi-file commit — a reader that lists the directory mid-write
@@ -16,13 +19,24 @@ list the data directory.
 
 Design choices, and where they sit on the production spectrum:
 
-* **Snapshot manifests, not deltas.** Every version's manifest carries
-  the FULL live-file list plus the add/remove delta for history. Reads
-  are O(1 manifest) with zero log replay; the cost is O(live files)
-  bytes per commit. Delta instead writes deltas + a periodic parquet
-  checkpoint — the right trade once a table holds millions of files;
-  at that point the manifest itself becomes a parquet table read
-  through the same engine. The protocol below is unchanged either way.
+* **Delta manifests + parquet checkpoints.** Each commit records only
+  its CHANGE (files added/removed, stats for the added files, new
+  deletion vectors) — O(commit size) bytes, not O(live files) — and
+  every CHECKPOINT_INTERVAL commits the winner also writes a parquet
+  checkpoint of the fully-resolved snapshot (file list, per-file
+  stats/blooms, deletion-vector map) plus a `_last_checkpoint`
+  pointer. A reader resolves version v from the newest checkpoint or
+  full-snapshot manifest at or below v plus the delta replay of the
+  gap — bounded by the interval, exactly Delta's `_delta_log` shape.
+  This is the million-file regime: a commit on a 10M-file table stays
+  KB-sized, and snapshot resolution reads one checkpoint + ≤10 delta
+  JSONs. Checkpoints here are written driver-side via pyarrow (the
+  resolved state is the same metadata the read path must hold to name
+  the scan's files); at extreme file counts production writes them as
+  a distributed job over (old checkpoint ⊎ delta) through the engine
+  itself. Legacy full-snapshot manifests (each carrying the complete
+  `live` list — the pre-delta format of this module) are still
+  resolved: they act as replay bases exactly like checkpoints.
 * **Atomic exclusive publish via `os.link`** (hard link fails with
   EEXIST if the target version exists): put-if-absent on the manifest
   name IS the whole commit coordinator. This is exactly Delta's
@@ -31,25 +45,43 @@ Design choices, and where they sit on the production spectrum:
   conditional-put (If-None-Match) or a DynamoDB lock table. Two racing
   writers both prepare data files; exactly one wins the link; the
   loser gets ``CommitConflict`` and retries against the new snapshot.
+  (tests/test_tablelog_race.py stresses this with real OS processes.)
 * **File-level copy-on-write delete.** `log_delete_where` scans the
   snapshot ONCE with `input_file_name()` to find the files that
   contain matching rows (a metadata-sized collect — file paths, not
   rows), rewrites only those files' surviving rows, and commits
   {remove: affected, add: rewritten}. Untouched files are carried by
   reference — at 100 TB a delete touching 0.1% of files rewrites 0.1%
-  of the data. (Merge-on-read deletion vectors are the next rung;
-  same manifest mechanics, different read path.)
+  of the data. Merge-on-read deletion vectors (`log_delete_where_mor`)
+  are the complementary path: KB-sized position vectors instead of
+  rewrites, applied by one broadcast anti-join at read time.
+* **Column mapping.** `log_rename_column` / `log_drop_column` are
+  METADATA-ONLY commits: the manifest carries a logical→physical name
+  map; data files keep their physical column names forever, writers
+  map logical→physical before writing, readers map back after the
+  scan — rename/drop on a 100 TB table is one KB manifest, zero data
+  I/O (Delta column-mapping name-mode).
+* **File skipping.** Manifests carry per-file min/max for requested
+  stats columns (range pruning via ``log_read(prune=...)``) and
+  per-file bloom position-sets for requested bloom columns (point
+  pruning via ``log_read(point=...)``) — the bloom answers "might this
+  file contain key k" for hash-scattered keys where min/max spans are
+  useless. Blooms are built in the same one-pass distributed
+  aggregation as the min/max stats; positions are double-hashed from
+  `xxhash64` so the driver can re-derive a probe's positions exactly.
 * **Compaction is just another commit** that replaces many small files
   with few big ones — content-identical, so time travel across an
   OPTIMIZE is seamless and a concurrent reader on the old version
   still resolves its files (VACUUM honors a version-retention floor).
 * **Crash safety**: a writer dying after data files but before the
   manifest leaves orphans that no reader can see; `log_vacuum`
-  deletes any data file not referenced by a retained manifest.
+  deletes any data file not referenced by a retained manifest, and
+  writes a fresh checkpoint first when trimming history would remove
+  the oldest retained version's replay base.
 
 Everything data-sized runs through Spark (`df.write.parquet`,
-snapshot reads over the manifest's file list); only manifests — KBs —
-touch the driver.
+snapshot reads over the manifest's file list); only manifests and
+checkpoints — KBs of metadata — touch the driver.
 
 Reference parity note: the reference pipeline ships Iceberg jars it
 never uses (SURVEY.md §1.4) and appends bare parquet with coalesce(1)
@@ -71,16 +103,37 @@ __all__ = [
     "CommitConflict",
     "log_append",
     "log_delete_where",
+    "log_delete_where_mor",
     "log_merge",
     "log_compact",
+    "log_checkpoint",
     "log_read",
     "log_history",
     "log_vacuum",
+    "log_restore",
+    "log_changes",
+    "log_rename_column",
+    "log_drop_column",
     "tablelog_time_travel",
+    "tablelog_change_feed",
+    "tablelog_cdf_agg_view",
+    "tablelog_column_mapping",
+    "tablelog_checkpointed_read",
+    "tablelog_bloom_point_lookup",
 ]
 
 _LOG_DIR = "_log"
 _DATA_DIR = "data"
+
+#: Commits between parquet checkpoints (Delta's default cadence).
+CHECKPOINT_INTERVAL = 10
+
+#: Bloom sizing: 8192 positions ≈ 1 KB bitmap per (file, column) when
+#: packed; with 3 probes and ~500 distinct keys/file the false-positive
+#: rate is ≈0.5%. Stored as a sorted position set in JSON (test scale);
+#: production packs the same positions into a base64 bitmap.
+BLOOM_BITS = 8192
+BLOOM_PROBES = 3
 
 
 class CommitConflict(Exception):
@@ -116,19 +169,449 @@ def _latest_version(root: str) -> int | None:
     return vs[-1] if vs else None
 
 
-def _write_data_files(
-    df: DataFrame, root: str, token: str, stats_cols: list[str] | None = None
-) -> tuple[list[str], dict[str, dict[str, list]]]:
-    """Write ``df`` under data/<token>/; return (root-relative part
-    files, per-file min/max stats for ``stats_cols``). The directory is
-    unique per commit attempt, so a losing/crashed writer never collides
-    with a winner's files.
+# ---------------------------------------------------------------------------
+# Snapshot resolution: checkpoint / full-manifest base + delta replay
+# ---------------------------------------------------------------------------
 
-    The stats pass is ONE distributed aggregation over the just-written
-    files grouped by ``input_file_name()`` — KBs of manifest state per
-    thousand files, the Delta/Iceberg file-skipping shape. Only numeric
-    and string columns are JSON-stable enough to record; anything else
-    is skipped (its files simply never prune)."""
+def _empty_state() -> dict:
+    return {
+        "live": [],
+        "dv": {},
+        "stats": {},
+        "blooms": {},
+        "schemas": [],
+        "colmap": None,
+    }
+
+
+def _state_from_full(root: str, m: dict) -> dict:
+    """Resolved state from a FULL-SNAPSHOT manifest (a restore commit,
+    or the legacy pre-delta format where every commit carried `live`)."""
+    schemas = m.get("schemas")
+    if schemas is None:
+        # legacy manifests recorded only their own writer schema; the
+        # cumulative set is the union over the prefix (bounded by the
+        # log length; new manifests carry the set directly)
+        found = set()
+        for v in _versions(root):
+            if v > m["version"]:
+                break
+            try:
+                s = _read_manifest(root, v).get("schema")
+            except FileNotFoundError:  # trimmed by vacuum
+                continue
+            if s is not None:
+                found.add(s)
+        schemas = sorted(found)
+    return {
+        "live": list(m["live"]),
+        "dv": dict(m.get("dv", {})),
+        "stats": dict(m.get("stats", {})),
+        "blooms": dict(m.get("blooms", {})),
+        "schemas": list(schemas),
+        "colmap": m.get("colmap"),
+    }
+
+
+def _apply_delta(state: dict, m: dict) -> dict:
+    """Fold one delta manifest into ``state`` in place."""
+    removed = set(m["remove"])
+    # `add` lists every new file for vacuum/history accounting;
+    # `live_add` (defaulting to `add`) lists the subset entering the
+    # live data set — MoR deletes add vector files, not data files.
+    live_add = m.get("live_add", m["add"])
+    if removed:
+        state["live"] = [f for f in state["live"] if f not in removed]
+        for k in ("dv", "stats", "blooms"):
+            state[k] = {
+                f: v for f, v in state[k].items() if f not in removed
+            }
+    state["live"] = state["live"] + list(live_add)
+    state["dv"].update(m.get("dv_set", {}))
+    state["stats"].update(m.get("stats_add", {}))
+    state["blooms"].update(m.get("blooms_add", {}))
+    if m.get("schemas") is not None:
+        state["schemas"] = list(m["schemas"])
+    if "colmap" in m:
+        state["colmap"] = m["colmap"]
+    return state
+
+
+def _snapshot(root: str, version: int | None = None) -> dict:
+    """Resolve the table state at ``version`` (default: latest):
+    {live, dv, stats, blooms, schemas, colmap}. Walks DOWN from the
+    target to the nearest checkpoint or full-snapshot manifest, then
+    replays the collected deltas forward — O(interval) manifest reads
+    plus one checkpoint, never O(history)."""
+    if version is None:
+        version = _latest_version(root)
+    if version is None:
+        return _empty_state()
+    ckpts = set(_checkpoint_versions(root))
+    deltas: list[dict] = []
+    state = None
+    v = version
+    while v >= 0:
+        if v in ckpts:
+            state = _read_checkpoint(root, v)
+            if state is not None:
+                break
+        m = _read_manifest(root, v)
+        if "live" in m:
+            state = _state_from_full(root, m)
+            break
+        deltas.append(m)
+        v -= 1
+    if state is None:
+        state = _empty_state()
+    for m in reversed(deltas):
+        _apply_delta(state, m)
+    return state
+
+
+def _live_files(root: str, version: int | None = None) -> list[str]:
+    return _snapshot(root, version)["live"]
+
+
+def _base_stats(root: str, base: int | None) -> dict:
+    if base is None:
+        return {}
+    return _snapshot(root, base)["stats"]
+
+
+# ---------------------------------------------------------------------------
+# Checkpoints (parquet, driver-side pyarrow; see module docstring)
+# ---------------------------------------------------------------------------
+
+def _ckpt_dir(root: str, version: int) -> str:
+    return os.path.join(_log_path(root), f"ckpt-v{version:08d}")
+
+
+def _checkpoint_versions(root: str) -> list[int]:
+    log = _log_path(root)
+    if not os.path.isdir(log):
+        return []
+    out = []
+    for d in os.listdir(log):
+        if d.startswith("ckpt-v") and d[6:].isdigit():
+            out.append(int(d[6:]))
+    return sorted(out)
+
+
+def _read_checkpoint(root: str, version: int) -> dict | None:
+    """Load the checkpoint at ``version``; None if absent or unreadable
+    (resolution then falls back to deeper log replay — checkpoints are
+    an accelerator, never a correctness dependency)."""
+    d = _ckpt_dir(root, version)
+    if not os.path.isdir(d):
+        return None
+    try:
+        import pyarrow.parquet as pq
+
+        with open(os.path.join(d, "meta.json")) as fh:
+            meta = json.load(fh)
+        t = pq.read_table(os.path.join(d, "files.parquet"))
+        live: list[str] = []
+        dv: dict[str, str] = {}
+        stats: dict[str, dict] = {}
+        blooms: dict[str, dict] = {}
+        for path, dvp, sj, bj in zip(
+            t["path"].to_pylist(),
+            t["dv"].to_pylist(),
+            t["stats"].to_pylist(),
+            t["blooms"].to_pylist(),
+        ):
+            live.append(path)
+            if dvp:
+                dv[path] = dvp
+            if sj:
+                stats[path] = json.loads(sj)
+            if bj:
+                blooms[path] = json.loads(bj)
+        return {
+            "live": live,
+            "dv": dv,
+            "stats": stats,
+            "blooms": blooms,
+            "schemas": meta.get("schemas", []),
+            "colmap": meta.get("colmap"),
+        }
+    except Exception:
+        return None
+
+
+def log_checkpoint(root: str, version: int | None = None) -> int:
+    """Write a parquet checkpoint of the resolved state at ``version``
+    (default: latest) and advance the `_last_checkpoint` pointer.
+    Atomic publish via directory rename (losers of a race clean up
+    their temp dir); returns the checkpointed version."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    if version is None:
+        version = _latest_version(root)
+    if version is None:
+        raise ValueError(f"no table at {root}")
+    state = _snapshot(root, version)
+    live = state["live"]
+    tbl = pa.table(
+        {
+            "path": pa.array(live, pa.string()),
+            "dv": pa.array(
+                [state["dv"].get(f) for f in live], pa.string()
+            ),
+            "stats": pa.array(
+                [
+                    json.dumps(state["stats"][f], sort_keys=True)
+                    if f in state["stats"]
+                    else None
+                    for f in live
+                ],
+                pa.string(),
+            ),
+            "blooms": pa.array(
+                [
+                    json.dumps(state["blooms"][f], sort_keys=True)
+                    if f in state["blooms"]
+                    else None
+                    for f in live
+                ],
+                pa.string(),
+            ),
+        }
+    )
+    log = _log_path(root)
+    os.makedirs(log, exist_ok=True)
+    tmp = os.path.join(log, f".ckpt-tmp-{uuid.uuid4().hex}")
+    os.makedirs(tmp)
+    pq.write_table(tbl, os.path.join(tmp, "files.parquet"))
+    with open(os.path.join(tmp, "meta.json"), "w") as fh:
+        json.dump(
+            {
+                "version": version,
+                "schemas": state["schemas"],
+                "colmap": state["colmap"],
+            },
+            fh,
+            sort_keys=True,
+        )
+    try:
+        os.rename(tmp, _ckpt_dir(root, version))
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)  # lost a checkpoint race
+    ptr_tmp = os.path.join(log, f".lcp-{uuid.uuid4().hex}")
+    with open(ptr_tmp, "w") as fh:
+        json.dump({"version": version}, fh)
+    os.replace(ptr_tmp, os.path.join(log, "_last_checkpoint"))
+    return version
+
+
+def _maybe_checkpoint(root: str, version: int) -> None:
+    """Best-effort cadence checkpoint after a committed version — a
+    failure here never fails the commit (the log alone is sufficient)."""
+    if version > 0 and version % CHECKPOINT_INTERVAL == 0:
+        try:
+            log_checkpoint(root, version)
+        except Exception:
+            pass
+
+
+# ---------------------------------------------------------------------------
+# Column mapping (logical↔physical)
+# ---------------------------------------------------------------------------
+
+def _to_physical_loose(df: DataFrame, colmap: dict | None) -> DataFrame:
+    """Rename mapped LOGICAL columns to their physical names; unmapped
+    columns pass through untouched."""
+    if not colmap:
+        return df
+    from pyspark.sql import functions as F
+
+    return df.select(
+        *[F.col(c).alias(colmap.get(c, c)) for c in df.columns]
+    )
+
+
+def _to_logical_loose(df: DataFrame, colmap: dict | None) -> DataFrame:
+    """Rename mapped PHYSICAL columns back to logical names; unmapped
+    (e.g. dropped-column) physicals keep their physical names."""
+    if not colmap:
+        return df
+    from pyspark.sql import functions as F
+
+    inv = {p: l for l, p in colmap.items()}
+    return df.select(*[F.col(c).alias(inv.get(c, c)) for c in df.columns])
+
+
+def _to_logical(df: DataFrame, colmap: dict | None) -> DataFrame:
+    """The strict read-path projection: only mapped columns surface,
+    under their logical names, in mapping order (dropped columns'
+    physical data stays in the files but never reaches a reader)."""
+    if not colmap:
+        return df
+    from pyspark.sql import functions as F
+
+    return df.select(
+        *[
+            F.col(p).alias(l)
+            for l, p in colmap.items()
+            if p in df.columns
+        ]
+    )
+
+
+def _physical_columns(root: str, state: dict) -> list[str]:
+    """Union of the live files' physical column names, footer-read via
+    pyarrow in first-seen order. Used once, when a table first enters
+    column-mapping mode; production records the physical schema in the
+    manifest instead of touching footers."""
+    import pyarrow.parquet as pq
+
+    names: list[str] = []
+    seen: set[str] = set()
+    for f in state["live"]:
+        for n in pq.read_schema(os.path.join(root, f)).names:
+            if n not in seen:
+                seen.add(n)
+                names.append(n)
+    return names
+
+
+def log_rename_column(root: str, old: str, new: str) -> int:
+    """RENAME COLUMN as a metadata-only commit: the logical name changes
+    in the mapping; every data file keeps its physical column name —
+    zero data I/O at any table size. Conflicts with any concurrent
+    commit (CommitConflict propagates)."""
+    base = _latest_version(root)
+    if base is None:
+        raise ValueError(f"no table at {root}")
+    state = _snapshot(root, base)
+    colmap = state["colmap"]
+    if colmap is None:
+        colmap = {c: c for c in _physical_columns(root, state)}
+    if old not in colmap:
+        raise ValueError(f"no such column: {old}")
+    if new in colmap:
+        raise ValueError(f"column already exists: {new}")
+    colmap = {(new if l == old else l): p for l, p in colmap.items()}
+    manifest = {
+        "version": base + 1,
+        "action": "rename_column",
+        "add": [],
+        "remove": [],
+        "schemas": state["schemas"],
+        "colmap": colmap,
+        "rename": [old, new],
+        "ts": time.time(),
+    }
+    v = _commit(root, base + 1, manifest)
+    _maybe_checkpoint(root, v)
+    return v
+
+
+def log_drop_column(root: str, col: str) -> int:
+    """DROP COLUMN as a metadata-only commit: the logical column leaves
+    the mapping; its physical data stays in the files (invisible to
+    readers) until those files are naturally rewritten — the Delta
+    column-mapping drop shape."""
+    base = _latest_version(root)
+    if base is None:
+        raise ValueError(f"no table at {root}")
+    state = _snapshot(root, base)
+    colmap = state["colmap"]
+    if colmap is None:
+        colmap = {c: c for c in _physical_columns(root, state)}
+    if col not in colmap:
+        raise ValueError(f"no such column: {col}")
+    colmap = {l: p for l, p in colmap.items() if l != col}
+    if not colmap:
+        raise ValueError("cannot drop the last column")
+    manifest = {
+        "version": base + 1,
+        "action": "drop_column",
+        "add": [],
+        "remove": [],
+        "schemas": state["schemas"],
+        "colmap": colmap,
+        "dropped": col,
+        "ts": time.time(),
+    }
+    v = _commit(root, base + 1, manifest)
+    _maybe_checkpoint(root, v)
+    return v
+
+
+# ---------------------------------------------------------------------------
+# Data-file writing + per-file stats/blooms
+# ---------------------------------------------------------------------------
+
+_STATS_TYPES = {
+    "long", "integer", "short", "byte", "double", "float",
+    "string", "date", "decimal",
+}
+#: bloom-able types: hashed through a canonical representation (integers
+#: cast to long, strings as-is) so driver-side probes reproduce the
+#: positions exactly — Spark's xxhash64 hashes int32 and int64
+#: differently, and a Python probe value always arrives as bigint.
+_BLOOM_TYPES = {"long", "integer", "short", "byte", "string"}
+
+
+def _bloom_position_cols(c: str, is_string: bool):
+    """Double-hashed bloom positions for column ``c`` as an array<int>
+    expression: pos_i = (h1 + i·h2odd) mod BLOOM_BITS from one xxhash64.
+    The odd stride guarantees distinct probes over the power-of-two
+    space; the same arithmetic is re-derived on the driver for probes
+    (`_bloom_positions`)."""
+    from pyspark.sql import functions as F
+
+    col = F.col(c) if is_string else F.col(c).cast("long")
+    h = F.xxhash64(col)
+    h1 = F.pmod(h, F.lit(2 ** 31))
+    h2o = F.pmod(F.shiftright(h, 31), F.lit(2 ** 31)) * 2 + 1
+    return F.array(
+        *[
+            F.pmod(h1 + F.lit(i) * h2o, F.lit(BLOOM_BITS)).cast("int")
+            for i in range(BLOOM_PROBES)
+        ]
+    )
+
+
+def _bloom_positions(spark: SparkSession, value) -> list[int]:
+    """The probe side of the bloom: positions for one lookup value,
+    using Spark itself for the xxhash64 (one scalar SQL — guarantees
+    bit-identity with the build side; integers probe as bigint, which
+    is the build side's canonical cast)."""
+    # a Python int binds as a 32-bit `int` literal, but the build side
+    # hashes through the canonical BIGINT cast — force the same here
+    q = (
+        "SELECT xxhash64(CAST(? AS BIGINT))"
+        if isinstance(value, int)
+        else "SELECT xxhash64(?)"
+    )
+    h = spark.sql(q, args=[value]).collect()[0][0]
+    h1 = h % (2 ** 31)
+    h2o = ((h >> 31) % (2 ** 31)) * 2 + 1
+    return [(h1 + i * h2o) % BLOOM_BITS for i in range(BLOOM_PROBES)]
+
+
+def _write_data_files(
+    df: DataFrame,
+    root: str,
+    token: str,
+    stats_cols: list[str] | None = None,
+    bloom_cols: list[str] | None = None,
+) -> tuple[list[str], dict[str, dict[str, list]], dict[str, dict[str, list]]]:
+    """Write ``df`` under data/<token>/; return (root-relative part
+    files, per-file min/max stats for ``stats_cols``, per-file bloom
+    position sets for ``bloom_cols``). The directory is unique per
+    commit attempt, so a losing/crashed writer never collides with a
+    winner's files.
+
+    Stats AND blooms come from ONE distributed aggregation over the
+    just-written files grouped by ``input_file_name()`` — KBs of
+    manifest state per thousand files, the Delta/Iceberg file-skipping
+    shape. Only JSON-stable column types participate; anything else is
+    skipped (its files simply never prune)."""
     out_dir = os.path.join(root, _DATA_DIR, token)
     df.write.mode("error").parquet(out_dir)
     rel = []
@@ -136,23 +619,34 @@ def _write_data_files(
         if f.endswith(".parquet"):
             rel.append(os.path.join(_DATA_DIR, token, f))
     stats: dict[str, dict[str, list]] = {}
-    if stats_cols and rel:
+    blooms: dict[str, dict[str, list]] = {}
+    if (stats_cols or bloom_cols) and rel:
         from pyspark.sql import functions as F
 
         spark = df.sparkSession
         back = spark.read.parquet(out_dir)
+        types = {f.name: f.dataType.typeName() for f in back.schema.fields}
         keep = [
             c
-            for c in stats_cols
-            if c in back.columns
-            and back.schema[c].dataType.typeName()
-            in {"long", "integer", "short", "byte", "double", "float",
-                "string", "date", "decimal"}
+            for c in (stats_cols or [])
+            if types.get(c) in _STATS_TYPES
         ]
-        if keep:
+        keep_b = [
+            c
+            for c in (bloom_cols or [])
+            if types.get(c) in _BLOOM_TYPES
+        ]
+        if keep or keep_b:
             aggs = []
             for c in keep:
                 aggs += [F.min(c).alias(f"mn_{c}"), F.max(c).alias(f"mx_{c}")]
+            for c in keep_b:
+                arr = _bloom_position_cols(c, types[c] == "string")
+                aggs.append(
+                    F.array_distinct(F.flatten(F.collect_list(arr))).alias(
+                        f"bl_{c}"
+                    )
+                )
             rows = (
                 back.groupBy(F.input_file_name().alias("_f"))
                 .agg(*aggs)
@@ -162,14 +656,16 @@ def _write_data_files(
                 tail = next((p for p in rel if r["_f"].endswith(p)), None)
                 if tail is None:
                     continue
-                stats[tail] = {
-                    c: [
-                        _json_val(r[f"mn_{c}"]),
-                        _json_val(r[f"mx_{c}"]),
-                    ]
-                    for c in keep
-                }
-    return rel, stats
+                if keep:
+                    stats[tail] = {
+                        c: [_json_val(r[f"mn_{c}"]), _json_val(r[f"mx_{c}"])]
+                        for c in keep
+                    }
+                if keep_b:
+                    blooms[tail] = {
+                        c: sorted(r[f"bl_{c}"]) for c in keep_b
+                    }
+    return rel, stats, blooms
 
 
 def _json_val(v):
@@ -188,7 +684,8 @@ def _commit(root: str, version: int, manifest: dict) -> int:
     """Atomically publish ``manifest`` as ``version``: write a temp file,
     then hard-link it to the final name. link(2) is atomic and fails with
     EEXIST when the name is taken — put-if-absent, the only primitive the
-    protocol needs from the store."""
+    protocol needs from the store. The winner also writes the cadence
+    checkpoint (best-effort; see _maybe_checkpoint)."""
     log = _log_path(root)
     os.makedirs(log, exist_ok=True)
     tmp = os.path.join(log, f".tmp-{uuid.uuid4().hex}.json")
@@ -204,58 +701,71 @@ def _commit(root: str, version: int, manifest: dict) -> int:
         ) from None
     finally:
         os.unlink(tmp)
+    _maybe_checkpoint(root, version)
     return version
 
 
-def _live_files(root: str, version: int | None = None) -> list[str]:
-    if version is None:
-        version = _latest_version(root)
-        if version is None:
-            return []
-    return list(_read_manifest(root, version)["live"])
-
-
-def _base_stats(root: str, base: int | None) -> dict:
-    if base is None:
-        return {}
-    return dict(_read_manifest(root, base).get("stats", {}))
-
+# ---------------------------------------------------------------------------
+# Table operations
+# ---------------------------------------------------------------------------
 
 def log_append(
     spark: SparkSession,
     root: str,
     df: DataFrame,
     stats_cols: list[str] | None = None,
+    bloom_cols: list[str] | None = None,
 ) -> int:
     """Commit ``df`` as new files appended to the table; returns the new
-    version. ``stats_cols`` records per-file min/max in the manifest for
-    reader-side file skipping. Appends never conflict logically, so on
-    CommitConflict the already-written data files are simply
-    re-published against the newer snapshot (no rewrite)."""
+    version. ``stats_cols`` records per-file min/max (range skipping),
+    ``bloom_cols`` per-file bloom position sets (point skipping).
+    Appends never conflict logically, so on CommitConflict the
+    already-written data files are simply re-published against the
+    newer snapshot (no rewrite) — unless the column mapping changed
+    underneath, which conflicts for real."""
+    state0 = _snapshot(root)
+    colmap0 = state0["colmap"]
+    colmap = None
+    if colmap0 is not None:
+        # schema evolution under mapping: new logical columns get fresh
+        # physical names (collision-suffixed) recorded in this commit
+        colmap = dict(colmap0)
+        used = set(colmap.values())
+        for c in df.columns:
+            if c not in colmap:
+                p = c if c not in used else f"{c}_{uuid.uuid4().hex[:8]}"
+                colmap[c] = p
+                used.add(p)
+    pdf = _to_physical_loose(df, colmap)
     token = uuid.uuid4().hex[:12]
-    added, new_stats = _write_data_files(df, root, token, stats_cols)
+    added, new_stats, new_blooms = _write_data_files(
+        pdf, root, token, stats_cols, bloom_cols
+    )
+    physical_schema = pdf.schema.simpleString()
     while True:
         base = _latest_version(root)
-        live = _live_files(root, base) if base is not None else []
         version = 0 if base is None else base + 1
+        cur = _snapshot(root, base) if base is not None else _empty_state()
+        if cur["colmap"] != colmap0:
+            raise CommitConflict(
+                "column mapping changed during append — re-prepare"
+            )
         manifest = {
             "version": version,
             "action": "append",
             "add": added,
             "remove": [],
-            "live": live + added,
-            # deletion vectors on carried files MUST ride along — the
-            # model-based sweep caught an append resurrecting
-            # MoR-deleted rows when this map was dropped
-            "dv": (
-                _read_manifest(root, base).get("dv", {})
-                if base is not None
-                else {}
-            ),
-            "stats": {**_base_stats(root, base), **new_stats},
+            "stats_add": new_stats,
+            "blooms_add": new_blooms,
+            # cumulative distinct PHYSICAL file schemas: >1 gates the
+            # read path's parquet footer merge (schema evolution)
+            "schemas": sorted(set(cur["schemas"]) | {physical_schema}),
+            # this commit's writer schema as given (logical), for history
             "schema": df.schema.simpleString(),
             "ts": time.time(),
         }
+        if colmap is not None and colmap != colmap0:
+            manifest["colmap"] = colmap
         try:
             return _commit(root, version, manifest)
         except CommitConflict:
@@ -267,62 +777,73 @@ def log_read(
     root: str,
     version: int | None = None,
     prune: tuple[str, object, object] | None = None,
+    point: tuple[str, object] | None = None,
 ) -> DataFrame:
     """Snapshot read at ``version`` (default: latest). Resolves the file
-    list from ONE manifest — never lists the data directory, so
-    concurrent commits and crash garbage are invisible.
+    list from the log (checkpoint + delta replay) — never lists the
+    data directory, so concurrent commits and crash garbage are
+    invisible.
 
-    ``prune=(col, lo, hi)`` applies manifest-level file skipping: only
-    files whose recorded [min, max] span overlaps the closed range
-    survive; files without stats are always kept (skipping is safe-only,
-    like parquet row-group pruning one level up). The predicate itself
-    is NOT applied — callers keep their own filter so pruning can never
-    change results, only scan less."""
-    if version is None:
-        version = _latest_version(root)
-    files = _live_files(root, version)
+    ``prune=(col, lo, hi)`` applies manifest-level min/max file
+    skipping; ``point=(col, value)`` applies bloom file skipping (files
+    whose bloom rejects the value are dropped; files without a bloom
+    are always kept). Both are safe-only: the predicate itself is NOT
+    applied — callers keep their own filter so skipping can never
+    change results, only scan less. Columns are logical names; the
+    mapping resolves them to physical stats keys."""
+    from pyspark.sql import functions as F
+
+    state = _snapshot(root, version)
+    files = state["live"]
     if not files:
         raise ValueError(f"no table at {root} (version={version})")
+    colmap = state["colmap"]
+
+    def phys(c: str) -> str:
+        return (colmap or {}).get(c, c)
+
     if prune is not None:
         col, lo, hi = prune
-        stats = _read_manifest(root, version).get("stats", {})
+        pc = phys(col)
+        stats = state["stats"]
         files = [
             f
             for f in files
             if f not in stats
-            or col not in stats[f]
-            or stats[f][col][0] is None
-            or not (stats[f][col][0] > hi or stats[f][col][1] < lo)
+            or pc not in stats[f]
+            or stats[f][pc][0] is None
+            or not (stats[f][pc][0] > hi or stats[f][pc][1] < lo)
         ]
-        if not files:
-            # every file pruned: preserve the schema via an empty scan
-            # of ONE live file with a false filter
-            from pyspark.sql import functions as F
-
-            one = _live_files(root, version)[0]
-            return spark.read.parquet(os.path.join(root, one)).filter(
-                F.lit(False)
-            )
-    dvs = _read_manifest(root, version).get("dv", {})
-    # schema evolution: when commits up to this version recorded more
-    # than one writer schema, merge parquet footers so late columns
-    # surface (earlier files read them as NULL). Gated — footer merging
-    # costs a per-file read, so same-schema tables skip it; production
-    # keeps the schema set in the latest manifest instead of re-reading
-    # history (same information, one lookup).
-    schemas = {
-        _read_manifest(root, v).get("schema")
-        for v in _versions(root)
-        if v <= version
-    } - {None}
-    merge = len(schemas) > 1
-    return _read_with_dv(spark, root, files, dvs, merge_schema=merge)
+    if point is not None:
+        col, value = point
+        pc = phys(col)
+        pos = set(_bloom_positions(spark, value))
+        blooms = state["blooms"]
+        files = [
+            f
+            for f in files
+            if f not in blooms
+            or pc not in blooms[f]
+            or pos <= set(blooms[f][pc])
+        ]
+    if not files:
+        # every file pruned: preserve the schema via an empty scan
+        # of ONE live file with a false filter
+        one = state["live"][0]
+        empty = spark.read.parquet(os.path.join(root, one)).filter(
+            F.lit(False)
+        )
+        return _to_logical(empty, colmap)
+    merge = len(state["schemas"]) > 1
+    df = _read_with_dv(spark, root, files, state["dv"], merge_schema=merge)
+    return _to_logical(df, colmap)
 
 
 def log_delete_where(spark: SparkSession, root: str, predicate: str) -> int:
     """Copy-on-write delete: rewrite ONLY the files that contain rows
-    matching ``predicate`` (a Spark SQL boolean expression), carrying
-    every other file by reference. Returns the new version.
+    matching ``predicate`` (a Spark SQL boolean expression over LOGICAL
+    column names), carrying every other file by reference. Returns the
+    new version.
 
     The affected-file probe is one predicate-pushed scan projecting
     `input_file_name()` — the collect is file-path-sized (metadata, not
@@ -334,9 +855,14 @@ def log_delete_where(spark: SparkSession, root: str, predicate: str) -> int:
     base = _latest_version(root)
     if base is None:
         raise ValueError(f"no table at {root}")
-    live = _live_files(root, base)
-    dvs = _read_manifest(root, base).get("dv", {})
-    snap = spark.read.parquet(*[os.path.join(root, f) for f in live])
+    state = _snapshot(root, base)
+    live, dvs, colmap = state["live"], state["dv"], state["colmap"]
+    merge = len(state["schemas"]) > 1
+    snap = _to_logical_loose(
+        spark.read.option("mergeSchema", "true" if merge else "false")
+        .parquet(*[os.path.join(root, f) for f in live]),
+        colmap,
+    )
     affected_abs = {
         r[0]
         for r in snap.filter(F.expr(predicate))
@@ -345,44 +871,41 @@ def log_delete_where(spark: SparkSession, root: str, predicate: str) -> int:
         .collect()
     }
     # input_file_name yields file:// URIs; match on the root-relative tail
-    affected = [
-        f for f in live if any(a.endswith(f) for a in affected_abs)
-    ]
-    if not affected:  # nothing to delete: commit a no-op manifest
+    affected = [f for f in live if any(a.endswith(f) for a in affected_abs)]
+    if not affected:  # nothing to delete: commit a no-op delta
         manifest = {
             "version": base + 1,
             "action": "delete",
             "add": [],
             "remove": [],
-            "live": live,
-            "dv": dvs,
-            "stats": _base_stats(root, base),
+            "schemas": state["schemas"],
             "predicate": predicate,
             "ts": time.time(),
         }
         return _commit(root, base + 1, manifest)
     # rewrite reads THROUGH any deletion vectors on the affected files
     # (dead rows must not resurrect); their vectors then retire
-    survivors = _read_with_dv(spark, root, affected, dvs).filter(
-        ~F.expr(predicate)
-    )
+    survivors_logical = _to_logical_loose(
+        _read_with_dv(spark, root, affected, dvs, merge_schema=merge),
+        colmap,
+    ).filter(~F.expr(predicate))
+    survivors = _to_physical_loose(survivors_logical, colmap)
     token = uuid.uuid4().hex[:12]
-    stats_cols = sorted(
-        {c for s in _base_stats(root, base).values() for c in s}
+    stats_cols = sorted({c for s in state["stats"].values() for c in s})
+    bloom_cols = sorted({c for b in state["blooms"].values() for c in b})
+    added, new_stats, new_blooms = _write_data_files(
+        survivors, root, token, stats_cols, bloom_cols
     )
-    added, new_stats = _write_data_files(survivors, root, token, stats_cols)
-    untouched = [f for f in live if f not in set(affected)]
-    carried = {
-        f: s for f, s in _base_stats(root, base).items() if f in set(untouched)
-    }
     manifest = {
         "version": base + 1,
         "action": "delete",
         "add": added,
         "remove": affected,
-        "live": untouched + added,
-        "dv": {f: d for f, d in dvs.items() if f in set(untouched)},
-        "stats": {**carried, **new_stats},
+        "stats_add": new_stats,
+        "blooms_add": new_blooms,
+        "schemas": sorted(
+            set(state["schemas"]) | {survivors.schema.simpleString()}
+        ),
         "predicate": predicate,
         "ts": time.time(),
     }
@@ -416,18 +939,23 @@ def log_merge(
     base = _latest_version(root)
     if base is None:
         raise ValueError(f"no table at {root}")
-    live = _live_files(root, base)
-    dvs = _read_manifest(root, base).get("dv", {})
-    snap = spark.read.parquet(*[os.path.join(root, f) for f in live])
-    keys = changes.select(F.col(key_col)).distinct()
+    state = _snapshot(root, base)
+    live, dvs, colmap = state["live"], state["dv"], state["colmap"]
+    merge_sch = len(state["schemas"]) > 1
+    phys_key = (colmap or {}).get(key_col, key_col)
+    changes_p = _to_physical_loose(changes, colmap)
+    snap = spark.read.option(
+        "mergeSchema", "true" if merge_sch else "false"
+    ).parquet(*[os.path.join(root, f) for f in live])
+    keys = changes_p.select(F.col(phys_key)).distinct()
     # input_file_name() must bind below the join (single-source rule):
     # project it on the scan side, THEN semi-join the broadcast keys
     probe = snap.select(
-        key_col, F.input_file_name().alias("_tablelog_file")
+        phys_key, F.input_file_name().alias("_tablelog_file")
     )
     affected_abs = {
         r[0]
-        for r in probe.join(F.broadcast(keys), key_col, "left_semi")
+        for r in probe.join(F.broadcast(keys), phys_key, "left_semi")
         .select("_tablelog_file")
         .distinct()
         .collect()
@@ -437,29 +965,30 @@ def log_merge(
     if affected:
         # rewrite reads through deletion vectors (dead rows must not
         # resurrect); the affected files' vectors then retire
-        survivors = _read_with_dv(spark, root, affected, dvs).join(
-            F.broadcast(keys), key_col, "left_anti"
-        )
+        survivors = _read_with_dv(
+            spark, root, affected, dvs, merge_schema=merge_sch
+        ).join(F.broadcast(keys), phys_key, "left_anti")
     new_rows = (
-        survivors.unionByName(changes) if survivors is not None else changes
+        survivors.unionByName(changes_p, allowMissingColumns=True)
+        if survivors is not None
+        else changes_p
     )
     token = uuid.uuid4().hex[:12]
-    stats_cols = sorted(
-        {c for s in _base_stats(root, base).values() for c in s}
+    stats_cols = sorted({c for s in state["stats"].values() for c in s})
+    bloom_cols = sorted({c for b in state["blooms"].values() for c in b})
+    added, new_stats, new_blooms = _write_data_files(
+        new_rows, root, token, stats_cols, bloom_cols
     )
-    added, new_stats = _write_data_files(new_rows, root, token, stats_cols)
-    untouched = [f for f in live if f not in set(affected)]
-    carried = {
-        f: s for f, s in _base_stats(root, base).items() if f in set(untouched)
-    }
     manifest = {
         "version": base + 1,
         "action": "merge",
         "add": added,
         "remove": affected,
-        "live": untouched + added,
-        "dv": {f: d for f, d in dvs.items() if f in set(untouched)},
-        "stats": {**carried, **new_stats},
+        "stats_add": new_stats,
+        "blooms_add": new_blooms,
+        "schemas": sorted(
+            set(state["schemas"]) | {new_rows.schema.simpleString()}
+        ),
         "ts": time.time(),
     }
     return _commit(root, base + 1, manifest)
@@ -474,63 +1003,80 @@ def log_compact(
 ) -> int:
     """OPTIMIZE: rewrite the live set into ``target_files`` files —
     content-identical, so readers on any version are unaffected and time
-    travel crosses the compaction seamlessly.
+    travel crosses the compaction seamlessly. Deletion vectors are
+    materialized (the new files carry no dead rows) and the physical
+    schema set collapses to one (merged footers are baked in).
 
-    ``zorder_cols`` (2+ numeric columns) is OPTIMIZE ZORDER BY: the
-    rewrite range-partitions + sorts along the Morton curve of those
-    columns (sources/zorder.py), so each output file covers a compact
-    hyper-rectangle — which is exactly what makes the manifest's
-    min/max stats prune: post-ZORDER, a range probe on any clustered
-    column keeps O(matching) files instead of all of them. This is the
-    one commit where clustering pays its shuffle; every subsequent
-    pruned read amortizes it."""
+    ``zorder_cols`` (2+ numeric columns, logical names) is OPTIMIZE
+    ZORDER BY: the rewrite range-partitions + sorts along the Morton
+    curve of those columns (sources/zorder.py), so each output file
+    covers a compact hyper-rectangle — which is exactly what makes the
+    manifest's min/max stats prune: post-ZORDER, a range probe on any
+    clustered column keeps O(matching) files instead of all of them.
+    This is the one commit where clustering pays its shuffle; every
+    subsequent pruned read amortizes it."""
     base = _latest_version(root)
     if base is None:
         raise ValueError(f"no table at {root}")
-    live = _live_files(root, base)
+    state = _snapshot(root, base)
+    live, colmap = state["live"], state["colmap"]
+    merge_sch = len(state["schemas"]) > 1
     # read THROUGH any deletion vectors: compaction materializes them
-    # (the new files carry no dead rows, the manifest carries no dv map)
     snap = _read_with_dv(
-        spark, root, live, _read_manifest(root, base).get("dv", {})
+        spark, root, live, state["dv"], merge_schema=merge_sch
     )
     token = uuid.uuid4().hex[:12]
     if stats_cols is None:
-        stats_cols = sorted(
-            {c for s in _base_stats(root, base).values() for c in s}
-        )
+        stats_cols = sorted({c for s in state["stats"].values() for c in s})
+    else:
+        stats_cols = [(colmap or {}).get(c, c) for c in stats_cols]
+    bloom_cols = sorted({c for b in state["blooms"].values() for c in b})
     if zorder_cols:
         from .zorder import zorder_by
 
-        out = zorder_by(snap, *zorder_cols, n_files=target_files)
-        stats_cols = sorted(set(stats_cols) | set(zorder_cols))
+        pz = [(colmap or {}).get(c, c) for c in zorder_cols]
+        out = zorder_by(snap, *pz, n_files=target_files)
+        stats_cols = sorted(set(stats_cols) | set(pz))
     else:
         out = snap.coalesce(target_files)
-    added, new_stats = _write_data_files(out, root, token, stats_cols)
+    added, new_stats, new_blooms = _write_data_files(
+        out, root, token, stats_cols, bloom_cols
+    )
     manifest = {
         "version": base + 1,
         "action": "compact",
         "add": added,
         "remove": live,
-        "live": added,
-        "stats": new_stats,
+        "stats_add": new_stats,
+        "blooms_add": new_blooms,
+        # all live files now share one physical schema
+        "schemas": [out.schema.simpleString()],
         "ts": time.time(),
     }
     return _commit(root, base + 1, manifest)
 
 
 def log_history(root: str) -> list[dict]:
-    """Commit history: (version, action, files added/removed/live)."""
-    return [
-        {
-            "version": v,
-            "action": m["action"],
-            "n_added": len(m["add"]),
-            "n_removed": len(m["remove"]),
-            "n_live": len(m["live"]),
-        }
-        for v in _versions(root)
-        for m in [_read_manifest(root, v)]
-    ]
+    """Commit history: (version, action, files added/removed/live) —
+    one incremental replay over the manifests (each read once)."""
+    out = []
+    state = _empty_state()
+    for v in _versions(root):
+        m = _read_manifest(root, v)
+        if "live" in m:
+            state = _state_from_full(root, m)
+        else:
+            _apply_delta(state, m)
+        out.append(
+            {
+                "version": v,
+                "action": m["action"],
+                "n_added": len(m["add"]),
+                "n_removed": len(m["remove"]),
+                "n_live": len(state["live"]),
+            }
+        )
+    return out
 
 
 def log_vacuum(root: str, retain_versions: int = 0) -> list[str]:
@@ -539,16 +1085,37 @@ def log_vacuum(root: str, retain_versions: int = 0) -> list[str]:
     trims history, files only old versions referenced. Returns the
     deleted root-relative paths. Never touches a file a retained
     manifest can resolve — pruned versions' manifests are removed too,
-    so time travel never dangles."""
+    so time travel never dangles. When trimming would remove the oldest
+    retained version's replay base, a fresh checkpoint is written at
+    that version first (the log stays resolvable by construction);
+    checkpoints below the trim floor are removed with their manifests."""
     vs = _versions(root)
     if not vs:
         return []
     keep = vs if retain_versions <= 0 else vs[-retain_versions:]
+    if keep[0] > vs[0]:
+        # trimming: the oldest retained version must stay resolvable
+        # without manifests below it — need a base at keep[0] (full
+        # manifest or checkpoint) or a checkpoint at keep[0]-1
+        m0 = _read_manifest(root, keep[0])
+        has_base = "live" in m0 or any(
+            c in (keep[0] - 1, keep[0]) for c in _checkpoint_versions(root)
+        )
+        if not has_base:
+            log_checkpoint(root, keep[0])
+    # referenced files: one incremental replay across retained versions
     referenced: set[str] = set()
-    for v in keep:
+    state = _snapshot(root, keep[0])
+    referenced.update(state["live"])
+    referenced.update(state["dv"].values())
+    for v in keep[1:]:
         m = _read_manifest(root, v)
-        referenced.update(m["live"])
-        referenced.update(m.get("dv", {}).values())
+        if "live" in m:
+            state = _state_from_full(root, m)
+        else:
+            _apply_delta(state, m)
+        referenced.update(state["live"])
+        referenced.update(state["dv"].values())
     deleted = []
     data_root = os.path.join(root, _DATA_DIR)
     for dirpath, _dirs, files in os.walk(data_root):
@@ -560,6 +1127,9 @@ def log_vacuum(root: str, retain_versions: int = 0) -> list[str]:
     for v in vs:
         if v not in keep:
             os.unlink(os.path.join(_log_path(root), _manifest_name(v)))
+    for c in _checkpoint_versions(root):
+        if c < keep[0] - 1:  # a ckpt at keep[0]-1 still bases keep[0]
+            shutil.rmtree(_ckpt_dir(root, c), ignore_errors=True)
     # drop emptied commit dirs so the data tree stays file-count-sized
     for d in sorted(os.listdir(data_root)) if os.path.isdir(data_root) else []:
         p = os.path.join(data_root, d)
@@ -568,8 +1138,259 @@ def log_vacuum(root: str, retain_versions: int = 0) -> list[str]:
     return sorted(deleted)
 
 
+def log_restore(spark: SparkSession, root: str, version: int) -> int:
+    """RESTORE the table to a historical version — a METADATA-ONLY
+    commit whose live set (and deletion vectors, stats, blooms, column
+    mapping) are the target version's. Nothing is copied: the restored
+    version's files are still on disk (vacuum retention permitting), so
+    rollback after a bad write is one manifest regardless of table size
+    — the Delta RESTORE shape. The restore manifest is written in FULL
+    form (it IS a snapshot) and doubles as a replay base. History is
+    preserved: the bad versions stay time-travelable and the restore is
+    itself a new version."""
+    t = _snapshot(root, version)
+    base = _latest_version(root)
+    manifest = {
+        "version": base + 1,
+        "action": "restore",
+        "add": [],
+        "remove": [],
+        "live": t["live"],
+        "dv": t["dv"],
+        "stats": t["stats"],
+        "blooms": t["blooms"],
+        "schemas": t["schemas"],
+        "restored_from": version,
+        "ts": time.time(),
+    }
+    if t["colmap"] is not None:
+        manifest["colmap"] = t["colmap"]
+    return _commit(root, base + 1, manifest)
+
+
 # ---------------------------------------------------------------------------
-# registry entry: time travel across append / delete / append / compact
+# Merge-on-read deletion vectors
+# ---------------------------------------------------------------------------
+
+def log_delete_where_mor(
+    spark: SparkSession, root: str, predicate: str
+) -> int:
+    """Merge-on-read DELETE: instead of rewriting affected files (the
+    copy-on-write path), write a DELETION VECTOR per affected file —
+    the (file, row position) list of dead rows — and commit only the
+    KB-sized vectors. Readers anti-join the broadcast DV on the
+    parquet reader's hidden (_metadata.file_path, _metadata.row_index)
+    identity, so a delete touching millions of wide rows costs minutes
+    of scan and kilobytes of write instead of rewriting terabytes —
+    Delta/Iceberg v2 deletion-vector economics.
+
+    The write-amplification trade: CoW pays at delete time and keeps
+    reads clean; MoR pays a per-read anti-join until a compaction
+    materializes the vectors (log_compact drops them — it rewrites
+    content through the DV-applied read). Point deletes / GDPR erasure
+    on huge tables want MoR; bulk reshaping wants CoW.
+
+    DV files are parquet (row_index) under the commit's own data dir;
+    the manifest's dv delta maps data-file → dv-file, each new vector
+    superseding (and unioning) the file's previous one — the old stays
+    for time travel."""
+    from pyspark.sql import functions as F
+
+    base = _latest_version(root)
+    if base is None:
+        raise ValueError(f"no table at {root}")
+    state = _snapshot(root, base)
+    live, colmap = state["live"], state["colmap"]
+    dvs: dict[str, str] = dict(state["dv"])
+    merge_sch = len(state["schemas"]) > 1
+    # read WITH existing vectors applied so re-deletes don't duplicate
+    snap = _to_logical_loose(
+        _read_with_dv(spark, root, live, dvs, merge_schema=merge_sch),
+        colmap,
+    ).filter(F.expr(predicate))
+    hits = snap.select(
+        F.col("_metadata.file_path").alias("_fp"),
+        F.col("_metadata.row_index").alias("row_index"),
+    )
+    token = uuid.uuid4().hex[:12]
+    dv_dir = os.path.join(root, _DATA_DIR, token)
+    rows = hits.collect()  # positions of deleted rows: KB-scale metadata;
+    # at production scale this stays distributed (write per-file DV
+    # partitions directly); the grouping below is the same computation
+    by_file: dict[str, list[int]] = {}
+    for r in rows:
+        tail = next((f for f in live if r["_fp"].endswith(f)), None)
+        if tail is not None:
+            by_file.setdefault(tail, []).append(r["row_index"])
+    if not by_file:
+        manifest = {
+            "version": base + 1,
+            "action": "delete_mor",
+            "add": [],
+            "remove": [],
+            "schemas": state["schemas"],
+            "predicate": predicate,
+            "ts": time.time(),
+        }
+        return _commit(root, base + 1, manifest)
+    os.makedirs(dv_dir, exist_ok=True)
+    dv_set: dict[str, str] = {}
+    added = []
+    for i, (f, idxs) in enumerate(sorted(by_file.items())):
+        # new vector = old vector (if any) ∪ new positions
+        old = []
+        if f in dvs:
+            old = [
+                r["row_index"]
+                for r in spark.read.parquet(
+                    os.path.join(root, dvs[f])
+                ).collect()
+            ]
+        dv_df = spark.createDataFrame(
+            [(x,) for x in sorted(set(old) | set(idxs))],
+            "row_index LONG",
+        ).coalesce(1)
+        sub = os.path.join(dv_dir, f"dv-{i:04d}")
+        dv_df.write.mode("error").parquet(sub)
+        part = next(
+            p for p in sorted(os.listdir(sub)) if p.endswith(".parquet")
+        )
+        rel = os.path.join(_DATA_DIR, token, f"dv-{i:04d}", part)
+        dv_set[f] = rel
+        added.append(rel)
+    manifest = {
+        "version": base + 1,
+        "action": "delete_mor",
+        "add": added,  # DV files ride the add list so vacuum sees them
+        "live_add": [],  # ...but they are vectors, not data files
+        "remove": [],
+        "dv_set": dv_set,
+        "schemas": state["schemas"],
+        "predicate": predicate,
+        "ts": time.time(),
+    }
+    return _commit(root, base + 1, manifest)
+
+
+def _read_with_dv(
+    spark: SparkSession,
+    root: str,
+    files: list[str],
+    dvs: dict[str, str],
+    merge_schema: bool = False,
+) -> DataFrame:
+    """Scan ``files`` with deletion vectors applied: rows whose
+    (file, row_index) appears in a vector are filtered by ONE broadcast
+    anti-join. The DV side is KB-sized by construction."""
+    from pyspark.sql import functions as F
+
+    df = spark.read.option(
+        "mergeSchema", "true" if merge_schema else "false"
+    ).parquet(*[os.path.join(root, f) for f in files])
+    needed = {f: dv for f, dv in dvs.items() if f in set(files)}
+    if not needed:
+        return df
+    dv_frames = []
+    for f, dv in needed.items():
+        dv_frames.append(
+            spark.read.parquet(os.path.join(root, dv)).select(
+                F.lit(f).alias("_dv_file"), F.col("row_index")
+            )
+        )
+    all_dv = dv_frames[0]
+    for d in dv_frames[1:]:
+        all_dv = all_dv.unionByName(d)
+    with_id = df.select(
+        "*",
+        F.element_at(
+            F.split(F.col("_metadata.file_path"), "/data/"), -1
+        ).alias("_tail"),
+        F.col("_metadata.row_index").alias("_ri"),
+    ).withColumn("_tail", F.concat(F.lit(_DATA_DIR + "/"), F.col("_tail")))
+    out = with_id.join(
+        F.broadcast(all_dv),
+        (F.col("_tail") == F.col("_dv_file"))
+        & (F.col("_ri") == F.col("row_index")),
+        "left_anti",
+    )
+    return out.drop("_tail", "_ri")
+
+
+# ---------------------------------------------------------------------------
+# Change feed
+# ---------------------------------------------------------------------------
+
+def log_changes(
+    spark: SparkSession, root: str, version: int
+) -> tuple[DataFrame | None, DataFrame | None]:
+    """Change feed for one commit: (added_rows, removed_rows) as
+    DataFrames (None when that side is empty) — the Delta CDF shape at
+    file granularity. A commit's delta is resolved entirely from its
+    manifest's add/remove lists: no snapshot diffing, no history replay;
+    consumers (downstream IVMs, audit jobs, replication) read exactly
+    the files that changed. For an append that's the new files only;
+    for a CoW delete/merge the removed files carry the OLD images and
+    the added files the rewritten ones — a keyed anti-join between the
+    two sides recovers row-level before/after when needed.
+
+    MoR-delete commits add VECTORS, not data files, so their row-level
+    delta is resolved differently: removed = the newly-dead positions
+    joined back to their data files; no added rows."""
+    m = _read_manifest(root, version)
+    if m["action"] == "delete_mor":
+        from pyspark.sql import functions as F
+
+        prev_dv = (
+            _snapshot(root, version - 1)["dv"] if version > 0 else {}
+        )
+        if "dv_set" in m:
+            changed = m["dv_set"]
+        else:  # legacy full-dv manifests: diff against the previous map
+            changed = {
+                f: d
+                for f, d in m.get("dv", {}).items()
+                if prev_dv.get(f) != d
+            }
+        dead_frames = []
+        for f, dv in changed.items():
+            new_pos = spark.read.parquet(os.path.join(root, dv))
+            if f in prev_dv:  # only the delta positions are newly dead
+                old_pos = spark.read.parquet(os.path.join(root, prev_dv[f]))
+                new_pos = new_pos.join(old_pos, "row_index", "left_anti")
+            rows = (
+                spark.read.parquet(os.path.join(root, f))
+                .select("*", F.col("_metadata.row_index").alias("_ri"))
+                .join(
+                    F.broadcast(
+                        new_pos.withColumnRenamed("row_index", "_ri")
+                    ),
+                    "_ri",
+                )
+                .drop("_ri")
+            )
+            dead_frames.append(rows)
+        if not dead_frames:
+            return None, None
+        rem = dead_frames[0]
+        for d in dead_frames[1:]:
+            rem = rem.unionByName(d)
+        return None, rem
+    live_add = m.get("live_add", m["add"])
+    add = (
+        spark.read.parquet(*[os.path.join(root, f) for f in live_add])
+        if live_add
+        else None
+    )
+    rem = (
+        spark.read.parquet(*[os.path.join(root, f) for f in m["remove"]])
+        if m["remove"]
+        else None
+    )
+    return add, rem
+
+
+# ---------------------------------------------------------------------------
+# registry entries
 # ---------------------------------------------------------------------------
 
 def tablelog_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -637,68 +1458,6 @@ UNION ALL
 SELECT * FROM v4
 ORDER BY version_read, o_orderkey
 """
-
-
-def log_changes(
-    spark: SparkSession, root: str, version: int
-) -> tuple[DataFrame | None, DataFrame | None]:
-    """Change feed for one commit: (added_rows, removed_rows) as
-    DataFrames (None when that side is empty) — the Delta CDF shape at
-    file granularity. A commit's delta is resolved entirely from its
-    manifest's add/remove lists: no snapshot diffing, no history replay;
-    consumers (downstream IVMs, audit jobs, replication) read exactly
-    the files that changed. For an append that's the new files only;
-    for a CoW delete/merge the removed files carry the OLD images and
-    the added files the rewritten ones — a keyed anti-join between the
-    two sides recovers row-level before/after when needed.
-
-    MoR-delete commits add VECTORS, not data files, so their row-level
-    delta is resolved differently: removed = the newly-dead positions
-    joined back to their data files; no added rows."""
-    m = _read_manifest(root, version)
-    if m["action"] == "delete_mor":
-        from pyspark.sql import functions as F
-
-        prev_dv = (
-            _read_manifest(root, version - 1).get("dv", {})
-            if version > 0
-            else {}
-        )
-        dead_frames = []
-        for f, dv in m.get("dv", {}).items():
-            new_pos = spark.read.parquet(os.path.join(root, dv))
-            if f in prev_dv:  # only the delta positions are newly dead
-                old_pos = spark.read.parquet(os.path.join(root, prev_dv[f]))
-                new_pos = new_pos.join(old_pos, "row_index", "left_anti")
-            rows = (
-                spark.read.parquet(os.path.join(root, f))
-                .select("*", F.col("_metadata.row_index").alias("_ri"))
-                .join(
-                    F.broadcast(
-                        new_pos.withColumnRenamed("row_index", "_ri")
-                    ),
-                    "_ri",
-                )
-                .drop("_ri")
-            )
-            dead_frames.append(rows)
-        if not dead_frames:
-            return None, None
-        rem = dead_frames[0]
-        for d in dead_frames[1:]:
-            rem = rem.unionByName(d)
-        return None, rem
-    add = (
-        spark.read.parquet(*[os.path.join(root, f) for f in m["add"]])
-        if m["add"]
-        else None
-    )
-    rem = (
-        spark.read.parquet(*[os.path.join(root, f) for f in m["remove"]])
-        if m["remove"]
-        else None
-    )
-    return add, rem
 
 
 def tablelog_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -771,147 +1530,6 @@ ORDER BY version
 """
 
 
-# ---------------------------------------------------------------------------
-# Merge-on-read deletion vectors
-# ---------------------------------------------------------------------------
-
-def log_delete_where_mor(
-    spark: SparkSession, root: str, predicate: str
-) -> int:
-    """Merge-on-read DELETE: instead of rewriting affected files (the
-    copy-on-write path), write a DELETION VECTOR per affected file —
-    the (file, row position) list of dead rows — and commit only the
-    KB-sized vectors. Readers anti-join the broadcast DV on the
-    parquet reader's hidden (_metadata.file_path, _metadata.row_index)
-    identity, so a delete touching millions of wide rows costs minutes
-    of scan and kilobytes of write instead of rewriting terabytes —
-    Delta/Iceberg v2 deletion-vector economics.
-
-    The write-amplification trade: CoW pays at delete time and keeps
-    reads clean; MoR pays a per-read anti-join until a compaction
-    materializes the vectors (log_compact drops them — it rewrites
-    content through the DV-applied read). Point deletes / GDPR erasure
-    on huge tables want MoR; bulk reshaping wants CoW.
-
-    DV files are parquet (file tail + row_index) under the commit's own
-    data dir; the manifest maps data-file → dv-file cumulatively, so a
-    second MoR delete on an already-vectored file UNIONS positions via
-    a fresh vector that supersedes the old (the old stays for time
-    travel)."""
-    from pyspark.sql import functions as F
-
-    base = _latest_version(root)
-    if base is None:
-        raise ValueError(f"no table at {root}")
-    m = _read_manifest(root, base)
-    live = m["live"]
-    dvs: dict[str, str] = dict(m.get("dv", {}))
-    # read WITH existing vectors applied so re-deletes don't duplicate
-    snap = _read_with_dv(spark, root, live, dvs).filter(F.expr(predicate))
-    hits = snap.select(
-        F.col("_metadata.file_path").alias("_fp"),
-        F.col("_metadata.row_index").alias("row_index"),
-    )
-    token = uuid.uuid4().hex[:12]
-    dv_dir = os.path.join(root, _DATA_DIR, token)
-    rows = hits.collect()  # positions of deleted rows: KB-scale metadata;
-    # at production scale this stays distributed (write per-file DV
-    # partitions directly); the grouping below is the same computation
-    by_file: dict[str, list[int]] = {}
-    for r in rows:
-        tail = next((f for f in live if r["_fp"].endswith(f)), None)
-        if tail is not None:
-            by_file.setdefault(tail, []).append(r["row_index"])
-    if not by_file:
-        manifest = {**{k: m[k] for k in ("live",)},
-                    "version": base + 1, "action": "delete_mor",
-                    "add": [], "remove": [], "dv": dvs,
-                    "stats": _base_stats(root, base),
-                    "predicate": predicate, "ts": time.time()}
-        return _commit(root, base + 1, manifest)
-    os.makedirs(dv_dir, exist_ok=True)
-    new_dvs = dict(dvs)
-    added = []
-    for i, (f, idxs) in enumerate(sorted(by_file.items())):
-        # new vector = old vector (if any) ∪ new positions
-        old = []
-        if f in dvs:
-            old = [
-                r["row_index"]
-                for r in spark.read.parquet(
-                    os.path.join(root, dvs[f])
-                ).collect()
-            ]
-        dv_df = spark.createDataFrame(
-            [(x,) for x in sorted(set(old) | set(idxs))],
-            "row_index LONG",
-        ).coalesce(1)
-        sub = os.path.join(dv_dir, f"dv-{i:04d}")
-        dv_df.write.mode("error").parquet(sub)
-        part = next(
-            p for p in sorted(os.listdir(sub)) if p.endswith(".parquet")
-        )
-        rel = os.path.join(_DATA_DIR, token, f"dv-{i:04d}", part)
-        new_dvs[f] = rel
-        added.append(rel)
-    manifest = {
-        "version": base + 1,
-        "action": "delete_mor",
-        "add": added,  # DV files ride the add list so vacuum sees them
-        "remove": [],
-        "live": live,
-        "dv": new_dvs,
-        "stats": _base_stats(root, base),
-        "predicate": predicate,
-        "ts": time.time(),
-    }
-    return _commit(root, base + 1, manifest)
-
-
-def _read_with_dv(
-    spark: SparkSession,
-    root: str,
-    files: list[str],
-    dvs: dict[str, str],
-    merge_schema: bool = False,
-) -> DataFrame:
-    """Scan ``files`` with deletion vectors applied: rows whose
-    (file, row_index) appears in a vector are filtered by ONE broadcast
-    anti-join. The DV side is KB-sized by construction."""
-    from pyspark.sql import functions as F
-
-    df = spark.read.option(
-        "mergeSchema", "true" if merge_schema else "false"
-    ).parquet(*[os.path.join(root, f) for f in files])
-    needed = {f: dv for f, dv in dvs.items() if f in set(files)}
-    if not needed:
-        return df
-    dv_frames = []
-    for f, dv in needed.items():
-        dv_frames.append(
-            spark.read.parquet(os.path.join(root, dv)).select(
-                F.lit(f).alias("_dv_file"), F.col("row_index")
-            )
-        )
-    all_dv = dv_frames[0]
-    for d in dv_frames[1:]:
-        all_dv = all_dv.unionByName(d)
-    with_id = df.select(
-        "*",
-        F.element_at(
-            F.split(F.col("_metadata.file_path"), "/data/"), -1
-        ).alias("_tail"),
-        F.col("_metadata.row_index").alias("_ri"),
-    ).withColumn("_tail", F.concat(F.lit(_DATA_DIR + "/"), F.col("_tail")))
-    out = with_id.join(
-        F.broadcast(all_dv),
-        (F.col("_tail") == F.col("_dv_file"))
-        & (F.col("_ri") == F.col("row_index")),
-        "left_anti",
-    )
-    return out.drop("_tail", "_ri")
-
-
 def fold_changes_into_agg(
     state: DataFrame | None, add: DataFrame | None, rem: DataFrame | None
 ) -> DataFrame:
@@ -946,7 +1564,6 @@ def fold_changes_into_agg(
     u = parts[0]
     for p in parts[1:]:
         u = u.unionByName(p)
-    from pyspark.sql import functions as F
 
     return (
         u.groupBy("o_orderstatus")
@@ -1009,26 +1626,169 @@ GROUP BY o_orderstatus
 ORDER BY o_orderstatus
 """
 
+def tablelog_column_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: column mapping as metadata-only DDL —
 
-def log_restore(spark: SparkSession, root: str, version: int) -> int:
-    """RESTORE the table to a historical version — a METADATA-ONLY
-    commit whose live set (and deletion vectors, and stats) are the
-    target version's. Nothing is copied: the restored version's files
-    are still on disk (vacuum retention permitting), so rollback after
-    a bad write is one KB manifest regardless of table size — the Delta
-    RESTORE shape. History is preserved: the bad versions stay
-    time-travelable and the restore is itself a new version."""
-    target = _read_manifest(root, version)
-    base = _latest_version(root)
-    manifest = {
-        "version": base + 1,
-        "action": "restore",
-        "add": [],
-        "remove": [],
-        "live": target["live"],
-        "dv": target.get("dv", {}),
-        "stats": target.get("stats", {}),
-        "restored_from": version,
-        "ts": time.time(),
-    }
-    return _commit(root, base + 1, manifest)
+      v0 append  orders with o_orderkey % 2 = 0
+      v1 RENAME COLUMN o_totalprice → total_price   (zero data I/O)
+      v2 append  orders with o_orderkey % 2 = 1     (written under the
+                 NEW logical name; lands in the same physical column)
+      v3 DROP COLUMN o_orderstatus                  (zero data I/O)
+
+    then one snapshot read: (o_orderkey, total_price) over ALL keys —
+    the rename is visible on files written before it, the second append
+    unifies with them, and the dropped column never surfaces. Oracle:
+    the same projection/rename in plain SQL over the full table. The
+    metadata-only property (no files added/removed by v1/v3) is pinned
+    in pytest; the graded contract is read correctness across the
+    mapping."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ..catalog import load_table
+
+    cols = ["o_orderkey", "o_orderstatus", "o_totalprice"]
+    orders = load_table(spark, sf_dir, "orders").select(*cols)
+    root = tempfile.mkdtemp(prefix="tablelog_colmap_")
+    try:
+        log_append(spark, root, orders.filter(F.col("o_orderkey") % 2 == 0))
+        log_rename_column(root, "o_totalprice", "total_price")
+        second = (
+            orders.filter(F.col("o_orderkey") % 2 == 1)
+            .withColumnRenamed("o_totalprice", "total_price")
+        )
+        log_append(spark, root, second)
+        log_drop_column(root, "o_orderstatus")
+        out = (
+            log_read(spark, root)
+            .select("o_orderkey", "total_price")
+            .orderBy("o_orderkey")
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+TABLELOG_COLUMN_MAPPING_SQL = """
+SELECT o_orderkey, o_totalprice AS total_price
+FROM orders
+ORDER BY o_orderkey
+"""
+
+
+def tablelog_checkpointed_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: snapshot resolution through a parquet checkpoint —
+    twelve append commits of the o_orderkey % 12 residue slices cross
+    the CHECKPOINT_INTERVAL (=10) cadence, so the cadence checkpoint at
+    v10 exists and the latest read resolves as checkpoint + 1-delta
+    replay instead of a 12-manifest walk (asserted here: the entry
+    raises if the cadence checkpoint was not written). Output: the
+    latest snapshot plus a time-travel read at v5 (residues 0..5),
+    tagged by version_read. Oracle: the same residue algebra in SQL.
+    The checkpoint-vs-pure-replay equivalence is additionally pinned in
+    pytest by deleting the checkpoint and re-reading."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ..catalog import load_table
+
+    cols = ["o_orderkey", "o_orderstatus", "o_totalprice"]
+    orders = load_table(spark, sf_dir, "orders").select(*cols)
+    root = tempfile.mkdtemp(prefix="tablelog_ckpt_")
+    try:
+        for i in range(12):
+            log_append(
+                spark, root, orders.filter(F.col("o_orderkey") % 12 == i)
+            )
+        if CHECKPOINT_INTERVAL not in _checkpoint_versions(root):
+            raise AssertionError(
+                "cadence checkpoint missing at v%d" % CHECKPOINT_INTERVAL
+            )
+        v5 = log_read(spark, root, version=5).withColumn(
+            "version_read", F.lit(5).cast("long")
+        )
+        v11 = log_read(spark, root).withColumn(
+            "version_read", F.lit(11).cast("long")
+        )
+        out = (
+            v5.unionByName(v11)
+            .select("version_read", *cols)
+            .orderBy("version_read", "o_orderkey")
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+TABLELOG_CHECKPOINTED_READ_SQL = """
+SELECT 5::BIGINT AS version_read, o_orderkey, o_orderstatus, o_totalprice
+FROM orders WHERE o_orderkey % 12 <= 5
+UNION ALL
+SELECT 11::BIGINT, o_orderkey, o_orderstatus, o_totalprice
+FROM orders
+ORDER BY version_read, o_orderkey
+"""
+
+
+def tablelog_bloom_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: bloom-stat point lookups on a hash-scattered
+    table — three appends, each repartitioned by hash into 4 files (so
+    every file spans the full key range and min/max stats can prune
+    NOTHING), with per-file blooms on o_orderkey. The five largest
+    orderkeys are then point-looked-up one probe each; the bloom keeps
+    only the files whose position set contains the probe. Output: the
+    five rows. Oracle: the same top-5-key selection in SQL. That the
+    bloom actually PRUNES (files scanned < files live, and a missing
+    key scans ~0 files) is pinned in pytest — prunability is a plan
+    property, not a row property."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ..catalog import load_table
+
+    cols = ["o_orderkey", "o_orderstatus", "o_totalprice"]
+    orders = load_table(spark, sf_dir, "orders").select(*cols)
+    root = tempfile.mkdtemp(prefix="tablelog_bloom_")
+    try:
+        for i in range(3):
+            log_append(
+                spark,
+                root,
+                orders.filter(F.col("o_orderkey") % 3 == i).repartition(
+                    4, "o_orderkey"
+                ),
+                bloom_cols=["o_orderkey"],
+            )
+        top5 = [
+            r[0]
+            for r in orders.select("o_orderkey")
+            .orderBy(F.col("o_orderkey").desc())
+            .limit(5)
+            .collect()
+        ]
+        frames = [
+            log_read(spark, root, point=("o_orderkey", int(k))).filter(
+                F.col("o_orderkey") == k
+            )
+            for k in top5
+        ]
+        out = frames[0]
+        for f in frames[1:]:
+            out = out.unionByName(f)
+        out = out.select(*cols).orderBy("o_orderkey")
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+TABLELOG_BLOOM_POINT_LOOKUP_SQL = """
+SELECT o_orderkey, o_orderstatus, o_totalprice
+FROM orders
+WHERE o_orderkey IN (
+  SELECT o_orderkey FROM orders ORDER BY o_orderkey DESC LIMIT 5
+)
+ORDER BY o_orderkey
+"""

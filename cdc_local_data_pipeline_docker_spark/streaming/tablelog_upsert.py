@@ -84,20 +84,21 @@ def log_merge_cdc(
             spark.createDataFrame([], delta.schema), delta, table
         )
         token = uuid.uuid4().hex[:12]
-        added, stats = TL._write_data_files(merged, root, token, ["pk"])
+        added, stats, _bl = TL._write_data_files(merged, root, token, ["pk"])
         manifest = {
             "version": 0,
             "action": "cdc_merge",
             "add": added,
             "remove": [],
-            "live": added,
-            "stats": stats,
+            "stats_add": stats,
+            "schemas": [merged.schema.simpleString()],
             "batch_id": batch_id,
             "ts": time.time(),
         }
         return TL._commit(root, 0, manifest)
-    live = TL._live_files(root, base)
-    base_dvs = TL._read_manifest(root, base).get("dv", {})
+    state = TL._snapshot(root, base)
+    live = state["live"]
+    base_dvs = state["dv"]
     snap = spark.read.parquet(*[os.path.join(root, f) for f in live])
     keys = delta.select("pk").distinct()
     probe = snap.select("pk", F.input_file_name().alias("_f"))
@@ -122,23 +123,19 @@ def log_merge_cdc(
         else merged
     )
     token = uuid.uuid4().hex[:12]
-    added, stats = TL._write_data_files(new_rows, root, token, ["pk"])
-    untouched = [f for f in live if f not in set(affected)]
-    carried = {
-        f: s
-        for f, s in TL._base_stats(root, base).items()
-        if f in set(untouched)
-    }
+    added, stats, _bl = TL._write_data_files(new_rows, root, token, ["pk"])
+    # delta manifest: removed files' stats and deletion vectors retire
+    # automatically in snapshot resolution (tablelog._apply_delta) —
+    # the log_append resurrection bug class is closed structurally
     manifest = {
         "version": base + 1,
         "action": "cdc_merge",
         "add": added,
         "remove": affected,
-        "live": untouched + added,
-        # carry deletion vectors on untouched files (the log_append
-        # resurrection bug class — see tablelog.log_append)
-        "dv": {f: d for f, d in base_dvs.items() if f in set(untouched)},
-        "stats": {**carried, **stats},
+        "stats_add": stats,
+        "schemas": sorted(
+            set(state["schemas"]) | {new_rows.schema.simpleString()}
+        ),
         "batch_id": batch_id,
         "ts": time.time(),
     }

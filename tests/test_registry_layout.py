@@ -158,6 +158,13 @@ COVERED_BY = {
     "tablelog_time_travel": "filter_pack",
     "tablelog_change_feed": "filter_pack",
     "tablelog_cdf_agg_view": "cdc_incremental_agg_view",
+    # r7 fifth session: delta-log rungs — commits resolve to filtered
+    # parquet snapshots; the protocol mechanics (delta replay,
+    # checkpoint equivalence, metadata-only DDL, bloom pruning) are
+    # pytest-pinned in test_tablelog_v2.py / test_tablelog_race.py
+    "tablelog_column_mapping": "filter_pack",
+    "tablelog_checkpointed_read": "filter_pack",
+    "tablelog_bloom_point_lookup": "filter_pack",
     # linear attribution: same carry/range window family as last-touch
     "events_attribution_linear": "events_resample_interpolate",
     "dedup_canonical_corpus": "dedup_clusters",

@@ -50,17 +50,18 @@ def test_delete_rewrites_only_affected_files(spark, root):
     # matches rows in the second commit's files
     TL.log_append(spark, root, o.filter(F.col("o_orderkey") % 2 == 0))
     TL.log_append(spark, root, o.filter(F.col("o_orderkey") % 2 == 1))
-    before = TL._read_manifest(root, 1)
-    files_of_v0 = set(TL._read_manifest(root, 0)["live"])
+    live_before = set(TL._snapshot(root, 1)["live"])
+    files_of_v0 = set(TL._snapshot(root, 0)["live"])
     v = TL.log_delete_where(
         spark, root, "o_orderkey % 2 = 1 AND o_orderstatus = 'F'"
     )
     m = TL._read_manifest(root, v)
+    live_after = set(TL._snapshot(root, v)["live"])
     # every file added by commit 0 is carried BY REFERENCE (file-level CoW)
-    assert files_of_v0 <= set(m["live"])
+    assert files_of_v0 <= live_after
     assert not (files_of_v0 & set(m["remove"]))
     # the affected files are exactly commit 1's (odd keys live only there)
-    assert set(m["remove"]) == set(before["live"]) - files_of_v0
+    assert set(m["remove"]) == live_before - files_of_v0
     # content: deleted rows gone, everything else intact
     snap = TL.log_read(spark, root)
     assert snap.filter("o_orderkey % 2 = 1 AND o_orderstatus = 'F'").count() == 0
@@ -99,7 +100,7 @@ def test_crash_window_and_vacuum(spark, root):
     TL.log_append(spark, root, o.limit(20))
     n = TL.log_read(spark, root).count()
     # crashed writer: data files exist, no manifest ever published
-    orphans, _ = TL._write_data_files(o.limit(7), root, "crashed-commit")
+    orphans, _, _ = TL._write_data_files(o.limit(7), root, "crashed-commit")
     assert orphans
     # readers are unaffected — the manifest is the source of truth
     assert TL.log_read(spark, root).count() == n
@@ -137,9 +138,9 @@ def test_manifest_stats_prune_files(spark, root):
             o.filter(f"o_orderkey >= {lo} AND o_orderkey < {hi}"),
             stats_cols=["o_orderkey"],
         )
-    m = TL._read_manifest(root, 2)
-    assert set(m["stats"]) == set(m["live"])  # every live file has stats
-    all_files = m["live"]
+    snap2 = TL._snapshot(root, 2)
+    assert set(snap2["stats"]) == set(snap2["live"])  # every live file has stats
+    all_files = snap2["live"]
     pruned = TL.log_read(spark, root, prune=("o_orderkey", 600, 700))
     kept = {f for f in all_files
             if any(pruned.inputFiles() and inp.endswith(f)
@@ -182,7 +183,8 @@ def test_merge_upsert_file_level_cow(spark, root):
     assert set(m["remove"]) <= files_v0 and m["remove"]
     # files from commit 1 (no matched keys) are untouched
     files_v1 = set(TL._read_manifest(root, 1)["add"])
-    assert files_v1 <= set(m["live"]) and not (files_v1 & set(m["remove"]))
+    live_v = set(TL._snapshot(root, v)["live"])
+    assert files_v1 <= live_v and not (files_v1 & set(m["remove"]))
     snap = TL.log_read(spark, root)
     # MERGE semantics: updated images, inserts present, count = old + 2
     assert snap.filter("o_orderkey IN (1, 2, 3)").count() == \
@@ -195,7 +197,8 @@ def test_merge_upsert_file_level_cow(spark, root):
     assert (snap.groupBy("o_orderkey").count().filter("count > 1").count()
             == 0)
     # stats carried + refreshed: every live file still has stats
-    assert set(m["stats"]) == set(m["live"])
+    snap_v = TL._snapshot(root, v)
+    assert set(snap_v["stats"]) == set(snap_v["live"])
 
 
 def test_schema_recorded_in_manifest(spark, root):
@@ -216,7 +219,7 @@ def test_optimize_zorder_makes_stats_prune(spark, root):
                   stats_cols=["o_orderkey"])
     before = sorted(TL.log_read(spark, root).collect())
 
-    stats_plain = TL._read_manifest(root, 0)["stats"]
+    stats_plain = TL._snapshot(root, 0)["stats"]
     lo, hi = 100, 200
     keep_plain = [
         f for f, s in stats_plain.items()
@@ -228,10 +231,10 @@ def test_optimize_zorder_makes_stats_prune(spark, root):
         spark, root, target_files=8,
         zorder_cols=["o_orderkey", "o_totalprice"],
     )
-    m = TL._read_manifest(root, v_z)
-    assert len(m["live"]) == 8
+    snap_z = TL._snapshot(root, v_z)
+    assert len(snap_z["live"]) == 8
     keep_z = [
-        f for f, s in m["stats"].items()
+        f for f, s in snap_z["stats"].items()
         if not (s["o_orderkey"][0] > hi or s["o_orderkey"][1] < lo)
     ]
     assert len(keep_z) < len(keep_plain)  # clustering made stats selective
@@ -294,8 +297,8 @@ def test_delete_mor_deletion_vectors(spark, root):
     v = TL.log_delete_where_mor(spark, root, "o_orderstatus = 'F'")
     m = TL._read_manifest(root, v)
     # live data files unchanged — only vectors were written
-    assert set(m["live"]) == data_files_before
-    assert m["dv"]  # at least one vector
+    assert set(TL._snapshot(root, v)["live"]) == data_files_before
+    assert m["dv_set"]  # at least one vector
     n_f = o.filter("o_orderstatus = 'F'").count()
     snap = TL.log_read(spark, root)
     assert snap.count() == n_all - n_f
@@ -319,7 +322,7 @@ def test_delete_mor_deletion_vectors(spark, root):
     # compaction materializes: no dv map, same content
     before = sorted(TL.log_read(spark, root).collect())
     vc = TL.log_compact(spark, root, target_files=2)
-    assert not TL._read_manifest(root, vc).get("dv")
+    assert not TL._snapshot(root, vc)["dv"]
     assert sorted(TL.log_read(spark, root).collect()) == before
     # vacuum keeps DV files referenced by retained manifests
     TL.log_vacuum(root)

@@ -1,0 +1,312 @@
+"""Delta manifests + parquet checkpoints, column mapping, and bloom
+file skipping for the tablelog format — the million-file-regime rungs
+on top of the core protocol covered by test_tablelog.py."""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from cdc_local_data_pipeline_docker_spark.sources import tablelog as TL
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture()
+def root():
+    d = tempfile.mkdtemp(prefix="tablelog_v2_test_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _orders(spark):
+    return spark.read.parquet(os.path.join(SF, "orders.parquet")).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+
+
+# ---------------------------------------------------------------------------
+# delta manifests + checkpoints
+# ---------------------------------------------------------------------------
+
+def test_manifests_are_commit_sized_not_table_sized(spark, root):
+    """The delta-log property itself: manifest bytes must NOT grow with
+    the number of live files — commit #14 on a 15-commit table is the
+    same size as commit #2 (the legacy format grew O(live files))."""
+    o = _orders(spark)
+    for i in range(15):
+        TL.log_append(spark, root, o.filter(F.col("o_orderkey") % 15 == i),
+                      stats_cols=["o_orderkey"])
+    sizes = {
+        v: os.path.getsize(
+            os.path.join(root, "_log", TL._manifest_name(v))
+        )
+        for v in TL._versions(root)
+    }
+    # no "live" key anywhere; later manifests within 2x of early ones
+    for v in TL._versions(root):
+        assert "live" not in TL._read_manifest(root, v)
+    assert sizes[14] < 2 * sizes[2]
+    # resolution still sees the whole table
+    assert len(TL._snapshot(root)["live"]) >= 15
+    assert TL.log_read(spark, root).count() == o.count()
+
+
+def test_cadence_checkpoint_written_and_equivalent(spark, root):
+    o = _orders(spark)
+    for i in range(12):
+        TL.log_append(spark, root, o.filter(F.col("o_orderkey") % 12 == i))
+    cks = TL._checkpoint_versions(root)
+    assert TL.CHECKPOINT_INTERVAL in cks
+    # checkpointed resolution == pure-replay resolution, at the ckpt
+    # version AND past it
+    for v in (TL.CHECKPOINT_INTERVAL, 11):
+        with_ck = TL._snapshot(root, v)
+        saved = os.path.join(root, "_ckpt_saved")
+        shutil.move(TL._ckpt_dir(root, TL.CHECKPOINT_INTERVAL), saved)
+        try:
+            assert TL._snapshot(root, v) == with_ck
+        finally:
+            shutil.move(saved, TL._ckpt_dir(root, TL.CHECKPOINT_INTERVAL))
+    # a CORRUPT checkpoint is skipped, not trusted
+    with open(
+        os.path.join(
+            TL._ckpt_dir(root, TL.CHECKPOINT_INTERVAL), "files.parquet"
+        ),
+        "wb",
+    ) as fh:
+        fh.write(b"garbage")
+    assert TL.log_read(spark, root).count() == o.count()
+
+
+def test_explicit_checkpoint_and_pointer(spark, root):
+    o = _orders(spark)
+    TL.log_append(spark, root, o.limit(100))
+    TL.log_append(spark, root, o.limit(200))
+    v = TL.log_checkpoint(root)
+    assert v == 1
+    with open(os.path.join(root, "_log", "_last_checkpoint")) as fh:
+        assert json.load(fh)["version"] == 1
+    assert TL._read_checkpoint(root, 1)["live"] == TL._snapshot(root, 1)["live"]
+
+
+def test_vacuum_trim_writes_replay_base(spark, root):
+    """Trimming history below the oldest retained version must leave the
+    log resolvable: vacuum writes a checkpoint base when none exists."""
+    o = _orders(spark)
+    for i in range(6):
+        TL.log_append(spark, root, o.filter(F.col("o_orderkey") % 6 == i))
+    n = TL.log_read(spark, root).count()
+    TL.log_vacuum(root, retain_versions=2)
+    assert TL._versions(root) == [4, 5]
+    # a base at or below v4 exists and both retained versions resolve
+    assert any(c in (3, 4) for c in TL._checkpoint_versions(root))
+    assert TL.log_read(spark, root).count() == n
+    assert TL.log_read(spark, root, version=4).count() < n
+
+
+# ---------------------------------------------------------------------------
+# column mapping
+# ---------------------------------------------------------------------------
+
+def test_rename_column_is_metadata_only(spark, root):
+    o = _orders(spark)
+    TL.log_append(spark, root, o.filter("o_orderkey < 800"))
+    files_before = set(TL._snapshot(root)["live"])
+    v = TL.log_rename_column(root, "o_totalprice", "total_price")
+    m = TL._read_manifest(root, v)
+    assert m["add"] == [] and m["remove"] == []  # zero data I/O
+    assert set(TL._snapshot(root)["live"]) == files_before
+    snap = TL.log_read(spark, root)
+    assert "total_price" in snap.columns
+    assert "o_totalprice" not in snap.columns
+    # values unchanged under the new name
+    want = sorted(r[0] for r in o.filter("o_orderkey < 800")
+                  .select("o_totalprice").collect())
+    got = sorted(r[0] for r in snap.select("total_price").collect())
+    assert got == want
+    # time travel BEFORE the rename shows the original name
+    snap0 = TL.log_read(spark, root, version=0)
+    assert "o_totalprice" in snap0.columns and "total_price" not in snap0.columns
+
+
+def test_append_after_rename_unifies_physically(spark, root):
+    o = _orders(spark)
+    TL.log_append(spark, root, o.filter("o_orderkey % 2 = 0"))
+    TL.log_rename_column(root, "o_totalprice", "total_price")
+    TL.log_append(
+        spark, root,
+        o.filter("o_orderkey % 2 = 1")
+         .withColumnRenamed("o_totalprice", "total_price"),
+    )
+    snap = TL.log_read(spark, root)
+    assert snap.count() == o.count()
+    # both eras' rows carry non-null prices under the logical name —
+    # i.e. the post-rename append landed in the SAME physical column
+    assert snap.filter("total_price IS NULL").count() == 0
+    # physical files written after the rename still use the original
+    # physical column name (name-mapping, not rewrite)
+    state = TL._snapshot(root)
+    assert state["colmap"]["total_price"] == "o_totalprice"
+
+
+def test_drop_column_metadata_only_and_time_travel(spark, root):
+    o = _orders(spark)
+    TL.log_append(spark, root, o.limit(300))
+    v = TL.log_drop_column(root, "o_orderstatus")
+    m = TL._read_manifest(root, v)
+    assert m["add"] == [] and m["remove"] == []
+    snap = TL.log_read(spark, root)
+    assert set(snap.columns) == {"o_orderkey", "o_totalprice"}
+    # pre-drop version still shows it
+    assert "o_orderstatus" in TL.log_read(spark, root, version=0).columns
+    # delete with a predicate over surviving logical columns works
+    TL.log_delete_where(spark, root, "o_orderkey % 2 = 0")
+    got = TL.log_read(spark, root)
+    assert got.filter("o_orderkey % 2 = 0").count() == 0
+    assert set(got.columns) == {"o_orderkey", "o_totalprice"}
+    # compaction crosses the mapping content-identically
+    before = sorted(got.collect())
+    TL.log_compact(spark, root, target_files=1)
+    assert sorted(TL.log_read(spark, root).collect()) == before
+
+
+def test_append_new_column_extends_mapping(spark, root):
+    o = _orders(spark)
+    TL.log_append(spark, root, o.limit(10))
+    TL.log_rename_column(root, "o_orderstatus", "status")
+    TL.log_append(
+        spark, root,
+        o.filter("o_orderkey > 1000").limit(5)
+         .withColumnRenamed("o_orderstatus", "status")
+         .withColumn("tag", F.lit("late")),
+    )
+    snap = TL.log_read(spark, root)
+    assert "tag" in snap.columns and "status" in snap.columns
+    assert snap.filter("tag = 'late'").count() == 5
+    assert snap.filter("tag IS NULL").count() == 10
+
+
+def test_merge_and_delete_use_logical_key_names(spark, root):
+    o = _orders(spark)
+    TL.log_append(spark, root, o.filter("o_orderkey < 500"))
+    TL.log_rename_column(root, "o_orderkey", "order_key")
+    changes = (
+        o.filter("o_orderkey IN (1, 2)")
+        .withColumnRenamed("o_orderkey", "order_key")
+        .withColumn("o_orderstatus", F.lit("Z"))
+    )
+    TL.log_merge(spark, root, changes, "order_key")
+    snap = TL.log_read(spark, root)
+    assert (
+        snap.filter("order_key IN (1, 2) AND o_orderstatus = 'Z'").count()
+        == o.filter("o_orderkey IN (1, 2)").count()
+    )
+    # no duplicates introduced through the mapping
+    assert snap.groupBy("order_key").count().filter("count > 1").count() == 0
+
+
+# ---------------------------------------------------------------------------
+# bloom file skipping
+# ---------------------------------------------------------------------------
+
+def test_bloom_point_lookup_prunes_scattered_files(spark, root):
+    o = _orders(spark)
+    # hash-scatter into 4 files per commit: min/max stats span the full
+    # range everywhere, so only the bloom can prune
+    for i in range(3):
+        TL.log_append(
+            spark, root,
+            o.filter(F.col("o_orderkey") % 3 == i).repartition(
+                4, "o_orderkey"
+            ),
+            stats_cols=["o_orderkey"],
+            bloom_cols=["o_orderkey"],
+        )
+    state = TL._snapshot(root)
+    n_live = len(state["live"])
+    assert set(state["blooms"]) == set(state["live"])
+    # a MID-RANGE existing key: every hash-scattered file's [min, max]
+    # spans it, so range stats are provably useless and only the bloom
+    # can prune
+    keys = sorted(r[0] for r in o.select("o_orderkey").collect())
+    key = int(keys[len(keys) // 2])
+
+    lo_hi = state["stats"]
+    spanning = [
+        f for f, s in lo_hi.items()
+        if s["o_orderkey"][0] <= key <= s["o_orderkey"][1]
+    ]
+    assert len(spanning) >= n_live - 2  # scattered layout: stats useless
+
+    hit = TL.log_read(spark, root, point=("o_orderkey", key))
+    assert len(hit.inputFiles()) < n_live  # the bloom pruned files
+    assert hit.filter(F.col("o_orderkey") == key).count() == \
+        o.filter(F.col("o_orderkey") == key).count() > 0
+
+    # absent key: correct empty result; typically every file pruned
+    miss = TL.log_read(spark, root, point=("o_orderkey", key + 987654))
+    assert miss.filter(F.col("o_orderkey") == key + 987654).count() == 0
+
+    # skipping is safe-only: pruned + real filter == unpruned + filter
+    a = hit.filter(F.col("o_orderkey") == key).count()
+    b = (TL.log_read(spark, root)
+         .filter(F.col("o_orderkey") == key).count())
+    assert a == b
+
+
+def test_bloom_string_column_and_survival_through_cow(spark, root):
+    docs = spark.read.parquet(
+        os.path.join(SF, "documents.parquet")
+    ).select("doc_id", "lang", "text")
+    TL.log_append(spark, root, docs.repartition(4, "doc_id"),
+                  bloom_cols=["doc_id", "lang"])
+    # string bloom probes work and agree with the scan
+    snap_all = TL.log_read(spark, root)
+    one_lang = snap_all.select("lang").first()[0]
+    hit = TL.log_read(spark, root, point=("lang", one_lang))
+    assert hit.filter(F.col("lang") == one_lang).count() == \
+        snap_all.filter(F.col("lang") == one_lang).count()
+    # CoW delete refreshes blooms on rewritten files
+    TL.log_delete_where(spark, root, "length(text) < 40")
+    state = TL._snapshot(root)
+    assert set(state["blooms"]) == set(state["live"])
+
+
+def test_bloom_positions_driver_matches_executor(spark):
+    """The driver-side probe arithmetic must reproduce the executor-side
+    build positions bit-for-bit (long and string canonical forms)."""
+    df = spark.createDataFrame(
+        [(12345, "hello"), (-7, "wörld")], "k LONG, s STRING"
+    )
+    arr_k = TL._bloom_position_cols("k", is_string=False)
+    arr_s = TL._bloom_position_cols("s", is_string=True)
+    rows = df.select(
+        "k", "s", arr_k.alias("pk"), arr_s.alias("ps")
+    ).collect()
+    for r in rows:
+        assert sorted(r["pk"]) == sorted(
+            TL._bloom_positions(spark, int(r["k"]))
+        )
+        assert sorted(r["ps"]) == sorted(
+            TL._bloom_positions(spark, r["s"])
+        )
+
+
+# ---------------------------------------------------------------------------
+# graded-entry smoke (full oracle parity runs in test_oracle_parity.py)
+# ---------------------------------------------------------------------------
+
+def test_new_registry_entries_run(spark):
+    out = TL.tablelog_column_mapping(spark, SF)
+    assert out.columns == ["o_orderkey", "total_price"]
+    assert out.count() > 0
+    out2 = TL.tablelog_checkpointed_read(spark, SF)
+    assert out2.count() > 0
+    out3 = TL.tablelog_bloom_point_lookup(spark, SF)
+    assert out3.count() == 5
