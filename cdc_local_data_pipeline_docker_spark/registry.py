@@ -32,6 +32,7 @@ from .functions import pandas_udfs as PU
 from .functions import scalar_pack as FP
 from .functions import variant_pack as VP
 from .llmops import bpe as B_PE
+from .llmops import classify as CLF
 from .llmops import clusters as CL
 from .llmops import curation as CUR
 from .llmops import decontam as DCT
@@ -983,6 +984,23 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "tablelog_bloom_point_lookup": (
         TLG.tablelog_bloom_point_lookup,
         TLG.TABLELOG_BLOOM_POINT_LOOKUP_SQL,
+    ),
+    # broadcast-model text classification (fasttext-filter shape):
+    # train by one aggregation (fixed-point integer weights — exact in
+    # both engines), score map-side via a token→weights literal map
+    # (zero joins/shuffles, plan-pinned); learning behavior pinned on a
+    # separable fixture in tests/test_classify.py
+    "text_classifier_train": (
+        CLF.text_classifier_train,
+        CLF.TEXT_CLASSIFIER_TRAIN_SQL,
+    ),
+    "text_classifier_predict": (
+        CLF.text_classifier_predict,
+        CLF.TEXT_CLASSIFIER_PREDICT_SQL,
+    ),
+    "text_classifier_confusion": (
+        CLF.text_classifier_confusion,
+        CLF.TEXT_CLASSIFIER_CONFUSION_SQL,
     ),
 }
 

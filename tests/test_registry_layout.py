@@ -165,6 +165,11 @@ COVERED_BY = {
     "tablelog_column_mapping": "filter_pack",
     "tablelog_checkpointed_read": "filter_pack",
     "tablelog_bloom_point_lookup": "filter_pack",
+    # broadcast-model classifier: train = token explode/agg family;
+    # predict/confusion = map-only text scoring family
+    "text_classifier_train": "explode_token_frequencies",
+    "text_classifier_predict": "text_profile",
+    "text_classifier_confusion": "text_profile",
     # linear attribution: same carry/range window family as last-touch
     "events_attribution_linear": "events_resample_interpolate",
     "dedup_canonical_corpus": "dedup_clusters",
