@@ -63,6 +63,7 @@ from .operators import skyline as SKY
 from .operators import tpch_more as TM
 from .operators import tpch_shapes as TQ
 from .sources import tablelog as TLG
+from .sources import tablelog_source as TLS
 from .streaming import incremental_join_view as IJV
 from .streaming import incremental_order_lines_view as OLV
 from .streaming import incremental_postings as IP
@@ -1001,6 +1002,19 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "text_classifier_confusion": (
         CLF.text_classifier_confusion,
         CLF.TEXT_CLASSIFIER_CONFUSION_SQL,
+    ),
+    # format("tablelog") Python DataSource: snapshot reads with
+    # deletion vectors applied EXECUTOR-SIDE (reader-level skip), and
+    # the table as a streaming source with version offsets (the Delta
+    # streaming-source contract; resume/raise/skip semantics pinned in
+    # tests/test_tablelog_source.py)
+    "tablelog_source_snapshot": (
+        TLS.tablelog_source_snapshot,
+        TLS.TABLELOG_SOURCE_SNAPSHOT_SQL,
+    ),
+    "tablelog_source_stream": (
+        TLS.tablelog_source_stream,
+        TLS.TABLELOG_SOURCE_STREAM_SQL,
     ),
 }
 

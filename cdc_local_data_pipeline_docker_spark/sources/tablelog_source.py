@@ -1,0 +1,344 @@
+"""`format("tablelog")` — the transaction-log table format exposed as a
+first-class Spark Data Source (Spark 4 Python DataSource API), batch
+AND streaming:
+
+* **Batch**: `spark.read.format("tablelog").option("path", root)
+  [.option("version", k)].load()` — a snapshot-isolated read resolved
+  from the log (never a directory listing), one input partition PER
+  LIVE FILE (scan parallelism = file count, like any parquet scan),
+  with merge-on-read deletion vectors applied EXECUTOR-SIDE: each
+  partition ships its file's KB-sized vector and skips dead row
+  indices inside the reader — the pushdown shape `log_read`'s
+  driver-composed anti-join expresses as a join, here expressed as a
+  reader-level skip. Column mapping resolves logical names in the
+  source schema; files predating a column yield NULLs for it.
+
+* **Streaming**: `spark.readStream.format("tablelog").option("path",
+  root).load()` — the table as a streaming source with TABLE VERSIONS
+  as offsets (the Delta streaming-source contract): each micro-batch
+  reads the data files ADDED by the commits in (startVersion,
+  endVersion], one partition per (version, file). Append commits
+  stream their rows exactly once; compactions, restores and
+  metadata-only DDL are data-unchanged and stream nothing; rewrite
+  commits (CoW delete/merge, vectored delete) RAISE by default —
+  update/delete deltas are not expressible as an append stream —
+  unless `.option("skipChangeCommits", "true")` opts into skipping
+  them, matching Delta's `skipChangeCommits` semantics. Progress is
+  durable in the streaming checkpoint, so a resumed stream continues
+  from the last committed version — exactly-once end-to-end with a
+  transactional sink.
+
+At 100 TB the economics follow the log: offsets are integers, batch
+planning reads only the delta manifests in the version window (KBs),
+and every partition streams one file — a downstream consumer of a
+table ingesting millions of rows per commit reads exactly the new
+files, never rescanning the table. (reference parity note: the
+reference ships Iceberg jars it never uses — SURVEY §1.4; this is the
+"table format as streaming source" capability those jars advertise.)
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
+
+from . import tablelog as TL
+
+#: commit actions whose data content is unchanged (stream nothing)
+_DATA_UNCHANGED = {"compact", "restore", "rename_column", "drop_column"}
+
+
+def _arrow_union_schema(root: str, state: dict):
+    """Union of the live files' footers in first-seen field order (the
+    mergeSchema shape, metadata-only)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    fields: dict[str, object] = {}
+    for f in state["live"]:
+        for fld in pq.read_schema(os.path.join(root, f)):
+            fields.setdefault(fld.name, fld)
+    return pa.schema(list(fields.values()))
+
+
+def _spark_schema(root: str, state: dict):
+    """Logical StructType for the snapshot: physical footer union run
+    through the column mapping (dropped columns never surface)."""
+    from pyspark.sql.pandas.types import from_arrow_schema
+    from pyspark.sql.types import StructField, StructType
+
+    physical = from_arrow_schema(_arrow_union_schema(root, state))
+    colmap = state["colmap"]
+    if not colmap:
+        return physical
+    by_name = {f.name: f for f in physical.fields}
+    return StructType(
+        [
+            StructField(logical, by_name[phys].dataType, True)
+            for logical, phys in colmap.items()
+            if phys in by_name
+        ]
+    )
+
+
+def _physical_order(root: str, state: dict) -> list[str]:
+    """Physical column names in output order (mapping order when a
+    colmap exists, footer-union order otherwise)."""
+    names = [f.name for f in _arrow_union_schema(root, state)]
+    colmap = state["colmap"]
+    if not colmap:
+        return names
+    return [p for p in colmap.values() if p in set(names)]
+
+
+class _FilePart(InputPartition):
+    """One data file to read on the executor: absolute path, optional
+    deletion-vector path, and the physical output column order."""
+
+    def __init__(self, path: str, dv_path: str | None, cols: list[str]):
+        self.path = path
+        self.dv_path = dv_path
+        self.cols = cols
+
+
+def _read_file_part(part: _FilePart):
+    """Executor-side file reader: yields tuples in ``part.cols`` order,
+    NULL-filling absent columns (schema evolution) and skipping
+    deletion-vector row indices (merge-on-read applied at the reader)."""
+    import pyarrow.parquet as pq
+
+    dead: set[int] = set()
+    if part.dv_path:
+        dead = set(
+            pq.read_table(part.dv_path)["row_index"].to_pylist()
+        )
+    pf = pq.ParquetFile(part.path)
+    present = set(pf.schema_arrow.names)
+    ri = 0
+    for batch in pf.iter_batches():
+        cols = {
+            n: batch.column(batch.schema.get_field_index(n)).to_pylist()
+            for n in part.cols
+            if n in present
+        }
+        for i in range(batch.num_rows):
+            if ri not in dead:
+                yield tuple(
+                    cols[n][i] if n in cols else None for n in part.cols
+                )
+            ri += 1
+
+
+class TablelogDataSource(DataSource):
+    """spark.read/readStream.format("tablelog").option("path", root)"""
+
+    @classmethod
+    def name(cls) -> str:
+        return "tablelog"
+
+    def _root(self) -> str:
+        root = self.options.get("path")
+        if not root:
+            raise ValueError("tablelog source requires .option('path', ...)")
+        return root
+
+    def schema(self):
+        root = self._root()
+        version = self.options.get("version")
+        state = TL._snapshot(root, int(version) if version is not None else None)
+        if not state["live"]:
+            raise ValueError(f"no table at {root}")
+        return _spark_schema(root, state)
+
+    def reader(self, schema) -> "TablelogReader":
+        return TablelogReader(self._root(), self.options)
+
+    def streamReader(self, schema) -> "TablelogStreamReader":
+        return TablelogStreamReader(self._root(), self.options)
+
+
+class TablelogReader(DataSourceReader):
+    def __init__(self, root: str, options) -> None:
+        self.root = root
+        v = options.get("version")
+        self.version = int(v) if v is not None else None
+
+    def partitions(self):
+        state = TL._snapshot(self.root, self.version)
+        cols = _physical_order(self.root, state)
+        return [
+            _FilePart(
+                os.path.join(self.root, f),
+                os.path.join(self.root, state["dv"][f])
+                if f in state["dv"]
+                else None,
+                cols,
+            )
+            for f in state["live"]
+        ]
+
+    def read(self, partition: "_FilePart"):
+        yield from _read_file_part(partition)
+
+
+class TablelogStreamReader(DataSourceStreamReader):
+    def __init__(self, root: str, options) -> None:
+        self.root = root
+        # option keys arrive lower-cased
+        self.skip_change = (
+            str(options.get("skipchangecommits", "false")).lower() == "true"
+        )
+        # the stream's column order is fixed at start time
+        state = TL._snapshot(self.root)
+        if not state["live"]:
+            raise ValueError(f"no table at {self.root}")
+        self.cols = _physical_order(self.root, state)
+
+    def initialOffset(self) -> dict:
+        return {"version": -1}
+
+    def latestOffset(self) -> dict:
+        v = TL._latest_version(self.root)
+        return {"version": -1 if v is None else v}
+
+    def partitions(self, start: dict, end: dict):
+        out = []
+        for v in range(start["version"] + 1, end["version"] + 1):
+            m = TL._read_manifest(self.root, v)
+            action = m["action"]
+            adds = m.get("live_add", m["add"])
+            if action in _DATA_UNCHANGED:
+                continue
+            if action == "append" or (action == "cdc_merge" and not m["remove"]):
+                for f in adds:
+                    out.append(
+                        _FilePart(os.path.join(self.root, f), None, self.cols)
+                    )
+                continue
+            if not m["remove"] and not adds and not m.get("dv_set"):
+                continue  # no-op commit (e.g. a delete matching nothing)
+            if self.skip_change:
+                continue
+            raise ValueError(
+                f"tablelog stream hit a data-changing commit v{v} "
+                f"({action}); updates/deletes are not expressible as an "
+                "append stream — set .option('skipChangeCommits', 'true') "
+                "to skip such commits (Delta semantics)"
+            )
+        # a caught-up batch still needs >=1 (empty) partition
+        return out or [_FilePart("", None, self.cols)]
+
+    def read(self, partition: "_FilePart"):
+        if not partition.path:
+            return
+        yield from _read_file_part(partition)
+
+    def commit(self, end: dict) -> None:
+        pass  # progress is durable in the streaming checkpoint
+
+
+def register(spark) -> None:
+    """Idempotently register the source on a session."""
+    spark.dataSource.register(TablelogDataSource)
+
+
+# ---------------------------------------------------------------------------
+# registry entries
+# ---------------------------------------------------------------------------
+
+def tablelog_source_snapshot(spark, sf_dir: str):
+    """Registry entry: the batch DataSource path with merge-on-read
+    vectors applied at the READER — append two orders halves, MoR-delete
+    the 'F' rows (vectors only, no rewrites), then read the snapshot via
+    `format("tablelog")`. The dead rows must be skipped executor-side.
+    Oracle: the surviving-rows predicate in SQL."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ..catalog import load_table
+
+    register(spark)
+    cols = ["o_orderkey", "o_orderstatus", "o_totalprice"]
+    orders = load_table(spark, sf_dir, "orders").select(*cols)
+    root = tempfile.mkdtemp(prefix="tablelog_src_")
+    try:
+        TL.log_append(spark, root, orders.filter(F.col("o_orderkey") % 2 == 0))
+        TL.log_append(spark, root, orders.filter(F.col("o_orderkey") % 2 == 1))
+        TL.log_delete_where_mor(spark, root, "o_orderstatus = 'F'")
+        out = (
+            spark.read.format("tablelog")
+            .option("path", root)
+            .load()
+            .select(*cols)
+            .orderBy("o_orderkey")
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+TABLELOG_SOURCE_SNAPSHOT_SQL = """
+SELECT o_orderkey, o_orderstatus, o_totalprice
+FROM orders
+WHERE o_orderstatus <> 'F'
+ORDER BY o_orderkey
+"""
+
+
+def tablelog_source_stream(spark, sf_dir: str):
+    """Registry entry: the table as a STREAMING source — three append
+    commits (o_orderkey % 3 residues) plus a compaction, drained with
+    Trigger.AvailableNow through version offsets. The appends stream
+    their rows exactly once; the compaction is data-unchanged and
+    streams nothing, so the drained sink equals the full table. Oracle:
+    the plain table scan."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from ..catalog import load_table
+
+    register(spark)
+    cols = ["o_orderkey", "o_orderstatus", "o_totalprice"]
+    orders = load_table(spark, sf_dir, "orders").select(*cols)
+    root = tempfile.mkdtemp(prefix="tablelog_srcstream_")
+    try:
+        for i in range(3):
+            TL.log_append(
+                spark, root, orders.filter(F.col("o_orderkey") % 3 == i)
+            )
+        TL.log_compact(spark, root, target_files=2)
+        qname = f"tablelog_stream_{uuid.uuid4().hex[:8]}"
+        q = (
+            spark.readStream.format("tablelog")
+            .option("path", root)
+            .load()
+            .writeStream.format("memory")
+            .queryName(qname)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        out = spark.table(qname).select(*cols).orderBy("o_orderkey")
+        res = spark.createDataFrame(out.collect(), out.schema)
+        spark.catalog.dropTempView(qname)
+        return res
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+TABLELOG_SOURCE_STREAM_SQL = """
+SELECT o_orderkey, o_orderstatus, o_totalprice
+FROM orders
+ORDER BY o_orderkey
+"""

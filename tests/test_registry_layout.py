@@ -170,6 +170,11 @@ COVERED_BY = {
     "text_classifier_train": "explode_token_frequencies",
     "text_classifier_predict": "text_profile",
     "text_classifier_confusion": "text_profile",
+    # format("tablelog") DataSource: snapshot family graded by
+    # filter_pack; the streaming path's graded sibling is the in-window
+    # tablelog MERGE stream
+    "tablelog_source_snapshot": "filter_pack",
+    "tablelog_source_stream": "stream_tablelog_upsert",
     # linear attribution: same carry/range window family as last-touch
     "events_attribution_linear": "events_resample_interpolate",
     "dedup_canonical_corpus": "dedup_clusters",

@@ -1,0 +1,154 @@
+"""format("tablelog") Python DataSource: batch snapshot reads with
+executor-side deletion-vector skip + column mapping, and the streaming
+source with table versions as offsets (Delta streaming-source shape)."""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+from cdc_local_data_pipeline_docker_spark.sources import tablelog as TL
+from cdc_local_data_pipeline_docker_spark.sources import tablelog_source as TS
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture()
+def root():
+    d = tempfile.mkdtemp(prefix="tablelog_source_test_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _orders(spark):
+    return spark.read.parquet(os.path.join(SF, "orders.parquet")).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+
+
+def _drain(spark, root, qname, **opts):
+    reader = spark.readStream.format("tablelog").option("path", root)
+    for k, v in opts.items():
+        reader = reader.option(k, v)
+    ckpt = opts.pop("checkpointLocation", None)
+    w = reader.load().writeStream.format("memory").queryName(qname)
+    if ckpt:
+        w = w.option("checkpointLocation", ckpt)
+    q = w.trigger(availableNow=True).start()
+    q.awaitTermination()
+    return spark.table(qname)
+
+
+def test_batch_source_matches_log_read_with_dvs(spark, root):
+    TS.register(spark)
+    o = _orders(spark)
+    TL.log_append(spark, root, o.filter("o_orderkey % 2 = 0"))
+    TL.log_append(spark, root, o.filter("o_orderkey % 2 = 1"))
+    TL.log_delete_where_mor(spark, root, "o_orderstatus = 'F'")
+    via_source = sorted(
+        spark.read.format("tablelog").option("path", root).load().collect()
+    )
+    via_log = sorted(TL.log_read(spark, root).collect())
+    assert via_source == via_log
+    assert len(via_source) == o.filter("o_orderstatus <> 'F'").count()
+    # time travel through the source
+    v1 = (
+        spark.read.format("tablelog")
+        .option("path", root).option("version", 1).load()
+    )
+    assert v1.count() == o.count()
+
+
+def test_batch_source_column_mapping_and_evolution(spark, root):
+    TS.register(spark)
+    o = _orders(spark)
+    TL.log_append(spark, root, o.limit(10))
+    TL.log_rename_column(root, "o_totalprice", "total_price")
+    TL.log_append(
+        spark, root,
+        o.filter("o_orderkey > 1000").limit(5)
+         .withColumnRenamed("o_totalprice", "total_price")
+         .withColumn("tag", F.lit("late")),
+    )
+    df = spark.read.format("tablelog").option("path", root).load()
+    assert "total_price" in df.columns and "o_totalprice" not in df.columns
+    assert "tag" in df.columns
+    assert df.count() == 15
+    assert df.filter("tag IS NULL").count() == 10  # pre-evolution files
+    assert df.filter("total_price IS NULL").count() == 0
+
+
+def test_stream_appends_exactly_once_and_resume(spark, root):
+    """Two sequential drains against one checkpoint (parquet sink — the
+    memory sink cannot recover from a checkpoint): the second run must
+    read ONLY the commit that arrived in between, and the sink must end
+    up with every row exactly once."""
+    TS.register(spark)
+    o = _orders(spark)
+    TL.log_append(spark, root, o.filter("o_orderkey % 3 = 0"))
+    TL.log_append(spark, root, o.filter("o_orderkey % 3 = 1"))
+    ckpt = os.path.join(root, "_stream_ckpt")
+    out_dir = os.path.join(root, "_stream_out")
+
+    def drain_to_files():
+        q = (
+            spark.readStream.format("tablelog")
+            .option("path", root)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain_to_files()
+    n01 = o.filter("o_orderkey % 3 IN (0, 1)").count()
+    assert spark.read.parquet(out_dir).count() == n01
+    # append a third slice; the resumed stream reads ONLY the new commit
+    TL.log_append(spark, root, o.filter("o_orderkey % 3 = 2"))
+    drain_to_files()
+    sink = spark.read.parquet(out_dir)
+    assert sink.count() == o.count()  # exactly once, no re-reads
+    assert (
+        sink.groupBy("o_orderkey").count().filter("count > 1").count() == 0
+    )
+
+
+def test_stream_skips_data_unchanged_commits(spark, root):
+    TS.register(spark)
+    o = _orders(spark)
+    TL.log_append(spark, root, o.filter("o_orderkey < 500"))
+    TL.log_compact(spark, root, target_files=1)
+    TL.log_rename_column(root, "o_totalprice", "total_price")
+    q = f"tl_src_{uuid.uuid4().hex[:8]}"
+    got = _drain(spark, root, q)
+    assert got.count() == o.filter("o_orderkey < 500").count()
+
+
+def test_stream_raises_on_change_commit_unless_skipped(spark, root):
+    TS.register(spark)
+    o = _orders(spark)
+    TL.log_append(spark, root, o.filter("o_orderkey < 500"))
+    TL.log_delete_where(spark, root, "o_orderstatus = 'F'")
+    q = f"tl_src_{uuid.uuid4().hex[:8]}"
+    with pytest.raises(Exception, match="skipChangeCommits|STREAM"):
+        _drain(spark, root, q)
+    q2 = f"tl_src_{uuid.uuid4().hex[:8]}"
+    got = _drain(spark, root, q2, skipChangeCommits="true")
+    # only the append commit streams; the rewrite commit is skipped whole
+    assert got.count() == o.filter("o_orderkey < 500").count()
+
+
+def test_registry_entries_run(spark):
+    out = TS.tablelog_source_snapshot(spark, SF)
+    assert out.count() > 0
+    out2 = TS.tablelog_source_stream(spark, SF)
+    o = _orders(spark)
+    assert out2.count() == o.count()
