@@ -192,17 +192,23 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         TLU.stream_tablelog_upsert,
         CDC.CDC_LATEST_STATE_ORDERS_SQL,
     ),
-    # ANSI three-clause MERGE INTO (r5 flagship, rotated into the window
-    # r6): one full-outer join + per-clause CASE, the Delta-MERGE shape
-    "merge_into_orders": (MG.merge_into_orders, MG.MERGE_INTO_ORDERS_SQL),
-    # r7 second-session rotation: the ER golden record (new family) and
-    # the keep-best-quality collapse take these slots; join_semi and
-    # join_anti keep graded join-family siblings (join_inner,
-    # join_broadcast_dims) and stay registered past the window
+    # r7 fifth-session rotation: the tablelog streaming DataSource takes
+    # the slot of merge_into_orders (the MERGE family keeps its graded
+    # lowshuffle sibling, same oracle)
+    "tablelog_source_stream": (
+        TLS.tablelog_source_stream,
+        TLS.TABLELOG_SOURCE_STREAM_SQL,
+    ),
+    # r7 second-session rotation: the ER golden record (new family);
+    # join_semi and join_anti keep graded join-family siblings
     "er_golden_record": (ER.er_golden_record, ER.ER_GOLDEN_RECORD_SQL),
-    "dedup_keep_best_quality": (
-        CL.dedup_keep_best_quality,
-        CL.DEDUP_KEEP_BEST_QUALITY_SQL,
+    # r7 fifth-session rotation: the broadcast-model classifier's
+    # map-side inference pass takes the keep-best-quality slot (that
+    # collapse's dedup family keeps graded siblings dedup_ngram_jaccard
+    # / dedup_clusters)
+    "text_classifier_predict": (
+        CLF.text_classifier_predict,
+        CLF.TEXT_CLASSIFIER_PREDICT_SQL,
     ),
     # substring-level dedup (Lee et al. 2022; r5 flagship, rotated into
     # the window r6): per-doc duplicated-span coverage, exact positional
@@ -280,14 +286,28 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         MM.multimodal_feature_extract,
         MM.MULTIMODAL_FEATURE_EXTRACT_SQL,
     ),  # Arrow UDF path, ASCII-exact contract oracle
-    "multimodal_metadata_stats": (
-        MM.multimodal_metadata_stats,
-        MM.MULTIMODAL_METADATA_STATS_SQL,
+    # r7 fifth-session rotation: delta-log snapshot resolution through a
+    # parquet checkpoint takes the metadata-stats slot (the multimodal
+    # family keeps its graded Arrow-path sibling)
+    "tablelog_checkpointed_read": (
+        TLG.tablelog_checkpointed_read,
+        TLG.TABLELOG_CHECKPOINTED_READ_SQL,
     ),
     # scalar + collection function packs
     "fn_scalar_pack": (PK.fn_scalar_pack, PK.FN_SCALAR_PACK_SQL),
     "fn_collection_pack": (PK.fn_collection_pack, PK.FN_COLLECTION_PACK_SQL),
     # ---- 51+: variants covered by a graded sibling (pytest-verified) ----
+    # rotated out r7 fifth session (tablelog/classifier flagships took
+    # these slots; each family keeps a graded sibling)
+    "merge_into_orders": (MG.merge_into_orders, MG.MERGE_INTO_ORDERS_SQL),
+    "dedup_keep_best_quality": (
+        CL.dedup_keep_best_quality,
+        CL.DEDUP_KEEP_BEST_QUALITY_SQL,
+    ),
+    "multimodal_metadata_stats": (
+        MM.multimodal_metadata_stats,
+        MM.MULTIMODAL_METADATA_STATS_SQL,
+    ),
     # rotated OUT of the window in r7 (VERDICT r6 #4/#5) in favor of the
     # round-6 flagships + the FK-chain gold pair; each family keeps a
     # graded sibling (see tests/test_registry_layout.py COVERED_BY)
@@ -973,13 +993,6 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         TLG.tablelog_column_mapping,
         TLG.TABLELOG_COLUMN_MAPPING_SQL,
     ),
-    # snapshot resolution through a parquet checkpoint: 12 commits cross
-    # the cadence (10), the entry raises if the checkpoint is missing,
-    # and reads resolve as checkpoint + bounded delta replay
-    "tablelog_checkpointed_read": (
-        TLG.tablelog_checkpointed_read,
-        TLG.TABLELOG_CHECKPOINTED_READ_SQL,
-    ),
     # per-file bloom stats: point lookups on a hash-scattered table
     # where min/max spans prune nothing; pruning itself is pytest-pinned
     "tablelog_bloom_point_lookup": (
@@ -995,10 +1008,6 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         CLF.text_classifier_train,
         CLF.TEXT_CLASSIFIER_TRAIN_SQL,
     ),
-    "text_classifier_predict": (
-        CLF.text_classifier_predict,
-        CLF.TEXT_CLASSIFIER_PREDICT_SQL,
-    ),
     "text_classifier_confusion": (
         CLF.text_classifier_confusion,
         CLF.TEXT_CLASSIFIER_CONFUSION_SQL,
@@ -1011,10 +1020,6 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "tablelog_source_snapshot": (
         TLS.tablelog_source_snapshot,
         TLS.TABLELOG_SOURCE_SNAPSHOT_SQL,
-    ),
-    "tablelog_source_stream": (
-        TLS.tablelog_source_stream,
-        TLS.TABLELOG_SOURCE_STREAM_SQL,
     ),
 }
 

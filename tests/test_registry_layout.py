@@ -27,15 +27,15 @@ MUST_BE_GRADED = {
     # join, chained stateful streaming, the ER golden record, and the
     # keep-best-quality collapse
     "cdc_temporal_join_items_orders", "stream_chained_windows",
-    "er_golden_record", "dedup_keep_best_quality",
+    "er_golden_record",
     # pandas-UDF surface
     "fn_pandas_normalize", "fn_pandas_group_rank",
     # round-2 canonicalizer/HUGEINT fix proofs
     "agg_approx", "multimodal_feature_extract",
-    "multimodal_metadata_stats", "fn_collection_pack",
+    "fn_collection_pack",
     # round-5 flagship operators rotated into the window in round 6
     # (VERDICT r5 #2): MERGE, IVM, span-level dedup
-    "merge_into_orders", "cdc_incremental_agg_view", "dedup_span_coverage",
+    "cdc_incremental_agg_view", "dedup_span_coverage",
     # round-7 third-session flagships rotated in (displacing
     # sort_limit_topn and q5_local_supplier_volume, both families keep
     # graded siblings): fixed-point BM25 retrieval and the DBLog
@@ -47,6 +47,13 @@ MUST_BE_GRADED = {
     "cdc_incremental_join_view", "events_resample_interpolate",
     "cdc_gold_order_lines", "cdc_incremental_order_lines_view",
     "dedup_semantic_contract_sampled",
+    # round-7 fifth-session flagships rotated in (displacing
+    # merge_into_orders, dedup_keep_best_quality and
+    # multimodal_metadata_stats — each family keeps a graded sibling):
+    # the tablelog streaming DataSource, delta-log checkpointed
+    # resolution, and the broadcast-model classifier inference pass
+    "tablelog_source_stream", "tablelog_checkpointed_read",
+    "text_classifier_predict",
     # family packs (each the graded representative of its family)
     "filter_pack", "window_analytics_pack", "set_ops_pack", "fn_scalar_pack",
     "text_profile",
@@ -163,18 +170,19 @@ COVERED_BY = {
     # checkpoint equivalence, metadata-only DDL, bloom pruning) are
     # pytest-pinned in test_tablelog_v2.py / test_tablelog_race.py
     "tablelog_column_mapping": "filter_pack",
-    "tablelog_checkpointed_read": "filter_pack",
     "tablelog_bloom_point_lookup": "filter_pack",
+    # rotated out r7 fifth session (tablelog/classifier flagships in)
+    "merge_into_orders": "merge_into_orders_lowshuffle",
+    "dedup_keep_best_quality": "dedup_ngram_jaccard",
+    "multimodal_metadata_stats": "multimodal_feature_extract",
     # broadcast-model classifier: train = token explode/agg family;
     # predict/confusion = map-only text scoring family
     "text_classifier_train": "explode_token_frequencies",
-    "text_classifier_predict": "text_profile",
-    "text_classifier_confusion": "text_profile",
+    "text_classifier_confusion": "text_classifier_predict",
     # format("tablelog") DataSource: snapshot family graded by
     # filter_pack; the streaming path's graded sibling is the in-window
     # tablelog MERGE stream
     "tablelog_source_snapshot": "filter_pack",
-    "tablelog_source_stream": "stream_tablelog_upsert",
     # linear attribution: same carry/range window family as last-touch
     "events_attribution_linear": "events_resample_interpolate",
     "dedup_canonical_corpus": "dedup_clusters",
