@@ -138,3 +138,82 @@ def test_race_survivor_history_is_serializable():
         assert all(h["n_live"] == 0 for h in hist)  # data-free commits
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+_SPARK_WORKER = """
+import sys
+root, proc, sf = sys.argv[1], sys.argv[2], sys.argv[3]
+from pyspark.sql import SparkSession
+import pyspark.sql.functions as F
+spark = (SparkSession.builder.master("local[2]")
+         .config("spark.sql.shuffle.partitions", "2")
+         .config("spark.ui.enabled", "false")
+         .config("spark.sql.session.timeZone", "UTC")
+         .getOrCreate())
+from cdc_local_data_pipeline_docker_spark.sources import tablelog as TL
+orders = spark.read.parquet(sf + "/orders.parquet").select(
+    "o_orderkey", "o_orderstatus", "o_totalprice")
+for i in range(3):
+    sl = orders.filter((F.col("o_orderkey") % 6) == (int(proc) * 3 + i))
+    v = TL.log_append(spark, root, sl)
+    print("WIN", proc, i, v, flush=True)
+spark.stop()
+"""
+
+
+def test_two_real_spark_writers_race_appends():
+    """The full-stack version of the commit race: two independent Spark
+    processes (separate JVMs, separate drivers) concurrently appending
+    disjoint slices to the SAME table root. Both must land all three of
+    their commits via the optimistic-retry loop, the versions must be
+    the contiguous serialization 0..5, and the final snapshot must hold
+    every slice exactly once."""
+    import subprocess
+    import sys
+
+    from cdc_local_data_pipeline_docker_spark.sources import tablelog as TL
+
+    sf = "/root/testdata/sf0.001"
+    root = tempfile.mkdtemp(prefix="tablelog_spark_race_")
+    env = dict(os.environ, PYTHONPATH="/root/repo")
+    try:
+        procs = [
+            subprocess.Popen(
+                [sys.executable, "-c", _SPARK_WORKER, root, str(p), sf],
+                env=env,
+                stdout=subprocess.PIPE,
+                stderr=subprocess.DEVNULL,
+            )
+            for p in range(2)
+        ]
+        outs = []
+        for p in procs:
+            out, _ = p.communicate(timeout=420)
+            outs.append(out.decode())
+            assert p.returncode == 0, out.decode()[-2000:]
+        assert TL._versions(root) == list(range(6))
+        # every writer's three commits landed (6 distinct versions total)
+        wins = sorted(
+            int(line.split()[3])
+            for o in outs
+            for line in o.splitlines()
+            if line.startswith("WIN")
+        )
+        assert wins == list(range(6))
+        # content: the union of the six disjoint slices, exactly once
+        snap = TL._snapshot(root)
+        import pyarrow.parquet as pq
+
+        keys = []
+        for f in snap["live"]:
+            keys.extend(
+                pq.read_table(os.path.join(root, f))["o_orderkey"].to_pylist()
+            )
+        assert len(keys) == len(set(keys))
+        assert all(k % 6 in range(6) for k in keys)
+        expect = len(
+            pq.read_table(os.path.join(sf, "orders.parquet"))["o_orderkey"]
+        )
+        assert len(keys) == expect
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
