@@ -295,3 +295,53 @@ JOIN pred p ON p.doc_id = doc.doc_id AND p.rn = 1
 GROUP BY doc.lang, p.pred_lang
 ORDER BY doc.lang, p.pred_lang
 """
+
+
+def stream_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming inference: the model trained ONCE on the static corpus,
+    then applied to a document STREAM (three parquet chunks drained as
+    three micro-batches, maxFilesPerTrigger=1). Because the scorer is a
+    pure projection (the model rides inside the plan as a literal map),
+    it drops into Structured Streaming unchanged — per-batch cost is a
+    map-only pass over the batch, no state store, no shuffle; this is
+    the "score each incoming crawl shard as it lands" production shape.
+    Oracle: identical to the batch predict entry (same rows must come
+    out, independent of micro-batching)."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text"
+    )
+    model = train_classifier(docs, "lang")
+    work = tempfile.mkdtemp(prefix="classifier_stream_")
+    try:
+        src = os.path.join(work, "incoming")
+        docs.repartition(3).write.parquet(src)
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        scored = predict_with_model(stream, model, "doc_id").withColumnRenamed(
+            "pred_label", "pred_lang"
+        )
+        qname = f"clf_stream_{uuid.uuid4().hex[:8]}"
+        q = (
+            scored.writeStream.format("memory")
+            .queryName(qname)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        out = spark.table(qname).orderBy("doc_id")
+        res = spark.createDataFrame(out.collect(), out.schema)
+        spark.catalog.dropTempView(qname)
+        return res
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+STREAM_CLASSIFIER_SCORES_SQL = TEXT_CLASSIFIER_PREDICT_SQL

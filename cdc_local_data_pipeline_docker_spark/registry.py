@@ -1012,6 +1012,13 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         CLF.text_classifier_confusion,
         CLF.TEXT_CLASSIFIER_CONFUSION_SQL,
     ),
+    # streaming inference with the same broadcast model: the scorer is a
+    # pure projection, so it drops into Structured Streaming unchanged —
+    # three micro-batches must reproduce the batch predict rows exactly
+    "stream_classifier_scores": (
+        CLF.stream_classifier_scores,
+        CLF.STREAM_CLASSIFIER_SCORES_SQL,
+    ),
     # format("tablelog") Python DataSource: snapshot reads with
     # deletion vectors applied EXECUTOR-SIDE (reader-level skip), and
     # the table as a streaming source with version offsets (the Delta

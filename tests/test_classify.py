@@ -105,3 +105,11 @@ def test_registry_entries_run_on_testdata(spark):
         spark.read.parquet(SF + "/documents.parquet").count()
     )
     assert cm.agg(F.sum("n_docs")).collect()[0][0] == n_docs
+
+
+def test_stream_scoring_equals_batch(spark):
+    """Micro-batching must not change inference: the streamed scores are
+    row-identical to the batch predict pass."""
+    batch = sorted(C.text_classifier_predict(spark, SF).collect())
+    streamed = sorted(C.stream_classifier_scores(spark, SF).collect())
+    assert streamed == batch

@@ -179,6 +179,7 @@ COVERED_BY = {
     # predict/confusion = map-only text scoring family
     "text_classifier_train": "explode_token_frequencies",
     "text_classifier_confusion": "text_classifier_predict",
+    "stream_classifier_scores": "text_classifier_predict",
     # format("tablelog") DataSource: snapshot family graded by
     # filter_pack; the streaming path's graded sibling is the in-window
     # tablelog MERGE stream
