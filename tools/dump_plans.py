@@ -66,6 +66,11 @@ QUERIES = {
     "labels; one scored corpus scan; one window picks both winners",
     "events_drift_histogram": "one scan, map-side bucket assignment, "
     "one (type,bucket) partial+final agg — output independent of input",
+    "text_classifier_predict": "model rides as a literal map: the scoring pass "
+    "is ONE projection — no join, no hash Exchange; the range Exchange here "
+    "is only the graded output sort (the bare scorer is plan-pinned "
+    "Exchange-free in test_classify); train runs separately: TakeOrdered "
+    "vocab + token-keyed partial+final agg",
 }
 
 
