@@ -1028,6 +1028,13 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         TLS.tablelog_source_snapshot,
         TLS.TABLELOG_SOURCE_SNAPSHOT_SQL,
     ),
+    # CONVERT TO tablelog: zero-copy import of a bare parquet directory
+    # (hard-linked files, one v0 manifest) followed by a CoW delete —
+    # the zero-copy/inode properties are pytest-pinned
+    "tablelog_convert_in_place": (
+        TLG.tablelog_convert_in_place,
+        TLG.TABLELOG_CONVERT_IN_PLACE_SQL,
+    ),
 }
 
 #: Number of entries the grading driver evaluates (first N in dict order).

@@ -112,6 +112,7 @@ __all__ = [
     "log_vacuum",
     "log_restore",
     "log_changes",
+    "log_convert_in_place",
     "log_rename_column",
     "log_drop_column",
     "tablelog_time_travel",
@@ -120,6 +121,7 @@ __all__ = [
     "tablelog_column_mapping",
     "tablelog_checkpointed_read",
     "tablelog_bloom_point_lookup",
+    "tablelog_convert_in_place",
 ]
 
 _LOG_DIR = "_log"
@@ -1790,5 +1792,133 @@ FROM orders
 WHERE o_orderkey IN (
   SELECT o_orderkey FROM orders ORDER BY o_orderkey DESC LIMIT 5
 )
+ORDER BY o_orderkey
+"""
+
+
+def log_convert_in_place(
+    spark: SparkSession,
+    root: str,
+    parquet_dir: str,
+    stats_cols: list[str] | None = None,
+    bloom_cols: list[str] | None = None,
+) -> int:
+    """CONVERT an existing bare parquet directory into a tablelog table
+    WITHOUT rewriting data (the `CONVERT TO DELTA` shape): every
+    ``*.parquet`` file under ``parquet_dir`` is hard-linked into the
+    table's data tree (zero-copy on the same filesystem) and committed
+    as version 0 — from then on the directory's contents are governed by
+    the log (atomic commits, time travel, CoW/MoR deletes, vacuum).
+
+    Stats/bloom columns are computed by ONE distributed aggregation over
+    the linked files, exactly like a fresh append — on a 100 TB import
+    that scan is the whole cost; the data itself never moves. The table
+    must not already exist at ``root``."""
+    import glob as _glob
+
+    if _latest_version(root) is not None:
+        raise ValueError(f"table already exists at {root}")
+    files = sorted(
+        _glob.glob(os.path.join(parquet_dir, "**", "*.parquet"),
+                   recursive=True)
+    )
+    if not files:
+        raise ValueError(f"no parquet files under {parquet_dir}")
+    token = uuid.uuid4().hex[:12]
+    out_dir = os.path.join(root, _DATA_DIR, token)
+    os.makedirs(out_dir, exist_ok=True)
+    rel = []
+    for i, src in enumerate(files):
+        name = f"part-{i:05d}-{os.path.basename(src)}"
+        os.link(src, os.path.join(out_dir, name))
+        rel.append(os.path.join(_DATA_DIR, token, name))
+    stats: dict = {}
+    blooms: dict = {}
+    if stats_cols or bloom_cols:
+        # reuse the append-path stats job over the linked files
+        from pyspark.sql import functions as F  # noqa: F401
+
+        back = spark.read.parquet(out_dir)
+        types = {f.name: f.dataType.typeName() for f in back.schema.fields}
+        keep = [c for c in (stats_cols or []) if types.get(c) in _STATS_TYPES]
+        keep_b = [
+            c for c in (bloom_cols or []) if types.get(c) in _BLOOM_TYPES
+        ]
+        if keep or keep_b:
+            from pyspark.sql import functions as F
+
+            aggs = []
+            for c in keep:
+                aggs += [F.min(c).alias(f"mn_{c}"), F.max(c).alias(f"mx_{c}")]
+            for c in keep_b:
+                arr = _bloom_position_cols(c, types[c] == "string")
+                aggs.append(
+                    F.array_distinct(F.flatten(F.collect_list(arr))).alias(
+                        f"bl_{c}"
+                    )
+                )
+            for r in (
+                back.groupBy(F.input_file_name().alias("_f"))
+                .agg(*aggs)
+                .collect()
+            ):
+                tail = next((p for p in rel if r["_f"].endswith(p)), None)
+                if tail is None:
+                    continue
+                if keep:
+                    stats[tail] = {
+                        c: [_json_val(r[f"mn_{c}"]), _json_val(r[f"mx_{c}"])]
+                        for c in keep
+                    }
+                if keep_b:
+                    blooms[tail] = {c: sorted(r[f"bl_{c}"]) for c in keep_b}
+    schema = spark.read.parquet(out_dir).schema.simpleString()
+    manifest = {
+        "version": 0,
+        "action": "convert",
+        "add": rel,
+        "remove": [],
+        "stats_add": stats,
+        "blooms_add": blooms,
+        "schemas": [schema],
+        "schema": schema,
+        "converted_from": parquet_dir,
+        "ts": time.time(),
+    }
+    return _commit(root, 0, manifest)
+
+
+def tablelog_convert_in_place(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: CONVERT an existing bare parquet directory into a
+    log-governed table with zero data movement (hard-linked files, one
+    v0 manifest), then immediately exercise the log on it — a CoW
+    DELETE of the 'F' rows — and read the snapshot back. Oracle: the
+    surviving-rows predicate in SQL. The zero-copy property (shared
+    inodes, originals untouched by the delete) is pinned in pytest."""
+    import tempfile
+
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from ..catalog import load_table
+
+    cols = ["o_orderkey", "o_orderstatus", "o_totalprice"]
+    orders = load_table(spark, sf_dir, "orders").select(*cols)
+    work = tempfile.mkdtemp(prefix="tablelog_convert_")
+    try:
+        bare = os.path.join(work, "bare")
+        orders.repartition(4).write.parquet(bare)
+        root = os.path.join(work, "table")
+        log_convert_in_place(spark, root, bare, stats_cols=["o_orderkey"])
+        log_delete_where(spark, root, "o_orderstatus = 'F'")
+        out = log_read(spark, root).select(*cols).orderBy("o_orderkey")
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+TABLELOG_CONVERT_IN_PLACE_SQL = """
+SELECT o_orderkey, o_orderstatus, o_totalprice
+FROM orders
+WHERE o_orderstatus <> 'F'
 ORDER BY o_orderkey
 """

@@ -184,6 +184,7 @@ COVERED_BY = {
     # filter_pack; the streaming path's graded sibling is the in-window
     # tablelog MERGE stream
     "tablelog_source_snapshot": "filter_pack",
+    "tablelog_convert_in_place": "filter_pack",
     # linear attribution: same carry/range window family as last-touch
     "events_attribution_linear": "events_resample_interpolate",
     "dedup_canonical_corpus": "dedup_clusters",

@@ -310,3 +310,42 @@ def test_new_registry_entries_run(spark):
     assert out2.count() > 0
     out3 = TL.tablelog_bloom_point_lookup(spark, SF)
     assert out3.count() == 5
+
+
+# ---------------------------------------------------------------------------
+# in-place conversion (CONVERT TO DELTA shape)
+# ---------------------------------------------------------------------------
+
+def test_convert_in_place_zero_copy(spark, root):
+    src_dir = os.path.join(root, "bare")
+    o = _orders(spark)
+    o.repartition(4).write.parquet(src_dir)
+    table_root = os.path.join(root, "table")
+    v = TL.log_convert_in_place(
+        spark, table_root, src_dir,
+        stats_cols=["o_orderkey"], bloom_cols=["o_orderkey"],
+    )
+    assert v == 0
+    # zero-copy: linked files share inodes with the originals
+    import glob
+    srcs = {os.stat(f).st_ino for f in glob.glob(src_dir + "/*.parquet")}
+    linked = {
+        os.stat(os.path.join(table_root, f)).st_ino
+        for f in TL._snapshot(table_root)["live"]
+    }
+    assert linked == srcs
+    # content identical; the table is now fully log-governed
+    assert sorted(TL.log_read(spark, table_root).collect()) == \
+        sorted(o.collect())
+    state = TL._snapshot(table_root)
+    assert set(state["stats"]) == set(state["live"])
+    assert set(state["blooms"]) == set(state["live"])
+    TL.log_delete_where(spark, table_root, "o_orderstatus = 'F'")
+    assert TL.log_read(spark, table_root).count() == \
+        o.filter("o_orderstatus <> 'F'").count()
+    # original files untouched by the CoW delete
+    assert sorted(spark.read.parquet(src_dir).collect()) == \
+        sorted(o.collect())
+    # converting onto an existing table refuses
+    with pytest.raises(ValueError, match="already exists"):
+        TL.log_convert_in_place(spark, table_root, src_dir)
