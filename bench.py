@@ -114,6 +114,15 @@ OPTIONAL = [
     "events_cusum_drift",
     "text_bigram_coherence",
     "contrastive_triplet_mining",
+    # round-7 fifth-session additions: the broadcast-model classifier's
+    # map-side inference pass (zero-shuffle scoring — the 100 TB filter
+    # economics this family exists for) and its one-aggregation trainer.
+    # The new tablelog entries (delta manifests / checkpoints / blooms /
+    # DataSource) stay un-benched for the same reason as the fourth
+    # session's: their wall is commit machinery + fixture-sized
+    # collects, measured in tests/test_tablelog_v2.py instead.
+    "text_classifier_predict",
+    "text_classifier_train",
 ]
 #: Entries whose wall time is sf-INVARIANT fixed machinery (measured
 #: identical at sf0.01 and sf0.1 across rounds 4-5): streaming
