@@ -345,3 +345,37 @@ def stream_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 STREAM_CLASSIFIER_SCORES_SQL = TEXT_CLASSIFIER_PREDICT_SQL
+
+
+def text_classifier_top_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explainability readout: the top-10 highest-weight vocabulary
+    tokens per class (ties toward the smaller token) — what a reviewer
+    inspects before letting a trained filter loose on a corpus. One
+    window over the V·L model frame; integer fixed-point weights keep
+    it hash-exact."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").select("lang", "text")
+    model = train_classifier(docs, "lang").withColumnRenamed("label", "lang")
+    w = Window.partitionBy("lang").orderBy(
+        F.col("weight").desc(), F.col("token")
+    )
+    return (
+        model.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("lang", "rank", "token", "weight")
+        .orderBy("lang", "rank")
+    )
+
+
+TEXT_CLASSIFIER_TOP_FEATURES_SQL = _PREDICT_CTE + """
+SELECT lang, rank, token, weight FROM (
+  SELECT lang, token, weight,
+         CAST(ROW_NUMBER() OVER (PARTITION BY lang
+                                 ORDER BY weight DESC, token) AS INT)
+           AS rank
+  FROM weights
+)
+WHERE rank <= 10
+ORDER BY lang, rank
+"""

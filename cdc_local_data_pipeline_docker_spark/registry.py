@@ -1019,6 +1019,12 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         CLF.stream_classifier_scores,
         CLF.STREAM_CLASSIFIER_SCORES_SQL,
     ),
+    # explainability: per-class top-weight tokens (one window over the
+    # KB-sized model frame)
+    "text_classifier_top_features": (
+        CLF.text_classifier_top_features,
+        CLF.TEXT_CLASSIFIER_TOP_FEATURES_SQL,
+    ),
     # format("tablelog") Python DataSource: snapshot reads with
     # deletion vectors applied EXECUTOR-SIDE (reader-level skip), and
     # the table as a streaming source with version offsets (the Delta

@@ -624,7 +624,10 @@ def test_snapshot_chunk_merge_theorem_on_random_logs_and_chunkings(spark, case):
 @st.composite
 def _tablelog_ops(draw):
     """A random program over a keyed table: appends of fresh key blocks,
-    predicate deletes (CoW or MoR), upsert merges, and compactions."""
+    predicate deletes (CoW or MoR), upsert merges, compactions,
+    metadata-only value-column RENAMEs, and RESTOREs to arbitrary
+    earlier versions — the interleavings that stress colmap carry,
+    restore-as-replay-base, and delta resolution together."""
     ops = []
     next_key = 0
     n = draw(st.integers(3, 7))
@@ -634,7 +637,8 @@ def _tablelog_ops(draw):
             "append"
             if i == 0
             else draw(st.sampled_from(
-                ["append", "delete", "delete_mor", "merge", "compact"]
+                ["append", "delete", "delete_mor", "merge", "compact",
+                 "rename", "restore"]
             ))
         )
         if kind == "append":
@@ -653,6 +657,11 @@ def _tablelog_ops(draw):
             ins = list(range(next_key, next_key + fresh))
             next_key += fresh
             ops.append(("merge", (upd, ins, draw(st.integers(1, 99)))))
+        elif kind == "rename":
+            ops.append(("rename", None))
+        elif kind == "restore":
+            # one commit per op, so version v == op index v
+            ops.append(("restore", draw(st.integers(0, i - 1))))
         else:
             ops.append(("compact", draw(st.integers(1, 3))))
     return ops
@@ -672,11 +681,13 @@ def test_tablelog_model_based(spark, ops):
     root = tempfile.mkdtemp(prefix="tablelog_hyp_")
     try:
         model: dict[int, int] = {}
+        val_name = "val"
+        n_renames = 0
         snapshots = []
         for kind, arg in ops:
             if kind == "append":
                 df = spark.createDataFrame(
-                    [(k, 0) for k in arg], "k LONG, val LONG"
+                    [(k, 0) for k in arg], f"k LONG, {val_name} LONG"
                 )
                 TL.log_append(spark, root, df)
                 model.update({k: 0 for k in arg})
@@ -694,23 +705,36 @@ def test_tablelog_model_based(spark, ops):
                 if not keys:
                     keys = [0] if 0 in model else [10**6]
                 df = spark.createDataFrame(
-                    [(k, val) for k in keys], "k LONG, val LONG"
+                    [(k, val) for k in keys], f"k LONG, {val_name} LONG"
                 )
                 TL.log_merge(spark, root, df, "k")
                 model.update({k: val for k in keys})
+            elif kind == "rename":
+                n_renames += 1
+                new_name = f"val{n_renames}"
+                TL.log_rename_column(root, val_name, new_name)
+                val_name = new_name
+            elif kind == "restore":
+                TL.log_restore(spark, root, arg)
+                model = dict(snapshots[arg][0])
+                val_name = snapshots[arg][1]
             else:
                 TL.log_compact(spark, root, target_files=arg)
-            snapshots.append(dict(model))
-        # final state and EVERY historical version match the model
-        for v, snap in enumerate(snapshots):
-            got = {
-                r["k"]: r["val"]
-                for r in TL.log_read(spark, root, version=v).collect()
-            }
+            snapshots.append((dict(model), val_name))
+        # final state and EVERY historical version match the model,
+        # including each version's logical column names
+        for v, (snap, vname) in enumerate(snapshots):
+            df = TL.log_read(spark, root, version=v)
+            assert set(df.columns) == {"k", vname}, f"version {v} columns"
+            got = {r["k"]: r[vname] for r in df.collect()}
             assert got == snap, f"version {v}: {got} != {snap}"
         # vacuum must not disturb any retained version
         TL.log_vacuum(root)
-        got = {r["k"]: r["val"] for r in TL.log_read(spark, root).collect()}
-        assert got == snapshots[-1]
+        final_snap, final_name = snapshots[-1]
+        got = {
+            r["k"]: r[final_name]
+            for r in TL.log_read(spark, root).collect()
+        }
+        assert got == final_snap
     finally:
         shutil.rmtree(root, ignore_errors=True)

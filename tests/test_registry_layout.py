@@ -180,6 +180,7 @@ COVERED_BY = {
     "text_classifier_train": "explode_token_frequencies",
     "text_classifier_confusion": "text_classifier_predict",
     "stream_classifier_scores": "text_classifier_predict",
+    "text_classifier_top_features": "text_classifier_predict",
     # format("tablelog") DataSource: snapshot family graded by
     # filter_pack; the streaming path's graded sibling is the in-window
     # tablelog MERGE stream
