@@ -106,6 +106,7 @@ __all__ = [
     "log_delete_where_mor",
     "log_merge",
     "log_compact",
+    "log_compact_small_files",
     "log_checkpoint",
     "log_read",
     "log_history",
@@ -1922,3 +1923,72 @@ FROM orders
 WHERE o_orderstatus <> 'F'
 ORDER BY o_orderkey
 """
+
+
+def log_compact_small_files(
+    spark: SparkSession,
+    root: str,
+    small_max_rows: int,
+    target_files: int = 1,
+) -> int:
+    """Incremental OPTIMIZE: bin-pack ONLY the live files with at most
+    ``small_max_rows`` rows into ``target_files`` new files, carrying
+    every larger file by reference — the production compaction loop
+    (Delta OPTIMIZE bin-packing): after a streaming sink has committed
+    thousands of small per-batch files, the rewrite cost tracks the
+    SMALL-FILE count, never the table size. `log_compact` (full
+    rewrite) remains the OPTIMIZE ZORDER path.
+
+    Per-file row counts come from the parquet footers (KB metadata,
+    driver-side — the same information production formats keep in the
+    manifest's add actions). Deletion vectors on compacted files are
+    materialized (their dead rows vanish); vectors on carried files
+    ride along untouched. Content-identical by construction; returns
+    the new version (a no-op commit if ≤1 small file exists)."""
+    import pyarrow.parquet as pq
+
+    base = _latest_version(root)
+    if base is None:
+        raise ValueError(f"no table at {root}")
+    state = _snapshot(root, base)
+    small = [
+        f
+        for f in state["live"]
+        if pq.read_metadata(os.path.join(root, f)).num_rows
+        <= small_max_rows
+    ]
+    if len(small) <= 1:
+        manifest = {
+            "version": base + 1,
+            "action": "compact_small",
+            "add": [],
+            "remove": [],
+            "schemas": state["schemas"],
+            "ts": time.time(),
+        }
+        return _commit(root, base + 1, manifest)
+    merge_sch = len(state["schemas"]) > 1
+    packed = _read_with_dv(
+        spark, root, small,
+        {f: d for f, d in state["dv"].items() if f in set(small)},
+        merge_schema=merge_sch,
+    ).coalesce(target_files)
+    token = uuid.uuid4().hex[:12]
+    stats_cols = sorted({c for s in state["stats"].values() for c in s})
+    bloom_cols = sorted({c for b in state["blooms"].values() for c in b})
+    added, new_stats, new_blooms = _write_data_files(
+        packed, root, token, stats_cols, bloom_cols
+    )
+    manifest = {
+        "version": base + 1,
+        "action": "compact_small",
+        "add": added,
+        "remove": small,
+        "stats_add": new_stats,
+        "blooms_add": new_blooms,
+        "schemas": sorted(
+            set(state["schemas"]) | {packed.schema.simpleString()}
+        ),
+        "ts": time.time(),
+    }
+    return _commit(root, base + 1, manifest)

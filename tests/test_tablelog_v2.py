@@ -349,3 +349,45 @@ def test_convert_in_place_zero_copy(spark, root):
     # converting onto an existing table refuses
     with pytest.raises(ValueError, match="already exists"):
         TL.log_convert_in_place(spark, table_root, src_dir)
+
+
+# ---------------------------------------------------------------------------
+# incremental OPTIMIZE (small-file bin-packing)
+# ---------------------------------------------------------------------------
+
+def test_compact_small_files_carries_big_by_reference(spark, root):
+    o = _orders(spark)
+    # one big commit + five tiny per-"batch" commits (the streaming-sink
+    # small-file shape)
+    TL.log_append(spark, root, o.filter("o_orderkey < 1000"))
+    for i in range(5):
+        TL.log_append(
+            spark, root,
+            o.filter(f"o_orderkey >= {1000 + 80 * i} "
+                     f"AND o_orderkey < {1000 + 80 * (i + 1)}"),
+        )
+    before = sorted(TL.log_read(spark, root).collect())
+    big = set(TL._snapshot(root, 0)["live"])
+    v = TL.log_compact_small_files(spark, root, small_max_rows=200,
+                                   target_files=1)
+    m = TL._read_manifest(root, v)
+    state = TL._snapshot(root, v)
+    # the big file was never rewritten; only small files packed
+    assert big <= set(state["live"]) and not (big & set(m["remove"]))
+    assert len(m["remove"]) == 5 and len(m["add"]) == 1
+    assert len(state["live"]) == len(big) + 1
+    # content-identical, and time travel still resolves the old layout
+    assert sorted(TL.log_read(spark, root).collect()) == before
+    assert TL.log_read(spark, root, version=3).count() == \
+        o.filter("o_orderkey < 1240").count()
+    # MoR vectors on small files materialize; on big files they ride
+    TL.log_delete_where_mor(spark, root, "o_orderstatus = 'F'")
+    n = TL.log_read(spark, root).count()
+    v2 = TL.log_compact_small_files(spark, root, small_max_rows=500,
+                                    target_files=1)
+    assert TL.log_read(spark, root).count() == n
+    # a second pass with nothing small enough is a no-op commit
+    v3 = TL.log_compact_small_files(spark, root, small_max_rows=1)
+    m3 = TL._read_manifest(root, v3)
+    assert m3["add"] == [] and m3["remove"] == []
+    assert TL.log_read(spark, root).count() == n
