@@ -1041,6 +1041,13 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         TLG.tablelog_convert_in_place,
         TLG.TABLELOG_CONVERT_IN_PLACE_SQL,
     ),
+    # incremental OPTIMIZE: small files pack, large files carry by
+    # reference (reference-carry pinned in pytest); content identity is
+    # the graded contract
+    "tablelog_small_file_compaction": (
+        TLG.tablelog_small_file_compaction,
+        TLG.TABLELOG_SMALL_FILE_COMPACTION_SQL,
+    ),
 }
 
 #: Number of entries the grading driver evaluates (first N in dict order).

@@ -186,6 +186,7 @@ COVERED_BY = {
     # tablelog MERGE stream
     "tablelog_source_snapshot": "filter_pack",
     "tablelog_convert_in_place": "filter_pack",
+    "tablelog_small_file_compaction": "filter_pack",
     # linear attribution: same carry/range window family as last-touch
     "events_attribution_linear": "events_resample_interpolate",
     "dedup_canonical_corpus": "dedup_clusters",
