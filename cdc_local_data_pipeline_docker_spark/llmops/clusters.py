@@ -358,15 +358,20 @@ ORDER BY cluster_id, doc_id
 def dedup_canonical_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The corpus after near-dup collapse: every document except
     non-canonical cluster members (canonical = minimum doc_id per
-    component). The removal set is tiny relative to the corpus, so the
-    anti join broadcasts it — the full corpus is never shuffled."""
+    component). The removal set is duplicate-count-sized — often tiny,
+    but real crawls run 30-50% near-dup rates — so the anti join rides
+    the size-gated broadcast helper (counted small -> broadcast hint,
+    the corpus never shuffles; over the bound -> id-keyed shuffle join,
+    never a driver OOM)."""
+    from .dedup import anti_join_drop_ids
+
     d = load_table(spark, sf_dir, "documents")
     cc = connected_components(_ngram_pairs(spark, sf_dir))
     removed = cc.filter(F.col("id") != F.col("cluster_id")).select(
         F.col("id").alias("doc_id")
     )
     return (
-        d.join(F.broadcast(removed), "doc_id", "left_anti")
+        anti_join_drop_ids(d, removed)
         .select("doc_id", "lang", "source", "n_chars")
         .orderBy("doc_id")
     )
@@ -393,15 +398,16 @@ def dedup_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     text_quality_score entry, so both engines rank ties identically.
 
     Scale design (100 TB): cluster labels exist only for documents that
-    appear in a near-dup pair — a tiny fraction of the corpus — so the
-    label frame broadcasts into the corpus join that fetches text for
-    scoring; the quality expression runs map-side on that slice only
-    (never the full corpus); the per-cluster argmax is one window over
-    the labeled slice; and the loser ids broadcast into an anti-join, so
-    the corpus itself is never shuffled (same shape as
-    dedup_canonical_corpus)."""
+    appear in a near-dup pair — duplicate-fraction-sized, often small
+    but 30-50% of a raw crawl — so both the label join and the loser
+    anti-join ride the size-gated broadcast helpers (counted under
+    DROP_SET_BROADCAST_MAX_ROWS -> broadcast hint, the corpus never
+    shuffles; over the bound -> id-keyed shuffle join). The quality
+    expression runs map-side on the labeled slice only (never the full
+    corpus); the per-cluster argmax is one window over that slice."""
     from pyspark.sql import Window
 
+    from .dedup import anti_join_drop_ids, gated_broadcast
     from .text import quality_score_col
 
     d = load_table(spark, sf_dir, "documents")
@@ -409,7 +415,7 @@ def dedup_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels = cc.select(F.col("id").alias("doc_id"), "cluster_id")
     scored = (
         d.select("doc_id", "text")
-        .join(F.broadcast(labels), "doc_id")
+        .join(gated_broadcast(labels), "doc_id")
         .select("doc_id", "cluster_id", quality_score_col().alias("q"))
     )
     w = Window.partitionBy("cluster_id").orderBy(
@@ -421,7 +427,7 @@ def dedup_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
     )
     return (
-        d.join(F.broadcast(losers), "doc_id", "left_anti")
+        anti_join_drop_ids(d, losers)
         .select("doc_id", "lang", "source", "n_chars")
         .orderBy("doc_id")
     )

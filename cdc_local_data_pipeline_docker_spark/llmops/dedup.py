@@ -172,6 +172,26 @@ def anti_join_drop_ids(
     return corpus.join(drop_ids, key, "left_anti")
 
 
+def gated_broadcast(small: DataFrame) -> DataFrame:
+    """Size-gated broadcast hint for inner/left joins — the same count
+    discipline as ``anti_join_drop_ids`` (VERDICT r7: cluster-label and
+    match-graph frames are duplicate-fraction-sized, which real crawls
+    push to 30-50% of the corpus; an unconditional hint is a driver OOM
+    waiting for the wrong dataset).
+
+    Persist + count the small side; hint broadcast only under
+    ``DROP_SET_BROADCAST_MAX_ROWS``, otherwise return it unhinted so
+    Catalyst/AQE picks a shuffle join keyed on the (narrow) columns.
+    The persisted partitions feed the join, so the plan still computes
+    the small side once; cache_scope releases it with the query."""
+    from ..plans.cache_scope import scoped_persist
+
+    small = scoped_persist(small)
+    if small.count() <= DROP_SET_BROADCAST_MAX_ROWS:
+        return F.broadcast(small)
+    return small
+
+
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact content dedup over a simulated re-crawl (corpus ∪ corpus).
 

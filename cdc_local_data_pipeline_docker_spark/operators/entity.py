@@ -169,9 +169,16 @@ def er_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: reuses the dedup family's CC machinery (hash-min label
     propagation, one key-equi-join shuffle per round, star-contraction
-    fallback); the match graph is orders of magnitude smaller than the
-    record corpus, so the survivorship joins broadcast the labels."""
+    fallback). The match graph is match-pair-sized — usually far smaller
+    than the record corpus but data-dependent — so the labels join rides
+    the size-gated broadcast (counted <= DROP_SET_BROADCAST_MAX_ROWS ->
+    hint, else shuffle join; VERDICT r7 #1). The survivor name needs no
+    second join at all: the hash-min cluster label IS the minimum member
+    key, so ``min_by(c_name, c_custkey)`` inside the one aggregation
+    yields the canonical member's name — one join, one shuffle, no
+    unconditional broadcast of the customer dim."""
     from ..llmops.clusters import connected_components
+    from ..llmops.dedup import gated_broadcast
     from ..plans.cache_scope import scoped_persist
 
     c = load_table(spark, sf_dir, "customer")
@@ -185,20 +192,14 @@ def er_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cc = connected_components(pairs)
     members = cc.select(F.col("id").alias("c_custkey"), "cluster_id")
-    golden = (
-        c.join(F.broadcast(members), "c_custkey")
+    return (
+        c.join(gated_broadcast(members), "c_custkey")
         .groupBy("cluster_id")
         .agg(
             F.count(F.lit(1)).alias("n_members"),
+            F.min_by("c_name", "c_custkey").alias("survivor_name"),
             F.max(F.col("c_acctbal")).cast("double").alias("max_acctbal"),
         )
-    )
-    survivor = c.select(
-        F.col("c_custkey").alias("cluster_id"),
-        F.col("c_name").alias("survivor_name"),
-    )
-    return (
-        golden.join(F.broadcast(survivor), "cluster_id")
         .select("cluster_id", "n_members", "survivor_name", "max_acctbal")
         .orderBy("cluster_id")
     )
