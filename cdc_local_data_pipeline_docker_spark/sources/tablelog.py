@@ -260,7 +260,17 @@ def _snapshot(root: str, version: int | None = None) -> dict:
             state = _read_checkpoint(root, v)
             if state is not None:
                 break
-        m = _read_manifest(root, v)
+        try:
+            m = _read_manifest(root, v)
+        except FileNotFoundError:
+            # ADVICE r7: post-VACUUM the manifests below the retained
+            # floor are gone, so an absent/corrupt checkpoint must fail
+            # with a diagnosis, not an unhandled FileNotFoundError
+            raise ValueError(
+                f"tablelog at {root}: log not resolvable at version "
+                f"{version} — manifest v{v} is missing (history trimmed "
+                "by VACUUM) and no readable checkpoint covers it"
+            ) from None
         if "live" in m:
             state = _state_from_full(root, m)
             break
@@ -508,9 +518,9 @@ def log_rename_column(root: str, old: str, new: str) -> int:
         "rename": [old, new],
         "ts": time.time(),
     }
-    v = _commit(root, base + 1, manifest)
-    _maybe_checkpoint(root, v)
-    return v
+    # _commit runs _maybe_checkpoint internally (ADVICE r7: a second
+    # explicit call here was redundant work on cadence boundaries)
+    return _commit(root, base + 1, manifest)
 
 
 def log_drop_column(root: str, col: str) -> int:
@@ -540,9 +550,7 @@ def log_drop_column(root: str, col: str) -> int:
         "dropped": col,
         "ts": time.time(),
     }
-    v = _commit(root, base + 1, manifest)
-    _maybe_checkpoint(root, v)
-    return v
+    return _commit(root, base + 1, manifest)
 
 
 # ---------------------------------------------------------------------------
@@ -831,12 +839,18 @@ def log_read(
             or pos <= set(blooms[f][pc])
         ]
     if not files:
-        # every file pruned: preserve the schema via an empty scan
-        # of ONE live file with a false filter
-        one = state["live"][0]
-        empty = spark.read.parquet(os.path.join(root, one)).filter(
-            F.lit(False)
+        # every file pruned: preserve the MERGED snapshot schema via an
+        # empty scan over ALL live files with a false filter (ADVICE r7:
+        # under schema evolution a single file may predate later-added
+        # physical columns and would narrow the fully-pruned result)
+        reader = (
+            spark.read.option("mergeSchema", "true")
+            if len(state["schemas"]) > 1
+            else spark.read
         )
+        empty = reader.parquet(
+            *[os.path.join(root, f) for f in state["live"]]
+        ).filter(F.lit(False))
         return _to_logical(empty, colmap)
     merge = len(state["schemas"]) > 1
     df = _read_with_dv(spark, root, files, state["dv"], merge_schema=merge)

@@ -17,10 +17,12 @@ AND streaming:
   root).load()` — the table as a streaming source with TABLE VERSIONS
   as offsets (the Delta streaming-source contract): each micro-batch
   reads the data files ADDED by the commits in (startVersion,
-  endVersion], one partition per (version, file). Append commits
-  stream their rows exactly once; compactions, restores and
+  endVersion], one partition per (version, file). Purely additive
+  commits (append, insert-only merge, zero-copy convert) stream their
+  rows exactly once; compactions (full and incremental) and
   metadata-only DDL are data-unchanged and stream nothing; rewrite
-  commits (CoW delete/merge, vectored delete) RAISE by default —
+  commits (CoW delete/merge, vectored delete, RESTORE) RAISE by
+  default —
   update/delete deltas are not expressible as an append stream —
   unless `.option("skipChangeCommits", "true")` opts into skipping
   them, matching Delta's `skipChangeCommits` semantics. Progress is
@@ -50,8 +52,13 @@ from pyspark.sql.datasource import (
 
 from . import tablelog as TL
 
-#: commit actions whose data content is unchanged (stream nothing)
-_DATA_UNCHANGED = {"compact", "restore", "rename_column", "drop_column"}
+#: commit actions whose data content is unchanged (stream nothing).
+#: ADVICE r7: 'compact_small' (incremental OPTIMIZE) is content-identical
+#: like 'compact'; 'restore' is NOT here — RESTORE changes table content
+#: (rolls back prior appends/deletes), so it routes through the
+#: raise/skipChangeCommits branch like CoW delete/merge (Delta treats
+#: RESTORE's remove/add actions as data-changing).
+_DATA_UNCHANGED = {"compact", "compact_small", "rename_column", "drop_column"}
 
 
 def _arrow_union_schema(root: str, state: dict):
@@ -215,21 +222,32 @@ class TablelogStreamReader(DataSourceStreamReader):
             adds = m.get("live_add", m["add"])
             if action in _DATA_UNCHANGED:
                 continue
-            if action == "append" or (action == "cdc_merge" and not m["remove"]):
+            # pure additive commits stream their files exactly once:
+            # append, insert-only merge, and zero-copy CONVERT (v0 is
+            # adds-only, remove=[]) — ADVICE r7: classify by shape, not
+            # by action name, so a converted table is streamable
+            if action != "restore" and adds and not m["remove"] and not m.get(
+                "dv_set"
+            ):
                 for f in adds:
                     out.append(
                         _FilePart(os.path.join(self.root, f), None, self.cols)
                     )
                 continue
-            if not m["remove"] and not adds and not m.get("dv_set"):
+            if (
+                action != "restore"
+                and not m["remove"]
+                and not adds
+                and not m.get("dv_set")
+            ):
                 continue  # no-op commit (e.g. a delete matching nothing)
             if self.skip_change:
                 continue
             raise ValueError(
                 f"tablelog stream hit a data-changing commit v{v} "
-                f"({action}); updates/deletes are not expressible as an "
-                "append stream — set .option('skipChangeCommits', 'true') "
-                "to skip such commits (Delta semantics)"
+                f"({action}); updates/deletes/restores are not expressible "
+                "as an append stream — set .option('skipChangeCommits', "
+                "'true') to skip such commits (Delta semantics)"
             )
         # a caught-up batch still needs >=1 (empty) partition
         return out or [_FilePart("", None, self.cols)]

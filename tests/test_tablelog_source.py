@@ -152,3 +152,60 @@ def test_registry_entries_run(spark):
     out2 = TS.tablelog_source_stream(spark, SF)
     o = _orders(spark)
     assert out2.count() == o.count()
+
+
+def test_stream_skips_incremental_compaction(spark, root):
+    """ADVICE r7: 'compact_small' is content-identical like 'compact' —
+    a stream over a table maintained by the incremental OPTIMIZE loop
+    streams the appends and nothing else (Delta skips OPTIMIZE)."""
+    TS.register(spark)
+    o = _orders(spark)
+    TL.log_append(spark, root, o.filter("o_orderkey < 200").repartition(4))
+    TL.log_append(
+        spark, root, o.filter("o_orderkey >= 200 AND o_orderkey < 400")
+    )
+    TL.log_compact_small_files(spark, root, small_max_rows=10**9)
+    q = f"tl_src_{uuid.uuid4().hex[:8]}"
+    got = _drain(spark, root, q)
+    assert got.count() == o.filter("o_orderkey < 400").count()
+
+
+def test_stream_over_converted_table(spark, root):
+    """ADVICE r7: CONVERT's v0 is adds-only (remove=[]) — a converted
+    table must stream its initial data as an append, by commit SHAPE,
+    not action name (previously raised, and with skipChangeCommits the
+    converted data silently vanished from the stream)."""
+    TS.register(spark)
+    o = _orders(spark)
+    src = tempfile.mkdtemp(prefix="tl_convert_src_")
+    try:
+        o.filter("o_orderkey < 300").write.mode("overwrite").parquet(src)
+        TL.log_convert_in_place(spark, root, src)
+        TL.log_append(
+            spark, root, o.filter("o_orderkey >= 300 AND o_orderkey < 500")
+        )
+        q = f"tl_src_{uuid.uuid4().hex[:8]}"
+        got = _drain(spark, root, q)
+        assert got.count() == o.filter("o_orderkey < 500").count()
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+
+
+def test_stream_raises_on_restore_unless_skipped(spark, root):
+    """ADVICE r7: RESTORE changes table content (rolls back appends) —
+    it must hit the raise/skipChangeCommits branch, never be silently
+    classified data-unchanged (the sink would diverge from the table)."""
+    TS.register(spark)
+    o = _orders(spark)
+    TL.log_append(spark, root, o.filter("o_orderkey < 200"))
+    TL.log_append(
+        spark, root, o.filter("o_orderkey >= 200 AND o_orderkey < 400")
+    )
+    TL.log_restore(spark, root, 0)
+    q = f"tl_src_{uuid.uuid4().hex[:8]}"
+    with pytest.raises(Exception, match="skipChangeCommits|STREAM"):
+        _drain(spark, root, q)
+    q2 = f"tl_src_{uuid.uuid4().hex[:8]}"
+    got = _drain(spark, root, q2, skipChangeCommits="true")
+    # the two appends stream; the restore commit is skipped whole
+    assert got.count() == o.filter("o_orderkey < 400").count()

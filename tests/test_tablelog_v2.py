@@ -391,3 +391,108 @@ def test_compact_small_files_carries_big_by_reference(spark, root):
     m3 = TL._read_manifest(root, v3)
     assert m3["add"] == [] and m3["remove"] == []
     assert TL.log_read(spark, root).count() == n
+
+
+# ---------------------------------------------------------------------------
+# ADVICE r7 fixes + checkpoint-bounded replay at depth
+# ---------------------------------------------------------------------------
+
+def test_fully_pruned_read_keeps_merged_schema(spark, root):
+    """ADVICE r7: when prune/point skips every file, the empty result
+    must carry the MERGED snapshot schema — a first-appended file that
+    predates a later-added column must not narrow it."""
+    o = _orders(spark)
+    TL.log_append(
+        spark, root, o.filter("o_orderkey < 100"), stats_cols=["o_orderkey"]
+    )
+    TL.log_append(
+        spark,
+        root,
+        o.filter("o_orderkey >= 100 AND o_orderkey < 200").withColumn(
+            "tag", F.lit("late")
+        ),
+        stats_cols=["o_orderkey"],
+    )
+    full = TL.log_read(spark, root)
+    assert "tag" in full.columns
+    empty = TL.log_read(spark, root, prune=("o_orderkey", -10, -5))
+    assert empty.count() == 0
+    assert set(empty.columns) == set(full.columns), empty.columns
+
+
+def test_ddl_commits_write_cadence_checkpoint_once(spark, root, monkeypatch):
+    """ADVICE r7: rename/drop rely on _commit's internal cadence
+    checkpoint — no second explicit _maybe_checkpoint call (redundant
+    snapshot re-resolution on every cadence-boundary DDL)."""
+    calls = []
+    orig = TL._maybe_checkpoint
+    monkeypatch.setattr(
+        TL,
+        "_maybe_checkpoint",
+        lambda r, v: calls.append(v) or orig(r, v),
+    )
+    o = _orders(spark)
+    TL.log_append(spark, root, o.limit(5))
+    TL.log_rename_column(root, "o_totalprice", "total_price")
+    TL.log_drop_column(root, "o_orderstatus")
+    # one cadence probe per commit (3 commits), not two for the DDLs
+    assert calls == [0, 1, 2]
+    got = TL.log_read(spark, root)
+    assert got.columns == ["o_orderkey", "total_price"] or set(
+        got.columns
+    ) == {"o_orderkey", "total_price"}
+
+
+def test_corrupt_checkpoint_after_vacuum_raises_clear_error(spark, root):
+    """ADVICE r7: once VACUUM trims manifests below the retained floor,
+    an unreadable checkpoint must fail snapshot resolution with a
+    diagnosable error, not an unhandled FileNotFoundError mid-walk."""
+    o = _orders(spark)
+    for i in range(6):
+        TL.log_append(spark, root, o.filter(F.col("o_orderkey") % 6 == i))
+    TL.log_vacuum(root, retain_versions=2)
+    assert TL._versions(root) == [4, 5]
+    # corrupt every checkpoint (drop the files table inside each)
+    for c in TL._checkpoint_versions(root):
+        fp = os.path.join(TL._ckpt_dir(root, c), "files.parquet")
+        if os.path.exists(fp):
+            os.unlink(fp)
+    with pytest.raises(ValueError, match="not resolvable"):
+        TL._snapshot(root)
+
+
+def test_deep_log_replay_is_checkpoint_bounded(spark, root, monkeypatch):
+    """VERDICT r7 #7: the delta-manifest claim at depth — 120 commits
+    (12 cadence checkpoints), snapshot resolution reads at most
+    CHECKPOINT_INTERVAL manifests past the covering checkpoint (replay
+    I/O is O(interval), never O(history)), and VACUUM + RESTORE still
+    round-trip on the deep log."""
+    o = _orders(spark).limit(2)
+    for _ in range(120):
+        TL.log_append(spark, root, o)
+    assert TL._latest_version(root) == 119
+    ckpts = TL._checkpoint_versions(root)
+    assert 110 in ckpts and len(ckpts) >= 11
+
+    calls: list[int] = []
+    orig = TL._read_manifest
+    monkeypatch.setattr(
+        TL,
+        "_read_manifest",
+        lambda r, v: calls.append(v) or orig(r, v),
+    )
+    state = TL._snapshot(root)
+    assert len(state["live"]) >= 120
+    assert len(calls) <= TL.CHECKPOINT_INTERVAL, calls
+    assert calls and min(calls) > 110, calls
+    monkeypatch.undo()
+
+    # VACUUM to the last 15 versions, then RESTORE to a retained one
+    n_before = TL.log_read(spark, root).count()
+    TL.log_vacuum(root, retain_versions=15)
+    assert TL._versions(root)[0] == 105
+    assert TL.log_read(spark, root).count() == n_before
+    TL.log_restore(spark, root, 110)
+    assert TL.log_read(spark, root).count() == 111 * 2
+    # post-restore the log is still resolvable at both ends
+    assert TL.log_read(spark, root, version=119).count() == 120 * 2
