@@ -298,7 +298,7 @@ def tablelog_source_snapshot(spark, sf_dir: str):
             .select(*cols)
             .orderBy("o_orderkey")
         )
-        return spark.createDataFrame(out.collect(), out.schema)
+        return TL._materialized_scan(spark, out)
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
@@ -348,7 +348,7 @@ def tablelog_source_stream(spark, sf_dir: str):
         )
         q.awaitTermination()
         out = spark.table(qname).select(*cols).orderBy("o_orderkey")
-        res = spark.createDataFrame(out.collect(), out.schema)
+        res = TL._materialized_scan(spark, out)
         spark.catalog.dropTempView(qname)
         return res
     finally:
