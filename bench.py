@@ -123,6 +123,12 @@ OPTIONAL = [
     # collects, measured in tests/test_tablelog_v2.py instead.
     "text_classifier_predict",
     "text_classifier_train",
+    # round-8 addition (VERDICT r7 #6): track commit + checkpointed
+    # replay + two snapshot reads round-over-round. The collect-artifact
+    # objection is gone — graded tablelog wrappers now materialize via a
+    # distributed temp-parquet scan, so the timing is commit machinery +
+    # log resolution + scan, which IS the cost being baselined.
+    "tablelog_time_travel",
 ]
 #: Entries whose wall time is sf-INVARIANT fixed machinery (measured
 #: identical at sf0.01 and sf0.1 across rounds 4-5): streaming

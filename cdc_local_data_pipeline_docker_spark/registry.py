@@ -143,12 +143,13 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         ASOF.SQL_CORRELATED_SUBQUERY_SQL,
     ),
     # advanced pack: range frames, argminmax, pivot, salting, explode
-    # gold composition along the schema's SECOND FK edge (NEW r7,
-    # VERDICT r6 #2): order_items ⋈ products rolled up to order level,
-    # exact two-replay oracle; deletes exercised in both streams
-    "cdc_gold_order_lines": (
-        CDC.cdc_gold_order_lines,
-        CDC.CDC_GOLD_ORDER_LINES_SQL,
+    # transaction-log table format (r7 fourth session): versioned
+    # manifests + atomic put-if-absent commits on plain parquet — time
+    # travel across append / CoW-delete / compact graded against a
+    # pure-SQL replay of the same slice algebra
+    "tablelog_time_travel": (
+        TLG.tablelog_time_travel,
+        TLG.TABLELOG_TIME_TRAVEL_SQL,
     ),
     # the maintained twin (NEW r7): dim-side fan-out IVM — a products
     # batch refreshes exactly the orders whose live lines reference the
@@ -157,11 +158,13 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         OLV.cdc_incremental_order_lines_view,
         CDC.CDC_GOLD_ORDER_LINES_SQL,
     ),
-    # r7 second-session rotation: chained stateful streaming operators
-    # take this slot (agg_pivot_status keeps graded agg siblings)
-    "stream_chained_windows": (
-        SJ.stream_chained_windows,
-        SJ.STREAM_CHAINED_WINDOWS_SQL,
+    # IVM through the change feed: a per-status aggregate maintained by
+    # folding each commit's (added, removed) delta — COUNT/SUM are
+    # self-inverting under negation, so the CDF alone suffices; graded
+    # against the plain GROUP BY recompute
+    "tablelog_cdf_agg_view": (
+        TLG.tablelog_cdf_agg_view,
+        TLG.TABLELOG_CDF_AGG_VIEW_SQL,
     ),
     "agg_salted_two_stage": (ADV.agg_salted_two_stage, ADV.AGG_SALTED_TWO_STAGE_SQL),
     "explode_token_frequencies": (
@@ -192,12 +195,13 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         TLU.stream_tablelog_upsert,
         CDC.CDC_LATEST_STATE_ORDERS_SQL,
     ),
-    # r7 fifth-session rotation: the tablelog streaming DataSource takes
-    # the slot of merge_into_orders (the MERGE family keeps its graded
-    # lowshuffle sibling, same oracle)
-    "tablelog_source_stream": (
-        TLS.tablelog_source_stream,
-        TLS.TABLELOG_SOURCE_STREAM_SQL,
+    # hidden partitioning (r8): month(o_orderdate) transform values in
+    # the manifest prune whole partitions BEFORE min/max+bloom probes;
+    # the files carry no stats so skipping is attributable to partition
+    # pruning alone (file-level prune pinned in pytest)
+    "tablelog_partition_pruning": (
+        TLG.tablelog_partition_pruning,
+        TLG.TABLELOG_PARTITION_PRUNING_SQL,
     ),
     # r7 second-session rotation: the ER golden record (new family);
     # join_semi and join_anti keep graded join-family siblings
@@ -234,12 +238,12 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "set_ops_pack": (PK.set_ops_pack, PK.SET_OPS_PACK_SQL),
     # multi-join analytics
     "q3_shipping_priority": (R.q3_shipping_priority, R.Q3_SHIPPING_PRIORITY_SQL),
-    # r7 third-session flagship rotated into the window (displacing
-    # q5_local_supplier_volume — the 6-table join family stays graded
-    # via q3/q17): DBLog chunked-snapshot + changelog merge
-    "cdc_snapshot_chunk_merge": (
-        CDC.cdc_snapshot_chunk_merge,
-        CDC.CDC_SNAPSHOT_CHUNK_MERGE_SQL,
+    # distributed Lloyd k-means training (r7): per-iteration shuffle is
+    # k x dim x n_partitions partial rows — independent of corpus size;
+    # contract oracle pins cardinality + Lloyd invariants as booleans
+    "embedding_kmeans_train": (
+        SIM.embedding_kmeans_train,
+        SIM.EMBEDDING_KMEANS_TRAIN_SQL,
     ),
     "q17_small_quantity_revenue": (
         TQ.q17_small_quantity_revenue,
@@ -286,12 +290,11 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         MM.multimodal_feature_extract,
         MM.MULTIMODAL_FEATURE_EXTRACT_SQL,
     ),  # Arrow UDF path, ASCII-exact contract oracle
-    # r7 fifth-session rotation: delta-log snapshot resolution through a
-    # parquet checkpoint takes the metadata-stats slot (the multimodal
-    # family keeps its graded Arrow-path sibling)
-    "tablelog_checkpointed_read": (
-        TLG.tablelog_checkpointed_read,
-        TLG.TABLELOG_CHECKPOINTED_READ_SQL,
+    # referential-integrity audit across all three FK edges (U8 upgraded
+    # from per-table counts to cross-table consistency; r7)
+    "cdc_fk_integrity_report": (
+        CDC.cdc_fk_integrity_report,
+        CDC.CDC_FK_INTEGRITY_REPORT_SQL,
     ),
     # scalar + collection function packs
     "fn_scalar_pack": (PK.fn_scalar_pack, PK.FN_SCALAR_PACK_SQL),
@@ -631,11 +634,12 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         R.q5_local_supplier_volume,
         R.Q5_LOCAL_SUPPLIER_VOLUME_SQL,
     ),
-    # referential-integrity audit across all three FK edges (U8 upgraded
-    # from per-table counts to cross-table consistency; r7)
-    "cdc_fk_integrity_report": (
-        CDC.cdc_fk_integrity_report,
-        CDC.CDC_FK_INTEGRITY_REPORT_SQL,
+    # r7 fifth-session rotation: delta-log snapshot resolution through a
+    # parquet checkpoint takes the metadata-stats slot (the multimodal
+    # family keeps its graded Arrow-path sibling)
+    "tablelog_checkpointed_read": (
+        TLG.tablelog_checkpointed_read,
+        TLG.TABLELOG_CHECKPOINTED_READ_SQL,
     ),
     # cross-topic snapshot-consistency cut: watermark = min over topics
     # of max(broker ts); every table replayed only through the watermark
@@ -713,12 +717,12 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # filtered vector search (r7): metadata predicate + top-k in one
     # query — PRE-filtering (the post-filter form silently returns < k)
     "ann_filtered_topk": (SIM.ann_filtered_topk, SIM.ANN_FILTERED_TOPK_SQL),
-    # distributed Lloyd k-means training (r7): per-iteration shuffle is
-    # k x dim x n_partitions partial rows — independent of corpus size;
-    # contract oracle pins cardinality + Lloyd invariants as booleans
-    "embedding_kmeans_train": (
-        SIM.embedding_kmeans_train,
-        SIM.EMBEDDING_KMEANS_TRAIN_SQL,
+    # r7 third-session flagship rotated into the window (displacing
+    # q5_local_supplier_volume — the 6-table join family stays graded
+    # via q3/q17): DBLog chunked-snapshot + changelog merge
+    "cdc_snapshot_chunk_merge": (
+        CDC.cdc_snapshot_chunk_merge,
+        CDC.CDC_SNAPSHOT_CHUNK_MERGE_SQL,
     ),
     # SQ8 scalar quantization (r7 fourth session): the fourth quantizer
     # family — one byte/dim, trivial min/max training, dequantized-dot
@@ -962,13 +966,12 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         CL.graph_shortest_hops,
         CL.GRAPH_SHORTEST_HOPS_SQL,
     ),
-    # transaction-log table format (r7 fourth session): versioned
-    # manifests + atomic put-if-absent commits on plain parquet — time
-    # travel across append / CoW-delete / compact graded against a
-    # pure-SQL replay of the same slice algebra
-    "tablelog_time_travel": (
-        TLG.tablelog_time_travel,
-        TLG.TABLELOG_TIME_TRAVEL_SQL,
+    # gold composition along the schema's SECOND FK edge (NEW r7,
+    # VERDICT r6 #2): order_items ⋈ products rolled up to order level,
+    # exact two-replay oracle; deletes exercised in both streams
+    "cdc_gold_order_lines": (
+        CDC.cdc_gold_order_lines,
+        CDC.CDC_GOLD_ORDER_LINES_SQL,
     ),
     # per-commit change feed (Delta CDF shape): add/remove file lists
     # resolve the delta with no snapshot diffing; graded on the
@@ -977,13 +980,11 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         TLG.tablelog_change_feed,
         TLG.TABLELOG_CHANGE_FEED_SQL,
     ),
-    # IVM through the change feed: a per-status aggregate maintained by
-    # folding each commit's (added, removed) delta — COUNT/SUM are
-    # self-inverting under negation, so the CDF alone suffices; graded
-    # against the plain GROUP BY recompute
-    "tablelog_cdf_agg_view": (
-        TLG.tablelog_cdf_agg_view,
-        TLG.TABLELOG_CDF_AGG_VIEW_SQL,
+    # r7 second-session rotation: chained stateful streaming operators
+    # take this slot (agg_pivot_status keeps graded agg siblings)
+    "stream_chained_windows": (
+        SJ.stream_chained_windows,
+        SJ.STREAM_CHAINED_WINDOWS_SQL,
     ),
     # r7 fifth session: the delta-log rungs. Column mapping — rename and
     # drop as metadata-only commits (name-mapping, zero data I/O); the
@@ -998,6 +999,13 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "tablelog_bloom_point_lookup": (
         TLG.tablelog_bloom_point_lookup,
         TLG.TABLELOG_BLOOM_POINT_LOOKUP_SQL,
+    ),
+    # r7 fifth-session rotation: the tablelog streaming DataSource takes
+    # the slot of merge_into_orders (the MERGE family keeps its graded
+    # lowshuffle sibling, same oracle)
+    "tablelog_source_stream": (
+        TLS.tablelog_source_stream,
+        TLS.TABLELOG_SOURCE_STREAM_SQL,
     ),
     # broadcast-model text classification (fasttext-filter shape):
     # train by one aggregation (fixed-point integer weights — exact in

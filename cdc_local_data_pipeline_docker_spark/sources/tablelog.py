@@ -93,6 +93,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import shutil
 import time
 import uuid
@@ -183,6 +184,7 @@ def _empty_state() -> dict:
         "dv": {},
         "stats": {},
         "blooms": {},
+        "parts": {},
         "schemas": [],
         "colmap": None,
     }
@@ -212,6 +214,7 @@ def _state_from_full(root: str, m: dict) -> dict:
         "dv": dict(m.get("dv", {})),
         "stats": dict(m.get("stats", {})),
         "blooms": dict(m.get("blooms", {})),
+        "parts": dict(m.get("parts", {})),
         "schemas": list(schemas),
         "colmap": m.get("colmap"),
     }
@@ -226,7 +229,7 @@ def _apply_delta(state: dict, m: dict) -> dict:
     live_add = m.get("live_add", m["add"])
     if removed:
         state["live"] = [f for f in state["live"] if f not in removed]
-        for k in ("dv", "stats", "blooms"):
+        for k in ("dv", "stats", "blooms", "parts"):
             state[k] = {
                 f: v for f, v in state[k].items() if f not in removed
             }
@@ -234,6 +237,7 @@ def _apply_delta(state: dict, m: dict) -> dict:
     state["dv"].update(m.get("dv_set", {}))
     state["stats"].update(m.get("stats_add", {}))
     state["blooms"].update(m.get("blooms_add", {}))
+    state["parts"].update(m.get("parts_add", {}))
     if m.get("schemas") is not None:
         state["schemas"] = list(m["schemas"])
     if "colmap" in m:
@@ -329,11 +333,21 @@ def _read_checkpoint(root: str, version: int) -> dict | None:
         dv: dict[str, str] = {}
         stats: dict[str, dict] = {}
         blooms: dict[str, dict] = {}
-        for path, dvp, sj, bj in zip(
+        parts: dict[str, dict] = {}
+        # checkpoints written before hidden partitioning lack the
+        # parts column — resolve to no partition metadata (safe-only:
+        # those files simply never partition-prune)
+        pj_col = (
+            t["parts"].to_pylist()
+            if "parts" in t.column_names
+            else [None] * t.num_rows
+        )
+        for path, dvp, sj, bj, pj in zip(
             t["path"].to_pylist(),
             t["dv"].to_pylist(),
             t["stats"].to_pylist(),
             t["blooms"].to_pylist(),
+            pj_col,
         ):
             live.append(path)
             if dvp:
@@ -342,11 +356,14 @@ def _read_checkpoint(root: str, version: int) -> dict | None:
                 stats[path] = json.loads(sj)
             if bj:
                 blooms[path] = json.loads(bj)
+            if pj:
+                parts[path] = json.loads(pj)
         return {
             "live": live,
             "dv": dv,
             "stats": stats,
             "blooms": blooms,
+            "parts": parts,
             "schemas": meta.get("schemas", []),
             "colmap": meta.get("colmap"),
         }
@@ -387,6 +404,15 @@ def log_checkpoint(root: str, version: int | None = None) -> int:
                 [
                     json.dumps(state["blooms"][f], sort_keys=True)
                     if f in state["blooms"]
+                    else None
+                    for f in live
+                ],
+                pa.string(),
+            ),
+            "parts": pa.array(
+                [
+                    json.dumps(state["parts"][f], sort_keys=True)
+                    if f in state["parts"]
                     else None
                     for f in live
                 ],
@@ -612,12 +638,26 @@ def _write_data_files(
     token: str,
     stats_cols: list[str] | None = None,
     bloom_cols: list[str] | None = None,
-) -> tuple[list[str], dict[str, dict[str, list]], dict[str, dict[str, list]]]:
+    transforms: list[tuple[str, int | None, str]] | None = None,
+) -> tuple[
+    list[str],
+    dict[str, dict[str, list]],
+    dict[str, dict[str, list]],
+    dict[str, dict],
+]:
     """Write ``df`` under data/<token>/; return (root-relative part
     files, per-file min/max stats for ``stats_cols``, per-file bloom
-    position sets for ``bloom_cols``). The directory is unique per
-    commit attempt, so a losing/crashed writer never collides with a
-    winner's files.
+    position sets for ``bloom_cols``, per-file partition values for
+    ``transforms``). The directory is unique per commit attempt, so a
+    losing/crashed writer never collides with a winner's files.
+
+    ``transforms`` is the hidden-partitioning spec: parsed
+    (kind, n, physical_col) triples. Each derives a write-only column
+    the files are ``partitionBy``-written on (the derived column is
+    dropped from file content — hidden, Iceberg-style; the SOURCE
+    column stays in the files), and the per-file partition value is
+    parsed back out of the directory path into the manifest, where the
+    read path prunes on it BEFORE min/max and bloom skipping.
 
     Stats AND blooms come from ONE distributed aggregation over the
     just-written files grouped by ``input_file_name()`` — KBs of
@@ -625,11 +665,34 @@ def _write_data_files(
     shape. Only JSON-stable column types participate; anything else is
     skipped (its files simply never prune)."""
     out_dir = os.path.join(root, _DATA_DIR, token)
-    df.write.mode("error").parquet(out_dir)
-    rel = []
-    for f in sorted(os.listdir(out_dir)):
-        if f.endswith(".parquet"):
-            rel.append(os.path.join(_DATA_DIR, token, f))
+    rel: list[str] = []
+    parts: dict[str, dict] = {}
+    if transforms:
+        pnames = [f"_tlp_{i}" for i in range(len(transforms))]
+        pkeys = [_transform_key(*t) for t in transforms]
+        out = df
+        for name, t in zip(pnames, transforms):
+            out = out.withColumn(name, _transform_expr(*t))
+        out.write.mode("error").partitionBy(*pnames).parquet(out_dir)
+        name_to_key = dict(zip(pnames, pkeys))
+        for dirpath, _dirs, fnames in os.walk(out_dir):
+            vals: dict[str, object] = {}
+            for comp in os.path.relpath(dirpath, out_dir).split(os.sep):
+                name, _, raw = comp.partition("=")
+                if name in name_to_key:
+                    vals[name_to_key[name]] = _part_value_from_dir(raw)
+            for f in sorted(fnames):
+                if f.endswith(".parquet"):
+                    r = os.path.relpath(os.path.join(dirpath, f), root)
+                    rel.append(r)
+                    if vals:
+                        parts[r] = dict(vals)
+        rel.sort()
+    else:
+        df.write.mode("error").parquet(out_dir)
+        for f in sorted(os.listdir(out_dir)):
+            if f.endswith(".parquet"):
+                rel.append(os.path.join(_DATA_DIR, token, f))
     stats: dict[str, dict[str, list]] = {}
     blooms: dict[str, dict[str, list]] = {}
     if (stats_cols or bloom_cols) and rel:
@@ -677,7 +740,191 @@ def _write_data_files(
                     blooms[tail] = {
                         c: sorted(r[f"bl_{c}"]) for c in keep_b
                     }
-    return rel, stats, blooms
+    return rel, stats, blooms, parts
+
+
+# ---------------------------------------------------------------------------
+# Hidden partitioning: Iceberg-style partition transforms. The spec
+# lives per-FILE in the manifest as {transform_key: value} — readers
+# filter on the SOURCE column and the transform maps the predicate into
+# the partition-value domain, so the layout is invisible to queries
+# (the "hidden" in hidden partitioning). Safe-only like stats/blooms:
+# files without partition metadata (pre-partitioning appends, compaction
+# or CoW rewrites) are always kept.
+# ---------------------------------------------------------------------------
+
+_TRANSFORM_RE = re.compile(
+    r"^\s*(identity|month|day|bucket)\s*\(\s*(?:(\d+)\s*,\s*)?"
+    r"([A-Za-z_][A-Za-z0-9_]*)\s*\)\s*$"
+)
+
+#: transforms that preserve the source column's order — eligible for
+#: RANGE pruning; bucket is point-only
+_MONOTONIC_TRANSFORMS = {"identity", "month", "day"}
+
+
+def _parse_transform(spec: str) -> tuple[str, int | None, str]:
+    """'month(o_orderdate)' -> ('month', None, 'o_orderdate');
+    'bucket(8, o_custkey)' -> ('bucket', 8, 'o_custkey')."""
+    m = _TRANSFORM_RE.match(spec)
+    if not m:
+        raise ValueError(
+            f"bad partition transform {spec!r} — expected "
+            "identity(col) | month(col) | day(col) | bucket(n, col)"
+        )
+    kind, n, col = m.group(1), m.group(2), m.group(3)
+    if kind == "bucket" and n is None:
+        raise ValueError(f"bucket transform needs a count: {spec!r}")
+    if kind != "bucket" and n is not None:
+        raise ValueError(f"{kind} transform takes no count: {spec!r}")
+    return kind, int(n) if n else None, col
+
+
+def _transform_key(kind: str, n: int | None, col: str) -> str:
+    """Canonical manifest key for a parsed transform."""
+    return f"bucket({n},{col})" if kind == "bucket" else f"{kind}({col})"
+
+
+def _transform_expr(kind: str, n: int | None, col: str):
+    """The write-side derivation column for one transform."""
+    from pyspark.sql import functions as F
+
+    c = F.col(col)
+    if kind == "identity":
+        return c
+    if kind == "month":
+        return F.date_format(c, "yyyy-MM")
+    if kind == "day":
+        return F.date_format(c, "yyyy-MM-dd")
+    # bucket: the probe side (_bucket_of, a scalar SQL with the same
+    # expression) is bit-identical by construction
+    return F.pmod(F.xxhash64(c), F.lit(n))
+
+
+def _part_value_from_dir(raw: str):
+    """Decode one `name=value` directory component into the manifest's
+    typed partition value: %XX-unescaped; canonical integers stay int
+    (bucket values, integral identity); NULL partitions -> None."""
+    import urllib.parse
+
+    s = urllib.parse.unquote(raw)
+    if s == "__HIVE_DEFAULT_PARTITION__":
+        return None
+    try:
+        if str(int(s)) == s:
+            return int(s)
+    except ValueError:
+        pass
+    return s
+
+
+def _bucket_of(spark: SparkSession, value, n: int) -> int:
+    """Probe side of the bucket transform: one scalar SQL so the hash is
+    bit-identical with the write side (same discipline as
+    _bloom_positions)."""
+    q = (
+        f"SELECT pmod(xxhash64(CAST(? AS BIGINT)), {int(n)})"
+        if isinstance(value, int)
+        else f"SELECT pmod(xxhash64(?), {int(n)})"
+    )
+    return int(spark.sql(q, args=[value]).collect()[0][0])
+
+
+def _part_bound(kind: str, value):
+    """Map a predicate bound through a MONOTONIC transform into the
+    recorded-value domain (None -> unmappable, caller keeps the file)."""
+    import datetime
+
+    if kind == "identity":
+        return value
+    if isinstance(value, (datetime.date, datetime.datetime)):
+        s = value.isoformat()
+    elif isinstance(value, str):
+        s = value
+    else:
+        return None
+    return s[:7] if kind == "month" else s[:10]
+
+
+def _part_cmp_pair(recorded, bound):
+    """Align a recorded partition value and a mapped predicate bound for
+    comparison; None when they can't be compared safely (keep file)."""
+    if recorded is None or bound is None:
+        return None
+    if isinstance(recorded, int):
+        if isinstance(bound, bool) or not isinstance(bound, (int, float)):
+            return None
+        return recorded, bound
+    if isinstance(recorded, str):
+        import datetime
+
+        if isinstance(bound, (datetime.date, datetime.datetime)):
+            # identity over a date column: the dir value is the ISO
+            # string, which sorts chronologically
+            return recorded, bound.isoformat()
+        if isinstance(bound, str):
+            return recorded, bound
+        if isinstance(bound, (int, float)):
+            # numeric predicate vs string-recorded value: lexicographic
+            # order diverges from numeric order — not safe to prune
+            return None
+    return None
+
+
+def _prune_by_partitions(
+    spark: SparkSession,
+    files: list[str],
+    parts: dict[str, dict],
+    pc: str,
+    lo=None,
+    hi=None,
+    value=None,
+) -> list[str]:
+    """Partition pruning for one predicate over physical column ``pc``:
+    range (lo, hi) via monotonic transforms, point (value) via any
+    transform including bucket. Files without a matching transform in
+    their partition metadata are always kept (safe-only)."""
+    kept = []
+    bucket_cache: dict[tuple[int, object], int] = {}
+    for f in files:
+        rec = parts.get(f)
+        keep = True
+        if rec:
+            for key, recorded in rec.items():
+                try:
+                    kind, n, col = _parse_transform(key)
+                except ValueError:
+                    continue
+                if col != pc or recorded is None:
+                    continue
+                if value is not None:
+                    if kind == "bucket":
+                        ck = (n, value)
+                        if ck not in bucket_cache:
+                            bucket_cache[ck] = _bucket_of(spark, value, n)
+                        if recorded != bucket_cache[ck]:
+                            keep = False
+                            break
+                    elif kind in _MONOTONIC_TRANSFORMS:
+                        pair = _part_cmp_pair(
+                            recorded, _part_bound(kind, value)
+                        )
+                        if pair is not None and pair[0] != pair[1]:
+                            keep = False
+                            break
+                else:
+                    if kind not in _MONOTONIC_TRANSFORMS:
+                        continue
+                    plo = _part_cmp_pair(recorded, _part_bound(kind, lo))
+                    phi = _part_cmp_pair(recorded, _part_bound(kind, hi))
+                    if (plo is not None and plo[0] < plo[1]) or (
+                        phi is not None and phi[0] > phi[1]
+                    ):
+                        keep = False
+                        break
+        if keep:
+            kept.append(f)
+    return kept
 
 
 def _json_val(v):
@@ -727,11 +974,18 @@ def log_append(
     df: DataFrame,
     stats_cols: list[str] | None = None,
     bloom_cols: list[str] | None = None,
+    partition_by: list[str] | None = None,
 ) -> int:
     """Commit ``df`` as new files appended to the table; returns the new
     version. ``stats_cols`` records per-file min/max (range skipping),
     ``bloom_cols`` per-file bloom position sets (point skipping).
-    Appends never conflict logically, so on CommitConflict the
+    ``partition_by`` is the hidden-partitioning spec — transform strings
+    over LOGICAL column names ('identity(c)', 'month(c)', 'day(c)',
+    'bucket(n, c)'): files are laid out by the transform value, the
+    per-file value lands in the manifest, and reads filtering on the
+    SOURCE column prune whole partitions before any stats/bloom probe
+    (Iceberg's hidden partitioning — the layout never leaks into
+    queries). Appends never conflict logically, so on CommitConflict the
     already-written data files are simply re-published against the
     newer snapshot (no rewrite) — unless the column mapping changed
     underneath, which conflicts for real."""
@@ -749,9 +1003,16 @@ def log_append(
                 colmap[c] = p
                 used.add(p)
     pdf = _to_physical_loose(df, colmap)
+    transforms = None
+    if partition_by:
+        # transforms are recorded over PHYSICAL names, like stats keys
+        transforms = []
+        for spec in partition_by:
+            kind, n, col = _parse_transform(spec)
+            transforms.append((kind, n, (colmap or {}).get(col, col)))
     token = uuid.uuid4().hex[:12]
-    added, new_stats, new_blooms = _write_data_files(
-        pdf, root, token, stats_cols, bloom_cols
+    added, new_stats, new_blooms, new_parts = _write_data_files(
+        pdf, root, token, stats_cols, bloom_cols, transforms
     )
     physical_schema = pdf.schema.simpleString()
     while True:
@@ -769,6 +1030,7 @@ def log_append(
             "remove": [],
             "stats_add": new_stats,
             "blooms_add": new_blooms,
+            **({"parts_add": new_parts} if new_parts else {}),
             # cumulative distinct PHYSICAL file schemas: >1 gates the
             # read path's parquet footer merge (schema evolution)
             "schemas": sorted(set(cur["schemas"]) | {physical_schema}),
@@ -796,13 +1058,18 @@ def log_read(
     data directory, so concurrent commits and crash garbage are
     invisible.
 
-    ``prune=(col, lo, hi)`` applies manifest-level min/max file
-    skipping; ``point=(col, value)`` applies bloom file skipping (files
-    whose bloom rejects the value are dropped; files without a bloom
-    are always kept). Both are safe-only: the predicate itself is NOT
-    applied — callers keep their own filter so skipping can never
-    change results, only scan less. Columns are logical names; the
-    mapping resolves them to physical stats keys."""
+    ``prune=(col, lo, hi)`` applies hidden-partition pruning (monotonic
+    transforms) THEN manifest-level min/max file skipping;
+    ``point=(col, value)`` applies partition pruning (any transform,
+    including bucket) THEN bloom file skipping (files whose bloom
+    rejects the value are dropped; files without a bloom are always
+    kept). All are safe-only: the predicate itself is NOT applied —
+    callers keep their own filter so skipping can never change results,
+    only scan less. Columns are logical names; the mapping resolves
+    them to physical stats/partition keys. Partition pruning runs FIRST
+    because it is the cheapest test (one equality/range per file
+    against a manifest value) and typically eliminates the most files —
+    min/max and bloom probes then only run over the surviving set."""
     from pyspark.sql import functions as F
 
     state = _snapshot(root, version)
@@ -817,6 +1084,9 @@ def log_read(
     if prune is not None:
         col, lo, hi = prune
         pc = phys(col)
+        files = _prune_by_partitions(
+            spark, files, state["parts"], pc, lo=lo, hi=hi
+        )
         stats = state["stats"]
         files = [
             f
@@ -829,6 +1099,9 @@ def log_read(
     if point is not None:
         col, value = point
         pc = phys(col)
+        files = _prune_by_partitions(
+            spark, files, state["parts"], pc, value=value
+        )
         pos = set(_bloom_positions(spark, value))
         blooms = state["blooms"]
         files = [
@@ -911,7 +1184,7 @@ def log_delete_where(spark: SparkSession, root: str, predicate: str) -> int:
     token = uuid.uuid4().hex[:12]
     stats_cols = sorted({c for s in state["stats"].values() for c in s})
     bloom_cols = sorted({c for b in state["blooms"].values() for c in b})
-    added, new_stats, new_blooms = _write_data_files(
+    added, new_stats, new_blooms, new_parts = _write_data_files(
         survivors, root, token, stats_cols, bloom_cols
     )
     manifest = {
@@ -994,7 +1267,7 @@ def log_merge(
     token = uuid.uuid4().hex[:12]
     stats_cols = sorted({c for s in state["stats"].values() for c in s})
     bloom_cols = sorted({c for b in state["blooms"].values() for c in b})
-    added, new_stats, new_blooms = _write_data_files(
+    added, new_stats, new_blooms, new_parts = _write_data_files(
         new_rows, root, token, stats_cols, bloom_cols
     )
     manifest = {
@@ -1057,7 +1330,7 @@ def log_compact(
         stats_cols = sorted(set(stats_cols) | set(pz))
     else:
         out = snap.coalesce(target_files)
-    added, new_stats, new_blooms = _write_data_files(
+    added, new_stats, new_blooms, new_parts = _write_data_files(
         out, root, token, stats_cols, bloom_cols
     )
     manifest = {
@@ -1177,6 +1450,7 @@ def log_restore(spark: SparkSession, root: str, version: int) -> int:
         "dv": t["dv"],
         "stats": t["stats"],
         "blooms": t["blooms"],
+        "parts": t["parts"],
         "schemas": t["schemas"],
         "restored_from": version,
         "ts": time.time(),
@@ -1830,6 +2104,62 @@ ORDER BY o_orderkey
 """
 
 
+def tablelog_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: HIDDEN PARTITIONING (the last delta/iceberg-log
+    rung — VERDICT r7 #4). Two appends of ``orders`` laid out by
+    ``month(o_orderdate)``: the transform value is derived at write
+    time, recorded per file in the manifest, and dropped from file
+    content — the layout never leaks into queries (Iceberg's hidden
+    partitioning; the reference's `partitionBy("ingest_date")` story,
+    SURVEY §4). The files carry NO min/max stats, so any skipping on
+    the quarter read ``prune=(o_orderdate, 1995-01-01 … 1995-03-31)``
+    can only come from partition pruning, which runs BEFORE min/max and
+    bloom probes. Pruning is safe-only (the caller keeps its own
+    filter); that ONLY matching partitions' files survive the prune is
+    pinned in pytest (a manifest property, not a row property). Oracle:
+    the same quarter predicate in SQL."""
+    import datetime
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ..catalog import load_table
+
+    cols = ["o_orderkey", "o_orderdate", "o_orderstatus", "o_totalprice"]
+    orders = load_table(spark, sf_dir, "orders").select(*cols)
+    root = tempfile.mkdtemp(prefix="tablelog_pp_")
+    try:
+        for i in range(2):
+            log_append(
+                spark,
+                root,
+                orders.filter(F.col("o_orderkey") % 2 == i).coalesce(2),
+                partition_by=["month(o_orderdate)"],
+            )
+        lo = datetime.date(1995, 1, 1)
+        hi = datetime.date(1995, 3, 31)
+        out = (
+            log_read(spark, root, prune=("o_orderdate", lo, hi))
+            .filter(
+                (F.col("o_orderdate") >= F.lit(lo))
+                & (F.col("o_orderdate") <= F.lit(hi))
+            )
+            .select(*cols)
+            .orderBy("o_orderkey")
+        )
+        return _materialized_scan(spark, out)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+TABLELOG_PARTITION_PRUNING_SQL = """
+SELECT o_orderkey, o_orderdate, o_orderstatus, o_totalprice
+FROM orders
+WHERE o_orderdate BETWEEN DATE '1995-01-01' AND DATE '1995-03-31'
+ORDER BY o_orderkey
+"""
+
+
 def log_convert_in_place(
     spark: SparkSession,
     root: str,
@@ -2009,7 +2339,7 @@ def log_compact_small_files(
     token = uuid.uuid4().hex[:12]
     stats_cols = sorted({c for s in state["stats"].values() for c in s})
     bloom_cols = sorted({c for b in state["blooms"].values() for c in b})
-    added, new_stats, new_blooms = _write_data_files(
+    added, new_stats, new_blooms, new_parts = _write_data_files(
         packed, root, token, stats_cols, bloom_cols
     )
     manifest = {

@@ -84,7 +84,7 @@ def log_merge_cdc(
             spark.createDataFrame([], delta.schema), delta, table
         )
         token = uuid.uuid4().hex[:12]
-        added, stats, _bl = TL._write_data_files(merged, root, token, ["pk"])
+        added, stats, _bl, _pp = TL._write_data_files(merged, root, token, ["pk"])
         manifest = {
             "version": 0,
             "action": "cdc_merge",
@@ -123,7 +123,7 @@ def log_merge_cdc(
         else merged
     )
     token = uuid.uuid4().hex[:12]
-    added, stats, _bl = TL._write_data_files(new_rows, root, token, ["pk"])
+    added, stats, _bl, _pp = TL._write_data_files(new_rows, root, token, ["pk"])
     # delta manifest: removed files' stats and deletion vectors retire
     # automatically in snapshot resolution (tablelog._apply_delta) —
     # the log_append resurrection bug class is closed structurally

@@ -24,9 +24,9 @@ MUST_BE_GRADED = {
     # round-7 second-session flagships rotated in (displacing
     # events_asof_last_view, agg_pivot_status, join_semi, join_anti —
     # each family keeps a graded sibling): the cross-topic point-in-time
-    # join, chained stateful streaming, the ER golden record, and the
-    # keep-best-quality collapse
-    "cdc_temporal_join_items_orders", "stream_chained_windows",
+    # join and the ER golden record (chained stateful streaming rotated
+    # back out in r8, sibling stream_session_agg)
+    "cdc_temporal_join_items_orders",
     "er_golden_record",
     # pandas-UDF surface
     "fn_pandas_normalize", "fn_pandas_group_rank",
@@ -36,24 +36,31 @@ MUST_BE_GRADED = {
     # round-5 flagship operators rotated into the window in round 6
     # (VERDICT r5 #2): MERGE, IVM, span-level dedup
     "cdc_incremental_agg_view", "dedup_span_coverage",
-    # round-7 third-session flagships rotated in (displacing
-    # sort_limit_topn and q5_local_supplier_volume, both families keep
-    # graded siblings): fixed-point BM25 retrieval and the DBLog
-    # chunked-snapshot merge
-    "search_bm25_topk", "cdc_snapshot_chunk_merge",
+    # round-7 third-session flagship rotated in (displacing
+    # sort_limit_topn, top-k family keeps a graded sibling):
+    # fixed-point BM25 retrieval (the DBLog chunked-snapshot merge
+    # rotated back out in r8, sibling cdc_latest_state_orders)
+    "search_bm25_topk",
     # round-6 flagships + FK-chain gold pair rotated in / added in
     # round 7 (VERDICT r6 #2/#4/#5)
     "merge_into_orders_lowshuffle", "cdc_gold_customer_orders",
     "cdc_incremental_join_view", "events_resample_interpolate",
-    "cdc_gold_order_lines", "cdc_incremental_order_lines_view",
+    "cdc_incremental_order_lines_view",
     "dedup_semantic_contract_sampled",
-    # round-7 fifth-session flagships rotated in (displacing
-    # merge_into_orders, dedup_keep_best_quality and
-    # multimodal_metadata_stats — each family keeps a graded sibling):
-    # the tablelog streaming DataSource, delta-log checkpointed
-    # resolution, and the broadcast-model classifier inference pass
-    "tablelog_source_stream", "tablelog_checkpointed_read",
+    # the classifier inference pass (r7 fifth session); the tablelog
+    # streaming DataSource and checkpointed read rotated back out in r8
+    # (siblings stream_tablelog_upsert / tablelog_time_travel)
     "text_classifier_predict",
+    # round-8 rotation (VERDICT r7 #5): the r7 judge/pytest-only
+    # flagships take graded slots — time travel, CDF-driven IVM,
+    # hidden-partition pruning (new r8), distributed k-means training,
+    # and the FK referential-integrity audit. Displaced:
+    # cdc_gold_order_lines (sibling cdc_incremental_order_lines_view,
+    # same oracle), stream_chained_windows, tablelog_source_stream,
+    # cdc_snapshot_chunk_merge, tablelog_checkpointed_read
+    "tablelog_time_travel", "tablelog_cdf_agg_view",
+    "tablelog_partition_pruning", "embedding_kmeans_train",
+    "cdc_fk_integrity_report",
     # family packs (each the graded representative of its family)
     "filter_pack", "window_analytics_pack", "set_ops_pack", "fn_scalar_pack",
     "text_profile",
@@ -61,6 +68,13 @@ MUST_BE_GRADED = {
 
 #: past-window entry -> its graded sibling (same operator family).
 COVERED_BY = {
+    # rotated out in r8 (round-7 flagships swapped into the window);
+    # each keeps a same-family graded sibling
+    "cdc_gold_order_lines": "cdc_incremental_order_lines_view",
+    "stream_chained_windows": "stream_session_agg",
+    "tablelog_source_stream": "stream_tablelog_upsert",
+    "tablelog_checkpointed_read": "tablelog_time_travel",
+    "cdc_snapshot_chunk_merge": "cdc_latest_state_orders",
     # rotated out in the r7 second session (flagship swap-in)
     "join_semi": "join_inner",
     "join_anti": "join_inner",
@@ -162,9 +176,7 @@ COVERED_BY = {
     "search_bm25_topk_incremental": "search_bm25_topk",
     # table-format commits resolve to plain filtered parquet snapshots;
     # the storage protocol itself is pytest-pinned (test_tablelog.py)
-    "tablelog_time_travel": "filter_pack",
     "tablelog_change_feed": "filter_pack",
-    "tablelog_cdf_agg_view": "cdc_incremental_agg_view",
     # r7 fifth session: delta-log rungs — commits resolve to filtered
     # parquet snapshots; the protocol mechanics (delta replay,
     # checkpoint equivalence, metadata-only DDL, bloom pruning) are
@@ -202,9 +214,6 @@ COVERED_BY = {
     "cdc_schema_drift_report": "cdc_reference_projection",
     # lateness audit: events window family graded by events_tumbling_agg
     "events_watermark_lateness_audit": "events_tumbling_agg",
-    # Lloyd training: same map-only assignment family as the graded
-    # assign pass; iterative machinery pytest-pinned
-    "embedding_kmeans_train": "ann_cosine_topk",
     "ann_filtered_topk": "ann_cosine_topk",
     # pipe syntax resolves to the same plan family as SQL-declared
     # join+agg — graded by the correlated-subquery SQL entry
@@ -259,7 +268,6 @@ COVERED_BY = {
     "cdc_state_asof_offset": "cdc_latest_state_orders",
     "cdc_diff_offsets": "cdc_latest_state_orders",
     "cdc_state_checksum_ranges": "cdc_latest_state_orders",
-    "cdc_fk_integrity_report": "cdc_changelog_stats",
     "cdc_consistent_cut_state": "cdc_changelog_stats",
     "cdc_ingest_sketch_summary": "cdc_changelog_stats",
     "cdc_hotkey_monitor": "cdc_changelog_stats",

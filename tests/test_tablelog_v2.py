@@ -496,3 +496,149 @@ def test_deep_log_replay_is_checkpoint_bounded(spark, root, monkeypatch):
     assert TL.log_read(spark, root).count() == 111 * 2
     # post-restore the log is still resolvable at both ends
     assert TL.log_read(spark, root, version=119).count() == 120 * 2
+
+
+# ---------------------------------------------------------------------------
+# hidden partitioning (r8)
+# ---------------------------------------------------------------------------
+
+def _orders_dated(spark):
+    return spark.read.parquet(os.path.join(SF, "orders.parquet")).select(
+        "o_orderkey", "o_orderdate", "o_orderstatus", "o_totalprice"
+    )
+
+
+def test_hidden_partitioning_prunes_only_matching_files(spark, root):
+    """The read-audit contract: a quarter read over a month-partitioned
+    table scans ONLY files whose partition value falls in the quarter —
+    with NO stats in the manifest, so the skipping is attributable to
+    partition pruning alone. The source column stays in file content
+    (hidden layout), and pruning is safe-only (results exact)."""
+    import datetime
+
+    o = _orders_dated(spark)
+    for i in range(2):
+        TL.log_append(
+            spark,
+            root,
+            o.filter(F.col("o_orderkey") % 2 == i).coalesce(1),
+            partition_by=["month(o_orderdate)"],
+        )
+    st = TL._snapshot(root)
+    assert st["stats"] == {}  # nothing for min/max skipping to do
+    assert set(st["parts"]) == set(st["live"])  # every file carries a value
+    lo, hi = datetime.date(1995, 1, 1), datetime.date(1995, 3, 31)
+    expected_files = [
+        f
+        for f in st["live"]
+        if "1995-01" <= st["parts"][f]["month(o_orderdate)"] <= "1995-03"
+    ]
+    got = TL.log_read(spark, root, prune=("o_orderdate", lo, hi))
+    scanned = [
+        r[0]
+        for r in got.select(F.input_file_name()).distinct().collect()
+    ]
+    assert len(scanned) == len(expected_files)
+    assert all(any(s.endswith(e) for e in expected_files) for s in scanned)
+    # safe-only: filtered result identical to the unpruned filter
+    pred = (F.col("o_orderdate") >= F.lit(lo)) & (
+        F.col("o_orderdate") <= F.lit(hi)
+    )
+    assert sorted(got.filter(pred).collect()) == sorted(
+        TL.log_read(spark, root).filter(pred).collect()
+    )
+    # the layout is hidden: no derived column leaks into the schema
+    assert all(not c.startswith("_tlp_") for c in got.columns)
+
+
+def test_identity_and_bucket_point_pruning(spark, root):
+    """identity(status) prunes point reads to one status's files;
+    bucket(8, custkey) prunes a key probe to exactly one bucket — the
+    probe hash is computed by the same Spark expression as the write
+    side (bit-identity by construction)."""
+    o = _orders_dated(spark)
+    TL.log_append(
+        spark,
+        root,
+        o.coalesce(1),
+        partition_by=["identity(o_orderstatus)", "bucket(8, o_orderkey)"],
+    )
+    st = TL._snapshot(root)
+    f_files = [
+        f
+        for f in st["live"]
+        if st["parts"][f]["identity(o_orderstatus)"] == "F"
+    ]
+    got = TL.log_read(spark, root, point=("o_orderstatus", "F"))
+    assert got.select(F.input_file_name()).distinct().count() == len(f_files)
+    assert got.filter("o_orderstatus = 'F'").count() == o.filter(
+        "o_orderstatus = 'F'"
+    ).count()
+    key = int(o.select("o_orderkey").first()[0])
+    probe = TL.log_read(spark, root, point=("o_orderkey", key))
+    buckets = {
+        st["parts"][f]["bucket(8,o_orderkey)"]
+        for f in st["live"]
+        if any(
+            probe_f.endswith(f)
+            for probe_f in [
+                r[0]
+                for r in probe.select(F.input_file_name())
+                .distinct()
+                .collect()
+            ]
+        )
+    }
+    assert len(buckets) == 1
+    assert probe.filter(F.col("o_orderkey") == key).count() == 1
+
+
+def test_partition_metadata_survives_checkpoint_compact_restore(spark, root):
+    """Partition values ride every state carrier: checkpoint round-trip
+    preserves them bit-for-bit; compaction REWRITES files (new files
+    carry no partition values — safe: they are simply never pruned) and
+    content stays identical; RESTORE brings the partitioned layout (and
+    its prunability) back."""
+    import datetime
+
+    o = _orders_dated(spark)
+    TL.log_append(
+        spark, root, o.coalesce(1), partition_by=["month(o_orderdate)"]
+    )
+    v_ckpt = TL.log_checkpoint(root)
+    via_ckpt = TL._read_checkpoint(root, v_ckpt)
+    assert via_ckpt is not None
+    assert via_ckpt["parts"] == TL._snapshot(root)["parts"]
+
+    lo, hi = datetime.date(1995, 1, 1), datetime.date(1995, 3, 31)
+    pred = (F.col("o_orderdate") >= F.lit(lo)) & (
+        F.col("o_orderdate") <= F.lit(hi)
+    )
+    n = TL.log_read(spark, root, prune=("o_orderdate", lo, hi)).filter(
+        pred
+    ).count()
+
+    TL.log_compact(spark, root, target_files=1)
+    st = TL._snapshot(root)
+    assert st["parts"] == {}  # rewritten files: no partition metadata
+    pruned = TL.log_read(spark, root, prune=("o_orderdate", lo, hi))
+    assert pruned.filter(pred).count() == n  # kept everything — safe
+
+    TL.log_restore(spark, root, 0)
+    st2 = TL._snapshot(root)
+    assert set(st2["parts"]) == set(st2["live"]) and st2["parts"] != {}
+    assert TL.log_read(spark, root, prune=("o_orderdate", lo, hi)).filter(
+        pred
+    ).count() == n
+
+
+def test_partition_pruning_registry_entry(spark):
+    out = TL.tablelog_partition_pruning(spark, SF)
+    import datetime
+
+    o = _orders_dated(spark)
+    exp = o.filter(
+        (F.col("o_orderdate") >= F.lit(datetime.date(1995, 1, 1)))
+        & (F.col("o_orderdate") <= F.lit(datetime.date(1995, 3, 31)))
+    ).count()
+    assert out.count() == exp
