@@ -1056,6 +1056,14 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         TLG.tablelog_small_file_compaction,
         TLG.TABLELOG_SMALL_FILE_COMPACTION_SQL,
     ),
+    # r8: WHERE-clause file skipping through the DataSource — Spark 4.1
+    # pushFilters prunes hidden partitions + min/max stats at planning;
+    # every filter stays Spark-evaluated (safe-only); planner-side file
+    # counts pinned in tests/test_tablelog_source.py
+    "tablelog_source_pruned_scan": (
+        TLS.tablelog_source_pruned_scan,
+        TLS.TABLELOG_SOURCE_PRUNED_SCAN_SQL,
+    ),
 }
 
 #: Number of entries the grading driver evaluates (first N in dict order).

@@ -72,6 +72,11 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Python data-source filter pushdown (4.1, default false): the
+        # tablelog DataSource prunes files from pushed comparisons; with
+        # the conf off Spark refuses to plan filtered reads over readers
+        # that implement pushFilters (also set by tablelog_source.register)
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # 128 MB splits are right for a cluster; the local testdata tables
         # are ~1-10 MB files, so benches override via env to split scans

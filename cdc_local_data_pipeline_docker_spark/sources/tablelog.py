@@ -847,12 +847,15 @@ def _part_bound(kind: str, value):
 
 
 def _part_cmp_pair(recorded, bound):
-    """Align a recorded partition value and a mapped predicate bound for
-    comparison; None when they can't be compared safely (keep file)."""
+    """Align a recorded manifest value (partition value or min/max stat)
+    and a predicate bound for comparison; None when they can't be
+    compared safely (keep file)."""
     if recorded is None or bound is None:
         return None
-    if isinstance(recorded, int):
-        if isinstance(bound, bool) or not isinstance(bound, (int, float)):
+    if isinstance(recorded, bool) or isinstance(bound, bool):
+        return None
+    if isinstance(recorded, (int, float)):
+        if not isinstance(bound, (int, float)):
             return None
         return recorded, bound
     if isinstance(recorded, str):
@@ -872,7 +875,7 @@ def _part_cmp_pair(recorded, bound):
 
 
 def _prune_by_partitions(
-    spark: SparkSession,
+    spark: SparkSession | None,
     files: list[str],
     parts: dict[str, dict],
     pc: str,
@@ -883,7 +886,10 @@ def _prune_by_partitions(
     """Partition pruning for one predicate over physical column ``pc``:
     range (lo, hi) via monotonic transforms, point (value) via any
     transform including bucket. Files without a matching transform in
-    their partition metadata are always kept (safe-only)."""
+    their partition metadata are always kept (safe-only). ``spark=None``
+    (the Python DataSource planner has no session) skips bucket probes —
+    they need the Spark-side hash for bit-identity — and still applies
+    every monotonic transform."""
     kept = []
     bucket_cache: dict[tuple[int, object], int] = {}
     for f in files:
@@ -899,6 +905,8 @@ def _prune_by_partitions(
                     continue
                 if value is not None:
                     if kind == "bucket":
+                        if spark is None:
+                            continue
                         ck = (n, value)
                         if ck not in bucket_cache:
                             bucket_cache[ck] = _bucket_of(spark, value, n)
@@ -922,6 +930,41 @@ def _prune_by_partitions(
                     ):
                         keep = False
                         break
+        if keep:
+            kept.append(f)
+    return kept
+
+
+def _prune_by_stats(
+    files: list[str],
+    stats: dict[str, dict],
+    pc: str,
+    lo=None,
+    hi=None,
+    value=None,
+) -> list[str]:
+    """Session-free min/max stats pruning for one predicate over
+    physical column ``pc`` (the Python DataSource planner path; log_read
+    keeps its inline typed compare). One-sided bounds supported; type
+    alignment via _part_cmp_pair — unalignable values keep the file
+    (safe-only; e.g. Decimal stats stored as strings vs numeric
+    bounds)."""
+    if value is not None:
+        lo = hi = value
+    kept = []
+    for f in files:
+        s = stats.get(f)
+        keep = True
+        if s and pc in s and s[pc][0] is not None:
+            mn, mx = s[pc]
+            if lo is not None:
+                p = _part_cmp_pair(mx, lo)
+                if p is not None and p[0] < p[1]:
+                    keep = False
+            if keep and hi is not None:
+                p = _part_cmp_pair(mn, hi)
+                if p is not None and p[0] > p[1]:
+                    keep = False
         if keep:
             kept.append(f)
     return kept

@@ -12,6 +12,11 @@ AND streaming:
   driver-composed anti-join expresses as a join, here expressed as a
   reader-level skip. Column mapping resolves logical names in the
   source schema; files predating a column yield NULLs for it.
+  FILTER PUSHDOWN (Spark 4.1 `pushFilters`): comparison predicates in
+  the query's own WHERE clause prune files at planning time through
+  the manifest's hidden-partition values and min/max stats; every
+  filter is returned to Spark for row-level re-evaluation, so the
+  skipping is safe-only by construction.
 
 * **Streaming**: `spark.readStream.format("tablelog").option("path",
   root).load()` — the table as a streaming source with TABLE VERSIONS
@@ -171,14 +176,78 @@ class TablelogDataSource(DataSource):
 
 
 class TablelogReader(DataSourceReader):
+    """Batch reader with FILE-SKIPPING FILTER PUSHDOWN (Spark 4.1
+    `pushFilters`): comparison filters are accepted for manifest-level
+    pruning — hidden-partition values (monotonic transforms) and min/max
+    stats — and ALL filters are returned to Spark for row-level
+    re-evaluation, so pruning is safe-only by construction (exactly the
+    `log_read` discipline, but driven by the query's own WHERE clause:
+    `spark.read.format("tablelog").load().filter(...)` skips
+    non-matching files with no API beyond DataFrame.filter). Bucket and
+    bloom probes need Spark-side hashing (bit-identity) and are not
+    applied on this planner path — a file they would have skipped is
+    merely scanned and row-filtered."""
+
     def __init__(self, root: str, options) -> None:
         self.root = root
         v = options.get("version")
         self.version = int(v) if v is not None else None
+        self.pushed: list = []
+
+    def pushFilters(self, filters):
+        from pyspark.sql.datasource import (
+            EqualTo,
+            GreaterThan,
+            GreaterThanOrEqual,
+            LessThan,
+            LessThanOrEqual,
+        )
+
+        for f in filters:
+            if isinstance(
+                f,
+                (
+                    EqualTo,
+                    GreaterThan,
+                    GreaterThanOrEqual,
+                    LessThan,
+                    LessThanOrEqual,
+                ),
+            ) and len(f.attribute) == 1:
+                self.pushed.append(f)
+            # every filter stays Spark-evaluated: the pushdown only
+            # skips files, never rows
+            yield f
 
     def partitions(self):
+        from pyspark.sql.datasource import (
+            EqualTo,
+            GreaterThan,
+            GreaterThanOrEqual,
+            LessThan,
+            LessThanOrEqual,
+        )
+
         state = TL._snapshot(self.root, self.version)
         cols = _physical_order(self.root, state)
+        files = state["live"]
+        colmap = state["colmap"] or {}
+        for f in self.pushed:
+            pc = colmap.get(f.attribute[0], f.attribute[0])
+            lo = hi = value = None
+            if isinstance(f, EqualTo):
+                value = f.value
+            elif isinstance(f, (GreaterThan, GreaterThanOrEqual)):
+                lo = f.value
+            elif isinstance(f, (LessThan, LessThanOrEqual)):
+                hi = f.value
+            # strict bounds are widened to inclusive: still safe-only
+            files = TL._prune_by_partitions(
+                None, files, state["parts"], pc, lo=lo, hi=hi, value=value
+            )
+            files = TL._prune_by_stats(
+                files, state["stats"], pc, lo=lo, hi=hi, value=value
+            )
         return [
             _FilePart(
                 os.path.join(self.root, f),
@@ -187,7 +256,7 @@ class TablelogReader(DataSourceReader):
                 else None,
                 cols,
             )
-            for f in state["live"]
+            for f in files
         ]
 
     def read(self, partition: "_FilePart"):
@@ -262,7 +331,12 @@ class TablelogStreamReader(DataSourceStreamReader):
 
 
 def register(spark) -> None:
-    """Idempotently register the source on a session."""
+    """Idempotently register the source on a session, enabling Python
+    data-source filter pushdown (a runtime SQL conf, default false in
+    4.1): with the conf off, Spark REFUSES to plan a filtered read over
+    any reader that implements pushFilters — so the one chokepoint every
+    tablelog-source consumer already calls flips it on."""
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(TablelogDataSource)
 
 
@@ -358,5 +432,64 @@ def tablelog_source_stream(spark, sf_dir: str):
 TABLELOG_SOURCE_STREAM_SQL = """
 SELECT o_orderkey, o_orderstatus, o_totalprice
 FROM orders
+ORDER BY o_orderkey
+"""
+
+
+def tablelog_source_pruned_scan(spark, sf_dir: str):
+    """Registry entry: WHERE-clause file skipping through the
+    DataSource (r8) — a month-partitioned ``orders`` table read via
+    ``format("tablelog")`` with a plain DataFrame filter. `pushFilters`
+    accepts the two date comparisons, prunes non-matching partitions'
+    files at planning time from the manifest's hidden-partition values
+    (no stats are recorded, so the skipping is attributable to
+    partition pruning alone), and returns every filter for Spark's
+    row-level re-evaluation — the safe-only discipline, driven by the
+    query's own predicate instead of a log_read argument. That the
+    planner sees fewer files is pinned in pytest (a reader-level
+    property); the graded contract is result exactness. Oracle: the
+    same quarter predicate in SQL."""
+    import datetime
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ..catalog import load_table
+
+    register(spark)
+    cols = ["o_orderkey", "o_orderdate", "o_orderstatus", "o_totalprice"]
+    orders = load_table(spark, sf_dir, "orders").select(*cols)
+    root = tempfile.mkdtemp(prefix="tablelog_pushdown_")
+    try:
+        for i in range(2):
+            TL.log_append(
+                spark,
+                root,
+                orders.filter(F.col("o_orderkey") % 2 == i).coalesce(2),
+                partition_by=["month(o_orderdate)"],
+            )
+        lo = datetime.date(1996, 4, 1)
+        hi = datetime.date(1996, 6, 30)
+        out = (
+            spark.read.format("tablelog")
+            .option("path", root)
+            .load()
+            .filter(
+                (F.col("o_orderdate") >= F.lit(lo))
+                & (F.col("o_orderdate") <= F.lit(hi))
+            )
+            .select(*cols)
+            .orderBy("o_orderkey")
+        )
+        return TL._materialized_scan(spark, out)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+TABLELOG_SOURCE_PRUNED_SCAN_SQL = """
+SELECT o_orderkey, o_orderdate, o_orderstatus, o_totalprice
+FROM orders
+WHERE o_orderdate BETWEEN DATE '1996-04-01' AND DATE '1996-06-30'
 ORDER BY o_orderkey
 """

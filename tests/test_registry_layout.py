@@ -75,6 +75,9 @@ COVERED_BY = {
     "tablelog_source_stream": "stream_tablelog_upsert",
     "tablelog_checkpointed_read": "tablelog_time_travel",
     "cdc_snapshot_chunk_merge": "cdc_latest_state_orders",
+    # r8: the pushFilters pruned scan — same partition-prune family as
+    # the graded hidden-partitioning entry
+    "tablelog_source_pruned_scan": "tablelog_partition_pruning",
     # rotated out in the r7 second session (flagship swap-in)
     "join_semi": "join_inner",
     "join_anti": "join_inner",

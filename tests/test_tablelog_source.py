@@ -209,3 +209,116 @@ def test_stream_raises_on_restore_unless_skipped(spark, root):
     got = _drain(spark, root, q2, skipChangeCommits="true")
     # the two appends stream; the restore commit is skipped whole
     assert got.count() == o.filter("o_orderkey < 400").count()
+
+
+def test_push_filters_prune_files_and_stay_residual(spark, root):
+    """r8 filter pushdown: pushFilters must (a) return EVERY input
+    filter as residual (Spark re-evaluates rows — pruning is file-level
+    only), (b) plan strictly fewer partitions for a selective predicate
+    over a month-partitioned table, and (c) leave results identical to
+    the unfiltered-source + DataFrame-filter plan."""
+    import datetime
+
+    from pyspark.sql.datasource import (
+        EqualTo,
+        GreaterThanOrEqual,
+        LessThanOrEqual,
+        StringContains,
+    )
+
+    TS.register(spark)
+    o = spark.read.parquet(os.path.join(SF, "orders.parquet")).select(
+        "o_orderkey", "o_orderdate", "o_orderstatus", "o_totalprice"
+    )
+    TL.log_append(
+        spark,
+        root,
+        o.coalesce(1),
+        partition_by=["month(o_orderdate)"],
+        stats_cols=["o_orderkey"],
+    )
+    n_live = len(TL._snapshot(root)["live"])
+
+    fs = [
+        GreaterThanOrEqual(("o_orderdate",), datetime.date(1995, 1, 1)),
+        LessThanOrEqual(("o_orderdate",), datetime.date(1995, 3, 31)),
+        StringContains(("o_orderstatus",), "F"),  # unsupported kind
+    ]
+    rdr = TS.TablelogReader(root, {})
+    residual = list(rdr.pushFilters(fs))
+    assert residual == fs  # all returned, by reference
+    planned = rdr.partitions()
+    assert 0 < len(planned) < n_live
+    # stats pruning fires through pushdown too (point on o_orderkey)
+    rdr2 = TS.TablelogReader(root, {})
+    list(rdr2.pushFilters([EqualTo(("o_orderkey",), 1)]))
+    assert len(rdr2.partitions()) < n_live
+
+    # end-to-end exactness through the registered source
+    lo, hi = datetime.date(1995, 1, 1), datetime.date(1995, 3, 31)
+    got = (
+        spark.read.format("tablelog")
+        .option("path", root)
+        .load()
+        .filter(
+            (F.col("o_orderdate") >= F.lit(lo))
+            & (F.col("o_orderdate") <= F.lit(hi))
+        )
+    )
+    exp = o.filter(
+        (F.col("o_orderdate") >= F.lit(lo)) & (F.col("o_orderdate") <= F.lit(hi))
+    )
+    assert sorted(got.collect()) == sorted(exp.collect())
+
+
+def test_pushdown_respects_column_mapping_and_time_travel(spark, root):
+    """Pushed predicates address LOGICAL names: after RENAME the filter
+    on the new name must still prune through the physical partition
+    key, and a version-pinned read prunes against that version's
+    manifest."""
+    import datetime
+
+    TS.register(spark)
+    o = spark.read.parquet(os.path.join(SF, "orders.parquet")).select(
+        "o_orderkey", "o_orderdate", "o_orderstatus"
+    )
+    TL.log_append(
+        spark, root, o.coalesce(1), partition_by=["month(o_orderdate)"]
+    )
+    TL.log_rename_column(root, "o_orderdate", "order_date")
+    lo, hi = datetime.date(1995, 1, 1), datetime.date(1995, 3, 31)
+    got = (
+        spark.read.format("tablelog")
+        .option("path", root)
+        .load()
+        .filter(
+            (F.col("order_date") >= F.lit(lo))
+            & (F.col("order_date") <= F.lit(hi))
+        )
+    )
+    exp = o.filter(
+        (F.col("o_orderdate") >= F.lit(lo)) & (F.col("o_orderdate") <= F.lit(hi))
+    )
+    assert got.count() == exp.count()
+    # reader-level audit through the mapping
+    from pyspark.sql.datasource import GreaterThanOrEqual, LessThanOrEqual
+
+    rdr = TS.TablelogReader(root, {})
+    list(
+        rdr.pushFilters(
+            [
+                GreaterThanOrEqual(("order_date",), lo),
+                LessThanOrEqual(("order_date",), hi),
+            ]
+        )
+    )
+    assert len(rdr.partitions()) < len(TL._snapshot(root)["live"])
+
+
+def test_pruned_scan_registry_entry(spark):
+    out = TS.tablelog_source_pruned_scan(spark, SF)
+    o = spark.read.parquet(os.path.join(SF, "orders.parquet"))
+    exp = o.filter(
+        "o_orderdate BETWEEN DATE '1996-04-01' AND DATE '1996-06-30'"
+    ).count()
+    assert out.count() == exp
