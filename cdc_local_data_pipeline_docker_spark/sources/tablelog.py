@@ -2349,8 +2349,13 @@ def log_compact_small_files(
     driver-side — the same information production formats keep in the
     manifest's add actions). Deletion vectors on compacted files are
     materialized (their dead rows vanish); vectors on carried files
-    ride along untouched. Content-identical by construction; returns
-    the new version (a no-op commit if ≤1 small file exists)."""
+    ride along untouched. HIDDEN-PARTITIONED tables bin-pack WITHIN
+    each partition tuple (the Delta OPTIMIZE discipline): packed
+    outputs inherit their group's manifest partition values, so the
+    compaction loop never forfeits partition pruning — packing across
+    partitions would. Files without partition metadata form their own
+    group. Content-identical by construction; returns the new version
+    (a no-op commit if no group has ≥2 small files)."""
     import pyarrow.parquet as pq
 
     base = _latest_version(root)
@@ -2363,7 +2368,14 @@ def log_compact_small_files(
         if pq.read_metadata(os.path.join(root, f)).num_rows
         <= small_max_rows
     ]
-    if len(small) <= 1:
+    # group by partition tuple; only groups with ≥2 files pack
+    groups: dict[tuple | None, list[str]] = {}
+    for f in small:
+        rec = state["parts"].get(f)
+        key = tuple(sorted(rec.items())) if rec else None
+        groups.setdefault(key, []).append(f)
+    groups = {k: fs for k, fs in groups.items() if len(fs) > 1}
+    if not groups:
         manifest = {
             "version": base + 1,
             "action": "compact_small",
@@ -2374,27 +2386,42 @@ def log_compact_small_files(
         }
         return _commit(root, base + 1, manifest)
     merge_sch = len(state["schemas"]) > 1
-    packed = _read_with_dv(
-        spark, root, small,
-        {f: d for f, d in state["dv"].items() if f in set(small)},
-        merge_schema=merge_sch,
-    ).coalesce(target_files)
-    token = uuid.uuid4().hex[:12]
     stats_cols = sorted({c for s in state["stats"].values() for c in s})
     bloom_cols = sorted({c for b in state["blooms"].values() for c in b})
-    added, new_stats, new_blooms, new_parts = _write_data_files(
-        packed, root, token, stats_cols, bloom_cols
-    )
+    removed: list[str] = []
+    added_all: list[str] = []
+    stats_all: dict[str, dict] = {}
+    blooms_all: dict[str, dict] = {}
+    parts_all: dict[str, dict] = {}
+    schemas = set(state["schemas"])
+    for key in sorted(groups, key=lambda k: (k is not None, str(k))):
+        fs = groups[key]
+        packed = _read_with_dv(
+            spark, root, fs,
+            {f: d for f, d in state["dv"].items() if f in set(fs)},
+            merge_schema=merge_sch,
+        ).coalesce(target_files)
+        token = uuid.uuid4().hex[:12]
+        added, new_stats, new_blooms, _np = _write_data_files(
+            packed, root, token, stats_cols, bloom_cols
+        )
+        removed += fs
+        added_all += added
+        stats_all.update(new_stats)
+        blooms_all.update(new_blooms)
+        if key is not None:
+            for a in added:
+                parts_all[a] = dict(key)
+        schemas.add(packed.schema.simpleString())
     manifest = {
         "version": base + 1,
         "action": "compact_small",
-        "add": added,
-        "remove": small,
-        "stats_add": new_stats,
-        "blooms_add": new_blooms,
-        "schemas": sorted(
-            set(state["schemas"]) | {packed.schema.simpleString()}
-        ),
+        "add": added_all,
+        "remove": removed,
+        "stats_add": stats_all,
+        "blooms_add": blooms_all,
+        **({"parts_add": parts_all} if parts_all else {}),
+        "schemas": sorted(schemas),
         "ts": time.time(),
     }
     return _commit(root, base + 1, manifest)

@@ -642,3 +642,47 @@ def test_partition_pruning_registry_entry(spark):
         & (F.col("o_orderdate") <= F.lit(datetime.date(1995, 3, 31)))
     ).count()
     assert out.count() == exp
+
+
+def test_compact_small_preserves_partition_pruning(spark, root):
+    """Incremental OPTIMIZE on a hidden-partitioned table bin-packs
+    WITHIN each partition tuple and the packed outputs inherit their
+    group's partition values — the compaction loop never forfeits
+    pruning (Delta OPTIMIZE discipline). Cross-partition packing would
+    show as a packed file with no/ambiguous partition value."""
+    import datetime
+
+    o = _orders_dated(spark)
+    # the streaming-sink shape: several small appends, all partitioned
+    for i in range(4):
+        TL.log_append(
+            spark,
+            root,
+            o.filter(F.col("o_orderkey") % 4 == i).coalesce(1),
+            partition_by=["month(o_orderdate)"],
+        )
+    st0 = TL._snapshot(root)
+    n_before = TL.log_read(spark, root).count()
+    TL.log_compact_small_files(spark, root, small_max_rows=10**9)
+    st1 = TL._snapshot(root)
+    assert len(st1["live"]) < len(st0["live"])
+    # every packed file carries its group's partition value
+    assert set(st1["parts"]) == set(st1["live"])
+    months0 = {v["month(o_orderdate)"] for v in st0["parts"].values()}
+    months1 = {v["month(o_orderdate)"] for v in st1["parts"].values()}
+    assert months1 == months0
+    # content identical, and pruning still fires post-compaction
+    assert TL.log_read(spark, root).count() == n_before
+    lo, hi = datetime.date(1995, 1, 1), datetime.date(1995, 3, 31)
+    pruned = TL.log_read(spark, root, prune=("o_orderdate", lo, hi))
+    scanned = pruned.select(F.input_file_name()).distinct().count()
+    in_range = [
+        f
+        for f in st1["live"]
+        if "1995-01" <= st1["parts"][f]["month(o_orderdate)"] <= "1995-03"
+    ]
+    assert scanned == len(in_range) < len(st1["live"])
+    pred = (F.col("o_orderdate") >= F.lit(lo)) & (
+        F.col("o_orderdate") <= F.lit(hi)
+    )
+    assert pruned.filter(pred).count() == o.filter(pred).count()
