@@ -1064,6 +1064,20 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         TLS.tablelog_source_pruned_scan,
         TLS.TABLELOG_SOURCE_PRUNED_SCAN_SQL,
     ),
+    # r8: the native write path — df.write.format("tablelog") through
+    # the DSv2 two-phase commit (executor parquet tasks -> one atomic
+    # manifest), append + truncate-and-overwrite modes
+    "tablelog_writer_roundtrip": (
+        TLS.tablelog_writer_roundtrip,
+        TLS.TABLELOG_WRITER_ROUNDTRIP_SQL,
+    ),
+    # r8: writeStream.format("tablelog") — one table version per
+    # micro-batch with the batch id in the manifest (replayed batches
+    # recognized and skipped: exactly-once into the table)
+    "stream_tablelog_append_sink": (
+        TLS.stream_tablelog_append_sink,
+        TLS.STREAM_TABLELOG_APPEND_SINK_SQL,
+    ),
 }
 
 #: Number of entries the grading driver evaluates (first N in dict order).

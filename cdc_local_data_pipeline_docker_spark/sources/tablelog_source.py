@@ -50,9 +50,12 @@ import os
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceArrowWriter,
     DataSourceReader,
+    DataSourceStreamArrowWriter,
     DataSourceStreamReader,
     InputPartition,
+    WriterCommitMessage,
 )
 
 from . import tablelog as TL
@@ -173,6 +176,14 @@ class TablelogDataSource(DataSource):
 
     def streamReader(self, schema) -> "TablelogStreamReader":
         return TablelogStreamReader(self._root(), self.options)
+
+    def writer(self, schema, overwrite: bool) -> "TablelogWriter":
+        return TablelogWriter(self._root(), self.options, schema, overwrite)
+
+    def streamWriter(self, schema, overwrite: bool) -> "TablelogStreamWriter":
+        return TablelogStreamWriter(
+            self._root(), self.options, schema, overwrite
+        )
 
 
 class TablelogReader(DataSourceReader):
@@ -491,5 +502,379 @@ TABLELOG_SOURCE_PRUNED_SCAN_SQL = """
 SELECT o_orderkey, o_orderdate, o_orderstatus, o_totalprice
 FROM orders
 WHERE o_orderdate BETWEEN DATE '1996-04-01' AND DATE '1996-06-30'
+ORDER BY o_orderkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# Native write path (r8): df.write.format("tablelog") — distributed
+# executor-side parquet writes, driver-side ATOMIC manifest commit via
+# the put-if-absent protocol (the DSv2 two-phase-commit contract:
+# write() per task -> WriterCommitMessage -> commit() publishes, abort()
+# deletes orphans; uncommitted files are invisible to readers and
+# vacuumable by construction). The streaming form commits one table
+# version per micro-batch with the batch id recorded in the manifest,
+# so a replayed batch after a crash is recognized and skipped —
+# exactly-once end-to-end (the Delta streaming-sink idempotence shape).
+# ---------------------------------------------------------------------------
+
+class _FilesWritten(WriterCommitMessage):
+    """Per-task commit message: root-relative files plus their per-file
+    stats and partition values (all KB-scale metadata)."""
+
+    def __init__(self, files, stats, parts):
+        self.files = files
+        self.stats = stats
+        self.parts = parts
+
+
+def _arrow_stat_val(v):
+    """Arrow scalar -> the manifest's JSON-stable stat value (mirrors
+    tablelog._json_val: date/datetime -> isoformat, Decimal -> str)."""
+    import datetime
+    import decimal
+
+    v = v.as_py() if hasattr(v, "as_py") else v
+    if isinstance(v, decimal.Decimal):
+        return str(v)
+    if isinstance(v, (datetime.date, datetime.datetime)):
+        return v.isoformat()
+    return v
+
+
+def _partition_value(kind: str, v):
+    """The manifest partition value for one source cell (pure Python —
+    must agree exactly with the Spark-side transform + dir-value typing
+    of log_append: identity keeps ints, dates become ISO strings;
+    month/day slice the ISO form)."""
+    import datetime
+
+    if v is None:
+        return None
+    if kind == "identity":
+        if isinstance(v, (datetime.date, datetime.datetime)):
+            return v.isoformat()
+        return v
+    s = v.isoformat() if isinstance(v, (datetime.date, datetime.datetime)) else str(v)
+    return s[:7] if kind == "month" else s[:10]
+
+
+class TablelogWriter(DataSourceArrowWriter):
+    """Batch writer. Options: ``path`` (table root), ``partitionBy``
+    (comma-separated transform specs — identity/month/day only: bucket
+    needs Spark-side xxhash64 for probe bit-identity, use log_append),
+    ``statsCols`` (comma-separated min/max stat columns). Modes:
+    append / overwrite (truncate-and-append — the remove set is the
+    commit-time live set, recomputed inside the conflict-retry loop).
+
+    Tables under a column mapping are rejected (logical->physical
+    renaming of Arrow batches is log_append's job); blooms likewise
+    need Spark-side hashing and are not written on this path."""
+
+    def __init__(self, root: str, options, schema, overwrite: bool) -> None:
+        self.root = root
+        self.overwrite = overwrite
+        self.schema = schema
+        self.token = __import__("uuid").uuid4().hex[:12]
+        pb = options.get("partitionby")
+        self.transforms = []
+        if pb:
+            for spec in pb.split(","):
+                kind, n, col = TL._parse_transform(spec)
+                if kind == "bucket":
+                    raise ValueError(
+                        "bucket() partitioning is not supported on the "
+                        "DataSource write path (probe bit-identity needs "
+                        "the Spark-side hash) — use tablelog.log_append"
+                    )
+                self.transforms.append((kind, n, col))
+        sc = options.get("statscols")
+        self.stats_cols = [c.strip() for c in sc.split(",")] if sc else []
+        state = TL._snapshot(root)
+        if state["colmap"] is not None:
+            raise ValueError(
+                "tablelog DataSource writes do not support column-mapped "
+                "tables — use tablelog.log_append"
+            )
+
+    # -- executor side ----------------------------------------------------
+    def _new_file(self):
+        import os
+        import uuid as _uuid
+
+        rel = os.path.join(
+            TL._DATA_DIR, self.token, f"part-{_uuid.uuid4().hex}.parquet"
+        )
+        ap = os.path.join(self.root, rel)
+        os.makedirs(os.path.dirname(ap), exist_ok=True)
+        return rel, ap
+
+    def write(self, iterator):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        files: list[str] = []
+        stats: dict[str, dict] = {}
+        parts: dict[str, dict] = {}
+        writers: dict[tuple, tuple] = {}  # pkey -> (rel, pq.ParquetWriter, stats_acc)
+
+        def upd_stats(acc, batch):
+            for c in self.stats_cols:
+                if c not in batch.schema.names:
+                    continue
+                col = batch.column(batch.schema.get_field_index(c))
+                if col.null_count == len(col):
+                    continue
+                mm = pc.min_max(col)
+                mn = _arrow_stat_val(mm["min"])
+                mx = _arrow_stat_val(mm["max"])
+                if c in acc:
+                    omn, omx = acc[c]
+                    acc[c] = (min(omn, mn), max(omx, mx))
+                else:
+                    acc[c] = (mn, mx)
+
+        for batch in iterator:
+            if self.transforms:
+                # derive each row's partition tuple, then split the batch
+                # by value (vectorized dictionary-encode + filter)
+                keys = []
+                for kind, _n, col in self.transforms:
+                    cells = batch.column(
+                        batch.schema.get_field_index(col)
+                    ).to_pylist()
+                    keys.append(
+                        [_partition_value(kind, v) for v in cells]
+                    )
+                rows_by_key: dict[tuple, list[int]] = {}
+                for i in range(batch.num_rows):
+                    rows_by_key.setdefault(
+                        tuple(k[i] for k in keys), []
+                    ).append(i)
+                for pkey, idxs in rows_by_key.items():
+                    sub = batch.take(pa.array(idxs, pa.int64()))
+                    if pkey not in writers:
+                        rel, ap = self._new_file()
+                        writers[pkey] = (
+                            rel,
+                            pq.ParquetWriter(ap, sub.schema),
+                            {},
+                        )
+                        parts[rel] = {
+                            TL._transform_key(k, n, c): v
+                            for (k, n, c), v in zip(self.transforms, pkey)
+                        }
+                    rel, w, acc = writers[pkey]
+                    w.write_batch(sub)
+                    upd_stats(acc, sub)
+            else:
+                if () not in writers:
+                    rel, ap = self._new_file()
+                    writers[()] = (rel, pq.ParquetWriter(ap, batch.schema), {})
+                rel, w, acc = writers[()]
+                w.write_batch(batch)
+                upd_stats(acc, batch)
+        for rel, w, acc in writers.values():
+            w.close()
+            files.append(rel)
+            if acc:
+                stats[rel] = {c: [mn, mx] for c, (mn, mx) in acc.items()}
+        return _FilesWritten(files, stats, parts)
+
+    # -- driver side --------------------------------------------------------
+    def _commit_manifest(self, messages, action: str, extra: dict | None = None):
+        import time as _time
+
+        added, stats, parts = [], {}, {}
+        for m in messages:
+            if m is None:
+                continue
+            added += m.files
+            stats.update(m.stats)
+            parts.update(m.parts)
+        physical_schema = self.schema.simpleString()
+        while True:
+            base = TL._latest_version(self.root)
+            version = 0 if base is None else base + 1
+            cur = (
+                TL._snapshot(self.root, base)
+                if base is not None
+                else TL._empty_state()
+            )
+            if cur["colmap"] is not None:
+                raise TL.CommitConflict(
+                    "column mapping appeared during DataSource write"
+                )
+            manifest = {
+                "version": version,
+                "action": action,
+                "add": added,
+                "remove": list(cur["live"]) if self.overwrite else [],
+                "stats_add": stats,
+                **({"parts_add": parts} if parts else {}),
+                "schemas": (
+                    [physical_schema]
+                    if self.overwrite
+                    else sorted(set(cur["schemas"]) | {physical_schema})
+                ),
+                "schema": physical_schema,
+                **(extra or {}),
+                "ts": _time.time(),
+            }
+            try:
+                TL._commit(self.root, version, manifest)
+                return
+            except TL.CommitConflict:
+                if self.overwrite:
+                    raise  # the remove set was concurrently invalidated
+                continue  # appends commute: rebase and retry
+
+    def commit(self, messages) -> None:
+        self._commit_manifest(
+            messages, "overwrite" if self.overwrite else "append"
+        )
+
+    def abort(self, messages) -> None:
+        import shutil as _shutil
+
+        _shutil.rmtree(
+            os.path.join(self.root, TL._DATA_DIR, self.token),
+            ignore_errors=True,
+        )
+
+
+class TablelogStreamWriter(TablelogWriter, DataSourceStreamArrowWriter):
+    """Streaming sink: one table version per micro-batch, the batch id
+    recorded in the manifest. On commit, if ANY manifest already carries
+    this (sink) batch id the write is a post-crash replay: the new files
+    are deleted and the commit is skipped — exactly-once into the table
+    regardless of checkpoint/commit crash ordering."""
+
+    def __init__(self, root: str, options, schema, overwrite: bool) -> None:
+        TablelogWriter.__init__(self, root, options, schema, overwrite=False)
+
+    def _batch_already_committed(self, batch_id: int) -> bool:
+        for v in reversed(TL._versions(self.root)):
+            try:
+                m = TL._read_manifest(self.root, v)
+            except FileNotFoundError:
+                break
+            if m.get("stream_batch_id") is not None:
+                return m["stream_batch_id"] >= batch_id
+        return False
+
+    def commit(self, messages, batchId: int) -> None:
+        if self._batch_already_committed(batchId):
+            self.abort(messages)  # replayed batch: drop the orphans
+            return
+        self._commit_manifest(
+            messages, "append", {"stream_batch_id": batchId}
+        )
+
+    def abort(self, messages, batchId: int | None = None) -> None:
+        TablelogWriter.abort(self, messages)
+
+
+def tablelog_writer_roundtrip(spark, sf_dir: str):
+    """Registry entry: the NATIVE WRITE PATH (r8) —
+    ``df.write.format("tablelog")`` through the DSv2 two-phase commit
+    (executor tasks write parquet + return commit messages; the driver
+    publishes ONE atomic manifest via put-if-absent). Two distributed
+    appends land the even/odd halves of ``orders``, then
+    ``mode("overwrite")`` truncates-and-replaces with the 'O'-status
+    slice — the read must see exactly the overwrite content, with the
+    pre-overwrite versions still time-travelable. Oracle: the status
+    predicate in SQL."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ..catalog import load_table
+
+    register(spark)
+    cols = ["o_orderkey", "o_orderstatus", "o_totalprice"]
+    orders = load_table(spark, sf_dir, "orders").select(*cols)
+    root = tempfile.mkdtemp(prefix="tablelog_writer_") + "/tbl"
+    try:
+        for i in range(2):
+            (
+                orders.filter(F.col("o_orderkey") % 2 == i)
+                .repartition(2)
+                .write.format("tablelog")
+                .mode("append")
+                .option("path", root)
+                .option("statsCols", "o_orderkey")
+                .save()
+            )
+        (
+            orders.filter(F.col("o_orderstatus") == "O")
+            .repartition(2)
+            .write.format("tablelog")
+            .mode("overwrite")
+            .option("path", root)
+            .save()
+        )
+        assert TL.log_read(spark, root, version=1).count() == orders.count()
+        out = TL.log_read(spark, root).select(*cols).orderBy("o_orderkey")
+        return TL._materialized_scan(spark, out)
+    finally:
+        shutil.rmtree(os.path.dirname(root), ignore_errors=True)
+
+
+TABLELOG_WRITER_ROUNDTRIP_SQL = """
+SELECT o_orderkey, o_orderstatus, o_totalprice
+FROM orders
+WHERE o_orderstatus = 'O'
+ORDER BY o_orderkey
+"""
+
+
+def stream_tablelog_append_sink(spark, sf_dir: str):
+    """Registry entry: ``writeStream.format("tablelog")`` (r8) — the
+    table format as a native STREAMING SINK. Three micro-batches
+    (maxFilesPerTrigger=1 over a three-file parquet source) each commit
+    ONE table version carrying the micro-batch id; a post-crash replay
+    of a committed batch is recognized by id and skipped
+    (exactly-once into the table — pinned in pytest along with the
+    no-new-commits re-drain). Oracle: the plain table scan."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ..catalog import load_table
+
+    register(spark)
+    cols = ["o_orderkey", "o_orderstatus", "o_totalprice"]
+    orders = load_table(spark, sf_dir, "orders").select(*cols)
+    base = tempfile.mkdtemp(prefix="tablelog_sink_")
+    src, root, ckpt = f"{base}/src", f"{base}/tbl", f"{base}/ckpt"
+    try:
+        for i in range(3):
+            orders.filter(F.col("o_orderkey") % 3 == i).coalesce(1).write.mode(
+                "append"
+            ).parquet(src)
+        q = (
+            spark.readStream.schema(orders.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .writeStream.format("tablelog")
+            .option("path", root)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        out = TL.log_read(spark, root).select(*cols).orderBy("o_orderkey")
+        return TL._materialized_scan(spark, out)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+STREAM_TABLELOG_APPEND_SINK_SQL = """
+SELECT o_orderkey, o_orderstatus, o_totalprice
+FROM orders
 ORDER BY o_orderkey
 """

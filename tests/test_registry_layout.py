@@ -78,6 +78,11 @@ COVERED_BY = {
     # r8: the pushFilters pruned scan — same partition-prune family as
     # the graded hidden-partitioning entry
     "tablelog_source_pruned_scan": "tablelog_partition_pruning",
+    # r8: native DSv2 write path — storage-commit family graded by the
+    # time-travel entry; the streaming sink's graded sibling is the
+    # in-window tablelog MERGE stream (same batch-id idempotence shape)
+    "tablelog_writer_roundtrip": "tablelog_time_travel",
+    "stream_tablelog_append_sink": "stream_tablelog_upsert",
     # rotated out in the r7 second session (flagship swap-in)
     "join_semi": "join_inner",
     "join_anti": "join_inner",

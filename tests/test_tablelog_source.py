@@ -322,3 +322,182 @@ def test_pruned_scan_registry_entry(spark):
         "o_orderdate BETWEEN DATE '1996-04-01' AND DATE '1996-06-30'"
     ).count()
     assert out.count() == exp
+
+
+# ---------------------------------------------------------------------------
+# native write path (r8)
+# ---------------------------------------------------------------------------
+
+def test_writer_distributed_append_is_one_atomic_version(spark, root):
+    """A multi-task df.write.format('tablelog') lands as ONE manifest
+    version containing every task's files (the DSv2 two-phase commit:
+    tasks write, the driver publishes); writer-side min/max stats are
+    recorded and prune reads exactly like log_append's."""
+    TS.register(spark)
+    o = _orders(spark)
+    tbl = os.path.join(root, "tbl")
+    (
+        o.repartition(4)
+        .write.format("tablelog")
+        .mode("append")
+        .option("path", tbl)
+        .option("statsCols", "o_orderkey")
+        .save()
+    )
+    assert TL._versions(tbl) == [0]
+    st = TL._snapshot(tbl)
+    assert len(st["live"]) == 4
+    assert set(st["stats"]) == set(st["live"])
+    assert TL.log_read(spark, tbl).count() == o.count()
+    # stats prune: a top-key range read keeps < all files (min/max
+    # skipping is the prune= path; blooms are Spark-side, log_append's)
+    top = int(o.agg(F.max("o_orderkey")).first()[0])
+    got = TL.log_read(spark, tbl, prune=("o_orderkey", top, top))
+    assert got.select(F.input_file_name()).distinct().count() < 4
+    assert got.filter(F.col("o_orderkey") == top).count() == 1
+
+
+def test_writer_overwrite_truncates_and_time_travels(spark, root):
+    TS.register(spark)
+    o = _orders(spark)
+    tbl = os.path.join(root, "tbl")
+    o.write.format("tablelog").mode("append").option("path", tbl).save()
+    (
+        o.filter("o_orderstatus = 'F'")
+        .write.format("tablelog")
+        .mode("overwrite")
+        .option("path", tbl)
+        .save()
+    )
+    assert TL.log_read(spark, tbl).count() == o.filter(
+        "o_orderstatus = 'F'"
+    ).count()
+    # the pre-overwrite version remains time-travelable
+    assert TL.log_read(spark, tbl, version=0).count() == o.count()
+    m = TL._read_manifest(tbl, 1)
+    assert m["action"] == "overwrite" and m["remove"]
+
+
+def test_writer_partition_values_match_log_append(spark, root):
+    """The pure-Python partition derivation on the writer path must
+    agree EXACTLY with log_append's Spark-side transform + dir-value
+    typing — otherwise pruning semantics would differ by write path."""
+    TS.register(spark)
+    o = spark.read.parquet(os.path.join(SF, "orders.parquet")).select(
+        "o_orderkey", "o_orderdate", "o_orderstatus"
+    )
+    t1, t2 = os.path.join(root, "w"), os.path.join(root, "a")
+    (
+        o.write.format("tablelog")
+        .mode("append")
+        .option("path", t1)
+        .option("partitionBy", "month(o_orderdate), identity(o_orderstatus)")
+        .save()
+    )
+    TL.log_append(
+        spark,
+        t2,
+        o,
+        partition_by=["month(o_orderdate)", "identity(o_orderstatus)"],
+    )
+    v1 = {frozenset(p.items()) for p in TL._snapshot(t1)["parts"].values()}
+    v2 = {frozenset(p.items()) for p in TL._snapshot(t2)["parts"].values()}
+    assert v1 == v2 and v1
+    # and pruning through the writer-built table is file-exact
+    import datetime
+
+    lo, hi = datetime.date(1995, 1, 1), datetime.date(1995, 3, 31)
+    st = TL._snapshot(t1)
+    in_range = [
+        f
+        for f in st["live"]
+        if "1995-01" <= st["parts"][f]["month(o_orderdate)"] <= "1995-03"
+    ]
+    pruned = TL.log_read(spark, t1, prune=("o_orderdate", lo, hi))
+    assert pruned.select(F.input_file_name()).distinct().count() == len(
+        in_range
+    )
+
+
+def test_writer_rejects_bucket_and_column_mapping(spark, root):
+    TS.register(spark)
+    o = _orders(spark)
+    tbl = os.path.join(root, "tbl")
+    with pytest.raises(Exception, match="bucket"):
+        (
+            o.write.format("tablelog")
+            .mode("append")
+            .option("path", tbl)
+            .option("partitionBy", "bucket(4, o_orderkey)")
+            .save()
+        )
+    TL.log_append(spark, tbl, o)
+    TL.log_rename_column(tbl, "o_totalprice", "total_price")
+    with pytest.raises(Exception, match="column-mapped|column mapping"):
+        o.write.format("tablelog").mode("append").option("path", tbl).save()
+
+
+def test_stream_sink_exactly_once_and_replay_skip(spark, root):
+    """One version per micro-batch (batch id in the manifest); a
+    re-drain from the same checkpoint commits nothing; a simulated
+    post-crash replay of a committed batch id is skipped and its orphan
+    files dropped."""
+    TS.register(spark)
+    o = _orders(spark)
+    src, tbl, ckpt = (
+        os.path.join(root, "src"),
+        os.path.join(root, "tbl"),
+        os.path.join(root, "ckpt"),
+    )
+    for i in range(3):
+        o.filter(F.col("o_orderkey") % 3 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    def drain():
+        q = (
+            spark.readStream.schema(o.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .writeStream.format("tablelog")
+            .option("path", tbl)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain()
+    assert TL._versions(tbl) == [0, 1, 2]
+    assert [
+        TL._read_manifest(tbl, v)["stream_batch_id"] for v in (0, 1, 2)
+    ] == [0, 1, 2]
+    assert TL.log_read(spark, tbl).count() == o.count()
+    drain()  # caught up: no new commits
+    assert TL._versions(tbl) == [0, 1, 2]
+    # post-crash replay of batch 1: recognized by id, files dropped
+    w = TS.TablelogStreamWriter(tbl, {"path": tbl}, o.schema, False)
+    orphan_rel = os.path.join(TL._DATA_DIR, w.token, "orphan.parquet")
+    orphan_abs = os.path.join(tbl, orphan_rel)
+    os.makedirs(os.path.dirname(orphan_abs), exist_ok=True)
+    o.limit(1).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(root, "one")
+    )
+    import glob
+    import shutil as _sh
+
+    _sh.copy(
+        glob.glob(os.path.join(root, "one", "*.parquet"))[0], orphan_abs
+    )
+    w.commit([TS._FilesWritten([orphan_rel], {}, {})], 1)
+    assert TL._versions(tbl) == [0, 1, 2]  # nothing committed
+    assert not os.path.exists(orphan_abs)  # orphans cleaned
+    assert TL.log_read(spark, tbl).count() == o.count()
+
+
+def test_writer_registry_entries_run(spark):
+    out = TS.tablelog_writer_roundtrip(spark, SF)
+    o = _orders(spark)
+    assert out.count() == o.filter("o_orderstatus = 'O'").count()
+    out2 = TS.stream_tablelog_append_sink(spark, SF)
+    assert out2.count() == o.count()
