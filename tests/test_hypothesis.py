@@ -638,12 +638,18 @@ def _tablelog_ops(draw):
             if i == 0
             else draw(st.sampled_from(
                 ["append", "delete", "delete_mor", "merge", "compact",
-                 "rename", "restore"]
+                 "compact_small", "rename", "restore"]
             ))
         )
         if kind == "append":
             width = draw(st.integers(1, 6))
-            ops.append(("append", list(range(next_key, next_key + width))))
+            # r8: some appends lay out by a hidden-partition transform —
+            # the metadata machinery must never change content under any
+            # interleaving with delete/merge/compact/restore/vacuum
+            part = draw(st.booleans())
+            ops.append(
+                ("append", (list(range(next_key, next_key + width)), part))
+            )
             next_key += width
         elif kind in ("delete", "delete_mor"):
             mod = draw(st.integers(2, 5))
@@ -662,6 +668,8 @@ def _tablelog_ops(draw):
         elif kind == "restore":
             # one commit per op, so version v == op index v
             ops.append(("restore", draw(st.integers(0, i - 1))))
+        elif kind == "compact_small":
+            ops.append(("compact_small", draw(st.integers(1, 2))))
         else:
             ops.append(("compact", draw(st.integers(1, 3))))
     return ops
@@ -686,11 +694,17 @@ def test_tablelog_model_based(spark, ops):
         snapshots = []
         for kind, arg in ops:
             if kind == "append":
+                keys, part = arg
                 df = spark.createDataFrame(
-                    [(k, 0) for k in arg], f"k LONG, {val_name} LONG"
+                    [(k, 0) for k in keys], f"k LONG, {val_name} LONG"
                 )
-                TL.log_append(spark, root, df)
-                model.update({k: 0 for k in arg})
+                TL.log_append(
+                    spark,
+                    root,
+                    df,
+                    partition_by=["bucket(4, k)"] if part else None,
+                )
+                model.update({k: 0 for k in keys})
             elif kind in ("delete", "delete_mor"):
                 mod, rem = arg
                 pred = f"k % {mod} = {rem}"
@@ -718,6 +732,10 @@ def test_tablelog_model_based(spark, ops):
                 TL.log_restore(spark, root, arg)
                 model = dict(snapshots[arg][0])
                 val_name = snapshots[arg][1]
+            elif kind == "compact_small":
+                TL.log_compact_small_files(
+                    spark, root, small_max_rows=10**9, target_files=arg
+                )
             else:
                 TL.log_compact(spark, root, target_files=arg)
             snapshots.append((dict(model), val_name))
