@@ -100,7 +100,7 @@ def test_crash_window_and_vacuum(spark, root):
     TL.log_append(spark, root, o.limit(20))
     n = TL.log_read(spark, root).count()
     # crashed writer: data files exist, no manifest ever published
-    orphans, _, _ = TL._write_data_files(o.limit(7), root, "crashed-commit")
+    orphans, _, _, _ = TL._write_data_files(o.limit(7), root, "crashed-commit")
     assert orphans
     # readers are unaffected — the manifest is the source of truth
     assert TL.log_read(spark, root).count() == n

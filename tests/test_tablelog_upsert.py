@@ -77,7 +77,7 @@ def test_crash_before_publish_replays_clean(spark, root):
     _, chunks = _deltas(spark, 2)
     TU.log_merge_cdc(spark, root, chunks[0], "orders", 0)
     # simulate a crash AFTER data files, BEFORE manifest: write orphans
-    orphans, _, _ = TL._write_data_files(chunks[1], root, "crashed-batch")
+    orphans, _, _, _ = TL._write_data_files(chunks[1], root, "crashed-batch")
     state_before = sorted(_live(spark, root).collect())
     assert sorted(_live(spark, root).collect()) == state_before
     # the replayed batch merges against the OLD snapshot and publishes
