@@ -210,6 +210,7 @@ class TablelogReader(DataSourceReader):
             EqualTo,
             GreaterThan,
             GreaterThanOrEqual,
+            In,
             LessThan,
             LessThanOrEqual,
         )
@@ -223,6 +224,7 @@ class TablelogReader(DataSourceReader):
                     GreaterThanOrEqual,
                     LessThan,
                     LessThanOrEqual,
+                    In,
                 ),
             ) and len(f.attribute) == 1:
                 self.pushed.append(f)
@@ -235,6 +237,7 @@ class TablelogReader(DataSourceReader):
             EqualTo,
             GreaterThan,
             GreaterThanOrEqual,
+            In,
             LessThan,
             LessThanOrEqual,
         )
@@ -245,6 +248,27 @@ class TablelogReader(DataSourceReader):
         colmap = state["colmap"] or {}
         for f in self.pushed:
             pc = colmap.get(f.attribute[0], f.attribute[0])
+            if isinstance(f, In):
+                # a file survives if ANY of the set's values could live
+                # in it — the union of per-value point prunes
+                keep: list[str] = []
+                seen: set[str] = set()
+                for v in f.value:
+                    if v is None:
+                        continue
+                    for k in TL._prune_by_stats(
+                        TL._prune_by_partitions(
+                            None, files, state["parts"], pc, value=v
+                        ),
+                        state["stats"],
+                        pc,
+                        value=v,
+                    ):
+                        if k not in seen:
+                            seen.add(k)
+                            keep.append(k)
+                files = keep
+                continue
             lo = hi = value = None
             if isinstance(f, EqualTo):
                 value = f.value

@@ -501,3 +501,35 @@ def test_writer_registry_entries_run(spark):
     assert out.count() == o.filter("o_orderstatus = 'O'").count()
     out2 = TS.stream_tablelog_append_sink(spark, SF)
     assert out2.count() == o.count()
+
+
+def test_push_filters_in_set_prunes_union(spark, root):
+    """IN-set pushdown keeps the UNION of per-value point prunes: a
+    two-status probe over an identity-partitioned table plans only
+    those statuses' files, and `isin` results stay exact."""
+    from pyspark.sql.datasource import In
+
+    TS.register(spark)
+    o = _orders(spark)
+    tbl = os.path.join(root, "tbl")
+    TL.log_append(
+        spark, tbl, o.coalesce(1), partition_by=["identity(o_orderstatus)"]
+    )
+    st = TL._snapshot(tbl)
+    want = {
+        f
+        for f in st["live"]
+        if st["parts"][f]["identity(o_orderstatus)"] in ("F", "P")
+    }
+    rdr = TS.TablelogReader(tbl, {})
+    fs = [In(("o_orderstatus",), ("F", "P"))]
+    assert list(rdr.pushFilters(fs)) == fs
+    planned = rdr.partitions()
+    assert len(planned) == len(want) < len(st["live"])
+    got = (
+        spark.read.format("tablelog")
+        .option("path", tbl)
+        .load()
+        .filter(F.col("o_orderstatus").isin("F", "P"))
+    )
+    assert got.count() == o.filter("o_orderstatus IN ('F','P')").count()
