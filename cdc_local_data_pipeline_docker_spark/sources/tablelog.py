@@ -670,9 +670,12 @@ def _write_data_files(
     if transforms:
         pnames = [f"_tlp_{i}" for i in range(len(transforms))]
         pkeys = [_transform_key(*t) for t in transforms]
+        types = {f.name: f.dataType.simpleString() for f in df.schema.fields}
         out = df
         for name, t in zip(pnames, transforms):
-            out = out.withColumn(name, _transform_expr(*t))
+            out = out.withColumn(
+                name, _transform_expr(*t, dtype=types.get(t[2]))
+            )
         out.write.mode("error").partitionBy(*pnames).parquet(out_dir)
         name_to_key = dict(zip(pnames, pkeys))
         for dirpath, _dirs, fnames in os.walk(out_dir):
@@ -785,8 +788,19 @@ def _transform_key(kind: str, n: int | None, col: str) -> str:
     return f"bucket({n},{col})" if kind == "bucket" else f"{kind}({col})"
 
 
-def _transform_expr(kind: str, n: int | None, col: str):
-    """The write-side derivation column for one transform."""
+#: Spark integral type names that hash differently from BIGINT in
+#: xxhash64 (4-byte vs 8-byte layouts) and therefore go through the
+#: canonical BIGINT cast on the bucket write side — the probe side
+#: (_bucket_of) binds Python ints as BIGINT, and without the cast an
+#: int-typed column would bucket by one hash and probe by another,
+#: silently pruning CORRECT files. Same discipline as the bloom stats.
+_INTEGRAL_TYPES = {"tinyint", "smallint", "int", "bigint"}
+
+
+def _transform_expr(kind: str, n: int | None, col: str, dtype: str | None = None):
+    """The write-side derivation column for one transform. ``dtype`` is
+    the source column's Spark simple type name (bucket needs it to pick
+    the canonical hash layout); None is only safe for non-bucket kinds."""
     from pyspark.sql import functions as F
 
     c = F.col(col)
@@ -796,8 +810,8 @@ def _transform_expr(kind: str, n: int | None, col: str):
         return F.date_format(c, "yyyy-MM")
     if kind == "day":
         return F.date_format(c, "yyyy-MM-dd")
-    # bucket: the probe side (_bucket_of, a scalar SQL with the same
-    # expression) is bit-identical by construction
+    if dtype in _INTEGRAL_TYPES:
+        c = c.cast("bigint")
     return F.pmod(F.xxhash64(c), F.lit(n))
 
 

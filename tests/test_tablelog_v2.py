@@ -686,3 +686,26 @@ def test_compact_small_preserves_partition_pruning(spark, root):
         F.col("o_orderdate") <= F.lit(hi)
     )
     assert pruned.filter(pred).count() == o.filter(pred).count()
+
+
+def test_bucket_transform_int_typed_column_probe_identity(spark, root):
+    """Regression: Spark's xxhash64 hashes INT(7) and BIGINT(7)
+    DIFFERENTLY, and the bucket probe binds Python ints as BIGINT — the
+    write side must canonicalize integral columns through BIGINT or an
+    int-typed key column buckets by one hash and probes by another,
+    silently pruning files that DO contain the key (a wrong-results
+    bug, not a missed optimization)."""
+    rows = [(i, f"v{i}") for i in range(200)]
+    # INT key, not LONG; one input partition -> exactly one file/bucket
+    df = spark.createDataFrame(rows, "k INT, v STRING").coalesce(1)
+    TL.log_append(spark, root, df, partition_by=["bucket(8, k)"])
+    st = TL._snapshot(root)
+    assert len(st["live"]) == 8
+    for key in (0, 7, 63, 199):
+        got = TL.log_read(spark, root, point=("k", key)).filter(
+            F.col("k") == key
+        )
+        assert got.count() == 1, f"key {key} lost by bucket pruning"
+    # and the probe keeps exactly one bucket's files
+    probe = TL.log_read(spark, root, point=("k", 63))
+    assert probe.select(F.input_file_name()).distinct().count() == 1
