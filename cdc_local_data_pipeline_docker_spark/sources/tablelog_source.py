@@ -161,6 +161,12 @@ class TablelogDataSource(DataSource):
         root = self.options.get("path")
         if not root:
             raise ValueError("tablelog source requires .option('path', ...)")
+        # SQL-catalog tables (CREATE TABLE ... USING tablelog) hand the
+        # location back as a file: URI — normalize to a local path
+        if root.startswith("file:"):
+            from urllib.parse import unquote, urlparse
+
+            root = unquote(urlparse(root).path)
         return root
 
     def schema(self):
@@ -902,3 +908,28 @@ SELECT o_orderkey, o_orderstatus, o_totalprice
 FROM orders
 ORDER BY o_orderkey
 """
+
+
+def register_sql_view(spark, name: str, root: str, version: int | None = None) -> None:
+    """The SQL surface: ``CREATE OR REPLACE TEMPORARY VIEW <name> USING
+    tablelog`` — plain ``SELECT ... WHERE`` (with file-skipping filter
+    pushdown) and ``INSERT INTO`` (the DSv2 writer append, one atomic
+    table version per statement) work against the view.
+
+    SNAPSHOT SEMANTICS, pinned in pytest: Spark resolves a
+    Python-DataSource relation once at view (re)creation, so the view
+    reads the table AS OF that moment — later commits (including the
+    view's own INSERTs) do not appear until `register_sql_view` is
+    called again (or the table is read via `spark.read.format`). This
+    matches the time-travel contract (`version=` pins one explicitly),
+    not a live catalog table; a catalog `CREATE TABLE ... USING
+    tablelog` is parsed but Spark 4.1 does not replay its OPTIONS into
+    the reader, so the temp-view form is the supported one."""
+    register(spark)
+    opts = f"path '{root}'"
+    if version is not None:
+        opts += f", version '{int(version)}'"
+    spark.sql(
+        f"CREATE OR REPLACE TEMPORARY VIEW {name} USING tablelog "
+        f"OPTIONS ({opts})"
+    )

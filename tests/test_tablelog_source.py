@@ -533,3 +533,44 @@ def test_push_filters_in_set_prunes_union(spark, root):
         .filter(F.col("o_orderstatus").isin("F", "P"))
     )
     assert got.count() == o.filter("o_orderstatus IN ('F','P')").count()
+
+
+def test_sql_view_select_insert_and_snapshot_pinning(spark, root):
+    """The SQL surface (r8): a temp view USING tablelog serves SELECT /
+    WHERE (through the pushdown reader) and INSERT INTO (the DSv2
+    writer — one atomic version per statement); the view is a PINNED
+    SNAPSHOT (Python-DataSource relations resolve once at creation), so
+    new commits appear only after re-registration — the documented
+    time-travel contract, asserted here so a behavior change surfaces."""
+    TS.register(spark)
+    o = _orders(spark)
+    tbl = os.path.join(root, "tbl")
+    TL.log_append(spark, tbl, o)
+    view = f"tl_view_{uuid.uuid4().hex[:8]}"
+    try:
+        TS.register_sql_view(spark, view, tbl)
+        assert (
+            spark.sql(f"SELECT COUNT(*) AS n FROM {view}").first().n
+            == o.count()
+        )
+        assert (
+            spark.sql(
+                f"SELECT COUNT(*) AS n FROM {view} WHERE o_orderstatus='F'"
+            ).first().n
+            == o.filter("o_orderstatus = 'F'").count()
+        )
+        spark.sql(
+            f"INSERT INTO {view} SELECT 999999 AS o_orderkey, "
+            "'X' AS o_orderstatus, CAST(1.0 AS DECIMAL(12,2)) AS o_totalprice"
+        )
+        assert TL._versions(tbl) == [0, 1]  # the INSERT committed
+        # pinned snapshot: the existing view still reads v0 …
+        assert spark.table(view).count() == o.count()
+        # … re-registration (or a fresh read) observes the commit
+        TS.register_sql_view(spark, view, tbl)
+        assert spark.table(view).count() == o.count() + 1
+        # explicit version pin = time travel through SQL
+        TS.register_sql_view(spark, view, tbl, version=0)
+        assert spark.table(view).count() == o.count()
+    finally:
+        spark.catalog.dropTempView(view)
