@@ -2350,14 +2350,20 @@ def log_compact_small_files(
     root: str,
     small_max_rows: int,
     target_files: int = 1,
+    zorder_cols: list[str] | None = None,
 ) -> int:
     """Incremental OPTIMIZE: bin-pack ONLY the live files with at most
     ``small_max_rows`` rows into ``target_files`` new files, carrying
     every larger file by reference — the production compaction loop
     (Delta OPTIMIZE bin-packing): after a streaming sink has committed
     thousands of small per-batch files, the rewrite cost tracks the
-    SMALL-FILE count, never the table size. `log_compact` (full
-    rewrite) remains the OPTIMIZE ZORDER path.
+    SMALL-FILE count, never the table size. ``zorder_cols`` (2+ numeric
+    logical columns) Morton-clusters each rewrite group — on a
+    hidden-partitioned table this is exactly Delta's PARTITION-SCOPED
+    `OPTIMIZE ... ZORDER BY`: clustering within partitions, partition
+    values carried, so range probes prune first by partition then by
+    the z-ordered min/max stats. `log_compact` remains the whole-table
+    rewrite.
 
     Per-file row counts come from the parquet footers (KB metadata,
     driver-side — the same information production formats keep in the
@@ -2400,8 +2406,13 @@ def log_compact_small_files(
         }
         return _commit(root, base + 1, manifest)
     merge_sch = len(state["schemas"]) > 1
+    colmap = state["colmap"]
     stats_cols = sorted({c for s in state["stats"].values() for c in s})
     bloom_cols = sorted({c for b in state["blooms"].values() for c in b})
+    pz = None
+    if zorder_cols:
+        pz = [(colmap or {}).get(c, c) for c in zorder_cols]
+        stats_cols = sorted(set(stats_cols) | set(pz))
     removed: list[str] = []
     added_all: list[str] = []
     stats_all: dict[str, dict] = {}
@@ -2414,7 +2425,13 @@ def log_compact_small_files(
             spark, root, fs,
             {f: d for f, d in state["dv"].items() if f in set(fs)},
             merge_schema=merge_sch,
-        ).coalesce(target_files)
+        )
+        if pz:
+            from .zorder import zorder_by
+
+            packed = zorder_by(packed, *pz, n_files=target_files)
+        else:
+            packed = packed.coalesce(target_files)
         token = uuid.uuid4().hex[:12]
         added, new_stats, new_blooms, _np = _write_data_files(
             packed, root, token, stats_cols, bloom_cols

@@ -709,3 +709,52 @@ def test_bucket_transform_int_typed_column_probe_identity(spark, root):
     # and the probe keeps exactly one bucket's files
     probe = TL.log_read(spark, root, point=("k", 63))
     assert probe.select(F.input_file_name()).distinct().count() == 1
+
+
+def test_partition_scoped_zorder_compaction(spark, root):
+    """Delta's partition-scoped OPTIMIZE ZORDER: incremental compaction
+    with zorder_cols Morton-clusters each partition group into
+    target_files files whose min/max stats become range-prunable, while
+    the group's partition values are carried — a range probe prunes
+    first by partition, then by the z-ordered stats."""
+    import datetime
+
+    o = _orders_dated(spark)
+    for i in range(3):
+        TL.log_append(
+            spark,
+            root,
+            o.filter(F.col("o_orderkey") % 3 == i).coalesce(1),
+            partition_by=["month(o_orderdate)"],
+            stats_cols=["o_orderkey", "o_totalprice"],
+        )
+    n = TL.log_read(spark, root).count()
+    TL.log_compact_small_files(
+        spark,
+        root,
+        small_max_rows=10**9,
+        target_files=2,
+        zorder_cols=["o_orderkey", "o_totalprice"],
+    )
+    st = TL._snapshot(root)
+    assert set(st["parts"]) == set(st["live"])  # values carried
+    assert set(st["stats"]) == set(st["live"])  # fresh z-ordered stats
+    assert TL.log_read(spark, root).count() == n  # content identical
+    # z-ordered stats prune a key range WITHIN the partition-pruned set
+    lo_k = int(o.agg(F.min("o_orderkey")).first()[0])
+    pruned = TL.log_read(spark, root, prune=("o_orderkey", lo_k, lo_k))
+    assert pruned.select(F.input_file_name()).distinct().count() < len(
+        st["live"]
+    )
+    assert pruned.filter(F.col("o_orderkey") == lo_k).count() == o.filter(
+        F.col("o_orderkey") == lo_k
+    ).count()
+    # and partition pruning still fires on the compacted layout
+    lo, hi = datetime.date(1995, 1, 1), datetime.date(1995, 3, 31)
+    got = TL.log_read(spark, root, prune=("o_orderdate", lo, hi))
+    in_range = [
+        f
+        for f in st["live"]
+        if "1995-01" <= st["parts"][f]["month(o_orderdate)"] <= "1995-03"
+    ]
+    assert got.select(F.input_file_name()).distinct().count() == len(in_range)
