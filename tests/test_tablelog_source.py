@@ -574,3 +574,65 @@ def test_sql_view_select_insert_and_snapshot_pinning(spark, root):
         assert spark.table(view).count() == o.count()
     finally:
         spark.catalog.dropTempView(view)
+
+
+def test_writer_commit_rebases_append_and_raises_overwrite(
+    spark, root, monkeypatch
+):
+    """The DSv2 commit's conflict policy mirrors log_append's: APPEND
+    rebases (re-snapshots and retries — appends commute), OVERWRITE
+    raises (its remove set is the commit-time live set; a concurrent
+    commit invalidates it). Simulated by a racing commit injected into
+    the first TL._commit attempt."""
+    TS.register(spark)
+    o = _orders(spark)
+    tbl = os.path.join(root, "tbl")
+    TL.log_append(spark, tbl, o.limit(100))
+
+    import pyarrow as pa
+
+    batch = pa.record_batch({"o_orderkey": pa.array([1], pa.int64())})
+
+    def racing_commit_once():
+        calls = {"n": 0}
+        orig = TL._commit
+
+        def wrapped(r, v, m):
+            calls["n"] += 1
+            if calls["n"] == 1:
+                # a concurrent writer wins this version first
+                orig(
+                    r,
+                    v,
+                    {
+                        "version": v,
+                        "action": "append",
+                        "add": [],
+                        "remove": [],
+                        "schemas": TL._snapshot(r)["schemas"],
+                        "ts": 0,
+                    },
+                )
+            return orig(r, v, m)
+
+        return wrapped
+
+    # append: first attempt loses the race, retry lands on v+1
+    w = TS.TablelogWriter(tbl, {"path": tbl}, o.limit(1).schema, False)
+    msg = w.write(iter([batch]))
+    monkeypatch.setattr(TL, "_commit", racing_commit_once())
+    w.commit([msg])
+    monkeypatch.undo()
+    # base 0, the racer stole v1, the rebased retry landed on v2
+    assert TL._latest_version(tbl) == 2
+    assert msg.files and set(msg.files) <= set(TL._snapshot(tbl)["live"])
+
+    # overwrite: the race must RAISE, and abort cleans the task files
+    w2 = TS.TablelogWriter(tbl, {"path": tbl}, o.limit(1).schema, True)
+    msg2 = w2.write(iter([batch]))
+    monkeypatch.setattr(TL, "_commit", racing_commit_once())
+    with pytest.raises(TL.CommitConflict):
+        w2.commit([msg2])
+    monkeypatch.undo()
+    w2.abort([msg2])
+    assert not os.path.exists(os.path.join(tbl, TL._DATA_DIR, w2.token))
