@@ -187,6 +187,14 @@ def _empty_state() -> dict:
         "parts": {},
         "schemas": [],
         "colmap": None,
+        # streaming-sink idempotence ledger: query key -> max committed
+        # micro-batch id (the Delta txn appId/version shape). Folded
+        # through checkpoints so the replay check is O(interval);
+        # `stream_txn_complete` is False when resolution passed through
+        # a pre-ledger checkpoint or full manifest, in which case the
+        # sink falls back to the full reverse walk (legacy tables only).
+        "stream_txn": {},
+        "stream_txn_complete": True,
     }
 
 
@@ -217,6 +225,8 @@ def _state_from_full(root: str, m: dict) -> dict:
         "parts": dict(m.get("parts", {})),
         "schemas": list(schemas),
         "colmap": m.get("colmap"),
+        "stream_txn": dict(m.get("stream_txn", {})),
+        "stream_txn_complete": "stream_txn" in m,
     }
 
 
@@ -242,6 +252,11 @@ def _apply_delta(state: dict, m: dict) -> dict:
         state["schemas"] = list(m["schemas"])
     if "colmap" in m:
         state["colmap"] = m["colmap"]
+    if m.get("stream_batch_id") is not None:
+        qk = m.get("stream_query_key", "")
+        prev = state["stream_txn"].get(qk)
+        if prev is None or m["stream_batch_id"] > prev:
+            state["stream_txn"][qk] = m["stream_batch_id"]
     return state
 
 
@@ -366,6 +381,11 @@ def _read_checkpoint(root: str, version: int) -> dict | None:
             "parts": parts,
             "schemas": meta.get("schemas", []),
             "colmap": meta.get("colmap"),
+            "stream_txn": dict(meta.get("stream_txn", {})),
+            # checkpoints written before the ledger existed can't prove
+            # the absence of earlier stream commits — mark incomplete so
+            # the sink's replay check falls back to the full walk
+            "stream_txn_complete": "stream_txn" in meta,
         }
     except Exception:
         return None
@@ -426,15 +446,17 @@ def log_checkpoint(root: str, version: int | None = None) -> int:
     os.makedirs(tmp)
     pq.write_table(tbl, os.path.join(tmp, "files.parquet"))
     with open(os.path.join(tmp, "meta.json"), "w") as fh:
-        json.dump(
-            {
-                "version": version,
-                "schemas": state["schemas"],
-                "colmap": state["colmap"],
-            },
-            fh,
-            sort_keys=True,
-        )
+        meta = {
+            "version": version,
+            "schemas": state["schemas"],
+            "colmap": state["colmap"],
+        }
+        # only claim ledger completeness when the resolved state can:
+        # a checkpoint over a legacy (pre-ledger) prefix must keep the
+        # replay check on its full-walk fallback
+        if state["stream_txn_complete"]:
+            meta["stream_txn"] = state["stream_txn"]
+        json.dump(meta, fh, sort_keys=True)
     try:
         os.rename(tmp, _ckpt_dir(root, version))
     except OSError:
@@ -830,6 +852,139 @@ def _part_value_from_dir(raw: str):
     except ValueError:
         pass
     return s
+
+
+# ---------------------------------------------------------------------------
+# Pure-Python XXH64, bit-identical with Spark's `xxhash64` expression
+# (seed 42). Needed where no SparkSession exists — the DSv2 writer's
+# executor-side bucket derivation — so write-hash ≡ probe-hash without a
+# driver round trip. Layouts mirror Spark's XXH64: BIGINT through the
+# 8-byte lane (hashLong), INT/DATE through the 4-byte lane (hashInt),
+# strings as UTF-8 bytes through the streaming form. Bit-identity with
+# `SELECT xxhash64(...)` is pinned by a pytest vector table
+# (tests/test_tablelog_source.py) — the same write/probe identity
+# discipline as the r8 canonical-BIGINT fix (commit 893845c).
+# ---------------------------------------------------------------------------
+
+_XX_P1 = 0x9E3779B185EBCA87
+_XX_P2 = 0xC2B2AE3D27D4EB4F
+_XX_P3 = 0x165667B19E3779F9
+_XX_P4 = 0x85EBCA77C2B2AE63
+_XX_P5 = 0x27D4EB2F165667C5
+_U64 = (1 << 64) - 1
+_XX_SEED = 42  # Spark's xxhash64 default seed
+
+
+def _xx_rotl(x: int, r: int) -> int:
+    return ((x << r) | (x >> (64 - r))) & _U64
+
+
+def _xx_fmix(h: int) -> int:
+    h ^= h >> 33
+    h = (h * _XX_P2) & _U64
+    h ^= h >> 29
+    h = (h * _XX_P3) & _U64
+    h ^= h >> 32
+    return h
+
+
+def _xx_long(v: int, seed: int = _XX_SEED) -> int:
+    """XXH64 of one 64-bit lane (Spark hashLong: BIGINT and the
+    canonical-BIGINT integral cast)."""
+    v &= _U64
+    h = (seed + _XX_P5 + 8) & _U64
+    h ^= (_xx_rotl((v * _XX_P2) & _U64, 31) * _XX_P1) & _U64
+    h = (_xx_rotl(h, 27) * _XX_P1 + _XX_P4) & _U64
+    return _xx_fmix(h)
+
+
+def _xx_int(v: int, seed: int = _XX_SEED) -> int:
+    """XXH64 of one 32-bit lane (Spark hashInt: INT and DATE-days)."""
+    h = (seed + _XX_P5 + 4) & _U64
+    h ^= ((v & 0xFFFFFFFF) * _XX_P1) & _U64
+    h = (_xx_rotl(h, 23) * _XX_P2 + _XX_P3) & _U64
+    return _xx_fmix(h)
+
+
+def _xx_bytes(b: bytes, seed: int = _XX_SEED) -> int:
+    """Streaming XXH64 over a byte string (Spark hashUnsafeBytes:
+    STRING columns as UTF-8)."""
+    n = len(b)
+    i = 0
+    if n >= 32:
+        v1 = (seed + _XX_P1 + _XX_P2) & _U64
+        v2 = (seed + _XX_P2) & _U64
+        v3 = seed & _U64
+        v4 = (seed - _XX_P1) & _U64
+        while i <= n - 32:
+            for j in range(4):
+                w = int.from_bytes(b[i + 8 * j : i + 8 * j + 8], "little")
+                v = (v1, v2, v3, v4)[j]
+                v = (_xx_rotl((v + w * _XX_P2) & _U64, 31) * _XX_P1) & _U64
+                if j == 0:
+                    v1 = v
+                elif j == 1:
+                    v2 = v
+                elif j == 2:
+                    v3 = v
+                else:
+                    v4 = v
+            i += 32
+        h = (
+            _xx_rotl(v1, 1) + _xx_rotl(v2, 7) + _xx_rotl(v3, 12) + _xx_rotl(v4, 18)
+        ) & _U64
+        for v in (v1, v2, v3, v4):
+            h ^= (_xx_rotl((v * _XX_P2) & _U64, 31) * _XX_P1) & _U64
+            h = (h * _XX_P1 + _XX_P4) & _U64
+    else:
+        h = (seed + _XX_P5) & _U64
+    h = (h + n) & _U64
+    while i <= n - 8:
+        w = int.from_bytes(b[i : i + 8], "little")
+        h ^= (_xx_rotl((w * _XX_P2) & _U64, 31) * _XX_P1) & _U64
+        h = (_xx_rotl(h, 27) * _XX_P1 + _XX_P4) & _U64
+        i += 8
+    if i <= n - 4:
+        w = int.from_bytes(b[i : i + 4], "little")
+        h ^= (w * _XX_P1) & _U64
+        h = (_xx_rotl(h, 23) * _XX_P2 + _XX_P3) & _U64
+        i += 4
+    while i < n:
+        h ^= (b[i] * _XX_P5) & _U64
+        h = (_xx_rotl(h, 11) * _XX_P1) & _U64
+        i += 1
+    return _xx_fmix(h)
+
+
+def _bucket_of_py(value, n: int) -> int:
+    """Session-free bucket probe/derivation: pmod(xxhash64(value), n)
+    computed in Python, bit-identical with both `_bucket_of` (the
+    Spark-SQL probe) and `_transform_expr`'s write-side derivation.
+    Accepted domains: int (canonical BIGINT lane), str (UTF-8 bytes),
+    datetime.date (DATE = days-since-epoch through the INT lane), and
+    None (Spark's hash of NULL leaves the seed untouched)."""
+    import datetime
+
+    if value is None:
+        h = _XX_SEED  # null input: hash stays the seed (Spark semantics)
+    elif isinstance(value, bool):
+        raise ValueError("bucket transform over boolean is not supported")
+    elif isinstance(value, int):
+        h = _xx_long(value)
+    elif isinstance(value, str):
+        h = _xx_bytes(value.encode("utf-8"))
+    elif isinstance(value, datetime.date) and not isinstance(
+        value, datetime.datetime
+    ):
+        h = _xx_int((value - datetime.date(1970, 1, 1)).days)
+    else:
+        raise ValueError(
+            f"bucket transform over {type(value).__name__} is not "
+            "supported on the session-free path (int/str/date only)"
+        )
+    if h >= 1 << 63:
+        h -= 1 << 64  # to Spark's signed 64-bit domain
+    return h % n  # == pmod for n > 0
 
 
 def _bucket_of(spark: SparkSession, value, n: int) -> int:
@@ -1498,6 +1653,12 @@ def log_restore(spark: SparkSession, root: str, version: int) -> int:
     itself a new version."""
     t = _snapshot(root, version)
     base = _latest_version(root)
+    # the idempotence ledger NEVER rolls back: a restore rewinds table
+    # CONTENT, but micro-batches committed after the restore target were
+    # still processed by their streaming checkpoints — replaying them
+    # would double-apply. Carry the LATEST ledger forward (Delta keeps
+    # txn identifiers across RESTORE for the same reason).
+    cur = _snapshot(root, base)
     manifest = {
         "version": base + 1,
         "action": "restore",
@@ -1512,6 +1673,10 @@ def log_restore(spark: SparkSession, root: str, version: int) -> int:
         "restored_from": version,
         "ts": time.time(),
     }
+    if cur["stream_txn_complete"]:
+        manifest["stream_txn"] = cur["stream_txn"]
+    # else: omit the key — a legacy prefix can't prove ledger
+    # completeness, so downstream replay checks keep the full-walk path
     if t["colmap"] is not None:
         manifest["colmap"] = t["colmap"]
     return _commit(root, base + 1, manifest)

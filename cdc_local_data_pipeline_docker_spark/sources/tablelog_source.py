@@ -112,42 +112,83 @@ def _physical_order(root: str, state: dict) -> list[str]:
     return [p for p in colmap.values() if p in set(names)]
 
 
+def _arrow_out_schema(root: str, state: dict):
+    """(physical column order, Arrow output schema with LOGICAL names)
+    for the snapshot — the typed contract every executor batch is built
+    against (types from the footer union, names from the column map)."""
+    import pyarrow as pa
+
+    union = _arrow_union_schema(root, state)
+    cols = _physical_order(root, state)
+    colmap = state["colmap"]
+    logical = (
+        {p: l for l, p in colmap.items()} if colmap else {c: c for c in cols}
+    )
+    return cols, pa.schema(
+        [union.field(c).with_name(logical[c]) for c in cols]
+    )
+
+
 class _FilePart(InputPartition):
     """One data file to read on the executor: absolute path, optional
-    deletion-vector path, and the physical output column order."""
+    deletion-vector path, the physical column order, and the typed
+    Arrow output schema (logical names). ``path == ''`` is the empty
+    sentinel — pyspark substitutes [None] for an empty partition list,
+    so an all-pruned scan must still ship one no-op partition."""
 
-    def __init__(self, path: str, dv_path: str | None, cols: list[str]):
+    def __init__(self, path: str, dv_path: str | None, cols, out_schema):
         self.path = path
         self.dv_path = dv_path
         self.cols = cols
+        self.out_schema = out_schema
 
 
 def _read_file_part(part: _FilePart):
-    """Executor-side file reader: yields tuples in ``part.cols`` order,
-    NULL-filling absent columns (schema evolution) and skipping
-    deletion-vector row indices (merge-on-read applied at the reader)."""
+    """Executor-side VECTORIZED file reader: yields ``pyarrow.
+    RecordBatch``es in ``part.out_schema`` (Arrow stays Arrow end-to-end
+    — no per-row Python objects on the read path). Deletion vectors are
+    applied as ONE boolean-mask filter per batch (positions → mask via
+    numpy against the batch's global row range); columns absent from an
+    old file (schema evolution) are NULL-filled as constant arrays."""
+    import numpy as np
+    import pyarrow as pa
     import pyarrow.parquet as pq
 
-    dead: set[int] = set()
+    if not part.path:  # empty sentinel (all files pruned / caught up)
+        return
+    dead = None
     if part.dv_path:
-        dead = set(
-            pq.read_table(part.dv_path)["row_index"].to_pylist()
+        dead = np.sort(
+            pq.read_table(part.dv_path)["row_index"]
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
         )
     pf = pq.ParquetFile(part.path)
     present = set(pf.schema_arrow.names)
+    read_cols = [c for c in part.cols if c in present]
     ri = 0
-    for batch in pf.iter_batches():
-        cols = {
-            n: batch.column(batch.schema.get_field_index(n)).to_pylist()
-            for n in part.cols
-            if n in present
-        }
-        for i in range(batch.num_rows):
-            if ri not in dead:
-                yield tuple(
-                    cols[n][i] if n in cols else None for n in part.cols
-                )
-            ri += 1
+    for batch in pf.iter_batches(columns=read_cols):
+        n = batch.num_rows
+        if dead is not None and dead.size:
+            lo = np.searchsorted(dead, ri)
+            hi = np.searchsorted(dead, ri + n)
+            if hi > lo:
+                mask = np.ones(n, dtype=bool)
+                mask[dead[lo:hi] - ri] = False
+                batch = batch.filter(pa.array(mask))
+        ri += n
+        if batch.num_rows == 0:
+            continue
+        arrays = []
+        for phys, field in zip(part.cols, part.out_schema):
+            if phys in present:
+                col = batch.column(batch.schema.get_field_index(phys))
+                if col.type != field.type:
+                    col = col.cast(field.type)
+            else:
+                col = pa.nulls(batch.num_rows, field.type)
+            arrays.append(col)
+        yield pa.RecordBatch.from_arrays(arrays, schema=part.out_schema)
 
 
 class TablelogDataSource(DataSource):
@@ -249,7 +290,7 @@ class TablelogReader(DataSourceReader):
         )
 
         state = TL._snapshot(self.root, self.version)
-        cols = _physical_order(self.root, state)
+        cols, out_schema = _arrow_out_schema(self.root, state)
         files = state["live"]
         colmap = state["colmap"] or {}
         for f in self.pushed:
@@ -289,16 +330,21 @@ class TablelogReader(DataSourceReader):
             files = TL._prune_by_stats(
                 files, state["stats"], pc, lo=lo, hi=hi, value=value
             )
-        return [
+        out = [
             _FilePart(
                 os.path.join(self.root, f),
                 os.path.join(self.root, state["dv"][f])
                 if f in state["dv"]
                 else None,
                 cols,
+                out_schema,
             )
             for f in files
         ]
+        # an all-pruned scan still needs >=1 partition: pyspark turns an
+        # empty list into [None], which would crash read(None) — ship
+        # the same empty sentinel the stream reader uses (ADVICE r8)
+        return out or [_FilePart("", None, cols, out_schema)]
 
     def read(self, partition: "_FilePart"):
         yield from _read_file_part(partition)
@@ -311,11 +357,11 @@ class TablelogStreamReader(DataSourceStreamReader):
         self.skip_change = (
             str(options.get("skipchangecommits", "false")).lower() == "true"
         )
-        # the stream's column order is fixed at start time
+        # the stream's column order + typed schema are fixed at start
         state = TL._snapshot(self.root)
         if not state["live"]:
             raise ValueError(f"no table at {self.root}")
-        self.cols = _physical_order(self.root, state)
+        self.cols, self.out_schema = _arrow_out_schema(self.root, state)
 
     def initialOffset(self) -> dict:
         return {"version": -1}
@@ -341,7 +387,12 @@ class TablelogStreamReader(DataSourceStreamReader):
             ):
                 for f in adds:
                     out.append(
-                        _FilePart(os.path.join(self.root, f), None, self.cols)
+                        _FilePart(
+                            os.path.join(self.root, f),
+                            None,
+                            self.cols,
+                            self.out_schema,
+                        )
                     )
                 continue
             if (
@@ -360,11 +411,9 @@ class TablelogStreamReader(DataSourceStreamReader):
                 "'true') to skip such commits (Delta semantics)"
             )
         # a caught-up batch still needs >=1 (empty) partition
-        return out or [_FilePart("", None, self.cols)]
+        return out or [_FilePart("", None, self.cols, self.out_schema)]
 
     def read(self, partition: "_FilePart"):
-        if not partition.path:
-            return
         yield from _read_file_part(partition)
 
     def commit(self, end: dict) -> None:
@@ -589,17 +638,26 @@ def _partition_value(kind: str, v):
     return s[:7] if kind == "month" else s[:10]
 
 
+#: source-column Spark types the session-free bucket hash supports:
+#: integrals ride the canonical-BIGINT 8-byte lane, date the 4-byte
+#: lane, string the UTF-8 streaming lane — each pinned bit-identical
+#: with Spark's xxhash64 (tests/test_tablelog_source.py vector table).
+_BUCKET_WRITE_TYPES = {"tinyint", "smallint", "int", "bigint", "string", "date"}
+
+
 class TablelogWriter(DataSourceArrowWriter):
     """Batch writer. Options: ``path`` (table root), ``partitionBy``
-    (comma-separated transform specs — identity/month/day only: bucket
-    needs Spark-side xxhash64 for probe bit-identity, use log_append),
+    (comma-separated transform specs — identity/month/day/bucket;
+    bucket hashing runs the pure-Python XXH64 that is pytest-pinned
+    bit-identical with Spark's xxhash64, so the files a point probe
+    prunes are exactly the files log_append would have produced),
     ``statsCols`` (comma-separated min/max stat columns). Modes:
     append / overwrite (truncate-and-append — the remove set is the
     commit-time live set, recomputed inside the conflict-retry loop).
 
     Tables under a column mapping are rejected (logical->physical
-    renaming of Arrow batches is log_append's job); blooms likewise
-    need Spark-side hashing and are not written on this path."""
+    renaming of Arrow batches is log_append's job); blooms need
+    Spark-side hashing and are not written on this path."""
 
     def __init__(self, root: str, options, schema, overwrite: bool) -> None:
         self.root = root
@@ -609,13 +667,24 @@ class TablelogWriter(DataSourceArrowWriter):
         pb = options.get("partitionby")
         self.transforms = []
         if pb:
-            for spec in pb.split(","):
+            import re as _re
+
+            # paren-aware split: "bucket(8, k), month(d)" is two specs
+            specs = _re.findall(r"[A-Za-z_]+\s*\([^)]*\)", pb)
+            if not specs:
+                raise ValueError(f"bad partitionBy spec {pb!r}")
+            types = {f.name: f.dataType.simpleString() for f in schema.fields}
+            for spec in specs:
                 kind, n, col = TL._parse_transform(spec)
-                if kind == "bucket":
+                if (
+                    kind == "bucket"
+                    and types.get(col, "?") not in _BUCKET_WRITE_TYPES
+                ):
                     raise ValueError(
-                        "bucket() partitioning is not supported on the "
-                        "DataSource write path (probe bit-identity needs "
-                        "the Spark-side hash) — use tablelog.log_append"
+                        f"bucket() over {col}: {types.get(col)} is not "
+                        "supported on the DataSource write path "
+                        "(int/string/date lanes only) — use "
+                        "tablelog.log_append"
                     )
                 self.transforms.append((kind, n, col))
         sc = options.get("statscols")
@@ -650,6 +719,12 @@ class TablelogWriter(DataSourceArrowWriter):
         writers: dict[tuple, tuple] = {}  # pkey -> (rel, pq.ParquetWriter, stats_acc)
 
         def upd_stats(acc, batch):
+            # accumulate RAW Python values (Decimal stays Decimal, date
+            # stays date) so the cross-batch min()/max() merge compares
+            # in the value domain; conversion to the manifest's
+            # JSON-stable form happens ONCE when the final stats dict is
+            # built — a str-converted Decimal would merge
+            # lexicographically ('10.2' < '9.5'). (ADVICE r8)
             for c in self.stats_cols:
                 if c not in batch.schema.names:
                     continue
@@ -657,8 +732,8 @@ class TablelogWriter(DataSourceArrowWriter):
                 if col.null_count == len(col):
                     continue
                 mm = pc.min_max(col)
-                mn = _arrow_stat_val(mm["min"])
-                mx = _arrow_stat_val(mm["max"])
+                mn = mm["min"].as_py()
+                mx = mm["max"].as_py()
                 if c in acc:
                     omn, omx = acc[c]
                     acc[c] = (min(omn, mn), max(omx, mx))
@@ -670,13 +745,21 @@ class TablelogWriter(DataSourceArrowWriter):
                 # derive each row's partition tuple, then split the batch
                 # by value (vectorized dictionary-encode + filter)
                 keys = []
-                for kind, _n, col in self.transforms:
+                for kind, n, col in self.transforms:
                     cells = batch.column(
                         batch.schema.get_field_index(col)
                     ).to_pylist()
-                    keys.append(
-                        [_partition_value(kind, v) for v in cells]
-                    )
+                    if kind == "bucket":
+                        # session-free XXH64, bit-identical with the
+                        # Spark-side write hash AND probe hash (incl.
+                        # NULL cells: hash(NULL) stays the seed)
+                        keys.append(
+                            [TL._bucket_of_py(v, n) for v in cells]
+                        )
+                    else:
+                        keys.append(
+                            [_partition_value(kind, v) for v in cells]
+                        )
                 rows_by_key: dict[tuple, list[int]] = {}
                 for i in range(batch.num_rows):
                     rows_by_key.setdefault(
@@ -709,7 +792,10 @@ class TablelogWriter(DataSourceArrowWriter):
             w.close()
             files.append(rel)
             if acc:
-                stats[rel] = {c: [mn, mx] for c, (mn, mx) in acc.items()}
+                stats[rel] = {
+                    c: [_arrow_stat_val(mn), _arrow_stat_val(mx)]
+                    for c, (mn, mx) in acc.items()
+                }
         return _FilesWritten(files, stats, parts)
 
     # -- driver side --------------------------------------------------------
@@ -775,22 +861,56 @@ class TablelogWriter(DataSourceArrowWriter):
 
 
 class TablelogStreamWriter(TablelogWriter, DataSourceStreamArrowWriter):
-    """Streaming sink: one table version per micro-batch, the batch id
-    recorded in the manifest. On commit, if ANY manifest already carries
-    this (sink) batch id the write is a post-crash replay: the new files
-    are deleted and the commit is skipped — exactly-once into the table
-    regardless of checkpoint/commit crash ordering."""
+    """Streaming sink: one table version per micro-batch, with the
+    (query key, batch id) pair recorded in the manifest — the Delta
+    idempotent-sink contract (txn appId + version), NOT batch id alone:
+    a second streaming query into the same table, or a restart with a
+    fresh checkpoint, starts over at batchId 0 and must not have its
+    batches mistaken for replays (ADVICE r8). The query key is the
+    explicit ``.option("txnAppId", ...)`` when given, else the
+    normalized checkpoint location (Spark forwards it in the options) —
+    same checkpoint = same query incarnation = replay-comparable ids.
+
+    On commit, if the table's ledger already holds this (key, id) the
+    write is a post-crash replay: the new files are deleted and the
+    commit is skipped — exactly-once into the table regardless of
+    checkpoint/commit crash ordering. The ledger is folded through
+    snapshots/checkpoints, so the check is O(checkpoint interval), not
+    O(history) (VERDICT r8 #4); tables written by pre-ledger code fall
+    back to the full reverse walk once, until their next checkpoint."""
 
     def __init__(self, root: str, options, schema, overwrite: bool) -> None:
+        if overwrite:
+            raise ValueError(
+                "tablelog streaming sink does not support "
+                "outputMode('complete') (truncate-per-batch); use "
+                "append/update, or batch mode('overwrite')"
+            )
         TablelogWriter.__init__(self, root, options, schema, overwrite=False)
+        txn = options.get("txnappid")
+        if txn is None:
+            ckpt = options.get("checkpointlocation")
+            txn = os.path.normpath(ckpt) if ckpt else ""
+        self.query_key = txn
 
     def _batch_already_committed(self, batch_id: int) -> bool:
+        state = TL._snapshot(self.root)
+        if state["stream_txn_complete"]:
+            prev = state["stream_txn"].get(self.query_key)
+            return prev is not None and prev >= batch_id
+        # legacy prefix (pre-ledger checkpoint or full manifest):
+        # the walk cannot be bounded safely — scan the whole history
+        # for this query key once; the next cadence checkpoint folds
+        # the ledger and restores the O(interval) path
         for v in reversed(TL._versions(self.root)):
             try:
                 m = TL._read_manifest(self.root, v)
             except FileNotFoundError:
                 break
-            if m.get("stream_batch_id") is not None:
+            if (
+                m.get("stream_batch_id") is not None
+                and m.get("stream_query_key", "") == self.query_key
+            ):
                 return m["stream_batch_id"] >= batch_id
         return False
 
@@ -799,7 +919,9 @@ class TablelogStreamWriter(TablelogWriter, DataSourceStreamArrowWriter):
             self.abort(messages)  # replayed batch: drop the orphans
             return
         self._commit_manifest(
-            messages, "append", {"stream_batch_id": batchId}
+            messages,
+            "append",
+            {"stream_batch_id": batchId, "stream_query_key": self.query_key},
         )
 
     def abort(self, messages, batchId: int | None = None) -> None:

@@ -419,22 +419,112 @@ def test_writer_partition_values_match_log_append(spark, root):
     )
 
 
-def test_writer_rejects_bucket_and_column_mapping(spark, root):
+def test_writer_rejects_unsupported_bucket_type_and_column_mapping(
+    spark, root
+):
     TS.register(spark)
     o = _orders(spark)
     tbl = os.path.join(root, "tbl")
+    # bucket over a non-int/string/date column has no session-free lane
     with pytest.raises(Exception, match="bucket"):
         (
             o.write.format("tablelog")
             .mode("append")
             .option("path", tbl)
-            .option("partitionBy", "bucket(4, o_orderkey)")
+            .option("partitionBy", "bucket(4, o_totalprice)")
             .save()
         )
     TL.log_append(spark, tbl, o)
     TL.log_rename_column(tbl, "o_totalprice", "total_price")
     with pytest.raises(Exception, match="column-mapped|column mapping"):
         o.write.format("tablelog").mode("append").option("path", tbl).save()
+
+
+def test_python_xxh64_bit_identity_vector_table(spark):
+    """VERDICT r8 #2: the session-free XXH64 (writer-side bucket
+    derivation) is BIT-IDENTICAL with Spark's xxhash64 on every
+    supported lane — the write/probe identity discipline that keeps a
+    bucketed point probe from silently pruning files that DO contain
+    the key. Vector table spans negatives, 64-bit extremes, empty /
+    4-byte / 8-byte / 31-32-byte boundary / >32-byte / unicode strings,
+    dates, and NULL (hash = seed)."""
+    import datetime
+
+    def signed(h):
+        return h - (1 << 64) if h >= 1 << 63 else h
+
+    for v in [0, 1, 7, -1, -7, 2**62, -(2**62), 2**63 - 1, -(2**63)]:
+        want = spark.sql(
+            f"SELECT xxhash64(CAST({v} AS BIGINT))"
+        ).collect()[0][0]
+        assert signed(TL._xx_long(v)) == want, v
+    for d in ["1970-01-01", "1996-04-15", "2024-02-29", "1969-12-31"]:
+        want = spark.sql(f"SELECT xxhash64(DATE '{d}')").collect()[0][0]
+        days = (
+            datetime.date.fromisoformat(d) - datetime.date(1970, 1, 1)
+        ).days
+        assert signed(TL._xx_int(days)) == want, d
+    for s in ["", "a", "abcd", "abcdefgh", "abcdefghi", "x" * 31,
+              "y" * 32, "z" * 100, "héllo — ünïcode ✓", "AUTOMOBILE"]:
+        want = spark.sql("SELECT xxhash64(?)", args=[s]).collect()[0][0]
+        assert signed(TL._xx_bytes(s.encode())) == want, s
+    # pmod identity against the Spark-side probe, every lane + NULL
+    for v in [7, -7, "ACME", datetime.date(1996, 4, 15)]:
+        for n in (4, 8, 16):
+            assert TL._bucket_of_py(v, n) == TL._bucket_of(spark, v, n)
+    assert TL._bucket_of_py(None, 8) == spark.sql(
+        "SELECT pmod(xxhash64(CAST(NULL AS BIGINT)), 8)"
+    ).collect()[0][0]
+
+
+def test_writer_bucket_partitioning_prunes_like_log_append(spark, root):
+    """VERDICT r8 #2 done-criterion: ``partitionBy=bucket(8,o_custkey)``
+    through ``df.write.format("tablelog")`` records the SAME partition
+    values as a log_append-written table, and a point probe prunes the
+    same files on both."""
+    TS.register(spark)
+    o = spark.read.parquet(os.path.join(SF, "orders.parquet")).select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    t1, t2 = os.path.join(root, "dsv2"), os.path.join(root, "ref")
+    (
+        o.repartition(2)
+        .write.format("tablelog")
+        .mode("append")
+        .option("path", t1)
+        .option("partitionBy", "bucket(8, o_custkey)")
+        .save()
+    )
+    TL.log_append(spark, t2, o, partition_by=["bucket(8, o_custkey)"])
+    b1 = {
+        p["bucket(8,o_custkey)"] for p in TL._snapshot(t1)["parts"].values()
+    }
+    b2 = {
+        p["bucket(8,o_custkey)"] for p in TL._snapshot(t2)["parts"].values()
+    }
+    assert b1 == b2 and len(b1) == 8
+    key = int(o.select("o_custkey").first()[0])
+    want_bucket = TL._bucket_of(spark, key, 8)
+    for t in (t1, t2):
+        st = TL._snapshot(t)
+        want = [
+            f
+            for f in st["live"]
+            if st["parts"][f]["bucket(8,o_custkey)"] == want_bucket
+        ]
+        probed = TL.log_read(spark, t, point=("o_custkey", key))
+        assert (
+            probed.select(F.input_file_name()).distinct().count()
+            == len(want)
+            < len(st["live"])
+        )
+        assert probed.filter(F.col("o_custkey") == key).count() == o.filter(
+            F.col("o_custkey") == key
+        ).count()
+    # exactness across the whole table: both roots read identically
+    assert sorted(TL.log_read(spark, t1).collect()) == sorted(
+        TL.log_read(spark, t2).collect()
+    )
 
 
 def test_stream_sink_exactly_once_and_replay_skip(spark, root):
@@ -475,8 +565,11 @@ def test_stream_sink_exactly_once_and_replay_skip(spark, root):
     assert TL.log_read(spark, tbl).count() == o.count()
     drain()  # caught up: no new commits
     assert TL._versions(tbl) == [0, 1, 2]
-    # post-crash replay of batch 1: recognized by id, files dropped
-    w = TS.TablelogStreamWriter(tbl, {"path": tbl}, o.schema, False)
+    # post-crash replay of batch 1 BY THE SAME QUERY (same checkpoint
+    # -> same key): recognized by (key, id), files dropped
+    w = TS.TablelogStreamWriter(
+        tbl, {"path": tbl, "checkpointlocation": ckpt}, o.schema, False
+    )
     orphan_rel = os.path.join(TL._DATA_DIR, w.token, "orphan.parquet")
     orphan_abs = os.path.join(tbl, orphan_rel)
     os.makedirs(os.path.dirname(orphan_abs), exist_ok=True)
@@ -493,6 +586,178 @@ def test_stream_sink_exactly_once_and_replay_skip(spark, root):
     assert TL._versions(tbl) == [0, 1, 2]  # nothing committed
     assert not os.path.exists(orphan_abs)  # orphans cleaned
     assert TL.log_read(spark, tbl).count() == o.count()
+
+
+def test_batch_read_all_files_pruned_returns_empty(spark, root):
+    """ADVICE r8 (high): when pushed filters prune EVERY live file the
+    reader must return an empty result — pyspark substitutes [None] for
+    an empty partition list, so the planner path has to ship the empty
+    sentinel partition instead (previously: AttributeError on
+    read(None) failed the whole job)."""
+    import datetime
+
+    TS.register(spark)
+    o = spark.read.parquet(os.path.join(SF, "orders.parquet")).select(
+        "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+    tbl = os.path.join(root, "tbl")
+    TL.log_append(
+        spark, tbl, o.coalesce(2), partition_by=["month(o_orderdate)"]
+    )
+    got = (
+        spark.read.format("tablelog")
+        .option("path", tbl)
+        .load()
+        .filter(F.col("o_orderdate") >= F.lit(datetime.date(2099, 1, 1)))
+    )
+    assert got.count() == 0
+    assert got.columns == ["o_orderkey", "o_orderdate", "o_totalprice"]
+
+
+def test_reader_yields_arrow_batches_with_vectorized_dv(spark, root):
+    """VERDICT r8 #1: the DataSource read path is Arrow end-to-end —
+    `_read_file_part` yields pyarrow.RecordBatches (never per-row
+    tuples), deletion vectors are applied as one boolean mask per
+    batch, and schema-evolution NULL fill is a typed constant array."""
+    import pyarrow as pa
+
+    TS.register(spark)
+    o = _orders(spark)
+    tbl = os.path.join(root, "tbl")
+    TL.log_append(spark, tbl, o.coalesce(1))
+    TL.log_delete_where_mor(spark, tbl, "o_orderstatus = 'F'")
+    st = TL._snapshot(tbl)
+    cols, out_schema = TS._arrow_out_schema(tbl, st)
+    (f,) = st["live"]
+    part = TS._FilePart(
+        os.path.join(tbl, f), os.path.join(tbl, st["dv"][f]), cols, out_schema
+    )
+    batches = list(TS._read_file_part(part))
+    assert batches and all(isinstance(b, pa.RecordBatch) for b in batches)
+    assert all(b.schema == out_schema for b in batches)
+    n = sum(b.num_rows for b in batches)
+    assert n == o.filter("o_orderstatus <> 'F'").count()
+    statuses = {
+        s for b in batches for s in b.column(1).to_pylist()
+    }
+    assert "F" not in statuses
+    # schema evolution: a column absent from the file NULL-fills typed
+    wide = pa.schema(list(out_schema) + [pa.field("extra", pa.int64())])
+    part2 = TS._FilePart(
+        os.path.join(tbl, f), None, cols + ["extra"], wide
+    )
+    b2 = next(TS._read_file_part(part2))
+    assert b2.schema.field("extra").type == pa.int64()
+    assert b2.column(3).null_count == b2.num_rows
+    # the empty sentinel yields nothing
+    assert list(TS._read_file_part(TS._FilePart("", None, cols, out_schema))) == []
+
+
+def test_writer_decimal_stats_merge_in_value_domain(root):
+    """ADVICE r8 (low): cross-batch min/max stat merge happens on RAW
+    values (Decimal as Decimal), not str-converted — lexicographic
+    merge would record min('10.2','9.5') = '10.2'."""
+    import decimal
+
+    import pyarrow as pa
+    from pyspark.sql.types import DecimalType, StructField, StructType
+
+    schema = StructType([StructField("d", DecimalType(10, 1))])
+    tbl = os.path.join(root, "tbl")
+    w = TS.TablelogWriter(tbl, {"statscols": "d"}, schema, False)
+    t = pa.decimal128(10, 1)
+    b1 = pa.RecordBatch.from_arrays(
+        [pa.array([decimal.Decimal("9.5")], t)], ["d"]
+    )
+    b2 = pa.RecordBatch.from_arrays(
+        [pa.array([decimal.Decimal("10.2")], t)], ["d"]
+    )
+    msg = w.write(iter([b1, b2]))
+    (stats,) = msg.stats.values()
+    assert stats["d"] == ["9.5", "10.2"]
+
+
+def test_stream_sink_second_query_not_mistaken_for_replay(spark, root):
+    """ADVICE r8: replay detection is keyed by (query, batch id), not
+    batch id alone — a SECOND streaming query (fresh checkpoint, batch
+    ids restarting at 0) into a table that already holds higher batch
+    ids must land its data, not have every batch skipped as a replay.
+    Also pins: outputMode('complete') raises instead of silently
+    appending, and the ledger folds through snapshots (O(interval)
+    replay check — no full-history walk on a ledger-complete table)."""
+    TS.register(spark)
+    o = _orders(spark)
+    src, tbl = os.path.join(root, "src"), os.path.join(root, "tbl")
+    o.filter("o_orderkey % 2 = 0").coalesce(1).write.parquet(src)
+
+    def drain(ckpt):
+        q = (
+            spark.readStream.schema(o.schema)
+            .parquet(src)
+            .writeStream.format("tablelog")
+            .option("path", tbl)
+            .option("checkpointLocation", os.path.join(root, ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain("ckpt_a")  # query A commits batch 0
+    n_a = TL.log_read(spark, tbl).count()
+    assert n_a == o.filter("o_orderkey % 2 = 0").count()
+    drain("ckpt_b")  # query B also starts at batch 0 — MUST append
+    assert TL.log_read(spark, tbl).count() == 2 * n_a
+    m0 = TL._read_manifest(tbl, 0)
+    m1 = TL._read_manifest(tbl, 1)
+    assert m0["stream_batch_id"] == m1["stream_batch_id"] == 0
+    assert m0["stream_query_key"] != m1["stream_query_key"]
+    # the ledger folds through state: both query keys visible, complete
+    st = TL._snapshot(tbl)
+    assert st["stream_txn_complete"]
+    assert st["stream_txn"] == {
+        m0["stream_query_key"]: 0,
+        m1["stream_query_key"]: 0,
+    }
+    # explicit txnAppId overrides the checkpoint-derived key
+    w = TS.TablelogStreamWriter(
+        tbl, {"path": tbl, "txnappid": m0["stream_query_key"]}, o.schema, False
+    )
+    assert w.query_key == m0["stream_query_key"]
+    assert w._batch_already_committed(0)
+    assert not w._batch_already_committed(1)
+    # complete mode (overwrite=True) raises, never silently appends
+    with pytest.raises(ValueError, match="complete"):
+        TS.TablelogStreamWriter(tbl, {"path": tbl}, o.schema, True)
+
+
+def test_stream_sink_replay_check_is_checkpoint_bounded(spark, root):
+    """VERDICT r8 #4: `_batch_already_committed` resolves through the
+    snapshot/checkpoint ledger, never an O(history) manifest walk — on
+    a long-history table the replay check reads the same O(interval)
+    manifest set `_snapshot` does."""
+    TS.register(spark)
+    o = _orders(spark).limit(8)
+    tbl = os.path.join(root, "tbl")
+    for _ in range(2 * TL.CHECKPOINT_INTERVAL + 3):  # past 2 checkpoints
+        TL.log_append(spark, tbl, o)
+    w = TS.TablelogStreamWriter(
+        tbl, {"path": tbl, "checkpointlocation": os.path.join(root, "ck")},
+        o.schema, False,
+    )
+    reads = []
+    orig = TL._read_manifest
+
+    def counting(root_, v):
+        reads.append(v)
+        return orig(root_, v)
+
+    TL._read_manifest = counting
+    try:
+        assert not w._batch_already_committed(0)
+    finally:
+        TL._read_manifest = orig
+    # bounded by the checkpoint cadence, not the 23-commit history
+    assert len(reads) <= TL.CHECKPOINT_INTERVAL + 1
 
 
 def test_writer_registry_entries_run(spark):
