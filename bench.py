@@ -129,6 +129,11 @@ OPTIONAL = [
     # distributed temp-parquet scan, so the timing is commit machinery +
     # log resolution + scan, which IS the cost being baselined.
     "tablelog_time_travel",
+    # round-9 addition (VERDICT r8 #6): the DSv2 WRITE path — two
+    # distributed appends + a truncate-and-overwrite through
+    # df.write.format("tablelog") plus the verification read, so write
+    # throughput is tracked round-over-round like the read path above.
+    "tablelog_writer_roundtrip",
 ]
 #: Entries whose wall time is sf-INVARIANT fixed machinery (measured
 #: identical at sf0.01 and sf0.1 across rounds 4-5): streaming

@@ -336,8 +336,10 @@ def stream_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         q.awaitTermination()
+        from ..sources.tablelog import _materialized_scan
+
         out = spark.table(qname).orderBy("doc_id")
-        res = spark.createDataFrame(out.collect(), out.schema)
+        res = _materialized_scan(spark, out)
         spark.catalog.dropTempView(qname)
         return res
     finally:

@@ -178,9 +178,18 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         TS.events_resample_interpolate,
         TS.EVENTS_RESAMPLE_INTERPOLATE_SQL,
     ),
-    # pandas UDF surface (Arrow scalar + grouped-map), exactly oracle-checked
-    "fn_pandas_normalize": (PU.fn_pandas_normalize, PU.FN_PANDAS_NORMALIZE_SQL),
+    # pandas UDF surface (grouped-map), exactly oracle-checked; the
+    # Arrow-scalar sibling fn_pandas_normalize rotated out r9 (same
+    # family, COVERED_BY) for the r8 DSv2 writer flagship
     "fn_pandas_group_rank": (PU.fn_pandas_group_rank, PU.FN_PANDAS_GROUP_RANK_SQL),
+    # r9 rotation (VERDICT r8 #5): the native write path —
+    # df.write.format("tablelog") through the DSv2 two-phase commit
+    # (executor parquet tasks -> one atomic manifest), append +
+    # truncate-and-overwrite modes
+    "tablelog_writer_roundtrip": (
+        TLS.tablelog_writer_roundtrip,
+        TLS.TABLELOG_WRITER_ROUNDTRIP_SQL,
+    ),
     # ---- graded 24-50: one representative per relational/LLM family ----
     # filters (all predicate classes in one pushdown-audited scan)
     "filter_pack": (PK.filter_pack, PK.FILTER_PACK_SQL),
@@ -224,8 +233,15 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # aggregation
     "agg_grouped": (R.agg_grouped, R.AGG_GROUPED_SQL),
     "agg_approx": (R.agg_approx, R.AGG_APPROX_SQL),  # contract oracle
-    # windows
-    "window_topk_per_group": (R.window_topk_per_group, R.WINDOW_TOPK_PER_GROUP_SQL),
+    # windows (window_topk_per_group rotated out r9, family graded by
+    # the analytics pack; its ranking shape also rides er_best_match)
+    # r9 rotation: writeStream.format("tablelog") — one table version
+    # per micro-batch keyed by (query, batch id); replays recognized
+    # and skipped, exactly-once into the table
+    "stream_tablelog_append_sink": (
+        TLS.stream_tablelog_append_sink,
+        TLS.STREAM_TABLELOG_APPEND_SINK_SQL,
+    ),
     "window_analytics_pack": (
         PK.window_analytics_pack,
         PK.WINDOW_ANALYTICS_PACK_SQL,
@@ -245,9 +261,14 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         SIM.embedding_kmeans_train,
         SIM.EMBEDDING_KMEANS_TRAIN_SQL,
     ),
-    "q17_small_quantity_revenue": (
-        TQ.q17_small_quantity_revenue,
-        TQ.Q17_SMALL_QUANTITY_REVENUE_SQL,
+    # r9 rotation (q17 out; TPC-H join-agg family keeps q1 + q3):
+    # WHERE-clause file skipping through the DataSource — Spark 4.1
+    # pushFilters prunes hidden partitions + min/max stats at planning;
+    # every filter stays Spark-evaluated (safe-only); planner-side file
+    # counts pinned in tests/test_tablelog_source.py
+    "tablelog_source_pruned_scan": (
+        TLS.tablelog_source_pruned_scan,
+        TLS.TABLELOG_SOURCE_PRUNED_SCAN_SQL,
     ),
     # LLM-ops: dedup
     # low-shuffle MERGE (r6 flagship, rotated into the window r7):
@@ -1056,27 +1077,14 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         TLG.tablelog_small_file_compaction,
         TLG.TABLELOG_SMALL_FILE_COMPACTION_SQL,
     ),
-    # r8: WHERE-clause file skipping through the DataSource — Spark 4.1
-    # pushFilters prunes hidden partitions + min/max stats at planning;
-    # every filter stays Spark-evaluated (safe-only); planner-side file
-    # counts pinned in tests/test_tablelog_source.py
-    "tablelog_source_pruned_scan": (
-        TLS.tablelog_source_pruned_scan,
-        TLS.TABLELOG_SOURCE_PRUNED_SCAN_SQL,
-    ),
-    # r8: the native write path — df.write.format("tablelog") through
-    # the DSv2 two-phase commit (executor parquet tasks -> one atomic
-    # manifest), append + truncate-and-overwrite modes
-    "tablelog_writer_roundtrip": (
-        TLS.tablelog_writer_roundtrip,
-        TLS.TABLELOG_WRITER_ROUNDTRIP_SQL,
-    ),
-    # r8: writeStream.format("tablelog") — one table version per
-    # micro-batch with the batch id in the manifest (replayed batches
-    # recognized and skipped: exactly-once into the table)
-    "stream_tablelog_append_sink": (
-        TLS.stream_tablelog_append_sink,
-        TLS.STREAM_TABLELOG_APPEND_SINK_SQL,
+    # rotated out r9 (VERDICT r8 #5 — the r8 DSv2 writer/sink/pushdown
+    # flagships took these slots); each keeps a graded family sibling
+    # and stays registered + oracle-verified here
+    "fn_pandas_normalize": (PU.fn_pandas_normalize, PU.FN_PANDAS_NORMALIZE_SQL),
+    "window_topk_per_group": (R.window_topk_per_group, R.WINDOW_TOPK_PER_GROUP_SQL),
+    "q17_small_quantity_revenue": (
+        TQ.q17_small_quantity_revenue,
+        TQ.Q17_SMALL_QUANTITY_REVENUE_SQL,
     ),
 }
 

@@ -252,9 +252,9 @@ def search_bm25_topk_incremental(
         for i, b in enumerate(build_fixture_batches(spark, sf_dir)):
             apply_batch(spark, state_dir, b, i)
         tf, dl, df, stats = index_frames(spark, state_dir)
+        from ..sources.tablelog import _materialized_scan
+
         scored = RV.scored_matches_from_index(spark, tf, dl, df, stats)
-        out = RV.topk_from_scored(scored)
-        out = spark.createDataFrame(out.collect(), out.schema)
-        return out
+        return _materialized_scan(spark, RV.topk_from_scored(scored))
     finally:
         shutil.rmtree(state_dir, ignore_errors=True)

@@ -224,6 +224,6 @@ def stream_tablelog_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("total_amount", F.col("total_amount").cast("double"))
             .orderBy("order_id")
         )
-        return spark.createDataFrame(out.collect(), out.schema)
+        return TL._materialized_scan(spark, out)
     finally:
         shutil.rmtree(work, ignore_errors=True)

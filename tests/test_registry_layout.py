@@ -28,8 +28,9 @@ MUST_BE_GRADED = {
     # back out in r8, sibling stream_session_agg)
     "cdc_temporal_join_items_orders",
     "er_golden_record",
-    # pandas-UDF surface
-    "fn_pandas_normalize", "fn_pandas_group_rank",
+    # pandas-UDF surface (fn_pandas_normalize rotated out r9,
+    # sibling fn_pandas_group_rank)
+    "fn_pandas_group_rank",
     # round-2 canonicalizer/HUGEINT fix proofs
     "agg_approx", "multimodal_feature_extract",
     "fn_collection_pack",
@@ -61,6 +62,13 @@ MUST_BE_GRADED = {
     "tablelog_time_travel", "tablelog_cdf_agg_view",
     "tablelog_partition_pruning", "embedding_kmeans_train",
     "cdc_fk_integrity_report",
+    # round-9 rotation (VERDICT r8 #5): the r8 DSv2 write path, the
+    # streaming sink, and the pushFilters pruned scan take graded
+    # slots. Displaced: q17_small_quantity_revenue (TPC-H family keeps
+    # q1 + q3), window_topk_per_group (sibling window_analytics_pack),
+    # fn_pandas_normalize (sibling fn_pandas_group_rank)
+    "tablelog_writer_roundtrip", "stream_tablelog_append_sink",
+    "tablelog_source_pruned_scan",
     # family packs (each the graded representative of its family)
     "filter_pack", "window_analytics_pack", "set_ops_pack", "fn_scalar_pack",
     "text_profile",
@@ -75,21 +83,17 @@ COVERED_BY = {
     "tablelog_source_stream": "stream_tablelog_upsert",
     "tablelog_checkpointed_read": "tablelog_time_travel",
     "cdc_snapshot_chunk_merge": "cdc_latest_state_orders",
-    # r8: the pushFilters pruned scan — same partition-prune family as
-    # the graded hidden-partitioning entry
-    "tablelog_source_pruned_scan": "tablelog_partition_pruning",
-    # r8: native DSv2 write path — storage-commit family graded by the
-    # time-travel entry; the streaming sink's graded sibling is the
-    # in-window tablelog MERGE stream (same batch-id idempotence shape)
-    "tablelog_writer_roundtrip": "tablelog_time_travel",
-    "stream_tablelog_append_sink": "stream_tablelog_upsert",
+    # rotated out r9 (the r8 writer/sink/pushdown flagships swapped in)
+    "fn_pandas_normalize": "fn_pandas_group_rank",
+    "window_topk_per_group": "window_analytics_pack",
+    "q17_small_quantity_revenue": "q3_shipping_priority",
     # rotated out in the r7 second session (flagship swap-in)
     "join_semi": "join_inner",
     "join_anti": "join_inner",
     "agg_pivot_status": "agg_grouped",
     # reshape + Arrow-batch API surface (r7 second session)
     "reshape_unpivot_measures": "agg_grouped",
-    "fn_arrow_map": "fn_pandas_normalize",
+    "fn_arrow_map": "fn_pandas_group_rank",
     "events_asof_last_view": "cdc_temporal_join_items_orders",
     # rotated out of the window in round 7 (VERDICT r6 #4/#5)
     "cdc_scd2_orders": "cdc_latest_state_orders",
@@ -126,7 +130,7 @@ COVERED_BY = {
     "distinct_pairs": "set_ops_pack",
     "q7_volume_shipping": "q3_shipping_priority",
     "q8_market_share": "q3_shipping_priority",
-    "q2_min_cost_supplier": "q17_small_quantity_revenue",
+    "q2_min_cost_supplier": "q3_shipping_priority",
     "q20_excess_shippers": "join_inner",
     "q13_customer_distribution": "agg_grouped",
     "q22_dormant_high_balance": "join_inner",
@@ -134,10 +138,10 @@ COVERED_BY = {
     "q6_forecast_revenue": "q1_pricing_summary",
     "q9_product_profit": "q3_shipping_priority",
     "q10_returned_items": "q3_shipping_priority",
-    "q11_important_parts": "q17_small_quantity_revenue",
+    "q11_important_parts": "q3_shipping_priority",
     "q12_late_priority_mix": "agg_grouped",
-    "q14_promo_revenue": "q17_small_quantity_revenue",
-    "q15_top_supplier": "q17_small_quantity_revenue",
+    "q14_promo_revenue": "q3_shipping_priority",
+    "q15_top_supplier": "q3_shipping_priority",
     "q16_parts_supplier": "join_inner",
     "q18_large_orders": "q3_shipping_priority",
     "q19_disjunctive_revenue": "filter_pack",
@@ -152,7 +156,7 @@ COVERED_BY = {
     "graph_triangle_count": "join_inner",
     # rotated out in the r7 third session (flagship swap-in: BM25 and
     # the DBLog snapshot merge took these slots)
-    "sort_limit_topn": "window_topk_per_group",
+    "sort_limit_topn": "window_analytics_pack",
     "q5_local_supplier_volume": "q3_shipping_priority",
     # the fused ranker shares the graded BM25 scorer; per-query ranked
     # windows graded by window_topk_per_group
@@ -214,7 +218,7 @@ COVERED_BY = {
     # graded by join_inner/join_broadcast_dims; window resolution graded
     # by window_topk_per_group
     "er_blocked_fuzzy_match": "join_inner",
-    "er_best_match": "window_topk_per_group",
+    "er_best_match": "window_analytics_pack",
     # log compaction = the latest-state window plan with tombstones kept
     "cdc_changelog_compact": "cdc_latest_state_orders",
     # drift monitor: parse-family map-only scan graded by the reference
@@ -260,7 +264,7 @@ COVERED_BY = {
     "events_mad_outliers": "events_tumbling_agg",
     "events_value_winsorize": "events_tumbling_agg",
     "fn_pandas_grouped_agg": "fn_pandas_group_rank",
-    "fn_arrow_udf": "fn_pandas_normalize",
+    "fn_arrow_udf": "fn_pandas_group_rank",
     "events_funnel_windowed": "events_tumbling_agg",
     "events_ab_conversion": "events_tumbling_agg",
     "gdpr_erase_customer": "join_inner",

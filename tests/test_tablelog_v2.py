@@ -758,3 +758,134 @@ def test_partition_scoped_zorder_compaction(spark, root):
         if "1995-01" <= st["parts"][f]["month(o_orderdate)"] <= "1995-03"
     ]
     assert got.select(F.input_file_name()).distinct().count() == len(in_range)
+
+
+# ---------------------------------------------------------------------------
+# partition-aware copy-on-write probes (VERDICT r8 #3)
+# ---------------------------------------------------------------------------
+
+def test_predicate_conjunct_parser_is_safe_only():
+    """The conjunct parser prunes only what it can PROVE is a plain
+    top-level comparison: OR/NOT/parens abandon pruning entirely, a
+    torn string literal abandons it (a fragment inside a literal could
+    masquerade as a conjunct), <>/IS NULL conjuncts contribute nothing,
+    and BETWEEN expands into the two bounds."""
+    import datetime
+
+    P = TL._predicate_conjuncts
+    assert P("o_orderstatus = 'F'") == [("o_orderstatus", "=", "F")]
+    assert P("a >= 5 AND b < 'x' and c = 1.5") == [
+        ("a", ">=", 5), ("b", "<", "x"), ("c", "=", 1.5)
+    ]
+    assert P("d BETWEEN DATE '1996-01-01' AND DATE '1996-03-31'") == [
+        ("d", ">=", datetime.date(1996, 1, 1)),
+        ("d", "<=", datetime.date(1996, 3, 31)),
+    ]
+    # escaped quote inside a literal
+    assert P("name = 'it''s'") == [("name", "=", "it's")]
+    # safe-only refusals
+    assert P("a = 1 OR b = 2") == []
+    assert P("NOT a = 1") == []
+    assert P("month(d) = '1996-01'") == []
+    assert P("a IN (1, 2)") == []
+    # a string literal containing AND + a conjunct-looking substring
+    # must not leak fake conjuncts
+    assert P("note = 'p AND b = 5 AND q'") == []
+    # unparseable conjunct skipped, parseable sibling kept
+    assert P("a IS NULL AND b = 2") == [("b", "=", 2)]
+    # <> parses but contributes no file-level pruning downstream
+    assert P("a <> 1 AND b = 2") == [("a", "<>", 1), ("b", "=", 2)]
+
+
+def test_cow_delete_probes_only_matching_partitions(spark, root):
+    """A partition-scoped DELETE's probe candidate set is EXACTLY the
+    matching partitions' files; the rewrite (manifest remove set) stays
+    inside it and every other file is carried by reference — on a
+    100 TB table the delete never scans untouched partitions."""
+    o = (
+        spark.read.parquet(os.path.join(SF, "orders.parquet"))
+        .select("o_orderkey", "o_orderdate", "o_orderstatus", "o_totalprice")
+        .filter("o_orderdate BETWEEN DATE '1996-01-01' AND DATE '1996-12-31'")
+    )
+    TL.log_append(
+        spark, root, o.coalesce(2), partition_by=["month(o_orderdate)"]
+    )
+    st = TL._snapshot(root)
+    pred = (
+        "o_orderdate BETWEEN DATE '1996-01-01' AND DATE '1996-03-31' "
+        "AND o_orderstatus = 'O'"
+    )
+    want = {
+        f
+        for f in st["live"]
+        if "1996-01" <= st["parts"][f]["month(o_orderdate)"] <= "1996-03"
+    }
+    cand = set(TL._cow_candidate_files(spark, st, pred))
+    assert cand == want and cand and len(cand) < len(st["live"])
+    before = set(st["live"])
+    v = TL.log_delete_where(spark, root, pred)
+    m = TL._read_manifest(root, v)
+    assert set(m["remove"]) <= cand  # rewrites bound by the probe set
+    # untouched partitions' files carried by reference, results exact
+    assert before - cand <= set(TL._snapshot(root)["live"])
+    got = TL.log_read(spark, root).count()
+    assert got == o.filter(f"NOT ({pred})").count()
+
+
+def test_mor_delete_probes_only_matching_partitions(spark, root):
+    """The MoR delete's hit scan reads only candidate files: deletion
+    vectors are written solely for matching-partition files."""
+    o = (
+        spark.read.parquet(os.path.join(SF, "orders.parquet"))
+        .select("o_orderkey", "o_orderdate", "o_orderstatus", "o_totalprice")
+        .filter("o_orderdate BETWEEN DATE '1997-01-01' AND DATE '1997-12-31'")
+    )
+    TL.log_append(
+        spark, root, o.coalesce(1), partition_by=["month(o_orderdate)"]
+    )
+    st = TL._snapshot(root)
+    pred = "o_orderdate >= DATE '1997-06-01'"
+    want = {
+        f
+        for f in st["live"]
+        if st["parts"][f]["month(o_orderdate)"] >= "1997-06"
+    }
+    v = TL.log_delete_where_mor(spark, root, pred)
+    m = TL._read_manifest(root, v)
+    assert m["dv_set"] and set(m["dv_set"]) <= want
+    assert TL.log_read(spark, root).count() == o.filter(
+        f"NOT ({pred})"
+    ).count()
+
+
+def test_merge_probe_pruned_by_key_range_and_bucket(spark, root):
+    """MERGE's affected-file probe shrinks through manifest metadata
+    BEFORE any scan: on a bucket(8, key)-partitioned table a
+    single-key change batch probes only that bucket's files (the
+    session-free XXH64 matches the write hash), and the rewrite stays
+    inside it."""
+    o = spark.read.parquet(os.path.join(SF, "orders.parquet")).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    TL.log_append(
+        spark, root, o.coalesce(1), partition_by=["bucket(8, o_orderkey)"]
+    )
+    st = TL._snapshot(root)
+    key = int(o.select("o_orderkey").first()[0])
+    b = TL._bucket_of_py(key, 8)
+    in_bucket = {
+        f
+        for f in st["live"]
+        if st["parts"][f]["bucket(8,o_orderkey)"] == b
+    }
+    changes = o.filter(F.col("o_orderkey") == key).withColumn(
+        "o_totalprice", F.lit(9999.0).cast("double")
+    )
+    v = TL.log_merge(spark, root, changes, "o_orderkey")
+    m = TL._read_manifest(root, v)
+    assert m["remove"] and set(m["remove"]) <= in_bucket
+    got = TL.log_read(spark, root)
+    assert got.filter(F.col("o_orderkey") == key).first()[
+        "o_totalprice"
+    ] == 9999.0
+    assert got.count() == o.count()
