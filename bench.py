@@ -134,6 +134,13 @@ OPTIONAL = [
     # df.write.format("tablelog") plus the verification read, so write
     # throughput is tracked round-over-round like the read path above.
     "tablelog_writer_roundtrip",
+    # round-9 addition (VERDICT r8 #1 done-criterion): the Python
+    # DataSource READ path — append/append/MoR-delete then a full
+    # format("tablelog") snapshot read with executor-side deletion
+    # vectors. Newly Arrow-vectorized (RecordBatch yields + one boolean
+    # DV mask per batch); benched from this round so the per-row-Python
+    # regression class is visible round-over-round.
+    "tablelog_source_snapshot",
 ]
 #: Entries whose wall time is sf-INVARIANT fixed machinery (measured
 #: identical at sf0.01 and sf0.1 across rounds 4-5): streaming

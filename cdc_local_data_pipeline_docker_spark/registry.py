@@ -1063,6 +1063,14 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         TLS.tablelog_source_snapshot,
         TLS.TABLELOG_SOURCE_SNAPSHOT_SQL,
     ),
+    # r9: copy-on-write UPDATE ... SET with the partition-aware
+    # affected-file probe (conjuncts prune candidates through hidden
+    # partitions + stats before any scan); pre-update snapshot stays
+    # time-travelable
+    "tablelog_cow_update": (
+        TLG.tablelog_cow_update,
+        TLG.TABLELOG_COW_UPDATE_SQL,
+    ),
     # CONVERT TO tablelog: zero-copy import of a bare parquet directory
     # (hard-linked files, one v0 manifest) followed by a CoW delete —
     # the zero-copy/inode properties are pytest-pinned

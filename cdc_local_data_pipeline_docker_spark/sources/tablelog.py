@@ -105,6 +105,7 @@ __all__ = [
     "log_append",
     "log_delete_where",
     "log_delete_where_mor",
+    "log_update_where",
     "log_merge",
     "log_compact",
     "log_compact_small_files",
@@ -956,6 +957,38 @@ def _xx_bytes(b: bytes, seed: int = _XX_SEED) -> int:
     return _xx_fmix(h)
 
 
+def _xx_long_np(vals):
+    """Vectorized `_xx_long` over a numpy int64/uint64 array — the
+    8-byte lane as uint64 array arithmetic (numpy integer ops wrap mod
+    2^64 silently, which IS the hash's arithmetic). Returns uint64."""
+    import numpy as np
+
+    a = np.asarray(vals).astype(np.int64, copy=False).view(np.uint64)
+    P1, P2 = np.uint64(_XX_P1), np.uint64(_XX_P2)
+    P3, P4 = np.uint64(_XX_P3), np.uint64(_XX_P4)
+    s31, s33 = np.uint64(31), np.uint64(33)
+    k = a * P2
+    k = ((k << s31) | (k >> s33)) * P1
+    h = np.uint64((_XX_SEED + _XX_P5 + 8) & _U64) ^ k
+    h = ((h << np.uint64(27)) | (h >> np.uint64(37))) * P1 + P4
+    h ^= h >> s33
+    h *= P2
+    h ^= h >> np.uint64(29)
+    h *= P3
+    h ^= h >> np.uint64(32)
+    return h
+
+
+def _bloom_positions_of_hash(h: int) -> list[int]:
+    """Driver/executor-side bloom probe positions from one SIGNED
+    xxhash64 value — the same double-hash arithmetic as the build side
+    (`_bloom_position_cols`) and the Spark-SQL probe
+    (`_bloom_positions`)."""
+    h1 = h % (2**31)
+    h2o = ((h >> 31) % (2**31)) * 2 + 1
+    return [(h1 + i * h2o) % BLOOM_BITS for i in range(BLOOM_PROBES)]
+
+
 def _bucket_of_py(value, n: int) -> int:
     """Session-free bucket probe/derivation: pmod(xxhash64(value), n)
     computed in Python, bit-identical with both `_bucket_of` (the
@@ -1504,6 +1537,115 @@ def log_delete_where(spark: SparkSession, root: str, predicate: str) -> int:
     manifest = {
         "version": base + 1,
         "action": "delete",
+        "add": added,
+        "remove": affected,
+        "stats_add": new_stats,
+        "blooms_add": new_blooms,
+        "schemas": sorted(
+            set(state["schemas"]) | {survivors.schema.simpleString()}
+        ),
+        "predicate": predicate,
+        "ts": time.time(),
+    }
+    return _commit(root, base + 1, manifest)
+
+
+def log_update_where(
+    spark: SparkSession,
+    root: str,
+    predicate: str,
+    assignments: dict[str, str],
+) -> int:
+    """Copy-on-write UPDATE ... SET: rewrite ONLY the files containing
+    rows matching ``predicate``, applying ``assignments`` (LOGICAL
+    column name -> Spark SQL expression; expressions may reference any
+    logical column) to the matching rows and carrying every other file
+    by reference — the Delta UPDATE shape. Returns the new version.
+
+    The affected-file probe is partition-aware like DELETE's: the
+    predicate's simple conjuncts prune the candidate set through
+    hidden-partition transforms and min/max stats before the one
+    predicate-pushed `input_file_name()` scan, so a partition-scoped
+    UPDATE on a 100 TB table rewrites (and scans) only matching
+    partitions' files. Assigned columns are cast back to their
+    pre-update type so a rewrite never drifts the schema. Conflict
+    policy: like DELETE, UPDATE conflicts with any concurrent commit —
+    CommitConflict propagates."""
+    from pyspark.sql import functions as F
+
+    base = _latest_version(root)
+    if base is None:
+        raise ValueError(f"no table at {root}")
+    state = _snapshot(root, base)
+    live, dvs, colmap = state["live"], state["dv"], state["colmap"]
+    merge = len(state["schemas"]) > 1
+    logical_cols = (
+        list(colmap) if colmap else _physical_columns(root, state)
+    )
+    for col in assignments:
+        if col not in logical_cols:
+            raise ValueError(f"UPDATE SET target {col!r} is not a column")
+    candidates = _cow_candidate_files(spark, state, predicate)
+    affected: list[str] = []
+    if candidates:
+        snap = _to_logical_loose(
+            spark.read.option("mergeSchema", "true" if merge else "false")
+            .parquet(*[os.path.join(root, f) for f in candidates]),
+            colmap,
+        )
+        affected_abs = {
+            r[0]
+            for r in snap.filter(F.expr(predicate))
+            .select(F.input_file_name())
+            .distinct()
+            .collect()
+        }
+        affected = [
+            f for f in candidates if any(a.endswith(f) for a in affected_abs)
+        ]
+    if not affected:  # nothing matched: commit a no-op delta
+        manifest = {
+            "version": base + 1,
+            "action": "update",
+            "add": [],
+            "remove": [],
+            "schemas": state["schemas"],
+            "predicate": predicate,
+            "ts": time.time(),
+        }
+        return _commit(root, base + 1, manifest)
+    # rewrite reads THROUGH deletion vectors (dead rows must not
+    # resurrect, nor be updated back to life); their vectors retire
+    rewritten = _to_logical_loose(
+        _read_with_dv(spark, root, affected, dvs, merge_schema=merge),
+        colmap,
+    )
+    types = {f.name: f.dataType for f in rewritten.schema.fields}
+    cond = F.expr(predicate)
+    # ONE simultaneous projection, not sequential withColumns: every
+    # assignment's RHS (and the predicate itself) must bind the
+    # PRE-update row image — a chained withColumn would let the second
+    # assignment's predicate see the first assignment's result (SQL
+    # UPDATE semantics are all-at-once)
+    assigned = {
+        col: F.when(cond, F.expr(expr).cast(types[col]))
+        .otherwise(F.col(col))
+        .alias(col)
+        for col, expr in assignments.items()
+    }
+    rewritten = rewritten.select(
+        *[assigned.get(c, F.col(c)) for c in rewritten.columns]
+    )
+    survivors = _to_physical_loose(rewritten, colmap)
+    token = uuid.uuid4().hex[:12]
+    stats_cols = sorted({c for s in state["stats"].values() for c in s})
+    bloom_cols = sorted({c for b in state["blooms"].values() for c in b})
+    added, new_stats, new_blooms, new_parts = _write_data_files(
+        survivors, root, token, stats_cols, bloom_cols
+    )
+    manifest = {
+        "version": base + 1,
+        "action": "update",
         "add": added,
         "remove": affected,
         "stats_add": new_stats,
@@ -2488,6 +2630,72 @@ FROM orders
 WHERE o_orderkey IN (
   SELECT o_orderkey FROM orders ORDER BY o_orderkey DESC LIMIT 5
 )
+ORDER BY o_orderkey
+"""
+
+
+def tablelog_cow_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: copy-on-write UPDATE ... SET (r9) — a
+    month-partitioned ``orders`` table gets Q2-1996's open orders
+    re-statused and surcharged in ONE update commit. The affected-file
+    probe is partition-aware: the predicate's conjuncts prune the
+    candidate set to the three matching months' files through the
+    manifest BEFORE any scan, those files are rewritten with the
+    assignments applied (non-matching rows byte-identical), and every
+    other partition is carried by reference — the Delta UPDATE shape
+    with Iceberg-style hidden-partition pruning on the probe. The
+    pre-update version stays time-travelable (asserted). Oracle: the
+    equivalent CASE projection in SQL."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ..catalog import load_table
+
+    cols = ["o_orderkey", "o_orderdate", "o_orderstatus", "o_totalprice"]
+    orders = load_table(spark, sf_dir, "orders").select(*cols)
+    root = tempfile.mkdtemp(prefix="tablelog_upd_")
+    try:
+        for i in range(2):
+            log_append(
+                spark,
+                root,
+                orders.filter(F.col("o_orderkey") % 2 == i).coalesce(2),
+                partition_by=["month(o_orderdate)"],
+            )
+        pred = (
+            "o_orderdate BETWEEN DATE '1996-04-01' AND DATE '1996-06-30' "
+            "AND o_orderstatus = 'O'"
+        )
+        log_update_where(
+            spark,
+            root,
+            pred,
+            {
+                "o_orderstatus": "'U'",
+                "o_totalprice": "o_totalprice + 1",
+            },
+        )
+        assert log_read(spark, root, version=1).filter(
+            F.col("o_orderstatus") == "U"
+        ).count() == 0  # pre-update snapshot untouched (time travel)
+        out = log_read(spark, root).select(*cols).orderBy("o_orderkey")
+        return _materialized_scan(spark, out)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+TABLELOG_COW_UPDATE_SQL = """
+SELECT
+    o_orderkey,
+    o_orderdate,
+    CASE WHEN o_orderdate BETWEEN DATE '1996-04-01' AND DATE '1996-06-30'
+              AND o_orderstatus = 'O'
+         THEN 'U' ELSE o_orderstatus END AS o_orderstatus,
+    CASE WHEN o_orderdate BETWEEN DATE '1996-04-01' AND DATE '1996-06-30'
+              AND o_orderstatus = 'O'
+         THEN o_totalprice + 1 ELSE o_totalprice END AS o_totalprice
+FROM orders
 ORDER BY o_orderkey
 """
 

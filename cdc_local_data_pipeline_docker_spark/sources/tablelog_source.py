@@ -599,12 +599,14 @@ ORDER BY o_orderkey
 
 class _FilesWritten(WriterCommitMessage):
     """Per-task commit message: root-relative files plus their per-file
-    stats and partition values (all KB-scale metadata)."""
+    stats, partition values, and bloom position sets (all KB-scale
+    metadata)."""
 
-    def __init__(self, files, stats, parts):
+    def __init__(self, files, stats, parts, blooms=None):
         self.files = files
         self.stats = stats
         self.parts = parts
+        self.blooms = blooms or {}
 
 
 def _arrow_stat_val(v):
@@ -638,6 +640,12 @@ def _partition_value(kind: str, v):
     return s[:7] if kind == "month" else s[:10]
 
 
+#: bloom-able types on the DSv2 write path: the build side hashes
+#: integers through the canonical-BIGINT cast and strings as UTF-8 —
+#: both have pinned-bit-identical session-free lanes (date is bloom-less
+#: on log_append too, so parity holds)
+_BLOOM_WRITE_TYPES = {"tinyint", "smallint", "int", "bigint", "string"}
+
 #: source-column Spark types the session-free bucket hash supports:
 #: integrals ride the canonical-BIGINT 8-byte lane, date the 4-byte
 #: lane, string the UTF-8 streaming lane — each pinned bit-identical
@@ -651,13 +659,16 @@ class TablelogWriter(DataSourceArrowWriter):
     bucket hashing runs the pure-Python XXH64 that is pytest-pinned
     bit-identical with Spark's xxhash64, so the files a point probe
     prunes are exactly the files log_append would have produced),
-    ``statsCols`` (comma-separated min/max stat columns). Modes:
-    append / overwrite (truncate-and-append — the remove set is the
-    commit-time live set, recomputed inside the conflict-retry loop).
+    ``statsCols`` (comma-separated min/max stat columns), ``bloomCols``
+    (comma-separated bloom-sidecar columns — int/string; the positions
+    come from the same pinned-bit-identical XXH64, vectorized over each
+    batch's DISTINCT values, so point probes skip DSv2-written files
+    exactly like log_append-written ones). Modes: append / overwrite
+    (truncate-and-append — the remove set is the commit-time live set,
+    recomputed inside the conflict-retry loop).
 
     Tables under a column mapping are rejected (logical->physical
-    renaming of Arrow batches is log_append's job); blooms need
-    Spark-side hashing and are not written on this path."""
+    renaming of Arrow batches is log_append's job)."""
 
     def __init__(self, root: str, options, schema, overwrite: bool) -> None:
         self.root = root
@@ -689,6 +700,17 @@ class TablelogWriter(DataSourceArrowWriter):
                 self.transforms.append((kind, n, col))
         sc = options.get("statscols")
         self.stats_cols = [c.strip() for c in sc.split(",")] if sc else []
+        bc = options.get("bloomcols")
+        self.bloom_cols = [c.strip() for c in bc.split(",")] if bc else []
+        if self.bloom_cols:
+            types = {f.name: f.dataType.simpleString() for f in schema.fields}
+            for c in self.bloom_cols:
+                if types.get(c, "?") not in _BLOOM_WRITE_TYPES:
+                    raise ValueError(
+                        f"bloomCols over {c}: {types.get(c)} has no "
+                        "session-free hash lane (int/string only) — use "
+                        "tablelog.log_append"
+                    )
         state = TL._snapshot(root)
         if state["colmap"] is not None:
             raise ValueError(
@@ -716,7 +738,9 @@ class TablelogWriter(DataSourceArrowWriter):
         files: list[str] = []
         stats: dict[str, dict] = {}
         parts: dict[str, dict] = {}
-        writers: dict[tuple, tuple] = {}  # pkey -> (rel, pq.ParquetWriter, stats_acc)
+        blooms: dict[str, dict] = {}
+        # pkey -> (rel, pq.ParquetWriter, stats_acc, bloom_acc)
+        writers: dict[tuple, tuple] = {}
 
         def upd_stats(acc, batch):
             # accumulate RAW Python values (Decimal stays Decimal, date
@@ -739,6 +763,48 @@ class TablelogWriter(DataSourceArrowWriter):
                     acc[c] = (min(omn, mn), max(omx, mx))
                 else:
                     acc[c] = (mn, mx)
+
+        def upd_blooms(acc, batch):
+            # bloom positions are a SET, so only DISTINCT values hash:
+            # pc.unique first, then the vectorized uint64 lane for
+            # integers (numpy wrap-mod-2^64 IS the hash arithmetic) and
+            # per-unique UTF-8 hashing for strings — bit-identical with
+            # the Spark-side build (_bloom_position_cols), so probes
+            # prune DSv2-written files exactly like log_append's.
+            import numpy as np
+
+            for c in self.bloom_cols:
+                if c not in batch.schema.names:
+                    continue
+                uniq = pc.unique(
+                    batch.column(batch.schema.get_field_index(c))
+                )
+                pos = acc.setdefault(c, set())
+                nn = uniq.drop_null()
+                if len(nn):
+                    if pa.types.is_integer(nn.type):
+                        hs = TL._xx_long_np(
+                            nn.cast(pa.int64()).to_numpy(
+                                zero_copy_only=False
+                            )
+                        ).view(np.int64)
+                        h1 = np.mod(hs, 2**31)
+                        h2o = np.mod(hs >> 31, 2**31) * 2 + 1
+                        for i in range(TL.BLOOM_PROBES):
+                            pos.update(
+                                np.mod(h1 + i * h2o, TL.BLOOM_BITS)
+                                .astype(int)
+                                .tolist()
+                            )
+                    else:
+                        for v in nn.to_pylist():
+                            h = TL._xx_bytes(v.encode("utf-8"))
+                            if h >= 1 << 63:
+                                h -= 1 << 64
+                            pos.update(TL._bloom_positions_of_hash(h))
+                if uniq.null_count:
+                    # build side hashes NULL rows too (hash = seed)
+                    pos.update(TL._bloom_positions_of_hash(TL._XX_SEED))
 
         for batch in iterator:
             if self.transforms:
@@ -773,22 +839,30 @@ class TablelogWriter(DataSourceArrowWriter):
                             rel,
                             pq.ParquetWriter(ap, sub.schema),
                             {},
+                            {},
                         )
                         parts[rel] = {
                             TL._transform_key(k, n, c): v
                             for (k, n, c), v in zip(self.transforms, pkey)
                         }
-                    rel, w, acc = writers[pkey]
+                    rel, w, acc, bacc = writers[pkey]
                     w.write_batch(sub)
                     upd_stats(acc, sub)
+                    upd_blooms(bacc, sub)
             else:
                 if () not in writers:
                     rel, ap = self._new_file()
-                    writers[()] = (rel, pq.ParquetWriter(ap, batch.schema), {})
-                rel, w, acc = writers[()]
+                    writers[()] = (
+                        rel,
+                        pq.ParquetWriter(ap, batch.schema),
+                        {},
+                        {},
+                    )
+                rel, w, acc, bacc = writers[()]
                 w.write_batch(batch)
                 upd_stats(acc, batch)
-        for rel, w, acc in writers.values():
+                upd_blooms(bacc, batch)
+        for rel, w, acc, bacc in writers.values():
             w.close()
             files.append(rel)
             if acc:
@@ -796,19 +870,26 @@ class TablelogWriter(DataSourceArrowWriter):
                     c: [_arrow_stat_val(mn), _arrow_stat_val(mx)]
                     for c, (mn, mx) in acc.items()
                 }
-        return _FilesWritten(files, stats, parts)
+            if bacc:
+                blooms[rel] = {
+                    c: sorted(int(p) for p in pos)
+                    for c, pos in bacc.items()
+                    if pos
+                }
+        return _FilesWritten(files, stats, parts, blooms)
 
     # -- driver side --------------------------------------------------------
     def _commit_manifest(self, messages, action: str, extra: dict | None = None):
         import time as _time
 
-        added, stats, parts = [], {}, {}
+        added, stats, parts, blooms = [], {}, {}, {}
         for m in messages:
             if m is None:
                 continue
             added += m.files
             stats.update(m.stats)
             parts.update(m.parts)
+            blooms.update(getattr(m, "blooms", {}) or {})
         physical_schema = self.schema.simpleString()
         while True:
             base = TL._latest_version(self.root)
@@ -828,6 +909,7 @@ class TablelogWriter(DataSourceArrowWriter):
                 "add": added,
                 "remove": list(cur["live"]) if self.overwrite else [],
                 "stats_add": stats,
+                **({"blooms_add": blooms} if blooms else {}),
                 **({"parts_add": parts} if parts else {}),
                 "schemas": (
                     [physical_schema]

@@ -195,6 +195,9 @@ COVERED_BY = {
     # pytest-pinned in test_tablelog_v2.py / test_tablelog_race.py
     "tablelog_column_mapping": "filter_pack",
     "tablelog_bloom_point_lookup": "filter_pack",
+    # r9: CoW UPDATE — storage-rewrite family graded by the low-shuffle
+    # MERGE; its partition-aware probe is pytest-pinned
+    "tablelog_cow_update": "merge_into_orders_lowshuffle",
     # rotated out r7 fifth session (tablelog/classifier flagships in)
     "merge_into_orders": "merge_into_orders_lowshuffle",
     "dedup_keep_best_quality": "dedup_ngram_jaccard",

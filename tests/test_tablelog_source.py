@@ -901,3 +901,46 @@ def test_writer_commit_rebases_append_and_raises_overwrite(
     monkeypatch.undo()
     w2.abort([msg2])
     assert not os.path.exists(os.path.join(tbl, TL._DATA_DIR, w2.token))
+
+
+def test_writer_bloom_sidecars_bit_identical_with_log_append(spark, root):
+    """bloomCols on the DSv2 writer: the executor-side XXH64 bloom
+    build produces the SAME position sets as log_append's Spark-side
+    aggregation (single-file tables → set equality), and a point probe
+    through the blooms prunes DSv2-written files exactly like
+    log_append-written ones."""
+    o = spark.read.parquet(os.path.join(SF, "orders.parquet")).select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    TS.register(spark)
+    t1, t2 = os.path.join(root, "dsv2"), os.path.join(root, "ref")
+    (
+        o.coalesce(1)
+        .write.format("tablelog")
+        .mode("append")
+        .option("path", t1)
+        .option("bloomCols", "o_custkey, o_orderstatus")
+        .save()
+    )
+    TL.log_append(
+        spark, t2, o.coalesce(1), bloom_cols=["o_custkey", "o_orderstatus"]
+    )
+    b1 = list(TL._snapshot(t1)["blooms"].values())
+    b2 = list(TL._snapshot(t2)["blooms"].values())
+    assert len(b1) == len(b2) == 1
+    assert b1[0] == b2[0]  # position sets bit-identical, both columns
+    # probes prune identically: a key present scans the file, a key
+    # absent (bloom-rejected) prunes it on BOTH tables
+    key = int(o.select("o_custkey").first()[0])
+    for t in (t1, t2):
+        st = TL._snapshot(t)
+        hit = TL.log_read(spark, t, point=("o_custkey", key))
+        assert hit.filter(F.col("o_custkey") == key).count() == o.filter(
+            F.col("o_custkey") == key
+        ).count()
+        missing = int(o.agg(F.max("o_custkey")).first()[0]) + 987654
+        # a key outside the table bloom-prunes the (single) file on
+        # both tables — the scan plans over zero files
+        assert (
+            TL.log_read(spark, t, point=("o_custkey", missing)).count() == 0
+        )

@@ -889,3 +889,86 @@ def test_merge_probe_pruned_by_key_range_and_bucket(spark, root):
         "o_totalprice"
     ] == 9999.0
     assert got.count() == o.count()
+
+
+def test_cow_update_where_semantics(spark, root):
+    """log_update_where: matching rows get the assignments (cast back
+    to the pre-update column type), non-matching rows are byte-
+    identical, deletion vectors are read through (dead rows neither
+    resurrect nor update), the probe is partition-bounded, a no-match
+    predicate commits a no-op delta, and an unknown SET target
+    raises."""
+    o = (
+        spark.read.parquet(os.path.join(SF, "orders.parquet"))
+        .select("o_orderkey", "o_orderdate", "o_orderstatus", "o_totalprice")
+        .filter("o_orderdate BETWEEN DATE '1996-01-01' AND DATE '1996-12-31'")
+    )
+    TL.log_append(
+        spark, root, o.coalesce(2), partition_by=["month(o_orderdate)"]
+    )
+    # MoR-kill the F rows first: the update must not resurrect them
+    TL.log_delete_where_mor(spark, root, "o_orderstatus = 'F'")
+    pred = (
+        "o_orderdate BETWEEN DATE '1996-04-01' AND DATE '1996-06-30' "
+        "AND o_orderstatus = 'O'"
+    )
+    st = TL._snapshot(root)
+    in_q2 = {
+        f
+        for f in st["live"]
+        if "1996-04" <= st["parts"][f]["month(o_orderdate)"] <= "1996-06"
+    }
+    v = TL.log_update_where(
+        spark, root, pred,
+        {"o_orderstatus": "'U'", "o_totalprice": "o_totalprice + 1"},
+    )
+    m = TL._read_manifest(root, v)
+    assert m["action"] == "update"
+    assert set(m["remove"]) <= in_q2  # probe bounded by the partitions
+    got = TL.log_read(spark, root)
+    alive = o.filter("o_orderstatus <> 'F'")
+    assert got.count() == alive.count()  # dead rows did not resurrect
+    n_upd = alive.filter(pred).count()
+    assert got.filter("o_orderstatus = 'U'").count() == n_upd > 0
+    # ALL assignments apply against the PRE-update image simultaneously:
+    # every re-statused row also carries the +1 surcharge (a sequential
+    # withColumn chain would let the status flip hide rows from the
+    # price assignment's predicate — regression, r9)
+    want_prices = sorted(
+        r[0] + 1 for r in alive.filter(pred).select("o_totalprice").collect()
+    )
+    got_prices = sorted(
+        r[0]
+        for r in got.filter("o_orderstatus = 'U'")
+        .select("o_totalprice")
+        .collect()
+    )
+    assert got_prices == want_prices
+    # schema stable: totalprice stayed double
+    assert dict(got.dtypes)["o_totalprice"] == "double"
+    # untouched rows byte-identical
+    assert sorted(
+        got.filter(f"NOT ({pred.replace(chr(39)+'O'+chr(39), chr(39)+'O'+chr(39))})")
+        .filter("o_orderstatus <> 'U'")
+        .collect()
+    ) == sorted(alive.filter(f"NOT ({pred})").collect())
+    # no-match predicate: no-op delta, nothing rewritten
+    v2 = TL.log_update_where(
+        spark, root, "o_orderdate >= DATE '2099-01-01'",
+        {"o_orderstatus": "'Z'"},
+    )
+    m2 = TL._read_manifest(root, v2)
+    assert m2["add"] == [] and m2["remove"] == []
+    with pytest.raises(ValueError, match="not a column"):
+        TL.log_update_where(spark, root, pred, {"nope": "1"})
+
+
+def test_cow_update_registry_entry_runs(spark):
+    from cdc_local_data_pipeline_docker_spark.sources.tablelog import (
+        tablelog_cow_update,
+    )
+
+    out = tablelog_cow_update(spark, SF)
+    o = spark.read.parquet(os.path.join(SF, "orders.parquet"))
+    assert out.count() == o.count()
+    assert out.filter("o_orderstatus = 'U'").count() > 0
