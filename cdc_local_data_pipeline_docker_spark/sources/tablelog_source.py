@@ -357,6 +357,23 @@ class TablelogStreamReader(DataSourceStreamReader):
         self.skip_change = (
             str(options.get("skipchangecommits", "false")).lower() == "true"
         )
+        # ADMISSION CONTROL (Delta's maxFilesPerTrigger): cap how many
+        # data files a micro-batch admits. Offsets are versions, so the
+        # cap walks manifests forward from the last planned end and
+        # stops BEFORE the version that would exceed the budget (always
+        # >=1 version per batch so the stream makes progress; manifest
+        # reads are KB). Engagement contract, pinned in pytest: Spark
+        # resolves the FIRST batch's target before the source learns
+        # its start (latestOffset precedes initialOffset — and on a
+        # checkpoint restart the start never reaches the source at
+        # all), so the first micro-batch of each run is uncapped and
+        # pacing engages from the second batch on. Capping blind from
+        # -1 instead would plan an end BELOW a restarted checkpoint's
+        # start and break offset monotonicity — correctness over
+        # pacing. `_floor` tracks the last planned end thereafter.
+        mft = options.get("maxfilespertrigger")
+        self.max_files = int(mft) if mft is not None else None
+        self._floor: int | None = None
         # the stream's column order + typed schema are fixed at start
         state = TL._snapshot(self.root)
         if not state["live"]:
@@ -364,11 +381,30 @@ class TablelogStreamReader(DataSourceStreamReader):
         self.cols, self.out_schema = _arrow_out_schema(self.root, state)
 
     def initialOffset(self) -> dict:
+        self._floor = -1
         return {"version": -1}
 
     def latestOffset(self) -> dict:
         v = TL._latest_version(self.root)
-        return {"version": -1 if v is None else v}
+        latest = -1 if v is None else v
+        if self.max_files is None or self._floor is None:
+            return {"version": latest}
+        end, budget = self._floor, self.max_files
+        while end < latest:
+            try:
+                m = TL._read_manifest(self.root, end + 1)
+            except FileNotFoundError:
+                break
+            n = len(m.get("live_add", m["add"]))
+            if m["action"] in _DATA_UNCHANGED:
+                n = 0
+            if n > budget and end > self._floor:
+                break  # next version would blow the budget
+            end += 1
+            budget -= n
+            if budget <= 0:
+                break
+        return {"version": end}
 
     def partitions(self, start: dict, end: dict):
         out = []
@@ -410,6 +446,7 @@ class TablelogStreamReader(DataSourceStreamReader):
                 "as an append stream — set .option('skipChangeCommits', "
                 "'true') to skip such commits (Delta semantics)"
             )
+        self._floor = end["version"]  # admission-control progress mark
         # a caught-up batch still needs >=1 (empty) partition
         return out or [_FilePart("", None, self.cols, self.out_schema)]
 
@@ -717,6 +754,25 @@ class TablelogWriter(DataSourceArrowWriter):
                 "tablelog DataSource writes do not support column-mapped "
                 "tables — use tablelog.log_append"
             )
+        # schema enforcement (the Delta append contract): an append that
+        # would WIDEN the table schema is accidental drift unless the
+        # writer opts in with .option("mergeSchema", "true"); overwrite
+        # replaces the schema and is exempt. Absent columns stay legal —
+        # old files already NULL-fill them on read.
+        merge_ok = (
+            str(options.get("mergeschema", "false")).lower() == "true"
+        )
+        if not overwrite and state["live"] and not merge_ok:
+            existing = set(TL._physical_columns(root, state))
+            new_cols = [
+                f.name for f in schema.fields if f.name not in existing
+            ]
+            if new_cols:
+                raise ValueError(
+                    f"append would add new column(s) {new_cols} to the "
+                    "table schema — set .option('mergeSchema', 'true') "
+                    "to evolve it (Delta semantics)"
+                )
 
     # -- executor side ----------------------------------------------------
     def _new_file(self):

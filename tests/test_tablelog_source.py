@@ -944,3 +944,103 @@ def test_writer_bloom_sidecars_bit_identical_with_log_append(spark, root):
         assert (
             TL.log_read(spark, t, point=("o_custkey", missing)).count() == 0
         )
+
+
+def test_stream_source_max_files_per_trigger(spark, root):
+    """Admission control (Delta's maxFilesPerTrigger) — the engagement
+    contract: the FIRST micro-batch of a run is uncapped (Spark
+    resolves its target before the source learns its start; capping
+    blind would break restart offset monotonicity), every later batch
+    admits at most the file budget, always >=1 version (progress), and
+    the stream stays exactly-once overall."""
+    import time
+
+    TS.register(spark)
+    o = _orders(spark)
+    tbl = os.path.join(root, "tbl")
+    TL.log_append(spark, tbl, o.filter("o_orderkey % 4 = 0").coalesce(1))
+    qname = f"tl_mft_{uuid.uuid4().hex[:8]}"
+    q = (
+        spark.readStream.format("tablelog")
+        .option("path", tbl)
+        .option("maxFilesPerTrigger", "1")
+        .load()
+        .writeStream.format("memory")
+        .queryName(qname)
+        .trigger(processingTime="50 milliseconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 120
+        while time.time() < deadline:  # first (uncapped) batch lands
+            if spark.table(qname).count() >= o.filter(
+                "o_orderkey % 4 = 0"
+            ).count():
+                break
+            time.sleep(0.3)
+        # three more single-file commits: the cap admits ONE version
+        # per micro-batch no matter how they interleave with polls
+        for i in range(1, 4):
+            TL.log_append(
+                spark, tbl, o.filter(F.col("o_orderkey") % 4 == i).coalesce(1)
+            )
+        while time.time() < deadline:
+            if spark.table(qname).count() == o.count():
+                break
+            time.sleep(0.3)
+    finally:
+        q.stop()
+    got = spark.table(qname)
+    assert got.count() == o.count()  # exactly once overall
+    assert (
+        got.groupBy("o_orderkey").count().filter("count > 1").count() == 0
+    )
+    data_batches = [p for p in q.recentProgress if p["numInputRows"] > 0]
+    assert len(data_batches) == 4  # 1 uncapped + 3 capped-to-one-file
+    spark.catalog.dropTempView(qname)
+    # the budget walk is manifest-only and always admits >=1 version:
+    # after the first (uncapped) window, a 2-file budget plans two
+    # 1-file versions per window; an oversized commit admits whole
+    rdr = TS.TablelogStreamReader(tbl, {"maxfilespertrigger": "2"})
+    first = rdr.latestOffset()  # engagement: first call uncapped
+    assert first == {"version": 3}
+    rdr.partitions({"version": -1}, {"version": 0})  # floor := 0
+    assert rdr.latestOffset() == {"version": 2}  # 2 x 1-file cap
+    one = TS.TablelogStreamReader(tbl, {"maxfilespertrigger": "1"})
+    one.partitions({"version": -1}, {"version": -1})  # floor := -1
+    assert one.latestOffset() == {"version": 0}  # always >=1 version
+
+
+def test_writer_append_schema_enforcement(spark, root):
+    """Appends that would WIDEN the schema are rejected without
+    .option('mergeSchema','true') (Delta semantics); with it the column
+    lands and old files NULL-fill; overwrite replaces the schema
+    without the option; absent columns stay legal."""
+    TS.register(spark)
+    o = _orders(spark)
+    tbl = os.path.join(root, "tbl")
+    o.limit(10).write.format("tablelog").mode("append").option(
+        "path", tbl
+    ).save()
+    widened = o.limit(5).withColumn("extra", F.lit(1))
+    with pytest.raises(Exception, match="mergeSchema"):
+        widened.write.format("tablelog").mode("append").option(
+            "path", tbl
+        ).save()
+    # subset append is legal (old files NULL-fill on read already)
+    o.limit(3).select("o_orderkey", "o_orderstatus").write.format(
+        "tablelog"
+    ).mode("append").option("path", tbl).save()
+    assert TL.log_read(spark, tbl).count() == 13
+    # opt-in evolution
+    widened.write.format("tablelog").mode("append").option(
+        "path", tbl
+    ).option("mergeSchema", "true").save()
+    got = TL.log_read(spark, tbl)
+    assert got.count() == 18
+    assert got.filter("extra IS NULL").count() == 13
+    # overwrite replaces the schema, no option needed
+    widened.write.format("tablelog").mode("overwrite").option(
+        "path", tbl
+    ).save()
+    assert set(TL.log_read(spark, tbl).columns) == set(widened.columns)
