@@ -99,15 +99,35 @@ def log_merge_cdc(
     state = TL._snapshot(root, base)
     live = state["live"]
     base_dvs = state["dv"]
-    snap = spark.read.parquet(*[os.path.join(root, f) for f in live])
     keys = delta.select("pk").distinct()
-    probe = snap.select("pk", F.input_file_name().alias("_f"))
-    affected_abs = {
-        r[0]
-        for r in probe.join(F.broadcast(keys), "pk", "left_semi")
-        .select("_f").distinct().collect()
-    }
-    affected = [f for f in live if any(a.endswith(f) for a in affected_abs)]
+    # partition-aware probe bound (VERDICT r8 #3, extended to the CDC
+    # stream r9): every file records pk min/max stats at write time, so
+    # the batch's key range prunes non-overlapping files from the probe
+    # BEFORE any scan — with key-clustered files a point-update
+    # micro-batch probes a handful of files, not the whole table
+    probe_files = live
+    kmin, kmax = delta.agg(F.min("pk"), F.max("pk")).first()
+    if kmin is not None:
+        probe_files = TL._prune_by_partitions(
+            spark, probe_files, state["parts"], "pk", lo=kmin, hi=kmax
+        )
+        probe_files = TL._prune_by_stats(
+            probe_files, state["stats"], "pk", lo=kmin, hi=kmax
+        )
+    affected: list[str] = []
+    if probe_files:
+        snap = spark.read.parquet(
+            *[os.path.join(root, f) for f in probe_files]
+        )
+        probe = snap.select("pk", F.input_file_name().alias("_f"))
+        affected_abs = {
+            r[0]
+            for r in probe.join(F.broadcast(keys), "pk", "left_semi")
+            .select("_f").distinct().collect()
+        }
+        affected = [
+            f for f in probe_files if any(a.endswith(f) for a in affected_abs)
+        ]
     if affected:
         # read through any deletion vectors (mixed MoR + CDC histories)
         aff_rows = TL._read_with_dv(spark, root, affected, base_dvs)

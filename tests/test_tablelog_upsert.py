@@ -143,3 +143,67 @@ def test_stream_runner_parity_with_direct_merges(spark, root):
         assert got == want
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+def test_cdc_merge_probe_pruned_by_pk_stats(spark, tmp_path):
+    """The CDC micro-batch MERGE bounds its affected-file probe by the
+    batch's pk [min, max] against per-file stats BEFORE any scan: a
+    batch touching one key-range probes (and rewrites) only overlapping
+    files; disjoint-range files are carried by reference."""
+    from pyspark.sql import functions as F
+
+    from cdc_local_data_pipeline_docker_spark.sources import tablelog as TL
+    from cdc_local_data_pipeline_docker_spark.streaming.tablelog_upsert import (
+        log_merge_cdc,
+    )
+
+    root = str(tmp_path / "tbl")
+    wire = __import__(
+        "cdc_local_data_pipeline_docker_spark.catalog", fromlist=["CDC_WIRE_SCHEMAS"]
+    ).CDC_WIRE_SCHEMAS["orders"]
+
+    # build two disjoint-key commits via log_merge_cdc itself
+    from cdc_local_data_pipeline_docker_spark.streaming.tablelog_upsert import (
+        _state_cols,
+    )
+
+    cols = _state_cols("orders")
+    import pyspark.sql.types as T
+
+    # construct a minimal typed frame: pk string, wire fields null-typed,
+    # then the bookkeeping columns the state shape carries
+    state_schema = T.StructType(
+        [T.StructField("pk", T.StringType())]
+        + list(wire.fields)
+        + [
+            T.StructField("is_tombstone", T.BooleanType()),
+            T.StructField("partition", T.IntegerType()),
+            T.StructField("kafka_offset", T.LongType()),
+        ]
+    )
+
+    def mk(lo, hi, off):
+        rows = []
+        for k in range(lo, hi):
+            vals = [f"orders:{k:06d}"] + [None] * len(wire.fields) + [
+                False,
+                0,
+                off + k,
+            ]
+            rows.append(tuple(vals))
+        return spark.createDataFrame(rows, state_schema).select(cols)
+
+    log_merge_cdc(spark, root, mk(0, 50, 0), "orders", 0)
+    log_merge_cdc(spark, root, mk(1000, 1050, 100), "orders", 1)
+    st = TL._snapshot(root)
+    assert len(st["live"]) >= 2
+    # a batch updating only the low range must not rewrite high-range files
+    high_files = {
+        f
+        for f in st["live"]
+        if st["stats"][f]["pk"][0] >= "orders:001000"
+    }
+    assert high_files
+    v = log_merge_cdc(spark, root, mk(10, 20, 5000), "orders", 2)
+    m = TL._read_manifest(root, v)
+    assert m["remove"] and not (set(m["remove"]) & high_files)
