@@ -979,6 +979,26 @@ def _xx_long_np(vals):
     return h
 
 
+def _xx_int_np(vals):
+    """Vectorized `_xx_int` over a numpy int array — the 4-byte lane
+    (INT / DATE-days) as uint64 array arithmetic. Returns uint64."""
+    import numpy as np
+
+    a = (
+        np.asarray(vals).astype(np.int64, copy=False).view(np.uint64)
+        & np.uint64(0xFFFFFFFF)
+    )
+    P1, P2, P3 = np.uint64(_XX_P1), np.uint64(_XX_P2), np.uint64(_XX_P3)
+    h = np.uint64((_XX_SEED + _XX_P5 + 4) & _U64) ^ (a * P1)
+    h = ((h << np.uint64(23)) | (h >> np.uint64(41))) * P2 + P3
+    h ^= h >> np.uint64(33)
+    h *= P2
+    h ^= h >> np.uint64(29)
+    h *= P3
+    h ^= h >> np.uint64(32)
+    return h
+
+
 def _bloom_positions_of_hash(h: int) -> list[int]:
     """Driver/executor-side bloom probe positions from one SIGNED
     xxhash64 value — the same double-hash arithmetic as the build side

@@ -775,6 +775,131 @@ class TablelogWriter(DataSourceArrowWriter):
                 )
 
     # -- executor side ----------------------------------------------------
+    def _transform_codes(self, batch, kind, n, col):
+        """Vectorized per-row partition codes for ONE transform:
+        (codes: int64 numpy array, values: code -> manifest value), or
+        None when the column type has no vector lane (caller falls back
+        to the per-row path). Bucket rides the numpy XXH64 lanes (ints
+        direct, strings via dictionary uniques, dates via the 4-byte
+        lane); month/day ride Arrow strftime/slice; identity rides
+        dictionary encoding. NULL cells get their own trailing code
+        (identity/month/day) or the hash-of-NULL bucket."""
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        arr = batch.column(batch.schema.get_field_index(col))
+        t = arr.type
+        if kind == "bucket":
+            if pa.types.is_integer(t):
+                a = arr.cast(pa.int64())
+                h = TL._xx_long_np(
+                    a.fill_null(0).to_numpy(zero_copy_only=False)
+                ).view(np.int64)
+                b = np.mod(h, n)
+            elif pa.types.is_date32(t):
+                a = arr.cast(pa.int32())
+                h = TL._xx_int_np(
+                    a.fill_null(0).to_numpy(zero_copy_only=False)
+                ).view(np.int64)
+                b = np.mod(h, n)
+            elif pa.types.is_string(t) or pa.types.is_large_string(t):
+                d = pc.dictionary_encode(arr)
+                uniq = d.dictionary.to_pylist()
+                lut = np.array(
+                    [TL._bucket_of_py(u, n) for u in uniq]
+                    + [TL._bucket_of_py(None, n)],
+                    dtype=np.int64,
+                )
+                idx = (
+                    d.indices.fill_null(len(uniq))
+                    .to_numpy(zero_copy_only=False)
+                    .astype(np.int64)
+                )
+                return lut[idx], list(range(n))
+            else:
+                return None
+            if arr.null_count:
+                b = b.copy()
+                b[np.asarray(arr.is_null())] = TL._bucket_of_py(None, n)
+            return b.astype(np.int64), list(range(n))
+        if kind == "identity":
+            s = arr
+        elif pa.types.is_timestamp(t) or pa.types.is_date(t):
+            if getattr(t, "tz", None):
+                return None  # tz-aware: keep the per-row isoformat path
+            ts = arr if pa.types.is_timestamp(t) else arr.cast(
+                pa.timestamp("us")
+            )
+            s = pc.strftime(ts, "%Y-%m" if kind == "month" else "%Y-%m-%d")
+        elif pa.types.is_string(t) or pa.types.is_large_string(t):
+            s = pc.utf8_slice_codeunits(
+                arr, 0, 7 if kind == "month" else 10
+            )
+        else:
+            return None
+        try:
+            d = pc.dictionary_encode(s)
+        except pa.ArrowNotImplementedError:
+            return None
+        uniq = d.dictionary.to_pylist()
+        values = [_partition_value(kind, u) for u in uniq] + [None]
+        idx = (
+            d.indices.fill_null(len(uniq))
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        return idx, values
+
+    def _partition_split(self, batch):
+        """Split one Arrow batch by its partition-key tuple —
+        [(pkey, sub_batch)] — vectorized: per-transform code arrays,
+        mixed-radix combine, one boolean-mask filter per DISTINCT key
+        (no per-row Python). Falls back to a per-row split when a
+        transform column's type has no vector lane."""
+        import numpy as np
+        import pyarrow as pa
+
+        per = []
+        for kind, n, col in self.transforms:
+            cv = self._transform_codes(batch, kind, n, col)
+            if cv is None:
+                return self._partition_split_rows(batch)
+            per.append(cv)
+        combined = np.zeros(batch.num_rows, dtype=np.int64)
+        for codes, values in per:
+            combined = combined * (len(values)) + codes
+        uniq, first = np.unique(combined, return_index=True)
+        out = []
+        for u, fi in zip(uniq.tolist(), first.tolist()):
+            pkey = tuple(
+                values[int(codes[fi])] for codes, values in per
+            )
+            sub = batch.filter(pa.array(combined == u))
+            out.append((pkey, sub))
+        return out
+
+    def _partition_split_rows(self, batch):
+        """Per-row fallback split (exotic column types only)."""
+        import pyarrow as pa
+
+        keys = []
+        for kind, n, col in self.transforms:
+            cells = batch.column(
+                batch.schema.get_field_index(col)
+            ).to_pylist()
+            if kind == "bucket":
+                keys.append([TL._bucket_of_py(v, n) for v in cells])
+            else:
+                keys.append([_partition_value(kind, v) for v in cells])
+        rows_by_key: dict[tuple, list[int]] = {}
+        for i in range(batch.num_rows):
+            rows_by_key.setdefault(tuple(k[i] for k in keys), []).append(i)
+        return [
+            (pkey, batch.take(pa.array(idxs, pa.int64())))
+            for pkey, idxs in rows_by_key.items()
+        ]
+
     def _new_file(self):
         import os
         import uuid as _uuid
@@ -864,31 +989,12 @@ class TablelogWriter(DataSourceArrowWriter):
 
         for batch in iterator:
             if self.transforms:
-                # derive each row's partition tuple, then split the batch
-                # by value (vectorized dictionary-encode + filter)
-                keys = []
-                for kind, n, col in self.transforms:
-                    cells = batch.column(
-                        batch.schema.get_field_index(col)
-                    ).to_pylist()
-                    if kind == "bucket":
-                        # session-free XXH64, bit-identical with the
-                        # Spark-side write hash AND probe hash (incl.
-                        # NULL cells: hash(NULL) stays the seed)
-                        keys.append(
-                            [TL._bucket_of_py(v, n) for v in cells]
-                        )
-                    else:
-                        keys.append(
-                            [_partition_value(kind, v) for v in cells]
-                        )
-                rows_by_key: dict[tuple, list[int]] = {}
-                for i in range(batch.num_rows):
-                    rows_by_key.setdefault(
-                        tuple(k[i] for k in keys), []
-                    ).append(i)
-                for pkey, idxs in rows_by_key.items():
-                    sub = batch.take(pa.array(idxs, pa.int64()))
+                # split the batch by partition tuple — vectorized code
+                # arrays + one mask filter per DISTINCT key (the
+                # session-free XXH64 lanes keep bucket codes
+                # bit-identical with the Spark-side write/probe hash,
+                # incl. NULL cells: hash stays the seed)
+                for pkey, sub in self._partition_split(batch):
                     if pkey not in writers:
                         rel, ap = self._new_file()
                         writers[pkey] = (

@@ -1044,3 +1044,85 @@ def test_writer_append_schema_enforcement(spark, root):
         "path", tbl
     ).save()
     assert set(TL.log_read(spark, tbl).columns) == set(widened.columns)
+
+
+def test_partition_split_vector_path_equals_row_path(root):
+    """The vectorized batch splitter (codes + mixed-radix + mask
+    filters) is semantics-identical with the per-row fallback on every
+    lane — identity/month/day/bucket over ints, strings, dates, and
+    timestamps, INCLUDING null cells (their own partition for
+    monotonic transforms, the hash-of-NULL bucket for bucket)."""
+    import datetime
+
+    import pyarrow as pa
+    from pyspark.sql.types import (
+        DateType,
+        IntegerType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampNTZType,
+    )
+
+    schema = StructType(
+        [
+            StructField("k", IntegerType()),
+            StructField("s", StringType()),
+            StructField("d", DateType()),
+            StructField("ts", TimestampNTZType()),
+        ]
+    )
+    batch = pa.RecordBatch.from_arrays(
+        [
+            pa.array([7, -7, None, 2**31 - 1, 7], pa.int32()),
+            pa.array(["ACME", None, "zz", "ACME", "yy"]),
+            pa.array(
+                [datetime.date(1996, 4, 15), None, datetime.date(1969, 12, 31),
+                 datetime.date(1996, 5, 1), datetime.date(1996, 4, 1)],
+                pa.date32(),
+            ),
+            pa.array(
+                [datetime.datetime(1996, 4, 15, 10, 30), None,
+                 datetime.datetime(2024, 2, 29, 23, 59),
+                 datetime.datetime(1996, 4, 1, 0, 0),
+                 datetime.datetime(1996, 4, 15, 0, 0)],
+                pa.timestamp("us"),
+            ),
+        ],
+        ["k", "s", "d", "ts"],
+    )
+
+    def split_maps(transforms_spec):
+        w = TS.TablelogWriter(
+            os.path.join(root, "t"),
+            {"partitionby": transforms_spec},
+            schema,
+            False,
+        )
+        vec = {
+            pkey: sorted(sub.column(0).to_pylist(), key=repr)
+            for pkey, sub in w._partition_split(batch)
+        }
+        rows = {
+            pkey: sorted(sub.column(0).to_pylist(), key=repr)
+            for pkey, sub in w._partition_split_rows(batch)
+        }
+        return vec, rows
+
+    for spec in [
+        "identity(k)",
+        "identity(s)",
+        "identity(d)",
+        "month(d)",
+        "day(d)",
+        "month(ts)",
+        "day(ts)",
+        "month(s)",
+        "bucket(4, k)",
+        "bucket(4, s)",
+        "bucket(4, d)",
+        "bucket(4, k), month(d)",
+        "identity(s), bucket(8, k)",
+    ]:
+        vec, rows = split_maps(spec)
+        assert vec == rows, f"vector != row split for {spec}"
