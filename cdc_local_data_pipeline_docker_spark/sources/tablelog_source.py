@@ -869,14 +869,19 @@ class TablelogWriter(DataSourceArrowWriter):
         combined = np.zeros(batch.num_rows, dtype=np.int64)
         for codes, values in per:
             combined = combined * (len(values)) + codes
-        uniq, first = np.unique(combined, return_index=True)
+        # sort-based split: one stable argsort + one gather per group —
+        # O(n log n) total, vs O(groups x rows) for per-group masks
+        order = np.argsort(combined, kind="stable")
+        starts = np.unique(combined[order], return_index=True)[1]
+        bounds = list(starts.tolist()) + [len(order)]
         out = []
-        for u, fi in zip(uniq.tolist(), first.tolist()):
+        for i in range(len(bounds) - 1):
+            idxs = order[bounds[i] : bounds[i + 1]]
+            fi = int(idxs[0])
             pkey = tuple(
                 values[int(codes[fi])] for codes, values in per
             )
-            sub = batch.filter(pa.array(combined == u))
-            out.append((pkey, sub))
+            out.append((pkey, batch.take(pa.array(idxs, pa.int64()))))
         return out
 
     def _partition_split_rows(self, batch):
