@@ -1085,6 +1085,29 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         TLG.tablelog_small_file_compaction,
         TLG.TABLELOG_SMALL_FILE_COMPACTION_SQL,
     ),
+    # r9 third wave: the CHANGE DATA FEED as a streaming source (every
+    # commit class expressible — appends, CoW rewrites, MoR DV diffs —
+    # drained and folded back to the exact final snapshot)
+    "stream_tablelog_cdf": (
+        TLS.stream_tablelog_cdf,
+        TLS.STREAM_TABLELOG_CDF_SQL,
+    ),
+    # r9: zero-copy SHALLOW CLONE (point-in-time fork by reference; the
+    # fork's CoW delete must not touch the source — asserted in-entry)
+    "tablelog_shallow_clone": (
+        TLG.tablelog_shallow_clone,
+        TLG.TABLELOG_SHALLOW_CLONE_SQL,
+    ),
+    # r9: REORG APPLY (PURGE) — targeted DV-debt materialization
+    "tablelog_reorg_purge": (
+        TLG.tablelog_reorg_purge,
+        TLG.TABLELOG_REORG_PURGE_SQL,
+    ),
+    # r9: CHECK constraints — violating writes raise and commit nothing
+    "tablelog_check_constraint": (
+        TLG.tablelog_check_constraint,
+        TLG.TABLELOG_CHECK_CONSTRAINT_SQL,
+    ),
     # rotated out r9 (VERDICT r8 #5 — the r8 DSv2 writer/sink/pushdown
     # flagships took these slots); each keeps a graded family sibling
     # and stays registered + oracle-verified here

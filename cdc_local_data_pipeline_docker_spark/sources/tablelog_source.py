@@ -66,7 +66,15 @@ from . import tablelog as TL
 #: (rolls back prior appends/deletes), so it routes through the
 #: raise/skipChangeCommits branch like CoW delete/merge (Delta treats
 #: RESTORE's remove/add actions as data-changing).
-_DATA_UNCHANGED = {"compact", "compact_small", "rename_column", "drop_column"}
+_DATA_UNCHANGED = {
+    "compact",
+    "compact_small",
+    "rename_column",
+    "drop_column",
+    "add_constraint",
+    "drop_constraint",
+    "purge",
+}
 
 
 def _arrow_union_schema(root: str, state: dict):
@@ -143,44 +151,62 @@ class _FilePart(InputPartition):
         self.out_schema = out_schema
 
 
-def _read_file_part(part: _FilePart):
-    """Executor-side VECTORIZED file reader: yields ``pyarrow.
-    RecordBatch``es in ``part.out_schema`` (Arrow stays Arrow end-to-end
-    — no per-row Python objects on the read path). Deletion vectors are
-    applied as ONE boolean-mask filter per batch (positions → mask via
-    numpy against the batch's global row range); columns absent from an
+def _dv_positions(path: str | None):
+    """Sorted int64 numpy array of a deletion vector's row positions
+    (empty array when ``path`` is None)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    if not path:
+        return np.empty(0, dtype=np.int64)
+    return np.sort(
+        pq.read_table(path)["row_index"]
+        .to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+    )
+
+
+def _file_batches(path: str, cols, out_schema, skip=None, only=None):
+    """Executor-side VECTORIZED file reader core: yields ``pyarrow.
+    RecordBatch``es in ``out_schema`` (Arrow stays Arrow end-to-end —
+    no per-row Python objects on the read path). Row selection is ONE
+    boolean-mask filter per batch (sorted positions → mask via numpy
+    against the batch's global row range): ``skip`` drops those
+    positions (deletion-vector semantics), ``only`` keeps exactly those
+    positions (change-feed DV-diff semantics); columns absent from an
     old file (schema evolution) are NULL-filled as constant arrays."""
     import numpy as np
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    if not part.path:  # empty sentinel (all files pruned / caught up)
-        return
-    dead = None
-    if part.dv_path:
-        dead = np.sort(
-            pq.read_table(part.dv_path)["row_index"]
-            .to_numpy(zero_copy_only=False)
-            .astype(np.int64)
-        )
-    pf = pq.ParquetFile(part.path)
+    pf = pq.ParquetFile(path)
     present = set(pf.schema_arrow.names)
-    read_cols = [c for c in part.cols if c in present]
+    read_cols = [c for c in cols if c in present]
     ri = 0
     for batch in pf.iter_batches(columns=read_cols):
         n = batch.num_rows
-        if dead is not None and dead.size:
-            lo = np.searchsorted(dead, ri)
-            hi = np.searchsorted(dead, ri + n)
-            if hi > lo:
-                mask = np.ones(n, dtype=bool)
-                mask[dead[lo:hi] - ri] = False
-                batch = batch.filter(pa.array(mask))
-        ri += n
+        if only is not None:
+            lo = np.searchsorted(only, ri)
+            hi = np.searchsorted(only, ri + n)
+            ri += n
+            if hi == lo:
+                continue
+            mask = np.zeros(n, dtype=bool)
+            mask[only[lo:hi] - (ri - n)] = True
+            batch = batch.filter(pa.array(mask))
+        else:
+            if skip is not None and skip.size:
+                lo = np.searchsorted(skip, ri)
+                hi = np.searchsorted(skip, ri + n)
+                if hi > lo:
+                    mask = np.ones(n, dtype=bool)
+                    mask[skip[lo:hi] - ri] = False
+                    batch = batch.filter(pa.array(mask))
+            ri += n
         if batch.num_rows == 0:
             continue
         arrays = []
-        for phys, field in zip(part.cols, part.out_schema):
+        for phys, field in zip(cols, out_schema):
             if phys in present:
                 col = batch.column(batch.schema.get_field_index(phys))
                 if col.type != field.type:
@@ -188,7 +214,16 @@ def _read_file_part(part: _FilePart):
             else:
                 col = pa.nulls(batch.num_rows, field.type)
             arrays.append(col)
-        yield pa.RecordBatch.from_arrays(arrays, schema=part.out_schema)
+        yield pa.RecordBatch.from_arrays(arrays, schema=out_schema)
+
+
+def _read_file_part(part: _FilePart):
+    """Snapshot read of one file: all rows minus its deletion vector."""
+    if not part.path:  # empty sentinel (all files pruned / caught up)
+        return
+    yield from _file_batches(
+        part.path, part.cols, part.out_schema, skip=_dv_positions(part.dv_path)
+    )
 
 
 class TablelogDataSource(DataSource):
@@ -210,18 +245,33 @@ class TablelogDataSource(DataSource):
             root = unquote(urlparse(root).path)
         return root
 
+    def _cdf(self) -> bool:
+        return (
+            str(self.options.get("readchangefeed", "false")).lower() == "true"
+        )
+
     def schema(self):
         root = self._root()
         version = self.options.get("version")
         state = TL._snapshot(root, int(version) if version is not None else None)
         if not state["live"]:
             raise ValueError(f"no table at {root}")
-        return _spark_schema(root, state)
+        base = _spark_schema(root, state)
+        if not self._cdf():
+            return base
+        from pyspark.sql.pandas.types import from_arrow_schema
 
-    def reader(self, schema) -> "TablelogReader":
+        _, arrow = _arrow_out_schema(root, state)
+        return from_arrow_schema(_cdf_arrow_schema(arrow))
+
+    def reader(self, schema):
+        if self._cdf():
+            return TablelogCDFBatchReader(self._root(), self.options)
         return TablelogReader(self._root(), self.options)
 
-    def streamReader(self, schema) -> "TablelogStreamReader":
+    def streamReader(self, schema):
+        if self._cdf():
+            return TablelogCDFStreamReader(self._root(), self.options)
         return TablelogStreamReader(self._root(), self.options)
 
     def writer(self, schema, overwrite: bool) -> "TablelogWriter":
@@ -412,6 +462,23 @@ class TablelogStreamReader(DataSourceStreamReader):
             m = TL._read_manifest(self.root, v)
             action = m["action"]
             adds = m.get("live_add", m["add"])
+            if v == 0 and "live" in m and not adds:
+                # a FULL manifest at v0 (shallow clone) carries the
+                # table's initial content in `live`, not `add` — it is
+                # all-new to the stream; its DVs are pre-applied below
+                dv0 = m.get("dv", {})
+                for f in m["live"]:
+                    out.append(
+                        _FilePart(
+                            os.path.join(self.root, f),
+                            os.path.join(self.root, dv0[f])
+                            if f in dv0
+                            else None,
+                            self.cols,
+                            self.out_schema,
+                        )
+                    )
+                continue
             if action in _DATA_UNCHANGED:
                 continue
             # pure additive commits stream their files exactly once:
@@ -455,6 +522,250 @@ class TablelogStreamReader(DataSourceStreamReader):
 
     def commit(self, end: dict) -> None:
         pass  # progress is durable in the streaming checkpoint
+
+
+# ---------------------------------------------------------------------------
+# Change Data Feed read path: .option("readChangeFeed", "true")
+# ---------------------------------------------------------------------------
+
+def _cdf_arrow_schema(base):
+    """The CDF output schema: table columns + the Delta CDF metadata
+    triplet. `_commit_timestamp` is timestamp-NTZ (naive UTC) so the
+    feed hashes identically under any session timezone."""
+    import pyarrow as pa
+
+    return base.append(pa.field("_change_type", pa.string())).append(
+        pa.field("_commit_version", pa.int64())
+    ).append(pa.field("_commit_timestamp", pa.timestamp("us")))
+
+
+class _CDFPart(InputPartition):
+    """One change-feed unit: a whole file's live rows (``diff_new`` is
+    None — ``skip_dv`` positions are excluded, the file's pre/post-image
+    deletion vector) or a DV-DIFF (rows at positions in ``diff_new``
+    minus ``diff_old`` — the newly-dead or newly-resurrected rows of a
+    merge-on-read commit). Each yields rows tagged with one
+    ``change_type`` / commit version / commit timestamp."""
+
+    def __init__(
+        self,
+        path: str,
+        change_type: str,
+        version: int,
+        ts_us: int,
+        cols,
+        out_schema,
+        skip_dv: str | None = None,
+        diff_new: str | None = None,
+        diff_old: str | None = None,
+    ):
+        self.path = path
+        self.change_type = change_type
+        self.version = version
+        self.ts_us = ts_us
+        self.cols = cols
+        self.out_schema = out_schema
+        self.skip_dv = skip_dv
+        self.diff_new = diff_new
+        self.diff_old = diff_old
+
+
+def _read_cdf_part(part: _CDFPart):
+    """Executor-side CDF reader: the vectorized file core plus three
+    constant metadata columns per batch (no per-row Python)."""
+    import numpy as np
+    import pyarrow as pa
+
+    if not part.path:  # empty sentinel (caught up / metadata-only window)
+        return
+    out_schema = _cdf_arrow_schema(part.out_schema)
+    if part.diff_new is not None:
+        new = _dv_positions(part.diff_new)
+        old = _dv_positions(part.diff_old)
+        only = np.setdiff1d(new, old, assume_unique=True)
+        if only.size == 0:
+            return
+        batches = _file_batches(
+            part.path, part.cols, part.out_schema, only=only
+        )
+    else:
+        batches = _file_batches(
+            part.path, part.cols, part.out_schema,
+            skip=_dv_positions(part.skip_dv),
+        )
+    ts = pa.scalar(part.ts_us, pa.timestamp("us"))
+    for b in batches:
+        n = b.num_rows
+        arrays = list(b.columns) + [
+            pa.nulls(n, pa.string()).fill_null(part.change_type),
+            pa.nulls(n, pa.int64()).fill_null(part.version),
+            pa.nulls(n, pa.timestamp("us")).fill_null(ts),
+        ]
+        yield pa.RecordBatch.from_arrays(arrays, schema=out_schema)
+
+
+def _copy_state(state: dict) -> dict:
+    """Shallow-per-field copy safe to hand to TL._apply_delta (which
+    mutates lists/dicts in place)."""
+    return {
+        **state,
+        "live": list(state["live"]),
+        "dv": dict(state["dv"]),
+        "stats": dict(state["stats"]),
+        "blooms": dict(state["blooms"]),
+        "parts": dict(state["parts"]),
+        "stream_txn": dict(state["stream_txn"]),
+    }
+
+
+def _cdf_partitions(
+    root: str, lo_exclusive: int, hi_inclusive: int, cols, out_schema
+) -> list[_CDFPart]:
+    """Change-feed parts for the commits in (lo, hi]: ONE incremental
+    state replay (each manifest read once, O(window) + one O(interval)
+    snapshot at the floor), then a per-commit live-set/DV diff:
+
+    * removed files  → their PRE-image live rows (file minus the
+      previous version's vector) as ``delete`` — rows already dead
+      before the commit were emitted when THEIR commit streamed and
+      must not re-emit;
+    * added files    → their POST-image live rows as ``insert``;
+    * carried files whose vector changed → DV diffs both directions
+      (newly-dead positions = ``delete``; resurrected positions — a
+      RESTORE to before a MoR delete — = ``insert``).
+
+    Data-unchanged commits (compactions, column DDL, constraints) emit
+    nothing. This is the FILE-GRANULARITY feed (the `log_changes`
+    contract): a copy-on-write rewrite emits its carried rows as
+    delete+insert pairs, so the feed is exactly replayable — a signed
+    multiset fold (insert = +1, delete = −1) reconstructs any snapshot
+    — without requiring commit-time change files. At 100 TB the walk
+    reads only the window's manifests (KB) and every part streams one
+    file or one DV diff."""
+    state = (
+        TL._snapshot(root, lo_exclusive)
+        if lo_exclusive >= 0
+        else TL._empty_state()
+    )
+    out: list[_CDFPart] = []
+    for v in range(lo_exclusive + 1, hi_inclusive + 1):
+        m = TL._read_manifest(root, v)
+        if "live" in m:
+            cur = TL._state_from_full(root, m)
+        else:
+            cur = TL._apply_delta(_copy_state(state), m)
+        if m["action"] in _DATA_UNCHANGED:
+            state = cur
+            continue
+        ts_us = int(float(m.get("ts", 0)) * 1_000_000)
+        prev_live, cur_live = set(state["live"]), set(cur["live"])
+
+        def dvp(rel: str | None) -> str | None:
+            return os.path.join(root, rel) if rel else None
+
+        for f in sorted(prev_live - cur_live):
+            out.append(
+                _CDFPart(
+                    os.path.join(root, f), "delete", v, ts_us, cols,
+                    out_schema, skip_dv=dvp(state["dv"].get(f)),
+                )
+            )
+        for f in sorted(cur_live - prev_live):
+            out.append(
+                _CDFPart(
+                    os.path.join(root, f), "insert", v, ts_us, cols,
+                    out_schema, skip_dv=dvp(cur["dv"].get(f)),
+                )
+            )
+        for f in sorted(cur_live & prev_live):
+            pd_, cd = state["dv"].get(f), cur["dv"].get(f)
+            if pd_ == cd:
+                continue
+            if cd is not None:
+                out.append(
+                    _CDFPart(
+                        os.path.join(root, f), "delete", v, ts_us, cols,
+                        out_schema, diff_new=dvp(cd), diff_old=dvp(pd_),
+                    )
+                )
+            if pd_ is not None:
+                out.append(
+                    _CDFPart(
+                        os.path.join(root, f), "insert", v, ts_us, cols,
+                        out_schema, diff_new=dvp(pd_), diff_old=dvp(cd),
+                    )
+                )
+        state = cur
+    return out
+
+
+class TablelogCDFStreamReader(DataSourceStreamReader):
+    """``readStream.format("tablelog").option("readChangeFeed",
+    "true")`` — the table's row-level change feed as a stream (the
+    Delta CDF streaming-source contract): every commit type is
+    expressible (appends, copy-on-write rewrites, merge-on-read DV
+    deltas, RESTORE), so no commit ever raises; offsets are table
+    versions exactly like the snapshot stream."""
+
+    def __init__(self, root: str, options) -> None:
+        self.root = root
+        state = TL._snapshot(root)
+        if not state["live"]:
+            raise ValueError(f"no table at {root}")
+        self.cols, self.out_schema = _arrow_out_schema(root, state)
+
+    def initialOffset(self) -> dict:
+        return {"version": -1}
+
+    def latestOffset(self) -> dict:
+        v = TL._latest_version(self.root)
+        return {"version": -1 if v is None else v}
+
+    def partitions(self, start: dict, end: dict):
+        out = _cdf_partitions(
+            self.root, start["version"], end["version"], self.cols,
+            self.out_schema,
+        )
+        return out or [
+            _CDFPart("", "insert", 0, 0, self.cols, self.out_schema)
+        ]
+
+    def read(self, partition: "_CDFPart"):
+        yield from _read_cdf_part(partition)
+
+    def commit(self, end: dict) -> None:
+        pass  # progress is durable in the streaming checkpoint
+
+
+class TablelogCDFBatchReader(DataSourceReader):
+    """Batch CDF (Delta's ``table_changes``): ``spark.read.format(
+    "tablelog").option("readChangeFeed", "true").option(
+    "startingVersion", k)[.option("endingVersion", j)].load()`` — the
+    change rows of commits [startingVersion, endingVersion] (defaults:
+    0, latest), same file-granularity contract as the stream."""
+
+    def __init__(self, root: str, options) -> None:
+        self.root = root
+        sv = options.get("startingversion")
+        ev = options.get("endingversion")
+        self.start = int(sv) if sv is not None else 0
+        latest = TL._latest_version(root)
+        self.end = int(ev) if ev is not None else (
+            -1 if latest is None else latest
+        )
+        state = TL._snapshot(root)
+        self.cols, self.out_schema = _arrow_out_schema(root, state)
+
+    def partitions(self):
+        out = _cdf_partitions(
+            self.root, self.start - 1, self.end, self.cols, self.out_schema
+        )
+        return out or [
+            _CDFPart("", "insert", 0, 0, self.cols, self.out_schema)
+        ]
+
+    def read(self, partition: "_CDFPart"):
+        yield from _read_cdf_part(partition)
 
 
 def register(spark) -> None:
@@ -690,6 +1001,59 @@ _BLOOM_WRITE_TYPES = {"tinyint", "smallint", "int", "bigint", "string"}
 _BUCKET_WRITE_TYPES = {"tinyint", "smallint", "int", "bigint", "string", "date"}
 
 
+_ARROW_OPS = {
+    "=": "equal",
+    "==": "equal",
+    "<>": "not_equal",
+    "!=": "not_equal",
+    "<": "less",
+    "<=": "less_equal",
+    ">": "greater",
+    ">=": "greater_equal",
+}
+
+
+def _arrow_check_constraints(batch, constraints) -> None:
+    """Vectorized CHECK enforcement over one Arrow batch: a row
+    violates a constraint when its conjunction is FALSE (SQL CHECK
+    semantics — NULL passes; a conjunction is FALSE as soon as ANY
+    conjunct is FALSE, regardless of NULLs elsewhere). Columns absent
+    from the batch evaluate NULL and pass."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    for cname, cexpr, conjuncts in constraints:
+        false_any = None
+        for col, op, lit in conjuncts:
+            if col not in batch.schema.names:
+                continue
+            arr = batch.column(batch.schema.get_field_index(col))
+            try:
+                cmp = getattr(pc, _ARROW_OPS[op])(arr, pa.scalar(lit))
+            except (
+                pa.ArrowInvalid,
+                pa.ArrowNotImplementedError,
+                pa.ArrowTypeError,
+            ) as e:  # incomparable types: fail
+                raise ValueError(  # CLOSED, never silently under-check
+                    f"constraint {cname!r} ({cexpr!r}) cannot be "
+                    f"evaluated against column {col!r} of type "
+                    f"{arr.type} on the DataSource write path: {e}"
+                ) from None
+            is_false = pc.fill_null(pc.invert(cmp), False)
+            false_any = (
+                is_false
+                if false_any is None
+                else pc.or_(false_any, is_false)
+            )
+        if false_any is not None and pc.any(false_any).as_py():
+            n = pc.sum(pc.cast(false_any, pa.int64())).as_py()
+            raise TL.ConstraintViolation(
+                f"write violates CHECK constraint(s): {cname} "
+                f"({cexpr!r}): {n} row(s)"
+            )
+
+
 class TablelogWriter(DataSourceArrowWriter):
     """Batch writer. Options: ``path`` (table root), ``partitionBy``
     (comma-separated transform specs — identity/month/day/bucket;
@@ -754,6 +1118,25 @@ class TablelogWriter(DataSourceArrowWriter):
                 "tablelog DataSource writes do not support column-mapped "
                 "tables — use tablelog.log_append"
             )
+        # CHECK constraints: the Python DataSource cannot inject the
+        # check into Spark's write plan (Delta does), so enforcement is
+        # EXECUTOR-SIDE Arrow evaluation per batch inside write() —
+        # zero extra reads, rows rejected before any file grows. That
+        # needs an Arrow-expressible form: every constraint must
+        # decompose exactly into simple (col op literal) conjuncts
+        # (which covers the CHECK shapes the log_add_constraint
+        # discipline produces); richer expressions route to log_append,
+        # whose enforcement is full Spark SQL.
+        self.constraints: list[tuple[str, str, list]] = []
+        for cname, cexpr in state["constraints"].items():
+            conj = TL._strict_conjuncts(cexpr)
+            if conj is None:
+                raise ValueError(
+                    f"constraint {cname!r} ({cexpr!r}) is not expressible "
+                    "as simple conjuncts — the DataSource write path "
+                    "cannot enforce it; use tablelog.log_append"
+                )
+            self.constraints.append((cname, cexpr, conj))
         # schema enforcement (the Delta append contract): an append that
         # would WIDEN the table schema is accidental drift unless the
         # writer opts in with .option("mergeSchema", "true"); overwrite
@@ -993,6 +1376,8 @@ class TablelogWriter(DataSourceArrowWriter):
                     pos.update(TL._bloom_positions_of_hash(TL._XX_SEED))
 
         for batch in iterator:
+            if self.constraints:
+                _arrow_check_constraints(batch, self.constraints)
             if self.transforms:
                 # split the batch by partition tuple — vectorized code
                 # arrays + one mask filter per DISTINCT key (the
@@ -1277,6 +1662,81 @@ def stream_tablelog_append_sink(spark, sf_dir: str):
 STREAM_TABLELOG_APPEND_SINK_SQL = """
 SELECT o_orderkey, o_orderstatus, o_totalprice
 FROM orders
+ORDER BY o_orderkey
+"""
+
+
+def stream_tablelog_cdf(spark, sf_dir: str):
+    """Registry entry: the CHANGE DATA FEED as a streaming source (r9)
+    — ``readStream.format("tablelog").option("readChangeFeed",
+    "true")``. The fixture exercises every commit class:
+
+      v0/v1  appends (even/odd orderkeys)     → insert rows
+      v2     CoW DELETE  o_orderstatus = 'F'  → delete pre-images +
+                                                 insert rewrites
+      v3     MoR DELETE  o_orderkey % 5 = 0   → DV-diff deletes only
+      v4     OPTIMIZE (compact)               → streams NOTHING
+
+    The drained feed is folded as a SIGNED MULTISET (insert = +1,
+    delete = −1; net 1 = live) — the replay-exactness contract: the
+    fold must reconstruct the final snapshot row-for-row, proving the
+    feed is a sufficient interface for downstream incremental
+    consumers. Oracle: the final-state predicate in SQL."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from ..catalog import load_table
+
+    register(spark)
+    cols = ["o_orderkey", "o_orderstatus", "o_totalprice"]
+    orders = load_table(spark, sf_dir, "orders").select(*cols)
+    root = tempfile.mkdtemp(prefix="tablelog_cdf_stream_")
+    try:
+        for i in range(2):
+            TL.log_append(
+                spark, root, orders.filter(F.col("o_orderkey") % 2 == i)
+            )
+        TL.log_delete_where(spark, root, "o_orderstatus = 'F'")
+        TL.log_delete_where_mor(spark, root, "o_orderkey % 5 = 0")
+        TL.log_compact(spark, root, target_files=2)
+        qname = f"tablelog_cdf_{uuid.uuid4().hex[:8]}"
+        q = (
+            spark.readStream.format("tablelog")
+            .option("path", root)
+            .option("readChangeFeed", "true")
+            .load()
+            .writeStream.format("memory")
+            .queryName(qname)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        out = (
+            spark.table(qname)
+            .groupBy(*cols)
+            .agg(
+                F.sum(
+                    F.when(F.col("_change_type") == "insert", 1).otherwise(-1)
+                ).alias("_net")
+            )
+            .filter(F.col("_net") == 1)
+            .select(*cols)
+            .orderBy("o_orderkey")
+        )
+        res = TL._materialized_scan(spark, out)
+        spark.catalog.dropTempView(qname)
+        return res
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+STREAM_TABLELOG_CDF_SQL = """
+SELECT o_orderkey, o_orderstatus, o_totalprice
+FROM orders
+WHERE o_orderstatus <> 'F' AND o_orderkey % 5 <> 0
 ORDER BY o_orderkey
 """
 

@@ -82,6 +82,13 @@ COVERED_BY = {
     "stream_chained_windows": "stream_session_agg",
     "tablelog_source_stream": "stream_tablelog_upsert",
     "tablelog_checkpointed_read": "tablelog_time_travel",
+    # r9 third wave: CDF-as-stream (graded CDF sibling: the IVM fold),
+    # shallow clone + REORG PURGE (snapshot/maintenance family), CHECK
+    # constraints (write-path enforcement family)
+    "stream_tablelog_cdf": "tablelog_cdf_agg_view",
+    "tablelog_shallow_clone": "tablelog_time_travel",
+    "tablelog_reorg_purge": "tablelog_time_travel",
+    "tablelog_check_constraint": "tablelog_writer_roundtrip",
     "cdc_snapshot_chunk_merge": "cdc_latest_state_orders",
     # rotated out r9 (the r8 writer/sink/pushdown flagships swapped in)
     "fn_pandas_normalize": "fn_pandas_group_rank",

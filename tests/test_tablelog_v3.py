@@ -1,0 +1,509 @@
+"""Round-9 third-wave tablelog features: the Change Data Feed read
+path (batch + streaming, every commit class expressible), zero-copy
+shallow CLONE, CHECK constraints on every write path, and REORG
+APPLY (PURGE) deletion-vector materialization."""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+from cdc_local_data_pipeline_docker_spark.sources import tablelog as TL
+from cdc_local_data_pipeline_docker_spark.sources import tablelog_source as TS
+
+SF = "/root/testdata/sf0.001"
+COLS = ["o_orderkey", "o_orderstatus", "o_totalprice"]
+
+
+@pytest.fixture()
+def root():
+    d = tempfile.mkdtemp(prefix="tablelog_v3_test_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _orders(spark):
+    return spark.read.parquet(os.path.join(SF, "orders.parquet")).select(
+        *COLS
+    )
+
+
+def _cdf_batch(spark, root, **opts):
+    r = (
+        spark.read.format("tablelog")
+        .option("path", root)
+        .option("readChangeFeed", "true")
+    )
+    for k, v in opts.items():
+        r = r.option(k, v)
+    return r.load()
+
+
+def _fold(cdf):
+    """Signed-multiset fold of a change feed back to a snapshot."""
+    return (
+        cdf.groupBy(*COLS)
+        .agg(
+            F.sum(
+                F.when(F.col("_change_type") == "insert", 1).otherwise(-1)
+            ).alias("_net")
+        )
+        .filter("_net = 1")
+        .select(*COLS)
+    )
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+# ---------------------------------------------------------------------------
+# Change Data Feed
+# ---------------------------------------------------------------------------
+
+def test_cdf_batch_fold_reconstructs_snapshot(spark, root):
+    """Append + CoW delete + MoR delete + compact: the folded feed must
+    equal the final snapshot row-for-row, and the compaction must
+    stream nothing."""
+    TS.register(spark)
+    o = _orders(spark)
+    TL.log_append(spark, root, o.filter("o_orderkey % 2 = 0"))
+    TL.log_append(spark, root, o.filter("o_orderkey % 2 = 1"))
+    TL.log_delete_where(spark, root, "o_orderstatus = 'F'")
+    TL.log_delete_where_mor(spark, root, "o_orderkey % 5 = 0")
+    TL.log_compact(spark, root, target_files=2)
+    cdf = _cdf_batch(spark, root)
+    assert _rows(_fold(cdf)) == _rows(TL.log_read(spark, root).select(*COLS))
+    # the compaction (v4) emits nothing
+    assert cdf.filter("_commit_version = 4").count() == 0
+    # MoR commit emits ONLY the newly-dead rows as deletes
+    v3 = cdf.filter("_commit_version = 3")
+    assert v3.filter("_change_type = 'insert'").count() == 0
+    expect_dead = o.filter(
+        "o_orderstatus <> 'F' AND o_orderkey % 5 = 0"
+    ).count()
+    assert v3.count() == expect_dead
+    # commit timestamps are present and non-decreasing across versions
+    ts = [
+        r["t"]
+        for r in cdf.groupBy("_commit_version")
+        .agg(F.min("_commit_timestamp").alias("t"))
+        .orderBy("_commit_version")
+        .collect()
+    ]
+    assert all(t is not None for t in ts)
+    assert ts == sorted(ts)
+
+
+def test_cdf_version_window_and_net_counts(spark, root):
+    """startingVersion/endingVersion bound the feed; per-version NET
+    row change matches the log_changes accounting."""
+    TS.register(spark)
+    o = _orders(spark)
+    TL.log_append(spark, root, o.filter("o_orderkey % 3 = 0"))
+    TL.log_append(spark, root, o.filter("o_orderkey % 3 = 1"))
+    TL.log_delete_where(spark, root, "o_orderstatus = 'F'")
+    TL.log_append(spark, root, o.filter("o_orderkey % 3 = 2"))
+    w = _cdf_batch(spark, root, startingVersion="2", endingVersion="2")
+    assert {r[0] for r in w.select("_commit_version").distinct().collect()} == {2}
+    net = (
+        w.select(
+            F.when(F.col("_change_type") == "insert", 1)
+            .otherwise(-1)
+            .alias("s")
+        )
+        .agg(F.sum("s"))
+        .first()[0]
+    )
+    expect = -o.filter(
+        "o_orderkey % 3 IN (0, 1) AND o_orderstatus = 'F'"
+    ).count()
+    assert net == expect
+    # full feed folds to the final snapshot
+    assert _rows(_fold(_cdf_batch(spark, root))) == _rows(
+        TL.log_read(spark, root).select(*COLS)
+    )
+
+
+def test_cdf_restore_emits_resurrections(spark, root):
+    """RESTORE to before a MoR delete: the feed must emit the
+    resurrected rows as inserts (DV diff in reverse), and the fold must
+    equal the restored snapshot."""
+    TS.register(spark)
+    o = _orders(spark)
+    TL.log_append(spark, root, o)  # v0
+    TL.log_delete_where_mor(spark, root, "o_orderstatus = 'F'")  # v1
+    TL.log_restore(spark, root, 0)  # v2: rows come back
+    cdf = _cdf_batch(spark, root)
+    v2 = cdf.filter("_commit_version = 2")
+    nf = o.filter("o_orderstatus = 'F'").count()
+    assert v2.filter("_change_type = 'insert'").count() == nf
+    assert v2.filter("_change_type = 'delete'").count() == 0
+    assert _rows(_fold(cdf)) == _rows(o)
+
+
+def test_cdf_streaming_matches_batch_and_resumes(spark, root):
+    """The streaming CDF drains to the same multiset as the batch feed,
+    and a checkpointed resume streams only the NEW commits (exactly
+    once end-to-end through a file sink)."""
+    TS.register(spark)
+    o = _orders(spark)
+    TL.log_append(spark, root, o.filter("o_orderkey % 2 = 0"))
+    TL.log_delete_where(spark, root, "o_orderstatus = 'F'")
+    base = tempfile.mkdtemp(prefix="cdf_resume_")
+    out_dir, ckpt = f"{base}/out", f"{base}/ckpt"
+    try:
+        def drain():
+            q = (
+                spark.readStream.format("tablelog")
+                .option("path", root)
+                .option("readChangeFeed", "true")
+                .load()
+                .writeStream.format("parquet")
+                .option("path", out_dir)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            return spark.read.parquet(out_dir)
+
+        got = drain()
+        batch_rows = sorted(map(tuple, _cdf_batch(spark, root).collect()))
+        assert sorted(map(tuple, got.collect())) == batch_rows
+        # resume: one more append streams ONLY its inserts, exactly once
+        TL.log_append(spark, root, o.filter("o_orderkey % 2 = 1"))
+        got2 = drain()
+        added = o.filter("o_orderkey % 2 = 1").count()
+        assert got2.count() == len(batch_rows) + added
+        v2 = got2.filter("_commit_version = 2")
+        assert v2.count() == added
+        assert (
+            v2.filter("_change_type = 'insert'").count() == added
+        )
+        assert _rows(_fold(got2)) == _rows(
+            TL.log_read(spark, root).select(*COLS)
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def test_cdf_skips_redead_rows_on_cow_over_mor(spark, root):
+    """A CoW delete over a file that already carries a DV must emit the
+    pre-image LIVE rows only — rows dead before the commit were emitted
+    by THEIR commit and must not re-emit."""
+    TS.register(spark)
+    o = _orders(spark)
+    TL.log_append(spark, root, o)  # v0
+    TL.log_delete_where_mor(spark, root, "o_orderkey % 5 = 0")  # v1
+    TL.log_delete_where(spark, root, "o_orderstatus = 'F'")  # v2 CoW
+    cdf = _cdf_batch(spark, root)
+    v2_del = cdf.filter(
+        "_commit_version = 2 AND _change_type = 'delete'"
+    ).count()
+    # pre-image live rows of the rewritten files = all minus v1's dead
+    assert v2_del == o.filter("o_orderkey % 5 <> 0").count()
+    assert _rows(_fold(cdf)) == _rows(TL.log_read(spark, root).select(*COLS))
+
+
+# ---------------------------------------------------------------------------
+# Shallow clone
+# ---------------------------------------------------------------------------
+
+def test_clone_is_zero_copy_and_isolated(spark, root):
+    o = _orders(spark)
+    src, dst = os.path.join(root, "src"), os.path.join(root, "dst")
+    TL.log_append(spark, src, o.filter("o_orderkey % 2 = 0"))
+    TL.log_append(spark, src, o.filter("o_orderkey % 2 = 1"))
+    TL.log_clone(src, dst)
+    # zero-copy: no data files under the clone root
+    assert not any(
+        fs for _, _, fs in os.walk(os.path.join(dst, TL._DATA_DIR))
+    )
+    assert _rows(TL.log_read(spark, dst).select(*COLS)) == _rows(
+        TL.log_read(spark, src).select(*COLS)
+    )
+    # writes on the clone never touch the source
+    TL.log_delete_where(spark, dst, "o_orderstatus = 'F'")
+    assert TL.log_read(spark, src).count() == o.count()
+    assert TL.log_read(spark, dst).count() == o.filter(
+        "o_orderstatus <> 'F'"
+    ).count()
+    # cloning onto an existing table refuses
+    with pytest.raises(ValueError, match="already exists"):
+        TL.log_clone(src, dst)
+
+
+def test_clone_at_version_and_dv_carry(spark, root):
+    """A time-travel clone of a MoR snapshot carries the source's
+    deletion vectors by reference; a further MoR delete on the clone
+    layers a LOCAL vector over the EXTERNAL file."""
+    o = _orders(spark)
+    src, dst = os.path.join(root, "src"), os.path.join(root, "dst")
+    TL.log_append(spark, src, o)  # v0
+    TL.log_delete_where_mor(spark, src, "o_orderstatus = 'F'")  # v1
+    TL.log_clone(src, dst, version=1)
+    assert TL.log_read(spark, dst).count() == o.filter(
+        "o_orderstatus <> 'F'"
+    ).count()
+    TL.log_delete_where_mor(spark, dst, "o_orderkey % 5 = 0")
+    assert TL.log_read(spark, dst).count() == o.filter(
+        "o_orderstatus <> 'F' AND o_orderkey % 5 <> 0"
+    ).count()
+    # source unaffected by the clone's vector
+    assert TL.log_read(spark, src).count() == o.filter(
+        "o_orderstatus <> 'F'"
+    ).count()
+    # vacuum on the clone never deletes source files
+    deleted = TL.log_vacuum(dst)
+    assert deleted == []
+    assert TL.log_read(spark, src).count() == o.filter(
+        "o_orderstatus <> 'F'"
+    ).count()
+
+
+def test_clone_materialize_and_datasource_read(spark, root):
+    """log_compact materializes the clone (no external refs remain);
+    the format("tablelog") DataSource reads the clone before and
+    after."""
+    TS.register(spark)
+    o = _orders(spark)
+    src, dst = os.path.join(root, "src"), os.path.join(root, "dst")
+    TL.log_append(spark, src, o)
+    TL.log_delete_where_mor(spark, src, "o_orderstatus = 'F'")
+    TL.log_clone(src, dst)
+    via_ds = (
+        spark.read.format("tablelog").option("path", dst).load().count()
+    )
+    assert via_ds == o.filter("o_orderstatus <> 'F'").count()
+    TL.log_compact(spark, dst, target_files=2)
+    state = TL._snapshot(dst)
+    assert all(not os.path.isabs(f) for f in state["live"])
+    assert TL.log_read(spark, dst).count() == o.filter(
+        "o_orderstatus <> 'F'"
+    ).count()
+
+
+def test_clone_streams_initial_content(spark, root):
+    """The snapshot stream source treats the clone's full-form v0 as
+    the table's initial (all-new) content."""
+    TS.register(spark)
+    o = _orders(spark)
+    src, dst = os.path.join(root, "src"), os.path.join(root, "dst")
+    TL.log_append(spark, src, o.filter("o_orderkey % 2 = 0"))
+    TL.log_clone(src, dst)
+    TL.log_append(spark, dst, o.filter("o_orderkey % 2 = 1"))
+    qname = f"clone_stream_{uuid.uuid4().hex[:8]}"
+    q = (
+        spark.readStream.format("tablelog")
+        .option("path", dst)
+        .load()
+        .writeStream.format("memory")
+        .queryName(qname)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert spark.table(qname).count() == o.count()
+    spark.catalog.dropTempView(qname)
+
+
+# ---------------------------------------------------------------------------
+# CHECK constraints
+# ---------------------------------------------------------------------------
+
+def test_constraint_gates_every_write_path(spark, root):
+    TS.register(spark)
+    o = _orders(spark)
+    TL.log_append(spark, root, o.filter("o_orderkey % 2 = 0"))
+    TL.log_add_constraint(spark, root, "price_pos", "o_totalprice > 0")
+    # violating log_append raises, no version committed
+    v = TL._latest_version(root)
+    with pytest.raises(TL.ConstraintViolation, match="price_pos"):
+        TL.log_append(
+            spark,
+            root,
+            o.filter("o_orderkey % 2 = 1").withColumn(
+                "o_totalprice", -F.col("o_totalprice")
+            ),
+        )
+    assert TL._latest_version(root) == v
+    # violating CoW UPDATE raises
+    with pytest.raises(TL.ConstraintViolation, match="price_pos"):
+        TL.log_update_where(
+            spark,
+            root,
+            "o_orderstatus = 'O'",
+            {"o_totalprice": "-o_totalprice"},
+        )
+    # violating MERGE raises
+    bad = o.limit(5).withColumn("o_totalprice", F.lit(-1.0))
+    with pytest.raises(TL.ConstraintViolation, match="price_pos"):
+        TL.log_merge(spark, root, bad, "o_orderkey")
+    # violating DSv2 write raises AND leaves no orphan commit
+    with pytest.raises(Exception, match="price_pos"):
+        (
+            o.filter("o_orderkey % 2 = 1")
+            .withColumn("o_totalprice", -F.col("o_totalprice"))
+            .write.format("tablelog")
+            .mode("append")
+            .option("path", root)
+            .save()
+        )
+    assert TL._latest_version(root) == v
+    assert TL.log_vacuum(root) == []  # DSv2 abort removed its orphans
+    # valid writes pass on both paths
+    TL.log_append(spark, root, o.filter("o_orderkey % 4 = 1"))
+    (
+        o.filter("o_orderkey % 4 = 3")
+        .write.format("tablelog")
+        .mode("append")
+        .option("path", root)
+        .save()
+    )
+    assert TL.log_read(spark, root).count() == o.count()
+    # NULL passes (SQL CHECK semantics)
+    withnull = (
+        o.limit(3)
+        .withColumn("o_orderkey", F.col("o_orderkey") + 10_000_000)
+        .withColumn(
+            "o_totalprice", F.lit(None).cast("double")
+        )
+    )
+    TL.log_append(spark, root, withnull)
+    assert TL.log_read(spark, root).count() == o.count() + 3
+
+
+def test_constraint_add_validates_existing_and_drop(spark, root):
+    o = _orders(spark)
+    TL.log_append(spark, root, o)
+    with pytest.raises(TL.ConstraintViolation, match="existing"):
+        TL.log_add_constraint(
+            spark, root, "only_open", "o_orderstatus = 'O'"
+        )
+    TL.log_add_constraint(spark, root, "price_pos", "o_totalprice > 0")
+    TL.log_drop_constraint(root, "price_pos")
+    # after DROP the formerly-violating write passes
+    TL.log_append(
+        spark, root, o.limit(2).withColumn("o_totalprice", F.lit(-5.0))
+    )
+    with pytest.raises(ValueError, match="no constraint"):
+        TL.log_drop_constraint(root, "price_pos")
+
+
+def test_constraint_survives_checkpoint_restore_clone(spark, root):
+    """The constraint set rides checkpoints, RESTORE (target version's
+    set), and CLONE (source's set)."""
+    o = _orders(spark)
+    src = os.path.join(root, "src")
+    TL.log_append(spark, src, o.filter("o_orderkey % 2 = 0"))  # v0
+    TL.log_add_constraint(spark, src, "price_pos", "o_totalprice > 0")
+    for _ in range(TL.CHECKPOINT_INTERVAL):
+        TL.log_append(spark, src, o.limit(1))
+    assert TL._checkpoint_versions(src)  # cadence checkpoint happened
+    assert TL._snapshot(src)["constraints"] == {
+        "price_pos": "o_totalprice > 0"
+    }
+    # restore to BEFORE the constraint existed drops it
+    TL.log_restore(spark, src, 0)
+    assert TL._snapshot(src)["constraints"] == {}
+    # re-add, then clone: the fork inherits and enforces it
+    TL.log_add_constraint(spark, src, "price_pos", "o_totalprice > 0")
+    dst = os.path.join(root, "dst")
+    TL.log_clone(src, dst)
+    with pytest.raises(TL.ConstraintViolation, match="price_pos"):
+        TL.log_append(
+            spark, dst, o.limit(1).withColumn("o_totalprice", F.lit(-1.0))
+        )
+
+
+def test_constraint_streaming_sink_enforces(spark, root):
+    """The tablelog streaming sink (DSv2 commit path) rejects a
+    micro-batch that violates a constraint; the stream fails rather
+    than committing bad rows."""
+    TS.register(spark)
+    o = _orders(spark)
+    TL.log_append(spark, root, o.filter("o_orderkey % 2 = 0"))
+    TL.log_add_constraint(spark, root, "price_pos", "o_totalprice > 0")
+    base = tempfile.mkdtemp(prefix="cstr_sink_")
+    src_dir, ckpt = f"{base}/src", f"{base}/ckpt"
+    try:
+        o.filter("o_orderkey % 2 = 1").withColumn(
+            "o_totalprice", -F.col("o_totalprice")
+        ).coalesce(1).write.parquet(src_dir)
+        v = TL._latest_version(root)
+        q = (
+            spark.readStream.schema(o.schema)
+            .parquet(src_dir)
+            .writeStream.format("tablelog")
+            .option("path", root)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        with pytest.raises(Exception, match="price_pos"):
+            q.awaitTermination()
+        assert TL._latest_version(root) == v
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# REORG APPLY (PURGE)
+# ---------------------------------------------------------------------------
+
+def test_purge_targets_only_dv_debt(spark, root):
+    """Purge rewrites ONLY the files carrying vectors past the
+    threshold; clean files carry by reference; pre-purge versions still
+    apply their vectors; the stream treats purge as data-unchanged."""
+    TS.register(spark)
+    o = _orders(spark)
+    # two files: evens (will carry a DV), odds (clean)
+    TL.log_append(spark, root, o.filter("o_orderkey % 2 = 0").coalesce(1))
+    TL.log_append(spark, root, o.filter("o_orderkey % 2 = 1").coalesce(1))
+    TL.log_delete_where_mor(
+        spark, root, "o_orderkey % 2 = 0 AND o_orderstatus = 'F'"
+    )
+    live_before = set(TL._snapshot(root)["live"])
+    dv_files = set(TL._snapshot(root)["dv"])
+    assert len(dv_files) == 1
+    v_purge = TL.log_reorg_purge(spark, root)
+    m = TL._read_manifest(root, v_purge)
+    assert set(m["remove"]) == dv_files  # only the debt-carrying file
+    state = TL._snapshot(root)
+    assert not state["dv"]
+    # the clean file is carried by reference (same path still live)
+    assert (live_before - dv_files) <= set(state["live"])
+    # content identity across the purge
+    n = o.filter(
+        "NOT (o_orderkey % 2 = 0 AND o_orderstatus = 'F')"
+    ).count()
+    assert TL.log_read(spark, root).count() == n
+    assert TL.log_read(spark, root, version=v_purge - 1).count() == n
+    # threshold: a fresh LIGHT vector stays below a high debt floor
+    TL.log_delete_where_mor(
+        spark, root, "o_orderkey % 97 = 0 AND o_orderstatus = 'O'"
+    )
+    assert TL._snapshot(root)["dv"]
+    v2 = TL.log_reorg_purge(spark, root, min_dead_fraction=0.99)
+    assert TL._read_manifest(root, v2)["remove"] == []
+    assert TL._snapshot(root)["dv"]  # the light vector survives
+    # the snapshot stream crosses the purge without raising
+    qname = f"purge_stream_{uuid.uuid4().hex[:8]}"
+    q = (
+        spark.readStream.format("tablelog")
+        .option("path", root)
+        .option("skipChangeCommits", "true")
+        .load()
+        .writeStream.format("memory")
+        .queryName(qname)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    spark.catalog.dropTempView(qname)
