@@ -141,6 +141,13 @@ OPTIONAL = [
     # DV mask per batch); benched from this round so the per-row-Python
     # regression class is visible round-over-round.
     "tablelog_source_snapshot",
+    # round-9 third-wave addition: the CHANGE DATA FEED read path —
+    # append/append/CoW-delete/MoR-delete/compact, stream the feed
+    # (appends insert, CoW pre/post images, MoR DV diff, compact
+    # silent), fold the multiset back to the snapshot. Tracks the CDF
+    # planner walk + the diff-part readers round-over-round on the
+    # same per-row-Python watchlist as the snapshot reader above.
+    "stream_tablelog_cdf",
 ]
 #: Entries whose wall time is sf-INVARIANT fixed machinery (measured
 #: identical at sf0.01 and sf0.1 across rounds 4-5): streaming

@@ -109,8 +109,17 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         SST.stream_stateful_user_totals,
         SST.STREAM_STATEFUL_USER_TOTALS_SQL,
     ),
-    # events analytics (batch forms; streaming twins above)
-    "events_tumbling_agg": (EV.events_tumbling_agg, EV.EVENTS_TUMBLING_AGG_SQL),
+    # r9 third-wave flagship, rotated into the window same-round (the
+    # r8 protocol): the CHANGE DATA FEED as a streaming source — every
+    # commit class (append / CoW rewrite / MoR DV-diff / compact)
+    # drained through readChangeFeed and folded as a signed multiset
+    # back to the exact final snapshot; displaced events_tumbling_agg
+    # (the batch twin of graded stream_tumbling_agg, family also
+    # graded by events_resample_interpolate)
+    "stream_tablelog_cdf": (
+        TLS.stream_tablelog_cdf,
+        TLS.STREAM_TABLELOG_CDF_SQL,
+    ),
     # IVM over the JOIN view (r6 flagship, rotated into the window
     # r7): the same gold table maintained by four interleaved per-topic
     # delta batches (recompute-affected-keys); oracle = full recompute
@@ -1085,13 +1094,6 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         TLG.tablelog_small_file_compaction,
         TLG.TABLELOG_SMALL_FILE_COMPACTION_SQL,
     ),
-    # r9 third wave: the CHANGE DATA FEED as a streaming source (every
-    # commit class expressible — appends, CoW rewrites, MoR DV diffs —
-    # drained and folded back to the exact final snapshot)
-    "stream_tablelog_cdf": (
-        TLS.stream_tablelog_cdf,
-        TLS.STREAM_TABLELOG_CDF_SQL,
-    ),
     # r9: zero-copy SHALLOW CLONE (point-in-time fork by reference; the
     # fork's CoW delete must not touch the source — asserted in-entry)
     "tablelog_shallow_clone": (
@@ -1111,6 +1113,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # rotated out r9 (VERDICT r8 #5 — the r8 DSv2 writer/sink/pushdown
     # flagships took these slots); each keeps a graded family sibling
     # and stays registered + oracle-verified here
+    "events_tumbling_agg": (EV.events_tumbling_agg, EV.EVENTS_TUMBLING_AGG_SQL),
     "fn_pandas_normalize": (PU.fn_pandas_normalize, PU.FN_PANDAS_NORMALIZE_SQL),
     "window_topk_per_group": (R.window_topk_per_group, R.WINDOW_TOPK_PER_GROUP_SQL),
     "q17_small_quantity_revenue": (

@@ -1741,7 +1741,15 @@ ORDER BY o_orderkey
 """
 
 
-def register_sql_view(spark, name: str, root: str, version: int | None = None) -> None:
+def register_sql_view(
+    spark,
+    name: str,
+    root: str,
+    version: int | None = None,
+    change_feed: bool = False,
+    starting_version: int | None = None,
+    ending_version: int | None = None,
+) -> None:
     """The SQL surface: ``CREATE OR REPLACE TEMPORARY VIEW <name> USING
     tablelog`` — plain ``SELECT ... WHERE`` (with file-skipping filter
     pushdown) and ``INSERT INTO`` (the DSv2 writer append, one atomic
@@ -1760,6 +1768,15 @@ def register_sql_view(spark, name: str, root: str, version: int | None = None) -
     opts = f"path '{root}'"
     if version is not None:
         opts += f", version '{int(version)}'"
+    if change_feed:
+        # the Delta `table_changes(...)` SQL surface: the view serves
+        # the change rows (with _change_type/_commit_version/
+        # _commit_timestamp) of [starting_version, ending_version]
+        opts += ", readChangeFeed 'true'"
+        if starting_version is not None:
+            opts += f", startingVersion '{int(starting_version)}'"
+        if ending_version is not None:
+            opts += f", endingVersion '{int(ending_version)}'"
     spark.sql(
         f"CREATE OR REPLACE TEMPORARY VIEW {name} USING tablelog "
         f"OPTIONS ({opts})"

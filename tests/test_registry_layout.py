@@ -16,8 +16,11 @@ MUST_BE_GRADED = {
     # Structured Streaming
     "stream_tumbling_agg", "stream_session_agg", "stream_dedup_events",
     "stream_stateful_user_totals",
-    # events analytics
-    "events_tumbling_agg",
+    # round-9 third-wave flagship (same-round rotation, the r8
+    # protocol): the change data feed as a streaming source; displaced
+    # events_tumbling_agg (batch twin of graded stream_tumbling_agg,
+    # family also graded by events_resample_interpolate)
+    "stream_tablelog_cdf",
     # advanced / temporal / SQL-surface
     "grouping_sets_status_priority", "sql_correlated_subquery",
     "agg_salted_two_stage", "explode_token_frequencies",
@@ -85,7 +88,6 @@ COVERED_BY = {
     # r9 third wave: CDF-as-stream (graded CDF sibling: the IVM fold),
     # shallow clone + REORG PURGE (snapshot/maintenance family), CHECK
     # constraints (write-path enforcement family)
-    "stream_tablelog_cdf": "tablelog_cdf_agg_view",
     "tablelog_shallow_clone": "tablelog_time_travel",
     "tablelog_reorg_purge": "tablelog_time_travel",
     "tablelog_check_constraint": "tablelog_writer_roundtrip",
@@ -111,15 +113,15 @@ COVERED_BY = {
     "dedup_exact": "dedup_ngram_jaccard",
     "dedup_semantic_contract": "dedup_semantic_contract_sampled",
     # rotated out of the window in round 6 (VERDICT r5 #2)
-    "events_rollup_reuse": "events_tumbling_agg",
+    "events_rollup_reuse": "events_resample_interpolate",
     "join_left_outer": "join_inner",
     "join_range": "join_inner",
     "corpus_lang_profile": "text_profile",
-    "events_funnel": "events_tumbling_agg",
+    "events_funnel": "events_resample_interpolate",
     "events_transition_pairs": "join_inner",
-    "events_zscore_outliers": "events_tumbling_agg",
-    "events_sliding_agg": "events_tumbling_agg",
-    "events_retention_cohorts": "events_tumbling_agg",
+    "events_zscore_outliers": "events_resample_interpolate",
+    "events_sliding_agg": "events_resample_interpolate",
+    "events_retention_cohorts": "events_resample_interpolate",
     "filter_predicates": "filter_pack",
     "filter_like": "filter_pack",
     "join_full_outer": "join_inner",
@@ -169,15 +171,15 @@ COVERED_BY = {
     # windows graded by window_topk_per_group
     "search_hybrid_rrf": "search_bm25_topk",
     # sweep-line concurrency: events time-bucket rollup family
-    "events_session_concurrency": "events_tumbling_agg",
+    "events_session_concurrency": "events_resample_interpolate",
     # skyline: running-max window + broadcast join-back
     "orders_pareto_frontier": "window_analytics_pack",
     # attribution: carry-forward (last ignore-nulls) window family
     "events_attribution_last_touch": "events_resample_interpolate",
     # growth accounting: events time-bucket rollup family
-    "events_cumulative_unique_users": "events_tumbling_agg",
-    "events_rolling_active_users": "events_tumbling_agg",
-    "events_lag_correlation": "events_tumbling_agg",
+    "events_cumulative_unique_users": "events_resample_interpolate",
+    "events_rolling_active_users": "events_resample_interpolate",
+    "events_lag_correlation": "events_resample_interpolate",
     # BPE training: token explode/agg family graded by
     # explode_token_frequencies; iterative loop pytest-pinned
     "bpe_train_contract": "explode_token_frequencies",
@@ -235,7 +237,7 @@ COVERED_BY = {
     # projection entry
     "cdc_schema_drift_report": "cdc_reference_projection",
     # lateness audit: events window family graded by events_tumbling_agg
-    "events_watermark_lateness_audit": "events_tumbling_agg",
+    "events_watermark_lateness_audit": "events_resample_interpolate",
     "ann_filtered_topk": "ann_cosine_topk",
     # pipe syntax resolves to the same plan family as SQL-declared
     # join+agg — graded by the correlated-subquery SQL entry
@@ -270,13 +272,13 @@ COVERED_BY = {
     "profile_join_skew": "agg_grouped",
     "validate_orders": "join_inner",
     "customer_features": "agg_grouped",
-    "events_daily_gapfill": "events_tumbling_agg",
-    "events_mad_outliers": "events_tumbling_agg",
-    "events_value_winsorize": "events_tumbling_agg",
+    "events_daily_gapfill": "events_resample_interpolate",
+    "events_mad_outliers": "events_resample_interpolate",
+    "events_value_winsorize": "events_resample_interpolate",
     "fn_pandas_grouped_agg": "fn_pandas_group_rank",
     "fn_arrow_udf": "fn_pandas_group_rank",
-    "events_funnel_windowed": "events_tumbling_agg",
-    "events_ab_conversion": "events_tumbling_agg",
+    "events_funnel_windowed": "events_resample_interpolate",
+    "events_ab_conversion": "events_resample_interpolate",
     "gdpr_erase_customer": "join_inner",
     "privacy_k_anonymity_audit": "agg_grouped",
     "corpus_datacard": "text_profile",
@@ -327,9 +329,10 @@ COVERED_BY = {
     "text_unigram_rarity": "explode_token_frequencies",
     "text_bigram_coherence": "explode_token_frequencies",
     "corpus_shuffle_shards": "text_profile",
-    "events_ewma_smooth": "events_tumbling_agg",
-    "events_cusum_drift": "events_tumbling_agg",
-    "events_drift_histogram": "events_tumbling_agg",
+    "events_tumbling_agg": "stream_tumbling_agg",
+    "events_ewma_smooth": "events_resample_interpolate",
+    "events_cusum_drift": "events_resample_interpolate",
+    "events_drift_histogram": "events_resample_interpolate",
     "corpus_length_histogram": "text_profile",
     "corpus_prep_chunks": "dedup_span_coverage",
     "fn_string_pack": "fn_scalar_pack",

@@ -507,3 +507,26 @@ def test_purge_targets_only_dv_debt(spark, root):
     )
     q.awaitTermination()
     spark.catalog.dropTempView(qname)
+
+
+def test_cdf_sql_view(spark, root):
+    """The SQL surface serves the change feed (Delta's table_changes):
+    a temp view with readChangeFeed + version bounds answers plain
+    SELECTs over _change_type/_commit_version."""
+    TS.register(spark)
+    o = _orders(spark)
+    TL.log_append(spark, root, o.filter("o_orderkey % 2 = 0"))
+    TL.log_append(spark, root, o.filter("o_orderkey % 2 = 1"))
+    TL.log_delete_where(spark, root, "o_orderstatus = 'F'")
+    vname = f"changes_{uuid.uuid4().hex[:8]}"
+    TS.register_sql_view(
+        spark, vname, root, change_feed=True, starting_version=2
+    )
+    got = spark.sql(
+        f"SELECT _change_type, COUNT(*) AS n FROM {vname} "
+        "GROUP BY _change_type ORDER BY _change_type"
+    ).collect()
+    by_type = {r["_change_type"]: r["n"] for r in got}
+    assert by_type["delete"] == o.count()
+    assert by_type["insert"] == o.filter("o_orderstatus <> 'F'").count()
+    spark.catalog.dropTempView(vname)
