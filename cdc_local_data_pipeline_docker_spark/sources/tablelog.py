@@ -355,6 +355,50 @@ def _live_files(root: str, version: int | None = None) -> list[str]:
     return _snapshot(root, version)["live"]
 
 
+def version_at_timestamp(root: str, ts) -> int:
+    """TIMESTAMP AS OF resolution (the Delta shape): the LATEST version
+    whose commit timestamp is <= ``ts``. Accepts an epoch float/int, a
+    ``datetime`` (naive = UTC), or an ISO-8601 string. Binary search
+    over the version list — O(log history) manifest reads, each KB.
+    Raises if ``ts`` predates the first retained commit (matching
+    Delta's before-earliest-version error)."""
+    import datetime
+
+    if isinstance(ts, str):
+        try:
+            ts = float(ts)  # epoch seconds as a string (option form)
+        except ValueError:
+            ts = datetime.datetime.fromisoformat(ts)
+    if isinstance(ts, datetime.datetime):
+        if ts.tzinfo is None:
+            ts = ts.replace(tzinfo=datetime.timezone.utc)
+        ts = ts.timestamp()
+    elif isinstance(ts, datetime.date):
+        ts = datetime.datetime(
+            ts.year, ts.month, ts.day, tzinfo=datetime.timezone.utc
+        ).timestamp()
+    vs = _versions(root)
+    if not vs:
+        raise ValueError(f"no table at {root}")
+
+    def ts_of(v: int) -> float:
+        return float(_read_manifest(root, v).get("ts", 0.0))
+
+    if ts < ts_of(vs[0]):
+        raise ValueError(
+            f"timestamp {ts} predates the earliest retained version "
+            f"v{vs[0]} of the table at {root}"
+        )
+    lo, hi = 0, len(vs) - 1
+    while lo < hi:  # largest index with ts_of <= ts
+        mid = (lo + hi + 1) // 2
+        if ts_of(vs[mid]) <= ts:
+            lo = mid
+        else:
+            hi = mid - 1
+    return vs[lo]
+
+
 def _base_stats(root: str, base: int | None) -> dict:
     if base is None:
         return {}
@@ -1498,6 +1542,7 @@ def log_read(
     version: int | None = None,
     prune: tuple[str, object, object] | None = None,
     point: tuple[str, object] | None = None,
+    timestamp_as_of=None,
 ) -> DataFrame:
     """Snapshot read at ``version`` (default: latest). Resolves the file
     list from the log (checkpoint + delta replay) — never lists the
@@ -1518,6 +1563,10 @@ def log_read(
     min/max and bloom probes then only run over the surviving set."""
     from pyspark.sql import functions as F
 
+    if timestamp_as_of is not None:
+        if version is not None:
+            raise ValueError("give version OR timestamp_as_of, not both")
+        version = version_at_timestamp(root, timestamp_as_of)
     state = _snapshot(root, version)
     files = state["live"]
     if not files:

@@ -245,6 +245,20 @@ class TablelogDataSource(DataSource):
             root = unquote(urlparse(root).path)
         return root
 
+    def _version_opt(self, root: str) -> int | None:
+        """`version` or `timestampAsOf` (ISO-8601 or epoch seconds —
+        resolved to the latest version committed at or before it, the
+        Delta TIMESTAMP AS OF shape). Both given is an error."""
+        v = self.options.get("version")
+        tao = self.options.get("timestampasof")
+        if v is not None and tao is not None:
+            raise ValueError("give version OR timestampAsOf, not both")
+        if v is not None:
+            return int(v)
+        if tao is not None:
+            return TL.version_at_timestamp(root, tao)
+        return None
+
     def _cdf(self) -> bool:
         return (
             str(self.options.get("readchangefeed", "false")).lower() == "true"
@@ -252,8 +266,7 @@ class TablelogDataSource(DataSource):
 
     def schema(self):
         root = self._root()
-        version = self.options.get("version")
-        state = TL._snapshot(root, int(version) if version is not None else None)
+        state = TL._snapshot(root, self._version_opt(root))
         if not state["live"]:
             raise ValueError(f"no table at {root}")
         base = _spark_schema(root, state)
@@ -299,7 +312,14 @@ class TablelogReader(DataSourceReader):
     def __init__(self, root: str, options) -> None:
         self.root = root
         v = options.get("version")
-        self.version = int(v) if v is not None else None
+        tao = options.get("timestampasof")
+        self.version = (
+            int(v)
+            if v is not None
+            else TL.version_at_timestamp(root, tao)
+            if tao is not None
+            else None
+        )
         self.pushed: list = []
 
     def pushFilters(self, filters):
@@ -713,19 +733,50 @@ class TablelogCDFStreamReader(DataSourceStreamReader):
         if not state["live"]:
             raise ValueError(f"no table at {root}")
         self.cols, self.out_schema = _arrow_out_schema(root, state)
+        # admission control, same engagement contract as the snapshot
+        # stream (first batch of a run uncapped — Spark resolves it
+        # before the source learns its start); a version's CDF cost is
+        # its adds + removes + changed vectors
+        mft = options.get("maxfilespertrigger")
+        self.max_files = int(mft) if mft is not None else None
+        self._floor: int | None = None
 
     def initialOffset(self) -> dict:
+        self._floor = -1
         return {"version": -1}
 
     def latestOffset(self) -> dict:
         v = TL._latest_version(self.root)
-        return {"version": -1 if v is None else v}
+        latest = -1 if v is None else v
+        if self.max_files is None or self._floor is None:
+            return {"version": latest}
+        end, budget = self._floor, self.max_files
+        while end < latest:
+            try:
+                m = TL._read_manifest(self.root, end + 1)
+            except FileNotFoundError:
+                break
+            n = (
+                0
+                if m["action"] in _DATA_UNCHANGED
+                else len(m.get("live_add", m["add"]))
+                + len(m["remove"])
+                + len(m.get("dv_set", {}))
+            )
+            if n > budget and end > self._floor:
+                break
+            end += 1
+            budget -= n
+            if budget <= 0:
+                break
+        return {"version": end}
 
     def partitions(self, start: dict, end: dict):
         out = _cdf_partitions(
             self.root, start["version"], end["version"], self.cols,
             self.out_schema,
         )
+        self._floor = end["version"]
         return out or [
             _CDFPart("", "insert", 0, 0, self.cols, self.out_schema)
         ]
@@ -1746,6 +1797,7 @@ def register_sql_view(
     name: str,
     root: str,
     version: int | None = None,
+    timestamp_as_of: str | float | None = None,
     change_feed: bool = False,
     starting_version: int | None = None,
     ending_version: int | None = None,
@@ -1768,6 +1820,8 @@ def register_sql_view(
     opts = f"path '{root}'"
     if version is not None:
         opts += f", version '{int(version)}'"
+    if timestamp_as_of is not None:
+        opts += f", timestampAsOf '{timestamp_as_of}'"
     if change_feed:
         # the Delta `table_changes(...)` SQL surface: the view serves
         # the change rows (with _change_type/_commit_version/

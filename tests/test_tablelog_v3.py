@@ -530,3 +530,79 @@ def test_cdf_sql_view(spark, root):
     assert by_type["delete"] == o.count()
     assert by_type["insert"] == o.filter("o_orderstatus <> 'F'").count()
     spark.catalog.dropTempView(vname)
+
+
+def test_timestamp_as_of(spark, root):
+    """TIMESTAMP AS OF resolves the latest version committed at or
+    before the given instant, on log_read, the DataSource option, and
+    the SQL view; before-the-first-commit raises."""
+    TS.register(spark)
+    o = _orders(spark)
+    TL.log_append(spark, root, o.filter("o_orderkey % 3 = 0"))  # v0
+    TL.log_append(spark, root, o.filter("o_orderkey % 3 = 1"))  # v1
+    TL.log_append(spark, root, o.filter("o_orderkey % 3 = 2"))  # v2
+    ts1 = TL._read_manifest(root, 1)["ts"]
+    n01 = o.filter("o_orderkey % 3 IN (0, 1)").count()
+    # exactly v1's commit instant -> v1; epoch float, ISO string, and
+    # datetime forms all resolve identically
+    assert TL.version_at_timestamp(root, ts1) == 1
+    import datetime
+
+    iso = datetime.datetime.fromtimestamp(
+        ts1, datetime.timezone.utc
+    ).isoformat()
+    assert TL.version_at_timestamp(root, iso) == 1
+    assert TL.log_read(spark, root, timestamp_as_of=ts1).count() == n01
+    # between v1 and v2 -> still v1; at/after v2 -> v2 (the latest)
+    ts2 = TL._read_manifest(root, 2)["ts"]
+    assert TL.version_at_timestamp(root, (ts1 + ts2) / 2) == 1
+    assert TL.version_at_timestamp(root, ts2 + 3600) == 2
+    # DataSource option (string epoch form)
+    got = (
+        spark.read.format("tablelog")
+        .option("path", root)
+        .option("timestampAsOf", str(ts1))
+        .load()
+        .count()
+    )
+    assert got == n01
+    # SQL view form
+    vname = f"asof_{uuid.uuid4().hex[:8]}"
+    TS.register_sql_view(spark, vname, root, timestamp_as_of=ts1)
+    assert spark.sql(f"SELECT COUNT(*) FROM {vname}").first()[0] == n01
+    spark.catalog.dropTempView(vname)
+    # before the first retained commit raises
+    with pytest.raises(ValueError, match="predates"):
+        TL.version_at_timestamp(
+            root, TL._read_manifest(root, 0)["ts"] - 1.0
+        )
+    # version and timestamp together is an error
+    with pytest.raises(ValueError, match="not both"):
+        TL.log_read(spark, root, version=1, timestamp_as_of=ts1)
+
+
+def test_cdf_stream_admission_control(spark, root):
+    """maxFilesPerTrigger paces the CDF stream by version cost
+    (adds + removes + changed vectors), >=1 version per batch."""
+    o = _orders(spark)
+    for i in range(3):
+        TL.log_append(
+            spark, root, o.filter(f"o_orderkey % 3 = {i}").coalesce(1)
+        )
+    TL.log_delete_where_mor(spark, root, "o_orderstatus = 'F'")
+    r = TS.TablelogCDFStreamReader(root, {"maxfilespertrigger": "1"})
+    start = r.initialOffset()
+    ends = []
+    for _ in range(4):
+        end = r.latestOffset()
+        r.partitions(start, end)
+        ends.append(end["version"])
+        start = end
+        if end["version"] >= 3:
+            break
+    # one 1-file version admitted per batch, the DV commit last
+    assert ends == [0, 1, 2, 3]
+    # uncapped reader reaches the head in one batch
+    r2 = TS.TablelogCDFStreamReader(root, {})
+    r2.initialOffset()
+    assert r2.latestOffset()["version"] == 3
