@@ -740,10 +740,14 @@ class TablelogCDFStreamReader(DataSourceStreamReader):
         mft = options.get("maxfilespertrigger")
         self.max_files = int(mft) if mft is not None else None
         self._floor: int | None = None
+        # Delta's streaming startingVersion: begin the feed AT that
+        # version (inclusive) instead of replaying the full history
+        sv = options.get("startingversion")
+        self.start_version = int(sv) - 1 if sv is not None else -1
 
     def initialOffset(self) -> dict:
-        self._floor = -1
-        return {"version": -1}
+        self._floor = self.start_version
+        return {"version": self.start_version}
 
     def latestOffset(self) -> dict:
         v = TL._latest_version(self.root)

@@ -606,3 +606,32 @@ def test_cdf_stream_admission_control(spark, root):
     r2 = TS.TablelogCDFStreamReader(root, {})
     r2.initialOffset()
     assert r2.latestOffset()["version"] == 3
+
+
+def test_cdf_stream_starting_version(spark, root):
+    """startingVersion on the streaming CDF begins the feed at that
+    version inclusive (Delta semantics) instead of the full history."""
+    TS.register(spark)
+    o = _orders(spark)
+    TL.log_append(spark, root, o.filter("o_orderkey % 3 = 0"))  # v0
+    TL.log_append(spark, root, o.filter("o_orderkey % 3 = 1"))  # v1
+    TL.log_append(spark, root, o.filter("o_orderkey % 3 = 2"))  # v2
+    qname = f"cdfsv_{uuid.uuid4().hex[:8]}"
+    q = (
+        spark.readStream.format("tablelog")
+        .option("path", root)
+        .option("readChangeFeed", "true")
+        .option("startingVersion", "1")
+        .load()
+        .writeStream.format("memory")
+        .queryName(qname)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.table(qname)
+    assert {
+        r[0] for r in got.select("_commit_version").distinct().collect()
+    } == {1, 2}
+    assert got.count() == o.filter("o_orderkey % 3 IN (1, 2)").count()
+    spark.catalog.dropTempView(qname)
