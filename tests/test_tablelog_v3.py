@@ -548,8 +548,11 @@ def test_timestamp_as_of(spark, root):
     assert TL.version_at_timestamp(root, ts1) == 1
     import datetime
 
+    # the ISO form truncates to microseconds, which can round BELOW the
+    # raw float ts — probe 1 ms after the commit (still far before v2,
+    # appends are ~1 s apart) so the resolution is unambiguous
     iso = datetime.datetime.fromtimestamp(
-        ts1, datetime.timezone.utc
+        ts1 + 0.001, datetime.timezone.utc
     ).isoformat()
     assert TL.version_at_timestamp(root, iso) == 1
     assert TL.log_read(spark, root, timestamp_as_of=ts1).count() == n01
@@ -635,3 +638,21 @@ def test_cdf_stream_starting_version(spark, root):
     } == {1, 2}
     assert got.count() == o.filter("o_orderkey % 3 IN (1, 2)").count()
     spark.catalog.dropTempView(qname)
+
+
+def test_cdf_over_clone_initial_content(spark, root):
+    """The change feed of a CLONE emits the clone's v0 content (the
+    source snapshot, vectors applied) as inserts, then clone-local
+    commits as usual."""
+    TS.register(spark)
+    o = _orders(spark)
+    src, dst = os.path.join(root, "src"), os.path.join(root, "dst")
+    TL.log_append(spark, src, o)
+    TL.log_delete_where_mor(spark, src, "o_orderstatus = 'F'")
+    TL.log_clone(src, dst)
+    TL.log_delete_where(spark, dst, "o_orderkey % 5 = 0")
+    cdf = _cdf_batch(spark, dst)
+    v0 = cdf.filter("_commit_version = 0")
+    assert v0.filter("_change_type = 'delete'").count() == 0
+    assert v0.count() == o.filter("o_orderstatus <> 'F'").count()
+    assert _rows(_fold(cdf)) == _rows(TL.log_read(spark, dst).select(*COLS))
