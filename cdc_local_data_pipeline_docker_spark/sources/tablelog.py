@@ -634,6 +634,18 @@ def _physical_columns(root: str, state: dict) -> list[str]:
     return names
 
 
+def _constraint_references(constraints: dict[str, str], col: str) -> list[str]:
+    """Names of constraints whose expression references ``col`` as a
+    word (fail-closed guard for column DDL: renaming or dropping a
+    constrained column would silently break enforcement — Delta refuses
+    the same way)."""
+    return sorted(
+        n
+        for n, e in constraints.items()
+        if re.search(rf"\b{re.escape(col)}\b", e)
+    )
+
+
 def log_rename_column(root: str, old: str, new: str) -> int:
     """RENAME COLUMN as a metadata-only commit: the logical name changes
     in the mapping; every data file keeps its physical column name —
@@ -650,6 +662,13 @@ def log_rename_column(root: str, old: str, new: str) -> int:
         raise ValueError(f"no such column: {old}")
     if new in colmap:
         raise ValueError(f"column already exists: {new}")
+    refs = _constraint_references(state["constraints"], old)
+    if refs:
+        raise ValueError(
+            f"cannot rename {old!r}: CHECK constraint(s) {refs} reference "
+            "it — drop the constraint(s) first, rename, then re-add over "
+            "the new name"
+        )
     colmap = {(new if l == old else l): p for l, p in colmap.items()}
     manifest = {
         "version": base + 1,
@@ -680,6 +699,12 @@ def log_drop_column(root: str, col: str) -> int:
         colmap = {c: c for c in _physical_columns(root, state)}
     if col not in colmap:
         raise ValueError(f"no such column: {col}")
+    refs = _constraint_references(state["constraints"], col)
+    if refs:
+        raise ValueError(
+            f"cannot drop {col!r}: CHECK constraint(s) {refs} reference "
+            "it — drop the constraint(s) first"
+        )
     colmap = {l: p for l, p in colmap.items() if l != col}
     if not colmap:
         raise ValueError("cannot drop the last column")

@@ -638,7 +638,7 @@ def _tablelog_ops(draw):
             if i == 0
             else draw(st.sampled_from(
                 ["append", "delete", "delete_mor", "merge", "compact",
-                 "compact_small", "rename", "restore"]
+                 "compact_small", "rename", "restore", "purge"]
             ))
         )
         if kind == "append":
@@ -670,6 +670,10 @@ def _tablelog_ops(draw):
             ops.append(("restore", draw(st.integers(0, i - 1))))
         elif kind == "compact_small":
             ops.append(("compact_small", draw(st.integers(1, 2))))
+        elif kind == "purge":
+            # r9: REORG APPLY (PURGE) — content-identical DV
+            # materialization at a random debt floor
+            ops.append(("purge", draw(st.sampled_from([0.0, 0.5]))))
         else:
             ops.append(("compact", draw(st.integers(1, 3))))
     return ops
@@ -736,6 +740,8 @@ def test_tablelog_model_based(spark, ops):
                 TL.log_compact_small_files(
                     spark, root, small_max_rows=10**9, target_files=arg
                 )
+            elif kind == "purge":
+                TL.log_reorg_purge(spark, root, min_dead_fraction=arg)
             else:
                 TL.log_compact(spark, root, target_files=arg)
             snapshots.append((dict(model), val_name))
@@ -746,6 +752,41 @@ def test_tablelog_model_based(spark, ops):
             assert set(df.columns) == {"k", vname}, f"version {v} columns"
             got = {r["k"]: r[vname] for r in df.collect()}
             assert got == snap, f"version {v}: {got} != {snap}"
+        # r9: the CHANGE DATA FEED fold theorem on the same random
+        # history — for the final version and one interior version, the
+        # signed-multiset fold of changes [0..v] must equal the model
+        # at v (CDF rows surface under the FINAL colmap's logical names;
+        # rename is metadata-only so values are unaffected)
+        from pyspark.sql import functions as F
+
+        from cdc_local_data_pipeline_docker_spark.sources import (
+            tablelog_source as TLS,
+        )
+
+        TLS.register(spark)
+        fname = snapshots[-1][1]
+        last_v = len(snapshots) - 1
+        for v in sorted({last_v, last_v // 2}):
+            cdf = (
+                spark.read.format("tablelog")
+                .option("path", root)
+                .option("readChangeFeed", "true")
+                .option("endingVersion", str(v))
+                .load()
+            )
+            folded = (
+                cdf.groupBy("k", fname)
+                .agg(
+                    F.sum(
+                        F.when(
+                            F.col("_change_type") == "insert", 1
+                        ).otherwise(-1)
+                    ).alias("_net")
+                )
+                .filter("_net = 1")
+            )
+            got = {r["k"]: r[fname] for r in folded.collect()}
+            assert got == snapshots[v][0], f"CDF fold at v{v}"
         # vacuum must not disturb any retained version
         TL.log_vacuum(root)
         final_snap, final_name = snapshots[-1]

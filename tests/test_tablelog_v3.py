@@ -656,3 +656,21 @@ def test_cdf_over_clone_initial_content(spark, root):
     assert v0.filter("_change_type = 'delete'").count() == 0
     assert v0.count() == o.filter("o_orderstatus <> 'F'").count()
     assert _rows(_fold(cdf)) == _rows(TL.log_read(spark, dst).select(*COLS))
+
+
+def test_constrained_column_ddl_fails_closed(spark, root):
+    """Renaming or dropping a column a CHECK constraint references is
+    refused (enforcement would silently break otherwise); after DROP
+    CONSTRAINT the DDL passes."""
+    o = _orders(spark)
+    TL.log_append(spark, root, o)
+    TL.log_add_constraint(spark, root, "price_pos", "o_totalprice > 0")
+    with pytest.raises(ValueError, match="price_pos"):
+        TL.log_rename_column(root, "o_totalprice", "total")
+    with pytest.raises(ValueError, match="price_pos"):
+        TL.log_drop_column(root, "o_totalprice")
+    # an unreferenced column still renames freely
+    TL.log_rename_column(root, "o_orderstatus", "status")
+    TL.log_drop_constraint(root, "price_pos")
+    TL.log_rename_column(root, "o_totalprice", "total")
+    assert "total" in TL.log_read(spark, root).columns
