@@ -674,3 +674,69 @@ def test_constrained_column_ddl_fails_closed(spark, root):
     TL.log_drop_constraint(root, "price_pos")
     TL.log_rename_column(root, "o_totalprice", "total")
     assert "total" in TL.log_read(spark, root).columns
+
+
+def test_partition_spec_evolution(spark, root):
+    """PARTITION EVOLUTION (the Iceberg capability): each commit may
+    use a different partition spec — per-FILE partition values in the
+    manifest mean old files prune under their own spec and new files
+    under theirs; a reader probing the source column skips correctly
+    across the mixed layout, and unpartitioned files are simply never
+    partition-pruned (safe-only)."""
+    o = _orders(spark).withColumn(
+        "o_orderdate",
+        F.expr("date_add(DATE '1995-01-01', CAST(o_orderkey % 700 AS INT))"),
+    )
+    # v0: unpartitioned; v1: month layout; v2: bucket layout
+    TL.log_append(spark, root, o.filter("o_orderkey % 3 = 0").coalesce(2))
+    TL.log_append(
+        spark,
+        root,
+        o.filter("o_orderkey % 3 = 1").coalesce(2),
+        partition_by=["month(o_orderdate)"],
+    )
+    TL.log_append(
+        spark,
+        root,
+        o.filter("o_orderkey % 3 = 2").coalesce(2),
+        partition_by=["bucket(8, o_orderkey)"],
+    )
+    import datetime
+
+    lo, hi = datetime.date(1995, 3, 1), datetime.date(1995, 4, 30)
+    pruned = TL.log_read(spark, root, prune=("o_orderdate", lo, hi)).filter(
+        (F.col("o_orderdate") >= F.lit(lo)) & (F.col("o_orderdate") <= F.lit(hi))
+    )
+    full = TL.log_read(spark, root).filter(
+        (F.col("o_orderdate") >= F.lit(lo)) & (F.col("o_orderdate") <= F.lit(hi))
+    )
+    assert _rows(pruned.select(*COLS)) == _rows(full.select(*COLS))
+    # the month-layout files outside the window are actually skipped,
+    # while v0/v2 files (no month values) are all kept — safe-only
+    state = TL._snapshot(root)
+    kept = TL._prune_by_partitions(
+        spark, state["live"], state["parts"], "o_orderdate", lo=lo, hi=hi
+    )
+    month_files = [
+        f
+        for f in state["live"]
+        if "month(o_orderdate)" in (state["parts"].get(f) or {})
+    ]
+    assert len(month_files) > 2  # the month layout split into months
+    kept_months = [f for f in kept if f in set(month_files)]
+    assert len(kept_months) < len(month_files)  # real skipping happened
+    other = set(state["live"]) - set(month_files)
+    assert other <= set(kept)  # differently-specced files never skipped
+    # a key point-probe prunes the BUCKET-layout files under their spec
+    key = o.filter("o_orderkey % 3 = 2").first()["o_orderkey"]
+    kept_pt = TL._prune_by_partitions(
+        spark, state["live"], state["parts"], "o_orderkey", value=key
+    )
+    bucket_files = [
+        f
+        for f in state["live"]
+        if any(k.startswith("bucket(") for k in (state["parts"].get(f) or {}))
+    ]
+    assert len([f for f in kept_pt if f in set(bucket_files)]) < len(
+        bucket_files
+    )
