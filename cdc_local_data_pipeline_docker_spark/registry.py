@@ -1094,6 +1094,13 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         TLG.tablelog_small_file_compaction,
         TLG.TABLELOG_SMALL_FILE_COMPACTION_SQL,
     ),
+    # r9: the MEDALLION chain — bronze changelog -> silver tablelog
+    # (per-batch ACID MERGE) -> gold aggregate maintained from the
+    # silver table's STREAMING change data feed (no silver rescans)
+    "stream_cdf_gold_view": (
+        TLU.stream_cdf_gold_view,
+        IV.CDC_INCREMENTAL_AGG_VIEW_SQL,
+    ),
     # r9: zero-copy SHALLOW CLONE (point-in-time fork by reference; the
     # fork's CoW delete must not touch the source — asserted in-entry)
     "tablelog_shallow_clone": (

@@ -247,3 +247,90 @@ def stream_tablelog_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         return TL._materialized_scan(spark, out)
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+def stream_cdf_gold_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: the MEDALLION chain end-to-end (r9) —
+
+      bronze: the orders changelog, drained as 3 micro-batches
+      silver: the tablelog table maintained by per-batch ACID MERGE
+              commits (file-level CoW, batch-id exactly-once)
+      gold:   the per-status aggregate derived from the silver table's
+              STREAMING CHANGE DATA FEED — the downstream consumer
+              never rescans silver: it reads `readChangeFeed` (merge
+              commits surface as pre-image deletes + post-image
+              inserts), folds the signed multiset to the latest state,
+              filters tombstone markers, and aggregates.
+
+    This is the lakehouse CDF→downstream-view pattern (Delta's
+    table_changes feeding a gold table) composed from this engine's own
+    pieces. At 100 TB the gold maintenance cost is the CHANGED bytes
+    per commit, never the silver scan. Oracle: the per-status aggregate
+    of full-changelog latest-state (the cdc_incremental_agg_view SQL).
+
+    sf_dir is unused (CDC input is the seeded change stream)."""
+    import shutil
+    import tempfile
+
+    from ..cdc.queries import ensure_fixtures
+    from ..sources import tablelog_source as TLS
+
+    d = ensure_fixtures()
+    work = tempfile.mkdtemp(prefix="cdf_gold_")
+    try:
+        with open(os.path.join(d, "orders.jsonl")) as fh:
+            lines = fh.readlines()
+        ev_dir = os.path.join(work, "events")
+        os.makedirs(ev_dir)
+        n = len(lines)
+        cuts = [0, n // 3, 2 * n // 3, n]
+        for i in range(3):
+            with open(
+                os.path.join(ev_dir, f"orders_chunk{i}.jsonl"), "w"
+            ) as out:
+                out.writelines(lines[cuts[i]:cuts[i + 1]])
+        root = os.path.join(work, "table")
+        start_tablelog_upsert_stream(spark, ev_dir, "orders", root, work)
+        # gold: stream the silver table's change feed and fold
+        TLS.register(spark)
+        qname = f"cdf_gold_{uuid.uuid4().hex[:8]}"
+        q = (
+            spark.readStream.format("tablelog")
+            .option("path", root)
+            .option("readChangeFeed", "true")
+            .load()
+            .writeStream.format("memory")
+            .queryName(qname)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        cols = _state_cols("orders")
+        latest = (
+            spark.table(qname)
+            .groupBy(*cols)
+            .agg(
+                F.sum(
+                    F.when(F.col("_change_type") == "insert", 1).otherwise(
+                        -1
+                    )
+                ).alias("_net")
+            )
+            .filter(F.col("_net") == 1)
+        )
+        gold = (
+            latest.filter(~F.col("is_tombstone"))
+            .groupBy("status")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(F.col("total_amount").cast("decimal(18,2)"))
+                .cast("double")
+                .alias("total_amount_sum"),
+            )
+            .orderBy("status")
+        )
+        res = TL._materialized_scan(spark, gold)
+        spark.catalog.dropTempView(qname)
+        return res
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

@@ -88,6 +88,7 @@ COVERED_BY = {
     # r9 third wave: CDF-as-stream (graded CDF sibling: the IVM fold),
     # shallow clone + REORG PURGE (snapshot/maintenance family), CHECK
     # constraints (write-path enforcement family)
+    "stream_cdf_gold_view": "tablelog_cdf_agg_view",
     "tablelog_shallow_clone": "tablelog_time_travel",
     "tablelog_reorg_purge": "tablelog_time_travel",
     "tablelog_check_constraint": "tablelog_writer_roundtrip",

@@ -740,3 +740,28 @@ def test_partition_spec_evolution(spark, root):
     assert len([f for f in kept_pt if f in set(bucket_files)]) < len(
         bucket_files
     )
+
+
+def test_medallion_cdf_gold_view(spark):
+    """Bronze changelog -> silver MERGE table -> gold from the silver
+    CDF stream: the maintained aggregate equals the full-changelog
+    recompute (the registry oracle), proving merge commits are
+    CDF-expressible end-to-end."""
+    import duckdb
+
+    from cdc_local_data_pipeline_docker_spark.streaming import (
+        tablelog_upsert as TLU,
+    )
+    from cdc_local_data_pipeline_docker_spark.streaming.incremental_view import (
+        CDC_INCREMENTAL_AGG_VIEW_SQL,
+    )
+
+    out = TLU.stream_cdf_gold_view(spark, SF)
+    got = sorted(tuple(r) for r in out.collect())
+    exp = sorted(
+        map(
+            tuple,
+            duckdb.connect().execute(CDC_INCREMENTAL_AGG_VIEW_SQL).fetchall(),
+        )
+    )
+    assert got == exp
