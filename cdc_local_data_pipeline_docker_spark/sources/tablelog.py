@@ -1459,6 +1459,17 @@ def _commit(root: str, version: int, manifest: dict) -> int:
     checkpoint (best-effort; see _maybe_checkpoint)."""
     log = _log_path(root)
     os.makedirs(log, exist_ok=True)
+    # TIMESTAMP MONOTONICITY (the Delta commit-timestamp adjustment):
+    # TIMESTAMP AS OF binary-searches commit timestamps, so a
+    # wall-clock step backwards (NTP, VM migration) must never record
+    # ts(v) < ts(v-1) — clamp to the previous commit's ts + 1 µs
+    if version > 0 and "ts" in manifest:
+        try:
+            prev_ts = float(_read_manifest(root, version - 1).get("ts", 0.0))
+            if manifest["ts"] < prev_ts:
+                manifest["ts"] = prev_ts + 1e-6
+        except FileNotFoundError:
+            pass  # history trimmed below us — nothing to clamp against
     tmp = os.path.join(log, f".tmp-{uuid.uuid4().hex}.json")
     with open(tmp, "w") as fh:
         json.dump(manifest, fh, sort_keys=True)
@@ -1538,6 +1549,13 @@ def log_append(
             raise CommitConflict(
                 "column mapping changed during append — re-prepare"
             )
+        if cur["constraints"] != state0["constraints"]:
+            # a CHECK constraint landed while we were writing: the
+            # pre-write validation ran against the OLD set, so committing
+            # now could publish violating rows — re-validate against the
+            # new set before rebasing (Delta's metadata conflict check)
+            _validate_constraints(df, cur["constraints"])
+            state0 = {**state0, "constraints": cur["constraints"]}
         manifest = {
             "version": version,
             "action": "append",

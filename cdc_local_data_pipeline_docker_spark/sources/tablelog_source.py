@@ -1183,6 +1183,7 @@ class TablelogWriter(DataSourceArrowWriter):
         # discipline produces); richer expressions route to log_append,
         # whose enforcement is full Spark SQL.
         self.constraints: list[tuple[str, str, list]] = []
+        self._constraints_at_init = dict(state["constraints"])
         for cname, cexpr in state["constraints"].items():
             conj = TL._strict_conjuncts(cexpr)
             if conj is None:
@@ -1509,6 +1510,15 @@ class TablelogWriter(DataSourceArrowWriter):
             if cur["colmap"] is not None:
                 raise TL.CommitConflict(
                     "column mapping appeared during DataSource write"
+                )
+            if cur["constraints"] != self._constraints_at_init:
+                # enforcement ran executor-side against the INIT-time
+                # constraint set; a set that changed mid-write cannot be
+                # re-checked without re-reading the files — fail closed
+                # (the written files stay invisible, vacuumable orphans)
+                raise TL.CommitConflict(
+                    "CHECK constraints changed during DataSource write — "
+                    "retry the write"
                 )
             manifest = {
                 "version": version,

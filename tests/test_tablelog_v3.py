@@ -765,3 +765,118 @@ def test_medallion_cdf_gold_view(spark):
         )
     )
     assert got == exp
+
+
+def test_commit_timestamp_monotonic_under_clock_skew(spark, root):
+    """A wall-clock step backwards must not break TIMESTAMP AS OF's
+    binary search: _commit clamps a regressing ts to prev + 1 µs."""
+    o = _orders(spark)
+    TL.log_append(spark, root, o.filter("o_orderkey % 2 = 0"))  # v0
+    # simulate skew: hand-commit a manifest whose ts is in the past
+    base = TL._latest_version(root)
+    skewed = {
+        "version": base + 1,
+        "action": "append",
+        "add": [],
+        "remove": [],
+        "schemas": TL._snapshot(root)["schemas"],
+        "ts": TL._read_manifest(root, base)["ts"] - 3600.0,
+    }
+    TL._commit(root, base + 1, skewed)
+    TL.log_append(spark, root, o.filter("o_orderkey % 2 = 1"))  # v2
+    ts = [TL._read_manifest(root, v)["ts"] for v in TL._versions(root)]
+    assert ts == sorted(ts)
+    assert ts[1] > ts[0]
+    # the search stays correct at every recorded instant
+    for v, t in enumerate(ts):
+        assert TL.version_at_timestamp(root, t) == v
+
+
+def test_append_revalidates_on_concurrent_constraint(spark, root):
+    """An append racing an ADD CONSTRAINT must re-validate against the
+    new set when it rebases — a violating write can never slip in
+    behind a constraint commit (Delta's metadata conflict check)."""
+    o = _orders(spark)
+    TL.log_append(spark, root, o.filter("o_orderkey % 2 = 0"))
+    bad = o.filter("o_orderkey % 2 = 1").withColumn(
+        "o_totalprice", -F.col("o_totalprice")
+    )
+    # interleave: the constraint lands between the append's pre-write
+    # validation (against the old set) and its commit — simulated by
+    # adding the constraint inside the append's version race via a
+    # monkeypatched _latest_version that fires once
+    real_latest = TL._latest_version
+    fired = {"done": False}
+
+    def racy_latest(r):
+        if r == root and not fired["done"]:
+            fired["done"] = True
+            v = real_latest(r)
+            TL.log_add_constraint(
+                spark, r, "price_pos", "o_totalprice > 0"
+            )
+            return v  # stale answer -> the append hits CommitConflict
+        return real_latest(r)
+
+    TL._latest_version = racy_latest
+    try:
+        with pytest.raises(TL.ConstraintViolation, match="price_pos"):
+            TL.log_append(spark, root, bad)
+    finally:
+        TL._latest_version = real_latest
+    # the rejected write left no version beyond the constraint commit
+    assert TL._read_manifest(
+        root, TL._latest_version(root)
+    )["action"] == "add_constraint"
+    # a valid append under the same race goes through (re-validated ok)
+    fired["done"] = False
+
+    def racy_latest2(r):
+        if r == root and not fired["done"]:
+            fired["done"] = True
+            v = real_latest(r)
+            TL.log_drop_constraint(r, "price_pos")
+            return v
+        return real_latest(r)
+
+    TL._latest_version = racy_latest2
+    try:
+        TL.log_append(spark, root, o.filter("o_orderkey % 2 = 1"))
+    finally:
+        TL._latest_version = real_latest
+    assert TL.log_read(spark, root).count() == o.count()
+
+
+def test_cdf_under_column_mapping(spark, root):
+    """The change feed surfaces LOGICAL column names through renames:
+    files written before a RENAME COLUMN carry the old physical name,
+    but the feed (schema fixed at read time) maps them — and the fold
+    still reconstructs the final snapshot."""
+    TS.register(spark)
+    o = _orders(spark)
+    TL.log_append(spark, root, o.filter("o_orderkey % 2 = 0"))  # v0
+    TL.log_rename_column(root, "o_totalprice", "price")  # v1 (metadata)
+    TL.log_append(
+        spark,
+        root,
+        o.filter("o_orderkey % 2 = 1").withColumnRenamed(
+            "o_totalprice", "price"
+        ),
+    )  # v2
+    TL.log_delete_where(spark, root, "o_orderstatus = 'F'")  # v3
+    cdf = _cdf_batch(spark, root)
+    assert "price" in cdf.columns and "o_totalprice" not in cdf.columns
+    cols = ["o_orderkey", "o_orderstatus", "price"]
+    folded = (
+        cdf.groupBy(*cols)
+        .agg(
+            F.sum(
+                F.when(F.col("_change_type") == "insert", 1).otherwise(-1)
+            ).alias("_net")
+        )
+        .filter("_net = 1")
+        .select(*cols)
+    )
+    assert _rows(folded) == _rows(TL.log_read(spark, root).select(*cols))
+    # the rename itself (v1) streams nothing
+    assert cdf.filter("_commit_version = 1").count() == 0
