@@ -238,6 +238,9 @@ def main(argv: list[str] | None = None) -> int:
                     "version": v,
                     "n_live_files": len(TL._live_files(root, v)),
                     "n_live_rows": read_live(spark, root, t).count(),
+                    # DESCRIBE DETAIL (r9): size/DV-debt/spec/constraint
+                    # facts for the maintenance operator's dashboard
+                    "detail": TL.log_detail(root),
                 }
             )
         payload["tablelog"] = tl_report

@@ -2093,7 +2093,9 @@ def log_history(root: str) -> list[dict]:
     return out
 
 
-def log_vacuum(root: str, retain_versions: int = 0) -> list[str]:
+def log_vacuum(
+    root: str, retain_versions: int = 0, dry_run: bool = False
+) -> list[str]:
     """Delete data files referenced by NO retained manifest: crash
     orphans (written but never committed) and, when ``retain_versions``
     trims history, files only old versions referenced. Returns the
@@ -2102,7 +2104,11 @@ def log_vacuum(root: str, retain_versions: int = 0) -> list[str]:
     so time travel never dangles. When trimming would remove the oldest
     retained version's replay base, a fresh checkpoint is written at
     that version first (the log stays resolvable by construction);
-    checkpoints below the trim floor are removed with their manifests."""
+    checkpoints below the trim floor are removed with their manifests.
+
+    ``dry_run=True`` (VACUUM DRY RUN) returns the would-delete list
+    without touching files, manifests, or checkpoints — the standard
+    pre-flight before a retention-trimming vacuum."""
     vs = _versions(root)
     if not vs:
         return []
@@ -2115,7 +2121,7 @@ def log_vacuum(root: str, retain_versions: int = 0) -> list[str]:
         has_base = "live" in m0 or any(
             c in (keep[0] - 1, keep[0]) for c in _checkpoint_versions(root)
         )
-        if not has_base:
+        if not has_base and not dry_run:
             log_checkpoint(root, keep[0])
     # referenced files: one incremental replay across retained versions
     referenced: set[str] = set()
@@ -2136,8 +2142,11 @@ def log_vacuum(root: str, retain_versions: int = 0) -> list[str]:
         for f in files:
             rel = os.path.relpath(os.path.join(dirpath, f), root)
             if f.endswith(".parquet") and rel not in referenced:
-                os.unlink(os.path.join(dirpath, f))
+                if not dry_run:
+                    os.unlink(os.path.join(dirpath, f))
                 deleted.append(rel)
+    if dry_run:
+        return sorted(deleted)
     for v in vs:
         if v not in keep:
             os.unlink(os.path.join(_log_path(root), _manifest_name(v)))
@@ -3588,3 +3597,48 @@ SELECT o_orderkey, o_orderstatus, o_totalprice
 FROM orders
 ORDER BY o_orderkey
 """
+
+
+def log_detail(root: str) -> dict:
+    """DESCRIBE DETAIL: one dict of table facts resolved from the log —
+    version, file/byte counts, deletion-vector debt, partition specs in
+    use, constraints, column mapping, external (shallow-clone) refs,
+    checkpoint coverage. Driver-side metadata only (manifest replay +
+    parquet footers for row counts would be O(files); byte sizes come
+    from stat(2) — still O(files), KBs of work for thousands of files)."""
+    v = _latest_version(root)
+    if v is None:
+        raise ValueError(f"no table at {root}")
+    state = _snapshot(root, v)
+    sizes = []
+    external = 0
+    for f in state["live"]:
+        p = os.path.join(root, f)
+        if os.path.isabs(f):
+            external += 1
+        try:
+            sizes.append(os.path.getsize(p))
+        except OSError:
+            sizes.append(0)
+    specs = sorted({k for rec in state["parts"].values() for k in rec})
+    dv_bytes = 0
+    for d in state["dv"].values():
+        try:
+            dv_bytes += os.path.getsize(os.path.join(root, d))
+        except OSError:
+            pass
+    ckpts = _checkpoint_versions(root)
+    return {
+        "version": v,
+        "num_files": len(state["live"]),
+        "size_bytes": sum(sizes),
+        "num_external_files": external,
+        "num_deletion_vectors": len(state["dv"]),
+        "deletion_vector_bytes": dv_bytes,
+        "partition_specs": specs,
+        "constraints": dict(state["constraints"]),
+        "column_mapping": state["colmap"],
+        "num_physical_schemas": len(state["schemas"]),
+        "last_checkpoint": ckpts[-1] if ckpts else None,
+        "num_versions_retained": len(_versions(root)),
+    }

@@ -880,3 +880,38 @@ def test_cdf_under_column_mapping(spark, root):
     assert _rows(folded) == _rows(TL.log_read(spark, root).select(*cols))
     # the rename itself (v1) streams nothing
     assert cdf.filter("_commit_version = 1").count() == 0
+
+
+def test_describe_detail_and_vacuum_dry_run(spark, root):
+    o = _orders(spark)
+    TL.log_append(
+        spark,
+        root,
+        o.filter("o_orderkey % 2 = 0"),
+        partition_by=["bucket(4, o_orderkey)"],
+    )
+    TL.log_append(spark, root, o.filter("o_orderkey % 2 = 1"))
+    TL.log_delete_where_mor(spark, root, "o_orderstatus = 'F'")
+    TL.log_add_constraint(spark, root, "price_pos", "o_totalprice > 0")
+    d = TL.log_detail(root)
+    assert d["version"] == 3
+    assert d["num_files"] == len(TL._snapshot(root)["live"])
+    assert d["size_bytes"] > 0
+    assert d["num_deletion_vectors"] >= 1
+    assert d["deletion_vector_bytes"] > 0
+    assert d["partition_specs"] == ["bucket(4,o_orderkey)"]
+    assert d["constraints"] == {"price_pos": "o_totalprice > 0"}
+    assert d["num_external_files"] == 0
+    # orphan a file, then: dry run lists it but deletes nothing
+    orphan = os.path.join(root, TL._DATA_DIR, "zzz", "orphan.parquet")
+    os.makedirs(os.path.dirname(orphan))
+    o.limit(1).toPandas().to_parquet(orphan)
+    would = TL.log_vacuum(root, dry_run=True)
+    assert would == [os.path.relpath(orphan, root)]
+    assert os.path.exists(orphan)
+    assert TL.log_read(spark, root).count() == o.filter(
+        "o_orderstatus <> 'F'"
+    ).count()
+    # the real vacuum then deletes exactly the dry run's list
+    assert TL.log_vacuum(root) == would
+    assert not os.path.exists(orphan)
