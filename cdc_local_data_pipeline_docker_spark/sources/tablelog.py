@@ -1822,36 +1822,66 @@ def log_update_where(
         colmap,
     )
     types = {f.name: f.dataType for f in rewritten.schema.fields}
-    cond = F.expr(predicate)
+    out_cols = list(rewritten.columns)
+    # the match bit is computed ONCE against the PRE-update image and
+    # carried as a marker column: assignments, constraint validation,
+    # and the CDF sidecars must all agree on which rows matched — a
+    # post-hoc re-filter on the predicate would bind POST-update values
+    # (an update that modifies a predicate column would escape its own
+    # constraint check and mislabel its change feed)
+    pre = rewritten.withColumn("__tl_upd", F.expr(predicate))
     # ONE simultaneous projection, not sequential withColumns: every
-    # assignment's RHS (and the predicate itself) must bind the
-    # PRE-update row image — a chained withColumn would let the second
-    # assignment's predicate see the first assignment's result (SQL
-    # UPDATE semantics are all-at-once)
+    # assignment's RHS must bind the PRE-update row image (SQL UPDATE
+    # semantics are all-at-once)
     assigned = {
-        col: F.when(cond, F.expr(expr).cast(types[col]))
+        col: F.when(F.col("__tl_upd"), F.expr(expr).cast(types[col]))
         .otherwise(F.col(col))
         .alias(col)
         for col, expr in assignments.items()
     }
-    rewritten = rewritten.select(
-        *[assigned.get(c, F.col(c)) for c in rewritten.columns]
+    post = pre.select(
+        *[assigned.get(c, F.col(c)) for c in out_cols], F.col("__tl_upd")
     )
     # constraints gate the rewrite before any file lands — only the
     # UPDATED rows can newly violate, so validate just that slice
     if state["constraints"]:
-        _validate_constraints(rewritten.filter(cond), state["constraints"])
-    survivors = _to_physical_loose(rewritten, colmap)
+        _validate_constraints(
+            post.filter("__tl_upd").drop("__tl_upd"), state["constraints"]
+        )
+    survivors = _to_physical_loose(post.drop("__tl_upd"), colmap)
     token = uuid.uuid4().hex[:12]
     stats_cols = sorted({c for s in state["stats"].values() for c in s})
     bloom_cols = sorted({c for b in state["blooms"].values() for c in b})
     added, new_stats, new_blooms, new_parts = _write_data_files(
         survivors, root, token, stats_cols, bloom_cols
     )
+    # COMMIT-TIME CHANGE FILES (the Delta CDC design): the matched
+    # rows' pre/post images land as sidecar parquet under the commit's
+    # own token dir — the change-feed reader then serves EXACT
+    # update_preimage / update_postimage rows for this commit and the
+    # carried (unmatched) rows of rewritten files emit nothing. The
+    # images are row-identical slices the update already computed; at
+    # 100 TB the sidecar cost tracks the MATCHED rows, the CDF read
+    # cost drops from rewritten-file volume to changed-row volume.
+    pre_files = _write_cdf_sidecar(
+        _to_physical_loose(pre.filter("__tl_upd").drop("__tl_upd"), colmap),
+        root,
+        token,
+        "pre",
+    )
+    post_files = _write_cdf_sidecar(
+        _to_physical_loose(post.filter("__tl_upd").drop("__tl_upd"), colmap),
+        root,
+        token,
+        "post",
+    )
     manifest = {
         "version": base + 1,
         "action": "update",
-        "add": added,
+        "add": added + pre_files + post_files,
+        "live_add": added,  # sidecars ride `add` for accounting only
+        "cdf_pre": pre_files,
+        "cdf_post": post_files,
         "remove": affected,
         "stats_add": new_stats,
         "blooms_add": new_blooms,
@@ -1862,6 +1892,22 @@ def log_update_where(
         "ts": time.time(),
     }
     return _commit(root, base + 1, manifest)
+
+
+def _write_cdf_sidecar(
+    df: DataFrame, root: str, token: str, tag: str
+) -> list[str]:
+    """Write one change-image slice as parquet under the commit token's
+    ``_cdf_<tag>`` dir; returns root-relative file paths (possibly
+    empty). Distributed write — image size tracks matched rows."""
+    rel_dir = os.path.join(_DATA_DIR, token, f"_cdf_{tag}")
+    out = os.path.join(root, rel_dir)
+    df.write.mode("overwrite").parquet(out)
+    return sorted(
+        os.path.join(rel_dir, f)
+        for f in os.listdir(out)
+        if f.endswith(".parquet")
+    )
 
 
 def log_merge(
@@ -2128,6 +2174,11 @@ def log_vacuum(
     state = _snapshot(root, keep[0])
     referenced.update(state["live"])
     referenced.update(state["dv"].values())
+    # a retained version's CDF sidecars (commit-time change files) stay
+    # readable for as long as the version itself is time-travelable
+    m0 = _read_manifest(root, keep[0])
+    referenced.update(m0.get("cdf_pre", []))
+    referenced.update(m0.get("cdf_post", []))
     for v in keep[1:]:
         m = _read_manifest(root, v)
         if "live" in m:
@@ -2136,6 +2187,8 @@ def log_vacuum(
             _apply_delta(state, m)
         referenced.update(state["live"])
         referenced.update(state["dv"].values())
+        referenced.update(m.get("cdf_pre", []))
+        referenced.update(m.get("cdf_post", []))
     deleted = []
     data_root = os.path.join(root, _DATA_DIR)
     for dirpath, _dirs, files in os.walk(data_root):

@@ -678,6 +678,26 @@ def _cdf_partitions(
             state = cur
             continue
         ts_us = int(float(m.get("ts", 0)) * 1_000_000)
+        if m.get("cdf_pre") is not None or m.get("cdf_post") is not None:
+            # COMMIT-TIME CHANGE FILES (UPDATE): exact pre/post images
+            # of the MATCHED rows — serve them and skip the
+            # file-granularity diff (carried rows emit nothing)
+            for f in m.get("cdf_pre", []):
+                out.append(
+                    _CDFPart(
+                        os.path.join(root, f), "update_preimage", v,
+                        ts_us, cols, out_schema,
+                    )
+                )
+            for f in m.get("cdf_post", []):
+                out.append(
+                    _CDFPart(
+                        os.path.join(root, f), "update_postimage", v,
+                        ts_us, cols, out_schema,
+                    )
+                )
+            state = cur
+            continue
         prev_live, cur_live = set(state["live"]), set(cur["live"])
 
         def dvp(rel: str | None) -> str | None:
@@ -1740,13 +1760,19 @@ def stream_tablelog_cdf(spark, sf_dir: str):
       v2     CoW DELETE  o_orderstatus = 'F'  → delete pre-images +
                                                  insert rewrites
       v3     MoR DELETE  o_orderkey % 5 = 0   → DV-diff deletes only
-      v4     OPTIMIZE (compact)               → streams NOTHING
+      v4     UPDATE 'P' rows (+1000 price)    → EXACT update_preimage /
+                                                 update_postimage rows
+                                                 from commit-time change
+                                                 files (carried rows
+                                                 emit nothing)
+      v5     OPTIMIZE (compact)               → streams NOTHING
 
-    The drained feed is folded as a SIGNED MULTISET (insert = +1,
-    delete = −1; net 1 = live) — the replay-exactness contract: the
-    fold must reconstruct the final snapshot row-for-row, proving the
-    feed is a sufficient interface for downstream incremental
-    consumers. Oracle: the final-state predicate in SQL."""
+    The drained feed is folded as a SIGNED MULTISET (insert /
+    update_postimage = +1, delete / update_preimage = −1; net 1 =
+    live) — the replay-exactness contract: the fold must reconstruct
+    the final snapshot row-for-row, proving the feed is a sufficient
+    interface for downstream incremental consumers. Oracle: the
+    final-state predicate (with the CASE price adjustment) in SQL."""
     import shutil
     import tempfile
     import uuid
@@ -1766,6 +1792,12 @@ def stream_tablelog_cdf(spark, sf_dir: str):
             )
         TL.log_delete_where(spark, root, "o_orderstatus = 'F'")
         TL.log_delete_where_mor(spark, root, "o_orderkey % 5 = 0")
+        TL.log_update_where(
+            spark,
+            root,
+            "o_orderstatus = 'P'",
+            {"o_totalprice": "o_totalprice + 1000"},
+        )
         TL.log_compact(spark, root, target_files=2)
         qname = f"tablelog_cdf_{uuid.uuid4().hex[:8]}"
         q = (
@@ -1784,7 +1816,12 @@ def stream_tablelog_cdf(spark, sf_dir: str):
             .groupBy(*cols)
             .agg(
                 F.sum(
-                    F.when(F.col("_change_type") == "insert", 1).otherwise(-1)
+                    F.when(
+                        F.col("_change_type").isin(
+                            "insert", "update_postimage"
+                        ),
+                        1,
+                    ).otherwise(-1)
                 ).alias("_net")
             )
             .filter(F.col("_net") == 1)
@@ -1799,7 +1836,10 @@ def stream_tablelog_cdf(spark, sf_dir: str):
 
 
 STREAM_TABLELOG_CDF_SQL = """
-SELECT o_orderkey, o_orderstatus, o_totalprice
+SELECT o_orderkey,
+       o_orderstatus,
+       CASE WHEN o_orderstatus = 'P' THEN o_totalprice + 1000
+            ELSE o_totalprice END AS o_totalprice
 FROM orders
 WHERE o_orderstatus <> 'F' AND o_orderkey % 5 <> 0
 ORDER BY o_orderkey

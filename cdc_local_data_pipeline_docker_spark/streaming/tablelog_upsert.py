@@ -311,9 +311,12 @@ def stream_cdf_gold_view(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy(*cols)
             .agg(
                 F.sum(
-                    F.when(F.col("_change_type") == "insert", 1).otherwise(
-                        -1
-                    )
+                    F.when(
+                        F.col("_change_type").isin(
+                            "insert", "update_postimage"
+                        ),
+                        1,
+                    ).otherwise(-1)
                 ).alias("_net")
             )
             .filter(F.col("_net") == 1)

@@ -779,7 +779,10 @@ def test_tablelog_model_based(spark, ops):
                 .agg(
                     F.sum(
                         F.when(
-                            F.col("_change_type") == "insert", 1
+                            F.col("_change_type").isin(
+                                "insert", "update_postimage"
+                            ),
+                            1,
                         ).otherwise(-1)
                     ).alias("_net")
                 )

@@ -50,7 +50,10 @@ def _fold(cdf):
         cdf.groupBy(*COLS)
         .agg(
             F.sum(
-                F.when(F.col("_change_type") == "insert", 1).otherwise(-1)
+                F.when(
+                    F.col("_change_type").isin("insert", "update_postimage"),
+                    1,
+                ).otherwise(-1)
             ).alias("_net")
         )
         .filter("_net = 1")
@@ -871,7 +874,10 @@ def test_cdf_under_column_mapping(spark, root):
         cdf.groupBy(*cols)
         .agg(
             F.sum(
-                F.when(F.col("_change_type") == "insert", 1).otherwise(-1)
+                F.when(
+                    F.col("_change_type").isin("insert", "update_postimage"),
+                    1,
+                ).otherwise(-1)
             ).alias("_net")
         )
         .filter("_net = 1")
@@ -915,3 +921,77 @@ def test_describe_detail_and_vacuum_dry_run(spark, root):
     # the real vacuum then deletes exactly the dry run's list
     assert TL.log_vacuum(root) == would
     assert not os.path.exists(orphan)
+
+
+def test_update_cdf_sidecars_exact_labels(spark, root):
+    """UPDATE commits write commit-time change files: the feed serves
+    EXACT update_preimage/update_postimage rows for the matched slice
+    only (carried rows emit nothing), values reflect the assignment,
+    the fold stays snapshot-exact, and vacuum keeps the sidecars while
+    their version is retained."""
+    TS.register(spark)
+    o = _orders(spark)
+    TL.log_append(spark, root, o.coalesce(2))  # v0: two files
+    TL.log_update_where(
+        spark,
+        root,
+        "o_orderstatus = 'P'",
+        {"o_totalprice": "o_totalprice * 2"},
+    )  # v1
+    n_p = o.filter("o_orderstatus = 'P'").count()
+    cdf = _cdf_batch(spark, root)
+    v1 = cdf.filter("_commit_version = 1")
+    by = {
+        r["_change_type"]: r["n"]
+        for r in v1.groupBy("_change_type").agg(F.count("*").alias("n")).collect()
+    }
+    # ONLY the matched rows, labeled — no delete/insert churn for the
+    # carried rows of the rewritten files
+    assert by == {"update_preimage": n_p, "update_postimage": n_p}
+    pre_sum = (
+        v1.filter("_change_type = 'update_preimage'")
+        .agg(F.sum("o_totalprice"))
+        .first()[0]
+    )
+    post_sum = (
+        v1.filter("_change_type = 'update_postimage'")
+        .agg(F.sum("o_totalprice"))
+        .first()[0]
+    )
+    assert abs(post_sum - 2 * pre_sum) < 1e-6 * abs(pre_sum)
+    assert _rows(_fold(cdf)) == _rows(TL.log_read(spark, root).select(*COLS))
+    # an update that REWRITES ITS OWN PREDICATE COLUMN still labels the
+    # matched slice (the match bit binds the pre-image) and still
+    # enforces constraints on it
+    TL.log_add_constraint(spark, root, "price_pos", "o_totalprice > 0")
+    with pytest.raises(TL.ConstraintViolation, match="price_pos"):
+        TL.log_update_where(
+            spark,
+            root,
+            "o_orderstatus = 'O'",
+            {"o_orderstatus": "'X'", "o_totalprice": "-o_totalprice"},
+        )
+    TL.log_drop_constraint(root, "price_pos")
+    TL.log_update_where(
+        spark, root, "o_orderstatus = 'O'", {"o_orderstatus": "'X'"}
+    )  # v4
+    cdf2 = _cdf_batch(spark, root, startingVersion="4")
+    n_o = o.filter("o_orderstatus = 'O'").count()
+    assert cdf2.filter("_change_type = 'update_postimage'").count() == n_o
+    assert (
+        cdf2.filter(
+            "_change_type = 'update_postimage' AND o_orderstatus = 'X'"
+        ).count()
+        == n_o
+    )
+    assert _rows(_fold(_cdf_batch(spark, root))) == _rows(
+        TL.log_read(spark, root).select(*COLS)
+    )
+    # vacuum keeps retained versions' sidecars (the feed still reads)...
+    assert TL.log_vacuum(root) == []
+    assert _cdf_batch(spark, root).filter(
+        "_change_type = 'update_preimage'"
+    ).count() > 0
+    # ...and drops them when history is trimmed below their version
+    deleted = TL.log_vacuum(root, retain_versions=1)
+    assert any("_cdf_" in f for f in deleted)
