@@ -1724,21 +1724,36 @@ def log_delete_where(spark: SparkSession, root: str, predicate: str) -> int:
         return _commit(root, base + 1, manifest)
     # rewrite reads THROUGH any deletion vectors on the affected files
     # (dead rows must not resurrect); their vectors then retire
-    survivors_logical = _to_logical_loose(
+    live_logical = _to_logical_loose(
         _read_with_dv(spark, root, affected, dvs, merge_schema=merge),
         colmap,
-    ).filter(~F.expr(predicate))
-    survivors = _to_physical_loose(survivors_logical, colmap)
+    )
+    survivors = _to_physical_loose(
+        live_logical.filter(~F.expr(predicate)), colmap
+    )
     token = uuid.uuid4().hex[:12]
     stats_cols = sorted({c for s in state["stats"].values() for c in s})
     bloom_cols = sorted({c for b in state["blooms"].values() for c in b})
     added, new_stats, new_blooms, new_parts = _write_data_files(
         survivors, root, token, stats_cols, bloom_cols
     )
+    # commit-time change file: the DELETED rows (live matches only —
+    # prior dead rows were their own commits' changes) as an exact
+    # 'delete' image, so the change feed never replays the rewritten
+    # files' carried rows (CDF volume = deleted rows, not file churn)
+    cdf_pre = _write_cdf_sidecar(
+        _to_physical_loose(live_logical.filter(F.expr(predicate)), colmap),
+        root,
+        token,
+        "pre",
+    )
     manifest = {
         "version": base + 1,
         "action": "delete",
-        "add": added,
+        "add": added + cdf_pre,
+        "live_add": added,
+        "cdf_pre": cdf_pre,
+        "cdf_post": [],
         "remove": affected,
         "stats_add": new_stats,
         "blooms_add": new_blooms,
@@ -2022,12 +2037,20 @@ def log_merge(
             f for f in probe_files if any(a.endswith(f) for a in affected_abs)
         ]
     survivors = None
+    matched_pre = None
     if affected:
         # rewrite reads through deletion vectors (dead rows must not
         # resurrect); the affected files' vectors then retire
-        survivors = _read_with_dv(
+        live_rows = _read_with_dv(
             spark, root, affected, dvs, merge_schema=merge_sch
-        ).join(F.broadcast(keys), phys_key, "left_anti")
+        )
+        survivors = live_rows.join(F.broadcast(keys), phys_key, "left_anti")
+        # the OLD images of the matched keys — the merge's pre-image
+        # slice (its distinct keys are exactly the change keys that
+        # already existed in the target)
+        matched_pre = live_rows.join(
+            F.broadcast(keys), phys_key, "left_semi"
+        )
     new_rows = (
         survivors.unionByName(changes_p, allowMissingColumns=True)
         if survivors is not None
@@ -2039,10 +2062,38 @@ def log_merge(
     added, new_stats, new_blooms, new_parts = _write_data_files(
         new_rows, root, token, stats_cols, bloom_cols
     )
+    # commit-time change files: matched keys' old/new images as
+    # update_preimage/update_postimage, unmatched change rows as
+    # inserts — the feed serves exact labeled changes and the carried
+    # rows of rewritten files emit nothing. The matched-key split
+    # broadcasts the (bounded) matched key set, one extra pass over
+    # the affected files only.
+    if matched_pre is not None:
+        mkeys = matched_pre.select(phys_key).distinct()
+        cdf_pre = _write_cdf_sidecar(matched_pre, root, token, "pre")
+        cdf_post = _write_cdf_sidecar(
+            changes_p.join(F.broadcast(mkeys), phys_key, "left_semi"),
+            root,
+            token,
+            "post",
+        )
+        cdf_ins = _write_cdf_sidecar(
+            changes_p.join(F.broadcast(mkeys), phys_key, "left_anti"),
+            root,
+            token,
+            "ins",
+        )
+    else:
+        cdf_pre, cdf_post = [], []
+        cdf_ins = _write_cdf_sidecar(changes_p, root, token, "ins")
     manifest = {
         "version": base + 1,
         "action": "merge",
-        "add": added,
+        "add": added + cdf_pre + cdf_post + cdf_ins,
+        "live_add": added,
+        "cdf_pre": cdf_pre,
+        "cdf_post": cdf_post,
+        "cdf_ins": cdf_ins,
         "remove": affected,
         "stats_add": new_stats,
         "blooms_add": new_blooms,
@@ -2179,6 +2230,7 @@ def log_vacuum(
     m0 = _read_manifest(root, keep[0])
     referenced.update(m0.get("cdf_pre", []))
     referenced.update(m0.get("cdf_post", []))
+    referenced.update(m0.get("cdf_ins", []))
     for v in keep[1:]:
         m = _read_manifest(root, v)
         if "live" in m:
@@ -2189,6 +2241,7 @@ def log_vacuum(
         referenced.update(state["dv"].values())
         referenced.update(m.get("cdf_pre", []))
         referenced.update(m.get("cdf_post", []))
+        referenced.update(m.get("cdf_ins", []))
     deleted = []
     data_root = os.path.join(root, _DATA_DIR)
     for dirpath, _dirs, files in os.walk(data_root):

@@ -678,22 +678,29 @@ def _cdf_partitions(
             state = cur
             continue
         ts_us = int(float(m.get("ts", 0)) * 1_000_000)
-        if m.get("cdf_pre") is not None or m.get("cdf_post") is not None:
-            # COMMIT-TIME CHANGE FILES (UPDATE): exact pre/post images
-            # of the MATCHED rows — serve them and skip the
-            # file-granularity diff (carried rows emit nothing)
-            for f in m.get("cdf_pre", []):
+        if (
+            m.get("cdf_pre") is not None
+            or m.get("cdf_post") is not None
+            or m.get("cdf_ins") is not None
+        ):
+            # COMMIT-TIME CHANGE FILES (UPDATE / DELETE / MERGE): exact
+            # labeled images of the CHANGED rows — serve them and skip
+            # the file-granularity diff (carried rows emit nothing).
+            # Labels follow Delta CDC: a DELETE's pre-image is 'delete';
+            # an update/merge match is 'update_preimage'/'_postimage';
+            # merge's unmatched change rows are plain inserts.
+            pre_label = (
+                "delete" if m["action"] == "delete" else "update_preimage"
+            )
+            for f, label in (
+                [(f, pre_label) for f in m.get("cdf_pre", [])]
+                + [(f, "update_postimage") for f in m.get("cdf_post", [])]
+                + [(f, "insert") for f in m.get("cdf_ins", [])]
+            ):
                 out.append(
                     _CDFPart(
-                        os.path.join(root, f), "update_preimage", v,
-                        ts_us, cols, out_schema,
-                    )
-                )
-            for f in m.get("cdf_post", []):
-                out.append(
-                    _CDFPart(
-                        os.path.join(root, f), "update_postimage", v,
-                        ts_us, cols, out_schema,
+                        os.path.join(root, f), label, v, ts_us, cols,
+                        out_schema,
                     )
                 )
             state = cur

@@ -197,20 +197,23 @@ def test_cdf_streaming_matches_batch_and_resumes(spark, root):
 
 
 def test_cdf_skips_redead_rows_on_cow_over_mor(spark, root):
-    """A CoW delete over a file that already carries a DV must emit the
-    pre-image LIVE rows only — rows dead before the commit were emitted
-    by THEIR commit and must not re-emit."""
+    """A CoW delete over a file that already carries a DV emits exactly
+    the LIVE rows it deleted (the commit-time change file) — rows dead
+    before the commit were emitted by THEIR commit and must not
+    re-emit, and the rewritten files' carried rows emit nothing."""
     TS.register(spark)
     o = _orders(spark)
     TL.log_append(spark, root, o)  # v0
     TL.log_delete_where_mor(spark, root, "o_orderkey % 5 = 0")  # v1
     TL.log_delete_where(spark, root, "o_orderstatus = 'F'")  # v2 CoW
     cdf = _cdf_batch(spark, root)
-    v2_del = cdf.filter(
-        "_commit_version = 2 AND _change_type = 'delete'"
+    v2 = cdf.filter("_commit_version = 2")
+    # exactly the rows the delete killed: live 'F' rows (not the %5
+    # dead, not the carried survivors) — and no insert churn at all
+    assert v2.filter("_change_type = 'delete'").count() == o.filter(
+        "o_orderstatus = 'F' AND o_orderkey % 5 <> 0"
     ).count()
-    # pre-image live rows of the rewritten files = all minus v1's dead
-    assert v2_del == o.filter("o_orderkey % 5 <> 0").count()
+    assert v2.filter("_change_type <> 'delete'").count() == 0
     assert _rows(_fold(cdf)) == _rows(TL.log_read(spark, root).select(*COLS))
 
 
@@ -530,8 +533,9 @@ def test_cdf_sql_view(spark, root):
         "GROUP BY _change_type ORDER BY _change_type"
     ).collect()
     by_type = {r["_change_type"]: r["n"] for r in got}
-    assert by_type["delete"] == o.count()
-    assert by_type["insert"] == o.filter("o_orderstatus <> 'F'").count()
+    # the CoW delete's commit-time change file: exactly the deleted
+    # rows, no carried-row churn
+    assert by_type == {"delete": o.filter("o_orderstatus = 'F'").count()}
     spark.catalog.dropTempView(vname)
 
 
@@ -995,3 +999,63 @@ def test_update_cdf_sidecars_exact_labels(spark, root):
     # ...and drops them when history is trimmed below their version
     deleted = TL.log_vacuum(root, retain_versions=1)
     assert any("_cdf_" in f for f in deleted)
+
+
+def test_merge_cdf_sidecars_exact_labels(spark, root):
+    """MERGE commits write labeled change files: matched keys' old/new
+    images as update_preimage/update_postimage, unmatched change rows
+    as inserts — and nothing for the rewritten files' carried rows."""
+    TS.register(spark)
+    o = _orders(spark)
+    TL.log_append(spark, root, o.coalesce(2))
+    upd = (
+        o.filter("o_orderkey % 10 = 0")
+        .withColumn("o_totalprice", F.lit(1.0))
+    )
+    fresh = (
+        o.limit(7)
+        .withColumn("o_orderkey", F.col("o_orderkey") + 10_000_000)
+    )
+    changes = upd.unionByName(fresh)
+    TL.log_merge(spark, root, changes, "o_orderkey")  # v1
+    n_upd = upd.count()
+    v1 = _cdf_batch(spark, root, startingVersion="1")
+    by = {
+        r["_change_type"]: r["n"]
+        for r in v1.groupBy("_change_type")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert by == {
+        "update_preimage": n_upd,
+        "update_postimage": n_upd,
+        "insert": 7,
+    }
+    # post-images carry the merged values; pre-images the old ones
+    assert (
+        v1.filter("_change_type = 'update_postimage'")
+        .agg(F.max("o_totalprice"))
+        .first()[0]
+        == 1.0
+    )
+    assert (
+        v1.filter("_change_type = 'update_preimage'")
+        .agg(F.min("o_totalprice"))
+        .first()[0]
+        > 1.0
+    )
+    assert _rows(_fold(_cdf_batch(spark, root))) == _rows(
+        TL.log_read(spark, root).select(*COLS)
+    )
+    # an insert-only merge labels everything insert and still streams
+    # additively through the SNAPSHOT stream source
+    fresh2 = (
+        o.limit(3)
+        .withColumn("o_orderkey", F.col("o_orderkey") + 20_000_000)
+    )
+    TL.log_merge(spark, root, fresh2, "o_orderkey")  # v2
+    v2 = _cdf_batch(spark, root, startingVersion="2")
+    assert {
+        r[0] for r in v2.select("_change_type").distinct().collect()
+    } == {"insert"}
+    assert v2.count() == 3
