@@ -1059,3 +1059,40 @@ def test_merge_cdf_sidecars_exact_labels(spark, root):
         r[0] for r in v2.select("_change_type").distinct().collect()
     } == {"insert"}
     assert v2.count() == 3
+
+
+def test_update_cdf_sidecars_under_column_mapping(spark, root):
+    """Sidecar change files compose with column mapping: the images are
+    written under PHYSICAL names and the feed surfaces them under the
+    LOGICAL names of the read-time mapping."""
+    TS.register(spark)
+    o = _orders(spark)
+    TL.log_append(spark, root, o)
+    TL.log_rename_column(root, "o_totalprice", "price")
+    TL.log_update_where(
+        spark, root, "o_orderstatus = 'P'", {"price": "price + 1"}
+    )
+    cdf = _cdf_batch(spark, root)
+    assert "price" in cdf.columns
+    n_p = o.filter("o_orderstatus = 'P'").count()
+    v2 = cdf.filter("_commit_version = 2")
+    assert v2.filter("_change_type = 'update_postimage'").count() == n_p
+    cols = ["o_orderkey", "o_orderstatus", "price"]
+    folded = (
+        v2.groupBy(*cols)
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("_change_type") == "update_postimage", 1
+                ).otherwise(-1)
+            ).alias("_net")
+        )
+        .filter("_net = 1")
+    )
+    # post minus pre nets exactly the +1-adjusted P rows
+    got = {(r[0], r[2]) for r in folded.collect()}
+    want = {
+        (r["o_orderkey"], r["o_totalprice"] + 1)
+        for r in o.filter("o_orderstatus = 'P'").collect()
+    }
+    assert got == want
