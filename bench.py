@@ -248,6 +248,25 @@ def main() -> None:
             "queries": t2,
         }
 
+    # stream_stream_join micro-decomposition (VERDICT r9 #5): the SAME
+    # machinery driven with zero matching rows — its wall is the
+    # sf-invariant floor. Full entry rises while this stays flat ->
+    # data/join-state path regression; both rise -> machinery/VM load.
+    # Recorded OUTSIDE `queries` so the headline total stays
+    # round-over-round comparable.
+    ssj_floor = None
+    if "stream_stream_join" in timings:
+        from cdc_local_data_pipeline_docker_spark.streaming.jobs import (
+            stream_stream_join_floor,
+        )
+
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            stream_stream_join_floor(spark, SF_DIR).collect()
+            best = min(best, time.perf_counter() - t0)
+        ssj_floor = round(best, 4)
+
     # CDC ingest throughput: events/sec through the full parse → type
     # recovery → changelog write path on the seeded fixture stream
     # (ROADMAP item 8). min-of-2 like the queries; fresh warehouse per run
@@ -271,6 +290,8 @@ def main() -> None:
         # streaming/IVM machinery entries listed in FIXED_FLOOR)
         "fixed_floor": fixed_floor,
         "scaling_value": round(total - fixed_floor, 4),
+        # empty-input twin of stream_stream_join: machinery-only wall
+        "stream_stream_join_floor": ssj_floor,
         "calibration": calibration,
         "ingest_events_per_sec": ingest_events_per_sec,
         "ingest_events_per_sec_parallel": ingest_events_per_sec_parallel,
@@ -294,6 +315,23 @@ def main() -> None:
     except OSError:
         pass  # read-only checkout: stdout still carries the record
     print(line)
+    # The driver records only the last ~2200 chars of stdout, and the
+    # full line above is ~4KB — so BENCH_r05..r09 all landed with
+    # `parsed: null` (VERDICT r9 #3). Emit a COMPACT twin (same
+    # contract fields, 2-decimal timings, no shuffle map) as the very
+    # LAST line so the tail always contains one complete JSON record;
+    # the full-precision record stays in the first line + bench_last.json.
+    compact = {
+        "metric": payload["metric"],
+        "value": payload["value"],
+        "unit": "sec",
+        "queries": {k: round(v, 2) for k, v in timings.items()},
+        "fixed_floor": fixed_floor,
+        "stream_stream_join_floor": ssj_floor,
+        "calibration": calibration,
+        "sf": payload["sf"],
+    }
+    print(json.dumps(compact))
 
 
 def _calibration_probe(spark) -> float:

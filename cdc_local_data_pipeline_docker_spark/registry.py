@@ -102,7 +102,16 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     ),
     # Structured Streaming (real streaming queries drained via AvailableNow;
     # complete/append-mode results are batch-consistent → exact oracles)
-    "stream_tumbling_agg": (SJ.stream_tumbling_agg, SJ.STREAM_TUMBLING_AGG_SQL),
+    # r10 rotation (VERDICT r9 #1): the r9 MEDALLION flagship takes the
+    # tumbling-agg slot for a round — bronze changelog -> silver
+    # tablelog (per-batch ACID MERGE) -> gold aggregate maintained from
+    # the silver table's STREAMING change data feed (no silver
+    # rescans); stream_tumbling_agg keeps graded siblings
+    # stream_session_agg + events_resample_interpolate
+    "stream_cdf_gold_view": (
+        TLU.stream_cdf_gold_view,
+        IV.CDC_INCREMENTAL_AGG_VIEW_SQL,
+    ),
     "stream_session_agg": (SJ.stream_session_agg, SJ.STREAM_SESSION_AGG_SQL),
     "stream_dedup_events": (SJ.stream_dedup_events, SJ.STREAM_DEDUP_EVENTS_SQL),
     "stream_stateful_user_totals": (
@@ -213,13 +222,15 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         TLU.stream_tablelog_upsert,
         CDC.CDC_LATEST_STATE_ORDERS_SQL,
     ),
-    # hidden partitioning (r8): month(o_orderdate) transform values in
-    # the manifest prune whole partitions BEFORE min/max+bloom probes;
-    # the files carry no stats so skipping is attributable to partition
-    # pruning alone (file-level prune pinned in pytest)
-    "tablelog_partition_pruning": (
-        TLG.tablelog_partition_pruning,
-        TLG.TABLELOG_PARTITION_PRUNING_SQL,
+    # r10 rotation (VERDICT r9 #1): zero-copy SHALLOW CLONE (r9
+    # flagship — point-in-time fork by reference; the fork's CoW delete
+    # must not touch the source, asserted in-entry) takes the
+    # partition-pruning slot for a round; tablelog_partition_pruning
+    # keeps graded sibling tablelog_source_pruned_scan (the same
+    # hidden-partition + stats prune through the DataSource planner)
+    "tablelog_shallow_clone": (
+        TLG.tablelog_shallow_clone,
+        TLG.TABLELOG_SHALLOW_CLONE_SQL,
     ),
     # r7 second-session rotation: the ER golden record (new family);
     # join_semi and join_anti keep graded join-family siblings
@@ -232,12 +243,15 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         CLF.text_classifier_predict,
         CLF.TEXT_CLASSIFIER_PREDICT_SQL,
     ),
-    # substring-level dedup (Lee et al. 2022; r5 flagship, rotated into
-    # the window r6): per-doc duplicated-span coverage, exact positional
-    # oracle over hashed-gram keys
-    "dedup_span_coverage": (
-        DD.dedup_span_coverage,
-        DD.DEDUP_SPAN_COVERAGE_SQL,
+    # r10 rotation (VERDICT r9 #1): CHECK constraints (r9 flagship —
+    # violating writes raise and commit NOTHING, enforced on every
+    # write path incl. executor-side Arrow batches in the DSv2 writer)
+    # takes the span-coverage slot for a round; dedup_span_coverage
+    # keeps graded dedup-family siblings dedup_ngram_jaccard +
+    # dedup_minhash_lsh + dedup_semantic_contract_sampled
+    "tablelog_check_constraint": (
+        TLG.tablelog_check_constraint,
+        TLG.TABLELOG_CHECK_CONSTRAINT_SQL,
     ),
     # aggregation
     "agg_grouped": (R.agg_grouped, R.AGG_GROUPED_SQL),
@@ -263,12 +277,15 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "set_ops_pack": (PK.set_ops_pack, PK.SET_OPS_PACK_SQL),
     # multi-join analytics
     "q3_shipping_priority": (R.q3_shipping_priority, R.Q3_SHIPPING_PRIORITY_SQL),
-    # distributed Lloyd k-means training (r7): per-iteration shuffle is
-    # k x dim x n_partitions partial rows — independent of corpus size;
-    # contract oracle pins cardinality + Lloyd invariants as booleans
-    "embedding_kmeans_train": (
-        SIM.embedding_kmeans_train,
-        SIM.EMBEDDING_KMEANS_TRAIN_SQL,
+    # r10 rotation (VERDICT r9 #1): copy-on-write UPDATE ... SET (r9
+    # flagship — partition-aware probe, all-at-once assignment
+    # semantics the oracle caught a real bug in, pre-update snapshot
+    # stays time-travelable) takes the k-means slot for a round;
+    # embedding_kmeans_train keeps graded similarity-family sibling
+    # ann_cosine_topk (Lloyd invariants stay pytest-pinned)
+    "tablelog_cow_update": (
+        TLG.tablelog_cow_update,
+        TLG.TABLELOG_COW_UPDATE_SQL,
     ),
     # r9 rotation (q17 out; TPC-H join-agg family keeps q1 + q3):
     # WHERE-clause file skipping through the DataSource — Spark 4.1
@@ -298,10 +315,17 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         DD.dedup_minhash_lsh_contract,
         DD.DEDUP_MINHASH_LSH_CONTRACT_SQL,
     ),
-    # pair graph -> duplicate clusters (connected components, exact
-    # recursive-CTE oracle) — the step that turns pair detectors into
-    # an actual corpus dedup
-    "dedup_clusters": (CL.dedup_clusters, CL.DEDUP_CLUSTERS_SQL),
+    # r10 FLAGSHIP (VERDICT r9 #2, same-round rotation per the r8/r9
+    # protocol): MERGE-ON-READ UPDATE via deletion vectors + delta
+    # files — a point update writes KB of vectors + the changed rows
+    # instead of rewriting whole files; reader-indistinguishable from
+    # the CoW twin (identical CASE oracle). Takes the dedup_clusters
+    # slot for a round; dedup_clusters keeps graded graph/cluster
+    # sibling er_golden_record (CC mechanics stay oracle-pinned at 51+)
+    "tablelog_mor_update": (
+        TLG.tablelog_mor_update,
+        TLG.TABLELOG_MOR_UPDATE_SQL,
+    ),
     # LLM-ops: similarity search
     "ann_cosine_topk": (SIM.ann_cosine_topk, SIM.ANN_COSINE_TOPK_SQL),
     # LLM-ops: text analysis
@@ -326,9 +350,15 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         CDC.cdc_fk_integrity_report,
         CDC.CDC_FK_INTEGRITY_REPORT_SQL,
     ),
-    # scalar + collection function packs
-    "fn_scalar_pack": (PK.fn_scalar_pack, PK.FN_SCALAR_PACK_SQL),
-    "fn_collection_pack": (PK.fn_collection_pack, PK.FN_COLLECTION_PACK_SQL),
+    # r10 rotation (VERDICT r9 #4): fn_array_pack and fn_json_pack
+    # crashed the REAL driver's hash canonicalizer in r1 (unhashable
+    # list cells) and have never been re-graded by it — one window
+    # slot each for one round converts "modeled fixed" (driver_sim
+    # reproduces that failure class) into "driver-proven fixed"; the
+    # scalar/collection packs keep these two as graded fn-family
+    # siblings and rotate back next round
+    "fn_array_pack": (FP.fn_array_pack, FP.FN_ARRAY_PACK_SQL),
+    "fn_json_pack": (FP.fn_json_pack, FP.FN_JSON_PACK_SQL),
     # ---- 51+: variants covered by a graded sibling (pytest-verified) ----
     # rotated out r7 fifth session (tablelog/classifier flagships took
     # these slots; each family keeps a graded sibling)
@@ -831,8 +861,11 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "fn_string_pack": (FP.fn_string_pack, FP.FN_STRING_PACK_SQL),
     "fn_date_pack": (FP.fn_date_pack, FP.FN_DATE_PACK_SQL),
     "fn_math_pack": (FP.fn_math_pack, FP.FN_MATH_PACK_SQL),
-    "fn_array_pack": (FP.fn_array_pack, FP.FN_ARRAY_PACK_SQL),
-    "fn_json_pack": (FP.fn_json_pack, FP.FN_JSON_PACK_SQL),
+    # rotated out r10 for one round (VERDICT r9 #4: their array/json
+    # siblings take the graded slots to be driver-proven against the
+    # r1 canonicalizer failure class; these rotate back next round)
+    "fn_scalar_pack": (PK.fn_scalar_pack, PK.FN_SCALAR_PACK_SQL),
+    "fn_collection_pack": (PK.fn_collection_pack, PK.FN_COLLECTION_PACK_SQL),
     # Spark 4 VARIANT semi-structured path (parse once, typed path reads)
     "fn_variant_pack": (VP.fn_variant_pack, VP.FN_VARIANT_PACK_SQL),
     "fn_map_pack": (FP.fn_map_pack, FP.FN_MAP_PACK_SQL),
@@ -1072,13 +1105,21 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         TLS.tablelog_source_snapshot,
         TLS.TABLELOG_SOURCE_SNAPSHOT_SQL,
     ),
-    # r9: copy-on-write UPDATE ... SET with the partition-aware
-    # affected-file probe (conjuncts prune candidates through hidden
-    # partitions + stats before any scan); pre-update snapshot stays
-    # time-travelable
-    "tablelog_cow_update": (
-        TLG.tablelog_cow_update,
-        TLG.TABLELOG_COW_UPDATE_SQL,
+    # rotated out r10 (the r9/r10 tablelog flagships took their
+    # slots; each keeps a graded family sibling — see COVERED_BY)
+    "stream_tumbling_agg": (SJ.stream_tumbling_agg, SJ.STREAM_TUMBLING_AGG_SQL),
+    "tablelog_partition_pruning": (
+        TLG.tablelog_partition_pruning,
+        TLG.TABLELOG_PARTITION_PRUNING_SQL,
+    ),
+    "dedup_span_coverage": (
+        DD.dedup_span_coverage,
+        DD.DEDUP_SPAN_COVERAGE_SQL,
+    ),
+    "dedup_clusters": (CL.dedup_clusters, CL.DEDUP_CLUSTERS_SQL),
+    "embedding_kmeans_train": (
+        SIM.embedding_kmeans_train,
+        SIM.EMBEDDING_KMEANS_TRAIN_SQL,
     ),
     # CONVERT TO tablelog: zero-copy import of a bare parquet directory
     # (hard-linked files, one v0 manifest) followed by a CoW delete —
@@ -1094,28 +1135,10 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         TLG.tablelog_small_file_compaction,
         TLG.TABLELOG_SMALL_FILE_COMPACTION_SQL,
     ),
-    # r9: the MEDALLION chain — bronze changelog -> silver tablelog
-    # (per-batch ACID MERGE) -> gold aggregate maintained from the
-    # silver table's STREAMING change data feed (no silver rescans)
-    "stream_cdf_gold_view": (
-        TLU.stream_cdf_gold_view,
-        IV.CDC_INCREMENTAL_AGG_VIEW_SQL,
-    ),
-    # r9: zero-copy SHALLOW CLONE (point-in-time fork by reference; the
-    # fork's CoW delete must not touch the source — asserted in-entry)
-    "tablelog_shallow_clone": (
-        TLG.tablelog_shallow_clone,
-        TLG.TABLELOG_SHALLOW_CLONE_SQL,
-    ),
     # r9: REORG APPLY (PURGE) — targeted DV-debt materialization
     "tablelog_reorg_purge": (
         TLG.tablelog_reorg_purge,
         TLG.TABLELOG_REORG_PURGE_SQL,
-    ),
-    # r9: CHECK constraints — violating writes raise and commit nothing
-    "tablelog_check_constraint": (
-        TLG.tablelog_check_constraint,
-        TLG.TABLELOG_CHECK_CONSTRAINT_SQL,
     ),
     # rotated out r9 (VERDICT r8 #5 — the r8 DSv2 writer/sink/pushdown
     # flagships took these slots); each keeps a graded family sibling

@@ -106,7 +106,9 @@ __all__ = [
     "log_delete_where",
     "log_delete_where_mor",
     "log_update_where",
+    "log_update_where_mor",
     "log_merge",
+    "log_merge_mor",
     "log_compact",
     "log_compact_small_files",
     "log_checkpoint",
@@ -380,19 +382,28 @@ def version_at_timestamp(root: str, ts) -> int:
     vs = _versions(root)
     if not vs:
         raise ValueError(f"no table at {root}")
-
-    def ts_of(v: int) -> float:
-        return float(_read_manifest(root, v).get("ts", 0.0))
-
-    if ts < ts_of(vs[0]):
+    # Read-side monotonic clamp (ADVICE r9): the write-side clamp in
+    # _commit only covers commits made after it shipped, so a
+    # pre-existing table can carry a clock-skewed (non-monotone)
+    # history that would silently break a binary search. Delta's
+    # answer — adopted here — is to ADJUST timestamps at read time to
+    # their prefix-max, which restores monotonicity without rewriting
+    # history. One O(history) pass over KB manifests (history length is
+    # vacuum/retention-bounded), then the search runs in memory.
+    eff: list[float] = []
+    run = float("-inf")
+    for v in vs:
+        run = max(run, float(_read_manifest(root, v).get("ts", 0.0)))
+        eff.append(run)
+    if ts < eff[0]:
         raise ValueError(
             f"timestamp {ts} predates the earliest retained version "
             f"v{vs[0]} of the table at {root}"
         )
     lo, hi = 0, len(vs) - 1
-    while lo < hi:  # largest index with ts_of <= ts
+    while lo < hi:  # largest index with eff <= ts (eff is monotone)
         mid = (lo + hi + 1) // 2
-        if ts_of(vs[mid]) <= ts:
+        if eff[mid] <= ts:
             lo = mid
         else:
             hi = mid - 1
@@ -873,7 +884,10 @@ def _write_data_files(
                 .collect()
             )
             for r in rows:
-                tail = next((p for p in rel if r["_f"].endswith(p)), None)
+                tail = next(
+                    (p for p in rel if _uri_to_path(r["_f"]).endswith(p)),
+                    None,
+                )
                 if tail is None:
                     continue
                 if keep:
@@ -972,6 +986,32 @@ def _part_value_from_dir(raw: str):
     except ValueError:
         pass
     return s
+
+
+def _uri_to_path(raw: str) -> str:
+    """Decode a ``file:`` URI from ``input_file_name()`` /
+    ``_metadata.file_path`` into a plain filesystem path
+    (``file:///x%20y`` -> ``/x y``). Spark 3.4+ always percent-encodes
+    these URIs (SparkPath), so a root — or a hive partition directory
+    like ``status=P ENDING`` — containing a space or any
+    URI-reserved char never matches raw ``endswith``/equality against
+    the manifest's decoded relative paths; compare DECODED paths only
+    (ADVICE r9 high: deletion vectors silently ignored otherwise)."""
+    import urllib.parse
+
+    s = re.sub("^file:/+", "/", raw) if raw.startswith("file:") else raw
+    return urllib.parse.unquote(s)
+
+
+def _decoded_file_path_col():
+    """Spark-side twin of :func:`_uri_to_path` for join keys built from
+    ``_metadata.file_path``: strip the ``file:`` scheme, protect literal
+    ``+`` (``url_decode`` is java.net.URLDecoder, which maps ``+`` to a
+    space), then percent-decode — all JVM expressions, codegen-friendly."""
+    from pyspark.sql import functions as F
+
+    p = F.regexp_replace(F.col("_metadata.file_path"), "^file:/+", "/")
+    return F.url_decode(F.regexp_replace(p, r"\+", "%2B"))
 
 
 # ---------------------------------------------------------------------------
@@ -1513,9 +1553,6 @@ def log_append(
     newer snapshot (no rewrite) — unless the column mapping changed
     underneath, which conflicts for real."""
     state0 = _snapshot(root)
-    # CHECK constraints gate the append BEFORE any file is written (one
-    # agg over the incoming rows — logical columns, pre-mapping)
-    _validate_constraints(df, state0["constraints"])
     colmap0 = state0["colmap"]
     colmap = None
     if colmap0 is not None:
@@ -1541,6 +1578,39 @@ def log_append(
         pdf, root, token, stats_cols, bloom_cols, transforms
     )
     physical_schema = pdf.schema.simpleString()
+
+    def _validate_written(constraints: dict[str, str]) -> None:
+        # CHECK constraints are enforced on the WRITTEN files, after
+        # the write but before the manifest publishes (ADVICE r9): the
+        # files are the MATERIALIZED input, so the input plan is
+        # computed exactly once and a non-deterministic df can never
+        # pass validation yet publish violating rows (the pre-write
+        # form evaluated df twice). On violation nothing is published
+        # AND the rejected files are removed eagerly (same no-orphan
+        # contract as the DSv2 writer's task abort).
+        if not constraints or not added:
+            return
+        spark = df.sparkSession
+        written = spark.read.parquet(
+            *[os.path.join(root, f) for f in added]
+        )
+        try:
+            _validate_constraints(
+                _to_logical_loose(written, colmap), constraints
+            )
+        except ConstraintViolation:
+            for f in added:
+                try:
+                    os.unlink(os.path.join(root, f))
+                except OSError:
+                    pass
+            try:
+                os.rmdir(os.path.dirname(os.path.join(root, added[0])))
+            except OSError:
+                pass
+            raise
+
+    _validate_written(state0["constraints"])
     while True:
         base = _latest_version(root)
         version = 0 if base is None else base + 1
@@ -1551,10 +1621,11 @@ def log_append(
             )
         if cur["constraints"] != state0["constraints"]:
             # a CHECK constraint landed while we were writing: the
-            # pre-write validation ran against the OLD set, so committing
-            # now could publish violating rows — re-validate against the
-            # new set before rebasing (Delta's metadata conflict check)
-            _validate_constraints(df, cur["constraints"])
+            # validation ran against the OLD set, so committing now
+            # could publish violating rows — re-validate the written
+            # files against the new set before rebasing (Delta's
+            # metadata conflict check)
+            _validate_written(cur["constraints"])
             state0 = {**state0, "constraints": cur["constraints"]}
         manifest = {
             "version": version,
@@ -1709,7 +1780,9 @@ def log_delete_where(spark: SparkSession, root: str, predicate: str) -> int:
         }
         # input_file_name yields file:// URIs; match the relative tail
         affected = [
-            f for f in candidates if any(a.endswith(f) for a in affected_abs)
+            f
+            for f in candidates
+            if any(_uri_to_path(a).endswith(f) for a in affected_abs)
         ]
     if not affected:  # nothing to delete: commit a no-op delta
         manifest = {
@@ -1817,7 +1890,9 @@ def log_update_where(
             .collect()
         }
         affected = [
-            f for f in candidates if any(a.endswith(f) for a in affected_abs)
+            f
+            for f in candidates
+            if any(_uri_to_path(a).endswith(f) for a in affected_abs)
         ]
     if not affected:  # nothing matched: commit a no-op delta
         manifest = {
@@ -2034,7 +2109,9 @@ def log_merge(
             .collect()
         }
         affected = [
-            f for f in probe_files if any(a.endswith(f) for a in affected_abs)
+            f
+            for f in probe_files
+            if any(_uri_to_path(a).endswith(f) for a in affected_abs)
         ]
     survivors = None
     matched_pre = None
@@ -2427,6 +2504,51 @@ def log_clone(
 # Merge-on-read deletion vectors
 # ---------------------------------------------------------------------------
 
+def _write_deletion_vectors(
+    root: str,
+    token: str,
+    by_file: dict[str, list[int]],
+    dvs: dict[str, str],
+) -> tuple[dict[str, str], list[str]]:
+    """Write one deletion vector per entry of ``by_file`` (data file →
+    newly-dead row positions), each unioned with the file's EXISTING
+    vector from ``dvs`` so re-deletes never lose positions. Returns
+    (dv_set for the manifest, added relative paths). Vectors are
+    KB-scale metadata: written with pyarrow directly — a Spark job per
+    vector (createDataFrame + coalesce(1) + write) costs seconds of
+    scheduler overhead PER FILE for kilobytes of output (measured 11 s
+    for two vectors at sf0.01, r9); the readers (spark.read.parquet AND
+    the DataSource's pq.read_table) consume a plain parquet FILE path
+    identically. Shared by MoR DELETE, MoR UPDATE, and MoR MERGE."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(os.path.join(root, _DATA_DIR, token), exist_ok=True)
+    dv_set: dict[str, str] = {}
+    added: list[str] = []
+    for i, (f, idxs) in enumerate(sorted(by_file.items())):
+        # new vector = old vector (if any) ∪ new positions
+        old: list[int] = []
+        if f in dvs:
+            old = pq.read_table(
+                os.path.join(root, dvs[f])
+            )["row_index"].to_pylist()
+        rel = os.path.join(_DATA_DIR, token, f"dv-{i:04d}.parquet")
+        pq.write_table(
+            pa.table(
+                {
+                    "row_index": pa.array(
+                        sorted(set(old) | set(idxs)), pa.int64()
+                    )
+                }
+            ),
+            os.path.join(root, rel),
+        )
+        dv_set[f] = rel
+        added.append(rel)
+    return dv_set, added
+
+
 def log_delete_where_mor(
     spark: SparkSession, root: str, predicate: str
 ) -> int:
@@ -2476,10 +2598,12 @@ def log_delete_where_mor(
         # at production scale this stays distributed (write per-file DV
         # partitions directly); the grouping below is the same computation
     token = uuid.uuid4().hex[:12]
-    dv_dir = os.path.join(root, _DATA_DIR, token)
     by_file: dict[str, list[int]] = {}
     for r in rows:
-        tail = next((f for f in candidates if r["_fp"].endswith(f)), None)
+        tail = next(
+            (f for f in candidates if _uri_to_path(r["_fp"]).endswith(f)),
+            None,
+        )
         if tail is not None:
             by_file.setdefault(tail, []).append(r["row_index"])
     if not by_file:
@@ -2493,38 +2617,7 @@ def log_delete_where_mor(
             "ts": time.time(),
         }
         return _commit(root, base + 1, manifest)
-    os.makedirs(dv_dir, exist_ok=True)
-    dv_set: dict[str, str] = {}
-    added = []
-    # vectors are KB-scale metadata: write them with pyarrow directly —
-    # a Spark job per vector (createDataFrame + coalesce(1) + write)
-    # costs seconds of scheduler overhead PER FILE for kilobytes of
-    # output (measured 11 s for two vectors at sf0.01, r9); the readers
-    # (spark.read.parquet AND the DataSource's pq.read_table) consume a
-    # plain parquet FILE path identically
-    import pyarrow as pa
-    import pyarrow.parquet as pq
-
-    for i, (f, idxs) in enumerate(sorted(by_file.items())):
-        # new vector = old vector (if any) ∪ new positions
-        old: list[int] = []
-        if f in dvs:
-            old = pq.read_table(
-                os.path.join(root, dvs[f])
-            )["row_index"].to_pylist()
-        rel = os.path.join(_DATA_DIR, token, f"dv-{i:04d}.parquet")
-        pq.write_table(
-            pa.table(
-                {
-                    "row_index": pa.array(
-                        sorted(set(old) | set(idxs)), pa.int64()
-                    )
-                }
-            ),
-            os.path.join(root, rel),
-        )
-        dv_set[f] = rel
-        added.append(rel)
+    dv_set, added = _write_deletion_vectors(root, token, by_file, dvs)
     manifest = {
         "version": base + 1,
         "action": "delete_mor",
@@ -2539,16 +2632,279 @@ def log_delete_where_mor(
     return _commit(root, base + 1, manifest)
 
 
+def log_update_where_mor(
+    spark: SparkSession,
+    root: str,
+    predicate: str,
+    assignments: dict[str, str],
+) -> int:
+    """Merge-on-read UPDATE ... SET (VERDICT r9 #2 — Delta's
+    deletion-vector update): instead of rewriting every file containing
+    a matched row (the copy-on-write path, where a one-row update in a
+    wide file rewrites the whole file), commit
+
+      * a DELETION VECTOR per affected file marking the matched rows'
+        old positions dead, and
+      * a DELTA FILE carrying ONLY the updated images of those rows,
+
+    so the write cost tracks the MATCHED rows, not the touched files —
+    the 100 TB point-update story. Readers already merge both: the
+    anti-join applies the vectors, the delta file rides ``live_add``.
+    The pre-update version stays time-travelable (old vectors and
+    files are untouched). CDF: the delta files ARE the post-images, so
+    they double as ``cdf_post`` (zero extra write); only the pre-image
+    sidecar is written, and its size also tracks matched rows.
+
+    Same probe, same all-at-once assignment semantics, and the same
+    constraint gate as :func:`log_update_where`; the trade is Delta's:
+    MoR pays a per-read anti-join until OPTIMIZE/REORG materializes
+    the vectors, CoW pays at write time."""
+    from pyspark.sql import functions as F
+
+    base = _latest_version(root)
+    if base is None:
+        raise ValueError(f"no table at {root}")
+    state = _snapshot(root, base)
+    dvs, colmap = state["dv"], state["colmap"]
+    merge_sch = len(state["schemas"]) > 1
+    logical_cols = (
+        list(colmap) if colmap else _physical_columns(root, state)
+    )
+    for col in assignments:
+        if col not in logical_cols:
+            raise ValueError(f"UPDATE SET target {col!r} is not a column")
+    candidates = _cow_candidate_files(spark, state, predicate)
+    token = uuid.uuid4().hex[:12]
+
+    def _noop() -> int:
+        manifest = {
+            "version": base + 1,
+            "action": "update_mor",
+            "add": [],
+            "remove": [],
+            "schemas": state["schemas"],
+            "predicate": predicate,
+            "ts": time.time(),
+        }
+        return _commit(root, base + 1, manifest)
+
+    if not candidates:
+        return _noop()
+    # ONE scan: existing vectors applied (a dead row must not be
+    # updated back to life), physical row identity kept for the new
+    # vectors; matched rows are a small slice — persist them so the
+    # position collect, the pre-image sidecar, and the post-image
+    # delta all read the slice, not the candidate scan, three times
+    matched = (
+        _to_logical_loose(
+            _read_with_dv(
+                spark, root, candidates, dvs,
+                merge_schema=merge_sch, keep_id=True,
+            ),
+            colmap,
+        )
+        .filter(F.expr(predicate))
+        .persist()
+    )
+    try:
+        pos = matched.select("_fpn", "_ri").collect()
+        by_file: dict[str, list[int]] = {}
+        for r in pos:
+            tail = next(
+                (f for f in candidates if r["_fpn"].endswith(f)), None
+            )
+            if tail is not None:
+                by_file.setdefault(tail, []).append(r["_ri"])
+        if not by_file:
+            return _noop()
+        pre = matched.drop("_fpn", "_ri")
+        types = {f.name: f.dataType for f in pre.schema.fields}
+        # all-at-once assignment over the PRE-update image (every row
+        # here matched, so no CASE marker is needed), types pinned
+        post = pre.select(
+            *[
+                F.expr(assignments[c]).cast(types[c]).alias(c)
+                if c in assignments
+                else F.col(c)
+                for c in pre.columns
+            ]
+        )
+        # constraint gate before any file lands: only the updated rows
+        # can newly violate; the input is materialized parquet, so the
+        # written-file re-validation of log_append is not needed
+        _validate_constraints(post, state["constraints"])
+        survivors = _to_physical_loose(post, colmap)
+        stats_cols = sorted(
+            {c for s in state["stats"].values() for c in s}
+        )
+        bloom_cols = sorted(
+            {c for b in state["blooms"].values() for c in b}
+        )
+        # data files first: Spark's writer owns the token dir creation
+        # (errorifexists); the pyarrow-written vectors then land inside
+        added, new_stats, new_blooms, _parts = _write_data_files(
+            survivors, root, token, stats_cols, bloom_cols
+        )
+        dv_set, dv_added = _write_deletion_vectors(
+            root, token, by_file, dvs
+        )
+        pre_files = _write_cdf_sidecar(
+            _to_physical_loose(pre, colmap), root, token, "pre"
+        )
+        manifest = {
+            "version": base + 1,
+            "action": "update_mor",
+            "add": dv_added + added + pre_files,
+            "live_add": added,
+            "dv_set": dv_set,
+            "cdf_pre": pre_files,
+            "cdf_post": added,  # the delta files ARE the post-images
+            "remove": [],
+            "stats_add": new_stats,
+            "blooms_add": new_blooms,
+            "schemas": sorted(
+                set(state["schemas"]) | {survivors.schema.simpleString()}
+            ),
+            "predicate": predicate,
+            "ts": time.time(),
+        }
+        return _commit(root, base + 1, manifest)
+    finally:
+        matched.unpersist()
+
+
+def log_merge_mor(
+    spark: SparkSession, root: str, changes: DataFrame, key_col: str
+) -> int:
+    """Merge-on-read MERGE INTO (VERDICT r9 #2): matched keys' old
+    images die by DELETION VECTOR, and ALL change rows (matched keys'
+    new images + unmatched inserts) land as delta files — no data file
+    is rewritten, so a point-update batch against huge key-scattered
+    files costs the probe scan plus KB of vectors plus the change rows
+    themselves, where copy-on-write :func:`log_merge` would rewrite
+    every touched file. Same key-unique precondition, partition/bucket-
+    aware probe, constraint gate, and conflict policy as the CoW path.
+    CDF: pre-images sidecar (matched old rows), post/ins split of the
+    change rows — all sized by the change set."""
+    from pyspark.sql import functions as F
+
+    base = _latest_version(root)
+    if base is None:
+        raise ValueError(f"no table at {root}")
+    state = _snapshot(root, base)
+    live, dvs, colmap = state["live"], state["dv"], state["colmap"]
+    merge_sch = len(state["schemas"]) > 1
+    phys_key = (colmap or {}).get(key_col, key_col)
+    _validate_constraints(changes, state["constraints"])
+    changes_p = _to_physical_loose(changes, colmap)
+    keys = changes_p.select(F.col(phys_key)).distinct()
+    kmin, kmax = keys.agg(F.min(phys_key), F.max(phys_key)).first()
+    probe_files = live
+    if kmin is not None:
+        probe_files = _prune_by_partitions(
+            spark, probe_files, state["parts"], phys_key, lo=kmin, hi=kmax
+        )
+        probe_files = _prune_by_stats(
+            probe_files, state["stats"], phys_key, lo=kmin, hi=kmax
+        )
+    token = uuid.uuid4().hex[:12]
+    by_file: dict[str, list[int]] = {}
+    matched_pre = None
+    if probe_files:
+        # ONE probe scan with vectors applied and identity kept: the
+        # matched old images feed the vectors AND the pre-image sidecar
+        live_rows = _read_with_dv(
+            spark, root, probe_files, dvs,
+            merge_schema=merge_sch, keep_id=True,
+        )
+        matched_pre = live_rows.join(
+            F.broadcast(keys), phys_key, "left_semi"
+        ).persist()
+        for r in matched_pre.select("_fpn", "_ri").collect():
+            tail = next(
+                (f for f in probe_files if r["_fpn"].endswith(f)), None
+            )
+            if tail is not None:
+                by_file.setdefault(tail, []).append(r["_ri"])
+    try:
+        stats_cols = sorted(
+            {c for s in state["stats"].values() for c in s}
+        )
+        bloom_cols = sorted(
+            {c for b in state["blooms"].values() for c in b}
+        )
+        # data files first: Spark's writer owns the token dir creation
+        added, new_stats, new_blooms, _parts = _write_data_files(
+            changes_p, root, token, stats_cols, bloom_cols
+        )
+        dv_set, dv_added = (
+            _write_deletion_vectors(root, token, by_file, dvs)
+            if by_file
+            else ({}, [])
+        )
+        if matched_pre is not None and by_file:
+            # matched_pre reads the physical files directly — already
+            # in physical column names, like changes_p
+            cdf_pre = _write_cdf_sidecar(
+                matched_pre.drop("_fpn", "_ri"), root, token, "pre"
+            )
+            matched_keys = matched_pre.select(phys_key).distinct()
+            cdf_post = _write_cdf_sidecar(
+                changes_p.join(
+                    F.broadcast(matched_keys), phys_key, "left_semi"
+                ),
+                root,
+                token,
+                "post",
+            )
+            cdf_ins = _write_cdf_sidecar(
+                changes_p.join(
+                    F.broadcast(matched_keys), phys_key, "left_anti"
+                ),
+                root,
+                token,
+                "ins",
+            )
+        else:
+            cdf_pre, cdf_post = [], []
+            cdf_ins = _write_cdf_sidecar(changes_p, root, token, "ins")
+        manifest = {
+            "version": base + 1,
+            "action": "merge_mor",
+            "add": dv_added + added + cdf_pre + cdf_post + cdf_ins,
+            "live_add": added,
+            **({"dv_set": dv_set} if dv_set else {}),
+            "cdf_pre": cdf_pre,
+            "cdf_post": cdf_post,
+            "cdf_ins": cdf_ins,
+            "remove": [],
+            "stats_add": new_stats,
+            "blooms_add": new_blooms,
+            "schemas": sorted(
+                set(state["schemas"]) | {changes_p.schema.simpleString()}
+            ),
+            "ts": time.time(),
+        }
+        return _commit(root, base + 1, manifest)
+    finally:
+        if matched_pre is not None:
+            matched_pre.unpersist()
+
+
 def _read_with_dv(
     spark: SparkSession,
     root: str,
     files: list[str],
     dvs: dict[str, str],
     merge_schema: bool = False,
+    keep_id: bool = False,
 ) -> DataFrame:
     """Scan ``files`` with deletion vectors applied: rows whose
     (file, row_index) appears in a vector are filtered by ONE broadcast
-    anti-join. The DV side is KB-sized by construction."""
+    anti-join. The DV side is KB-sized by construction. With
+    ``keep_id`` the surviving rows keep their physical identity as
+    ``_fpn`` (decoded absolute file path) / ``_ri`` (row index) —
+    the MoR write paths need it to build new vectors."""
     from pyspark.sql import functions as F
 
     df = spark.read.option(
@@ -2556,6 +2912,12 @@ def _read_with_dv(
     ).parquet(*[os.path.join(root, f) for f in files])
     needed = {f: dv for f, dv in dvs.items() if f in set(files)}
     if not needed:
+        if keep_id:
+            return df.select(
+                "*",
+                _decoded_file_path_col().alias("_fpn"),
+                F.col("_metadata.row_index").alias("_ri"),
+            )
         return df
     dv_frames = []
     for f, dv in needed.items():
@@ -2573,13 +2935,14 @@ def _read_with_dv(
     all_dv = dv_frames[0]
     for d in dv_frames[1:]:
         all_dv = all_dv.unionByName(d)
-    # _metadata.file_path is a file: URI — normalize to a plain path
-    # ('file:///x' and 'file:/x' both become '/x')
+    # _metadata.file_path is a PERCENT-ENCODED file: URI — decode it to
+    # a plain path before comparing with the manifest's decoded paths
+    # ('file:///x%20y' and 'file:/x%20y' both become '/x y'); raw
+    # comparison silently drops every vector when the root (or a hive
+    # partition dir) contains a URI-encodable char (ADVICE r9 high)
     with_id = df.select(
         "*",
-        F.regexp_replace(
-            F.col("_metadata.file_path"), "^file:/+", "/"
-        ).alias("_fpn"),
+        _decoded_file_path_col().alias("_fpn"),
         F.col("_metadata.row_index").alias("_ri"),
     )
     out = with_id.join(
@@ -2588,7 +2951,7 @@ def _read_with_dv(
         & (F.col("_ri") == F.col("row_index")),
         "left_anti",
     )
-    return out.drop("_fpn", "_ri")
+    return out if keep_id else out.drop("_fpn", "_ri")
 
 
 # ---------------------------------------------------------------------------
@@ -2608,10 +2971,39 @@ def log_changes(
     the added files the rewritten ones — a keyed anti-join between the
     two sides recovers row-level before/after when needed.
 
-    MoR-delete commits add VECTORS, not data files, so their row-level
-    delta is resolved differently: removed = the newly-dead positions
-    joined back to their data files; no added rows."""
+    MoR commits add VECTORS, not data files, so their row-level delta
+    is resolved differently: removed = the newly-dead positions joined
+    back to their data files; no added rows.
+
+    The MoR branch is ONE plan regardless of how many files the commit
+    touched (VERDICT r9 #1 — the prior shape built a per-changed-file
+    scan + broadcast join and folded them with chained unionByName, so
+    a wide MoR delete at scale turned the DRIVER into a 10k-branch
+    plan builder): all new vectors are read in one scan keyed by their
+    OWN file path, mapped to their data files via a KB-sized broadcast
+    lookup, anti-joined once against the equally-unioned old vectors,
+    then joined once against ONE scan of all changed data files on
+    (decoded file path, row index) — mirroring the executor-side
+    design the streaming CDF reader already has."""
     m = _read_manifest(root, version)
+    if m["action"] in ("update_mor", "merge_mor"):
+        # MoR update/merge: the generic add/remove shape would miss the
+        # vector-killed pre-images (remove is empty), but these commits
+        # always carry exact change sidecars — serve those: added = the
+        # post-images ∪ inserts, removed = the pre-images.
+        post = list(m.get("cdf_post", [])) + list(m.get("cdf_ins", []))
+        add = (
+            spark.read.parquet(*[os.path.join(root, f) for f in post])
+            if post
+            else None
+        )
+        pre = m.get("cdf_pre", [])
+        rem = (
+            spark.read.parquet(*[os.path.join(root, f) for f in pre])
+            if pre
+            else None
+        )
+        return add, rem
     if m["action"] == "delete_mor":
         from pyspark.sql import functions as F
 
@@ -2626,29 +3018,56 @@ def log_changes(
                 for f, d in m.get("dv", {}).items()
                 if prev_dv.get(f) != d
             }
-        dead_frames = []
-        for f, dv in changed.items():
-            new_pos = spark.read.parquet(os.path.join(root, dv))
-            if f in prev_dv:  # only the delta positions are newly dead
-                old_pos = spark.read.parquet(os.path.join(root, prev_dv[f]))
-                new_pos = new_pos.join(old_pos, "row_index", "left_anti")
-            rows = (
-                spark.read.parquet(os.path.join(root, f))
-                .select("*", F.col("_metadata.row_index").alias("_ri"))
-                .join(
-                    F.broadcast(
-                        new_pos.withColumnRenamed("row_index", "_ri")
-                    ),
-                    "_ri",
-                )
-                .drop("_ri")
-            )
-            dead_frames.append(rows)
-        if not dead_frames:
+        if not changed:
             return None, None
-        rem = dead_frames[0]
-        for d in dead_frames[1:]:
-            rem = rem.unionByName(d)
+        # (dv abs path -> data file abs path) lookups, KB-sized
+        def _lookup(pairs):
+            return spark.createDataFrame(
+                [
+                    (
+                        os.path.normpath(os.path.join(root, dv)),
+                        os.path.normpath(os.path.join(root, f)),
+                    )
+                    for f, dv in pairs
+                ],
+                "_dvp string, _datp string",
+            )
+
+        def _positions(pairs):
+            # ONE scan of all the vectors; each row keyed by the data
+            # file its vector belongs to via the broadcast lookup
+            return (
+                spark.read.parquet(
+                    *[os.path.join(root, dv) for _f, dv in pairs]
+                )
+                .select(
+                    _decoded_file_path_col().alias("_dvp"),
+                    F.col("row_index").alias("_ri"),
+                )
+                .join(F.broadcast(_lookup(pairs)), "_dvp")
+                .select("_datp", "_ri")
+            )
+
+        new_pos = _positions(sorted(changed.items()))
+        old_pairs = sorted(
+            (f, prev_dv[f]) for f in changed if f in prev_dv
+        )
+        if old_pairs:  # only the delta positions are newly dead
+            new_pos = new_pos.join(
+                _positions(old_pairs), ["_datp", "_ri"], "left_anti"
+            )
+        rem = (
+            spark.read.parquet(
+                *[os.path.join(root, f) for f in sorted(changed)]
+            )
+            .select(
+                "*",
+                _decoded_file_path_col().alias("_datp"),
+                F.col("_metadata.row_index").alias("_ri"),
+            )
+            .join(F.broadcast(new_pos), ["_datp", "_ri"])
+            .drop("_datp", "_ri")
+        )
         return None, rem
     live_add = m.get("live_add", m["add"])
     add = (
@@ -3153,6 +3572,64 @@ ORDER BY o_orderkey
 """
 
 
+def tablelog_mor_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: MERGE-ON-READ UPDATE ... SET (r10 — the Delta
+    deletion-vector update). Same table layout, predicate, and
+    assignments as :func:`tablelog_cow_update`, but the commit writes
+    per-file deletion vectors + one delta file of updated images
+    instead of rewriting the affected files — a one-row update no
+    longer rewrites a whole file. Asserts no pre-existing live file
+    was rewritten (MoR economics) and that the pre-update version
+    still time-travels. Oracle: the identical CASE projection — the
+    two strategies must be indistinguishable to a reader."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ..catalog import load_table
+
+    cols = ["o_orderkey", "o_orderdate", "o_orderstatus", "o_totalprice"]
+    orders = load_table(spark, sf_dir, "orders").select(*cols)
+    root = tempfile.mkdtemp(prefix="tablelog_morupd_")
+    try:
+        for i in range(2):
+            log_append(
+                spark,
+                root,
+                orders.filter(F.col("o_orderkey") % 2 == i).coalesce(2),
+                partition_by=["month(o_orderdate)"],
+            )
+        live_before = set(_snapshot(root)["live"])
+        pred = (
+            "o_orderdate BETWEEN DATE '1996-04-01' AND DATE '1996-06-30' "
+            "AND o_orderstatus = 'O'"
+        )
+        log_update_where_mor(
+            spark,
+            root,
+            pred,
+            {
+                "o_orderstatus": "'U'",
+                "o_totalprice": "o_totalprice + 1",
+            },
+        )
+        state = _snapshot(root)
+        # merge-on-read: every pre-existing live file is CARRIED (the
+        # commit added vectors + a delta file, rewrote nothing)
+        assert live_before <= set(state["live"])
+        assert state["dv"]  # the vectors exist
+        assert log_read(spark, root, version=1).filter(
+            F.col("o_orderstatus") == "U"
+        ).count() == 0  # pre-update snapshot untouched (time travel)
+        out = log_read(spark, root).select(*cols).orderBy("o_orderkey")
+        return _materialized_scan(spark, out)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+TABLELOG_MOR_UPDATE_SQL = TABLELOG_COW_UPDATE_SQL
+
+
 def tablelog_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registry entry: HIDDEN PARTITIONING (the last delta/iceberg-log
     rung — VERDICT r7 #4). Two appends of ``orders`` laid out by
@@ -3275,7 +3752,10 @@ def log_convert_in_place(
                 .agg(*aggs)
                 .collect()
             ):
-                tail = next((p for p in rel if r["_f"].endswith(p)), None)
+                tail = next(
+                    (p for p in rel if _uri_to_path(r["_f"]).endswith(p)),
+                    None,
+                )
                 if tail is None:
                     continue
                 if keep:

@@ -638,6 +638,25 @@ def _copy_state(state: dict) -> dict:
     }
 
 
+def _earliest_cdf_start(root: str) -> int:
+    """The smallest version whose change feed is still SERVICEABLE:
+    emitting commit v's changes needs the v-1 snapshot to diff against,
+    so after a retention-trimming VACUUM the feed can start at the
+    trim floor only if a checkpoint at floor-1 survived (log_vacuum
+    keeps one when present); otherwise the first serviceable commit is
+    floor+1. Used by both CDF readers to clamp the default start and
+    to reject an explicit startingVersion with a diagnosis instead of
+    a raw FileNotFoundError mid-planning (ADVICE r9)."""
+    vs = TL._versions(root)
+    if not vs or vs[0] == 0:
+        return 0
+    try:
+        TL._snapshot(root, vs[0] - 1)
+        return vs[0]
+    except (FileNotFoundError, ValueError):
+        return vs[0] + 1
+
+
 def _cdf_partitions(
     root: str, lo_exclusive: int, hi_inclusive: int, cols, out_schema
 ) -> list[_CDFPart]:
@@ -770,7 +789,16 @@ class TablelogCDFStreamReader(DataSourceStreamReader):
         # Delta's streaming startingVersion: begin the feed AT that
         # version (inclusive) instead of replaying the full history
         sv = options.get("startingversion")
-        self.start_version = int(sv) - 1 if sv is not None else -1
+        floor = _earliest_cdf_start(root)
+        if sv is not None and int(sv) < floor:
+            raise ValueError(
+                f"readChangeFeed stream: startingVersion {int(sv)} is "
+                "before the earliest version whose change data is "
+                f"still resolvable (v{floor}) for the table at {root} "
+                "— history below it was trimmed by VACUUM; pass a "
+                f"startingVersion >= {floor}"
+            )
+        self.start_version = int(sv) - 1 if sv is not None else floor - 1
 
     def initialOffset(self) -> dict:
         self._floor = self.start_version
@@ -787,13 +815,23 @@ class TablelogCDFStreamReader(DataSourceStreamReader):
                 m = TL._read_manifest(self.root, end + 1)
             except FileNotFoundError:
                 break
-            n = (
-                0
-                if m["action"] in _DATA_UNCHANGED
-                else len(m.get("live_add", m["add"]))
-                + len(m["remove"])
-                + len(m.get("dv_set", {}))
-            )
+            if m["action"] in _DATA_UNCHANGED:
+                n = 0
+            elif "live" in m:
+                # full-manifest commit (RESTORE / legacy snapshot):
+                # _cdf_partitions expands it to a live-set diff against
+                # the previous version, so its admission cost is the
+                # size of that diff — NOT 0 (ADVICE r9: a restore in
+                # the window must not admit an unbounded batch).
+                # Upper-bound it by the full live set; the true
+                # symmetric difference is never larger.
+                n = len(m["live"])
+            else:
+                n = (
+                    len(m.get("live_add", m["add"]))
+                    + len(m["remove"])
+                    + len(m.get("dv_set", {}))
+                )
             if n > budget and end > self._floor:
                 break
             end += 1
@@ -835,6 +873,22 @@ class TablelogCDFBatchReader(DataSourceReader):
         self.end = int(ev) if ev is not None else (
             -1 if latest is None else latest
         )
+        # Validate the window against the RETAINED history up front
+        # (ADVICE r9): on a vacuum-trimmed table the default start of 0
+        # would otherwise surface as a raw FileNotFoundError from
+        # _read_manifest in the middle of partition planning.
+        floor = _earliest_cdf_start(root)
+        if self.start < floor:
+            if sv is not None:
+                raise ValueError(
+                    f"readChangeFeed: startingVersion {self.start} is "
+                    "before the earliest version whose change data is "
+                    f"still resolvable (v{floor}) for the table at "
+                    f"{root} — history below it was trimmed by VACUUM; "
+                    f"pass a startingVersion >= {floor}"
+                )
+            # default start (full history): clamp to what is resolvable
+            self.start = floor
         state = TL._snapshot(root)
         self.cols, self.out_schema = _arrow_out_schema(root, state)
 

@@ -255,7 +255,11 @@ ORDER BY event_id
 """
 
 
-def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+def stream_stream_join(
+    spark: SparkSession,
+    sf_dir: str,
+    _types: tuple[str, str] = ("view", "purchase"),
+) -> DataFrame:
     """Watermarked stream-stream INNER join: each view event matched with
     that user's purchases within the following hour — the two-stream
     attribution join. Both sides carry watermarks and the join condition
@@ -266,10 +270,13 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Drained with AvailableNow the source arrives in one micro-batch, so
     nothing is watermark-late and the append output equals the batch
-    time-range join — hence the EXACT SQL oracle."""
+    time-range join — hence the EXACT SQL oracle.
+
+    ``_types`` is bench-only plumbing for the floor twin below; the
+    registry entry always runs the default."""
     s = _events_stream(spark, sf_dir)
     views = (
-        s.filter(F.col("event_type") == "view")
+        s.filter(F.col("event_type") == _types[0])
         .select(
             F.col("user_id").alias("v_user"),
             F.col("event_id").alias("view_id"),
@@ -278,7 +285,7 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withWatermark("view_ts", WATERMARK_DELAY)
     )
     purchases = (
-        s.filter(F.col("event_type") == "purchase")
+        s.filter(F.col("event_type") == _types[1])
         .select(
             F.col("user_id").alias("p_user"),
             F.col("event_id").alias("purchase_id"),
@@ -303,6 +310,21 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "purchase_ts",
         "value",
     ).orderBy("view_id", "purchase_id")
+
+
+def stream_stream_join_floor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bench-only micro-decomposition of stream_stream_join (VERDICT r9
+    #5: two consecutive driver reruns read the entry as the biggest
+    riser; this twin lets the next pair attribute movement). The SAME
+    source scan, watermarks, micro-batch trigger, checkpoint, and
+    state-store machinery — driven with event types that match NOTHING,
+    so the join state and output are empty. Its wall time IS the
+    sf-invariant machinery floor: full entry rises while this stays
+    flat -> data/join-state path; both rise together -> machinery or VM
+    load (probe noise). Not a registry entry."""
+    return stream_stream_join(
+        spark, sf_dir, _types=("__floor__", "__floor__")
+    )
 
 
 STREAM_STREAM_JOIN_SQL = """

@@ -13,9 +13,17 @@ from cdc_local_data_pipeline_docker_spark.registry import GRADED_WINDOW, REGISTR
 MUST_BE_GRADED = {
     # reference-parity CDC surface
     "cdc_latest_state_orders", "cdc_reference_projection", "cdc_changelog_stats",
-    # Structured Streaming
-    "stream_tumbling_agg", "stream_session_agg", "stream_dedup_events",
+    # Structured Streaming (stream_tumbling_agg rotated out r10 for the
+    # medallion CDF chain; siblings stream_session_agg +
+    # events_resample_interpolate)
+    "stream_session_agg", "stream_dedup_events",
     "stream_stateful_user_totals",
+    # round-10 rotation (VERDICT r9 #1/#2/#4): the r9 flagships take
+    # graded slots, the new MoR UPDATE grades same-round, and the two
+    # r1 canonicalizer casualties get driver-proven for one round
+    "stream_cdf_gold_view", "tablelog_shallow_clone",
+    "tablelog_check_constraint", "tablelog_cow_update",
+    "tablelog_mor_update", "fn_array_pack", "fn_json_pack",
     # round-9 third-wave flagship (same-round rotation, the r8
     # protocol): the change data feed as a streaming source; displaced
     # events_tumbling_agg (batch twin of graded stream_tumbling_agg,
@@ -34,12 +42,14 @@ MUST_BE_GRADED = {
     # pandas-UDF surface (fn_pandas_normalize rotated out r9,
     # sibling fn_pandas_group_rank)
     "fn_pandas_group_rank",
-    # round-2 canonicalizer/HUGEINT fix proofs
+    # round-2 canonicalizer/HUGEINT fix proofs (fn_collection_pack
+    # rotated out r10; the graded fn-family rows are fn_array_pack +
+    # fn_json_pack this round)
     "agg_approx", "multimodal_feature_extract",
-    "fn_collection_pack",
     # round-5 flagship operators rotated into the window in round 6
-    # (VERDICT r5 #2): MERGE, IVM, span-level dedup
-    "cdc_incremental_agg_view", "dedup_span_coverage",
+    # (VERDICT r5 #2): MERGE + IVM (dedup_span_coverage rotated out
+    # r10; dedup family keeps ngram/minhash/semantic graded)
+    "cdc_incremental_agg_view",
     # round-7 third-session flagship rotated in (displacing
     # sort_limit_topn, top-k family keeps a graded sibling):
     # fixed-point BM25 retrieval (the DBLog chunked-snapshot merge
@@ -63,7 +73,6 @@ MUST_BE_GRADED = {
     # same oracle), stream_chained_windows, tablelog_source_stream,
     # cdc_snapshot_chunk_merge, tablelog_checkpointed_read
     "tablelog_time_travel", "tablelog_cdf_agg_view",
-    "tablelog_partition_pruning", "embedding_kmeans_train",
     "cdc_fk_integrity_report",
     # round-9 rotation (VERDICT r8 #5): the r8 DSv2 write path, the
     # streaming sink, and the pushFilters pruned scan take graded
@@ -73,7 +82,7 @@ MUST_BE_GRADED = {
     "tablelog_writer_roundtrip", "stream_tablelog_append_sink",
     "tablelog_source_pruned_scan",
     # family packs (each the graded representative of its family)
-    "filter_pack", "window_analytics_pack", "set_ops_pack", "fn_scalar_pack",
+    "filter_pack", "window_analytics_pack", "set_ops_pack",
     "text_profile",
 }
 
@@ -85,13 +94,17 @@ COVERED_BY = {
     "stream_chained_windows": "stream_session_agg",
     "tablelog_source_stream": "stream_tablelog_upsert",
     "tablelog_checkpointed_read": "tablelog_time_travel",
-    # r9 third wave: CDF-as-stream (graded CDF sibling: the IVM fold),
-    # shallow clone + REORG PURGE (snapshot/maintenance family), CHECK
-    # constraints (write-path enforcement family)
-    "stream_cdf_gold_view": "tablelog_cdf_agg_view",
-    "tablelog_shallow_clone": "tablelog_time_travel",
+    # r9 third wave leftover: REORG PURGE (snapshot/maintenance family)
     "tablelog_reorg_purge": "tablelog_time_travel",
-    "tablelog_check_constraint": "tablelog_writer_roundtrip",
+    # rotated out r10 (the r9/r10 tablelog + fn flagships swapped in);
+    # each keeps a graded same-family sibling
+    "stream_tumbling_agg": "stream_session_agg",
+    "tablelog_partition_pruning": "tablelog_source_pruned_scan",
+    "dedup_span_coverage": "dedup_ngram_jaccard",
+    "dedup_clusters": "er_golden_record",
+    "embedding_kmeans_train": "ann_cosine_topk",
+    "fn_scalar_pack": "fn_array_pack",
+    "fn_collection_pack": "fn_json_pack",
     "cdc_snapshot_chunk_merge": "cdc_latest_state_orders",
     # rotated out r9 (the r8 writer/sink/pushdown flagships swapped in)
     "fn_pandas_normalize": "fn_pandas_group_rank",
@@ -205,9 +218,6 @@ COVERED_BY = {
     # pytest-pinned in test_tablelog_v2.py / test_tablelog_race.py
     "tablelog_column_mapping": "filter_pack",
     "tablelog_bloom_point_lookup": "filter_pack",
-    # r9: CoW UPDATE — storage-rewrite family graded by the low-shuffle
-    # MERGE; its partition-aware probe is pytest-pinned
-    "tablelog_cow_update": "merge_into_orders_lowshuffle",
     # rotated out r7 fifth session (tablelog/classifier flagships in)
     "merge_into_orders": "merge_into_orders_lowshuffle",
     "dedup_keep_best_quality": "dedup_ngram_jaccard",
@@ -226,7 +236,7 @@ COVERED_BY = {
     "tablelog_small_file_compaction": "filter_pack",
     # linear attribution: same carry/range window family as last-touch
     "events_attribution_linear": "events_resample_interpolate",
-    "dedup_canonical_corpus": "dedup_clusters",
+    "dedup_canonical_corpus": "er_golden_record",
     # entity resolution: block equi-join + residual verify — join family
     # graded by join_inner/join_broadcast_dims; window resolution graded
     # by window_topk_per_group
@@ -247,8 +257,8 @@ COVERED_BY = {
     "window_topk_salted": "agg_salted_two_stage",
     "knn_label_vote": "ann_cosine_topk",
     "contrastive_triplet_mining": "ann_cosine_topk",
-    "stream_stream_join": "stream_tumbling_agg",
-    "stream_static_enrich": "stream_tumbling_agg",
+    "stream_stream_join": "stream_session_agg",
+    "stream_static_enrich": "stream_session_agg",
     "stream_state_snapshot": "stream_stateful_user_totals",
     # rotated out r7 fourth session (stream_tablelog_upsert swapped in)
     "join_broadcast_dims": "join_inner",
@@ -265,9 +275,9 @@ COVERED_BY = {
     "corpus_mixture_sample_hash": "text_profile",
     "corpus_weighted_sample": "text_profile",
     "dedup_embedding_lsh_contract_sampled": "dedup_minhash_lsh",
-    "dedup_graph_centrality": "dedup_clusters",
-    "graph_shortest_hops": "dedup_clusters",
-    "dedup_cluster_labels": "dedup_clusters",
+    "dedup_graph_centrality": "er_golden_record",
+    "graph_shortest_hops": "er_golden_record",
+    "dedup_cluster_labels": "er_golden_record",
     "profile_table_stats": "agg_grouped",
     "features_quantile_bins": "window_analytics_pack",
     "profile_join_skew": "agg_grouped",
@@ -330,20 +340,18 @@ COVERED_BY = {
     "text_unigram_rarity": "explode_token_frequencies",
     "text_bigram_coherence": "explode_token_frequencies",
     "corpus_shuffle_shards": "text_profile",
-    "events_tumbling_agg": "stream_tumbling_agg",
+    "events_tumbling_agg": "stream_session_agg",
     "events_ewma_smooth": "events_resample_interpolate",
     "events_cusum_drift": "events_resample_interpolate",
     "events_drift_histogram": "events_resample_interpolate",
     "corpus_length_histogram": "text_profile",
-    "corpus_prep_chunks": "dedup_span_coverage",
-    "fn_string_pack": "fn_scalar_pack",
-    "fn_date_pack": "fn_scalar_pack",
-    "fn_math_pack": "fn_scalar_pack",
-    "fn_conditional_pack": "fn_scalar_pack",
-    "fn_array_pack": "fn_collection_pack",
-    "fn_json_pack": "fn_collection_pack",
-    "fn_variant_pack": "fn_collection_pack",
-    "fn_map_pack": "fn_collection_pack",
+    "corpus_prep_chunks": "dedup_ngram_jaccard",
+    "fn_string_pack": "fn_array_pack",
+    "fn_date_pack": "fn_array_pack",
+    "fn_math_pack": "fn_array_pack",
+    "fn_conditional_pack": "fn_array_pack",
+    "fn_variant_pack": "fn_json_pack",
+    "fn_map_pack": "fn_json_pack",
 }
 
 

@@ -1,0 +1,234 @@
+"""Round-10 merge-on-read WRITE paths (VERDICT r9 #2): UPDATE and
+MERGE via deletion vectors + delta files — no pre-existing data file
+is rewritten, the CDF emits exact pre/post images, and the result is
+reader-indistinguishable from the copy-on-write twin."""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from cdc_local_data_pipeline_docker_spark.sources import tablelog as TL
+
+SF = "/root/testdata/sf0.001"
+COLS = ["o_orderkey", "o_orderstatus", "o_totalprice"]
+
+
+@pytest.fixture()
+def root():
+    d = tempfile.mkdtemp(prefix="tablelog_mor_write_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _orders(spark, n=30):
+    return (
+        spark.read.parquet(os.path.join(SF, "orders.parquet"))
+        .select(*COLS)
+        .limit(n)
+    )
+
+
+def _rows(spark, root, version=None):
+    return {
+        (r["o_orderkey"], r["o_orderstatus"], round(r["o_totalprice"], 2))
+        for r in TL.log_read(spark, root, version=version).collect()
+    }
+
+
+def test_mor_update_matches_cow_update(spark, root):
+    """Same table, same UPDATE — MoR and CoW must produce identical
+    snapshots, and MoR must carry every pre-existing file."""
+    cow = tempfile.mkdtemp(prefix="tablelog_cow_twin_")
+    try:
+        orders = _orders(spark)
+        for d in (root, cow):
+            TL.log_append(spark, d, orders.coalesce(3))
+        pred = "o_orderkey % 3 = 0"
+        assignments = {"o_totalprice": "o_totalprice * 2"}
+        TL.log_update_where_mor(spark, root, pred, assignments)
+        TL.log_update_where(spark, cow, pred, assignments)
+        assert _rows(spark, root) == _rows(spark, cow)
+        # MoR carried every file; CoW rewrote the affected ones
+        live0 = set(TL._snapshot(root, 0)["live"])
+        st = TL._snapshot(root)
+        assert live0 <= set(st["live"])
+        assert st["dv"]
+    finally:
+        shutil.rmtree(cow, ignore_errors=True)
+
+
+def test_mor_update_time_travel_and_cdf(spark, root):
+    orders = _orders(spark)
+    TL.log_append(spark, root, orders.coalesce(2))
+    before = _rows(spark, root)
+    TL.log_update_where_mor(
+        spark, root, "o_orderstatus = 'O'", {"o_orderstatus": "'X'"}
+    )
+    assert _rows(spark, root, version=0) == before  # time travel
+    n_open = len([r for r in before if r[1] == "O"])
+    after = _rows(spark, root)
+    assert len(after) == len(before)
+    assert len([r for r in after if r[1] == "X"]) == n_open
+    # CDF: pre-images = the old 'O' rows, post-images = the 'X' rows
+    add, rem = TL.log_changes(spark, root, 1)
+    assert rem.count() == n_open
+    assert {r["o_orderstatus"] for r in rem.collect()} == {"O"}
+    assert add.count() == n_open
+    assert {r["o_orderstatus"] for r in add.collect()} == {"X"}
+
+
+def test_mor_update_respects_prior_dv(spark, root):
+    """A row killed by a prior MoR delete must not be updated back to
+    life, and re-updates must union vectors, not lose positions."""
+    orders = _orders(spark, 12)
+    TL.log_append(spark, root, orders)
+    keys = sorted(r[0] for r in orders.select("o_orderkey").collect())
+    TL.log_delete_where_mor(spark, root, f"o_orderkey = {keys[0]}")
+    TL.log_update_where_mor(
+        spark, root, "o_totalprice > -1", {"o_orderstatus": "'Z'"}
+    )
+    out = TL.log_read(spark, root)
+    assert out.count() == len(keys) - 1
+    assert out.filter(f"o_orderkey = {keys[0]}").count() == 0
+    assert out.filter("o_orderstatus != 'Z'").count() == 0
+
+
+def test_mor_update_no_match_is_noop_commit(spark, root):
+    orders = _orders(spark, 10)
+    TL.log_append(spark, root, orders)
+    TL.log_update_where_mor(
+        spark, root, "o_orderkey = -42", {"o_orderstatus": "'Q'"}
+    )
+    assert TL._latest_version(root) == 1
+    assert TL.log_read(spark, root).count() == 10
+
+
+def test_mor_update_constraint_gate(spark, root):
+    orders = _orders(spark, 10)
+    TL.log_append(spark, root, orders)
+    TL.log_add_constraint(spark, root, "price_pos", "o_totalprice > 0")
+    with pytest.raises(TL.ConstraintViolation):
+        TL.log_update_where_mor(
+            spark, root, "o_orderkey % 2 = 0", {"o_totalprice": "-5.0"}
+        )
+    # nothing published
+    assert TL.log_read(spark, root).filter("o_totalprice < 0").count() == 0
+
+
+def test_mor_merge_matches_cow_merge(spark, root):
+    cow = tempfile.mkdtemp(prefix="tablelog_cowmerge_twin_")
+    try:
+        orders = _orders(spark, 24)
+        for d in (root, cow):
+            TL.log_append(spark, d, orders.coalesce(3))
+        keys = sorted(r[0] for r in orders.select("o_orderkey").collect())
+        changes = spark.createDataFrame(
+            [(keys[0], "M", 111.0), (keys[1], "M", 222.0),
+             (10_000_001, "N", 1.0), (10_000_002, "N", 2.0)],
+            "o_orderkey bigint, o_orderstatus string, o_totalprice double",
+        )
+        TL.log_merge_mor(spark, root, changes, "o_orderkey")
+        TL.log_merge(spark, cow, changes, "o_orderkey")
+        assert _rows(spark, root) == _rows(spark, cow)
+        # MoR: every pre-existing file carried
+        live0 = set(TL._snapshot(root, 0)["live"])
+        assert live0 <= set(TL._snapshot(root)["live"])
+    finally:
+        shutil.rmtree(cow, ignore_errors=True)
+
+
+def test_mor_merge_cdf_shape(spark, root):
+    orders = _orders(spark, 12)
+    TL.log_append(spark, root, orders)
+    keys = sorted(r[0] for r in orders.select("o_orderkey").collect())
+    changes = spark.createDataFrame(
+        [(keys[0], "M", 9.0), (20_000_001, "N", 1.0)],
+        "o_orderkey bigint, o_orderstatus string, o_totalprice double",
+    )
+    TL.log_merge_mor(spark, root, changes, "o_orderkey")
+    m = TL._read_manifest(root, 1)
+    assert m["action"] == "merge_mor"
+    add, rem = TL.log_changes(spark, root, 1)
+    # removed = the matched key's old image; added = new image + insert
+    assert rem.count() == 1
+    assert rem.collect()[0]["o_orderkey"] == keys[0]
+    got_add = {r["o_orderkey"] for r in add.collect()}
+    assert got_add == {keys[0], 20_000_001}
+    # net count delta == number of pure inserts
+    assert TL.log_read(spark, root).count() == len(keys) + 1
+
+
+def test_mor_merge_insert_only(spark, root):
+    orders = _orders(spark, 8)
+    TL.log_append(spark, root, orders)
+    changes = spark.createDataFrame(
+        [(30_000_001, "N", 1.0)],
+        "o_orderkey bigint, o_orderstatus string, o_totalprice double",
+    )
+    TL.log_merge_mor(spark, root, changes, "o_orderkey")
+    m = TL._read_manifest(root, 1)
+    assert not m.get("dv_set")
+    assert TL.log_read(spark, root).count() == 9
+    add, rem = TL.log_changes(spark, root, 1)
+    assert rem is None or rem.count() == 0
+    assert add.count() == 1
+
+
+def test_mor_update_then_compact_materializes(spark, root):
+    """OPTIMIZE after a MoR update drops the vectors and keeps content."""
+    orders = _orders(spark, 20)
+    TL.log_append(spark, root, orders.coalesce(2))
+    TL.log_update_where_mor(
+        spark, root, "o_orderkey % 2 = 0", {"o_orderstatus": "'E'"}
+    )
+    want = _rows(spark, root)
+    TL.log_compact(spark, root, target_files=1)
+    assert _rows(spark, root) == want
+    assert not TL._snapshot(root)["dv"]
+
+
+def test_mor_update_streaming_cdf_fold(spark, root):
+    """The streaming CDF over an update_mor commit folds back to the
+    snapshot (signed-multiset theorem extended to the new commit class)."""
+    from cdc_local_data_pipeline_docker_spark.sources import (
+        tablelog_source as TS,
+    )
+
+    orders = _orders(spark, 20)
+    TL.log_append(spark, root, orders.coalesce(2))
+    TL.log_update_where_mor(
+        spark, root, "o_orderkey % 4 = 0", {"o_totalprice": "o_totalprice + 7"}
+    )
+    TL.log_delete_where_mor(spark, root, "o_orderkey % 5 = 0")
+    TS.register(spark)
+    cdf = (
+        spark.read.format("tablelog")
+        .option("path", root)
+        .option("readChangeFeed", "true")
+        .load()
+    )
+    folded = (
+        cdf.groupBy(*COLS)
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("_change_type").isin(
+                        "insert", "update_postimage"
+                    ),
+                    1,
+                ).otherwise(-1)
+            ).alias("_net")
+        )
+        .filter("_net = 1")
+        .select(*COLS)
+    )
+    got = {
+        (r["o_orderkey"], r["o_orderstatus"], round(r["o_totalprice"], 2))
+        for r in folded.collect()
+    }
+    assert got == _rows(spark, root)
