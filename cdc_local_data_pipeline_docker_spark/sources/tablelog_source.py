@@ -1826,7 +1826,12 @@ def stream_tablelog_cdf(spark, sf_dir: str):
                                                  from commit-time change
                                                  files (carried rows
                                                  emit nothing)
-      v5     OPTIMIZE (compact)               → streams NOTHING
+      v5     MoR UPDATE 'O' rows (+7 price)   → vectors + a delta file;
+                                                 pre-images from the
+                                                 sidecar, post-images
+                                                 from the delta files
+                                                 themselves (r10)
+      v6     OPTIMIZE (compact)               → streams NOTHING
 
     The drained feed is folded as a SIGNED MULTISET (insert /
     update_postimage = +1, delete / update_preimage = −1; net 1 =
@@ -1858,6 +1863,12 @@ def stream_tablelog_cdf(spark, sf_dir: str):
             root,
             "o_orderstatus = 'P'",
             {"o_totalprice": "o_totalprice + 1000"},
+        )
+        TL.log_update_where_mor(
+            spark,
+            root,
+            "o_orderstatus = 'O'",
+            {"o_totalprice": "o_totalprice + 7"},
         )
         TL.log_compact(spark, root, target_files=2)
         qname = f"tablelog_cdf_{uuid.uuid4().hex[:8]}"
@@ -1900,6 +1911,7 @@ STREAM_TABLELOG_CDF_SQL = """
 SELECT o_orderkey,
        o_orderstatus,
        CASE WHEN o_orderstatus = 'P' THEN o_totalprice + 1000
+            WHEN o_orderstatus = 'O' THEN o_totalprice + 7
             ELSE o_totalprice END AS o_totalprice
 FROM orders
 WHERE o_orderstatus <> 'F' AND o_orderkey % 5 <> 0

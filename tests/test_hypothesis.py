@@ -638,7 +638,8 @@ def _tablelog_ops(draw):
             if i == 0
             else draw(st.sampled_from(
                 ["append", "delete", "delete_mor", "merge", "compact",
-                 "compact_small", "rename", "restore", "purge"]
+                 "compact_small", "rename", "restore", "purge",
+                 "update_mor", "merge_mor"]
             ))
         )
         if kind == "append":
@@ -655,14 +656,19 @@ def _tablelog_ops(draw):
             mod = draw(st.integers(2, 5))
             rem = draw(st.integers(0, mod - 1))
             ops.append((kind, (mod, rem)))
-        elif kind == "merge":
+        elif kind in ("merge", "merge_mor"):
             # update a random slice of existing keys + insert fresh ones
             upd = draw(st.lists(st.integers(0, max(next_key - 1, 0)),
                                 max_size=4, unique=True))
             fresh = draw(st.integers(0, 2))
             ins = list(range(next_key, next_key + fresh))
             next_key += fresh
-            ops.append(("merge", (upd, ins, draw(st.integers(1, 99)))))
+            ops.append((kind, (upd, ins, draw(st.integers(1, 99)))))
+        elif kind == "update_mor":
+            # r10: merge-on-read predicate UPDATE — vectors + delta file
+            mod = draw(st.integers(2, 5))
+            rem = draw(st.integers(0, mod - 1))
+            ops.append(("update_mor", (mod, rem, draw(st.integers(100, 199)))))
         elif kind == "rename":
             ops.append(("rename", None))
         elif kind == "restore":
@@ -684,7 +690,10 @@ def _tablelog_ops(draw):
 def test_tablelog_model_based(spark, ops):
     """Every version of a random append/delete/MoR-delete/merge/compact
     program must equal a pure-Python dict model replayed to that point —
-    snapshot correctness AND time travel over arbitrary histories."""
+    snapshot correctness AND time travel over arbitrary histories.
+    r10: the op set includes merge-on-read UPDATE and MERGE, so the
+    model sweep and the CDF fold theorem below cover DV+delta-file
+    commits interleaved with every other commit class."""
     import shutil
     import tempfile
 
@@ -717,7 +726,7 @@ def test_tablelog_model_based(spark, ops):
                 else:
                     TL.log_delete_where_mor(spark, root, pred)
                 model = {k: v for k, v in model.items() if k % mod != rem}
-            elif kind == "merge":
+            elif kind in ("merge", "merge_mor"):
                 upd, ins, val = arg
                 keys = sorted(set(upd) | set(ins))
                 if not keys:
@@ -725,8 +734,19 @@ def test_tablelog_model_based(spark, ops):
                 df = spark.createDataFrame(
                     [(k, val) for k in keys], f"k LONG, {val_name} LONG"
                 )
-                TL.log_merge(spark, root, df, "k")
+                (TL.log_merge if kind == "merge" else TL.log_merge_mor)(
+                    spark, root, df, "k"
+                )
                 model.update({k: val for k in keys})
+            elif kind == "update_mor":
+                mod, rem, val = arg
+                TL.log_update_where_mor(
+                    spark, root, f"k % {mod} = {rem}", {val_name: str(val)}
+                )
+                model = {
+                    k: (val if k % mod == rem else v)
+                    for k, v in model.items()
+                }
             elif kind == "rename":
                 n_renames += 1
                 new_name = f"val{n_renames}"

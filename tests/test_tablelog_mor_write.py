@@ -232,3 +232,83 @@ def test_mor_update_streaming_cdf_fold(spark, root):
         for r in folded.collect()
     }
     assert got == _rows(spark, root)
+
+
+def test_rewrites_preserve_hidden_partitioning(spark, root):
+    """r10: CoW UPDATE and MoR UPDATE rewrites re-derive the affected
+    files' transform spec, so their replacement/delta files keep
+    partition-pruning (before this, any rewrite dropped its files out
+    of pruning forever — a slow decay to full scans at 100 TB)."""
+    import datetime
+
+    cols = ["o_orderkey", "o_orderdate", "o_orderstatus", "o_totalprice"]
+    orders = (
+        spark.read.parquet(os.path.join(SF, "orders.parquet"))
+        .select(*cols)
+        .limit(400)
+    )
+    TL.log_append(
+        spark, root, orders, partition_by=["month(o_orderdate)"]
+    )
+    # CoW update touching every file
+    TL.log_update_where(
+        spark, root, "o_totalprice > -1", {"o_orderstatus": "'R'"}
+    )
+    st = TL._snapshot(root)
+    assert set(st["parts"]) == set(st["live"])  # rewritten files carry values
+    # MoR update: the delta file also lands with partition values
+    TL.log_update_where_mor(
+        spark, root,
+        "o_orderdate BETWEEN DATE '1995-01-01' AND DATE '1995-03-31'",
+        {"o_totalprice": "o_totalprice + 1"},
+    )
+    st = TL._snapshot(root)
+    assert set(st["parts"]) == set(st["live"])
+    lo, hi = datetime.date(1995, 1, 1), datetime.date(1995, 3, 31)
+    pruned = TL.log_read(spark, root, prune=("o_orderdate", lo, hi))
+    assert len(pruned.inputFiles()) < len(st["live"])
+    # safe-only: pruned+filtered equals unpruned+filtered
+    pred = (
+        f"o_orderdate BETWEEN DATE '{lo}' AND DATE '{hi}'"
+    )
+    a = sorted(
+        r["o_orderkey"] for r in pruned.filter(pred).collect()
+    )
+    b = sorted(
+        r["o_orderkey"]
+        for r in TL.log_read(spark, root).filter(pred).collect()
+    )
+    assert a == b and len(a) > 0
+
+
+def test_mor_merge_probe_pruned_by_bucket(spark, root):
+    """r10: the MoR merge shares the CoW probe — on a bucket(8, key)
+    table a single-key change batch's DELETION VECTOR lands only in
+    that bucket's files (the probe never scanned the others)."""
+    o = (
+        spark.read.parquet(os.path.join(SF, "orders.parquet"))
+        .select(*COLS)
+    )
+    TL.log_append(
+        spark, root, o.coalesce(1), partition_by=["bucket(8, o_orderkey)"]
+    )
+    st = TL._snapshot(root)
+    key = int(o.select("o_orderkey").first()[0])
+    b = TL._bucket_of_py(key, 8)
+    in_bucket = {
+        f
+        for f in st["live"]
+        if st["parts"][f]["bucket(8,o_orderkey)"] == b
+    }
+    changes = o.filter(F.col("o_orderkey") == key).withColumn(
+        "o_totalprice", F.lit(4242.0).cast("double")
+    )
+    v = TL.log_merge_mor(spark, root, changes, "o_orderkey")
+    m = TL._read_manifest(root, v)
+    assert m["dv_set"] and set(m["dv_set"]) <= in_bucket
+    assert not m["remove"]  # MoR: nothing rewritten
+    got = TL.log_read(spark, root)
+    assert got.filter(F.col("o_orderkey") == key).first()[
+        "o_totalprice"
+    ] == 4242.0
+    assert got.count() == o.count()
