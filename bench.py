@@ -148,6 +148,11 @@ OPTIONAL = [
     # planner walk + the diff-part readers round-over-round on the
     # same per-row-Python watchlist as the snapshot reader above.
     "stream_tablelog_cdf",
+    # round-10 addition: the merge-on-read UPDATE write path (vectors +
+    # delta file + pre-image sidecar) — baselined the round it lands so
+    # the DV-write and probe costs are visible round-over-round next to
+    # the CoW writer entries above
+    "tablelog_mor_update",
 ]
 #: Entries whose wall time is sf-INVARIANT fixed machinery (measured
 #: identical at sf0.01 and sf0.1 across rounds 4-5): streaming

@@ -1135,6 +1135,12 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         TLG.tablelog_small_file_compaction,
         TLG.TABLELOG_SMALL_FILE_COMPACTION_SQL,
     ),
+    # r10: ROW TRACKING — stable base row IDs surviving a MoR delete
+    # (Delta base-row-ID semantics; replay-assigned bases + row_index)
+    "tablelog_row_tracking": (
+        TLG.tablelog_row_tracking,
+        TLG.TABLELOG_ROW_TRACKING_SQL,
+    ),
     # r9: REORG APPLY (PURGE) — targeted DV-debt materialization
     "tablelog_reorg_purge": (
         TLG.tablelog_reorg_purge,

@@ -241,6 +241,13 @@ def main(argv: list[str] | None = None) -> int:
                     # DESCRIBE DETAIL (r9): size/DV-debt/spec/constraint
                     # facts for the maintenance operator's dashboard
                     "detail": TL.log_detail(root),
+                    # maintenance PLAN (r10): what the policy would run
+                    # (small-file bin-pack / DV purge / checkpoint /
+                    # orphan vacuum) — metadata probes only; a deployment
+                    # schedules log_maintenance(dry_run=False) on this
+                    "maintenance_plan": TL.log_maintenance(
+                        spark, root, dry_run=True
+                    ),
                 }
             )
         payload["tablelog"] = tl_report

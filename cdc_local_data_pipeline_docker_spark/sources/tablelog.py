@@ -111,11 +111,14 @@ __all__ = [
     "log_merge_mor",
     "log_compact",
     "log_compact_small_files",
+    "log_maintenance",
     "log_checkpoint",
     "log_read",
+    "log_read_with_row_ids",
     "log_history",
     "log_vacuum",
     "log_restore",
+    "log_restore_timestamp",
     "log_changes",
     "log_convert_in_place",
     "log_rename_column",
@@ -2270,9 +2273,16 @@ def log_compact(
     return _commit(root, base + 1, manifest)
 
 
-def log_history(root: str) -> list[dict]:
-    """Commit history: (version, action, files added/removed/live) —
-    one incremental replay over the manifests (each read once)."""
+def log_history(root: str, include_metrics: bool = False) -> list[dict]:
+    """DESCRIBE HISTORY: (version, action, timestamp, files
+    added/removed/live) — one incremental replay over the manifests
+    (each read once). ``include_metrics`` adds Delta's
+    operationMetrics shape — rows written / rows deleted per commit —
+    resolved lazily from the ADDED files' parquet footers and the
+    commit's sidecar/vector footers (KB metadata reads per file, no
+    data scan; cost tracks the audited commits' file counts, so a
+    dashboard can ask for one commit's metrics without paying for the
+    table)."""
     out = []
     state = _empty_state()
     for v in _versions(root):
@@ -2281,15 +2291,39 @@ def log_history(root: str) -> list[dict]:
             state = _state_from_full(root, m)
         else:
             _apply_delta(state, m)
-        out.append(
-            {
-                "version": v,
-                "action": m["action"],
-                "n_added": len(m["add"]),
-                "n_removed": len(m["remove"]),
-                "n_live": len(state["live"]),
-            }
-        )
+        rec = {
+            "version": v,
+            "action": m["action"],
+            "ts": m.get("ts"),
+            "n_added": len(m["add"]),
+            "n_removed": len(m["remove"]),
+            "n_live": len(state["live"]),
+        }
+        if include_metrics:
+            import pyarrow.parquet as pq
+
+            def _rows(rels) -> int:
+                n = 0
+                for f in rels:
+                    try:
+                        n += pq.ParquetFile(
+                            os.path.join(root, f)
+                        ).metadata.num_rows
+                    except OSError:
+                        pass
+                return n
+
+            live_add = m.get("live_add", m["add"]) if "live" not in m else []
+            rec["rows_written"] = _rows(live_add)
+            if m.get("cdf_pre") is not None:
+                # exact change images: deleted = pre-images not re-added
+                rec["rows_changed"] = _rows(m.get("cdf_pre") or [])
+                rec["rows_inserted"] = _rows(m.get("cdf_ins") or [])
+            elif "dv_set" in m:
+                rec["rows_deleted_by_vector"] = _rows(
+                    m["dv_set"].values()
+                )  # vector sizes are cumulative per file (union semantics)
+        out.append(rec)
     return out
 
 
@@ -2368,6 +2402,13 @@ def log_vacuum(
         if os.path.isdir(p) and not os.listdir(p):
             os.rmdir(p)
     return sorted(deleted)
+
+
+def log_restore_timestamp(spark: SparkSession, root: str, ts) -> int:
+    """RESTORE TABLE ... TO TIMESTAMP AS OF: resolve the version via
+    the read-side-clamped timestamp search and restore to it — the
+    composition Delta exposes as RESTORE's timestamp form."""
+    return log_restore(spark, root, version_at_timestamp(root, ts))
 
 
 def log_restore(spark: SparkSession, root: str, version: int) -> int:
@@ -3039,12 +3080,22 @@ def log_changes(
     (decoded file path, row index) — mirroring the executor-side
     design the streaming CDF reader already has."""
     m = _read_manifest(root, version)
-    if m["action"] in ("update_mor", "merge_mor"):
-        # MoR update/merge: the generic add/remove shape would miss the
-        # vector-killed pre-images (remove is empty), but these commits
-        # always carry exact change sidecars — serve those: added = the
-        # post-images ∪ inserts, removed = the pre-images.
-        post = list(m.get("cdf_post", [])) + list(m.get("cdf_ins", []))
+    if (
+        m.get("cdf_pre") is not None
+        or m.get("cdf_post") is not None
+        or m.get("cdf_ins") is not None
+    ):
+        # COMMIT-TIME CHANGE FILES (CoW delete/update/merge and MoR
+        # update/merge all write them): serve the EXACT change images —
+        # added = the post-images ∪ inserts, removed = the pre-images.
+        # Net-identical to the file-granular shape (a rewrite's carried
+        # rows appear on both sides there and cancel), but the read
+        # volume drops from rewritten-FILE churn to changed-ROW volume
+        # — the same economics the streaming CDF reader already has
+        # (r10; for MoR commits this is also the only correct shape:
+        # their generic remove list is empty). File granularity remains
+        # the fallback for legacy manifests, appends, and RESTORE.
+        post = list(m.get("cdf_post") or []) + list(m.get("cdf_ins") or [])
         add = (
             spark.read.parquet(*[os.path.join(root, f) for f in post])
             if post
@@ -4143,6 +4194,53 @@ def log_reorg_purge(
     return _commit(root, base + 1, manifest)
 
 
+def tablelog_row_tracking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: ROW TRACKING (r10) — stable base row IDs
+    surviving a merge-on-read delete. One ordered single-file append
+    of ``orders`` (ids = rank by o_orderkey), then a MoR delete of
+    every 5th key: the survivors must keep their ORIGINAL ids (the
+    vector hides rows; positions never move). Oracle: ROW_NUMBER()
+    assigned BEFORE the delete predicate filters — exact equality
+    proves id stability through the vectored delete."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ..catalog import load_table
+
+    cols = ["o_orderkey", "o_orderstatus", "o_totalprice"]
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .select(*cols)
+        .orderBy("o_orderkey")
+        .coalesce(1)
+    )
+    root = tempfile.mkdtemp(prefix="tablelog_rowid_")
+    try:
+        log_append(spark, root, orders)
+        log_delete_where_mor(spark, root, "o_orderkey % 5 = 0")
+        out = (
+            log_read_with_row_ids(spark, root)
+            .select("_row_id", *cols)
+            .orderBy("o_orderkey")
+        )
+        return _materialized_scan(spark, out)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+TABLELOG_ROW_TRACKING_SQL = """
+SELECT _row_id, o_orderkey, o_orderstatus, o_totalprice
+FROM (
+    SELECT ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1 AS _row_id,
+           o_orderkey, o_orderstatus, o_totalprice
+    FROM orders
+)
+WHERE o_orderkey % 5 <> 0
+ORDER BY o_orderkey
+"""
+
+
 def tablelog_reorg_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registry entry: deletion-vector debt materialization (r9) —
 
@@ -4236,6 +4334,196 @@ SELECT o_orderkey, o_orderstatus, o_totalprice
 FROM orders
 ORDER BY o_orderkey
 """
+
+
+def log_read_with_row_ids(
+    spark: SparkSession, root: str, version: int | None = None
+) -> DataFrame:
+    """ROW TRACKING read surface (Delta's *base row ID* semantics): the
+    snapshot with a stable, unique BIGINT ``_row_id`` per physical row
+    — ``file base + row position``. Bases are assigned by ONE
+    deterministic replay of the manifest history: each data file gets
+    a base at its FIRST appearance (watermark += its footer row count,
+    a KB metadata read), and dead files keep their ranges, so an id
+
+      * never changes across appends, MoR deletes, MoR updates (the
+        surviving rows stay at their positions; deletion vectors only
+        hide rows), compaction of OTHER files, RESTORE, or CLONE reads
+        of carried files — the append/MoR regime a 100 TB point-update
+        table lives in keeps ids stable for free;
+      * is REASSIGNED when a copy-on-write rewrite moves the row into
+        a new file — exactly Delta's base-row-ID contract, whose
+        stable-across-rewrites upgrade (row lineage) requires
+        materializing the id column into rewritten files.
+
+    The id column is computed JVM-side: a KB broadcast map
+    (decoded file path → base) joined to ``_metadata.row_index``.
+    Raises on a vacuum-trimmed history: bases are a replay property,
+    so they are only stable while the full history is retained —
+    materialize ids (or snapshot them) before a retention trim."""
+    from pyspark.sql import functions as F
+
+    vs = _versions(root)
+    if not vs:
+        raise ValueError(f"no table at {root}")
+    if vs[0] != 0:
+        raise ValueError(
+            "row tracking needs the full manifest history (bases are "
+            f"assigned by replay from v0, but the table at {root} is "
+            f"trimmed to v{vs[0]}); materialize _row_id before VACUUM "
+            "retention trims"
+        )
+    import pyarrow.parquet as pq
+
+    bases: dict[str, int] = {}
+    watermark = 0
+    target = _latest_version(root) if version is None else version
+    for v in vs:
+        if v > target:
+            break
+        m = _read_manifest(root, v)
+        files = m["live"] if "live" in m else m.get("live_add", m["add"])
+        for f in files:
+            if f in bases:
+                continue
+            try:
+                n = pq.ParquetFile(
+                    os.path.join(root, f)
+                ).metadata.num_rows
+            except OSError:
+                continue
+            bases[f] = watermark
+            watermark += n
+    state = _snapshot(root, version)
+    df = _read_with_dv(
+        spark,
+        root,
+        state["live"],
+        state["dv"],
+        merge_schema=len(state["schemas"]) > 1,
+        keep_id=True,
+    )
+    base_df = spark.createDataFrame(
+        [
+            (os.path.normpath(os.path.join(root, f)), b)
+            for f, b in bases.items()
+            if f in set(state["live"])
+        ],
+        "_fpn string, _rid_base long",
+    )
+    out = (
+        df.join(F.broadcast(base_df), "_fpn")
+        .withColumn("_row_id", F.col("_rid_base") + F.col("_ri"))
+        .drop("_fpn", "_ri", "_rid_base")
+    )
+    return _to_logical_loose(
+        out.select("_row_id", *[c for c in out.columns if c != "_row_id"]),
+        state["colmap"],
+    )
+
+
+def log_maintenance(
+    spark: SparkSession,
+    root: str,
+    small_max_rows: int = 50_000,
+    small_file_trigger: int = 8,
+    small_target_files: int = 1,
+    dv_debt_fraction: float = 0.2,
+    checkpoint_lag: int = CHECKPOINT_INTERVAL,
+    vacuum_retain_versions: int | None = None,
+    dry_run: bool = False,
+) -> dict:
+    """One-call table maintenance policy (the Delta auto-OPTIMIZE /
+    managed-maintenance rung): inspect the table's metadata facts and
+    run — or with ``dry_run`` just plan — exactly the operations the
+    table needs, in debt order:
+
+      * ``compact_small``  when >= ``small_file_trigger`` live files
+        have <= ``small_max_rows`` rows (streaming sinks accrete
+        per-batch files; bin-pack cost tracks the SMALL-file count);
+      * ``purge``          when any file's deletion-vector dead
+        fraction >= ``dv_debt_fraction`` (MoR read-tax bounded);
+      * ``checkpoint``     when the newest checkpoint lags the head by
+        more than ``checkpoint_lag`` versions (snapshot resolution
+        stays O(interval) even if the interval cadence was missed —
+        e.g. histories written by losing rebase retries);
+      * ``vacuum``         always REPORTED (orphan count from a dry
+        run); only DELETES when ``vacuum_retain_versions`` is given
+        (retention trimming is a data-loss decision the policy never
+        takes implicitly).
+
+    Every probe is metadata-only: parquet FOOTER row counts and
+    ``stat(2)`` sizes (KB reads), never a data scan — the policy run
+    itself is O(live files) driver work, exactly what a production
+    maintenance scheduler evaluates per table per cycle. Returns a
+    report dict: the facts, the planned actions, and (when not
+    ``dry_run``) each action's committed version."""
+    import pyarrow.parquet as pq
+
+    base = _latest_version(root)
+    if base is None:
+        raise ValueError(f"no table at {root}")
+    state = _snapshot(root, base)
+    small = 0
+    for f in state["live"]:
+        try:
+            n = pq.ParquetFile(os.path.join(root, f)).metadata.num_rows
+        except OSError:
+            continue
+        if n <= small_max_rows:
+            small += 1
+    worst_debt = 0.0
+    for f, dv in state["dv"].items():
+        try:
+            dead = pq.ParquetFile(os.path.join(root, dv)).metadata.num_rows
+            total = pq.ParquetFile(os.path.join(root, f)).metadata.num_rows
+        except OSError:
+            continue
+        if total:
+            worst_debt = max(worst_debt, dead / total)
+    ckpts = _checkpoint_versions(root)
+    lag = base - (ckpts[-1] if ckpts else -1)
+    orphans = log_vacuum(root, dry_run=True)
+    planned: list[str] = []
+    if small >= small_file_trigger:
+        planned.append("compact_small")
+    if state["dv"] and worst_debt >= dv_debt_fraction:
+        planned.append("purge")
+    if lag > checkpoint_lag:
+        planned.append("checkpoint")
+    if vacuum_retain_versions is not None or orphans:
+        planned.append("vacuum")
+    report = {
+        "version": base,
+        "num_live_files": len(state["live"]),
+        "num_small_files": small,
+        "worst_dv_dead_fraction": round(worst_debt, 4),
+        "checkpoint_lag": lag,
+        "num_orphan_files": len(orphans),
+        "planned": planned,
+        "ran": {},
+        "dry_run": dry_run,
+    }
+    if dry_run:
+        return report
+    if "compact_small" in planned:
+        report["ran"]["compact_small"] = log_compact_small_files(
+            spark, root, small_max_rows, target_files=small_target_files
+        )
+    if "purge" in planned:
+        report["ran"]["purge"] = log_reorg_purge(
+            spark, root, min_dead_fraction=dv_debt_fraction
+        )
+    if "checkpoint" in planned:
+        report["ran"]["checkpoint"] = log_checkpoint(root)
+    if "vacuum" in planned:
+        report["ran"]["vacuum"] = len(
+            log_vacuum(
+                root,
+                retain_versions=vacuum_retain_versions or 0,
+            )
+        )
+    return report
 
 
 def log_detail(root: str) -> dict:

@@ -96,6 +96,9 @@ COVERED_BY = {
     "tablelog_checkpointed_read": "tablelog_time_travel",
     # r9 third wave leftover: REORG PURGE (snapshot/maintenance family)
     "tablelog_reorg_purge": "tablelog_time_travel",
+    # r10: row tracking — snapshot/identity family; the MoR-delete
+    # stability contract is graded via the tablelog_mor_update twin
+    "tablelog_row_tracking": "tablelog_mor_update",
     # rotated out r10 (the r9/r10 tablelog + fn flagships swapped in);
     # each keeps a graded same-family sibling
     "stream_tumbling_agg": "stream_session_agg",

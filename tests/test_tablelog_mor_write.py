@@ -312,3 +312,123 @@ def test_mor_merge_probe_pruned_by_bucket(spark, root):
         "o_totalprice"
     ] == 4242.0
     assert got.count() == o.count()
+
+
+def test_log_maintenance_policy(spark, root):
+    """r10: the one-call maintenance policy runs exactly the operations
+    the table's metadata says it needs — bin-pack for small-file
+    accretion, purge for DV debt, checkpoint for resolution lag — and
+    a healthy table is a no-op. All probes are footer/stat metadata."""
+    orders = _orders(spark, 30)
+    # accrete 10 tiny files + MoR-delete a third of the rows
+    for k in range(10):
+        TL.log_append(spark, root, orders.filter(f"o_orderkey % 10 = {k}"))
+    TL.log_delete_where_mor(spark, root, "o_orderkey % 3 = 0")
+    before = _rows(spark, root)
+    plan = TL.log_maintenance(spark, root, small_file_trigger=5, dry_run=True)
+    assert "compact_small" in plan["planned"]
+    assert "purge" in plan["planned"]
+    assert plan["ran"] == {} and TL._latest_version(root) == 10  # dry run
+    report = TL.log_maintenance(spark, root, small_file_trigger=5)
+    assert set(report["ran"]) >= {"compact_small", "purge"}
+    # content identical; vectors materialized; small files packed
+    assert _rows(spark, root) == before
+    st = TL._snapshot(root)
+    assert not st["dv"]
+    assert len(st["live"]) < 10
+    # a healthy table plans nothing destructive
+    again = TL.log_maintenance(spark, root, small_file_trigger=5,
+                               small_max_rows=1, dry_run=True)
+    assert "compact_small" not in again["planned"]
+    assert "purge" not in again["planned"]
+
+
+def test_log_maintenance_checkpoint_lag_and_vacuum_gate(spark, root):
+    orders = _orders(spark, 12)
+    TL.log_append(spark, root, orders)
+    for i in range(3):
+        TL.log_update_where(
+            spark, root, f"o_orderkey % 3 = {i}",
+            {"o_orderstatus": f"'M{i}'"},
+        )
+    rep = TL.log_maintenance(spark, root, checkpoint_lag=2, dry_run=True)
+    assert "checkpoint" in rep["planned"]
+    assert rep["num_orphan_files"] == 0
+    ran = TL.log_maintenance(spark, root, checkpoint_lag=2)
+    assert "checkpoint" in ran["ran"]
+    # vacuum never trims history implicitly: without retain_versions it
+    # only collects orphans (none here), and history stays intact
+    assert len(TL._versions(root)) >= 4
+
+
+def test_history_metrics_and_restore_timestamp(spark, root):
+    """r10: DESCRIBE HISTORY with operationMetrics (footer-resolved
+    rows written/changed per commit) and RESTORE ... TIMESTAMP AS OF."""
+    import json as _json
+
+    orders = _orders(spark, 20)
+    TL.log_append(spark, root, orders)              # v0: 20 rows
+    TL.log_update_where(                            # v1: CoW update
+        spark, root, "o_orderkey % 2 = 0", {"o_orderstatus": "'H'"}
+    )
+    TL.log_delete_where_mor(spark, root, "o_orderkey % 5 = 0")  # v2
+    hist = TL.log_history(root, include_metrics=True)
+    assert hist[0]["rows_written"] == 20
+    n_upd = orders.filter("o_orderkey % 2 = 0").count()
+    assert hist[1]["rows_changed"] == n_upd          # exact pre-images
+    assert hist[1]["rows_inserted"] == 0
+    assert hist[2]["rows_deleted_by_vector"] > 0
+    # restore by timestamp: pin v0's ts, restore to it
+    p = os.path.join(root, TL._LOG_DIR, TL._manifest_name(0))
+    m = _json.load(open(p))
+    TL.log_restore_timestamp(spark, root, float(m["ts"]))
+    assert _rows(spark, root) == {
+        (r["o_orderkey"], r["o_orderstatus"], round(r["o_totalprice"], 2))
+        for r in TL.log_read(spark, root, version=0).collect()
+    }
+
+
+def test_row_ids_stable_across_mor_history(spark, root):
+    """r10 row tracking (Delta base-row-ID semantics): ids are unique,
+    and a surviving row keeps ITS id across appends, MoR delete, and
+    MoR update; a CoW rewrite reassigns (documented contract)."""
+    orders = _orders(spark, 20)
+    TL.log_append(spark, root, orders.coalesce(2))
+    ids0 = {
+        r["o_orderkey"]: r["_row_id"]
+        for r in TL.log_read_with_row_ids(spark, root).collect()
+    }
+    assert len(set(ids0.values())) == len(ids0)  # unique
+    TL.log_append(spark, root, orders.withColumn(
+        "o_orderkey", F.col("o_orderkey") + 10_000_000
+    ))
+    TL.log_delete_where_mor(spark, root, "o_orderkey % 4 = 1")
+    TL.log_update_where_mor(
+        spark, root,
+        "o_orderkey % 4 = 2 and o_orderkey < 10000000",
+        {"o_orderstatus": "'W'"},
+    )
+    cur = {
+        r["o_orderkey"]: r["_row_id"]
+        for r in TL.log_read_with_row_ids(spark, root).collect()
+    }
+    assert len(set(cur.values())) == len(cur)
+    # untouched original rows keep their ids through all four commits
+    for k, i in ids0.items():
+        if k % 4 in (1, 2):  # deleted or moved-to-delta-file rows
+            continue
+        assert cur[k] == i, f"key {k} id drifted"
+    # MoR-updated rows live in the delta file: NEW ids, disjoint
+    moved = [k for k in ids0 if k % 4 == 2]
+    for k in moved:
+        assert cur[k] != ids0[k]
+    # historical read: ids at v0 match what they were
+    v0 = {
+        r["o_orderkey"]: r["_row_id"]
+        for r in TL.log_read_with_row_ids(spark, root, version=0).collect()
+    }
+    assert v0 == ids0
+    # trimmed history refuses (bases are a replay property)
+    TL.log_vacuum(root, retain_versions=2)
+    with pytest.raises(ValueError, match="full manifest history"):
+        TL.log_read_with_row_ids(spark, root)
