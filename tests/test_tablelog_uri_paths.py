@@ -99,3 +99,50 @@ def test_mor_delete_then_cow_update_spaced_root(spark, spaced_root):
     assert out.count() == 9
     assert out.filter(f"o_orderkey = {keys[0]}").count() == 0
     assert out.filter("o_orderstatus = 'X'").count() == 9
+
+
+def test_datasource_paths_with_space_in_root(spark, spaced_root):
+    """The Python DataSource stack (snapshot read, batch CDF) on a
+    table root containing a space: the reader resolves files with
+    plain filesystem paths (pyarrow), and the Spark-side DV logic is
+    the decoded-join path pinned above — end-to-end the deleted rows
+    stay dead through format('tablelog')."""
+    from cdc_local_data_pipeline_docker_spark.sources import (
+        tablelog_source as TS,
+    )
+
+    orders = _orders(spark).limit(12)
+    TL.log_append(spark, spaced_root, orders)
+    keys = sorted(r[0] for r in orders.select("o_orderkey").collect())
+    TL.log_delete_where_mor(
+        spark, spaced_root, f"o_orderkey in ({keys[0]}, {keys[1]})"
+    )
+    TS.register(spark)
+    snap = (
+        spark.read.format("tablelog").option("path", spaced_root).load()
+    )
+    got = sorted(r["o_orderkey"] for r in snap.collect())
+    assert got == keys[2:]
+    cdf = (
+        spark.read.format("tablelog")
+        .option("path", spaced_root)
+        .option("readChangeFeed", "true")
+        .load()
+    )
+    dead = sorted(
+        r["o_orderkey"]
+        for r in cdf.filter("_change_type = 'delete'").collect()
+    )
+    assert dead == keys[:2]
+
+
+def test_row_ids_with_space_in_root(spark, spaced_root):
+    """Row tracking joins its base map on the decoded path — pin it on
+    a spaced root too."""
+    orders = _orders(spark).limit(8)
+    TL.log_append(spark, spaced_root, orders)
+    ids = {
+        r["o_orderkey"]: r["_row_id"]
+        for r in TL.log_read_with_row_ids(spark, spaced_root).collect()
+    }
+    assert len(ids) == 8 and len(set(ids.values())) == 8
