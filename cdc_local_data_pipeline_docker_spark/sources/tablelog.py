@@ -184,6 +184,48 @@ def _validate_constraints(df: DataFrame, constraints: dict[str, str]) -> None:
         )
 
 
+def _cleanup_token_tree(root: str, files: list[str]) -> None:
+    """Remove the rejected files' whole ``data/<token>`` directory
+    trees (ADVICE r10: a hidden-partitioned write spans partition
+    subdirectories, so unlink + one rmdir left the token dir and
+    sibling partition dirs behind). Tokens are per-write UUIDs, so a
+    tree never contains another commit's files."""
+    import shutil as _sh
+
+    dirs: set[str] = set()
+    for f in files:
+        parts = f.replace(os.sep, "/").split("/")
+        if len(parts) >= 2 and parts[0] == _DATA_DIR:
+            dirs.add(os.path.join(root, parts[0], parts[1]))
+    for d in dirs:
+        _sh.rmtree(d, ignore_errors=True)
+
+
+def _validate_written_files(
+    spark: SparkSession,
+    root: str,
+    added: list[str],
+    colmap: dict | None,
+    constraints: dict[str, str],
+) -> None:
+    """CHECK constraints enforced on the WRITTEN files, after the write
+    but before the manifest publishes (ADVICE r9/r10): the files are the
+    MATERIALIZED input, so the input plan is computed exactly once and a
+    non-deterministic plan can never pass validation yet publish
+    violating rows (validating the un-materialized input evaluates it
+    twice). On violation nothing is published AND the rejected token
+    tree is removed eagerly (the no-orphan contract of the DSv2 writer's
+    task abort)."""
+    if not constraints or not added:
+        return
+    written = spark.read.parquet(*[os.path.join(root, f) for f in added])
+    try:
+        _validate_constraints(_to_logical_loose(written, colmap), constraints)
+    except ConstraintViolation:
+        _cleanup_token_tree(root, added)
+        raise
+
+
 def _log_path(root: str) -> str:
     return os.path.join(root, _LOG_DIR)
 
@@ -1095,11 +1137,15 @@ def _uri_to_path(raw: str) -> str:
     like ``status=P ENDING`` — containing a space or any
     URI-reserved char never matches raw ``endswith``/equality against
     the manifest's decoded relative paths; compare DECODED paths only
-    (ADVICE r9 high: deletion vectors silently ignored otherwise)."""
+    (ADVICE r9 high: deletion vectors silently ignored otherwise).
+    Inputs WITHOUT the ``file:`` scheme are returned unchanged (ADVICE
+    r10: they are already plain paths, and unquoting would corrupt a
+    path containing a literal ``%XX`` sequence)."""
+    if not raw.startswith("file:"):
+        return raw
     import urllib.parse
 
-    s = re.sub("^file:/+", "/", raw) if raw.startswith("file:") else raw
-    return urllib.parse.unquote(s)
+    return urllib.parse.unquote(re.sub("^file:/+", "/", raw))
 
 
 def _decoded_file_path_col():
@@ -1679,35 +1725,9 @@ def log_append(
     physical_schema = pdf.schema.simpleString()
 
     def _validate_written(constraints: dict[str, str]) -> None:
-        # CHECK constraints are enforced on the WRITTEN files, after
-        # the write but before the manifest publishes (ADVICE r9): the
-        # files are the MATERIALIZED input, so the input plan is
-        # computed exactly once and a non-deterministic df can never
-        # pass validation yet publish violating rows (the pre-write
-        # form evaluated df twice). On violation nothing is published
-        # AND the rejected files are removed eagerly (same no-orphan
-        # contract as the DSv2 writer's task abort).
-        if not constraints or not added:
-            return
-        spark = df.sparkSession
-        written = spark.read.parquet(
-            *[os.path.join(root, f) for f in added]
+        _validate_written_files(
+            df.sparkSession, root, added, colmap, constraints
         )
-        try:
-            _validate_constraints(
-                _to_logical_loose(written, colmap), constraints
-            )
-        except ConstraintViolation:
-            for f in added:
-                try:
-                    os.unlink(os.path.join(root, f))
-                except OSError:
-                    pass
-            try:
-                os.rmdir(os.path.dirname(os.path.join(root, added[0])))
-            except OSError:
-                pass
-            raise
 
     _validate_written(state0["constraints"])
     while True:
@@ -2204,9 +2224,6 @@ def log_merge(
     live, dvs, colmap = state["live"], state["dv"], state["colmap"]
     merge_sch = len(state["schemas"]) > 1
     phys_key = (colmap or {}).get(key_col, key_col)
-    # constraints gate the merge before any probe/rewrite: only the
-    # INCOMING change rows can newly violate (survivors are unchanged)
-    _validate_constraints(changes, state["constraints"])
     changes_p = _to_physical_loose(changes, colmap)
     keys = changes_p.select(F.col(phys_key)).distinct()
     # PARTITION-AWARE probe bound (VERDICT r8 #3): before any row-level
@@ -2271,6 +2288,12 @@ def log_merge(
         if affected
         else None,
     )
+    # constraints gate on the WRITTEN files (ADVICE r10: validating the
+    # un-materialized `changes` plan evaluated it twice — a
+    # non-deterministic plan could pass yet publish violating rows);
+    # only the incoming rows can newly violate, but the rewrite output
+    # was scanned to be written anyway and nothing publishes on raise
+    _validate_written_files(spark, root, added, colmap, state["constraints"])
     # commit-time change files: matched keys' old/new images as
     # update_preimage/update_postimage, unmatched change rows as
     # inserts — the feed serves exact labeled changes and the carried
@@ -2391,6 +2414,7 @@ def log_history(root: str, include_metrics: bool = False) -> list[dict]:
     state = _empty_state()
     for v in _versions(root):
         m = _read_manifest(root, v)
+        prev_dv = dict(state["dv"])
         if "live" in m:
             state = _state_from_full(root, m)
         else:
@@ -2424,9 +2448,15 @@ def log_history(root: str, include_metrics: bool = False) -> list[dict]:
                 rec["rows_changed"] = _rows(m.get("cdf_pre") or [])
                 rec["rows_inserted"] = _rows(m.get("cdf_ins") or [])
             elif "dv_set" in m:
-                rec["rows_deleted_by_vector"] = _rows(
-                    m["dv_set"].values()
-                )  # vector sizes are cumulative per file (union semantics)
+                # vectors are cumulative per-file unions, so the
+                # commit's OWN newly-dead rows = new vector size minus
+                # the file's previous vector size (ADVICE r10: the raw
+                # new-vector total re-counted earlier deletes, unlike
+                # Delta's per-commit operationMetrics)
+                rec["rows_deleted_by_vector"] = sum(
+                    _rows([dv]) - (_rows([prev_dv[f]]) if f in prev_dv else 0)
+                    for f, dv in m["dv_set"].items()
+                )
         out.append(rec)
     return out
 
@@ -3019,7 +3049,6 @@ def log_merge_mor(
     live, dvs, colmap = state["live"], state["dv"], state["colmap"]
     merge_sch = len(state["schemas"]) > 1
     phys_key = (colmap or {}).get(key_col, key_col)
-    _validate_constraints(changes, state["constraints"])
     changes_p = _to_physical_loose(changes, colmap)
     keys = changes_p.select(F.col(phys_key)).distinct()
     probe_files = _merge_probe_files(spark, state, keys, phys_key)
@@ -3056,6 +3085,14 @@ def log_merge_mor(
             transforms=_rewrite_transforms(state, live, changes_p)
             if live
             else None,
+        )
+        # constraints gate on the WRITTEN delta files, before the
+        # vectors/sidecars land and the manifest publishes (ADVICE r10:
+        # validating the un-materialized `changes` plan evaluated it
+        # twice — the same hole log_append closed); the delta files ARE
+        # the change rows, so the re-read is change-set-sized
+        _validate_written_files(
+            spark, root, added, colmap, state["constraints"]
         )
         dv_set, dv_added = (
             _write_deletion_vectors(root, token, by_file, dvs)
@@ -4569,6 +4606,7 @@ def log_maintenance(
     checkpoint_lag: int = CHECKPOINT_INTERVAL,
     vacuum_retain_versions: int | None = None,
     include_vacuum: bool = True,
+    delete_orphans: bool = False,
     dry_run: bool = False,
 ) -> dict:
     """One-call table maintenance policy (the Delta auto-OPTIMIZE /
@@ -4586,9 +4624,13 @@ def log_maintenance(
         stays O(interval) even if the interval cadence was missed —
         e.g. histories written by losing rebase retries);
       * ``vacuum``         always REPORTED (orphan count from a dry
-        run); only DELETES when ``vacuum_retain_versions`` is given
-        (retention trimming is a data-loss decision the policy never
-        takes implicitly).
+        run); only DELETES when the caller opts in explicitly —
+        ``vacuum_retain_versions`` for a retention trim, or
+        ``delete_orphans=True`` for orphan collection alone. Both are
+        exclusive-window operations (a concurrent writer's in-flight,
+        written-but-uncommitted files look like orphans), so the
+        policy NEVER runs them implicitly (ADVICE r10: the prior shape
+        deleted orphans whenever any existed).
 
     Every probe is metadata-only: parquet FOOTER row counts and
     ``stat(2)`` sizes (KB reads), never a data scan — the policy run
@@ -4629,11 +4671,16 @@ def log_maintenance(
         planned.append("purge")
     if lag > checkpoint_lag:
         planned.append("checkpoint")
-    if include_vacuum and (vacuum_retain_versions is not None or orphans):
+    if include_vacuum and (
+        vacuum_retain_versions is not None
+        or (delete_orphans and orphans)
+    ):
         # NOT safe while another writer may have in-flight (written but
-        # uncommitted) files — orphan collection would delete them;
-        # embedded callers (the streaming sink's auto-maintenance) pass
-        # include_vacuum=False and leave vacuum to an exclusive window
+        # uncommitted) files — orphan collection would delete them; the
+        # orphan COUNT is always reported, but deletion needs the
+        # caller's explicit opt-in (retention trim or delete_orphans).
+        # Embedded callers (the streaming sink's auto-maintenance) pass
+        # include_vacuum=False and leave vacuum to an exclusive window.
         planned.append("vacuum")
     report = {
         "version": base,

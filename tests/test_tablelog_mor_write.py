@@ -476,3 +476,91 @@ def test_mor_positions_aggregated_per_file_before_collect(spark, root, monkeypat
     grouped = [c for c in calls if set(c[0]) == {"_fpn", "_ris"}]
     assert grouped, "expected grouped per-file position collects"
     assert all(n <= 4 for _cols, n in grouped), grouped
+
+
+def test_maintenance_never_deletes_orphans_implicitly(spark, root):
+    """ADVICE r10 (medium): orphan deletion is an exclusive-window
+    operation (a concurrent writer's in-flight files look like
+    orphans) — the policy reports the count but only deletes on an
+    explicit opt-in (delete_orphans=True or a retention trim)."""
+    TL.log_append(spark, root, _orders(spark, 10))
+    # simulate a concurrent writer's in-flight (uncommitted) file
+    stray_dir = os.path.join(root, TL._DATA_DIR, "inflight0000")
+    os.makedirs(stray_dir)
+    src = os.path.join(
+        root, TL._snapshot(root)["live"][0]
+    )
+    stray = os.path.join(stray_dir, "part-00000.parquet")
+    shutil.copyfile(src, stray)
+    rep = TL.log_maintenance(spark, root)
+    assert rep["num_orphan_files"] == 1
+    assert "vacuum" not in rep["planned"]
+    assert os.path.exists(stray), "default run must not delete orphans"
+    ran = TL.log_maintenance(spark, root, delete_orphans=True)
+    assert "vacuum" in ran["ran"]
+    assert not os.path.exists(stray)
+
+
+def test_history_dv_metric_counts_only_new_deletes(spark, root):
+    """ADVICE r10: vectors are cumulative per-file unions — a second
+    MoR delete on the same file must report only ITS newly-dead rows,
+    not re-count the first delete's."""
+    TL.log_append(spark, root, _orders(spark, 30).coalesce(1))
+    TL.log_delete_where_mor(spark, root, "o_orderkey % 3 = 0")   # v1
+    TL.log_delete_where_mor(spark, root, "o_orderkey % 3 = 1")   # v2
+    n0 = _orders(spark, 30).filter("o_orderkey % 3 = 0").count()
+    n1 = _orders(spark, 30).filter("o_orderkey % 3 = 1").count()
+    hist = TL.log_history(root, include_metrics=True)
+    assert hist[1]["rows_deleted_by_vector"] == n0
+    assert hist[2]["rows_deleted_by_vector"] == n1
+
+
+def test_merge_constraint_violation_validates_written_and_cleans_up(
+    spark, root
+):
+    """ADVICE r10 (low): MERGE (CoW and MoR) validates the WRITTEN
+    files — the materialized input — and a violation publishes nothing
+    and leaves no token tree behind."""
+    TL.log_append(spark, root, _orders(spark, 20))
+    TL.log_add_constraint(spark, root, "price_pos", "o_totalprice >= 0")
+    before = _rows(spark, root)
+    v_before = TL._latest_version(root)
+    bad = _orders(spark, 5).withColumn("o_totalprice", F.lit(-1.0))
+    for op in (TL.log_merge, TL.log_merge_mor):
+        with pytest.raises(TL.ConstraintViolation):
+            op(spark, root, bad, "o_orderkey")
+        assert TL._latest_version(root) == v_before
+        assert _rows(spark, root) == before
+    # no orphaned token trees: every data/<token> dir is referenced
+    data_dir = os.path.join(root, TL._DATA_DIR)
+    live_tokens = {
+        f.split("/")[1] for f in TL._snapshot(root)["live"]
+    }
+    on_disk = set(os.listdir(data_dir))
+    assert on_disk <= live_tokens | {
+        t for t in on_disk if os.listdir(os.path.join(data_dir, t))
+    } and all(
+        os.listdir(os.path.join(data_dir, t)) for t in on_disk
+    ), "rejected write left an empty token dir"
+
+
+def test_partitioned_append_violation_removes_whole_token_tree(
+    spark, root
+):
+    """ADVICE r10 (low): a rejected hidden-partitioned append spans
+    partition subdirectories — cleanup must remove the whole
+    data/<token> tree, not just one leaf dir."""
+    TL.log_append(
+        spark, root, _orders(spark, 20),
+        partition_by=["bucket(4, o_orderkey)"],
+    )
+    TL.log_add_constraint(spark, root, "price_pos", "o_totalprice >= 0")
+    tokens_before = set(os.listdir(os.path.join(root, TL._DATA_DIR)))
+    bad = _orders(spark, 8).withColumn("o_totalprice", F.lit(-5.0))
+    with pytest.raises(TL.ConstraintViolation):
+        TL.log_append(
+            spark, root, bad, partition_by=["bucket(4, o_orderkey)"]
+        )
+    assert set(os.listdir(os.path.join(root, TL._DATA_DIR))) == (
+        tokens_before
+    ), "rejected partitioned append left its token tree behind"

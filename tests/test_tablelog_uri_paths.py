@@ -42,6 +42,11 @@ def test_uri_to_path_decodes_scheme_and_percent():
     # '+' in a URI path is a literal plus, not a space
     assert TL._uri_to_path("file:///a+b/c%2Bd") == "/a+b/c+d"
     assert TL._uri_to_path("/plain/path") == "/plain/path"
+    # ADVICE r10: a NON-URI input is returned unchanged — a plain path
+    # containing a literal %XX sequence must not be percent-decoded
+    assert TL._uri_to_path("/plain/100%20off/p.parquet") == (
+        "/plain/100%20off/p.parquet"
+    )
 
 
 def test_mor_delete_with_space_in_root(spark, spaced_root):
