@@ -350,15 +350,14 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         CDC.cdc_fk_integrity_report,
         CDC.CDC_FK_INTEGRITY_REPORT_SQL,
     ),
-    # r10 rotation (VERDICT r9 #4): fn_array_pack and fn_json_pack
-    # crashed the REAL driver's hash canonicalizer in r1 (unhashable
-    # list cells) and have never been re-graded by it — one window
-    # slot each for one round converts "modeled fixed" (driver_sim
-    # reproduces that failure class) into "driver-proven fixed"; the
-    # scalar/collection packs keep these two as graded fn-family
-    # siblings and rotate back next round
-    "fn_array_pack": (FP.fn_array_pack, FP.FN_ARRAY_PACK_SQL),
-    "fn_json_pack": (FP.fn_json_pack, FP.FN_JSON_PACK_SQL),
+    # r11 rotation (the r10 protocol completing): fn_array_pack and
+    # fn_json_pack went hash-green in CORRECTNESS_r10 — the r1
+    # canonicalizer failure class is driver-PROVEN fixed, so their
+    # one-round proof slots release and the scalar/collection packs
+    # rotate back in (VERDICT r10 #3); the array/json packs keep
+    # graded fn-family siblings here
+    "fn_scalar_pack": (PK.fn_scalar_pack, PK.FN_SCALAR_PACK_SQL),
+    "fn_collection_pack": (PK.fn_collection_pack, PK.FN_COLLECTION_PACK_SQL),
     # ---- 51+: variants covered by a graded sibling (pytest-verified) ----
     # rotated out r7 fifth session (tablelog/classifier flagships took
     # these slots; each family keeps a graded sibling)
@@ -861,11 +860,11 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "fn_string_pack": (FP.fn_string_pack, FP.FN_STRING_PACK_SQL),
     "fn_date_pack": (FP.fn_date_pack, FP.FN_DATE_PACK_SQL),
     "fn_math_pack": (FP.fn_math_pack, FP.FN_MATH_PACK_SQL),
-    # rotated out r10 for one round (VERDICT r9 #4: their array/json
-    # siblings take the graded slots to be driver-proven against the
-    # r1 canonicalizer failure class; these rotate back next round)
-    "fn_scalar_pack": (PK.fn_scalar_pack, PK.FN_SCALAR_PACK_SQL),
-    "fn_collection_pack": (PK.fn_collection_pack, PK.FN_COLLECTION_PACK_SQL),
+    # rotated out r11 after their one-round driver proof (hash-green in
+    # CORRECTNESS_r10); graded fn-family siblings: fn_scalar_pack and
+    # fn_collection_pack (restored layout, VERDICT r10 #3)
+    "fn_array_pack": (FP.fn_array_pack, FP.FN_ARRAY_PACK_SQL),
+    "fn_json_pack": (FP.fn_json_pack, FP.FN_JSON_PACK_SQL),
     # Spark 4 VARIANT semi-structured path (parse once, typed path reads)
     "fn_variant_pack": (VP.fn_variant_pack, VP.FN_VARIANT_PACK_SQL),
     "fn_map_pack": (FP.fn_map_pack, FP.FN_MAP_PACK_SQL),

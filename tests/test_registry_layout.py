@@ -19,11 +19,13 @@ MUST_BE_GRADED = {
     "stream_session_agg", "stream_dedup_events",
     "stream_stateful_user_totals",
     # round-10 rotation (VERDICT r9 #1/#2/#4): the r9 flagships take
-    # graded slots, the new MoR UPDATE grades same-round, and the two
-    # r1 canonicalizer casualties get driver-proven for one round
+    # graded slots and the new MoR UPDATE grades same-round; the two
+    # r1 canonicalizer casualties (fn_array_pack/fn_json_pack) held
+    # one-round proof slots in r10, went hash-green in CORRECTNESS_r10,
+    # and released them back to the scalar/collection packs in r11
     "stream_cdf_gold_view", "tablelog_shallow_clone",
     "tablelog_check_constraint", "tablelog_cow_update",
-    "tablelog_mor_update", "fn_array_pack", "fn_json_pack",
+    "tablelog_mor_update", "fn_scalar_pack", "fn_collection_pack",
     # round-9 third-wave flagship (same-round rotation, the r8
     # protocol): the change data feed as a streaming source; displaced
     # events_tumbling_agg (batch twin of graded stream_tumbling_agg,
@@ -42,9 +44,8 @@ MUST_BE_GRADED = {
     # pandas-UDF surface (fn_pandas_normalize rotated out r9,
     # sibling fn_pandas_group_rank)
     "fn_pandas_group_rank",
-    # round-2 canonicalizer/HUGEINT fix proofs (fn_collection_pack
-    # rotated out r10; the graded fn-family rows are fn_array_pack +
-    # fn_json_pack this round)
+    # round-2 canonicalizer/HUGEINT fix proofs (restored r11 layout:
+    # the scalar/collection packs are the graded fn-family rows again)
     "agg_approx", "multimodal_feature_extract",
     # round-5 flagship operators rotated into the window in round 6
     # (VERDICT r5 #2): MERGE + IVM (dedup_span_coverage rotated out
@@ -106,8 +107,9 @@ COVERED_BY = {
     "dedup_span_coverage": "dedup_ngram_jaccard",
     "dedup_clusters": "er_golden_record",
     "embedding_kmeans_train": "ann_cosine_topk",
-    "fn_scalar_pack": "fn_array_pack",
-    "fn_collection_pack": "fn_json_pack",
+    # rotated out r11 after their one-round driver proof (r10 window)
+    "fn_array_pack": "fn_scalar_pack",
+    "fn_json_pack": "fn_collection_pack",
     "cdc_snapshot_chunk_merge": "cdc_latest_state_orders",
     # rotated out r9 (the r8 writer/sink/pushdown flagships swapped in)
     "fn_pandas_normalize": "fn_pandas_group_rank",
@@ -349,12 +351,12 @@ COVERED_BY = {
     "events_drift_histogram": "events_resample_interpolate",
     "corpus_length_histogram": "text_profile",
     "corpus_prep_chunks": "dedup_ngram_jaccard",
-    "fn_string_pack": "fn_array_pack",
-    "fn_date_pack": "fn_array_pack",
-    "fn_math_pack": "fn_array_pack",
-    "fn_conditional_pack": "fn_array_pack",
-    "fn_variant_pack": "fn_json_pack",
-    "fn_map_pack": "fn_json_pack",
+    "fn_string_pack": "fn_scalar_pack",
+    "fn_date_pack": "fn_scalar_pack",
+    "fn_math_pack": "fn_scalar_pack",
+    "fn_conditional_pack": "fn_scalar_pack",
+    "fn_variant_pack": "fn_collection_pack",
+    "fn_map_pack": "fn_collection_pack",
 }
 
 
