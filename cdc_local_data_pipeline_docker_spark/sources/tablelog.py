@@ -115,6 +115,7 @@ __all__ = [
     "log_checkpoint",
     "log_read",
     "log_read_with_row_ids",
+    "log_enable_row_lineage",
     "log_history",
     "log_vacuum",
     "log_restore",
@@ -135,6 +136,9 @@ __all__ = [
 
 _LOG_DIR = "_log"
 _DATA_DIR = "data"
+#: hidden physical column materializing a row's id through rewrites
+#: (Delta ROW LINEAGE) — never surfaced by any read path
+_ROWID_COL = "_tl_row_id"
 
 #: Commits between parquet checkpoints (Delta's default cadence).
 CHECKPOINT_INTERVAL = 10
@@ -280,6 +284,9 @@ def _empty_state() -> dict:
         # columns, enforced on every write path (Delta semantics: a row
         # violates when the expression evaluates to FALSE; NULL passes)
         "constraints": {},
+        # table properties (Delta TBLPROPERTIES shape); today:
+        # row_lineage=True makes every rewrite materialize _tl_row_id
+        "props": {},
     }
 
 
@@ -313,6 +320,7 @@ def _state_from_full(root: str, m: dict) -> dict:
         "stream_txn": dict(m.get("stream_txn", {})),
         "stream_txn_complete": "stream_txn" in m,
         "constraints": dict(m.get("constraints", {})),
+        "props": dict(m.get("props", {})),
     }
 
 
@@ -348,6 +356,8 @@ def _apply_delta(state: dict, m: dict) -> dict:
             for k, v in state["constraints"].items()
             if k not in set(m["constraint_drop"])
         }
+    if m.get("props_set"):
+        state["props"] = {**state["props"], **m["props_set"]}
     if m.get("stream_batch_id") is not None:
         qk = m.get("stream_query_key", "")
         prev = state["stream_txn"].get(qk)
@@ -532,6 +542,7 @@ def _read_checkpoint(root: str, version: int) -> dict | None:
             "colmap": meta.get("colmap"),
             "stream_txn": dict(meta.get("stream_txn", {})),
             "constraints": dict(meta.get("constraints", {})),
+            "props": dict(meta.get("props", {})),
             # checkpoints written before the ledger existed can't prove
             # the absence of earlier stream commits — mark incomplete so
             # the sink's replay check falls back to the full walk
@@ -601,6 +612,7 @@ def log_checkpoint(root: str, version: int | None = None) -> int:
             "schemas": state["schemas"],
             "colmap": state["colmap"],
             "constraints": state["constraints"],
+            "props": state["props"],
         }
         # only claim ledger completeness when the resolved state can:
         # a checkpoint over a legacy (pre-ledger) prefix must keep the
@@ -704,7 +716,7 @@ def _schema_from_manifest(state: dict):
     from pyspark.sql.types import StructType
 
     merged = StructType()
-    seen: set[str] = set()
+    seen: set[str] = {_ROWID_COL}  # hidden lineage column never surfaces
     for s in state["schemas"]:
         for f in _type_from_simple_string(s).fields:
             if f.name not in seen:
@@ -1860,10 +1872,11 @@ def log_read(
         empty = reader.parquet(
             *[os.path.join(root, f) for f in state["live"]]
         ).filter(F.lit(False))
-        return _to_logical(empty, colmap)
+        return _to_logical(empty, colmap).drop(_ROWID_COL)
     merge = len(state["schemas"]) > 1
     df = _read_with_dv(spark, root, files, state["dv"], merge_schema=merge)
-    return _to_logical(df, colmap)
+    # the hidden lineage column (row_lineage rewrites) never surfaces
+    return _to_logical(df, colmap).drop(_ROWID_COL)
 
 
 def log_delete_where(spark: SparkSession, root: str, predicate: str) -> int:
@@ -1924,10 +1937,18 @@ def log_delete_where(spark: SparkSession, root: str, predicate: str) -> int:
         return _commit(root, base + 1, manifest)
     # rewrite reads THROUGH any deletion vectors on the affected files
     # (dead rows must not resurrect); their vectors then retire
+    lineage = bool(state["props"].get("row_lineage"))
     live_logical = _to_logical_loose(
-        _read_with_dv(spark, root, affected, dvs, merge_schema=merge),
+        _read_with_dv(
+            spark, root, affected, dvs, merge_schema=merge,
+            keep_id=lineage,
+        ),
         colmap,
     )
+    if lineage:  # carried rows keep their ids through the rewrite
+        live_logical = _materialize_lineage(
+            spark, root, live_logical, base
+        ).drop("_fpn", "_ri")
     survivors = _to_physical_loose(
         live_logical.filter(~F.expr(predicate)), colmap
     )
@@ -2036,10 +2057,18 @@ def log_update_where(
         return _commit(root, base + 1, manifest)
     # rewrite reads THROUGH deletion vectors (dead rows must not
     # resurrect, nor be updated back to life); their vectors retire
+    lineage = bool(state["props"].get("row_lineage"))
     rewritten = _to_logical_loose(
-        _read_with_dv(spark, root, affected, dvs, merge_schema=merge),
+        _read_with_dv(
+            spark, root, affected, dvs, merge_schema=merge,
+            keep_id=lineage,
+        ),
         colmap,
     )
+    if lineage:  # updated rows are the SAME rows — ids carry through
+        rewritten = _materialize_lineage(
+            spark, root, rewritten, base
+        ).drop("_fpn", "_ri")
     types = {f.name: f.dataType for f in rewritten.schema.fields}
     out_cols = list(rewritten.columns)
     # the match bit is computed ONCE against the PRE-update image and
@@ -2120,7 +2149,9 @@ def _write_cdf_sidecar(
 ) -> list[str]:
     """Write one change-image slice as parquet under the commit token's
     ``_cdf_<tag>`` dir; returns root-relative file paths (possibly
-    empty). Distributed write — image size tracks matched rows."""
+    empty). Distributed write — image size tracks matched rows. The
+    hidden lineage column is stripped: CDF rows are logical images."""
+    df = df.drop(_ROWID_COL)
     rel_dir = os.path.join(_DATA_DIR, token, f"_cdf_{tag}")
     out = os.path.join(root, rel_dir)
     df.write.mode("overwrite").parquet(out)
@@ -2259,14 +2290,20 @@ def log_merge(
             for f in probe_files
             if any(_uri_to_path(a).endswith(f) for a in affected_abs)
         ]
+    lineage = bool(state["props"].get("row_lineage"))
     survivors = None
     matched_pre = None
     if affected:
         # rewrite reads through deletion vectors (dead rows must not
         # resurrect); the affected files' vectors then retire
         live_rows = _read_with_dv(
-            spark, root, affected, dvs, merge_schema=merge_sch
+            spark, root, affected, dvs, merge_schema=merge_sch,
+            keep_id=lineage,
         )
+        if lineage:
+            live_rows = _materialize_lineage(
+                spark, root, live_rows, base
+            ).drop("_fpn", "_ri")
         survivors = live_rows.join(F.broadcast(keys), phys_key, "left_anti")
         # the OLD images of the matched keys — the merge's pre-image
         # slice (its distinct keys are exactly the change keys that
@@ -2274,10 +2311,24 @@ def log_merge(
         matched_pre = live_rows.join(
             F.broadcast(keys), phys_key, "left_semi"
         )
+    changes_rows = changes_p
+    if lineage:
+        # MERGE-matched rows are UPDATES of existing rows: the new
+        # images INHERIT the old rows' ids via the (key -> id) map;
+        # pure inserts get NULL and draw fresh base+position ids
+        if matched_pre is not None:
+            idmap = matched_pre.select(phys_key, _ROWID_COL)
+            changes_rows = changes_p.join(
+                F.broadcast(idmap), phys_key, "left"
+            )
+        else:
+            changes_rows = changes_p.withColumn(
+                _ROWID_COL, F.lit(None).cast("long")
+            )
     new_rows = (
-        survivors.unionByName(changes_p, allowMissingColumns=True)
+        survivors.unionByName(changes_rows, allowMissingColumns=True)
         if survivors is not None
-        else changes_p
+        else changes_rows
     )
     token = uuid.uuid4().hex[:12]
     stats_cols = sorted({c for s in state["stats"].values() for c in s})
@@ -2365,10 +2416,16 @@ def log_compact(
     state = _snapshot(root, base)
     live, colmap = state["live"], state["colmap"]
     merge_sch = len(state["schemas"]) > 1
+    lineage = bool(state["props"].get("row_lineage"))
     # read THROUGH any deletion vectors: compaction materializes them
     snap = _read_with_dv(
-        spark, root, live, state["dv"], merge_schema=merge_sch
+        spark, root, live, state["dv"], merge_schema=merge_sch,
+        keep_id=lineage,
     )
+    if lineage:  # content-identical rewrite: every id carries
+        snap = _materialize_lineage(spark, root, snap, base).drop(
+            "_fpn", "_ri"
+        )
     token = uuid.uuid4().hex[:12]
     if stats_cols is None:
         stats_cols = sorted({c for s in state["stats"].values() for c in s})
@@ -2576,6 +2633,10 @@ def log_restore(spark: SparkSession, root: str, version: int) -> int:
         "schemas": t["schemas"],
         "restored_from": version,
         "constraints": t["constraints"],
+        # table PROPERTIES never roll back (like the idempotence
+        # ledger): a restore rewinds content, but silently disabling
+        # row lineage would break id stability for later rewrites
+        "props": cur["props"],
         "ts": time.time(),
     }
     if cur["stream_txn_complete"]:
@@ -2688,6 +2749,7 @@ def log_clone(
         "schemas": state["schemas"],
         "stream_txn": {},  # a clone is a NEW table: fresh sink ledger
         "constraints": state["constraints"],
+        "props": state["props"],
         "cloned_from": {
             "root": os.path.abspath(root_src),
             "version": version
@@ -2969,7 +3031,12 @@ def log_update_where_mor(
         )
         if not by_file:
             return _noop()
-        pre = matched.drop("_fpn", "_ri")
+        pre = matched
+        if bool(state["props"].get("row_lineage")):
+            # the delta files are the SAME rows at new positions —
+            # materialize their current ids so lineage survives MoR too
+            pre = _materialize_lineage(spark, root, pre, base)
+        pre = pre.drop("_fpn", "_ri")
         types = {f.name: f.dataType for f in pre.schema.fields}
         # all-at-once assignment over the PRE-update image (every row
         # here matched, so no CASE marker is needed), types pinned
@@ -3050,6 +3117,7 @@ def log_merge_mor(
     merge_sch = len(state["schemas"]) > 1
     phys_key = (colmap or {}).get(key_col, key_col)
     changes_p = _to_physical_loose(changes, colmap)
+    lineage = bool(state["props"].get("row_lineage"))
     keys = changes_p.select(F.col(phys_key)).distinct()
     probe_files = _merge_probe_files(spark, state, keys, phys_key)
     token = uuid.uuid4().hex[:12]
@@ -3064,7 +3132,12 @@ def log_merge_mor(
         )
         matched_pre = live_rows.join(
             F.broadcast(keys), phys_key, "left_semi"
-        ).persist()
+        )
+        if lineage:
+            matched_pre = _materialize_lineage(
+                spark, root, matched_pre, base
+            )
+        matched_pre = matched_pre.persist()
         # positions aggregated per-file EXECUTOR-side; the driver gets
         # one row per affected file (VERDICT r10 #2)
         by_file = _positions_by_file(
@@ -3077,12 +3150,24 @@ def log_merge_mor(
         bloom_cols = sorted(
             {c for b in state["blooms"].values() for c in b}
         )
+        changes_write = changes_p
+        if lineage:
+            # matched keys' delta rows INHERIT the dying rows' ids
+            if matched_pre is not None:
+                idmap = matched_pre.select(phys_key, _ROWID_COL)
+                changes_write = changes_p.join(
+                    F.broadcast(idmap), phys_key, "left"
+                )
+            else:
+                changes_write = changes_p.withColumn(
+                    _ROWID_COL, F.lit(None).cast("long")
+                )
         # data files first: Spark's writer owns the token dir creation;
         # delta rows derive partition values from their own columns, so
         # the table-wide shared spec (if any) keeps them prunable
         added, new_stats, new_blooms, new_parts = _write_data_files(
-            changes_p, root, token, stats_cols, bloom_cols,
-            transforms=_rewrite_transforms(state, live, changes_p)
+            changes_write, root, token, stats_cols, bloom_cols,
+            transforms=_rewrite_transforms(state, live, changes_write)
             if live
             else None,
         )
@@ -3139,7 +3224,8 @@ def log_merge_mor(
             "blooms_add": new_blooms,
             **({"parts_add": new_parts} if new_parts else {}),
             "schemas": sorted(
-                set(state["schemas"]) | {changes_p.schema.simpleString()}
+                set(state["schemas"])
+                | {changes_write.schema.simpleString()}
             ),
             "ts": time.time(),
         }
@@ -3217,6 +3303,18 @@ def _read_with_dv(
 # ---------------------------------------------------------------------------
 
 def log_changes(
+    spark: SparkSession, root: str, version: int
+) -> tuple[DataFrame | None, DataFrame | None]:
+    add, rem = _log_changes_files(spark, root, version)
+    # the hidden lineage column (row_lineage rewrites bake it into data
+    # and delta files) never surfaces in the change feed
+    return (
+        add.drop(_ROWID_COL) if add is not None else None,
+        rem.drop(_ROWID_COL) if rem is not None else None,
+    )
+
+
+def _log_changes_files(
     spark: SparkSession, root: str, version: int
 ) -> tuple[DataFrame | None, DataFrame | None]:
     """Change feed for one commit: (added_rows, removed_rows) as
@@ -4159,13 +4257,19 @@ def log_compact_small_files(
     blooms_all: dict[str, dict] = {}
     parts_all: dict[str, dict] = {}
     schemas = set(state["schemas"])
+    lineage = bool(state["props"].get("row_lineage"))
     for key in sorted(groups, key=lambda k: (k is not None, str(k))):
         fs = groups[key]
         packed = _read_with_dv(
             spark, root, fs,
             {f: d for f, d in state["dv"].items() if f in set(fs)},
             merge_schema=merge_sch,
+            keep_id=lineage,
         )
+        if lineage:  # content-identical bin-pack: every id carries
+            packed = _materialize_lineage(spark, root, packed, base).drop(
+                "_fpn", "_ri"
+            )
         if pz:
             from .zorder import zorder_by
 
@@ -4330,13 +4434,19 @@ def log_reorg_purge(
             "ts": time.time(),
         }
         return _commit(root, base + 1, manifest)
+    lineage = bool(state["props"].get("row_lineage"))
     survivors = _read_with_dv(
         spark,
         root,
         victims,
         {f: d for f, d in state["dv"].items() if f in set(victims)},
         merge_schema=merge_sch,
+        keep_id=lineage,
     )
+    if lineage:  # DV materialization carries the surviving ids
+        survivors = _materialize_lineage(
+            spark, root, survivors, base
+        ).drop("_fpn", "_ri")
     token = uuid.uuid4().hex[:12]
     stats_cols = sorted({c for s in state["stats"].values() for c in s})
     bloom_cols = sorted({c for b in state["blooms"].values() for c in b})
@@ -4359,13 +4469,19 @@ def log_reorg_purge(
 
 
 def tablelog_row_tracking(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Registry entry: ROW TRACKING (r10) — stable base row IDs
-    surviving a merge-on-read delete. One ordered single-file append
-    of ``orders`` (ids = rank by o_orderkey), then a MoR delete of
-    every 5th key: the survivors must keep their ORIGINAL ids (the
-    vector hides rows; positions never move). Oracle: ROW_NUMBER()
-    assigned BEFORE the delete predicate filters — exact equality
-    proves id stability through the vectored delete."""
+    """Registry entry: ROW TRACKING (r10) + ROW LINEAGE (r11, VERDICT
+    r10 #4) — stable row IDs surviving a merge-on-read delete AND a
+    copy-on-write rewrite. One ordered single-file append of ``orders``
+    (ids = rank by o_orderkey), lineage enabled, then
+
+      v2  MoR DELETE  o_orderkey % 5 = 0   (vectors; positions keep)
+      v3  CoW UPDATE  o_orderkey % 3 = 0   SET o_totalprice += 1
+          (rewrites the file — without lineage every survivor would be
+          re-based; with it the materialized ``_tl_row_id`` carries)
+
+    Oracle: ROW_NUMBER() assigned BEFORE the delete filters, price
+    bumped where the update matched — exact id equality proves
+    stability through BOTH the vectored delete and the rewrite."""
     import tempfile
 
     from pyspark.sql import functions as F
@@ -4382,7 +4498,14 @@ def tablelog_row_tracking(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = tempfile.mkdtemp(prefix="tablelog_rowid_")
     try:
         log_append(spark, root, orders)
+        log_enable_row_lineage(root)
         log_delete_where_mor(spark, root, "o_orderkey % 5 = 0")
+        log_update_where(
+            spark,
+            root,
+            "o_orderkey % 3 = 0",
+            {"o_totalprice": "o_totalprice + 1"},
+        )
         out = (
             log_read_with_row_ids(spark, root)
             .select("_row_id", *cols)
@@ -4394,7 +4517,9 @@ def tablelog_row_tracking(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 TABLELOG_ROW_TRACKING_SQL = """
-SELECT _row_id, o_orderkey, o_orderstatus, o_totalprice
+SELECT _row_id, o_orderkey, o_orderstatus,
+       CASE WHEN o_orderkey % 3 = 0
+            THEN o_totalprice + 1 ELSE o_totalprice END AS o_totalprice
 FROM (
     SELECT ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1 AS _row_id,
            o_orderkey, o_orderstatus, o_totalprice
@@ -4500,33 +4625,14 @@ ORDER BY o_orderkey
 """
 
 
-def log_read_with_row_ids(
-    spark: SparkSession, root: str, version: int | None = None
-) -> DataFrame:
-    """ROW TRACKING read surface (Delta's *base row ID* semantics): the
-    snapshot with a stable, unique BIGINT ``_row_id`` per physical row
-    — ``file base + row position``. Bases are assigned by ONE
-    deterministic replay of the manifest history: each data file gets
-    a base at its FIRST appearance (watermark += its footer row count,
-    a KB metadata read), and dead files keep their ranges, so an id
-
-      * never changes across appends, MoR deletes, MoR updates (the
-        surviving rows stay at their positions; deletion vectors only
-        hide rows), compaction of OTHER files, RESTORE, or CLONE reads
-        of carried files — the append/MoR regime a 100 TB point-update
-        table lives in keeps ids stable for free;
-      * is REASSIGNED when a copy-on-write rewrite moves the row into
-        a new file — exactly Delta's base-row-ID contract, whose
-        stable-across-rewrites upgrade (row lineage) requires
-        materializing the id column into rewritten files.
-
-    The id column is computed JVM-side: a KB broadcast map
-    (decoded file path → base) joined to ``_metadata.row_index``.
-    Raises on a vacuum-trimmed history: bases are a replay property,
-    so they are only stable while the full history is retained —
-    materialize ids (or snapshot them) before a retention trim."""
-    from pyspark.sql import functions as F
-
+def _row_id_bases(root: str, version: int | None = None) -> dict[str, int]:
+    """Per-file base row ids by ONE deterministic replay of the manifest
+    history: each data file gets a base at its FIRST appearance
+    (watermark += its footer row count, a KB metadata read), and dead
+    files KEEP their ranges — so a rewritten file's materialized ids
+    (drawn from its dead predecessor's range) can never collide with a
+    fresh file's base+position ids. Raises on a vacuum-trimmed history:
+    bases are a replay property of the full log."""
     vs = _versions(root)
     if not vs:
         raise ValueError(f"no table at {root}")
@@ -4558,6 +4664,97 @@ def log_read_with_row_ids(
                 continue
             bases[f] = watermark
             watermark += n
+    return bases
+
+
+def log_enable_row_lineage(root: str) -> int:
+    """ALTER TABLE ... SET TBLPROPERTIES (row lineage ON): from this
+    commit on, every REWRITE (CoW delete/update/merge, OPTIMIZE
+    bin-pack/compact, REORG PURGE, and the MoR delta files) materializes
+    each carried/updated row's CURRENT ``_row_id`` into the hidden
+    ``_tl_row_id`` column of the new files, so ids survive
+    copy-on-write exactly like Delta's row-lineage upgrade to base row
+    IDs (fresh rows keep drawing base+position ids from their new
+    file's range; dead files' ranges stay reserved, so the two can
+    never collide). Metadata-only commit."""
+    base = _latest_version(root)
+    if base is None:
+        raise ValueError(f"no table at {root}")
+    state = _snapshot(root, base)
+    manifest = {
+        "version": base + 1,
+        "action": "set_props",
+        "add": [],
+        "remove": [],
+        "schemas": state["schemas"],
+        "props_set": {"row_lineage": True},
+        "ts": time.time(),
+    }
+    return _commit(root, base + 1, manifest)
+
+
+def _materialize_lineage(
+    spark: SparkSession, root: str, df_keepid: DataFrame, version: int
+) -> DataFrame:
+    """Persist each row's current id into ``_tl_row_id`` on a keep-id
+    frame (``_fpn``/``_ri`` columns): coalesce(already-materialized id,
+    file base + position). The base map is a KB broadcast; the caller
+    drops ``_fpn``/``_ri`` when done. Used by every rewrite path when
+    the ``row_lineage`` table property is set."""
+    from pyspark.sql import functions as F
+
+    bases = _row_id_bases(root, version)
+    base_df = spark.createDataFrame(
+        [
+            (os.path.normpath(os.path.join(root, f)), b)
+            for f, b in bases.items()
+        ],
+        "_fpn string, _rid_base long",
+    )
+    df = df_keepid
+    if _ROWID_COL not in df.columns:
+        df = df.withColumn(_ROWID_COL, F.lit(None).cast("long"))
+    return (
+        df.join(F.broadcast(base_df), "_fpn", "left")
+        .withColumn(
+            _ROWID_COL,
+            F.coalesce(
+                F.col(_ROWID_COL), F.col("_rid_base") + F.col("_ri")
+            ),
+        )
+        .drop("_rid_base")
+    )
+
+
+def log_read_with_row_ids(
+    spark: SparkSession, root: str, version: int | None = None
+) -> DataFrame:
+    """ROW TRACKING read surface (Delta's *base row ID* semantics): the
+    snapshot with a stable, unique BIGINT ``_row_id`` per physical row
+    — ``coalesce(materialized lineage id, file base + row position)``.
+    Bases come from :func:`_row_id_bases` (one manifest replay, KB
+    footer reads), so an id
+
+      * never changes across appends, MoR deletes, MoR updates (the
+        surviving rows stay at their positions; deletion vectors only
+        hide rows), compaction of OTHER files, RESTORE, or CLONE reads
+        of carried files — the append/MoR regime a 100 TB point-update
+        table lives in keeps ids stable for free;
+      * ALSO survives copy-on-write rewrites once
+        :func:`log_enable_row_lineage` is set — every rewrite then
+        materializes the carried/updated rows' ids into the hidden
+        ``_tl_row_id`` column (Delta's row lineage);
+      * without lineage, is REASSIGNED when a CoW rewrite moves the
+        row into a new file — exactly Delta's base-row-ID contract.
+
+    The id column is computed JVM-side: a KB broadcast map
+    (decoded file path → base) joined to ``_metadata.row_index``.
+    Raises on a vacuum-trimmed history: bases are a replay property,
+    so they are only stable while the full history is retained —
+    materialize ids (or snapshot them) before a retention trim."""
+    from pyspark.sql import functions as F
+
+    bases = _row_id_bases(root, version)
     state = _snapshot(root, version)
     if not state["live"]:
         # an emptied-but-existing version (VERDICT r10 #1): zero rows,
@@ -4585,10 +4782,17 @@ def log_read_with_row_ids(
         ],
         "_fpn string, _rid_base long",
     )
+    if _ROWID_COL not in df.columns:
+        df = df.withColumn(_ROWID_COL, F.lit(None).cast("long"))
     out = (
         df.join(F.broadcast(base_df), "_fpn")
-        .withColumn("_row_id", F.col("_rid_base") + F.col("_ri"))
-        .drop("_fpn", "_ri", "_rid_base")
+        .withColumn(
+            "_row_id",
+            F.coalesce(
+                F.col(_ROWID_COL), F.col("_rid_base") + F.col("_ri")
+            ),
+        )
+        .drop("_fpn", "_ri", "_rid_base", _ROWID_COL)
     )
     return _to_logical_loose(
         out.select("_row_id", *[c for c in out.columns if c != "_row_id"]),

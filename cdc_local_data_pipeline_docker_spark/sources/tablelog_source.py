@@ -86,6 +86,8 @@ def _arrow_union_schema(root: str, state: dict):
     fields: dict[str, object] = {}
     for f in state["live"]:
         for fld in pq.read_schema(os.path.join(root, f)):
+            if fld.name == TL._ROWID_COL:
+                continue  # hidden lineage column never surfaces
             fields.setdefault(fld.name, fld)
     if not fields and state["schemas"]:
         # emptied-but-existing version (VERDICT r10 #1): no footers to

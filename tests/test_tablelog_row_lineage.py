@@ -1,0 +1,201 @@
+"""ROW LINEAGE (r11, VERDICT r10 #4): once `log_enable_row_lineage` is
+set, every rewrite materializes the carried/updated rows' current ids
+into the hidden `_tl_row_id` column, so `_row_id` survives copy-on-write
+exactly like Delta's row-lineage upgrade to base row IDs. Fresh rows
+keep drawing base+position ids from their new file's range; dead files'
+ranges stay reserved, so materialized and fresh ids never collide.
+
+Also pins the hiding contract: no plain read surface (log_read, DSv2
+batch/stream, CDF batch/stream, change sidecars) ever shows the column.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from cdc_local_data_pipeline_docker_spark.sources import tablelog as TL
+from cdc_local_data_pipeline_docker_spark.sources import tablelog_source as TS
+
+
+@pytest.fixture()
+def root():
+    d = tempfile.mkdtemp(prefix="tablelog_lineage_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _tbl(spark, root, n=20, partitioned=False):
+    df = (
+        spark.createDataFrame(
+            [(k, k * 10) for k in range(n)], "k LONG, val LONG"
+        )
+        .orderBy("k")
+        .coalesce(1)
+    )
+    TL.log_append(
+        spark, root, df,
+        partition_by=["bucket(3, k)"] if partitioned else None,
+    )
+    return {r.k: r._row_id for r in
+            TL.log_read_with_row_ids(spark, root).collect()}
+
+
+def _ids(spark, root, version=None):
+    return {
+        r.k: r._row_id
+        for r in TL.log_read_with_row_ids(spark, root, version).collect()
+    }
+
+
+def test_cow_rewrites_keep_ids_after_enable(spark, root):
+    ids0 = _tbl(spark, root)
+    TL.log_enable_row_lineage(root)
+    TL.log_update_where(spark, root, "k % 2 = 0", {"val": "val + 1"})
+    assert _ids(spark, root) == ids0
+    TL.log_delete_where(spark, root, "k % 5 = 0")
+    ids2 = _ids(spark, root)
+    assert all(ids2[k] == ids0[k] for k in ids2)
+    assert set(ids2) == {k for k in ids0 if k % 5 != 0}
+    TL.log_compact(spark, root, target_files=1)
+    assert _ids(spark, root) == ids2
+
+
+def test_without_enable_cow_rebases(spark, root):
+    """The base-row-ID contract is unchanged when lineage is OFF: a CoW
+    rewrite re-bases the moved rows (pinning that enablement is what
+    changes behavior, not the r11 code path itself)."""
+    ids0 = _tbl(spark, root)
+    TL.log_update_where(spark, root, "k >= 0", {"val": "val + 1"})
+    ids1 = _ids(spark, root)
+    assert set(ids1) == set(ids0)
+    assert ids1 != ids0  # every row moved into a fresh-based file
+
+
+def test_merge_matched_inherits_insert_draws_fresh(spark, root):
+    ids0 = _tbl(spark, root)
+    TL.log_enable_row_lineage(root)
+    ch = spark.createDataFrame(
+        [(1, 999), (100, 1), (101, 2)], "k LONG, val LONG"
+    )
+    TL.log_merge(spark, root, ch, "k")
+    ids = _ids(spark, root)
+    assert ids[1] == ids0[1]  # matched row keeps its id
+    assert len(set(ids.values())) == len(ids)  # global uniqueness
+    assert ids[100] not in ids0.values()  # inserts draw fresh ids
+    # MoR merge twin: same contract without rewriting files
+    TL.log_merge_mor(
+        spark, root,
+        spark.createDataFrame([(2, 5), (200, 9)], "k LONG, val LONG"),
+        "k",
+    )
+    ids2 = _ids(spark, root)
+    assert ids2[2] == ids0[2]
+    assert len(set(ids2.values())) == len(ids2)
+
+
+def test_mor_update_and_purge_keep_ids(spark, root):
+    ids0 = _tbl(spark, root)
+    TL.log_enable_row_lineage(root)
+    TL.log_update_where_mor(spark, root, "k % 4 = 1", {"val": "777"})
+    assert _ids(spark, root) == ids0
+    TL.log_delete_where_mor(spark, root, "k % 4 = 2")
+    TL.log_reorg_purge(spark, root, min_dead_fraction=0.0)
+    ids = _ids(spark, root)
+    assert all(ids[k] == ids0[k] for k in ids)
+    assert set(ids) == {k for k in ids0 if k % 4 != 2}
+    TL.log_compact_small_files(spark, root, 10**9, target_files=1)
+    assert _ids(spark, root) == ids
+
+
+def test_lineage_on_hidden_partitioned_table(spark, root):
+    ids0 = _tbl(spark, root, partitioned=True)
+    TL.log_enable_row_lineage(root)
+    TL.log_update_where(spark, root, "k % 2 = 1", {"val": "val * 2"})
+    assert _ids(spark, root) == ids0
+    TL.log_delete_where(spark, root, "k < 5")
+    ids = _ids(spark, root)
+    assert all(ids[k] == ids0[k] for k in ids)
+
+
+def test_hidden_column_never_surfaces(spark, root):
+    _tbl(spark, root)
+    TL.log_enable_row_lineage(root)
+    TL.log_update_where(spark, root, "k % 2 = 0", {"val": "val + 1"})
+    assert "_tl_row_id" not in TL.log_read(spark, root).columns
+    out = TL.log_read_with_row_ids(spark, root)
+    assert "_tl_row_id" not in out.columns and "_row_id" in out.columns
+    # CDF batch: neither side of any commit shows it
+    for v in TL._versions(root):
+        add, rem = TL.log_changes(spark, root, v)
+        for side in (add, rem):
+            assert side is None or "_tl_row_id" not in side.columns
+    # DSv2 batch + CDF schemas
+    TS.register(spark)
+    r = spark.read.format("tablelog").option("path", root)
+    assert "_tl_row_id" not in r.load().columns
+    assert (
+        "_tl_row_id"
+        not in r.option("readChangeFeed", "true").load().columns
+    )
+    # DSv2 snapshot stream
+    name = "lineage_hidden_stream"
+    q = (
+        spark.readStream.format("tablelog")
+        .option("path", root)
+        .option("skipChangeCommits", "true")
+        .load()
+        .writeStream.format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert "_tl_row_id" not in spark.table(name).columns
+
+
+def test_props_survive_checkpoint_restore_clone(spark, root):
+    ids0 = _tbl(spark, root)
+    TL.log_enable_row_lineage(root)
+    TL.log_checkpoint(root)
+    # resolution through the checkpoint still sees the property
+    assert TL._snapshot(root)["props"] == {"row_lineage": True}
+    TL.log_update_where(spark, root, "k % 2 = 0", {"val": "val + 1"})
+    assert _ids(spark, root) == ids0
+    # RESTORE to a pre-enablement version carries the property FORWARD
+    # (enablement never silently rolls back)
+    TL.log_restore(spark, root, 0)
+    assert TL._snapshot(root)["props"] == {"row_lineage": True}
+    TL.log_update_where(spark, root, "k % 3 = 0", {"val": "val + 5"})
+    assert _ids(spark, root) == ids0
+    # a clone inherits the property
+    TL.log_clone(root, root + "_c")
+    try:
+        assert TL._snapshot(root + "_c")["props"] == {
+            "row_lineage": True
+        }
+    finally:
+        shutil.rmtree(root + "_c", ignore_errors=True)
+
+
+def test_time_travel_across_lineage_commits(spark, root):
+    """Every historical version stays readable and content-correct
+    through enablement and lineage rewrites (the model sweep's invariant
+    on this new commit class)."""
+    _tbl(spark, root, n=10)
+    TL.log_enable_row_lineage(root)
+    TL.log_update_where(spark, root, "k % 2 = 0", {"val": "val + 1"})
+    TL.log_delete_where(spark, root, "k = 3")
+    want = {
+        0: {k: k * 10 for k in range(10)},
+        1: {k: k * 10 for k in range(10)},
+        2: {k: k * 10 + (1 - k % 2) for k in range(10)},
+        3: {k: k * 10 + (1 - k % 2) for k in range(10) if k != 3},
+    }
+    for v, snap in want.items():
+        got = {r.k: r.val for r in TL.log_read(spark, root, v).collect()}
+        assert got == snap, f"version {v}"
