@@ -222,15 +222,16 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         TLU.stream_tablelog_upsert,
         CDC.CDC_LATEST_STATE_ORDERS_SQL,
     ),
-    # r10 rotation (VERDICT r9 #1): zero-copy SHALLOW CLONE (r9
-    # flagship — point-in-time fork by reference; the fork's CoW delete
-    # must not touch the source, asserted in-entry) takes the
-    # partition-pruning slot for a round; tablelog_partition_pruning
-    # keeps graded sibling tablelog_source_pruned_scan (the same
-    # hidden-partition + stats prune through the DataSource planner)
-    "tablelog_shallow_clone": (
-        TLG.tablelog_shallow_clone,
-        TLG.TABLELOG_SHALLOW_CLONE_SQL,
+    # r11 rotation (VERDICT r10 #7): the MERGE INTO SQL surface takes
+    # the shallow-clone slot (clone went hash-green in CORRECTNESS_r10;
+    # its one-round proof releases, sibling tablelog_time_travel — the
+    # same snapshot-by-reference resolution). The entry drives the
+    # upsert purely through SQL text against the existing merge-oracle
+    # shape, closing the last gap between the tablelog surface and the
+    # Delta UX it mirrors.
+    "tablelog_merge_sql": (
+        TLG.tablelog_merge_sql,
+        TLG.TABLELOG_MERGE_SQL_SQL,
     ),
     # r7 second-session rotation: the ER golden record (new family);
     # join_semi and join_anti keep graded join-family siblings
@@ -362,6 +363,12 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # rotated out r7 fifth session (tablelog/classifier flagships took
     # these slots; each family keeps a graded sibling)
     "merge_into_orders": (MG.merge_into_orders, MG.MERGE_INTO_ORDERS_SQL),
+    # rotated out r11 after its one-round driver proof (hash-green in
+    # CORRECTNESS_r10); sibling tablelog_time_travel (snapshot family)
+    "tablelog_shallow_clone": (
+        TLG.tablelog_shallow_clone,
+        TLG.TABLELOG_SHALLOW_CLONE_SQL,
+    ),
     "dedup_keep_best_quality": (
         CL.dedup_keep_best_quality,
         CL.DEDUP_KEEP_BEST_QUALITY_SQL,

@@ -116,6 +116,7 @@ __all__ = [
     "log_read",
     "log_read_with_row_ids",
     "log_enable_row_lineage",
+    "log_merge_sql",
     "log_history",
     "log_vacuum",
     "log_restore",
@@ -3235,6 +3236,197 @@ def log_merge_mor(
             matched_pre.unpersist()
 
 
+def log_merge_sql(
+    spark: SparkSession, sql: str, mor: bool = False
+) -> int:
+    """The MERGE INTO **SQL surface** (VERDICT r10 #7): parse a
+    Delta-shaped statement and dispatch to :func:`log_merge` (CoW) or
+    :func:`log_merge_mor` (``mor=True``), closing the gap between the
+    Python write APIs and the SQL UX that ``register_sql_view`` opened
+    for reads/``table_changes``. Grammar (case-insensitive keywords)::
+
+        MERGE INTO `/table/root` [AS t]
+        USING <view name | ( SELECT ... )> [AS s]
+        ON t.<key> = s.<key>
+        [WHEN MATCHED THEN UPDATE SET * | SET col = expr, ...]
+        [WHEN NOT MATCHED THEN INSERT * | INSERT (cols) VALUES (exprs)]
+
+    The change frame is BUILT BY SPARK SQL itself (no expression
+    re-implementation): matched new images come from an equi-join of
+    the target snapshot and the source with each ``SET`` expression
+    evaluated under the statement's own aliases, unmatched inserts from
+    an anti-join — then ONE dispatch to the log merge writer, whose
+    key-unique precondition, partition-aware probe, constraint gate,
+    and conflict policy all apply unchanged. ``WHEN MATCHED THEN
+    DELETE`` is not expressible as an upsert — use
+    :func:`log_delete_where`; the parser says so explicitly."""
+    from pyspark.sql import functions as F
+
+    text = sql.strip().rstrip(";")
+    flags = re.IGNORECASE | re.DOTALL
+    m = re.match(
+        r"MERGE\s+INTO\s+`([^`]+)`"
+        r"(?:\s+(?:AS\s+)?(?!USING\b)(\w+))?\s+"
+        r"USING\s+(\(.*?\)|[\w.]+)"
+        r"(?:\s+(?:AS\s+)?(?!ON\b)(\w+))?\s+"
+        r"ON\s+(.*?)\s+(WHEN\s+.*)$",
+        text,
+        flags,
+    )
+    if m is None:
+        raise ValueError(
+            "unsupported MERGE syntax — expected: MERGE INTO `<root>` "
+            "[AS t] USING <source> [AS s] ON t.k = s.k WHEN ..."
+        )
+    root, t_alias, src, s_alias, on, clauses = m.groups()
+    t_alias = t_alias or "t"
+    s_alias = s_alias or "s"
+    if re.search(r"WHEN\s+MATCHED\s+THEN\s+DELETE", clauses, flags):
+        raise ValueError(
+            "WHEN MATCHED THEN DELETE is not an upsert — use "
+            "log_delete_where(root, predicate) for deletes"
+        )
+    om = re.match(
+        rf"(?:{t_alias}\.)?(\w+)\s*=\s*(?:{s_alias}\.)?(\w+)$"
+        rf"|(?:{s_alias}\.)?(\w+)\s*=\s*(?:{t_alias}\.)?(\w+)$",
+        on.strip(),
+        re.IGNORECASE,
+    )
+    if om is None:
+        raise ValueError(f"unsupported ON clause {on!r} — need t.k = s.k")
+    g = [x for x in om.groups() if x is not None]
+    if g[0].lower() != g[1].lower():
+        raise ValueError(
+            f"ON joins different columns {g[0]!r}/{g[1]!r}; the merge "
+            "key must be one column present on both sides"
+        )
+    key = g[0]
+    upd = re.search(
+        r"WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+(.*?)"
+        r"(?=WHEN\s+NOT\s+MATCHED|$)",
+        clauses,
+        flags,
+    )
+    ins = re.search(
+        r"WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s*"
+        r"(\*|\(([^)]*)\)\s*VALUES\s*\((.*?)\))\s*(?=WHEN|$)",
+        clauses,
+        flags,
+    )
+    if upd is None and ins is None:
+        raise ValueError("MERGE needs at least one WHEN clause")
+    target = log_read(spark, root)
+    cols = target.columns
+    tok = uuid.uuid4().hex[:8]
+    tv, sv = f"__tl_merge_t_{tok}", f"__tl_merge_s_{tok}"
+    target.createOrReplaceTempView(tv)
+    if src.startswith("("):
+        spark.sql(src[1:-1]).createOrReplaceTempView(sv)
+    else:
+        spark.table(src).createOrReplaceTempView(sv)
+    try:
+        parts: list[str] = []
+        if upd is not None:
+            set_txt = upd.group(1).strip().rstrip()
+            if set_txt == "*":
+                proj = ", ".join(f"{s_alias}.{c} AS {c}" for c in cols)
+            else:
+                assigns: dict[str, str] = {}
+                for piece in _split_top_level(set_txt):
+                    lhs, _, rhs = piece.partition("=")
+                    name = lhs.strip()
+                    name = re.sub(
+                        rf"^{t_alias}\.", "", name, flags=re.IGNORECASE
+                    )
+                    if name not in cols:
+                        raise ValueError(
+                            f"UPDATE SET target {name!r} is not a column"
+                        )
+                    assigns[name] = rhs.strip()
+                proj = ", ".join(
+                    f"({assigns[c]}) AS {c}" if c in assigns
+                    else f"{t_alias}.{c} AS {c}"
+                    for c in cols
+                )
+            parts.append(
+                f"SELECT {proj} FROM {tv} {t_alias} "
+                f"JOIN {sv} {s_alias} "
+                f"ON {t_alias}.{key} = {s_alias}.{key}"
+            )
+        if ins is not None:
+            if ins.group(1).strip() == "*":
+                iproj = ", ".join(f"{s_alias}.{c} AS {c}" for c in cols)
+            else:
+                names = [
+                    re.sub(rf"^{t_alias}\.", "", n.strip(),
+                           flags=re.IGNORECASE)
+                    for n in ins.group(2).split(",")
+                ]
+                exprs = _split_top_level(ins.group(3))
+                if len(names) != len(exprs):
+                    raise ValueError("INSERT columns/VALUES arity mismatch")
+                by_col = dict(zip(names, [e.strip() for e in exprs]))
+                unknown = set(by_col) - set(cols)
+                if unknown:
+                    raise ValueError(
+                        f"INSERT targets unknown column(s) {sorted(unknown)}"
+                    )
+                iproj = ", ".join(
+                    f"({by_col[c]}) AS {c}" if c in by_col
+                    else f"CAST(NULL AS "
+                    f"{target.schema[c].dataType.simpleString()}) AS {c}"
+                    for c in cols
+                )
+            parts.append(
+                f"SELECT {iproj} FROM {sv} {s_alias} "
+                f"LEFT ANTI JOIN {tv} {t_alias} "
+                f"ON {t_alias}.{key} = {s_alias}.{key}"
+            )
+        changes = spark.sql(" UNION ALL ".join(parts))
+        # pin the change frame to the target's types so a SQL literal
+        # (e.g. an int for a bigint column) never drifts the schema
+        changes = changes.select(
+            *[
+                F.col(c).cast(target.schema[c].dataType).alias(c)
+                for c in cols
+            ]
+        )
+        writer = log_merge_mor if mor else log_merge
+        return writer(spark, root, changes, key)
+    finally:
+        spark.catalog.dropTempView(tv)
+        spark.catalog.dropTempView(sv)
+
+
+def _split_top_level(text: str) -> list[str]:
+    """Split on commas at paren/quote depth zero (SET and VALUES lists
+    may contain function calls and quoted literals)."""
+    out: list[str] = []
+    depth = 0
+    quote: str | None = None
+    cur = []
+    for ch in text:
+        if quote:
+            if ch == quote:
+                quote = None
+            cur.append(ch)
+            continue
+        if ch in "'\"":
+            quote = ch
+        elif ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            out.append("".join(cur))
+            cur = []
+            continue
+        cur.append(ch)
+    if cur:
+        out.append("".join(cur))
+    return out
+
+
 def _read_with_dv(
     spark: SparkSession,
     root: str,
@@ -4526,6 +4718,79 @@ FROM (
     FROM orders
 )
 WHERE o_orderkey % 5 <> 0
+ORDER BY o_orderkey
+"""
+
+
+def tablelog_merge_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: the MERGE INTO **SQL surface** (r11, VERDICT r10
+    #7) — the same upsert the Python writer performs, driven purely
+    through SQL text. Fixture: append ``orders``, then
+
+        MERGE INTO `<root>` AS t USING <changes view> AS s
+        ON t.o_orderkey = s.o_orderkey
+        WHEN MATCHED THEN UPDATE SET *
+        WHEN NOT MATCHED THEN INSERT *
+
+    where the change view bumps every ``%%7`` key's price by 1000
+    (updates) and derives fresh ``+10M`` keys from the ``%%11`` slice
+    (inserts). Oracle: the equivalent CASE + UNION ALL over ``orders``
+    — the existing merge-oracle shape, so a hash match proves the SQL
+    path dispatches to the same writer semantics."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ..catalog import load_table
+
+    cols = ["o_orderkey", "o_orderstatus", "o_totalprice"]
+    orders = load_table(spark, sf_dir, "orders").select(*cols)
+    root = tempfile.mkdtemp(prefix="tablelog_mergesql_")
+    view = "__tl_merge_sql_changes"
+    try:
+        log_append(spark, root, orders.coalesce(3))
+        changes = (
+            orders.filter("o_orderkey % 7 = 0")
+            .withColumn(
+                "o_totalprice", F.col("o_totalprice") + F.lit(1000.0)
+            )
+            .unionByName(
+                orders.filter("o_orderkey % 11 = 0").select(
+                    (F.col("o_orderkey") + F.lit(10_000_000)).alias(
+                        "o_orderkey"
+                    ),
+                    F.lit("N").alias("o_orderstatus"),
+                    F.lit(1.0).alias("o_totalprice"),
+                )
+            )
+        )
+        changes.createOrReplaceTempView(view)
+        log_merge_sql(
+            spark,
+            f"""
+            MERGE INTO `{root}` AS t
+            USING {view} AS s
+            ON t.o_orderkey = s.o_orderkey
+            WHEN MATCHED THEN UPDATE SET *
+            WHEN NOT MATCHED THEN INSERT *
+            """,
+        )
+        out = log_read(spark, root).select(*cols).orderBy("o_orderkey")
+        return _materialized_scan(spark, out)
+    finally:
+        spark.catalog.dropTempView(view)
+        shutil.rmtree(root, ignore_errors=True)
+
+
+TABLELOG_MERGE_SQL_SQL = """
+SELECT o_orderkey, o_orderstatus,
+       CASE WHEN o_orderkey % 7 = 0
+            THEN o_totalprice + 1000 ELSE o_totalprice END AS o_totalprice
+FROM orders
+UNION ALL
+SELECT o_orderkey + 10000000 AS o_orderkey,
+       'N' AS o_orderstatus, 1.0 AS o_totalprice
+FROM orders WHERE o_orderkey % 11 = 0
 ORDER BY o_orderkey
 """
 

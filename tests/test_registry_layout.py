@@ -23,8 +23,12 @@ MUST_BE_GRADED = {
     # r1 canonicalizer casualties (fn_array_pack/fn_json_pack) held
     # one-round proof slots in r10, went hash-green in CORRECTNESS_r10,
     # and released them back to the scalar/collection packs in r11
-    "stream_cdf_gold_view", "tablelog_shallow_clone",
+    "stream_cdf_gold_view",
     "tablelog_check_constraint", "tablelog_cow_update",
+    # r11 rotation (VERDICT r10 #7): the MERGE INTO SQL surface takes
+    # the shallow-clone slot (clone hash-green in r10, sibling
+    # tablelog_time_travel)
+    "tablelog_merge_sql",
     "tablelog_mor_update", "fn_scalar_pack", "fn_collection_pack",
     # round-9 third-wave flagship (same-round rotation, the r8
     # protocol): the change data feed as a streaming source; displaced
@@ -110,6 +114,7 @@ COVERED_BY = {
     # rotated out r11 after their one-round driver proof (r10 window)
     "fn_array_pack": "fn_scalar_pack",
     "fn_json_pack": "fn_collection_pack",
+    "tablelog_shallow_clone": "tablelog_time_travel",
     "cdc_snapshot_chunk_merge": "cdc_latest_state_orders",
     # rotated out r9 (the r8 writer/sink/pushdown flagships swapped in)
     "fn_pandas_normalize": "fn_pandas_group_rank",
