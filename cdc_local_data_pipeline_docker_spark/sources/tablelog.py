@@ -288,6 +288,12 @@ def _empty_state() -> dict:
         # table properties (Delta TBLPROPERTIES shape); today:
         # row_lineage=True makes every rewrite materialize _tl_row_id
         "props": {},
+        # ROW-ID accounting (Delta's AddFile.baseRowId shape): per-LIVE-
+        # file base ids + the next-free watermark, recorded at commit
+        # time so row tracking needs no history replay and survives
+        # vacuum trims; None watermark = legacy prefix (replay fallback)
+        "rowid_bases": {},
+        "rowid_watermark": None,
     }
 
 
@@ -322,6 +328,8 @@ def _state_from_full(root: str, m: dict) -> dict:
         "stream_txn_complete": "stream_txn" in m,
         "constraints": dict(m.get("constraints", {})),
         "props": dict(m.get("props", {})),
+        "rowid_bases": dict(m.get("rowid_bases", {})),
+        "rowid_watermark": m.get("rowid_watermark"),
     }
 
 
@@ -334,7 +342,7 @@ def _apply_delta(state: dict, m: dict) -> dict:
     live_add = m.get("live_add", m["add"])
     if removed:
         state["live"] = [f for f in state["live"] if f not in removed]
-        for k in ("dv", "stats", "blooms", "parts"):
+        for k in ("dv", "stats", "blooms", "parts", "rowid_bases"):
             state[k] = {
                 f: v for f, v in state[k].items() if f not in removed
             }
@@ -359,6 +367,12 @@ def _apply_delta(state: dict, m: dict) -> dict:
         }
     if m.get("props_set"):
         state["props"] = {**state["props"], **m["props_set"]}
+    if m.get("rowid_bases_add"):
+        state["rowid_bases"] = {
+            **state["rowid_bases"], **m["rowid_bases_add"]
+        }
+    if m.get("rowid_watermark") is not None:
+        state["rowid_watermark"] = m["rowid_watermark"]
     if m.get("stream_batch_id") is not None:
         qk = m.get("stream_query_key", "")
         prev = state["stream_txn"].get(qk)
@@ -517,12 +531,19 @@ def _read_checkpoint(root: str, version: int) -> dict | None:
             if "parts" in t.column_names
             else [None] * t.num_rows
         )
-        for path, dvp, sj, bj, pj in zip(
+        rb_col = (
+            t["rowid_base"].to_pylist()
+            if "rowid_base" in t.column_names
+            else [None] * t.num_rows
+        )
+        rowid_bases: dict[str, int] = {}
+        for path, dvp, sj, bj, pj, rb in zip(
             t["path"].to_pylist(),
             t["dv"].to_pylist(),
             t["stats"].to_pylist(),
             t["blooms"].to_pylist(),
             pj_col,
+            rb_col,
         ):
             live.append(path)
             if dvp:
@@ -533,6 +554,8 @@ def _read_checkpoint(root: str, version: int) -> dict | None:
                 blooms[path] = json.loads(bj)
             if pj:
                 parts[path] = json.loads(pj)
+            if rb is not None:
+                rowid_bases[path] = rb
         return {
             "live": live,
             "dv": dv,
@@ -544,6 +567,8 @@ def _read_checkpoint(root: str, version: int) -> dict | None:
             "stream_txn": dict(meta.get("stream_txn", {})),
             "constraints": dict(meta.get("constraints", {})),
             "props": dict(meta.get("props", {})),
+            "rowid_bases": rowid_bases,
+            "rowid_watermark": meta.get("rowid_watermark"),
             # checkpoints written before the ledger existed can't prove
             # the absence of earlier stream commits — mark incomplete so
             # the sink's replay check falls back to the full walk
@@ -600,6 +625,9 @@ def log_checkpoint(root: str, version: int | None = None) -> int:
                 ],
                 pa.string(),
             ),
+            "rowid_base": pa.array(
+                [state["rowid_bases"].get(f) for f in live], pa.int64()
+            ),
         }
     )
     log = _log_path(root)
@@ -614,6 +642,7 @@ def log_checkpoint(root: str, version: int | None = None) -> int:
             "colmap": state["colmap"],
             "constraints": state["constraints"],
             "props": state["props"],
+            "rowid_watermark": state["rowid_watermark"],
         }
         # only claim ledger completeness when the resolved state can:
         # a checkpoint over a legacy (pre-ledger) prefix must keep the
@@ -1764,6 +1793,7 @@ def log_append(
             "action": "append",
             "add": added,
             "remove": [],
+            **_rowid_fields(root, cur, added),
             "stats_add": new_stats,
             "blooms_add": new_blooms,
             **({"parts_add": new_parts} if new_parts else {}),
@@ -1973,6 +2003,7 @@ def log_delete_where(spark: SparkSession, root: str, predicate: str) -> int:
     manifest = {
         "version": base + 1,
         "action": "delete",
+        **_rowid_fields(root, state, added),
         "add": added + cdf_pre,
         "live_add": added,
         "cdf_pre": cdf_pre,
@@ -2128,6 +2159,7 @@ def log_update_where(
     manifest = {
         "version": base + 1,
         "action": "update",
+        **_rowid_fields(root, state, added),
         "add": added + pre_files + post_files,
         "live_add": added,  # sidecars ride `add` for accounting only
         "cdf_pre": pre_files,
@@ -2373,6 +2405,7 @@ def log_merge(
     manifest = {
         "version": base + 1,
         "action": "merge",
+        **_rowid_fields(root, state, added),
         "add": added + cdf_pre + cdf_post + cdf_ins,
         "live_add": added,
         "cdf_pre": cdf_pre,
@@ -2447,6 +2480,7 @@ def log_compact(
     manifest = {
         "version": base + 1,
         "action": "compact",
+        **_rowid_fields(root, state, added),
         "add": added,
         "remove": live,
         "stats_add": new_stats,
@@ -2634,6 +2668,23 @@ def log_restore(spark: SparkSession, root: str, version: int) -> int:
         "schemas": t["schemas"],
         "restored_from": version,
         "constraints": t["constraints"],
+        # row-id accounting: the restored live set's bases are the
+        # target's (when that version has them all); the watermark is
+        # the CURRENT one — ranges handed out after the target stay
+        # reserved so post-restore commits never re-issue ids
+        **(
+            {
+                "rowid_bases": t["rowid_bases"],
+                "rowid_watermark": max(
+                    cur["rowid_watermark"] or 0,
+                    t["rowid_watermark"] or 0,
+                ),
+            }
+            if t["rowid_watermark"] is not None
+            and all(f in t["rowid_bases"] for f in t["live"])
+            and cur["rowid_watermark"] is not None
+            else {}
+        ),
         # table PROPERTIES never roll back (like the idempotence
         # ledger): a restore rewinds content, but silently disabling
         # row lineage would break id stability for later rewrites
@@ -2751,6 +2802,17 @@ def log_clone(
         "stream_txn": {},  # a clone is a NEW table: fresh sink ledger
         "constraints": state["constraints"],
         "props": state["props"],
+        **(
+            {
+                "rowid_bases": {
+                    absf(f): b for f, b in state["rowid_bases"].items()
+                },
+                "rowid_watermark": state["rowid_watermark"],
+            }
+            if state["rowid_watermark"] is not None
+            and all(f in state["rowid_bases"] for f in state["live"])
+            else {}
+        ),
         "cloned_from": {
             "root": os.path.abspath(root_src),
             "version": version
@@ -3075,6 +3137,7 @@ def log_update_where_mor(
         manifest = {
             "version": base + 1,
             "action": "update_mor",
+            **_rowid_fields(root, state, added),
             "add": dv_added + added + pre_files,
             "live_add": added,
             "dv_set": dv_set,
@@ -3214,6 +3277,7 @@ def log_merge_mor(
         manifest = {
             "version": base + 1,
             "action": "merge_mor",
+            **_rowid_fields(root, state, added),
             "add": dv_added + added + cdf_pre + cdf_post + cdf_ins,
             "live_add": added,
             **({"dv_set": dv_set} if dv_set else {}),
@@ -4327,6 +4391,7 @@ def log_convert_in_place(
     manifest = {
         "version": 0,
         "action": "convert",
+        **_rowid_fields(root, _empty_state(), rel),
         "add": rel,
         "remove": [],
         "stats_add": stats,
@@ -4483,6 +4548,7 @@ def log_compact_small_files(
     manifest = {
         "version": base + 1,
         "action": "compact_small",
+        **_rowid_fields(root, state, added_all),
         "add": added_all,
         "remove": removed,
         "stats_add": stats_all,
@@ -4648,6 +4714,7 @@ def log_reorg_purge(
     manifest = {
         "version": base + 1,
         "action": "purge",
+        **_rowid_fields(root, state, added),
         "add": added,
         "remove": victims,
         "stats_add": new_stats,
@@ -4891,13 +4958,37 @@ ORDER BY o_orderkey
 
 
 def _row_id_bases(root: str, version: int | None = None) -> dict[str, int]:
-    """Per-file base row ids by ONE deterministic replay of the manifest
-    history: each data file gets a base at its FIRST appearance
-    (watermark += its footer row count, a KB metadata read), and dead
-    files KEEP their ranges — so a rewritten file's materialized ids
-    (drawn from its dead predecessor's range) can never collide with a
-    fresh file's base+position ids. Raises on a vacuum-trimmed history:
-    bases are a replay property of the full log."""
+    """Per-file base row ids for the snapshot at ``version``.
+
+    FAST PATH (r11): commits record each added live file's base and the
+    table's next-free watermark in the manifest (Delta's
+    ``AddFile.baseRowId`` shape), so resolution is just the snapshot
+    state — O(1) beyond it, and it keeps working after VACUUM trims the
+    history. Dead files' ranges stay reserved because the watermark only
+    ever advances, so a rewritten file's materialized ids (drawn from a
+    dead predecessor's range) can never collide with a fresh file's
+    base+position ids.
+
+    LEGACY FALLBACK: tables whose prefix predates the accounting replay
+    the manifest history (each file based at FIRST appearance,
+    watermark += its footer row count) — that path still needs the full
+    log and raises on a trimmed history."""
+    state = _snapshot(root, version)
+    bases = state["rowid_bases"]
+    if state["rowid_watermark"] is not None and all(
+        f in bases for f in state["live"]
+    ):
+        return dict(bases)
+    return _row_id_bases_replay(root, version)[0]
+
+
+def _row_id_bases_replay(
+    root: str, version: int | None = None
+) -> tuple[dict[str, int], int]:
+    """(bases, watermark) by ONE deterministic replay of the manifest
+    history — the legacy resolution for tables without commit-time
+    row-id accounting. Raises on a vacuum-trimmed history: replayed
+    bases are a property of the full log."""
     vs = _versions(root)
     if not vs:
         raise ValueError(f"no table at {root}")
@@ -4929,7 +5020,43 @@ def _row_id_bases(root: str, version: int | None = None) -> dict[str, int]:
                 continue
             bases[f] = watermark
             watermark += n
-    return bases
+    return bases, watermark
+
+
+def _rowid_fields(
+    root: str, state: dict, added_live: list[str]
+) -> dict:
+    """Manifest fields recording row-id accounting for a commit that
+    adds ``added_live`` data files: each new file based at the current
+    watermark (footer row count, KB read), watermark advanced past it.
+    A legacy prefix (no recorded watermark, or live files without
+    recorded bases) is UPGRADED in place — this commit records the
+    complete live mapping derived by one replay; if the history is
+    already trimmed the table simply stays legacy (empty dict)."""
+    import pyarrow.parquet as pq
+
+    bases = dict(state["rowid_bases"])
+    wm = state["rowid_watermark"]
+    add: dict[str, int] = {}
+    if wm is None or any(f not in bases for f in state["live"]):
+        if not state["live"] and not _versions(root):
+            wm = 0  # brand-new table: accounting starts at zero
+        else:
+            try:
+                replay, wm = _row_id_bases_replay(root)
+            except ValueError:
+                return {}  # trimmed legacy history: no retroactive bases
+            add.update(
+                {f: replay[f] for f in state["live"] if f in replay}
+            )
+    for f in added_live:
+        try:
+            n = pq.ParquetFile(os.path.join(root, f)).metadata.num_rows
+        except OSError:
+            return {}
+        add[f] = wm
+        wm += n
+    return {"rowid_bases_add": add, "rowid_watermark": wm}
 
 
 def log_enable_row_lineage(root: str) -> int:
@@ -5014,9 +5141,11 @@ def log_read_with_row_ids(
 
     The id column is computed JVM-side: a KB broadcast map
     (decoded file path → base) joined to ``_metadata.row_index``.
-    Raises on a vacuum-trimmed history: bases are a replay property,
-    so they are only stable while the full history is retained —
-    materialize ids (or snapshot them) before a retention trim."""
+    Bases are RECORDED AT COMMIT TIME (r11, Delta's AddFile.baseRowId
+    shape), so resolution is O(snapshot) and ids survive VACUUM
+    retention trims; only a table whose legacy prefix predates the
+    accounting falls back to history replay (which raises on a trimmed
+    history — one commit upgrades such a table in place)."""
     from pyspark.sql import functions as F
 
     bases = _row_id_bases(root, version)

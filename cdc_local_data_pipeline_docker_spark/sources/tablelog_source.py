@@ -1612,6 +1612,7 @@ class TablelogWriter(DataSourceArrowWriter):
             manifest = {
                 "version": version,
                 "action": action,
+                **TL._rowid_fields(self.root, cur, added),
                 "add": added,
                 "remove": list(cur["live"]) if self.overwrite else [],
                 "stats_add": stats,

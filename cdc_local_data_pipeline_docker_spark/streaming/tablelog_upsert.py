@@ -88,6 +88,7 @@ def log_merge_cdc(
         manifest = {
             "version": 0,
             "action": "cdc_merge",
+            **TL._rowid_fields(root, TL._empty_state(), added),
             "add": added,
             "remove": [],
             "stats_add": stats,
@@ -154,6 +155,7 @@ def log_merge_cdc(
     manifest = {
         "version": base + 1,
         "action": "cdc_merge",
+        **TL._rowid_fields(root, state, added),
         "add": added,
         "remove": affected,
         "stats_add": stats,

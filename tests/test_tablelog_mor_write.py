@@ -428,10 +428,15 @@ def test_row_ids_stable_across_mor_history(spark, root):
         for r in TL.log_read_with_row_ids(spark, root, version=0).collect()
     }
     assert v0 == ids0
-    # trimmed history refuses (bases are a replay property)
+    # r11: bases are recorded at commit time, so ids SURVIVE a
+    # retention trim (the r10 replay-only form refused here); the
+    # legacy-prefix refusal is pinned in test_tablelog_row_lineage
     TL.log_vacuum(root, retain_versions=2)
-    with pytest.raises(ValueError, match="full manifest history"):
-        TL.log_read_with_row_ids(spark, root)
+    assert TL._versions(root)[0] > 0
+    assert {
+        r["o_orderkey"]: r["_row_id"]
+        for r in TL.log_read_with_row_ids(spark, root).collect()
+    } == cur
 
 
 def test_mor_positions_aggregated_per_file_before_collect(spark, root, monkeypatch):

@@ -199,3 +199,96 @@ def test_time_travel_across_lineage_commits(spark, root):
     for v, snap in want.items():
         got = {r.k: r.val for r in TL.log_read(spark, root, v).collect()}
         assert got == snap, f"version {v}"
+
+
+def test_rowid_bases_recorded_at_commit_and_survive_trim(spark, root):
+    """r11: commits record each added live file's base row id + the
+    table watermark in the manifest (Delta's AddFile.baseRowId shape) —
+    resolution needs no history replay, agrees exactly with the legacy
+    replay, and row ids survive a VACUUM retention trim."""
+    ids0 = _tbl(spark, root)
+    TL.log_append(
+        spark, root,
+        spark.createDataFrame([(100 + i, 1) for i in range(5)],
+                              "k LONG, val LONG").coalesce(1),
+    )
+    st = TL._snapshot(root)
+    assert st["rowid_watermark"] == 25
+    assert set(st["rowid_bases"]) == set(st["live"])
+    TL.log_enable_row_lineage(root)
+    TL.log_update_where(spark, root, "k % 2 = 0", {"val": "val + 1"})
+    TL.log_delete_where_mor(spark, root, "k = 7")
+    rec = TL._row_id_bases(root)
+    rep, _wm = TL._row_id_bases_replay(root)
+    live = set(TL._snapshot(root)["live"])
+    assert all(rec[f] == rep[f] for f in live)
+    before = _ids(spark, root)
+    TL.log_checkpoint(root)
+    TL.log_vacuum(root, retain_versions=2)
+    assert TL._versions(root)[0] > 0  # history actually trimmed
+    assert _ids(spark, root) == before
+
+
+def test_legacy_table_upgrades_in_place(spark, root):
+    """A table whose manifests predate the accounting (simulated by
+    stripping the keys) resolves by replay; its NEXT commit records the
+    complete live mapping, preserving every id."""
+    import glob
+    import json
+
+    _tbl(spark, root)
+    TL.log_append(
+        spark, root, spark.createDataFrame([(50, 5)], "k LONG, val LONG")
+    )
+    for mf in glob.glob(os.path.join(root, TL._LOG_DIR, "v*.json")):
+        m = json.load(open(mf))
+        m.pop("rowid_bases_add", None)
+        m.pop("rowid_watermark", None)
+        json.dump(m, open(mf, "w"))
+    assert TL._snapshot(root)["rowid_watermark"] is None
+    legacy = _ids(spark, root)
+    TL.log_append(
+        spark, root, spark.createDataFrame([(60, 6)], "k LONG, val LONG")
+    )
+    st = TL._snapshot(root)
+    assert st["rowid_watermark"] is not None
+    assert set(st["live"]) <= set(st["rowid_bases"])
+    upgraded = _ids(spark, root)
+    assert all(upgraded[k] == v for k, v in legacy.items())
+
+
+def test_rowid_accounting_through_checkpoint_and_clone(spark, root):
+    _tbl(spark, root)
+    TL.log_checkpoint(root)
+    st = TL._snapshot(root)  # resolves THROUGH the checkpoint
+    assert st["rowid_watermark"] == 20
+    assert set(st["rowid_bases"]) == set(st["live"])
+    TL.log_clone(root, root + "_c")
+    try:
+        cst = TL._snapshot(root + "_c")
+        assert cst["rowid_watermark"] == 20
+        assert set(cst["rowid_bases"]) == set(cst["live"])
+    finally:
+        shutil.rmtree(root + "_c", ignore_errors=True)
+
+
+def test_legacy_trimmed_history_still_refuses(spark, root):
+    """A legacy table (no recorded bases) whose history was trimmed has
+    no way to resolve stable bases — the replay fallback refuses, same
+    as r10."""
+    import glob
+    import json
+
+    _tbl(spark, root)
+    TL.log_append(
+        spark, root, spark.createDataFrame([(50, 5)], "k LONG, val LONG")
+    )
+    for mf in glob.glob(os.path.join(root, TL._LOG_DIR, "v*.json")):
+        m = json.load(open(mf))
+        m.pop("rowid_bases_add", None)
+        m.pop("rowid_watermark", None)
+        json.dump(m, open(mf, "w"))
+    TL.log_vacuum(root, retain_versions=1)
+    assert TL._versions(root)[0] > 0
+    with pytest.raises(ValueError, match="full manifest history"):
+        TL.log_read_with_row_ids(spark, root)
