@@ -1066,10 +1066,13 @@ def _write_data_files(
                 .agg(*aggs)
                 .collect()
             )
+            idx = _rel_index(root, rel)
             for r in rows:
-                tail = next(
-                    (p for p in rel if _uri_to_path(r["_f"]).endswith(p)),
-                    None,
+                key = os.path.normpath(
+                    os.path.abspath(_uri_to_path(r["_f"]))
+                )
+                tail = idx.get(key) or next(
+                    (p for p in rel if key.endswith(p)), None
                 )
                 if tail is None:
                     continue
@@ -1188,6 +1191,33 @@ def _uri_to_path(raw: str) -> str:
     import urllib.parse
 
     return urllib.parse.unquote(re.sub("^file:/+", "/", raw))
+
+
+def _rel_index(root: str, rel_files: list[str]) -> dict[str, str]:
+    """normalized absolute path -> root-relative entry, one O(1) probe
+    per lookup (the VERDICT r10 #2 fix generalized: every decoded-path
+    to relative-file match used an O(paths × files) endswith scan)."""
+    return {
+        os.path.normpath(os.path.abspath(os.path.join(root, f))): f
+        for f in rel_files
+    }
+
+
+def _match_rel(root: str, rel_files: list[str], decoded_paths) -> list[str]:
+    """The subset of ``rel_files`` whose absolute form appears in
+    ``decoded_paths`` (already URI-decoded), in ``rel_files`` order.
+    Dict probe per path; the suffix scan survives only as a per-path
+    fallback for symlink-aliased roots."""
+    idx = _rel_index(root, rel_files)
+    hit: set[str] = set()
+    for a in decoded_paths:
+        key = os.path.normpath(os.path.abspath(a))
+        f = idx.get(key)
+        if f is None:
+            f = next((g for g in rel_files if key.endswith(g)), None)
+        if f is not None:
+            hit.add(f)
+    return [f for f in rel_files if f in hit]
 
 
 def _decoded_file_path_col():
@@ -1950,11 +1980,9 @@ def log_delete_where(spark: SparkSession, root: str, predicate: str) -> int:
             .collect()
         }
         # input_file_name yields file:// URIs; match the relative tail
-        affected = [
-            f
-            for f in candidates
-            if any(_uri_to_path(a).endswith(f) for a in affected_abs)
-        ]
+        affected = _match_rel(
+            root, candidates, (_uri_to_path(a) for a in affected_abs)
+        )
     if not affected:  # nothing to delete: commit a no-op delta
         manifest = {
             "version": base + 1,
@@ -2071,11 +2099,9 @@ def log_update_where(
             .distinct()
             .collect()
         }
-        affected = [
-            f
-            for f in candidates
-            if any(_uri_to_path(a).endswith(f) for a in affected_abs)
-        ]
+        affected = _match_rel(
+            root, candidates, (_uri_to_path(a) for a in affected_abs)
+        )
     if not affected:  # nothing matched: commit a no-op delta
         manifest = {
             "version": base + 1,
@@ -2318,11 +2344,9 @@ def log_merge(
             .distinct()
             .collect()
         }
-        affected = [
-            f
-            for f in probe_files
-            if any(_uri_to_path(a).endswith(f) for a in affected_abs)
-        ]
+        affected = _match_rel(
+            root, probe_files, (_uri_to_path(a) for a in affected_abs)
+        )
     lineage = bool(state["props"].get("row_lineage"))
     survivors = None
     matched_pre = None
@@ -4369,14 +4393,17 @@ def log_convert_in_place(
                         f"bl_{c}"
                     )
                 )
+            idx = _rel_index(root, rel)
             for r in (
                 back.groupBy(F.input_file_name().alias("_f"))
                 .agg(*aggs)
                 .collect()
             ):
-                tail = next(
-                    (p for p in rel if _uri_to_path(r["_f"]).endswith(p)),
-                    None,
+                key = os.path.normpath(
+                    os.path.abspath(_uri_to_path(r["_f"]))
+                )
+                tail = idx.get(key) or next(
+                    (p for p in rel if key.endswith(p)), None
                 )
                 if tail is None:
                     continue

@@ -128,11 +128,9 @@ def log_merge_cdc(
         }
         # input_file_name() is a percent-encoded URI (ADVICE r9 high):
         # decode before the relative-tail match, like every tablelog site
-        affected = [
-            f
-            for f in probe_files
-            if any(TL._uri_to_path(a).endswith(f) for a in affected_abs)
-        ]
+        affected = TL._match_rel(
+            root, probe_files, (TL._uri_to_path(a) for a in affected_abs)
+        )
     if affected:
         # read through any deletion vectors (mixed MoR + CDC histories)
         aff_rows = TL._read_with_dv(spark, root, affected, base_dvs)
