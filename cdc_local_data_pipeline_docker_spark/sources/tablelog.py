@@ -117,6 +117,8 @@ __all__ = [
     "log_read_with_row_ids",
     "log_enable_row_lineage",
     "log_merge_sql",
+    "log_update_sql",
+    "log_delete_sql",
     "log_history",
     "log_vacuum",
     "log_restore",
@@ -3484,6 +3486,58 @@ def log_merge_sql(
     finally:
         spark.catalog.dropTempView(tv)
         spark.catalog.dropTempView(sv)
+
+
+def log_update_sql(
+    spark: SparkSession, sql: str, mor: bool = False
+) -> int:
+    """``UPDATE `<root>` SET col = expr, ... [WHERE pred]`` — the SQL
+    statement form of :func:`log_update_where` (CoW) /
+    :func:`log_update_where_mor` (``mor=True``). Assignments and the
+    predicate are Spark SQL expressions over the table's logical
+    columns; a missing WHERE updates every row (``true``)."""
+    text = sql.strip().rstrip(";")
+    m = re.match(
+        r"UPDATE\s+`([^`]+)`\s+SET\s+(.*?)(?:\s+WHERE\s+(.*))?$",
+        text,
+        re.IGNORECASE | re.DOTALL,
+    )
+    if m is None:
+        raise ValueError(
+            "unsupported UPDATE syntax — expected: "
+            "UPDATE `<root>` SET col = expr[, ...] [WHERE pred]"
+        )
+    root, set_txt, pred = m.groups()
+    assignments: dict[str, str] = {}
+    for piece in _split_top_level(set_txt):
+        lhs, eq, rhs = piece.partition("=")
+        if not eq:
+            raise ValueError(f"bad SET item {piece!r}")
+        assignments[lhs.strip()] = rhs.strip()
+    writer = log_update_where_mor if mor else log_update_where
+    return writer(spark, root, (pred or "true").strip(), assignments)
+
+
+def log_delete_sql(
+    spark: SparkSession, sql: str, mor: bool = False
+) -> int:
+    """``DELETE FROM `<root>` [WHERE pred]`` — the SQL statement form
+    of :func:`log_delete_where` (CoW) / :func:`log_delete_where_mor`
+    (``mor=True``). A missing WHERE deletes every row."""
+    text = sql.strip().rstrip(";")
+    m = re.match(
+        r"DELETE\s+FROM\s+`([^`]+)`(?:\s+WHERE\s+(.*))?$",
+        text,
+        re.IGNORECASE | re.DOTALL,
+    )
+    if m is None:
+        raise ValueError(
+            "unsupported DELETE syntax — expected: "
+            "DELETE FROM `<root>` [WHERE pred]"
+        )
+    root, pred = m.groups()
+    writer = log_delete_where_mor if mor else log_delete_where
+    return writer(spark, root, (pred or "true").strip())
 
 
 def _split_top_level(text: str) -> list[str]:

@@ -134,3 +134,29 @@ def test_unsupported_forms_raise(spark, table):
     ]:
         with pytest.raises(ValueError, match=match):
             TL.log_merge_sql(spark, bad)
+
+
+def test_update_and_delete_sql_statements(spark, root):
+    df = spark.createDataFrame(
+        [(k, k * 10, "A") for k in range(10)],
+        "k LONG, val LONG, tag STRING",
+    )
+    TL.log_append(spark, root, df)
+    TL.log_update_sql(
+        spark, f"UPDATE `{root}` SET val = val + 1, tag = 'U' WHERE k % 2 = 0"
+    )
+    got = _state(spark, root)
+    assert got[0] == (1, "U") and got[1] == (10, "A")
+    TL.log_delete_sql(spark, f"DELETE FROM `{root}` WHERE k >= 8", mor=True)
+    assert set(_state(spark, root)) == set(range(8))
+    assert TL._read_manifest(root, 2)["action"] == "delete_mor"
+    # WHERE-less forms: update-all then delete-all (legal, zero rows)
+    TL.log_update_sql(spark, f"UPDATE `{root}` SET tag = 'Z'")
+    assert {t for _v, t in _state(spark, root).values()} == {"Z"}
+    TL.log_delete_sql(spark, f"DELETE FROM `{root}`")
+    assert TL.log_read(spark, root).count() == 0
+    for bad in ("UPDATE x SET a=1", "DELETE `"):
+        with pytest.raises(ValueError, match="unsupported"):
+            (TL.log_update_sql if bad.startswith("U") else TL.log_delete_sql)(
+                spark, bad
+            )
