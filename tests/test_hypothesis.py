@@ -639,7 +639,7 @@ def _tablelog_ops(draw):
             else draw(st.sampled_from(
                 ["append", "delete", "delete_mor", "merge", "compact",
                  "compact_small", "rename", "restore", "purge",
-                 "update_mor", "merge_mor"]
+                 "update_mor", "merge_mor", "enable_lineage"]
             ))
         )
         if kind == "append":
@@ -671,6 +671,11 @@ def _tablelog_ops(draw):
             ops.append(("update_mor", (mod, rem, draw(st.integers(100, 199)))))
         elif kind == "rename":
             ops.append(("rename", None))
+        elif kind == "enable_lineage":
+            # r11: from this commit on every rewrite materializes the
+            # hidden _tl_row_id column — CONTENT must be invariant to it
+            # under every interleaving (the sweep reads only k/val)
+            ops.append(("enable_lineage", None))
         elif kind == "restore":
             # one commit per op, so version v == op index v
             ops.append(("restore", draw(st.integers(0, i - 1))))
@@ -694,6 +699,12 @@ def _tablelog_ops(draw):
 # run now replays the exact program the randomized sweep once drew.
 @example([("append", ([0], True)), ("delete", (2, 0)),
           ("append", ([1], False))])
+# r11: lineage enabled mid-history, then a CoW delete (materializes the
+# hidden id column into the rewrite), a merge over it, and a restore
+# across the lineage commits — content must be invariant throughout
+@example([("append", ([0, 1, 2], False)), ("enable_lineage", None),
+          ("delete", (2, 0)), ("merge", ([1], [3], 7)),
+          ("restore", 2), ("compact", 1)])
 @_SETTINGS
 def test_tablelog_model_based(spark, ops):
     """Every version of a random append/delete/MoR-delete/merge/compact
@@ -760,6 +771,8 @@ def test_tablelog_model_based(spark, ops):
                 new_name = f"val{n_renames}"
                 TL.log_rename_column(root, val_name, new_name)
                 val_name = new_name
+            elif kind == "enable_lineage":
+                TL.log_enable_row_lineage(root)
             elif kind == "restore":
                 TL.log_restore(spark, root, arg)
                 model = dict(snapshots[arg][0])
