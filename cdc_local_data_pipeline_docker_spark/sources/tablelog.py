@@ -3326,6 +3326,49 @@ def log_merge_mor(
             matched_pre.unpersist()
 
 
+def _log_replace_content(
+    spark: SparkSession, root: str, df: DataFrame, action: str = "merge"
+) -> int:
+    """Atomically REPLACE the table's content with ``df`` (logical
+    columns): write the new files, validate constraints on them, and
+    commit one manifest that adds them and removes every live file —
+    the full-sync MERGE / INSERT OVERWRITE shape. Conflicts with any
+    concurrent commit (the removed set would be invalidated), so
+    CommitConflict propagates."""
+    base = _latest_version(root)
+    if base is None:
+        raise ValueError(f"no table at {root}")
+    state = _snapshot(root, base)
+    colmap = state["colmap"]
+    df_p = _to_physical_loose(df, colmap)
+    token = uuid.uuid4().hex[:12]
+    stats_cols = sorted({c for st in state["stats"].values() for c in st})
+    bloom_cols = sorted({c for b in state["blooms"].values() for c in b})
+    added, new_stats, new_blooms, new_parts = _write_data_files(
+        df_p, root, token, stats_cols, bloom_cols,
+        transforms=_rewrite_transforms(state, state["live"], df_p)
+        if state["live"]
+        else None,
+    )
+    _validate_written_files(spark, root, added, colmap, state["constraints"])
+    manifest = {
+        "version": base + 1,
+        "action": action,
+        **_rowid_fields(root, state, added),
+        "add": added,
+        "live_add": added,
+        "remove": list(state["live"]),
+        "stats_add": new_stats,
+        "blooms_add": new_blooms,
+        **({"parts_add": new_parts} if new_parts else {}),
+        "schemas": sorted(
+            set(state["schemas"]) | {df_p.schema.simpleString()}
+        ),
+        "ts": time.time(),
+    }
+    return _commit(root, base + 1, manifest)
+
+
 def log_merge_sql(
     spark: SparkSession, sql: str, mor: bool = False
 ) -> int:
@@ -3340,6 +3383,7 @@ def log_merge_sql(
         ON t.<key> = s.<key>
         [WHEN MATCHED THEN UPDATE SET * | SET col = expr, ...]
         [WHEN NOT MATCHED THEN INSERT * | INSERT (cols) VALUES (exprs)]
+        [WHEN NOT MATCHED BY SOURCE THEN DELETE]
 
     The change frame is BUILT BY SPARK SQL itself (no expression
     re-implementation): matched new images come from an equi-join of
@@ -3371,6 +3415,13 @@ def log_merge_sql(
     root, t_alias, src, s_alias, on, clauses = m.groups()
     t_alias = t_alias or "t"
     s_alias = s_alias or "s"
+    by_src = re.search(
+        r"WHEN\s+NOT\s+MATCHED\s+BY\s+SOURCE\s+THEN\s+DELETE\s*",
+        clauses,
+        flags,
+    )
+    if by_src is not None:
+        clauses = clauses[: by_src.start()] + clauses[by_src.end():]
     if re.search(r"WHEN\s+MATCHED\s+THEN\s+DELETE", clauses, flags):
         raise ValueError(
             "WHEN MATCHED THEN DELETE is not an upsert — use "
@@ -3403,7 +3454,7 @@ def log_merge_sql(
         clauses,
         flags,
     )
-    if upd is None and ins is None:
+    if upd is None and ins is None and by_src is None:
         raise ValueError("MERGE needs at least one WHEN clause")
     target = log_read(spark, root)
     cols = target.columns
@@ -3472,6 +3523,29 @@ def log_merge_sql(
                 f"LEFT ANTI JOIN {tv} {t_alias} "
                 f"ON {t_alias}.{key} = {s_alias}.{key}"
             )
+        if by_src is not None:
+            # WHEN NOT MATCHED BY SOURCE THEN DELETE makes the table's
+            # new content FULLY determined by the statement: matched
+            # rows (updated by the SET clause, or passed through when
+            # there is none — matched rows never die here) plus the
+            # inserts; every unmatched-by-source target row dies. One
+            # atomic content-REPLACE commit (the Delta full-sync merge
+            # pays the same table-rewrite worst case).
+            if upd is None:
+                parts.insert(
+                    0,
+                    "SELECT "
+                    + ", ".join(f"{t_alias}.{c} AS {c}" for c in cols)
+                    + f" FROM {tv} {t_alias} LEFT SEMI JOIN {sv} "
+                    f"{s_alias} ON {t_alias}.{key} = {s_alias}.{key}",
+                )
+            content = spark.sql(" UNION ALL ".join(parts)).select(
+                *[
+                    F.col(c).cast(target.schema[c].dataType).alias(c)
+                    for c in cols
+                ]
+            )
+            return _log_replace_content(spark, root, content)
         changes = spark.sql(" UNION ALL ".join(parts))
         # pin the change frame to the target's types so a SQL literal
         # (e.g. an int for a bigint column) never drifts the schema

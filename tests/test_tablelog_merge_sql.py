@@ -160,3 +160,36 @@ def test_update_and_delete_sql_statements(spark, root):
             (TL.log_update_sql if bad.startswith("U") else TL.log_delete_sql)(
                 spark, bad
             )
+
+
+def test_not_matched_by_source_delete_full_sync(spark, table):
+    """WHEN NOT MATCHED BY SOURCE THEN DELETE: the table's new content
+    is fully determined — matched rows (updated or passed through) plus
+    inserts; unmatched-by-source target rows die. One atomic replace
+    commit; history stays time-travelable."""
+    TL.log_merge_sql(
+        spark,
+        f"""MERGE INTO `{table}` AS t USING merge_sql_chg AS s
+            ON t.k = s.k
+            WHEN MATCHED THEN UPDATE SET *
+            WHEN NOT MATCHED THEN INSERT *
+            WHEN NOT MATCHED BY SOURCE THEN DELETE""",
+    )
+    # table := source (full sync)
+    assert _state(spark, table) == {1: (111, "B"), 2: (222, "B"),
+                                    100: (5, "N")}
+    assert TL.log_read(spark, table, version=0).count() == 10
+
+
+def test_by_source_delete_without_update_passes_matched_through(
+    spark, table
+):
+    TL.log_merge_sql(
+        spark,
+        f"""MERGE INTO `{table}` AS t USING merge_sql_chg AS s
+            ON t.k = s.k
+            WHEN NOT MATCHED BY SOURCE THEN DELETE""",
+    )
+    # matched keys keep their ORIGINAL images; everything else dies;
+    # nothing is inserted (no insert clause)
+    assert _state(spark, table) == {1: (10, "A"), 2: (20, "A")}
