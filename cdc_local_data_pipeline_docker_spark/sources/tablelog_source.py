@@ -152,11 +152,17 @@ class _FilePart(InputPartition):
     sentinel — pyspark substitutes [None] for an empty partition list,
     so an all-pruned scan must still ship one no-op partition."""
 
-    def __init__(self, path: str, dv_path: str | None, cols, out_schema):
+    def __init__(
+        self, path: str, dv_path: str | None, cols, out_schema,
+        rowid_base: int | None = None,
+    ):
         self.path = path
         self.dv_path = dv_path
         self.cols = cols
         self.out_schema = out_schema
+        # non-None => emit _row_id (base + position, or the file's
+        # materialized lineage ids) as the FIRST output column
+        self.rowid_base = rowid_base
 
 
 def _dv_positions(path: str | None):
@@ -174,7 +180,9 @@ def _dv_positions(path: str | None):
     )
 
 
-def _file_batches(path: str, cols, out_schema, skip=None, only=None):
+def _file_batches(
+    path: str, cols, out_schema, skip=None, only=None, rowid_base=None
+):
     """Executor-side VECTORIZED file reader core: yields ``pyarrow.
     RecordBatch``es in ``out_schema`` (Arrow stays Arrow end-to-end —
     no per-row Python objects on the read path). Row selection is ONE
@@ -190,30 +198,55 @@ def _file_batches(path: str, cols, out_schema, skip=None, only=None):
     pf = pq.ParquetFile(path)
     present = set(pf.schema_arrow.names)
     read_cols = [c for c in cols if c in present]
+    has_mat = rowid_base is not None and TL._ROWID_COL in present
+    if has_mat:
+        read_cols = read_cols + [TL._ROWID_COL]
+    id_schema = (
+        pa.schema(
+            [pa.field("_row_id", pa.int64())] + list(out_schema)
+        )
+        if rowid_base is not None
+        else out_schema
+    )
     ri = 0
     for batch in pf.iter_batches(columns=read_cols):
         n = batch.num_rows
+        start = ri
+        ri += n
+        keep = None
         if only is not None:
-            lo = np.searchsorted(only, ri)
-            hi = np.searchsorted(only, ri + n)
-            ri += n
+            lo = np.searchsorted(only, start)
+            hi = np.searchsorted(only, start + n)
             if hi == lo:
                 continue
-            mask = np.zeros(n, dtype=bool)
-            mask[only[lo:hi] - (ri - n)] = True
-            batch = batch.filter(pa.array(mask))
-        else:
-            if skip is not None and skip.size:
-                lo = np.searchsorted(skip, ri)
-                hi = np.searchsorted(skip, ri + n)
-                if hi > lo:
-                    mask = np.ones(n, dtype=bool)
-                    mask[skip[lo:hi] - ri] = False
-                    batch = batch.filter(pa.array(mask))
-            ri += n
+            keep = np.zeros(n, dtype=bool)
+            keep[only[lo:hi] - start] = True
+        elif skip is not None and skip.size:
+            lo = np.searchsorted(skip, start)
+            hi = np.searchsorted(skip, start + n)
+            if hi > lo:
+                keep = np.ones(n, dtype=bool)
+                keep[skip[lo:hi] - start] = False
+        pos = None
+        if rowid_base is not None:
+            pos = np.arange(start, start + n, dtype=np.int64)
+        if keep is not None:
+            batch = batch.filter(pa.array(keep))
+            if pos is not None:
+                pos = pos[keep]
         if batch.num_rows == 0:
             continue
         arrays = []
+        if rowid_base is not None:
+            ids = pa.array(pos + rowid_base, pa.int64())
+            if has_mat:
+                # materialized lineage ids win; NULL falls back to
+                # base + position (exactly log_read_with_row_ids)
+                mat = batch.column(
+                    batch.schema.get_field_index(TL._ROWID_COL)
+                ).cast(pa.int64())
+                ids = pa.compute.coalesce(mat, ids)
+            arrays.append(ids)
         for phys, field in zip(cols, out_schema):
             if phys in present:
                 col = batch.column(batch.schema.get_field_index(phys))
@@ -222,7 +255,7 @@ def _file_batches(path: str, cols, out_schema, skip=None, only=None):
             else:
                 col = pa.nulls(batch.num_rows, field.type)
             arrays.append(col)
-        yield pa.RecordBatch.from_arrays(arrays, schema=out_schema)
+        yield pa.RecordBatch.from_arrays(arrays, schema=id_schema)
 
 
 def _read_file_part(part: _FilePart):
@@ -230,7 +263,11 @@ def _read_file_part(part: _FilePart):
     if not part.path:  # empty sentinel (all files pruned / caught up)
         return
     yield from _file_batches(
-        part.path, part.cols, part.out_schema, skip=_dv_positions(part.dv_path)
+        part.path,
+        part.cols,
+        part.out_schema,
+        skip=_dv_positions(part.dv_path),
+        rowid_base=part.rowid_base,
     )
 
 
@@ -279,6 +316,19 @@ class TablelogDataSource(DataSource):
             raise ValueError(f"no table at {root}")
         base = _spark_schema(root, state)
         if not self._cdf():
+            if (
+                str(self.options.get("withrowids", "false")).lower()
+                == "true"
+            ):
+                from pyspark.sql.types import (
+                    LongType,
+                    StructField,
+                    StructType,
+                )
+
+                return StructType(
+                    [StructField("_row_id", LongType())] + base.fields
+                )
             return base
         from pyspark.sql.pandas.types import from_arrow_schema
 
@@ -327,6 +377,13 @@ class TablelogReader(DataSourceReader):
             else TL.version_at_timestamp(root, tao)
             if tao is not None
             else None
+        )
+        # ROW TRACKING through the DataSource (r11): emit _row_id as
+        # the first column — commit-recorded bases + positions, with a
+        # file's materialized lineage ids winning (the
+        # log_read_with_row_ids contract on the SQL surface)
+        self.with_rowids = (
+            str(options.get("withrowids", "false")).lower() == "true"
         )
         self.pushed: list = []
 
@@ -408,6 +465,11 @@ class TablelogReader(DataSourceReader):
             files = TL._prune_by_stats(
                 files, state["stats"], pc, lo=lo, hi=hi, value=value
             )
+        bases = (
+            TL._row_id_bases(self.root, self.version)
+            if self.with_rowids
+            else {}
+        )
         out = [
             _FilePart(
                 os.path.join(self.root, f),
@@ -416,6 +478,7 @@ class TablelogReader(DataSourceReader):
                 else None,
                 cols,
                 out_schema,
+                rowid_base=bases.get(f) if self.with_rowids else None,
             )
             for f in files
         ]
@@ -1937,6 +2000,7 @@ def register_sql_view(
     change_feed: bool = False,
     starting_version: int | None = None,
     ending_version: int | None = None,
+    with_row_ids: bool = False,
 ) -> None:
     """The SQL surface: ``CREATE OR REPLACE TEMPORARY VIEW <name> USING
     tablelog`` — plain ``SELECT ... WHERE`` (with file-skipping filter
@@ -1954,6 +2018,9 @@ def register_sql_view(
     the reader, so the temp-view form is the supported one."""
     register(spark)
     opts = f"path '{root}'"
+    if with_row_ids:
+        # ROW TRACKING on the SQL surface: _row_id as the first column
+        opts += ", withRowIds 'true'"
     if version is not None:
         opts += f", version '{int(version)}'"
     if timestamp_as_of is not None:

@@ -292,3 +292,38 @@ def test_legacy_trimmed_history_still_refuses(spark, root):
     assert TL._versions(root)[0] > 0
     with pytest.raises(ValueError, match="full manifest history"):
         TL.log_read_with_row_ids(spark, root)
+
+
+def test_dsv2_with_row_ids_matches_python_api(spark, root):
+    """r11: option("withRowIds","true") surfaces _row_id through the
+    DataSource (and SQL views) — identical to log_read_with_row_ids,
+    including materialized lineage ids and time travel."""
+    _tbl(spark, root)
+    TL.log_enable_row_lineage(root)
+    TL.log_delete_where_mor(spark, root, "k % 5 = 0")
+    TL.log_update_where(spark, root, "k % 2 = 1", {"val": "val + 1"})
+    TS.register(spark)
+    api = _ids(spark, root)
+    r = (
+        spark.read.format("tablelog")
+        .option("path", root)
+        .option("withRowIds", "true")
+    )
+    dsv = {x.k: x._row_id for x in r.load().collect()}
+    assert dsv == api
+    # time travel composes; plain reads stay id-free
+    v0 = {
+        x.k: x._row_id
+        for x in r.option("version", "0").load().collect()
+    }
+    assert v0 == {k: k for k in range(20)}
+    assert "_row_id" not in (
+        spark.read.format("tablelog").option("path", root).load().columns
+    )
+    # the SQL-view surface
+    TS.register_sql_view(spark, "rowid_view", root, with_row_ids=True)
+    got = {
+        x.k: x._row_id
+        for x in spark.sql("SELECT _row_id, k FROM rowid_view").collect()
+    }
+    assert got == api
