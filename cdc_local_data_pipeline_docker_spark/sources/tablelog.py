@@ -3381,8 +3381,9 @@ def log_merge_sql(
         MERGE INTO `/table/root` [AS t]
         USING <view name | ( SELECT ... )> [AS s]
         ON t.<key> = s.<key>
-        [WHEN MATCHED THEN UPDATE SET * | SET col = expr, ...]
-        [WHEN NOT MATCHED THEN INSERT * | INSERT (cols) VALUES (exprs)]
+        [WHEN MATCHED [AND cond] THEN UPDATE SET * | SET col = expr, ...]
+        (several MATCHED clauses allowed — first match wins, ANSI order)
+        [WHEN NOT MATCHED [AND cond] THEN INSERT * | (cols) VALUES (exprs)]
         [WHEN NOT MATCHED BY SOURCE THEN DELETE]
 
     The change frame is BUILT BY SPARK SQL itself (no expression
@@ -3422,7 +3423,9 @@ def log_merge_sql(
     )
     if by_src is not None:
         clauses = clauses[: by_src.start()] + clauses[by_src.end():]
-    if re.search(r"WHEN\s+MATCHED\s+THEN\s+DELETE", clauses, flags):
+    if re.search(
+        r"WHEN\s+MATCHED\s*(?:AND\s+.+?\s*)?THEN\s+DELETE", clauses, flags
+    ):
         raise ValueError(
             "WHEN MATCHED THEN DELETE is not an upsert — use "
             "log_delete_where(root, predicate) for deletes"
@@ -3442,19 +3445,27 @@ def log_merge_sql(
             "key must be one column present on both sides"
         )
     key = g[0]
-    upd = re.search(
-        r"WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+(.*?)"
-        r"(?=WHEN\s+NOT\s+MATCHED|$)",
-        clauses,
-        flags,
+    upd_pat = (
+        r"WHEN\s+MATCHED\s*(?:AND\s+(.+?)\s*)?THEN\s+UPDATE\s+SET\s+"
+        r"(.*?)(?=\s*WHEN\s+|$)"
     )
-    ins = re.search(
-        r"WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s*"
-        r"(\*|\(([^)]*)\)\s*VALUES\s*\((.*?)\))\s*(?=WHEN|$)",
-        clauses,
-        flags,
+    ins_pat = (
+        r"WHEN\s+NOT\s+MATCHED\s*(?:AND\s+(.+?)\s*)?THEN\s+INSERT\s*"
+        r"(\*|\(([^)]*)\)\s*VALUES\s*\((.*?)\))\s*(?=WHEN\s|$)"
     )
-    if upd is None and ins is None and by_src is None:
+    upds = [
+        (m2.group(1), m2.group(2).strip())
+        for m2 in re.finditer(upd_pat, clauses, flags)
+    ]
+    ins = re.search(ins_pat, clauses, flags)
+    residual = re.sub(upd_pat, " ", clauses, flags=flags)
+    residual = re.sub(ins_pat, " ", residual, flags=flags)
+    if re.search(r"\bWHEN\b", residual, flags):
+        raise ValueError(
+            "unsupported MERGE clause near: "
+            f"{residual.strip()[:80]!r}"
+        )
+    if not upds and ins is None and by_src is None:
         raise ValueError("MERGE needs at least one WHEN clause")
     target = log_read(spark, root)
     cols = target.columns
@@ -3467,43 +3478,77 @@ def log_merge_sql(
         spark.table(src).createOrReplaceTempView(sv)
     try:
         parts: list[str] = []
-        if upd is not None:
-            set_txt = upd.group(1).strip().rstrip()
-            if set_txt == "*":
-                proj = ", ".join(f"{s_alias}.{c} AS {c}" for c in cols)
-            else:
-                assigns: dict[str, str] = {}
-                for piece in _split_top_level(set_txt):
-                    lhs, _, rhs = piece.partition("=")
-                    name = lhs.strip()
-                    name = re.sub(
-                        rf"^{t_alias}\.", "", name, flags=re.IGNORECASE
-                    )
-                    if name not in cols:
-                        raise ValueError(
-                            f"UPDATE SET target {name!r} is not a column"
+        if upds:
+            projs: list[tuple[str | None, dict[str, str]]] = []
+            for cond, set_txt in upds:
+                if set_txt == "*":
+                    pm = {c: f"{s_alias}.{c}" for c in cols}
+                else:
+                    assigns: dict[str, str] = {}
+                    for piece in _split_top_level(set_txt):
+                        lhs, _, rhs = piece.partition("=")
+                        name = re.sub(
+                            rf"^{t_alias}\.",
+                            "",
+                            lhs.strip(),
+                            flags=re.IGNORECASE,
                         )
-                    assigns[name] = rhs.strip()
+                        if name not in cols:
+                            raise ValueError(
+                                f"UPDATE SET target {name!r} is not a "
+                                "column"
+                            )
+                        assigns[name] = rhs.strip()
+                    pm = {
+                        c: assigns.get(c, f"{t_alias}.{c}") for c in cols
+                    }
+                projs.append((cond, pm))
+            if len(projs) == 1 and projs[0][0] is None:
                 proj = ", ".join(
-                    f"({assigns[c]}) AS {c}" if c in assigns
-                    else f"{t_alias}.{c} AS {c}"
+                    f"({projs[0][1][c]}) AS {c}" for c in cols
+                )
+                where = ""
+            else:
+                # multiple / conditional clauses: FIRST MATCH WINS via
+                # one CASE per column (ANSI MERGE clause order); rows
+                # firing NO clause pass through untouched — filtered
+                # out of the upsert so they are neither rewritten nor
+                # emitted as change images (kept in the full-sync
+                # branch, where the ELSE arm carries them)
+                proj = ", ".join(
+                    "CASE "
+                    + " ".join(
+                        f"WHEN ({cond or 'true'}) THEN ({pm[c]})"
+                        for cond, pm in projs
+                    )
+                    + f" ELSE {t_alias}.{c} END AS {c}"
                     for c in cols
                 )
-            parts.append(
+                where = (
+                    ""
+                    if any(cond is None for cond, _pm in projs)
+                    else " WHERE "
+                    + " OR ".join(f"({cond})" for cond, _pm in projs)
+                )
+            matched_sql = (
                 f"SELECT {proj} FROM {tv} {t_alias} "
                 f"JOIN {sv} {s_alias} "
                 f"ON {t_alias}.{key} = {s_alias}.{key}"
             )
+            parts.append(
+                matched_sql if by_src is not None else matched_sql + where
+            )
         if ins is not None:
-            if ins.group(1).strip() == "*":
+            icond = ins.group(1)
+            if ins.group(2).strip() == "*":
                 iproj = ", ".join(f"{s_alias}.{c} AS {c}" for c in cols)
             else:
                 names = [
                     re.sub(rf"^{t_alias}\.", "", n.strip(),
                            flags=re.IGNORECASE)
-                    for n in ins.group(2).split(",")
+                    for n in ins.group(3).split(",")
                 ]
-                exprs = _split_top_level(ins.group(3))
+                exprs = _split_top_level(ins.group(4))
                 if len(names) != len(exprs):
                     raise ValueError("INSERT columns/VALUES arity mismatch")
                 by_col = dict(zip(names, [e.strip() for e in exprs]))
@@ -3522,6 +3567,7 @@ def log_merge_sql(
                 f"SELECT {iproj} FROM {sv} {s_alias} "
                 f"LEFT ANTI JOIN {tv} {t_alias} "
                 f"ON {t_alias}.{key} = {s_alias}.{key}"
+                + (f" WHERE ({icond})" if icond else "")
             )
         if by_src is not None:
             # WHEN NOT MATCHED BY SOURCE THEN DELETE makes the table's
@@ -3531,7 +3577,7 @@ def log_merge_sql(
             # inserts; every unmatched-by-source target row dies. One
             # atomic content-REPLACE commit (the Delta full-sync merge
             # pays the same table-rewrite worst case).
-            if upd is None:
+            if not upds:
                 parts.insert(
                     0,
                     "SELECT "

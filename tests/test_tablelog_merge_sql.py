@@ -193,3 +193,87 @@ def test_by_source_delete_without_update_passes_matched_through(
     # matched keys keep their ORIGINAL images; everything else dies;
     # nothing is inserted (no insert clause)
     assert _state(spark, table) == {1: (10, "A"), 2: (20, "A")}
+
+
+def test_conditional_matched_clauses_first_match_wins(spark, table):
+    """WHEN MATCHED AND <cond>: only firing rows update (non-firing
+    matched rows pass through untouched and emit no change images);
+    several MATCHED clauses compose first-match-wins in ANSI order."""
+    spark.createDataFrame(
+        [(1, 111, "B"), (2, 222, "B"), (3, 333, "B")],
+        "k LONG, val LONG, tag STRING",
+    ).createOrReplaceTempView("merge_sql_cond")
+    TL.log_merge_sql(
+        spark,
+        f"""MERGE INTO `{table}` AS t USING merge_sql_cond AS s
+            ON t.k = s.k
+            WHEN MATCHED AND t.k = 1 THEN UPDATE SET val = s.val, tag = 'ONE'
+            WHEN MATCHED AND s.val > 200 THEN UPDATE SET *""",
+    )
+    got = _state(spark, table)
+    assert got[1] == (111, "ONE")   # first clause wins for k=1
+    assert got[2] == (222, "B")     # second clause
+    assert got[3] == (333, "B")     # second clause (s.val=333 > 200)
+    assert len(got) == 10
+    # k=1 fired clause 1 even though clause 2 also matched: tag is ONE
+    # CDF: the commit's change volume is the firing rows only
+    add, rem = TL.log_changes(spark, table, 1)
+    assert rem.count() == 3 and add.count() == 3
+
+
+def test_conditional_matched_no_fire_is_noop_for_row(spark, table):
+    spark.createDataFrame(
+        [(1, -1, "X")], "k LONG, val LONG, tag STRING"
+    ).createOrReplaceTempView("merge_sql_nofire")
+    TL.log_merge_sql(
+        spark,
+        f"""MERGE INTO `{table}` t USING merge_sql_nofire s ON t.k = s.k
+            WHEN MATCHED AND s.val > 0 THEN UPDATE SET *""",
+    )
+    assert _state(spark, table)[1] == (10, "A")  # untouched
+    add, rem = TL.log_changes(spark, table, 1)
+    assert (add is None or add.count() == 0) and (
+        rem is None or rem.count() == 0
+    )
+
+
+def test_conditional_insert_clause(spark, table):
+    TL.log_merge_sql(
+        spark,
+        f"""MERGE INTO `{table}` t USING merge_sql_chg s ON t.k = s.k
+            WHEN NOT MATCHED AND s.val < 100 THEN INSERT *""",
+    )
+    got = _state(spark, table)
+    assert got[100] == (5, "N")  # s.val=5 < 100 inserts
+    assert len(got) == 11        # matched rows untouched, one insert
+
+
+def test_conditional_clauses_in_full_sync(spark, table):
+    """Under BY SOURCE DELETE, matched rows that fire NO clause still
+    SURVIVE (pass through) — only unmatched-by-source rows die."""
+    TL.log_merge_sql(
+        spark,
+        f"""MERGE INTO `{table}` AS t USING merge_sql_chg AS s
+            ON t.k = s.k
+            WHEN MATCHED AND s.val > 200 THEN UPDATE SET *
+            WHEN NOT MATCHED BY SOURCE THEN DELETE""",
+    )
+    got = _state(spark, table)
+    # k=1 matched but did not fire (111 <= 200): survives UNTOUCHED;
+    # k=2 fired; k=100 unmatched-target (no insert clause): not added
+    assert got == {1: (10, "A"), 2: (222, "B")}
+
+
+def test_unknown_clause_rejected(spark, table):
+    with pytest.raises(ValueError, match="unsupported MERGE clause"):
+        TL.log_merge_sql(
+            spark,
+            f"""MERGE INTO `{table}` t USING merge_sql_chg s ON t.k = s.k
+                WHEN MATCHED THEN FROBNICATE""",
+        )
+    with pytest.raises(ValueError, match="DELETE is not an upsert"):
+        TL.log_merge_sql(
+            spark,
+            f"""MERGE INTO `{table}` t USING merge_sql_chg s ON t.k = s.k
+                WHEN MATCHED AND t.k = 1 THEN DELETE""",
+        )
