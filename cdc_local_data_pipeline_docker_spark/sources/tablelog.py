@@ -119,6 +119,7 @@ __all__ = [
     "log_merge_sql",
     "log_update_sql",
     "log_delete_sql",
+    "log_sql",
     "log_history",
     "log_vacuum",
     "log_restore",
@@ -3658,6 +3659,110 @@ def log_delete_sql(
     root, pred = m.groups()
     writer = log_delete_where_mor if mor else log_delete_where
     return writer(spark, root, (pred or "true").strip())
+
+
+def log_sql(spark: SparkSession, statement: str, mor: bool = False):
+    """ONE SQL entry point for the table format — the Delta utility-SQL
+    parity surface. Routes by leading keyword::
+
+        MERGE INTO `root` ...                  -> log_merge_sql
+        UPDATE `root` SET ... [WHERE ...]      -> log_update_sql
+        DELETE FROM `root` [WHERE ...]         -> log_delete_sql
+        OPTIMIZE `root` [ZORDER BY (c, ...)]   -> bin-pack small files /
+                                                  full rewrite clustered
+                                                  on the ZORDER columns
+        VACUUM `root` [RETAIN n VERSIONS] [DRY RUN]  -> log_vacuum
+        RESTORE `root` TO VERSION AS OF n      -> log_restore
+        RESTORE `root` TO TIMESTAMP AS OF ts   -> log_restore_timestamp
+        DESCRIBE HISTORY `root`                -> log_history(metrics)
+        DESCRIBE DETAIL `root`                 -> log_detail
+
+    DML returns the committed version; VACUUM the deleted paths;
+    DESCRIBE the history list / detail dict. ``mor=True`` selects the
+    merge-on-read writers for the DML forms. Reads stay on the
+    DataFrame/view surface (``register_sql_view``) where Spark itself
+    is the SQL engine."""
+    text = statement.strip().rstrip(";")
+    flags = re.IGNORECASE | re.DOTALL
+    head = text.split(None, 1)[0].upper() if text.split() else ""
+    if head == "MERGE":
+        return log_merge_sql(spark, text, mor=mor)
+    if head == "UPDATE":
+        return log_update_sql(spark, text, mor=mor)
+    if head == "DELETE":
+        return log_delete_sql(spark, text, mor=mor)
+    if head == "OPTIMIZE":
+        m = re.match(
+            r"OPTIMIZE\s+`([^`]+)`"
+            r"(?:\s+ZORDER\s+BY\s*\(([^)]*)\))?$",
+            text,
+            flags,
+        )
+        if m is None:
+            raise ValueError(
+                "unsupported OPTIMIZE syntax — expected: OPTIMIZE "
+                "`<root>` [ZORDER BY (col, ...)]"
+            )
+        root, zcols = m.groups()
+        if zcols:
+            return log_compact(
+                spark,
+                root,
+                zorder_cols=[c.strip() for c in zcols.split(",")],
+            )
+        # the Delta OPTIMIZE default: bin-pack small files (the
+        # maintenance policy's threshold)
+        return log_compact_small_files(spark, root, small_max_rows=50_000)
+    if head == "VACUUM":
+        m = re.match(
+            r"VACUUM\s+`([^`]+)`"
+            r"(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?"
+            r"(\s+DRY\s+RUN)?$",
+            text,
+            flags,
+        )
+        if m is None:
+            raise ValueError(
+                "unsupported VACUUM syntax — expected: VACUUM `<root>` "
+                "[RETAIN n VERSIONS] [DRY RUN]"
+            )
+        root, retain, dry = m.groups()
+        return log_vacuum(
+            root,
+            retain_versions=int(retain) if retain else 0,
+            dry_run=dry is not None,
+        )
+    if head == "RESTORE":
+        m = re.match(
+            r"RESTORE\s+`([^`]+)`\s+TO\s+"
+            r"(VERSION|TIMESTAMP)\s+AS\s+OF\s+(.+)$",
+            text,
+            flags,
+        )
+        if m is None:
+            raise ValueError(
+                "unsupported RESTORE syntax — expected: RESTORE "
+                "`<root>` TO VERSION AS OF n | TO TIMESTAMP AS OF ts"
+            )
+        root, kind, arg = m.groups()
+        arg = arg.strip().strip("'\"")
+        if kind.upper() == "VERSION":
+            return log_restore(spark, root, int(arg))
+        return log_restore_timestamp(spark, root, arg)
+    if head == "DESCRIBE":
+        m = re.match(
+            r"DESCRIBE\s+(HISTORY|DETAIL)\s+`([^`]+)`$", text, flags
+        )
+        if m is None:
+            raise ValueError(
+                "unsupported DESCRIBE syntax — expected: DESCRIBE "
+                "HISTORY `<root>` | DESCRIBE DETAIL `<root>`"
+            )
+        kind, root = m.groups()
+        if kind.upper() == "HISTORY":
+            return log_history(root, include_metrics=True)
+        return log_detail(root)
+    raise ValueError(f"unsupported statement: {text[:60]!r}")
 
 
 def _split_top_level(text: str) -> list[str]:

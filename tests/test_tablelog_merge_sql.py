@@ -277,3 +277,45 @@ def test_unknown_clause_rejected(spark, table):
             f"""MERGE INTO `{table}` t USING merge_sql_chg s ON t.k = s.k
                 WHEN MATCHED AND t.k = 1 THEN DELETE""",
         )
+
+
+def test_log_sql_routes_every_statement_kind(spark, root):
+    df = spark.createDataFrame(
+        [(k, k * 10, "A") for k in range(12)],
+        "k LONG, val LONG, tag STRING",
+    )
+    TL.log_append(spark, root, df.repartition(4))
+    spark.createDataFrame(
+        [(1, 111, "B"), (300, 1, "N")], "k LONG, val LONG, tag STRING"
+    ).createOrReplaceTempView("log_sql_chg")
+    v = TL.log_sql(
+        spark,
+        f"""MERGE INTO `{root}` t USING log_sql_chg s ON t.k = s.k
+            WHEN MATCHED THEN UPDATE SET *
+            WHEN NOT MATCHED THEN INSERT *""",
+    )
+    assert v == 1
+    TL.log_sql(spark, f"UPDATE `{root}` SET tag = 'U' WHERE k = 2")
+    TL.log_sql(spark, f"DELETE FROM `{root}` WHERE k = 3", mor=True)
+    got = _state(spark, root)
+    assert got[1] == (111, "B") and got[2] == (20, "U")
+    assert 3 not in got and got[300] == (1, "N")
+    # OPTIMIZE bin-packs; ZORDER form rewrites clustered
+    TL.log_sql(spark, f"OPTIMIZE `{root}`")
+    TL.log_sql(spark, f"OPTIMIZE `{root}` ZORDER BY (k, val)")
+    assert _state(spark, root) == got
+    # DESCRIBE forms
+    hist = TL.log_sql(spark, f"DESCRIBE HISTORY `{root}`")
+    assert [h["action"] for h in hist[:2]] == ["append", "merge"]
+    detail = TL.log_sql(spark, f"DESCRIBE DETAIL `{root}`")
+    assert detail["num_files"] >= 1
+    # RESTORE by version, then VACUUM dry run vs real
+    TL.log_sql(spark, f"RESTORE `{root}` TO VERSION AS OF 1")
+    assert 3 in _state(spark, root)
+    would = TL.log_sql(spark, f"VACUUM `{root}` DRY RUN")
+    assert isinstance(would, list)
+    TL.log_sql(spark, f"VACUUM `{root}`")
+    with pytest.raises(ValueError, match="unsupported statement"):
+        TL.log_sql(spark, "TRUNCATE `x`")
+    with pytest.raises(ValueError, match="unsupported OPTIMIZE"):
+        TL.log_sql(spark, "OPTIMIZE nobackticks")
