@@ -2476,6 +2476,20 @@ def log_compact(
         raise ValueError(f"no table at {root}")
     state = _snapshot(root, base)
     live, colmap = state["live"], state["colmap"]
+    if not live:
+        # an emptied-but-existing table (a partitioned delete-all
+        # writes no survivor files — live=[] is legal, VERDICT r10 #1):
+        # nothing to rewrite, commit a no-op (caught by the randomized
+        # model sweep, r11: the unguarded read crashed on zero paths)
+        manifest = {
+            "version": base + 1,
+            "action": "compact",
+            "add": [],
+            "remove": [],
+            "schemas": state["schemas"],
+            "ts": time.time(),
+        }
+        return _commit(root, base + 1, manifest)
     merge_sch = len(state["schemas"]) > 1
     lineage = bool(state["props"].get("row_lineage"))
     # read THROUGH any deletion vectors: compaction materializes them

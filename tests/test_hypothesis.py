@@ -705,6 +705,11 @@ def _tablelog_ops(draw):
 @example([("append", ([0, 1, 2], False)), ("enable_lineage", None),
           ("delete", (2, 0)), ("merge", ([1], [3], 7)),
           ("restore", 2), ("compact", 1)])
+# r11 sweep catch #2: OPTIMIZE on a TRULY emptied table (partitioned
+# delete-all leaves live=[], unlike the unpartitioned path's empty
+# survivor file) read zero parquet paths and crashed — now a no-op
+@example([("append", ([0], True)), ("delete", (2, 0)),
+          ("delete", (2, 0)), ("compact", 1)])
 @_SETTINGS
 def test_tablelog_model_based(spark, ops):
     """Every version of a random append/delete/MoR-delete/merge/compact

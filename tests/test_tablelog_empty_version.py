@@ -151,8 +151,12 @@ def test_ops_on_emptied_table_are_legal(spark, root):
     TL.log_merge_mor(spark, root, one(4, 2), "k")
     assert [(r.k, r.val) for r in TL.log_read(spark, root).collect()] == [(4, 2)]
     TL.log_delete_where(spark, root, "true")
-    # maintenance surfaces are legal on the empty head
+    # maintenance surfaces are legal on the empty head — including on
+    # the TRULY empty live set right after the partitioned delete-all
+    # (the unpartitioned delete path leaves an empty survivor file, so
+    # this is the only shape where compact sees zero files; r11 sweep)
     TL.log_compact(spark, root, target_files=1)
+    TL.log_compact(spark, root, target_files=1, zorder_cols=["k", "val"])
     TL.log_compact_small_files(spark, root, 10**9, target_files=1)
     TL.log_reorg_purge(spark, root, min_dead_fraction=0.0)
     TL.log_checkpoint(root)
