@@ -726,7 +726,10 @@ def _physical_columns(root: str, state: dict) -> list[str]:
     import pyarrow.parquet as pq
 
     names: list[str] = []
-    seen: set[str] = set()
+    # the hidden lineage column must never enter a colmap (ADVICE r11:
+    # seeding it here would make it user-visible/renamable on
+    # column-mapped lineage tables) — same skip as _schema_from_manifest
+    seen: set[str] = {_ROWID_COL}
     for f in state["live"]:
         for n in pq.read_schema(os.path.join(root, f)).names:
             if n not in seen:
@@ -2287,10 +2290,12 @@ def _merge_probe_files(
 
 
 def log_merge(
-    spark: SparkSession, root: str, changes: DataFrame, key_col: str
+    spark: SparkSession, root: str, changes: DataFrame,
+    key_col: str | list[str],
 ) -> int:
     """ACID MERGE INTO at the storage layer: upsert ``changes`` (one row
-    per key; the target must be key-unique, the merge.py precondition)
+    per key; the target must be key-unique, the merge.py precondition;
+    ``key_col`` may be a composite key — a list of column names)
     with file-level copy-on-write —
 
       matched keys   → their files are rewritten with the old images
@@ -2316,9 +2321,11 @@ def log_merge(
     state = _snapshot(root, base)
     live, dvs, colmap = state["live"], state["dv"], state["colmap"]
     merge_sch = len(state["schemas"]) > 1
-    phys_key = (colmap or {}).get(key_col, key_col)
+    key_cols = [key_col] if isinstance(key_col, str) else list(key_col)
+    phys_keys = [(colmap or {}).get(k, k) for k in key_cols]
+    phys_key = phys_keys[0]  # probe pruning keys off the leading column
     changes_p = _to_physical_loose(changes, colmap)
-    keys = changes_p.select(F.col(phys_key)).distinct()
+    keys = changes_p.select(*[F.col(k) for k in phys_keys]).distinct()
     # PARTITION-AWARE probe bound (VERDICT r8 #3): before any row-level
     # scan, shrink the candidate file set through manifest metadata —
     # (a) the change keys' [min, max] range prunes via min/max stats and
@@ -2338,11 +2345,11 @@ def log_merge(
         # input_file_name() must bind below the join (single-source
         # rule): project it on the scan side, THEN semi-join the keys
         probe = snap.select(
-            phys_key, F.input_file_name().alias("_tablelog_file")
+            *phys_keys, F.input_file_name().alias("_tablelog_file")
         )
         affected_abs = {
             r[0]
-            for r in probe.join(F.broadcast(keys), phys_key, "left_semi")
+            for r in probe.join(F.broadcast(keys), phys_keys, "left_semi")
             .select("_tablelog_file")
             .distinct()
             .collect()
@@ -2364,12 +2371,12 @@ def log_merge(
             live_rows = _materialize_lineage(
                 spark, root, live_rows, base
             ).drop("_fpn", "_ri")
-        survivors = live_rows.join(F.broadcast(keys), phys_key, "left_anti")
+        survivors = live_rows.join(F.broadcast(keys), phys_keys, "left_anti")
         # the OLD images of the matched keys — the merge's pre-image
         # slice (its distinct keys are exactly the change keys that
         # already existed in the target)
         matched_pre = live_rows.join(
-            F.broadcast(keys), phys_key, "left_semi"
+            F.broadcast(keys), phys_keys, "left_semi"
         )
     changes_rows = changes_p
     if lineage:
@@ -2377,9 +2384,9 @@ def log_merge(
         # images INHERIT the old rows' ids via the (key -> id) map;
         # pure inserts get NULL and draw fresh base+position ids
         if matched_pre is not None:
-            idmap = matched_pre.select(phys_key, _ROWID_COL)
+            idmap = matched_pre.select(*phys_keys, _ROWID_COL)
             changes_rows = changes_p.join(
-                F.broadcast(idmap), phys_key, "left"
+                F.broadcast(idmap), phys_keys, "left"
             )
         else:
             changes_rows = changes_p.withColumn(
@@ -2412,16 +2419,16 @@ def log_merge(
     # broadcasts the (bounded) matched key set, one extra pass over
     # the affected files only.
     if matched_pre is not None:
-        mkeys = matched_pre.select(phys_key).distinct()
+        mkeys = matched_pre.select(*phys_keys).distinct()
         cdf_pre = _write_cdf_sidecar(matched_pre, root, token, "pre")
         cdf_post = _write_cdf_sidecar(
-            changes_p.join(F.broadcast(mkeys), phys_key, "left_semi"),
+            changes_p.join(F.broadcast(mkeys), phys_keys, "left_semi"),
             root,
             token,
             "post",
         )
         cdf_ins = _write_cdf_sidecar(
-            changes_p.join(F.broadcast(mkeys), phys_key, "left_anti"),
+            changes_p.join(F.broadcast(mkeys), phys_keys, "left_anti"),
             root,
             token,
             "ins",
@@ -3200,7 +3207,8 @@ def log_update_where_mor(
 
 
 def log_merge_mor(
-    spark: SparkSession, root: str, changes: DataFrame, key_col: str
+    spark: SparkSession, root: str, changes: DataFrame,
+    key_col: str | list[str],
 ) -> int:
     """Merge-on-read MERGE INTO (VERDICT r9 #2): matched keys' old
     images die by DELETION VECTOR, and ALL change rows (matched keys'
@@ -3220,10 +3228,12 @@ def log_merge_mor(
     state = _snapshot(root, base)
     live, dvs, colmap = state["live"], state["dv"], state["colmap"]
     merge_sch = len(state["schemas"]) > 1
-    phys_key = (colmap or {}).get(key_col, key_col)
+    key_cols = [key_col] if isinstance(key_col, str) else list(key_col)
+    phys_keys = [(colmap or {}).get(k, k) for k in key_cols]
+    phys_key = phys_keys[0]  # probe pruning keys off the leading column
     changes_p = _to_physical_loose(changes, colmap)
     lineage = bool(state["props"].get("row_lineage"))
-    keys = changes_p.select(F.col(phys_key)).distinct()
+    keys = changes_p.select(*[F.col(k) for k in phys_keys]).distinct()
     probe_files = _merge_probe_files(spark, state, keys, phys_key)
     token = uuid.uuid4().hex[:12]
     by_file: dict[str, list[int]] = {}
@@ -3236,7 +3246,7 @@ def log_merge_mor(
             merge_schema=merge_sch, keep_id=True,
         )
         matched_pre = live_rows.join(
-            F.broadcast(keys), phys_key, "left_semi"
+            F.broadcast(keys), phys_keys, "left_semi"
         )
         if lineage:
             matched_pre = _materialize_lineage(
@@ -3259,9 +3269,9 @@ def log_merge_mor(
         if lineage:
             # matched keys' delta rows INHERIT the dying rows' ids
             if matched_pre is not None:
-                idmap = matched_pre.select(phys_key, _ROWID_COL)
+                idmap = matched_pre.select(*phys_keys, _ROWID_COL)
                 changes_write = changes_p.join(
-                    F.broadcast(idmap), phys_key, "left"
+                    F.broadcast(idmap), phys_keys, "left"
                 )
             else:
                 changes_write = changes_p.withColumn(
@@ -3295,10 +3305,10 @@ def log_merge_mor(
             cdf_pre = _write_cdf_sidecar(
                 matched_pre.drop("_fpn", "_ri"), root, token, "pre"
             )
-            matched_keys = matched_pre.select(phys_key).distinct()
+            matched_keys = matched_pre.select(*phys_keys).distinct()
             cdf_post = _write_cdf_sidecar(
                 changes_p.join(
-                    F.broadcast(matched_keys), phys_key, "left_semi"
+                    F.broadcast(matched_keys), phys_keys, "left_semi"
                 ),
                 root,
                 token,
@@ -3306,7 +3316,7 @@ def log_merge_mor(
             )
             cdf_ins = _write_cdf_sidecar(
                 changes_p.join(
-                    F.broadcast(matched_keys), phys_key, "left_anti"
+                    F.broadcast(matched_keys), phys_keys, "left_anti"
                 ),
                 root,
                 token,
@@ -3384,22 +3394,161 @@ def _log_replace_content(
     return _commit(root, base + 1, manifest)
 
 
+def _scan_top_level(text: str, words) -> list[tuple[int, int, str]]:
+    """Positions of keyword tokens at TOP LEVEL — outside parens and
+    brackets, outside string/backtick quotes, and outside ``CASE ...
+    END`` expressions (ADVICE r11: the regex-lookahead clause splitter
+    mis-split legal statements whose SET expression contained ``CASE
+    WHEN``). Returns ``(start, end, WORD)`` per hit, in order. The
+    scanner never evaluates SQL — it only finds structural keywords;
+    expression semantics stay with Spark SQL."""
+    out: list[tuple[int, int, str]] = []
+    depth = 0
+    case_depth = 0
+    quote: str | None = None
+    i, n = 0, len(text)
+    while i < n:
+        ch = text[i]
+        if quote:
+            if ch == quote:
+                quote = None
+            i += 1
+            continue
+        if ch in "'\"`":
+            quote = ch
+            i += 1
+            continue
+        if ch in "([":
+            depth += 1
+            i += 1
+            continue
+        if ch in ")]":
+            depth -= 1
+            i += 1
+            continue
+        if ch.isalpha() or ch == "_":
+            j = i
+            while j < n and (text[j].isalnum() or text[j] == "_"):
+                j += 1
+            w = text[i:j].upper()
+            if depth == 0:
+                if w == "CASE":
+                    case_depth += 1
+                elif w == "END" and case_depth > 0:
+                    case_depth -= 1
+                elif case_depth == 0 and w in words:
+                    out.append((i, j, w))
+            i = j
+            continue
+        i += 1
+    return out
+
+
+def _parse_merge_clauses(clauses: str) -> list[dict]:
+    """Tokenize a MERGE statement's WHEN section into clause dicts
+    ``{kind, cond, action}`` where kind ∈ {matched, not_matched,
+    by_source}, cond is the raw SQL condition text (or None), and
+    action is ``("update", set_txt)`` / ``("delete", None)`` /
+    ``("insert", "*")`` / ``("insert", (cols_txt, values_txt))``.
+    Clause boundaries and the head/action split come from the
+    top-level scanner, so conditions and SET expressions may freely
+    contain ``CASE WHEN ... THEN ... END``."""
+    flags = re.IGNORECASE | re.DOTALL
+    whens = _scan_top_level(clauses, {"WHEN"})
+    if not whens or clauses[: whens[0][0]].strip():
+        raise ValueError(
+            f"unsupported MERGE clause near: {clauses.strip()[:80]!r}"
+        )
+    out: list[dict] = []
+    for idx, (s, _e, _w) in enumerate(whens):
+        end = whens[idx + 1][0] if idx + 1 < len(whens) else len(clauses)
+        piece = clauses[s:end].strip()
+        thens = _scan_top_level(piece, {"THEN"})
+        if not thens:
+            raise ValueError(f"MERGE clause missing THEN: {piece[:80]!r}")
+        head = piece[: thens[0][0]].strip()
+        action_txt = piece[thens[0][1]:].strip()
+        kind = cond = None
+        for pat, k in (
+            (r"WHEN\s+MATCHED(?:\s+AND\s+(.+))?$", "matched"),
+            (
+                r"WHEN\s+NOT\s+MATCHED\s+BY\s+SOURCE(?:\s+AND\s+(.+))?$",
+                "by_source",
+            ),
+            (
+                r"WHEN\s+NOT\s+MATCHED(?:\s+BY\s+TARGET)?"
+                r"(?:\s+AND\s+(.+))?$",
+                "not_matched",
+            ),
+        ):
+            m = re.match(pat, head, flags)
+            if m:
+                kind = k
+                cond = m.group(1).strip() if m.group(1) else None
+                break
+        if kind is None:
+            raise ValueError(
+                f"unsupported MERGE clause head: {head[:80]!r}"
+            )
+        m = re.match(r"UPDATE\s+SET\s+(.+)$", action_txt, flags)
+        if m:
+            action = ("update", m.group(1).strip())
+        elif re.match(r"DELETE$", action_txt, flags):
+            action = ("delete", None)
+        elif re.match(r"INSERT\s*\*$", action_txt, flags):
+            action = ("insert", "*")
+        else:
+            m = re.match(
+                r"INSERT\s*\(([^)]*)\)\s*VALUES\s*\((.*)\)$",
+                action_txt,
+                flags,
+            )
+            if m is None:
+                raise ValueError(
+                    f"unsupported MERGE action: {action_txt[:80]!r}"
+                )
+            action = ("insert", (m.group(1), m.group(2)))
+        legal = {
+            "matched": ("update", "delete"),
+            "not_matched": ("insert",),
+            "by_source": ("delete", "update"),
+        }[kind]
+        if action[0] not in legal:
+            raise ValueError(
+                f"WHEN {kind.upper().replace('_', ' ')} supports "
+                f"{'/'.join(a.upper() for a in legal)}, got "
+                f"{action[0].upper()}"
+            )
+        out.append({"kind": kind, "cond": cond, "action": action})
+    return out
+
+
 def log_merge_sql(
     spark: SparkSession, sql: str, mor: bool = False
 ) -> int:
-    """The MERGE INTO **SQL surface** (VERDICT r10 #7): parse a
-    Delta-shaped statement and dispatch to :func:`log_merge` (CoW) or
-    :func:`log_merge_mor` (``mor=True``), closing the gap between the
-    Python write APIs and the SQL UX that ``register_sql_view`` opened
-    for reads/``table_changes``. Grammar (case-insensitive keywords)::
+    """The MERGE INTO **SQL surface** (VERDICT r10 #7; grammar closed to
+    Delta parity r12 — VERDICT r11 #5): parse a Delta-shaped statement
+    and dispatch to :func:`log_merge` (CoW) or :func:`log_merge_mor`
+    (``mor=True``); statements whose clauses can DELETE target rows
+    dispatch to one atomic content-replace commit instead (see below).
+    Grammar (case-insensitive keywords)::
 
         MERGE INTO `/table/root` [AS t]
         USING <view name | ( SELECT ... )> [AS s]
-        ON t.<key> = s.<key>
+        ON t.<k1> = s.<k1> [AND t.<k2> = s.<k2> ...]
         [WHEN MATCHED [AND cond] THEN UPDATE SET * | SET col = expr, ...]
+        [WHEN MATCHED [AND cond] THEN DELETE]
         (several MATCHED clauses allowed — first match wins, ANSI order)
-        [WHEN NOT MATCHED [AND cond] THEN INSERT * | (cols) VALUES (exprs)]
-        [WHEN NOT MATCHED BY SOURCE THEN DELETE]
+        [WHEN NOT MATCHED [AND cond] THEN INSERT * | (cols) VALUES (...)]
+        (several NOT MATCHED clauses allowed — first match wins)
+        [WHEN NOT MATCHED BY SOURCE [AND cond] THEN DELETE | UPDATE SET ...]
+
+    Clause boundaries come from a top-level keyword scanner (parens /
+    quotes / ``CASE..END`` aware — ADVICE r11), so conditions and SET
+    expressions may contain ``CASE WHEN``. The merge key may be
+    composite (every ON conjunct must be an equi-comparison of the same
+    column name on both sides); the writers join on the full column
+    list, probe-pruning on the leading key.
 
     The change frame is BUILT BY SPARK SQL itself (no expression
     re-implementation): matched new images come from an equi-join of
@@ -3407,9 +3556,23 @@ def log_merge_sql(
     evaluated under the statement's own aliases, unmatched inserts from
     an anti-join — then ONE dispatch to the log merge writer, whose
     key-unique precondition, partition-aware probe, constraint gate,
-    and conflict policy all apply unchanged. ``WHEN MATCHED THEN
-    DELETE`` is not expressible as an upsert — use
-    :func:`log_delete_where`; the parser says so explicitly."""
+    and conflict policy all apply unchanged.
+
+    DELETE-capable forms (``WHEN MATCHED THEN DELETE``, ``WHEN NOT
+    MATCHED BY SOURCE``) are not expressible as an upsert: the table's
+    new content is computed fully by SQL — matched rows keep/update/die
+    by first-firing clause, unmatched-by-source rows pass through (or
+    fire the BY SOURCE clauses), inserts append — and committed by
+    :func:`_log_replace_content` (the Delta full-sync merge pays the
+    same table-rewrite worst case). When row lineage is enabled the
+    replace branch reads the target WITH row ids and carries surviving
+    rows' ids into the rewrite, honoring the same id-stability contract
+    as every other rewrite path.
+
+    When any clause can match target rows, the SOURCE must be unique on
+    the merge key — one cheap source-sized aggregation gates it, raising
+    the Delta ``multiple source rows matched`` error instead of silently
+    duplicating target rows (ADVICE r11)."""
     from pyspark.sql import functions as F
 
     text = sql.strip().rstrip(";")
@@ -3431,59 +3594,58 @@ def log_merge_sql(
     root, t_alias, src, s_alias, on, clauses = m.groups()
     t_alias = t_alias or "t"
     s_alias = s_alias or "s"
-    by_src = re.search(
-        r"WHEN\s+NOT\s+MATCHED\s+BY\s+SOURCE\s+THEN\s+DELETE\s*",
-        clauses,
-        flags,
-    )
-    if by_src is not None:
-        clauses = clauses[: by_src.start()] + clauses[by_src.end():]
-    if re.search(
-        r"WHEN\s+MATCHED\s*(?:AND\s+.+?\s*)?THEN\s+DELETE", clauses, flags
-    ):
-        raise ValueError(
-            "WHEN MATCHED THEN DELETE is not an upsert — use "
-            "log_delete_where(root, predicate) for deletes"
+    # ---- ON: one or more same-name equi-key conjuncts (VERDICT r11 #5)
+    key_cols: list[str] = []
+    segs, prev = [], 0
+    for s0, e0, _w in _scan_top_level(on, {"AND"}):
+        segs.append(on[prev:s0])
+        prev = e0
+    segs.append(on[prev:])
+    for seg in segs:
+        om = re.match(
+            rf"(?:{t_alias}\.)?(\w+)\s*=\s*(?:{s_alias}\.)?(\w+)$"
+            rf"|(?:{s_alias}\.)?(\w+)\s*=\s*(?:{t_alias}\.)?(\w+)$",
+            seg.strip(),
+            re.IGNORECASE,
         )
-    om = re.match(
-        rf"(?:{t_alias}\.)?(\w+)\s*=\s*(?:{s_alias}\.)?(\w+)$"
-        rf"|(?:{s_alias}\.)?(\w+)\s*=\s*(?:{t_alias}\.)?(\w+)$",
-        on.strip(),
-        re.IGNORECASE,
+        if om is None:
+            raise ValueError(
+                f"unsupported ON conjunct {seg.strip()!r} — need "
+                "t.k = s.k [AND t.k2 = s.k2 ...]"
+            )
+        g = [x for x in om.groups() if x is not None]
+        if g[0].lower() != g[1].lower():
+            raise ValueError(
+                f"ON joins different columns {g[0]!r}/{g[1]!r}; each "
+                "merge key must be one column present on both sides"
+            )
+        if g[0] not in key_cols:
+            key_cols.append(g[0])
+    on_sql = " AND ".join(
+        f"{t_alias}.{k} = {s_alias}.{k}" for k in key_cols
     )
-    if om is None:
-        raise ValueError(f"unsupported ON clause {on!r} — need t.k = s.k")
-    g = [x for x in om.groups() if x is not None]
-    if g[0].lower() != g[1].lower():
-        raise ValueError(
-            f"ON joins different columns {g[0]!r}/{g[1]!r}; the merge "
-            "key must be one column present on both sides"
-        )
-    key = g[0]
-    upd_pat = (
-        r"WHEN\s+MATCHED\s*(?:AND\s+(.+?)\s*)?THEN\s+UPDATE\s+SET\s+"
-        r"(.*?)(?=\s*WHEN\s+|$)"
-    )
-    ins_pat = (
-        r"WHEN\s+NOT\s+MATCHED\s*(?:AND\s+(.+?)\s*)?THEN\s+INSERT\s*"
-        r"(\*|\(([^)]*)\)\s*VALUES\s*\((.*?)\))\s*(?=WHEN\s|$)"
-    )
-    upds = [
-        (m2.group(1), m2.group(2).strip())
-        for m2 in re.finditer(upd_pat, clauses, flags)
-    ]
-    ins = re.search(ins_pat, clauses, flags)
-    residual = re.sub(upd_pat, " ", clauses, flags=flags)
-    residual = re.sub(ins_pat, " ", residual, flags=flags)
-    if re.search(r"\bWHEN\b", residual, flags):
-        raise ValueError(
-            "unsupported MERGE clause near: "
-            f"{residual.strip()[:80]!r}"
-        )
-    if not upds and ins is None and by_src is None:
+    parsed = _parse_merge_clauses(clauses)
+    if not parsed:
         raise ValueError("MERGE needs at least one WHEN clause")
-    target = log_read(spark, root)
-    cols = target.columns
+    matched_cl = [c for c in parsed if c["kind"] == "matched"]
+    not_matched_cl = [c for c in parsed if c["kind"] == "not_matched"]
+    by_source_cl = [c for c in parsed if c["kind"] == "by_source"]
+    needs_replace = bool(by_source_cl) or any(
+        c["action"][0] == "delete" for c in matched_cl
+    )
+    base = _latest_version(root)
+    if base is None:
+        raise ValueError(f"no table at {root}")
+    state = _snapshot(root, base)
+    lineage = bool(state["props"].get("row_lineage"))
+    rid = needs_replace and lineage
+    target = (
+        log_read_with_row_ids(spark, root)
+        if rid
+        else log_read(spark, root)
+    )
+    cols = [c for c in target.columns if c != "_row_id"]
+    types = {c: target.schema[c].dataType for c in cols}
     tok = uuid.uuid4().hex[:8]
     tv, sv = f"__tl_merge_t_{tok}", f"__tl_merge_s_{tok}"
     target.createOrReplaceTempView(tv)
@@ -3491,33 +3653,196 @@ def log_merge_sql(
         spark.sql(src[1:-1]).createOrReplaceTempView(sv)
     else:
         spark.table(src).createOrReplaceTempView(sv)
+
+    def set_map(set_txt: str) -> dict[str, str]:
+        if set_txt.strip() == "*":
+            return {c: f"{s_alias}.{c}" for c in cols}
+        assigns: dict[str, str] = {}
+        for piece in _split_top_level(set_txt):
+            lhs, _, rhs = piece.partition("=")
+            name = re.sub(
+                rf"^{t_alias}\.", "", lhs.strip(), flags=re.IGNORECASE
+            )
+            if name not in cols:
+                raise ValueError(
+                    f"UPDATE SET target {name!r} is not a column"
+                )
+            assigns[name] = rhs.strip()
+        return {c: assigns.get(c, f"{t_alias}.{c}") for c in cols}
+
+    def case_proj(arms: list[tuple[str | None, dict | None]]) -> str:
+        """Per-column first-match-wins projection over ordered clause
+        arms; a None map (DELETE arm) passes the target value through —
+        the kill filter removes those rows."""
+        return ", ".join(
+            "CASE "
+            + " ".join(
+                f"WHEN ({cond or 'true'}) THEN "
+                f"({(pm or {}).get(c, f'{t_alias}.{c}')})"
+                for cond, pm in arms
+            )
+            + f" ELSE {t_alias}.{c} END AS {c}"
+            for c in cols
+        )
+
+    def kill_case(arms: list[tuple[str | None, dict | None]]) -> str:
+        """First-firing-clause-is-DELETE as one boolean CASE."""
+        return (
+            "CASE "
+            + " ".join(
+                f"WHEN ({cond or 'true'}) THEN "
+                f"{'true' if pm is None else 'false'}"
+                for cond, pm in arms
+            )
+            + " ELSE false END"
+        )
+
+    def insert_select(rid_expr: str | None) -> str | None:
+        if not not_matched_cl:
+            return None
+        imaps: list[tuple[str | None, dict[str, str]]] = []
+        for cl in not_matched_cl:
+            spec = cl["action"][1]
+            if spec == "*":
+                im = {c: f"{s_alias}.{c}" for c in cols}
+            else:
+                names = [
+                    re.sub(
+                        rf"^{t_alias}\.", "", n.strip(),
+                        flags=re.IGNORECASE,
+                    )
+                    for n in spec[0].split(",")
+                ]
+                exprs = _split_top_level(spec[1])
+                if len(names) != len(exprs):
+                    raise ValueError(
+                        "INSERT columns/VALUES arity mismatch"
+                    )
+                by_col = dict(zip(names, [e.strip() for e in exprs]))
+                unknown = set(by_col) - set(cols)
+                if unknown:
+                    raise ValueError(
+                        f"INSERT targets unknown column(s) "
+                        f"{sorted(unknown)}"
+                    )
+                im = {
+                    c: by_col.get(
+                        c,
+                        f"CAST(NULL AS {types[c].simpleString()})",
+                    )
+                    for c in cols
+                }
+            imaps.append((cl["cond"], im))
+        if len(imaps) == 1 and imaps[0][0] is None:
+            iproj = ", ".join(f"({imaps[0][1][c]}) AS {c}" for c in cols)
+            iwhere = ""
+        else:
+            iproj = ", ".join(
+                "CASE "
+                + " ".join(
+                    f"WHEN ({cond or 'true'}) THEN ({im[c]})"
+                    for cond, im in imaps
+                )
+                + f" ELSE CAST(NULL AS {types[c].simpleString()}) "
+                f"END AS {c}"
+                for c in cols
+            )
+            iwhere = (
+                ""
+                if any(cond is None for cond, _im in imaps)
+                else " WHERE "
+                + " OR ".join(f"({cond})" for cond, _im in imaps)
+            )
+        extra = f", {rid_expr} AS {_ROWID_COL}" if rid_expr else ""
+        return (
+            f"SELECT {iproj}{extra} FROM {sv} {s_alias} "
+            f"LEFT ANTI JOIN {tv} {t_alias} ON {on_sql}{iwhere}"
+        )
+
     try:
-        parts: list[str] = []
-        if upds:
-            projs: list[tuple[str | None, dict[str, str]]] = []
-            for cond, set_txt in upds:
-                if set_txt == "*":
-                    pm = {c: f"{s_alias}.{c}" for c in cols}
-                else:
-                    assigns: dict[str, str] = {}
-                    for piece in _split_top_level(set_txt):
-                        lhs, _, rhs = piece.partition("=")
-                        name = re.sub(
-                            rf"^{t_alias}\.",
-                            "",
-                            lhs.strip(),
-                            flags=re.IGNORECASE,
-                        )
-                        if name not in cols:
-                            raise ValueError(
-                                f"UPDATE SET target {name!r} is not a "
-                                "column"
-                            )
-                        assigns[name] = rhs.strip()
-                    pm = {
-                        c: assigns.get(c, f"{t_alias}.{c}") for c in cols
-                    }
-                projs.append((cond, pm))
+        # a clause that can match target rows must match AT MOST ONE
+        # source row per target row (ADVICE r11): gate on source key
+        # uniqueness with one source-sized aggregation — Delta's
+        # 'multiple source rows matched' error, raised up front
+        if matched_cl or by_source_cl:
+            klist = ", ".join(key_cols)
+            dup = spark.sql(
+                f"SELECT {klist} FROM {sv} GROUP BY {klist} "
+                f"HAVING COUNT(*) > 1 LIMIT 1"
+            ).take(1)
+            if dup:
+                raise ValueError(
+                    "MERGE source has duplicate merge keys "
+                    f"({klist}) — multiple source rows would match "
+                    "one target row (Delta: 'multiple source rows "
+                    "matched'); de-duplicate the source first"
+                )
+        if needs_replace:
+            # ---- DELETE-capable statement: one content-replace commit
+            m_arms = [
+                (
+                    c["cond"],
+                    set_map(c["action"][1])
+                    if c["action"][0] == "update"
+                    else None,
+                )
+                for c in matched_cl
+            ]
+            rid_t = f"{t_alias}._row_id" if rid else None
+            extra_t = f", {rid_t} AS {_ROWID_COL}" if rid else ""
+            if m_arms:
+                msql = (
+                    f"SELECT {case_proj(m_arms)}{extra_t} "
+                    f"FROM {tv} {t_alias} JOIN {sv} {s_alias} "
+                    f"ON {on_sql} WHERE NOT ({kill_case(m_arms)})"
+                )
+            else:  # no matched clause: matched rows pass through
+                msql = (
+                    "SELECT "
+                    + ", ".join(f"{t_alias}.{c} AS {c}" for c in cols)
+                    + f"{extra_t} FROM {tv} {t_alias} JOIN {sv} "
+                    f"{s_alias} ON {on_sql}"
+                )
+            bs_arms = [
+                (
+                    c["cond"],
+                    set_map(c["action"][1])
+                    if c["action"][0] == "update"
+                    else None,
+                )
+                for c in by_source_cl
+            ]
+            if bs_arms:
+                asql = (
+                    f"SELECT {case_proj(bs_arms)}{extra_t} "
+                    f"FROM {tv} {t_alias} LEFT ANTI JOIN {sv} "
+                    f"{s_alias} ON {on_sql} "
+                    f"WHERE NOT ({kill_case(bs_arms)})"
+                )
+            else:  # no BY SOURCE clause: unmatched targets pass through
+                asql = (
+                    "SELECT "
+                    + ", ".join(f"{t_alias}.{c} AS {c}" for c in cols)
+                    + f"{extra_t} FROM {tv} {t_alias} LEFT ANTI JOIN "
+                    f"{sv} {s_alias} ON {on_sql}"
+                )
+            parts = [msql, asql]
+            isql = insert_select("CAST(NULL AS BIGINT)" if rid else None)
+            if isql:
+                parts.append(isql)
+            content = spark.sql(" UNION ALL ".join(parts)).select(
+                *[F.col(c).cast(types[c]).alias(c) for c in cols],
+                *(
+                    [F.col(_ROWID_COL).cast("long").alias(_ROWID_COL)]
+                    if rid
+                    else []
+                ),
+            )
+            return _log_replace_content(spark, root, content)
+        # ---- pure upsert: changes frame -> log_merge / log_merge_mor
+        parts = []
+        if matched_cl:
+            projs = [(c["cond"], set_map(c["action"][1])) for c in matched_cl]
             if len(projs) == 1 and projs[0][0] is None:
                 proj = ", ".join(
                     f"({projs[0][1][c]}) AS {c}" for c in cols
@@ -3528,96 +3853,32 @@ def log_merge_sql(
                 # one CASE per column (ANSI MERGE clause order); rows
                 # firing NO clause pass through untouched — filtered
                 # out of the upsert so they are neither rewritten nor
-                # emitted as change images (kept in the full-sync
-                # branch, where the ELSE arm carries them)
-                proj = ", ".join(
-                    "CASE "
-                    + " ".join(
-                        f"WHEN ({cond or 'true'}) THEN ({pm[c]})"
-                        for cond, pm in projs
-                    )
-                    + f" ELSE {t_alias}.{c} END AS {c}"
-                    for c in cols
-                )
+                # emitted as change images
+                proj = case_proj(projs)
                 where = (
                     ""
                     if any(cond is None for cond, _pm in projs)
                     else " WHERE "
                     + " OR ".join(f"({cond})" for cond, _pm in projs)
                 )
-            matched_sql = (
+            parts.append(
                 f"SELECT {proj} FROM {tv} {t_alias} "
-                f"JOIN {sv} {s_alias} "
-                f"ON {t_alias}.{key} = {s_alias}.{key}"
+                f"JOIN {sv} {s_alias} ON {on_sql}{where}"
             )
-            parts.append(
-                matched_sql if by_src is not None else matched_sql + where
-            )
-        if ins is not None:
-            icond = ins.group(1)
-            if ins.group(2).strip() == "*":
-                iproj = ", ".join(f"{s_alias}.{c} AS {c}" for c in cols)
-            else:
-                names = [
-                    re.sub(rf"^{t_alias}\.", "", n.strip(),
-                           flags=re.IGNORECASE)
-                    for n in ins.group(3).split(",")
-                ]
-                exprs = _split_top_level(ins.group(4))
-                if len(names) != len(exprs):
-                    raise ValueError("INSERT columns/VALUES arity mismatch")
-                by_col = dict(zip(names, [e.strip() for e in exprs]))
-                unknown = set(by_col) - set(cols)
-                if unknown:
-                    raise ValueError(
-                        f"INSERT targets unknown column(s) {sorted(unknown)}"
-                    )
-                iproj = ", ".join(
-                    f"({by_col[c]}) AS {c}" if c in by_col
-                    else f"CAST(NULL AS "
-                    f"{target.schema[c].dataType.simpleString()}) AS {c}"
-                    for c in cols
-                )
-            parts.append(
-                f"SELECT {iproj} FROM {sv} {s_alias} "
-                f"LEFT ANTI JOIN {tv} {t_alias} "
-                f"ON {t_alias}.{key} = {s_alias}.{key}"
-                + (f" WHERE ({icond})" if icond else "")
-            )
-        if by_src is not None:
-            # WHEN NOT MATCHED BY SOURCE THEN DELETE makes the table's
-            # new content FULLY determined by the statement: matched
-            # rows (updated by the SET clause, or passed through when
-            # there is none — matched rows never die here) plus the
-            # inserts; every unmatched-by-source target row dies. One
-            # atomic content-REPLACE commit (the Delta full-sync merge
-            # pays the same table-rewrite worst case).
-            if not upds:
-                parts.insert(
-                    0,
-                    "SELECT "
-                    + ", ".join(f"{t_alias}.{c} AS {c}" for c in cols)
-                    + f" FROM {tv} {t_alias} LEFT SEMI JOIN {sv} "
-                    f"{s_alias} ON {t_alias}.{key} = {s_alias}.{key}",
-                )
-            content = spark.sql(" UNION ALL ".join(parts)).select(
-                *[
-                    F.col(c).cast(target.schema[c].dataType).alias(c)
-                    for c in cols
-                ]
-            )
-            return _log_replace_content(spark, root, content)
+        isql = insert_select(None)
+        if isql:
+            parts.append(isql)
         changes = spark.sql(" UNION ALL ".join(parts))
         # pin the change frame to the target's types so a SQL literal
         # (e.g. an int for a bigint column) never drifts the schema
         changes = changes.select(
-            *[
-                F.col(c).cast(target.schema[c].dataType).alias(c)
-                for c in cols
-            ]
+            *[F.col(c).cast(types[c]).alias(c) for c in cols]
         )
         writer = log_merge_mor if mor else log_merge
-        return writer(spark, root, changes, key)
+        return writer(
+            spark, root, changes,
+            key_cols if len(key_cols) > 1 else key_cols[0],
+        )
     finally:
         spark.catalog.dropTempView(tv)
         spark.catalog.dropTempView(sv)
@@ -5416,9 +5677,12 @@ def _materialize_lineage(
     from pyspark.sql import functions as F
 
     bases = _row_id_bases(root, version)
+    # abspath, not just normpath (ADVICE r11): _fpn is always a decoded
+    # ABSOLUTE path, so a relative table root would miss every join key
+    # and silently NULL the materialized ids — match _rel_index
     base_df = spark.createDataFrame(
         [
-            (os.path.normpath(os.path.join(root, f)), b)
+            (os.path.normpath(os.path.abspath(os.path.join(root, f))), b)
             for f, b in bases.items()
         ],
         "_fpn string, _rid_base long",
@@ -5490,7 +5754,9 @@ def log_read_with_row_ids(
     )
     base_df = spark.createDataFrame(
         [
-            (os.path.normpath(os.path.join(root, f)), b)
+            # abspath like _rel_index (ADVICE r11): _fpn is absolute,
+            # a relative root must not break the base join
+            (os.path.normpath(os.path.abspath(os.path.join(root, f))), b)
             for f, b in bases.items()
             if f in set(state["live"])
         ],

@@ -131,17 +131,41 @@ def log_merge_cdc(
         affected = TL._match_rel(
             root, probe_files, (TL._uri_to_path(a) for a in affected_abs)
         )
+    # CDC merge is a CoW rewrite like log_merge: when the row_lineage
+    # property is set, carried rows keep their materialized ids and the
+    # batch's matched winners INHERIT the dying state rows' ids via the
+    # (pk -> id) map (ADVICE r11 medium: this path used to silently
+    # re-base survivor ids, breaking the id-stability contract every
+    # other rewrite honors)
+    lineage = bool(state["props"].get("row_lineage"))
     if affected:
         # read through any deletion vectors (mixed MoR + CDC histories)
-        aff_rows = TL._read_with_dv(spark, root, affected, base_dvs)
+        aff_rows = TL._read_with_dv(
+            spark, root, affected, base_dvs, keep_id=lineage
+        )
+        if lineage:
+            aff_rows = TL._materialize_lineage(
+                spark, root, aff_rows, base
+            ).drop("_fpn", "_ri")
         survivors = aff_rows.join(F.broadcast(keys), "pk", "left_anti")
         matched = aff_rows.join(F.broadcast(keys), "pk", "left_semi")
     else:
         survivors = None
         matched = spark.createDataFrame([], delta.schema)
     merged = _merge_latest(matched.select(cols), delta, table)
+    if lineage:
+        if affected:
+            # the state table is pk-unique, so the id map broadcast is
+            # matched-row-sized; fresh pks get NULL -> base+position ids
+            idmap = matched.select("pk", TL._ROWID_COL)
+            merged = merged.join(F.broadcast(idmap), "pk", "left")
+        else:
+            merged = merged.withColumn(
+                TL._ROWID_COL, F.lit(None).cast("long")
+            )
+    keep_cols = cols + ([TL._ROWID_COL] if lineage else [])
     new_rows = (
-        survivors.select(cols).unionByName(merged)
+        survivors.select(keep_cols).unionByName(merged)
         if survivors is not None
         else merged
     )

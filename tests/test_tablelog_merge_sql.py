@@ -116,11 +116,6 @@ def test_constraint_gate_applies_through_sql(spark, table):
 def test_unsupported_forms_raise(spark, table):
     for bad, match in [
         (
-            f"MERGE INTO `{table}` t USING merge_sql_chg s ON t.k = s.k "
-            "WHEN MATCHED THEN DELETE",
-            "DELETE",
-        ),
-        (
             f"MERGE INTO `{table}` t USING merge_sql_chg s ON t.k = s.val "
             "WHEN MATCHED THEN UPDATE SET *",
             "different columns",
@@ -130,6 +125,16 @@ def test_unsupported_forms_raise(spark, table):
             f"MERGE INTO `{table}` t USING merge_sql_chg s ON t.k = s.k "
             "WHEN MATCHED THEN UPDATE SET nope = 1",
             "not a column",
+        ),
+        (
+            f"MERGE INTO `{table}` t USING merge_sql_chg s ON t.k = s.k "
+            "WHEN NOT MATCHED THEN DELETE",
+            "WHEN NOT MATCHED supports INSERT",
+        ),
+        (
+            f"MERGE INTO `{table}` t USING merge_sql_chg s ON t.k = s.k "
+            "WHEN MATCHED THEN INSERT *",
+            "WHEN MATCHED supports UPDATE/DELETE",
         ),
     ]:
         with pytest.raises(ValueError, match=match):
@@ -265,18 +270,183 @@ def test_conditional_clauses_in_full_sync(spark, table):
 
 
 def test_unknown_clause_rejected(spark, table):
-    with pytest.raises(ValueError, match="unsupported MERGE clause"):
+    with pytest.raises(ValueError, match="unsupported MERGE action"):
         TL.log_merge_sql(
             spark,
             f"""MERGE INTO `{table}` t USING merge_sql_chg s ON t.k = s.k
                 WHEN MATCHED THEN FROBNICATE""",
         )
-    with pytest.raises(ValueError, match="DELETE is not an upsert"):
-        TL.log_merge_sql(
-            spark,
-            f"""MERGE INTO `{table}` t USING merge_sql_chg s ON t.k = s.k
-                WHEN MATCHED AND t.k = 1 THEN DELETE""",
-        )
+
+
+def test_matched_delete_unconditional(spark, table):
+    """WHEN MATCHED THEN DELETE (VERDICT r11 #5): matched target rows
+    die, everything else passes through — one content-replace commit."""
+    TL.log_merge_sql(
+        spark,
+        f"""MERGE INTO `{table}` t USING merge_sql_chg s ON t.k = s.k
+            WHEN MATCHED THEN DELETE""",
+    )
+    got = _state(spark, table)
+    assert 1 not in got and 2 not in got
+    assert len(got) == 8 and got[3] == (30, "A")
+    assert TL.log_read(spark, table, version=0).count() == 10
+
+
+def test_matched_delete_and_update_first_match_wins(spark, table):
+    """Mixed MATCHED clauses in ANSI order: a row firing the DELETE
+    clause first dies even if a later UPDATE clause also matches."""
+    TL.log_merge_sql(
+        spark,
+        f"""MERGE INTO `{table}` t USING merge_sql_chg s ON t.k = s.k
+            WHEN MATCHED AND t.k = 1 THEN DELETE
+            WHEN MATCHED THEN UPDATE SET *
+            WHEN NOT MATCHED THEN INSERT *""",
+    )
+    got = _state(spark, table)
+    assert 1 not in got            # first clause (DELETE) won for k=1
+    assert got[2] == (222, "B")    # second clause updated k=2
+    assert got[100] == (5, "N")    # insert
+    assert got[3] == (30, "A") and len(got) == 10
+
+
+def test_multi_column_on_key(spark, root):
+    """Composite ON keys (VERDICT r11 #5): every conjunct an equi-key;
+    the writers join on the full column list."""
+    df = spark.createDataFrame(
+        [(k, k % 2, k * 10, "A") for k in range(8)],
+        "k LONG, g LONG, val LONG, tag STRING",
+    )
+    TL.log_append(spark, root, df)
+    spark.createDataFrame(
+        [(1, 1, 111, "B"), (2, 1, 222, "B"), (50, 0, 5, "N")],
+        "k LONG, g LONG, val LONG, tag STRING",
+    ).createOrReplaceTempView("merge_sql_mk")
+    TL.log_merge_sql(
+        spark,
+        f"""MERGE INTO `{root}` t USING merge_sql_mk s
+            ON t.k = s.k AND t.g = s.g
+            WHEN MATCHED THEN UPDATE SET *
+            WHEN NOT MATCHED THEN INSERT *""",
+    )
+    got = {(r.k, r.g): (r.val, r.tag)
+           for r in TL.log_read(spark, root).collect()}
+    assert got[(1, 1)] == (111, "B")   # both keys matched -> update
+    assert got[(2, 1)] == (222, "B")   # (2,0) exists; (2,1) is an insert
+    assert got[(2, 0)] == (20, "A")
+    assert got[(50, 0)] == (5, "N") and len(got) == 10
+
+
+def test_case_when_in_set_expression(spark, table):
+    """ADVICE r11: a SET expression containing CASE WHEN ... END must
+    not be mis-split as a clause boundary."""
+    TL.log_merge_sql(
+        spark,
+        f"""MERGE INTO `{table}` t USING merge_sql_chg s ON t.k = s.k
+            WHEN MATCHED THEN UPDATE SET
+                val = CASE WHEN s.val > 200 THEN s.val ELSE t.val END,
+                tag = 'C'
+            WHEN NOT MATCHED THEN INSERT *""",
+    )
+    got = _state(spark, table)
+    assert got[1] == (10, "C")     # 111 <= 200: val kept, tag set
+    assert got[2] == (222, "C")    # 222 > 200: val taken
+    assert got[100] == (5, "N")
+
+
+def test_case_when_in_matched_condition(spark, table):
+    """ADVICE r11: CASE WHEN inside a clause CONDITION parses too."""
+    TL.log_merge_sql(
+        spark,
+        f"""MERGE INTO `{table}` t USING merge_sql_chg s ON t.k = s.k
+            WHEN MATCHED AND CASE WHEN s.val > 200 THEN true
+                             ELSE false END THEN UPDATE SET *""",
+    )
+    got = _state(spark, table)
+    assert got[1] == (10, "A") and got[2] == (222, "B")
+
+
+def test_duplicate_source_keys_raise(spark, table):
+    """ADVICE r11: a source with duplicate merge keys would silently
+    duplicate target rows — Delta raises, so do we (both branches)."""
+    spark.createDataFrame(
+        [(1, 111, "B"), (1, 999, "C")], "k LONG, val LONG, tag STRING"
+    ).createOrReplaceTempView("merge_sql_dup")
+    v = TL._latest_version(table)
+    for clauses in (
+        "WHEN MATCHED THEN UPDATE SET *",
+        "WHEN NOT MATCHED BY SOURCE THEN DELETE",
+    ):
+        with pytest.raises(ValueError, match="multiple source rows"):
+            TL.log_merge_sql(
+                spark,
+                f"MERGE INTO `{table}` t USING merge_sql_dup s "
+                f"ON t.k = s.k {clauses}",
+            )
+    assert TL._latest_version(table) == v  # nothing published
+
+
+def test_by_source_update(spark, table):
+    """WHEN NOT MATCHED BY SOURCE THEN UPDATE SET (Delta form): rows
+    absent from the source get the SET applied; matched rows keep their
+    clause semantics."""
+    TL.log_merge_sql(
+        spark,
+        f"""MERGE INTO `{table}` t USING merge_sql_chg s ON t.k = s.k
+            WHEN MATCHED THEN UPDATE SET *
+            WHEN NOT MATCHED BY SOURCE AND t.k < 5 THEN UPDATE SET tag = 'STALE'""",
+    )
+    got = _state(spark, table)
+    assert got[1] == (111, "B") and got[2] == (222, "B")
+    assert got[3] == (30, "STALE") and got[0] == (0, "STALE")
+    assert got[7] == (70, "A")   # condition did not fire: untouched
+    assert len(got) == 10        # no insert clause, nothing dies
+
+
+def test_multiple_insert_clauses_first_match_wins(spark, table):
+    TL.log_merge_sql(
+        spark,
+        f"""MERGE INTO `{table}` t USING merge_sql_chg s ON t.k = s.k
+            WHEN NOT MATCHED AND s.val < 100 THEN INSERT (k, val, tag)
+                 VALUES (s.k, s.val, 'SMALL')
+            WHEN NOT MATCHED THEN INSERT *""",
+    )
+    got = _state(spark, table)
+    assert got[100] == (5, "SMALL")  # first clause wins (5 < 100)
+    assert len(got) == 11
+
+
+def test_lineage_survives_delete_capable_merge(spark, root):
+    """The content-replace branch honors the row-lineage contract
+    (r12): surviving/updated rows keep their ids through the full
+    rewrite; inserts draw fresh ones."""
+    df = spark.createDataFrame(
+        [(k, k * 10, "A") for k in range(6)],
+        "k LONG, val LONG, tag STRING",
+    )
+    TL.log_append(spark, root, df.coalesce(1).sortWithinPartitions("k"))
+    TL.log_enable_row_lineage(root)
+    before = {
+        r.k: r._row_id
+        for r in TL.log_read_with_row_ids(spark, root).collect()
+    }
+    spark.createDataFrame(
+        [(1, 111, "B"), (50, 5, "N")], "k LONG, val LONG, tag STRING"
+    ).createOrReplaceTempView("merge_sql_lin")
+    TL.log_merge_sql(
+        spark,
+        f"""MERGE INTO `{root}` t USING merge_sql_lin s ON t.k = s.k
+            WHEN MATCHED THEN UPDATE SET *
+            WHEN NOT MATCHED THEN INSERT *
+            WHEN NOT MATCHED BY SOURCE AND t.k = 0 THEN DELETE""",
+    )
+    after = {
+        r.k: r._row_id
+        for r in TL.log_read_with_row_ids(spark, root).collect()
+    }
+    assert 0 not in after
+    for k in (1, 2, 3, 4, 5):  # survivors + updated keep their ids
+        assert after[k] == before[k], k
+    assert after[50] not in set(before.values())  # insert: fresh id
 
 
 def test_log_sql_routes_every_statement_kind(spark, root):

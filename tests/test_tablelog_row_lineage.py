@@ -327,3 +327,39 @@ def test_dsv2_with_row_ids_matches_python_api(spark, root):
         for x in spark.sql("SELECT _row_id, k FROM rowid_view").collect()
     }
     assert got == api
+
+
+def test_lineage_with_relative_table_root(spark, root):
+    """ADVICE r11: the lineage base map must key on ABSOLUTE paths like
+    _rel_index — with a relative table root the join used to miss every
+    row and silently re-base ids on the next read. Python's cwd and the
+    JVM's user.dir agree under pytest, so a cwd-relative root resolves
+    identically on both sides."""
+    rel = os.path.relpath(root, os.getcwd())
+    before = _tbl(spark, rel)
+    TL.log_enable_row_lineage(rel)
+    TL.log_update_where(spark, rel, "k % 3 = 0", {"val": "val + 1"})
+    after = _ids(spark, rel)
+    assert after == before
+    assert None not in after.values()
+
+
+def test_rename_on_lineage_table_never_exposes_hidden_column(spark, root):
+    """ADVICE r11: _physical_columns must skip _tl_row_id — otherwise a
+    rename on a lineage table whose files carry the materialized column
+    seeds it into the colmap, making it user-visible and renamable."""
+    _tbl(spark, root)
+    TL.log_enable_row_lineage(root)
+    # CoW rewrite materializes _tl_row_id into the live files
+    TL.log_update_where(spark, root, "k % 2 = 0", {"val": "val + 1"})
+    TL.log_rename_column(root, "val", "value")
+    colmap = TL._snapshot(root)["colmap"]
+    assert TL._ROWID_COL not in colmap
+    assert set(TL.log_read(spark, root).columns) == {"k", "value"}
+    # the hidden column is not renamable either
+    with pytest.raises(ValueError, match="no such column"):
+        TL.log_rename_column(root, TL._ROWID_COL, "oops")
+    # and ids still read back stable through the rename
+    ids = _ids(spark, root)
+    assert sorted(ids) == list(range(20))
+    assert len(set(ids.values())) == 20
