@@ -2985,8 +2985,28 @@ def _write_deletion_vectors(
     return dv_set, added
 
 
+#: MoR writers materialize the matched row POSITIONS on the driver (one
+#: grouped row per affected file, but the row values are every dead
+#: position). Above this many matched rows the deletion-vector
+#: economics are gone anyway — the vectors approach data size — so the
+#: op degrades to the copy-on-write writer, which never ships positions
+#: (VERDICT r11 #2). 8 bytes/position caps the driver copy at ~16 MB.
+MOR_MAX_MATCHED_ROWS = 2_000_000
+
+
+def _mor_matched_total(pos_df: DataFrame) -> int:
+    """Total matched rows via one executor-side per-file count (the
+    driver receives one row per affected file, never a position) —
+    the metadata-cheap probe that gates MoR vs CoW."""
+    from pyspark.sql import functions as F
+
+    rows = pos_df.groupBy("_fpn").agg(F.count("*").alias("_n")).collect()
+    return sum(r["_n"] for r in rows)
+
+
 def log_delete_where_mor(
-    spark: SparkSession, root: str, predicate: str
+    spark: SparkSession, root: str, predicate: str,
+    max_matched_rows: int = MOR_MAX_MATCHED_ROWS,
 ) -> int:
     """Merge-on-read DELETE: instead of rewriting affected files (the
     copy-on-write path), write a DELETION VECTOR per affected file —
@@ -3002,6 +3022,13 @@ def log_delete_where_mor(
     materializes the vectors (log_compact drops them — it rewrites
     content through the DV-applied read). Point deletes / GDPR erasure
     on huge tables want MoR; bulk reshaping wants CoW.
+
+    A WIDE predicate (more than ``max_matched_rows`` matches, counted
+    executor-side per file before any position ships) degrades to the
+    CoW writer: vectors that approach data size defeat their own
+    purpose, and the position collect would otherwise grow with the
+    matched rows (VERDICT r11 #2). Result content is identical; the
+    manifest records the CoW action.
 
     DV files are parquet (row_index) under the commit's own data dir;
     the manifest's dv delta maps data-file → dv-file, each new vector
@@ -3030,10 +3057,16 @@ def log_delete_where_mor(
         hits = snap.select(
             _decoded_file_path_col().alias("_fpn"),
             F.col("_metadata.row_index").alias("_ri"),
-        )
-        # positions aggregated per-file EXECUTOR-side; the driver gets
-        # one row per affected file (VERDICT r10 #2)
-        by_file = _positions_by_file(hits, root, candidates)
+        ).persist()
+        try:
+            # wide-predicate gate BEFORE any position ships
+            if _mor_matched_total(hits) > max_matched_rows:
+                return log_delete_where(spark, root, predicate)
+            # positions aggregated per-file EXECUTOR-side; the driver
+            # gets one row per affected file (VERDICT r10 #2)
+            by_file = _positions_by_file(hits, root, candidates)
+        finally:
+            hits.unpersist()
     if not by_file:
         manifest = {
             "version": base + 1,
@@ -3065,6 +3098,7 @@ def log_update_where_mor(
     root: str,
     predicate: str,
     assignments: dict[str, str],
+    max_matched_rows: int = MOR_MAX_MATCHED_ROWS,
 ) -> int:
     """Merge-on-read UPDATE ... SET (VERDICT r9 #2 — Delta's
     deletion-vector update): instead of rewriting every file containing
@@ -3135,6 +3169,11 @@ def log_update_where_mor(
         .persist()
     )
     try:
+        # wide-predicate gate (VERDICT r11 #2): above the budget the
+        # delta files + vectors approach a rewrite anyway — degrade to
+        # CoW, which never ships positions. Counted executor-side.
+        if _mor_matched_total(matched.select("_fpn")) > max_matched_rows:
+            return log_update_where(spark, root, predicate, assignments)
         # positions aggregated per-file EXECUTOR-side; the driver gets
         # one row per affected file (VERDICT r10 #2)
         by_file = _positions_by_file(
@@ -3209,6 +3248,7 @@ def log_update_where_mor(
 def log_merge_mor(
     spark: SparkSession, root: str, changes: DataFrame,
     key_col: str | list[str],
+    max_matched_rows: int = MOR_MAX_MATCHED_ROWS,
 ) -> int:
     """Merge-on-read MERGE INTO (VERDICT r9 #2): matched keys' old
     images die by DELETION VECTOR, and ALL change rows (matched keys'
@@ -3253,6 +3293,12 @@ def log_merge_mor(
                 spark, root, matched_pre, base
             )
         matched_pre = matched_pre.persist()
+        # wide-match gate (VERDICT r11 #2): a merge matching more rows
+        # than the budget defeats the MoR economics — degrade to the
+        # CoW merge, which never ships positions. Counted executor-side.
+        if _mor_matched_total(matched_pre.select("_fpn")) > max_matched_rows:
+            matched_pre.unpersist()
+            return log_merge(spark, root, changes, key_col)
         # positions aggregated per-file EXECUTOR-side; the driver gets
         # one row per affected file (VERDICT r10 #2)
         by_file = _positions_by_file(

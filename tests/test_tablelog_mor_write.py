@@ -569,3 +569,42 @@ def test_partitioned_append_violation_removes_whole_token_tree(
     assert set(os.listdir(os.path.join(root, TL._DATA_DIR))) == (
         tokens_before
     ), "rejected partitioned append left its token tree behind"
+
+
+def test_wide_predicate_mor_degrades_to_cow(spark, root):
+    """VERDICT r11 #2: a MoR op matching more rows than the budget must
+    fall back to the CoW writer (positions never ship driver-side) with
+    IDENTICAL results; a narrow op under the same budget stays MoR."""
+    orders = _orders(spark)
+    TL.log_append(spark, root, orders.coalesce(3))
+    # wide delete: every matched row, budget 5 -> CoW action, no DVs
+    TL.log_delete_where_mor(
+        spark, root, "o_orderkey % 2 = 0", max_matched_rows=5
+    )
+    m1 = TL._read_manifest(root, 1)
+    assert m1["action"] == "delete" and not TL._snapshot(root)["dv"]
+    want = {k for k, _s, _p in _rows(spark, root, version=0)
+            if k % 2 != 0}
+    assert {k for k, _s, _p in _rows(spark, root)} == want
+    # narrow delete under the budget stays MoR
+    TL.log_delete_where_mor(
+        spark, root, "o_orderkey % 7 = 1", max_matched_rows=5
+    )
+    assert TL._read_manifest(root, 2)["action"] == "delete_mor"
+    # wide UPDATE degrades too, same all-at-once assignment semantics
+    TL.log_update_where_mor(
+        spark, root, "o_totalprice > 0",
+        {"o_totalprice": "o_totalprice + 1"}, max_matched_rows=5,
+    )
+    assert TL._read_manifest(root, 3)["action"] == "update"
+    # wide MERGE degrades to the CoW merge
+    wide = TL.log_read(spark, root).withColumn(
+        "o_totalprice", F.col("o_totalprice") + 10
+    )
+    TL.log_merge_mor(spark, root, wide, "o_orderkey", max_matched_rows=5)
+    m4 = TL._read_manifest(root, 4)
+    assert m4["action"] == "merge" and not m4.get("dv_set")
+    # the MERGE result is the +10 image of version 3
+    v3 = {(k, s, p) for k, s, p in _rows(spark, root, version=3)}
+    assert _rows(spark, root) == {(k, s, round(p + 10, 2))
+                                  for k, s, p in v3}
