@@ -272,6 +272,25 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         ssj_floor = round(best, 4)
 
+    # stream_tablelog_cdf micro-decomposition (VERDICT r11 #1): the
+    # entry's wall is 7 inline table commits PLUS the change-feed
+    # drain, and two consecutive driver-run risers could not be
+    # attributed. The floor twin builds the SAME fixture through the
+    # same writers and stops before the streaming read — full − floor
+    # isolates the CDF planner walk + diff-part readers + fold.
+    cdf_floor = None
+    if "stream_tablelog_cdf" in timings:
+        from cdc_local_data_pipeline_docker_spark.sources.tablelog_source import (
+            stream_tablelog_cdf_floor,
+        )
+
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            stream_tablelog_cdf_floor(spark, SF_DIR).collect()
+            best = min(best, time.perf_counter() - t0)
+        cdf_floor = round(best, 4)
+
     # CDC ingest throughput: events/sec through the full parse → type
     # recovery → changelog write path on the seeded fixture stream
     # (ROADMAP item 8). min-of-2 like the queries; fresh warehouse per run
@@ -297,6 +316,9 @@ def main() -> None:
         "scaling_value": round(total - fixed_floor, 4),
         # empty-input twin of stream_stream_join: machinery-only wall
         "stream_stream_join_floor": ssj_floor,
+        # fixture-build-only twin of stream_tablelog_cdf: commit-
+        # machinery wall; full − floor = the drain itself
+        "stream_tablelog_cdf_floor": cdf_floor,
         "calibration": calibration,
         "ingest_events_per_sec": ingest_events_per_sec,
         "ingest_events_per_sec_parallel": ingest_events_per_sec_parallel,
@@ -333,6 +355,7 @@ def main() -> None:
         "queries": {k: round(v, 2) for k, v in timings.items()},
         "fixed_floor": fixed_floor,
         "stream_stream_join_floor": ssj_floor,
+        "stream_tablelog_cdf_floor": cdf_floor,
         "calibration": calibration,
         "sf": payload["sf"],
     }

@@ -200,13 +200,15 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # Arrow-scalar sibling fn_pandas_normalize rotated out r9 (same
     # family, COVERED_BY) for the r8 DSv2 writer flagship
     "fn_pandas_group_rank": (PU.fn_pandas_group_rank, PU.FN_PANDAS_GROUP_RANK_SQL),
-    # r9 rotation (VERDICT r8 #5): the native write path —
-    # df.write.format("tablelog") through the DSv2 two-phase commit
-    # (executor parquet tasks -> one atomic manifest), append +
-    # truncate-and-overwrite modes
-    "tablelog_writer_roundtrip": (
-        TLS.tablelog_writer_roundtrip,
-        TLS.TABLELOG_WRITER_ROUNDTRIP_SQL,
+    # r12 rotation (VERDICT r11 #3): ROW TRACKING on the SQL read
+    # surface — register_sql_view(with_row_ids=True) serves _row_id
+    # from the DataSource's Arrow reader (positions through DV masks,
+    # materialized lineage winning) against the ROW_NUMBER oracle.
+    # Displaced tablelog_writer_roundtrip (hash-green r9-r11; DSv2
+    # write family keeps graded sibling stream_tablelog_append_sink)
+    "tablelog_rowid_sql_read": (
+        TLS.tablelog_rowid_sql_read,
+        TLS.TABLELOG_ROWID_SQL_READ_SQL,
     ),
     # ---- graded 24-50: one representative per relational/LLM family ----
     # filters (all predicate classes in one pushdown-audited scan)
@@ -278,15 +280,14 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "set_ops_pack": (PK.set_ops_pack, PK.SET_OPS_PACK_SQL),
     # multi-join analytics
     "q3_shipping_priority": (R.q3_shipping_priority, R.Q3_SHIPPING_PRIORITY_SQL),
-    # r10 rotation (VERDICT r9 #1): copy-on-write UPDATE ... SET (r9
-    # flagship — partition-aware probe, all-at-once assignment
-    # semantics the oracle caught a real bug in, pre-update snapshot
-    # stays time-travelable) takes the k-means slot for a round;
-    # embedding_kmeans_train keeps graded similarity-family sibling
-    # ann_cosine_topk (Lloyd invariants stay pytest-pinned)
-    "tablelog_cow_update": (
-        TLG.tablelog_cow_update,
-        TLG.TABLELOG_COW_UPDATE_SQL,
+    # r12 rotation (VERDICT r11 #1): the UPDATE/DELETE statement forms
+    # + OPTIMIZE driven purely through the log_sql router — the
+    # round-11 late wave's driver proof. Displaced tablelog_cow_update
+    # (hash-green r10-r11; the CoW update/delete writers are exactly
+    # what this entry dispatches to, plus graded tablelog_mor_update)
+    "tablelog_sql_dml": (
+        TLG.tablelog_sql_dml,
+        TLG.TABLELOG_SQL_DML_SQL,
     ),
     # r9 rotation (q17 out; TPC-H join-agg family keeps q1 + q3):
     # WHERE-clause file skipping through the DataSource — Spark 4.1
@@ -1151,6 +1152,18 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "tablelog_reorg_purge": (
         TLG.tablelog_reorg_purge,
         TLG.TABLELOG_REORG_PURGE_SQL,
+    ),
+    # rotated out r12 after multi-round hash proofs (the r11 late-wave
+    # SQL DML / row-id-view flagships took their slots); families keep
+    # graded siblings tablelog_sql_dml + tablelog_mor_update and
+    # stream_tablelog_append_sink respectively
+    "tablelog_cow_update": (
+        TLG.tablelog_cow_update,
+        TLG.TABLELOG_COW_UPDATE_SQL,
+    ),
+    "tablelog_writer_roundtrip": (
+        TLS.tablelog_writer_roundtrip,
+        TLS.TABLELOG_WRITER_ROUNDTRIP_SQL,
     ),
     # rotated out r9 (VERDICT r8 #5 — the r8 DSv2 writer/sink/pushdown
     # flagships took these slots); each keeps a graded family sibling

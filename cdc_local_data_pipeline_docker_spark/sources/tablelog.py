@@ -5418,19 +5418,33 @@ ORDER BY o_orderkey
 
 def tablelog_merge_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registry entry: the MERGE INTO **SQL surface** (r11, VERDICT r10
-    #7) — the same upsert the Python writer performs, driven purely
-    through SQL text. Fixture: append ``orders``, then
+    #7; extended r12 per VERDICT r11 #1 to the DELETE-capable grammar)
+    — driven purely through SQL text via :func:`log_sql`. Fixture:
+    append ``orders``, then statement #1 (the upsert shape)::
 
         MERGE INTO `<root>` AS t USING <changes view> AS s
         ON t.o_orderkey = s.o_orderkey
         WHEN MATCHED THEN UPDATE SET *
         WHEN NOT MATCHED THEN INSERT *
 
-    where the change view bumps every ``%%7`` key's price by 1000
-    (updates) and derives fresh ``+10M`` keys from the ``%%11`` slice
-    (inserts). Oracle: the equivalent CASE + UNION ALL over ``orders``
-    — the existing merge-oracle shape, so a hash match proves the SQL
-    path dispatches to the same writer semantics."""
+    (the change view bumps every ``%%7`` key's price by 1000 and
+    derives fresh ``+10M`` keys from the ``%%11`` slice), then
+    statement #2 — conditional multi-clause, MATCHED DELETE, and the
+    full-sync BY SOURCE delete in one atomic content-replace commit::
+
+        MERGE INTO `<root>` AS t USING <%%3-slice view> AS s
+        ON t.o_orderkey = s.o_orderkey
+        WHEN MATCHED AND t.o_orderkey % 9 = 0 THEN DELETE
+        WHEN MATCHED AND t.o_orderstatus = 'F'
+             THEN UPDATE SET o_totalprice = t.o_totalprice + 5
+        WHEN MATCHED THEN UPDATE SET *
+        WHEN NOT MATCHED THEN INSERT *
+        WHEN NOT MATCHED BY SOURCE THEN DELETE
+
+    First-match-wins across the three MATCHED clauses; every key not in
+    the source dies. Oracle: the equivalent CASE projection over the
+    surviving ``%%3`` keys — a hash match proves the whole grammar
+    dispatches to the same writer semantics."""
     import tempfile
 
     from pyspark.sql import functions as F
@@ -5441,6 +5455,7 @@ def tablelog_merge_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders").select(*cols)
     root = tempfile.mkdtemp(prefix="tablelog_mergesql_")
     view = "__tl_merge_sql_changes"
+    view2 = "__tl_merge_sql_changes2"
     try:
         log_append(spark, root, orders.coalesce(3))
         changes = (
@@ -5459,7 +5474,7 @@ def tablelog_merge_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         changes.createOrReplaceTempView(view)
-        log_merge_sql(
+        log_sql(
             spark,
             f"""
             MERGE INTO `{root}` AS t
@@ -5469,22 +5484,96 @@ def tablelog_merge_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
             WHEN NOT MATCHED THEN INSERT *
             """,
         )
+        orders.filter("o_orderkey % 3 = 0").withColumn(
+            "o_totalprice", F.lit(2.0)
+        ).createOrReplaceTempView(view2)
+        log_sql(
+            spark,
+            f"""
+            MERGE INTO `{root}` AS t
+            USING {view2} AS s
+            ON t.o_orderkey = s.o_orderkey
+            WHEN MATCHED AND t.o_orderkey % 9 = 0 THEN DELETE
+            WHEN MATCHED AND t.o_orderstatus = 'F'
+                 THEN UPDATE SET o_totalprice = t.o_totalprice + 5
+            WHEN MATCHED THEN UPDATE SET *
+            WHEN NOT MATCHED THEN INSERT *
+            WHEN NOT MATCHED BY SOURCE THEN DELETE
+            """,
+        )
         out = log_read(spark, root).select(*cols).orderBy("o_orderkey")
         return _materialized_scan(spark, out)
     finally:
         spark.catalog.dropTempView(view)
+        spark.catalog.dropTempView(view2)
         shutil.rmtree(root, ignore_errors=True)
 
 
 TABLELOG_MERGE_SQL_SQL = """
 SELECT o_orderkey, o_orderstatus,
-       CASE WHEN o_orderkey % 7 = 0
-            THEN o_totalprice + 1000 ELSE o_totalprice END AS o_totalprice
+       CASE WHEN o_orderstatus = 'F'
+            THEN (CASE WHEN o_orderkey % 7 = 0
+                       THEN o_totalprice + 1000
+                       ELSE o_totalprice END) + 5
+            ELSE CAST(2.0 AS DOUBLE) END AS o_totalprice
 FROM orders
-UNION ALL
-SELECT o_orderkey + 10000000 AS o_orderkey,
-       'N' AS o_orderstatus, 1.0 AS o_totalprice
-FROM orders WHERE o_orderkey % 11 = 0
+WHERE o_orderkey % 3 = 0 AND o_orderkey % 9 <> 0
+ORDER BY o_orderkey
+"""
+
+
+def tablelog_sql_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry (r12, VERDICT r11 #1): the UPDATE / DELETE
+    statement forms and the utility router, driven PURELY through
+    :func:`log_sql` — no Python writer call anywhere. Fixture::
+
+        v0  append orders
+        v1  log_sql  UPDATE `root` SET o_totalprice = o_totalprice
+                     + 1000 WHERE o_orderstatus = 'P'        (CoW)
+        v2  log_sql  DELETE FROM `root` WHERE o_orderkey % 5
+                     = 0  (mor=True: deletion vectors)
+        v3  log_sql  OPTIMIZE `root`  (bin-pack, materializes the
+                     vectors; content-invariant)
+
+    Oracle: the CASE-projection + surviving-rows predicate over
+    ``orders`` — a hash match proves the SQL statement forms dispatch
+    to the same CoW/MoR writer semantics the graded Python entries
+    already proved."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ..catalog import load_table
+
+    cols = ["o_orderkey", "o_orderstatus", "o_totalprice"]
+    orders = load_table(spark, sf_dir, "orders").select(*cols)
+    root = tempfile.mkdtemp(prefix="tablelog_sqldml_")
+    try:
+        log_append(spark, root, orders.coalesce(3))
+        log_sql(
+            spark,
+            f"UPDATE `{root}` SET o_totalprice = o_totalprice + 1000 "
+            "WHERE o_orderstatus = 'P'",
+        )
+        log_sql(
+            spark,
+            f"DELETE FROM `{root}` WHERE o_orderkey % 5 = 0",
+            mor=True,
+        )
+        assert _read_manifest(root, 2)["action"] == "delete_mor"
+        log_sql(spark, f"OPTIMIZE `{root}`")
+        out = log_read(spark, root).select(*cols).orderBy("o_orderkey")
+        return _materialized_scan(spark, out)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+TABLELOG_SQL_DML_SQL = """
+SELECT o_orderkey, o_orderstatus,
+       CASE WHEN o_orderstatus = 'P' THEN o_totalprice + 1000
+            ELSE o_totalprice END AS o_totalprice
+FROM orders
+WHERE o_orderkey % 5 <> 0
 ORDER BY o_orderkey
 """
 

@@ -24,11 +24,19 @@ MUST_BE_GRADED = {
     # one-round proof slots in r10, went hash-green in CORRECTNESS_r10,
     # and released them back to the scalar/collection packs in r11
     "stream_cdf_gold_view",
-    "tablelog_check_constraint", "tablelog_cow_update",
+    "tablelog_check_constraint",
     # r11 rotation (VERDICT r10 #7): the MERGE INTO SQL surface takes
     # the shallow-clone slot (clone hash-green in r10, sibling
-    # tablelog_time_travel)
+    # tablelog_time_travel); r12 extends the fixture to the
+    # DELETE-capable grammar (conditional multi-clause, MATCHED DELETE,
+    # BY SOURCE full-sync)
     "tablelog_merge_sql",
+    # r12 rotation (VERDICT r11 #1/#3): the late-wave SQL DML router
+    # and the row-id SQL read surface take the cow-update and
+    # writer-roundtrip slots (both hash-green two rounds running;
+    # siblings tablelog_sql_dml+tablelog_mor_update and
+    # stream_tablelog_append_sink)
+    "tablelog_sql_dml", "tablelog_rowid_sql_read",
     "tablelog_mor_update", "fn_scalar_pack", "fn_collection_pack",
     # round-9 third-wave flagship (same-round rotation, the r8
     # protocol): the change data feed as a streaming source; displaced
@@ -84,7 +92,7 @@ MUST_BE_GRADED = {
     # slots. Displaced: q17_small_quantity_revenue (TPC-H family keeps
     # q1 + q3), window_topk_per_group (sibling window_analytics_pack),
     # fn_pandas_normalize (sibling fn_pandas_group_rank)
-    "tablelog_writer_roundtrip", "stream_tablelog_append_sink",
+    "stream_tablelog_append_sink",
     "tablelog_source_pruned_scan",
     # family packs (each the graded representative of its family)
     "filter_pack", "window_analytics_pack", "set_ops_pack",
@@ -101,9 +109,13 @@ COVERED_BY = {
     "tablelog_checkpointed_read": "tablelog_time_travel",
     # r9 third wave leftover: REORG PURGE (snapshot/maintenance family)
     "tablelog_reorg_purge": "tablelog_time_travel",
-    # r10: row tracking — snapshot/identity family; the MoR-delete
-    # stability contract is graded via the tablelog_mor_update twin
-    "tablelog_row_tracking": "tablelog_mor_update",
+    # r10: row tracking — snapshot/identity family; graded r12 via the
+    # SQL-view twin running the identical fixture and oracle
+    "tablelog_row_tracking": "tablelog_rowid_sql_read",
+    # rotated out r12 after their multi-round driver proofs (the r11
+    # late-wave SQL DML / row-id-view flagships took the slots)
+    "tablelog_cow_update": "tablelog_sql_dml",
+    "tablelog_writer_roundtrip": "stream_tablelog_append_sink",
     # rotated out r10 (the r9/r10 tablelog + fn flagships swapped in);
     # each keeps a graded same-family sibling
     "stream_tumbling_agg": "stream_session_agg",
