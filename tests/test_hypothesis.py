@@ -639,7 +639,8 @@ def _tablelog_ops(draw):
             else draw(st.sampled_from(
                 ["append", "delete", "delete_mor", "merge", "compact",
                  "compact_small", "rename", "restore", "purge",
-                 "update_mor", "merge_mor", "enable_lineage"]
+                 "update_mor", "merge_mor", "enable_lineage",
+                 "sql_update", "sql_delete", "sql_merge", "sql_sync"]
             ))
         )
         if kind == "append":
@@ -669,6 +670,28 @@ def _tablelog_ops(draw):
             mod = draw(st.integers(2, 5))
             rem = draw(st.integers(0, mod - 1))
             ops.append(("update_mor", (mod, rem, draw(st.integers(100, 199)))))
+        elif kind in ("sql_update", "sql_delete"):
+            # r12 (VERDICT r11 #6): the log_sql router's statement
+            # forms, CoW or MoR, against arbitrary interleavings
+            mod = draw(st.integers(2, 5))
+            rem = draw(st.integers(0, mod - 1))
+            if kind == "sql_update":
+                ops.append(
+                    ("sql_update",
+                     (mod, rem, draw(st.integers(200, 299)),
+                      draw(st.booleans())))
+                )
+            else:
+                ops.append(("sql_delete", (mod, rem, draw(st.booleans()))))
+        elif kind in ("sql_merge", "sql_sync"):
+            # MERGE INTO through the SQL text path; sql_sync adds the
+            # BY SOURCE full-sync delete (one content-replace commit)
+            upd = draw(st.lists(st.integers(0, max(next_key - 1, 0)),
+                                max_size=4, unique=True))
+            fresh = draw(st.integers(0, 2))
+            ins = list(range(next_key, next_key + fresh))
+            next_key += fresh
+            ops.append((kind, (upd, ins, draw(st.integers(300, 399)))))
         elif kind == "rename":
             ops.append(("rename", None))
         elif kind == "enable_lineage":
@@ -771,6 +794,47 @@ def test_tablelog_model_based(spark, ops):
                     k: (val if k % mod == rem else v)
                     for k, v in model.items()
                 }
+            elif kind == "sql_update":
+                mod, rem, val, mor = arg
+                TL.log_sql(
+                    spark,
+                    f"UPDATE `{root}` SET {val_name} = {val} "
+                    f"WHERE k % {mod} = {rem}",
+                    mor=mor,
+                )
+                model = {
+                    k: (val if k % mod == rem else v)
+                    for k, v in model.items()
+                }
+            elif kind == "sql_delete":
+                mod, rem, mor = arg
+                TL.log_sql(
+                    spark,
+                    f"DELETE FROM `{root}` WHERE k % {mod} = {rem}",
+                    mor=mor,
+                )
+                model = {k: v for k, v in model.items() if k % mod != rem}
+            elif kind in ("sql_merge", "sql_sync"):
+                upd, ins, val = arg
+                keys = sorted(set(upd) | set(ins))
+                if not keys:
+                    keys = [0] if 0 in model else [10**6]
+                vname = f"hyp_sql_src_{len(snapshots)}"
+                spark.createDataFrame(
+                    [(k, val) for k in keys], f"k LONG, {val_name} LONG"
+                ).createOrReplaceTempView(vname)
+                stmt = (
+                    f"MERGE INTO `{root}` t USING {vname} s ON t.k = s.k "
+                    "WHEN MATCHED THEN UPDATE SET * "
+                    "WHEN NOT MATCHED THEN INSERT *"
+                )
+                if kind == "sql_sync":
+                    stmt += " WHEN NOT MATCHED BY SOURCE THEN DELETE"
+                TL.log_sql(spark, stmt)
+                if kind == "sql_sync":
+                    model = {k: val for k in keys}
+                else:
+                    model.update({k: val for k in keys})
             elif kind == "rename":
                 n_renames += 1
                 new_name = f"val{n_renames}"
