@@ -2836,6 +2836,22 @@ def log_clone(
             f if os.path.isabs(f) else os.path.normpath(os.path.join(root_src, f))
         )
 
+    # row-id carry (r12): a clone of a table WITH commit-time base
+    # accounting copies the recorded bases; a clone of a LEGACY source
+    # whose history is still fully replayable derives the source's
+    # bases ONCE and records them in the clone's v0 — so the clone
+    # serves the same ids as the source at clone time, and keeps
+    # serving them even after the source log trims (the clone itself
+    # never replays the source history again). A trimmed legacy source
+    # stays legacy: the clone refuses row-id reads like the source.
+    rowid_bases = state["rowid_bases"]
+    rowid_wm = state["rowid_watermark"]
+    if rowid_wm is None or any(f not in rowid_bases for f in state["live"]):
+        try:
+            rowid_bases, rowid_wm = _row_id_bases_replay(root_src, version)
+        except ValueError:
+            rowid_bases, rowid_wm = {}, None
+
     manifest = {
         "version": 0,
         "action": "clone",
@@ -2853,12 +2869,12 @@ def log_clone(
         **(
             {
                 "rowid_bases": {
-                    absf(f): b for f, b in state["rowid_bases"].items()
+                    absf(f): b for f, b in rowid_bases.items()
                 },
-                "rowid_watermark": state["rowid_watermark"],
+                "rowid_watermark": rowid_wm,
             }
-            if state["rowid_watermark"] is not None
-            and all(f in state["rowid_bases"] for f in state["live"])
+            if rowid_wm is not None
+            and all(f in rowid_bases for f in state["live"])
             else {}
         ),
         "cloned_from": {

@@ -363,3 +363,79 @@ def test_rename_on_lineage_table_never_exposes_hidden_column(spark, root):
     ids = _ids(spark, root)
     assert sorted(ids) == list(range(20))
     assert len(set(ids.values())) == 20
+
+
+def test_clone_of_legacy_source_records_bases(spark, root):
+    """r12: cloning a LEGACY source (no commit-time base accounting)
+    whose history is still replayable derives the source bases once and
+    RECORDS them in the clone's v0 — the clone serves the source's ids
+    and keeps serving them after the source log trims."""
+    import glob
+    import json
+
+    _tbl(spark, root)
+    TL.log_append(
+        spark, root, spark.createDataFrame([(50, 5)], "k LONG, val LONG")
+    )
+    for mf in glob.glob(os.path.join(root, TL._LOG_DIR, "v*.json")):
+        m = json.load(open(mf))
+        m.pop("rowid_bases_add", None)
+        m.pop("rowid_watermark", None)
+        json.dump(m, open(mf, "w"))
+    assert TL._snapshot(root)["rowid_watermark"] is None
+    src_ids = _ids(spark, root)
+    dst = tempfile.mkdtemp(prefix="tablelog_clone_legacy_")
+    try:
+        TL.log_clone(root, dst)
+        st = TL._snapshot(dst)
+        assert st["rowid_watermark"] is not None
+        assert set(st["live"]) <= set(st["rowid_bases"])
+        assert _ids(spark, dst) == src_ids
+        # simulate the SOURCE history trimming after the clone: the
+        # clone's recorded bases keep working (no replay of the source)
+        for mf in sorted(glob.glob(
+            os.path.join(root, TL._LOG_DIR, "v*.json")
+        ))[:1]:
+            os.remove(mf)
+        assert _ids(spark, dst) == src_ids
+    finally:
+        shutil.rmtree(dst, ignore_errors=True)
+
+
+def test_clone_of_trimmed_legacy_source_draws_fresh_ids(spark, root):
+    """A legacy source whose history is ALREADY trimmed cannot give the
+    clone ITS bases (they are unknowable — the source itself refuses
+    row-id reads). The clone is a new table with a complete one-commit
+    history, so it assigns fresh deterministic ids from its own v0 —
+    never a crash, never NULLs."""
+    import glob
+    import json
+
+    _tbl(spark, root)
+    TL.log_append(
+        spark, root, spark.createDataFrame([(50, 5)], "k LONG, val LONG")
+    )
+    for mf in glob.glob(os.path.join(root, TL._LOG_DIR, "v*.json")):
+        m = json.load(open(mf))
+        m.pop("rowid_bases_add", None)
+        m.pop("rowid_watermark", None)
+        json.dump(m, open(mf, "w"))
+    # a real retention trim leaves a checkpoint at the floor; the
+    # stripped manifests mean it carries no base accounting either
+    TL.log_checkpoint(root)
+    os.remove(os.path.join(root, TL._LOG_DIR, TL._manifest_name(0)))
+    dst = tempfile.mkdtemp(prefix="tablelog_clone_trimmed_")
+    try:
+        TL.log_clone(root, dst)
+        assert TL._snapshot(dst)["rowid_watermark"] is None
+        ids = _ids(spark, dst)
+        assert sorted(ids) == sorted(
+            list(range(20)) + [50]
+        )  # every row served
+        assert None not in ids.values()
+        assert sorted(ids.values()) == list(range(21))  # dense, unique
+        # and the source itself still refuses (the trimmed contract)
+        with pytest.raises(ValueError, match="full manifest history"):
+            TL.log_read_with_row_ids(spark, root).collect()
+    finally:
+        shutil.rmtree(dst, ignore_errors=True)
