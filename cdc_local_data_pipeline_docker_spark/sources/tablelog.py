@@ -4099,7 +4099,95 @@ def log_sql(spark: SparkSession, statement: str, mor: bool = False):
         if kind.upper() == "HISTORY":
             return log_history(root, include_metrics=True)
         return log_detail(root)
+    if head == "ALTER":
+        return _log_alter_sql(spark, text, flags)
+    if head == "INSERT":
+        return _log_insert_sql(spark, text, flags)
     raise ValueError(f"unsupported statement: {text[:60]!r}")
+
+
+def _log_alter_sql(spark: SparkSession, text: str, flags) -> int:
+    """``ALTER TABLE`` statement forms for :func:`log_sql` — each routes
+    to the existing metadata-commit function::
+
+        ALTER TABLE `root` RENAME COLUMN old TO new   -> log_rename_column
+        ALTER TABLE `root` DROP COLUMN col            -> log_drop_column
+        ALTER TABLE `root` ADD CONSTRAINT n CHECK (e) -> log_add_constraint
+        ALTER TABLE `root` DROP CONSTRAINT n          -> log_drop_constraint
+        ALTER TABLE `root` SET TBLPROPERTIES
+            ('row_lineage' = 'true')                  -> log_enable_row_lineage
+    """
+    m = re.match(
+        r"ALTER\s+TABLE\s+`([^`]+)`\s+(.*)$", text, flags
+    )
+    if m is None:
+        raise ValueError(
+            "unsupported ALTER syntax — expected: ALTER TABLE `<root>` ..."
+        )
+    root, rest = m.groups()
+    rest = rest.strip()
+    m = re.match(r"RENAME\s+COLUMN\s+(\w+)\s+TO\s+(\w+)$", rest, flags)
+    if m:
+        return log_rename_column(root, m.group(1), m.group(2))
+    m = re.match(r"DROP\s+COLUMN\s+(\w+)$", rest, flags)
+    if m:
+        return log_drop_column(root, m.group(1))
+    m = re.match(
+        r"ADD\s+CONSTRAINT\s+(\w+)\s+CHECK\s*\((.*)\)$", rest, flags
+    )
+    if m:
+        return log_add_constraint(spark, root, m.group(1), m.group(2))
+    m = re.match(r"DROP\s+CONSTRAINT\s+(\w+)$", rest, flags)
+    if m:
+        return log_drop_constraint(root, m.group(1))
+    m = re.match(
+        r"SET\s+TBLPROPERTIES\s*\(\s*'row_lineage'\s*=\s*'true'\s*\)$",
+        rest,
+        flags,
+    )
+    if m:
+        return log_enable_row_lineage(root)
+    raise ValueError(f"unsupported ALTER TABLE form: {rest[:60]!r}")
+
+
+def _log_insert_sql(spark: SparkSession, text: str, flags) -> int:
+    """``INSERT`` statement forms for :func:`log_sql`::
+
+        INSERT INTO `root` SELECT ... | VALUES (...), (...)
+            -> one append commit (log_append)
+        INSERT OVERWRITE `root` SELECT ... | VALUES ...
+            -> one atomic content-replace commit
+
+    Input columns map POSITIONALLY onto the table's logical columns and
+    are cast to their types (ANSI INSERT semantics) — a VALUES form's
+    ``col1``/``col2`` names never need to match."""
+    from pyspark.sql import functions as F
+
+    m = re.match(
+        r"INSERT\s+(INTO|OVERWRITE)\s+`([^`]+)`\s+(.+)$", text, flags
+    )
+    if m is None:
+        raise ValueError(
+            "unsupported INSERT syntax — expected: INSERT INTO|OVERWRITE "
+            "`<root>` SELECT ... | VALUES ..."
+        )
+    mode, root, query = m.groups()
+    df = spark.sql(query.strip())
+    target = log_read(spark, root)
+    if len(df.columns) != len(target.columns):
+        raise ValueError(
+            f"INSERT arity mismatch: query produces {len(df.columns)} "
+            f"column(s), table has {len(target.columns)}"
+        )
+    aligned = df.select(
+        *[
+            F.col(src).cast(target.schema[dst].dataType).alias(dst)
+            for src, dst in zip(df.columns, target.columns)
+        ]
+    )
+    if mode.upper() == "OVERWRITE":
+        return _log_replace_content(spark, root, aligned, action="overwrite")
+    return log_append(spark, root, aligned)
 
 
 def _split_top_level(text: str) -> list[str]:

@@ -489,3 +489,67 @@ def test_log_sql_routes_every_statement_kind(spark, root):
         TL.log_sql(spark, "TRUNCATE `x`")
     with pytest.raises(ValueError, match="unsupported OPTIMIZE"):
         TL.log_sql(spark, "OPTIMIZE nobackticks")
+
+
+def test_alter_table_sql_forms(spark, root):
+    df = spark.createDataFrame(
+        [(k, k * 10, "A") for k in range(6)], "k LONG, val LONG, tag STRING"
+    )
+    TL.log_append(spark, root, df)
+    TL.log_sql(spark, f"ALTER TABLE `{root}` RENAME COLUMN val TO amount")
+    assert set(TL.log_read(spark, root).columns) == {"k", "amount", "tag"}
+    TL.log_sql(spark, f"ALTER TABLE `{root}` DROP COLUMN tag")
+    assert set(TL.log_read(spark, root).columns) == {"k", "amount"}
+    TL.log_sql(
+        spark, f"ALTER TABLE `{root}` ADD CONSTRAINT amt_pos CHECK (amount >= 0)"
+    )
+    with pytest.raises(TL.ConstraintViolation):
+        TL.log_append(
+            spark, root,
+            spark.createDataFrame([(99, -1)], "k LONG, amount LONG"),
+        )
+    TL.log_sql(spark, f"ALTER TABLE `{root}` DROP CONSTRAINT amt_pos")
+    TL.log_append(
+        spark, root, spark.createDataFrame([(99, -1)], "k LONG, amount LONG")
+    )
+    TL.log_sql(
+        spark,
+        f"ALTER TABLE `{root}` SET TBLPROPERTIES ('row_lineage' = 'true')",
+    )
+    assert TL._snapshot(root)["props"] == {"row_lineage": True}
+    with pytest.raises(ValueError, match="unsupported ALTER"):
+        TL.log_sql(spark, f"ALTER TABLE `{root}` FROBNICATE x")
+
+
+def test_insert_into_and_overwrite_sql(spark, root):
+    df = spark.createDataFrame(
+        [(k, k * 10, "A") for k in range(4)], "k LONG, val LONG, tag STRING"
+    )
+    TL.log_append(spark, root, df)
+    # VALUES form: positional mapping + cast (col1/col2/col3 names)
+    TL.log_sql(
+        spark, f"INSERT INTO `{root}` VALUES (10, 1, 'B'), (11, 2, 'B')"
+    )
+    got = _state(spark, root)
+    assert got[10] == (1, "B") and got[11] == (2, "B") and len(got) == 6
+    assert TL._read_manifest(root, 1)["action"] == "append"
+    # SELECT form
+    spark.createDataFrame(
+        [(1, 5)], "k LONG, val LONG"
+    ).createOrReplaceTempView("__tl_ins_src")
+    TL.log_sql(
+        spark,
+        f"INSERT INTO `{root}` SELECT k + 100, val, 'C' FROM __tl_ins_src",
+    )
+    got = _state(spark, root)
+    assert got[101] == (5, "C") and len(got) == 7
+    # OVERWRITE: one atomic content replace, history time-travelable
+    TL.log_sql(
+        spark, f"INSERT OVERWRITE `{root}` VALUES (7, 70, 'Z')"
+    )
+    assert _state(spark, root) == {7: (70, "Z")}
+    assert len(_state(spark, root)) == 1
+    assert TL.log_read(spark, root, version=2).count() == 7
+    # arity mismatch raises
+    with pytest.raises(ValueError, match="arity"):
+        TL.log_sql(spark, f"INSERT INTO `{root}` VALUES (1, 2)")
