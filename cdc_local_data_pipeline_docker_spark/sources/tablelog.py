@@ -2602,7 +2602,10 @@ def log_history(root: str, include_metrics: bool = False) -> list[dict]:
 
 
 def log_vacuum(
-    root: str, retain_versions: int = 0, dry_run: bool = False
+    root: str,
+    retain_versions: int = 0,
+    dry_run: bool = False,
+    retain_hours: float | None = None,
 ) -> list[str]:
     """Delete data files referenced by NO retained manifest: crash
     orphans (written but never committed) and, when ``retain_versions``
@@ -2614,13 +2617,28 @@ def log_vacuum(
     that version first (the log stays resolvable by construction);
     checkpoints below the trim floor are removed with their manifests.
 
-    ``dry_run=True`` (VACUUM DRY RUN) returns the would-delete list
-    without touching files, manifests, or checkpoints — the standard
-    pre-flight before a retention-trimming vacuum."""
+    ``retain_hours`` is Delta's time-based retention form: every
+    version whose commit timestamp is within the window is retained
+    (the latest version always is); when both forms are given the MORE
+    retentive one wins. ``dry_run=True`` (VACUUM DRY RUN) returns the
+    would-delete list without touching files, manifests, or
+    checkpoints — the standard pre-flight before a retention-trimming
+    vacuum."""
     vs = _versions(root)
     if not vs:
         return []
     keep = vs if retain_versions <= 0 else vs[-retain_versions:]
+    if retain_hours is not None:
+        cutoff = time.time() - retain_hours * 3600.0
+        in_window = [
+            v for v in vs if float(_read_manifest(root, v).get("ts", 0))
+            >= cutoff
+        ] or [vs[-1]]
+        # versions form a contiguous suffix: retain from the OLDEST
+        # in-window version (manifest ts is commit-monotone); when the
+        # count form was ALSO given, the more retentive of the two wins
+        by_time = [v for v in vs if v >= in_window[0]]
+        keep = max(keep if retain_versions > 0 else [], by_time, key=len)
     if keep[0] > vs[0]:
         # trimming: the oldest retained version must stay resolvable
         # without manifests below it — need a base at keep[0] (full
@@ -4053,7 +4071,7 @@ def log_sql(spark: SparkSession, statement: str, mor: bool = False):
     if head == "VACUUM":
         m = re.match(
             r"VACUUM\s+`([^`]+)`"
-            r"(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?"
+            r"(?:\s+RETAIN\s+(\d+(?:\.\d+)?)\s+(VERSIONS|HOURS))?"
             r"(\s+DRY\s+RUN)?$",
             text,
             flags,
@@ -4061,12 +4079,14 @@ def log_sql(spark: SparkSession, statement: str, mor: bool = False):
         if m is None:
             raise ValueError(
                 "unsupported VACUUM syntax — expected: VACUUM `<root>` "
-                "[RETAIN n VERSIONS] [DRY RUN]"
+                "[RETAIN n VERSIONS | RETAIN n HOURS] [DRY RUN]"
             )
-        root, retain, dry = m.groups()
+        root, retain, unit, dry = m.groups()
+        hours = unit and unit.upper() == "HOURS"
         return log_vacuum(
             root,
-            retain_versions=int(retain) if retain else 0,
+            retain_versions=int(retain) if retain and not hours else 0,
+            retain_hours=float(retain) if retain and hours else None,
             dry_run=dry is not None,
         )
     if head == "RESTORE":

@@ -553,3 +553,33 @@ def test_insert_into_and_overwrite_sql(spark, root):
     # arity mismatch raises
     with pytest.raises(ValueError, match="arity"):
         TL.log_sql(spark, f"INSERT INTO `{root}` VALUES (1, 2)")
+
+
+def test_vacuum_retain_hours(spark, root):
+    """VACUUM RETAIN n HOURS (Delta's time-based retention): versions
+    inside the window stay time-travelable; a 0-hour window trims to
+    the latest version only (their files deleted, manifests removed)."""
+    import os
+
+    for i in range(3):
+        TL.log_append(
+            spark, root,
+            spark.createDataFrame([(i, i)], "k LONG, val LONG"),
+        )
+    TL.log_delete_where(spark, root, "k = 0")
+    # a huge window retains everything — nothing deleted
+    assert TL.log_sql(spark, f"VACUUM `{root}` RETAIN 24 HOURS") == []
+    assert TL.log_read(spark, root, version=0).count() == 1
+    # age the old manifests: rewrite their ts two hours back
+    import json as J
+
+    for v in TL._versions(root)[:-1]:
+        p = os.path.join(TL._log_path(root), TL._manifest_name(v))
+        m = J.load(open(p))
+        m["ts"] = m["ts"] - 7200
+        J.dump(m, open(p, "w"))
+    would = TL.log_sql(spark, f"VACUUM `{root}` RETAIN 1 HOURS DRY RUN")
+    assert would  # the trimmed versions' unreferenced files would go
+    TL.log_sql(spark, f"VACUUM `{root}` RETAIN 1 HOURS")
+    assert TL._versions(root) == [3]
+    assert {r.k for r in TL.log_read(spark, root).collect()} == {1, 2}
