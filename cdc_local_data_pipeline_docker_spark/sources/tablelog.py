@@ -2227,6 +2227,29 @@ def _write_cdf_sidecar(
     )
 
 
+def _extend_colmap(colmap0: dict | None, logical_cols) -> dict | None:
+    """Schema evolution under column mapping (the log_append shape,
+    shared by the merge/replace writers r12): each NEW logical column
+    gets a fresh physical name (collision-suffixed) so it surfaces on
+    the strict read projection. Returns the extended map (or the
+    original object when nothing is new / the table is unmapped); the
+    hidden lineage column never enters a map."""
+    if colmap0 is None:
+        return None
+    colmap = colmap0
+    used = None
+    for c in logical_cols:
+        if c == _ROWID_COL or c in colmap:
+            continue
+        if colmap is colmap0:
+            colmap = dict(colmap0)
+            used = set(colmap.values())
+        p = c if c not in used else f"{c}_{uuid.uuid4().hex[:8]}"
+        colmap[c] = p
+        used.add(p)
+    return colmap
+
+
 def _merge_probe_files(
     spark: SparkSession, state: dict, keys: DataFrame, phys_key: str
 ) -> list[str]:
@@ -2320,6 +2343,8 @@ def log_merge(
         raise ValueError(f"no table at {root}")
     state = _snapshot(root, base)
     live, dvs, colmap = state["live"], state["dv"], state["colmap"]
+    # schema evolution: new change columns extend the column map (r12)
+    colmap = _extend_colmap(colmap, changes.columns)
     merge_sch = len(state["schemas"]) > 1
     key_cols = [key_col] if isinstance(key_col, str) else list(key_col)
     phys_keys = [(colmap or {}).get(k, k) for k in key_cols]
@@ -2449,6 +2474,7 @@ def log_merge(
         "stats_add": new_stats,
         "blooms_add": new_blooms,
         **({"parts_add": new_parts} if new_parts else {}),
+        **({"colmap": colmap} if colmap is not state["colmap"] else {}),
         "schemas": sorted(
             set(state["schemas"]) | {new_rows.schema.simpleString()}
         ),
@@ -3301,6 +3327,8 @@ def log_merge_mor(
         raise ValueError(f"no table at {root}")
     state = _snapshot(root, base)
     live, dvs, colmap = state["live"], state["dv"], state["colmap"]
+    # schema evolution: new change columns extend the column map (r12)
+    colmap = _extend_colmap(colmap, changes.columns)
     merge_sch = len(state["schemas"]) > 1
     key_cols = [key_col] if isinstance(key_col, str) else list(key_col)
     phys_keys = [(colmap or {}).get(k, k) for k in key_cols]
@@ -3419,6 +3447,11 @@ def log_merge_mor(
             "stats_add": new_stats,
             "blooms_add": new_blooms,
             **({"parts_add": new_parts} if new_parts else {}),
+            **(
+                {"colmap": colmap}
+                if colmap is not state["colmap"]
+                else {}
+            ),
             "schemas": sorted(
                 set(state["schemas"])
                 | {changes_write.schema.simpleString()}
@@ -3444,7 +3477,8 @@ def _log_replace_content(
     if base is None:
         raise ValueError(f"no table at {root}")
     state = _snapshot(root, base)
-    colmap = state["colmap"]
+    # schema evolution: new content columns extend the column map (r12)
+    colmap = _extend_colmap(state["colmap"], df.columns)
     df_p = _to_physical_loose(df, colmap)
     token = uuid.uuid4().hex[:12]
     stats_cols = sorted({c for st in state["stats"].values() for c in st})
@@ -3466,6 +3500,7 @@ def _log_replace_content(
         "stats_add": new_stats,
         "blooms_add": new_blooms,
         **({"parts_add": new_parts} if new_parts else {}),
+        **({"colmap": colmap} if colmap is not state["colmap"] else {}),
         "schemas": sorted(
             set(state["schemas"]) | {df_p.schema.simpleString()}
         ),
@@ -3613,7 +3648,7 @@ def log_merge_sql(
     dispatch to one atomic content-replace commit instead (see below).
     Grammar (case-insensitive keywords)::
 
-        MERGE INTO `/table/root` [AS t]
+        MERGE [WITH SCHEMA EVOLUTION] INTO `/table/root` [AS t]
         USING <view name | ( SELECT ... )> [AS s]
         ON t.<k1> = s.<k1> [AND t.<k2> = s.<k2> ...]
         [WHEN MATCHED [AND cond] THEN UPDATE SET * | SET col = expr, ...]
@@ -3658,7 +3693,7 @@ def log_merge_sql(
     text = sql.strip().rstrip(";")
     flags = re.IGNORECASE | re.DOTALL
     m = re.match(
-        r"MERGE\s+INTO\s+`([^`]+)`"
+        r"MERGE\s+(WITH\s+SCHEMA\s+EVOLUTION\s+)?INTO\s+`([^`]+)`"
         r"(?:\s+(?:AS\s+)?(?!USING\b)(\w+))?\s+"
         r"USING\s+(\(.*?\)|[\w.]+)"
         r"(?:\s+(?:AS\s+)?(?!ON\b)(\w+))?\s+"
@@ -3668,10 +3703,11 @@ def log_merge_sql(
     )
     if m is None:
         raise ValueError(
-            "unsupported MERGE syntax — expected: MERGE INTO `<root>` "
-            "[AS t] USING <source> [AS s] ON t.k = s.k WHEN ..."
+            "unsupported MERGE syntax — expected: MERGE [WITH SCHEMA "
+            "EVOLUTION] INTO `<root>` [AS t] USING <source> [AS s] "
+            "ON t.k = s.k WHEN ..."
         )
-    root, t_alias, src, s_alias, on, clauses = m.groups()
+    evolve, root, t_alias, src, s_alias, on, clauses = m.groups()
     t_alias = t_alias or "t"
     s_alias = s_alias or "s"
     # ---- ON: one or more same-name equi-key conjuncts (VERDICT r11 #5)
@@ -3733,6 +3769,26 @@ def log_merge_sql(
         spark.sql(src[1:-1]).createOrReplaceTempView(sv)
     else:
         spark.table(src).createOrReplaceTempView(sv)
+    target_cols = set(cols)
+    if evolve:
+        # MERGE WITH SCHEMA EVOLUTION (Delta autoMerge): new SOURCE
+        # columns extend the target — SET * / INSERT * carry them,
+        # pass-through and unmatched rows read typed NULL, and the
+        # writers extend the column map / schema set (r12). Without
+        # the keyword extra source columns are IGNORED (Delta default).
+        src_schema = spark.table(sv).schema
+        for f in src_schema.fields:
+            if f.name not in target_cols:
+                cols.append(f.name)
+                types[f.name] = f.dataType
+
+    def tdefault(c: str) -> str:
+        """A row image's value for column ``c`` when no clause assigns
+        it: the target's value, or typed NULL for an evolved column the
+        target does not have yet."""
+        if c in target_cols:
+            return f"{t_alias}.{c}"
+        return f"CAST(NULL AS {types[c].simpleString()})"
 
     def set_map(set_txt: str) -> dict[str, str]:
         if set_txt.strip() == "*":
@@ -3748,7 +3804,7 @@ def log_merge_sql(
                     f"UPDATE SET target {name!r} is not a column"
                 )
             assigns[name] = rhs.strip()
-        return {c: assigns.get(c, f"{t_alias}.{c}") for c in cols}
+        return {c: assigns.get(c, tdefault(c)) for c in cols}
 
     def case_proj(arms: list[tuple[str | None, dict | None]]) -> str:
         """Per-column first-match-wins projection over ordered clause
@@ -3758,10 +3814,10 @@ def log_merge_sql(
             "CASE "
             + " ".join(
                 f"WHEN ({cond or 'true'}) THEN "
-                f"({(pm or {}).get(c, f'{t_alias}.{c}')})"
+                f"({(pm or {}).get(c, tdefault(c))})"
                 for cond, pm in arms
             )
-            + f" ELSE {t_alias}.{c} END AS {c}"
+            + f" ELSE {tdefault(c)} END AS {c}"
             for c in cols
         )
 
@@ -3879,7 +3935,7 @@ def log_merge_sql(
             else:  # no matched clause: matched rows pass through
                 msql = (
                     "SELECT "
-                    + ", ".join(f"{t_alias}.{c} AS {c}" for c in cols)
+                    + ", ".join(f"{tdefault(c)} AS {c}" for c in cols)
                     + f"{extra_t} FROM {tv} {t_alias} JOIN {sv} "
                     f"{s_alias} ON {on_sql}"
                 )
@@ -3902,7 +3958,7 @@ def log_merge_sql(
             else:  # no BY SOURCE clause: unmatched targets pass through
                 asql = (
                     "SELECT "
-                    + ", ".join(f"{t_alias}.{c} AS {c}" for c in cols)
+                    + ", ".join(f"{tdefault(c)} AS {c}" for c in cols)
                     + f"{extra_t} FROM {tv} {t_alias} LEFT ANTI JOIN "
                     f"{sv} {s_alias} ON {on_sql}"
                 )

@@ -583,3 +583,87 @@ def test_vacuum_retain_hours(spark, root):
     TL.log_sql(spark, f"VACUUM `{root}` RETAIN 1 HOURS")
     assert TL._versions(root) == [3]
     assert {r.k for r in TL.log_read(spark, root).collect()} == {1, 2}
+
+
+def test_merge_schema_evolution_python_api(spark, root):
+    """Schema evolution through the merge WRITERS (r12): a change frame
+    with a NEW column extends the table — on a COLUMN-MAPPED table the
+    map gains a fresh physical name, so the column surfaces on the
+    strict read projection; untouched rows read NULL; old versions keep
+    the old schema; the evolved column is renamable."""
+    df = spark.createDataFrame(
+        [(k, k * 10) for k in range(6)], "k LONG, val LONG"
+    )
+    TL.log_append(spark, root, df)
+    TL.log_rename_column(root, "val", "amount")  # table enters mapping
+    ch = spark.createDataFrame(
+        [(1, 111, "x"), (50, 5, "y")], "k LONG, amount LONG, note STRING"
+    )
+    TL.log_merge(spark, root, ch, "k")
+    got = {r.k: (r.amount, r.note)
+           for r in TL.log_read(spark, root).collect()}
+    assert got[1] == (111, "x") and got[50] == (5, "y")
+    assert got[2] == (20, None) and len(got) == 7
+    assert set(TL.log_read(spark, root, version=1).columns) == {
+        "k", "amount"
+    }
+    TL.log_rename_column(root, "note", "remark")
+    assert "remark" in TL.log_read(spark, root).columns
+    # MoR merge evolves too (delta files carry the next new column)
+    TL.log_merge_mor(
+        spark,
+        root,
+        spark.createDataFrame([(2, 22, None, 7)],
+                              "k LONG, amount LONG, remark STRING, w LONG"),
+        "k",
+    )
+    got = {r.k: (r.amount, r.w) for r in TL.log_read(spark, root).collect()}
+    assert got[2] == (22, 7) and got[1] == (111, None)
+
+
+def test_merge_sql_with_schema_evolution(spark, table):
+    """MERGE WITH SCHEMA EVOLUTION INTO: new source columns extend the
+    target through SET * / INSERT *; untouched rows read typed NULL.
+    Without the keyword extra source columns are IGNORED."""
+    spark.createDataFrame(
+        [(1, 111, "B", 9.5), (100, 5, "N", 1.5)],
+        "k LONG, val LONG, tag STRING, score DOUBLE",
+    ).createOrReplaceTempView("merge_sql_evo")
+    # without the keyword: extras ignored (the Delta default)
+    TL.log_merge_sql(
+        spark,
+        f"""MERGE INTO `{table}` t USING merge_sql_evo s ON t.k = s.k
+            WHEN MATCHED THEN UPDATE SET *
+            WHEN NOT MATCHED THEN INSERT *""",
+    )
+    assert "score" not in TL.log_read(spark, table).columns
+    TL.log_merge_sql(
+        spark,
+        f"""MERGE WITH SCHEMA EVOLUTION INTO `{table}` t
+            USING merge_sql_evo s ON t.k = s.k
+            WHEN MATCHED THEN UPDATE SET *
+            WHEN NOT MATCHED THEN INSERT *""",
+    )
+    got = {r.k: r.score for r in TL.log_read(spark, table).collect()}
+    assert got[1] == 9.5 and got[100] == 1.5
+    assert got[3] is None and len(got) == 11
+
+
+def test_merge_sql_schema_evolution_full_sync(spark, table):
+    """The content-replace branch evolves too: BY SOURCE DELETE with a
+    new source column — survivors take source images incl. the new
+    column; the commit is one atomic replace."""
+    spark.createDataFrame(
+        [(1, 111, "B", 9.5), (2, 222, "B", 8.5)],
+        "k LONG, val LONG, tag STRING, score DOUBLE",
+    ).createOrReplaceTempView("merge_sql_evo2")
+    TL.log_merge_sql(
+        spark,
+        f"""MERGE WITH SCHEMA EVOLUTION INTO `{table}` t
+            USING merge_sql_evo2 s ON t.k = s.k
+            WHEN MATCHED THEN UPDATE SET *
+            WHEN NOT MATCHED BY SOURCE THEN DELETE""",
+    )
+    got = {r.k: (r.val, r.score)
+           for r in TL.log_read(spark, table).collect()}
+    assert got == {1: (111, 9.5), 2: (222, 8.5)}
