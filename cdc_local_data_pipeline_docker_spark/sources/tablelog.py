@@ -4020,26 +4020,67 @@ def log_merge_sql(
         spark.catalog.dropTempView(sv)
 
 
+def _strip_alias(expr: str, alias: str) -> str:
+    """Remove ``alias.`` qualifiers from an expression — outside string
+    literals only, at word boundaries — so alias-qualified UPDATE /
+    DELETE statements evaluate over the table's plain logical columns
+    (there is only one relation in scope, so the qualifier is pure
+    notation)."""
+    out: list[str] = []
+    i, n = 0, len(expr)
+    quote: str | None = None
+    la = len(alias)
+    while i < n:
+        ch = expr[i]
+        if quote:
+            out.append(ch)
+            if ch == quote:
+                quote = None
+            i += 1
+            continue
+        if ch in "'\"":
+            quote = ch
+            out.append(ch)
+            i += 1
+            continue
+        if (
+            expr[i : i + la + 1].lower() == alias.lower() + "."
+            and (i == 0 or not (expr[i - 1].isalnum() or expr[i - 1] in "_."))
+            and i + la + 1 < n
+            and (expr[i + la + 1].isalpha() or expr[i + la + 1] == "_")
+        ):
+            i += la + 1
+            continue
+        out.append(ch)
+        i += 1
+    return "".join(out)
+
+
 def log_update_sql(
     spark: SparkSession, sql: str, mor: bool = False
 ) -> int:
-    """``UPDATE `<root>` SET col = expr, ... [WHERE pred]`` — the SQL
-    statement form of :func:`log_update_where` (CoW) /
+    """``UPDATE `<root>` [AS t] SET col = expr, ... [WHERE pred]`` —
+    the SQL statement form of :func:`log_update_where` (CoW) /
     :func:`log_update_where_mor` (``mor=True``). Assignments and the
     predicate are Spark SQL expressions over the table's logical
-    columns; a missing WHERE updates every row (``true``)."""
+    columns (an alias, if given, is stripped — one relation in scope);
+    a missing WHERE updates every row (``true``)."""
     text = sql.strip().rstrip(";")
     m = re.match(
-        r"UPDATE\s+`([^`]+)`\s+SET\s+(.*?)(?:\s+WHERE\s+(.*))?$",
+        r"UPDATE\s+`([^`]+)`(?:\s+(?:AS\s+)?(?!SET\b)(\w+))?"
+        r"\s+SET\s+(.*?)(?:\s+WHERE\s+(.*))?$",
         text,
         re.IGNORECASE | re.DOTALL,
     )
     if m is None:
         raise ValueError(
             "unsupported UPDATE syntax — expected: "
-            "UPDATE `<root>` SET col = expr[, ...] [WHERE pred]"
+            "UPDATE `<root>` [AS t] SET col = expr[, ...] [WHERE pred]"
         )
-    root, set_txt, pred = m.groups()
+    root, alias, set_txt, pred = m.groups()
+    if alias:
+        set_txt = _strip_alias(set_txt, alias)
+        pred = _strip_alias(pred, alias) if pred else pred
     assignments: dict[str, str] = {}
     for piece in _split_top_level(set_txt):
         lhs, eq, rhs = piece.partition("=")
@@ -4053,21 +4094,25 @@ def log_update_sql(
 def log_delete_sql(
     spark: SparkSession, sql: str, mor: bool = False
 ) -> int:
-    """``DELETE FROM `<root>` [WHERE pred]`` — the SQL statement form
-    of :func:`log_delete_where` (CoW) / :func:`log_delete_where_mor`
-    (``mor=True``). A missing WHERE deletes every row."""
+    """``DELETE FROM `<root>` [AS t] [WHERE pred]`` — the SQL statement
+    form of :func:`log_delete_where` (CoW) / :func:`log_delete_where_mor`
+    (``mor=True``). A missing WHERE deletes every row; an alias, if
+    given, is stripped from the predicate (one relation in scope)."""
     text = sql.strip().rstrip(";")
     m = re.match(
-        r"DELETE\s+FROM\s+`([^`]+)`(?:\s+WHERE\s+(.*))?$",
+        r"DELETE\s+FROM\s+`([^`]+)`(?:\s+(?:AS\s+)?(?!WHERE\b)(\w+))?"
+        r"(?:\s+WHERE\s+(.*))?$",
         text,
         re.IGNORECASE | re.DOTALL,
     )
     if m is None:
         raise ValueError(
             "unsupported DELETE syntax — expected: "
-            "DELETE FROM `<root>` [WHERE pred]"
+            "DELETE FROM `<root>` [AS t] [WHERE pred]"
         )
-    root, pred = m.groups()
+    root, alias, pred = m.groups()
+    if alias and pred:
+        pred = _strip_alias(pred, alias)
     writer = log_delete_where_mor if mor else log_delete_where
     return writer(spark, root, (pred or "true").strip())
 

@@ -667,3 +667,23 @@ def test_merge_sql_schema_evolution_full_sync(spark, table):
     got = {r.k: (r.val, r.score)
            for r in TL.log_read(spark, table).collect()}
     assert got == {1: (111, 9.5), 2: (222, 8.5)}
+
+
+def test_update_delete_statement_aliases(spark, root):
+    """UPDATE `root` AS t SET t.col ... / DELETE FROM `root` t WHERE
+    t.col ... (Delta's table-alias forms): the alias is notation only —
+    stripped outside string literals at word boundaries."""
+    df = spark.createDataFrame(
+        [(k, k * 10, "A") for k in range(8)], "k LONG, val LONG, tag STRING"
+    )
+    TL.log_append(spark, root, df)
+    TL.log_sql(
+        spark,
+        f"UPDATE `{root}` AS t SET t.val = t.val + 1, tag = 't.x' "
+        "WHERE t.k % 2 = 0",
+    )
+    got = _state(spark, root)
+    assert got[0] == (1, "t.x")      # literal 't.x' untouched by strip
+    assert got[1] == (10, "A")
+    TL.log_sql(spark, f"DELETE FROM `{root}` t WHERE t.k >= 6")
+    assert set(_state(spark, root)) == set(range(6))
