@@ -640,7 +640,8 @@ def _tablelog_ops(draw):
                 ["append", "delete", "delete_mor", "merge", "compact",
                  "compact_small", "rename", "restore", "purge",
                  "update_mor", "merge_mor", "enable_lineage",
-                 "sql_update", "sql_delete", "sql_merge", "sql_sync"]
+                 "sql_update", "sql_delete", "sql_merge", "sql_sync",
+                 "sql_insert", "sql_overwrite"]
             ))
         )
         if kind == "append":
@@ -693,7 +694,27 @@ def _tablelog_ops(draw):
             next_key += fresh
             ops.append((kind, (upd, ins, draw(st.integers(300, 399)))))
         elif kind == "rename":
-            ops.append(("rename", None))
+            # None = python API; True = the ALTER TABLE SQL form (r12)
+            ops.append(("rename", draw(st.booleans()) or None))
+        elif kind == "sql_insert":
+            # INSERT INTO `root` VALUES — fresh keys only (the model is
+            # a dict; duplicate keys would silently collapse)
+            width = draw(st.integers(1, 3))
+            keys = list(range(next_key, next_key + width))
+            next_key += width
+            ops.append(("sql_insert", (keys, draw(st.integers(500, 599)))))
+        elif kind == "sql_overwrite":
+            # INSERT OVERWRITE `root` VALUES — one content replace
+            keep = draw(st.lists(st.integers(0, max(next_key - 1, 0)),
+                                 max_size=4, unique=True))
+            fresh = draw(st.integers(0, 2))
+            ins = list(range(next_key, next_key + fresh))
+            next_key += fresh
+            ops.append(
+                ("sql_overwrite",
+                 (sorted(set(keep) | set(ins)),
+                  draw(st.integers(600, 699))))
+            )
         elif kind == "enable_lineage":
             # r11: from this commit on every rewrite materializes the
             # hidden _tl_row_id column — CONTENT must be invariant to it
@@ -835,10 +856,30 @@ def test_tablelog_model_based(spark, ops):
                     model = {k: val for k in keys}
                 else:
                     model.update({k: val for k in keys})
+            elif kind in ("sql_insert", "sql_overwrite"):
+                keys, val = arg
+                if not keys:
+                    keys = [10**6]
+                values = ", ".join(f"({k}, {val})" for k in keys)
+                if kind == "sql_insert":
+                    TL.log_sql(spark, f"INSERT INTO `{root}` VALUES {values}")
+                    model.update({k: val for k in keys})
+                else:
+                    TL.log_sql(
+                        spark, f"INSERT OVERWRITE `{root}` VALUES {values}"
+                    )
+                    model = {k: val for k in keys}
             elif kind == "rename":
                 n_renames += 1
                 new_name = f"val{n_renames}"
-                TL.log_rename_column(root, val_name, new_name)
+                if arg:  # the ALTER TABLE SQL form (r12)
+                    TL.log_sql(
+                        spark,
+                        f"ALTER TABLE `{root}` RENAME COLUMN "
+                        f"{val_name} TO {new_name}",
+                    )
+                else:
+                    TL.log_rename_column(root, val_name, new_name)
                 val_name = new_name
             elif kind == "enable_lineage":
                 TL.log_enable_row_lineage(root)
