@@ -89,6 +89,30 @@ def _arrow_union_schema(root: str, state: dict):
             if fld.name == TL._ROWID_COL:
                 continue  # hidden lineage column never surfaces
             fields.setdefault(fld.name, fld)
+    if fields:
+        # metadata-only ADD COLUMN: a field the manifest schema set
+        # records but NO live footer carries reads as typed NULL (the
+        # per-file NULL-fill in _file_batches already handles absence);
+        # mapped tables admit only CURRENT colmap physicals so a dead
+        # dropped-column name never resurfaces through this path
+        want = TL._schema_from_manifest(state)
+        colmap = state["colmap"]
+        keep = (
+            set(colmap.values())
+            if colmap
+            else {fl.name for fl in want.fields}
+        )
+        miss = [
+            fl
+            for fl in want.fields
+            if fl.name in keep and fl.name not in fields
+        ]
+        if miss:
+            from pyspark.sql.pandas.types import to_arrow_schema
+            from pyspark.sql.types import StructType
+
+            for fld in to_arrow_schema(StructType(miss)):
+                fields.setdefault(fld.name, fld)
     if not fields and state["schemas"]:
         # emptied-but-existing version (VERDICT r10 #1): no footers to
         # union — reconstruct from the manifest-recorded schemas
@@ -1067,10 +1091,11 @@ def tablelog_source_stream(spark, sf_dir: str):
         )
         q.awaitTermination()
         out = spark.table(qname).select(*cols).orderBy("o_orderkey")
-        res = TL._materialized_scan(spark, out)
-        spark.catalog.dropTempView(qname)
-        return res
+        return TL._materialized_scan(spark, out)
     finally:
+        # drop in finally: a failed scan must not leak the view while
+        # the backing dir is deleted below (ADVICE r12)
+        spark.catalog.dropTempView(qname)
         shutil.rmtree(root, ignore_errors=True)
 
 
@@ -2005,10 +2030,11 @@ def stream_tablelog_cdf(spark, sf_dir: str):
             .select(*cols)
             .orderBy("o_orderkey")
         )
-        res = TL._materialized_scan(spark, out)
-        spark.catalog.dropTempView(qname)
-        return res
+        return TL._materialized_scan(spark, out)
     finally:
+        # drop in finally: a failed scan must not leak the view while
+        # the backing dir is deleted below (ADVICE r12)
+        spark.catalog.dropTempView(qname)
         shutil.rmtree(root, ignore_errors=True)
 
 
@@ -2066,10 +2092,9 @@ def tablelog_rowid_sql_read(spark, sf_dir: str):
             f"SELECT _row_id, {', '.join(cols)} FROM {vname} "
             "ORDER BY o_orderkey"
         )
-        res = TL._materialized_scan(spark, out)
-        spark.catalog.dropTempView(vname)
-        return res
+        return TL._materialized_scan(spark, out)
     finally:
+        spark.catalog.dropTempView(vname)
         shutil.rmtree(root, ignore_errors=True)
 
 

@@ -6,6 +6,8 @@ from __future__ import annotations
 
 import json
 
+import pytest
+
 import pandas as pd
 from hypothesis import HealthCheck, example, given, settings
 from hypothesis import strategies as st
@@ -641,7 +643,9 @@ def _tablelog_ops(draw):
                  "compact_small", "rename", "restore", "purge",
                  "update_mor", "merge_mor", "enable_lineage",
                  "sql_update", "sql_delete", "sql_merge", "sql_sync",
-                 "sql_insert", "sql_overwrite"]
+                 "sql_insert", "sql_overwrite",
+                 "sql_merge_evolve", "add_column", "sql_insert_cols",
+                 "vacuum_hours"]
             ))
         )
         if kind == "append":
@@ -684,15 +688,36 @@ def _tablelog_ops(draw):
                 )
             else:
                 ops.append(("sql_delete", (mod, rem, draw(st.booleans()))))
-        elif kind in ("sql_merge", "sql_sync"):
+        elif kind in ("sql_merge", "sql_sync", "sql_merge_evolve"):
             # MERGE INTO through the SQL text path; sql_sync adds the
-            # BY SOURCE full-sync delete (one content-replace commit)
+            # BY SOURCE full-sync delete (one content-replace commit);
+            # sql_merge_evolve (r13, VERDICT r12 #5) merges WITH SCHEMA
+            # EVOLUTION — the source carries a NEW column `w`
             upd = draw(st.lists(st.integers(0, max(next_key - 1, 0)),
                                 max_size=4, unique=True))
             fresh = draw(st.integers(0, 2))
             ins = list(range(next_key, next_key + fresh))
             next_key += fresh
             ops.append((kind, (upd, ins, draw(st.integers(300, 399)))))
+        elif kind == "add_column":
+            # r13: metadata-only ADD COLUMN w — every row reads NULL
+            # until a later op materializes values
+            ops.append(("add_column", None))
+        elif kind == "sql_insert_cols":
+            # r13: the INSERT column-list form — reversed column order
+            # exercises the name mapping; `w` (if present) NULL-fills
+            width = draw(st.integers(1, 3))
+            keys = list(range(next_key, next_key + width))
+            next_key += width
+            ops.append(
+                ("sql_insert_cols", (keys, draw(st.integers(700, 799))))
+            )
+        elif kind == "vacuum_hours":
+            # r13: time-based retention interleaved with time travel —
+            # ages every existing manifest 2h back, trims to a 1-hour
+            # window, then a props commit keeps the one-version-per-op
+            # alignment; later reads below the floor must fail cleanly
+            ops.append(("vacuum_hours", None))
         elif kind == "rename":
             # None = python API; True = the ALTER TABLE SQL form (r12)
             ops.append(("rename", draw(st.booleans()) or None))
@@ -754,6 +779,19 @@ def _tablelog_ops(draw):
 # survivor file) read zero parquet paths and crashed — now a no-op
 @example([("append", ([0], True)), ("delete", (2, 0)),
           ("delete", (2, 0)), ("compact", 1)])
+# r13: schema evolution through MERGE WITH SCHEMA EVOLUTION, a python
+# merge nulling w for touched keys, a restore ACROSS the evolution
+# commit (columns must shrink back), and a compact carrying w through
+@example([("append", ([0, 1, 2], False)),
+          ("sql_merge_evolve", ([1], [3], 300)),
+          ("merge", ([0], [], 7)), ("restore", 0),
+          ("sql_merge_evolve", ([2], [], 310)), ("compact", 1)])
+# r13: metadata-only ADD COLUMN, the column-list INSERT over it, an
+# aliased-update interleaving, then HOURS retention trimming the
+# history — retained reads serve, trimmed reads fail, restore clamps
+@example([("append", ([0, 1], False)), ("add_column", None),
+          ("sql_insert_cols", ([2], 700)), ("sql_update", (2, 0, 5, False)),
+          ("vacuum_hours", None), ("restore", 1), ("compact_small", 1)])
 @_SETTINGS
 def test_tablelog_model_based(spark, ops):
     """Every version of a random append/delete/MoR-delete/merge/compact
@@ -773,6 +811,12 @@ def test_tablelog_model_based(spark, ops):
         val_name = "val"
         n_renames = 0
         snapshots = []
+        # wmodel: None = no `w` column yet; else {k: int|None} — the
+        # evolved/added column's expected values (missing key = NULL).
+        # Normalized to model's key set after every op.
+        wmodel: dict[int, int | None] | None = None
+        # versions below this are trimmed by vacuum_hours: reads fail
+        trim_floor = 0
         for kind, arg in ops:
             if kind == "append":
                 keys, part = arg
@@ -806,6 +850,10 @@ def test_tablelog_model_based(spark, ops):
                     spark, root, df, "k"
                 )
                 model.update({k: val for k in keys})
+                if wmodel is not None:
+                    # python-API merge REPLACES matched images with the
+                    # change rows, which lack w — touched keys read NULL
+                    wmodel.update({k: None for k in keys})
             elif kind == "update_mor":
                 mod, rem, val = arg
                 TL.log_update_where_mor(
@@ -835,40 +883,85 @@ def test_tablelog_model_based(spark, ops):
                     mor=mor,
                 )
                 model = {k: v for k, v in model.items() if k % mod != rem}
-            elif kind in ("sql_merge", "sql_sync"):
+            elif kind in ("sql_merge", "sql_sync", "sql_merge_evolve"):
                 upd, ins, val = arg
                 keys = sorted(set(upd) | set(ins))
                 if not keys:
                     keys = [0] if 0 in model else [10**6]
                 vname = f"hyp_sql_src_{len(snapshots)}"
-                spark.createDataFrame(
-                    [(k, val) for k in keys], f"k LONG, {val_name} LONG"
-                ).createOrReplaceTempView(vname)
-                stmt = (
-                    f"MERGE INTO `{root}` t USING {vname} s ON t.k = s.k "
-                    "WHEN MATCHED THEN UPDATE SET * "
-                    "WHEN NOT MATCHED THEN INSERT *"
-                )
-                if kind == "sql_sync":
-                    stmt += " WHEN NOT MATCHED BY SOURCE THEN DELETE"
+                if kind == "sql_merge_evolve":
+                    spark.createDataFrame(
+                        [(k, val, val) for k in keys],
+                        f"k LONG, {val_name} LONG, w LONG",
+                    ).createOrReplaceTempView(vname)
+                    stmt = (
+                        f"MERGE WITH SCHEMA EVOLUTION INTO `{root}` t "
+                        f"USING {vname} s ON t.k = s.k "
+                        "WHEN MATCHED THEN UPDATE SET * "
+                        "WHEN NOT MATCHED THEN INSERT *"
+                    )
+                else:
+                    spark.createDataFrame(
+                        [(k, val) for k in keys],
+                        f"k LONG, {val_name} LONG",
+                    ).createOrReplaceTempView(vname)
+                    stmt = (
+                        f"MERGE INTO `{root}` t USING {vname} s "
+                        "ON t.k = s.k "
+                        "WHEN MATCHED THEN UPDATE SET * "
+                        "WHEN NOT MATCHED THEN INSERT *"
+                    )
+                    if kind == "sql_sync":
+                        stmt += " WHEN NOT MATCHED BY SOURCE THEN DELETE"
                 TL.log_sql(spark, stmt)
                 if kind == "sql_sync":
+                    # survivors preserve w (SET * assigns only source
+                    # columns, r13); the key-set normalization below
+                    # drops the dead keys / NULL-fills inserts
                     model = {k: val for k in keys}
-                else:
+                elif kind == "sql_merge_evolve":
                     model.update({k: val for k in keys})
-            elif kind in ("sql_insert", "sql_overwrite"):
+                    if wmodel is None:
+                        wmodel = {}
+                    wmodel.update({k: val for k in keys})
+                else:
+                    # SET * preserves target-only w for matched keys;
+                    # INSERT * NULLs it for fresh keys (normalization)
+                    model.update({k: val for k in keys})
+            elif kind in ("sql_insert", "sql_overwrite", "sql_insert_cols"):
                 keys, val = arg
                 if not keys:
                     keys = [10**6]
                 values = ", ".join(f"({k}, {val})" for k in keys)
-                if kind == "sql_insert":
-                    TL.log_sql(spark, f"INSERT INTO `{root}` VALUES {values}")
-                    model.update({k: val for k in keys})
-                else:
+                # once `w` exists the table is 3-wide: the positional
+                # form would be an arity error — the column-list form
+                # (r13) takes over and w NULL-fills for the new rows
+                collist = (
+                    f" (k, {val_name})"
+                    if wmodel is not None or kind == "sql_insert_cols"
+                    else ""
+                )
+                if kind == "sql_insert_cols":
+                    # reversed order exercises the name mapping
+                    collist = f" ({val_name}, k)"
+                    values = ", ".join(f"({val}, {k})" for k in keys)
+                if kind == "sql_overwrite":
                     TL.log_sql(
-                        spark, f"INSERT OVERWRITE `{root}` VALUES {values}"
+                        spark,
+                        f"INSERT OVERWRITE `{root}`{collist} "
+                        f"VALUES {values}",
                     )
                     model = {k: val for k in keys}
+                    if wmodel is not None:
+                        wmodel = {}  # replaced content: all w NULL
+                else:
+                    TL.log_sql(
+                        spark,
+                        f"INSERT INTO `{root}`{collist} VALUES {values}",
+                    )
+                    model.update({k: val for k in keys})
+                    if wmodel is not None:
+                        wmodel.update({k: None for k in keys})
             elif kind == "rename":
                 n_renames += 1
                 new_name = f"val{n_renames}"
@@ -883,10 +976,45 @@ def test_tablelog_model_based(spark, ops):
                 val_name = new_name
             elif kind == "enable_lineage":
                 TL.log_enable_row_lineage(root)
+            elif kind == "add_column":
+                if wmodel is None:
+                    TL.log_sql(
+                        spark, f"ALTER TABLE `{root}` ADD COLUMN w LONG"
+                    )
+                    wmodel = {}
+                else:
+                    # w already exists: keep the one-commit-per-op
+                    # alignment with a content-no-op metadata commit
+                    TL.log_set_properties(root, {"comment": "hyp"})
+            elif kind == "vacuum_hours":
+                # age every existing manifest 2h back, trim to a 1-hour
+                # window (everything below the current latest version),
+                # then a props commit keeps the version alignment
+                import json as _json
+                import os as _os
+
+                for v in TL._versions(root)[:-1]:
+                    p = _os.path.join(
+                        TL._log_path(root), TL._manifest_name(v)
+                    )
+                    m = _json.load(open(p))
+                    m["ts"] = m["ts"] - 7200
+                    _json.dump(m, open(p, "w"))
+                TL.log_sql(spark, f"VACUUM `{root}` RETAIN 1 HOURS")
+                trim_floor = len(snapshots) - 1  # latest retained
+                TL.log_set_properties(root, {"comment": "hyp"})
             elif kind == "restore":
-                TL.log_restore(spark, root, arg)
-                model = dict(snapshots[arg][0])
-                val_name = snapshots[arg][1]
+                # a trimmed target is unreachable — clamp to the floor
+                # (the retained replay base), which restore must serve
+                tgt = max(arg, trim_floor)
+                TL.log_restore(spark, root, tgt)
+                model = dict(snapshots[tgt][0])
+                val_name = snapshots[tgt][1]
+                wmodel = (
+                    dict(snapshots[tgt][2])
+                    if snapshots[tgt][2] is not None
+                    else None
+                )
             elif kind == "compact_small":
                 TL.log_compact_small_files(
                     spark, root, small_max_rows=10**9, target_files=arg
@@ -895,14 +1023,34 @@ def test_tablelog_model_based(spark, ops):
                 TL.log_reorg_purge(spark, root, min_dead_fraction=arg)
             else:
                 TL.log_compact(spark, root, target_files=arg)
-            snapshots.append((dict(model), val_name))
-        # final state and EVERY historical version match the model,
-        # including each version's logical column names
-        for v, (snap, vname) in enumerate(snapshots):
+            if wmodel is not None:
+                # normalize to the live key set: inserts default NULL,
+                # deletes drop
+                wmodel = {k: wmodel.get(k) for k in model}
+            snapshots.append(
+                (dict(model), val_name,
+                 dict(wmodel) if wmodel is not None else None)
+            )
+        # final state and EVERY RETAINED historical version match the
+        # model, including each version's logical column names and the
+        # evolved/added column's NULL pattern; trimmed versions must
+        # fail cleanly, never serve stale data
+        for v, (snap, vname, wsnap) in enumerate(snapshots):
+            if v < trim_floor:
+                with pytest.raises(ValueError):
+                    TL.log_read(spark, root, version=v)
+                continue
             df = TL.log_read(spark, root, version=v)
-            assert set(df.columns) == {"k", vname}, f"version {v} columns"
-            got = {r["k"]: r[vname] for r in df.collect()}
+            want_cols = {"k", vname} | ({"w"} if wsnap is not None else set())
+            assert set(df.columns) == want_cols, f"version {v} columns"
+            rows = df.collect()
+            got = {r["k"]: r[vname] for r in rows}
             assert got == snap, f"version {v}: {got} != {snap}"
+            if wsnap is not None:
+                got_w = {r["k"]: r["w"] for r in rows}
+                assert got_w == {
+                    k: wsnap.get(k) for k in snap
+                }, f"version {v} w: {got_w}"
         # r9: the CHANGE DATA FEED fold theorem on the same random
         # history — for the final version and one interior version, the
         # signed-multiset fold of changes [0..v] must equal the model
@@ -917,7 +1065,9 @@ def test_tablelog_model_based(spark, ops):
         TLS.register(spark)
         fname = snapshots[-1][1]
         last_v = len(snapshots) - 1
-        for v in sorted({last_v, last_v // 2}):
+        # the fold replays changes from v0 — a trimmed history can't
+        # (and must not) serve it, so the theorem only runs untrimmed
+        for v in sorted({last_v, last_v // 2}) if trim_floor == 0 else []:
             cdf = (
                 spark.read.format("tablelog")
                 .option("path", root)
@@ -943,7 +1093,7 @@ def test_tablelog_model_based(spark, ops):
             assert got == snapshots[v][0], f"CDF fold at v{v}"
         # vacuum must not disturb any retained version
         TL.log_vacuum(root)
-        final_snap, final_name = snapshots[-1]
+        final_snap, final_name, _final_w = snapshots[-1]
         got = {
             r["k"]: r[final_name]
             for r in TL.log_read(spark, root).collect()

@@ -385,6 +385,30 @@ def test_duplicate_source_keys_raise(spark, table):
     assert TL._latest_version(table) == v  # nothing published
 
 
+def test_duplicate_source_keys_matching_nothing_pass(spark, table):
+    """ADVICE r12: Delta's 'multiple source rows matched' fires only
+    when a duplicated key ACTUALLY matches a target row — duplicates
+    on keys absent from the target are legal: ignored by MATCHED
+    clauses, inserted (both rows) by NOT MATCHED."""
+    spark.createDataFrame(
+        [(100, 111, "B"), (100, 999, "C")], "k LONG, val LONG, tag STRING"
+    ).createOrReplaceTempView("merge_sql_dup_nomatch")
+    TL.log_merge_sql(
+        spark,
+        f"MERGE INTO `{table}` t USING merge_sql_dup_nomatch s "
+        f"ON t.k = s.k WHEN MATCHED THEN UPDATE SET *",
+    )
+    assert _state(spark, table)[1] == (10, "A")  # untouched, no raise
+    TL.log_merge_sql(
+        spark,
+        f"MERGE INTO `{table}` t USING merge_sql_dup_nomatch s "
+        f"ON t.k = s.k WHEN MATCHED THEN UPDATE SET * "
+        f"WHEN NOT MATCHED THEN INSERT *",
+    )
+    got = TL.log_read(spark, table).filter("k = 100").collect()
+    assert sorted(r.val for r in got) == [111, 999]  # both inserted
+
+
 def test_by_source_update(spark, table):
     """WHEN NOT MATCHED BY SOURCE THEN UPDATE SET (Delta form): rows
     absent from the source get the SET applied; matched rows keep their
@@ -555,6 +579,17 @@ def test_insert_into_and_overwrite_sql(spark, root):
         TL.log_sql(spark, f"INSERT INTO `{root}` VALUES (1, 2)")
 
 
+def test_vacuum_fractional_versions_is_syntax_error(spark, root):
+    """ADVICE r12: 'RETAIN 2.5 VERSIONS' must be a clean syntax error
+    (decimals are legal only with HOURS), not an int() crash."""
+    TL.log_append(
+        spark, root, spark.createDataFrame([(1, 1)], "k LONG, v LONG")
+    )
+    with pytest.raises(ValueError, match="integer"):
+        TL.log_sql(spark, f"VACUUM `{root}` RETAIN 2.5 VERSIONS")
+    assert TL.log_sql(spark, f"VACUUM `{root}` RETAIN 2.5 HOURS") == []
+
+
 def test_vacuum_retain_hours(spark, root):
     """VACUUM RETAIN n HOURS (Delta's time-based retention): versions
     inside the window stay time-travelable; a 0-hour window trims to
@@ -687,3 +722,36 @@ def test_update_delete_statement_aliases(spark, root):
     assert got[1] == (10, "A")
     TL.log_sql(spark, f"DELETE FROM `{root}` t WHERE t.k >= 6")
     assert set(_state(spark, root)) == set(range(6))
+
+
+def test_set_star_preserves_target_only_columns(spark, root):
+    """Delta's star semantics assign BY NAME from the SOURCE columns:
+    UPDATE SET * preserves a target-only column, INSERT * NULLs it
+    (r13 — `s.col` for a column the source lacks was an analysis
+    error before)."""
+    TL.log_append(
+        spark,
+        root,
+        spark.createDataFrame(
+            [(1, 10, "a"), (2, 20, "b")], "k LONG, val LONG, w STRING"
+        ),
+    )
+    spark.createDataFrame(
+        [(1, 111), (5, 5)], "k LONG, val LONG"
+    ).createOrReplaceTempView("merge_sql_starsrc")
+    TL.log_merge_sql(
+        spark,
+        f"MERGE INTO `{root}` t USING merge_sql_starsrc s ON t.k = s.k "
+        "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *",
+    )
+    got = {r.k: (r.val, r.w) for r in TL.log_read(spark, root).collect()}
+    assert got == {1: (111, "a"), 2: (20, "b"), 5: (5, None)}
+    # the replace branch (BY SOURCE) preserves target-only columns too
+    TL.log_merge_sql(
+        spark,
+        f"MERGE INTO `{root}` t USING merge_sql_starsrc s ON t.k = s.k "
+        "WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED BY SOURCE THEN DELETE",
+    )
+    got = {r.k: (r.val, r.w) for r in TL.log_read(spark, root).collect()}
+    assert got == {1: (111, "a"), 5: (5, None)}

@@ -608,3 +608,100 @@ def test_wide_predicate_mor_degrades_to_cow(spark, root):
     v3 = {(k, s, p) for k, s, p in _rows(spark, root, version=3)}
     assert _rows(spark, root) == {(k, s, round(p + 10, 2))
                                   for k, s, p in v3}
+
+
+# ---------------------------------------------------------------------------
+# distributed DV writes: positions never reach the driver (VERDICT r12 #4)
+# ---------------------------------------------------------------------------
+
+@pytest.fixture()
+def _spy_no_driver_positions(monkeypatch):
+    """Fail the test if the driver-side position path runs."""
+    def _boom(*a, **k):
+        raise AssertionError(
+            "driver-side _positions_by_file ran on a wide MoR batch"
+        )
+
+    monkeypatch.setattr(TL, "_positions_by_file", _boom)
+    # shrink the cutoff so sf0.001-sized fixtures exercise the wide path
+    monkeypatch.setattr(TL, "MOR_DRIVER_POSITIONS_MAX", 10)
+
+
+def _wide_table(spark, root, n=4000):
+    TL.log_append(
+        spark,
+        root,
+        spark.range(n)
+        .select(
+            F.col("id").alias("k"),
+            (F.col("id") % 7).alias("g"),
+            (F.col("id") * 1.5).alias("x"),
+        )
+        .repartition(4),
+    )
+    return n
+
+
+def test_mor_delete_wide_batch_never_ships_positions(
+    spark, root, _spy_no_driver_positions
+):
+    n = _wide_table(spark, root)
+    v = TL.log_delete_where_mor(spark, root, "k % 2 = 0")
+    m = TL._read_manifest(root, v)
+    assert m["action"] == "delete_mor" and m["dv_set"]
+    got = TL.log_read(spark, root)
+    assert got.count() == n // 2
+    assert got.filter("k % 2 = 0").count() == 0
+    # re-delete unions with the existing vectors, still executor-side
+    TL.log_delete_where_mor(spark, root, "k % 3 = 0")
+    assert TL.log_read(spark, root).filter("k % 3 = 0").count() == 0
+    assert TL.log_read(spark, root).count() == n - n // 2 - len(
+        [k for k in range(n) if k % 2 and k % 3 == 0]
+    )
+
+
+def test_mor_update_wide_batch_never_ships_positions(
+    spark, root, _spy_no_driver_positions
+):
+    n = _wide_table(spark, root)
+    v = TL.log_update_where_mor(
+        spark, root, "k % 2 = 0", {"x": "x + 100"}
+    )
+    m = TL._read_manifest(root, v)
+    assert m["action"] == "update_mor" and m["dv_set"] and m["live_add"]
+    got = {r.k: r.x for r in TL.log_read(spark, root).collect()}
+    assert len(got) == n
+    assert got[0] == 100.0 and got[2] == 103.0 and got[1] == 1.5
+
+
+def test_mor_merge_wide_batch_never_ships_positions(
+    spark, root, _spy_no_driver_positions
+):
+    n = _wide_table(spark, root)
+    changes = spark.range(0, n, 2).select(
+        F.col("id").alias("k"),
+        F.lit(99).cast("long").alias("g"),
+        F.lit(-1.0).alias("x"),
+    )
+    v = TL.log_merge_mor(spark, root, changes, "k")
+    m = TL._read_manifest(root, v)
+    assert m["action"] == "merge_mor" and m["dv_set"]
+    got = {r.k: (r.g, r.x) for r in TL.log_read(spark, root).collect()}
+    assert len(got) == n
+    assert got[0] == (99, -1.0) and got[1] == (1 % 7, 1.5)
+
+
+def test_mor_small_batch_still_uses_driver_writer(spark, root, monkeypatch):
+    """Below the cutoff the zero-extra-stage pyarrow path still runs —
+    the hybrid keeps point deletes cheap."""
+    calls = []
+    orig = TL._write_deletion_vectors
+
+    def _spy(*a, **k):
+        calls.append(1)
+        return orig(*a, **k)
+
+    monkeypatch.setattr(TL, "_write_deletion_vectors", _spy)
+    _wide_table(spark, root, n=100)
+    TL.log_delete_where_mor(spark, root, "k < 10")
+    assert calls and TL.log_read(spark, root).count() == 90

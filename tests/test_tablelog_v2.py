@@ -972,3 +972,95 @@ def test_cow_update_registry_entry_runs(spark):
     o = spark.read.parquet(os.path.join(SF, "orders.parquet"))
     assert out.count() == o.count()
     assert out.filter("o_orderstatus = 'U'").count() > 0
+
+
+# ---------------------------------------------------------------------------
+# drop → re-add never reuses a live physical name (ADVICE r12 high)
+# ---------------------------------------------------------------------------
+
+def test_readd_dropped_column_does_not_resurface_old_data(spark, root):
+    """Delta column mapping never reuses physical names: after DROP
+    COLUMN, the dropped data stays in old files under its physical
+    name — a column RE-ADDED with the same logical name must get a
+    FRESH physical name, so pre-drop rows read NULL, never the dead
+    values."""
+    df = spark.createDataFrame(
+        [(k, f"s{k}") for k in range(5)], "k LONG, tag STRING"
+    )
+    TL.log_append(spark, root, df)
+    TL.log_rename_column(root, "k", "key")  # table enters mapping
+    TL.log_drop_column(root, "tag")
+    assert set(TL.log_read(spark, root).columns) == {"key"}
+    # re-add `tag` via append: only the new rows carry values
+    TL.log_append(
+        spark, root,
+        spark.createDataFrame([(100, "new")], "key LONG, tag STRING"),
+    )
+    state = TL._snapshot(root)
+    # the re-added column must NOT map to the retired physical name
+    assert state["colmap"]["tag"] != "tag"
+    got = {r.key: r.tag for r in TL.log_read(spark, root).collect()}
+    assert got[100] == "new"
+    assert all(got[k] is None for k in range(5))  # dead data stays dead
+    # time travel to the pre-drop era still shows the original values
+    v0 = {r.key if hasattr(r, "key") else r.k
+          for r in TL.log_read(spark, root, version=0).collect()}
+    assert len(v0) == 5
+
+
+def test_readd_dropped_column_via_merge_evolution(spark, root):
+    """Same invariant through the MERGE schema-evolution writers (CoW
+    and the SQL router): the evolved column gets a fresh physical
+    name, untouched pre-drop rows read NULL."""
+    df = spark.createDataFrame(
+        [(k, k * 10) for k in range(4)], "k LONG, val LONG"
+    )
+    TL.log_append(spark, root, df)
+    TL.log_rename_column(root, "val", "amount")
+    TL.log_drop_column(root, "amount")
+    ch = spark.createDataFrame(
+        [(1, 999), (50, 5)], "k LONG, amount LONG"
+    )
+    TL.log_merge(spark, root, ch, "k")
+    state = TL._snapshot(root)
+    # the dead data lives under physical `val` — the re-added logical
+    # column must not alias it
+    assert state["colmap"]["amount"] != "val"
+    got = {r.k: r.amount for r in TL.log_read(spark, root).collect()}
+    assert got[1] == 999 and got[50] == 5
+    assert got[2] is None and got[3] is None  # NOT 20 / 30
+
+
+def test_reserved_physicals_cover_live_footers(spark, root):
+    """The reserve-set invariant that makes the re-add fix safe: at
+    every point — append, drop, compact (which carries dropped
+    physical data through content-identically), evolved append — the
+    manifest-derived reserve set COVERS the union of live files'
+    footer column names, so _extend_colmap can never alias live
+    data. Re-adding after a compact stays correct."""
+    import pyarrow.parquet as pq
+
+    def footers():
+        st = TL._snapshot(root)
+        names = set()
+        for f in st["live"]:
+            names.update(pq.read_schema(os.path.join(root, f)).names)
+        return names - {TL._ROWID_COL}
+
+    df = spark.createDataFrame(
+        [(k, f"s{k}") for k in range(5)], "k LONG, tag STRING"
+    )
+    TL.log_append(spark, root, df)
+    TL.log_rename_column(root, "k", "key")
+    TL.log_drop_column(root, "tag")
+    assert TL._reserved_physicals(TL._snapshot(root)) >= footers()
+    TL.log_compact(spark, root, target_files=1)
+    assert TL._reserved_physicals(TL._snapshot(root)) >= footers()
+    TL.log_append(
+        spark, root,
+        spark.createDataFrame([(100, "new")], "key LONG, tag STRING"),
+    )
+    assert TL._reserved_physicals(TL._snapshot(root)) >= footers()
+    got = {r.key: r.tag for r in TL.log_read(spark, root).collect()}
+    assert got[100] == "new"
+    assert all(got[k] is None for k in range(5))
