@@ -153,6 +153,11 @@ OPTIONAL = [
     # the DV-write and probe costs are visible round-over-round next to
     # the CoW writer entries above
     "tablelog_mor_update",
+    # round-13 addition: the schema-evolution DDL surface (rename/drop/
+    # metadata re-add, column-list INSERT, CoW fill of the
+    # unmaterialized column, byte-target OPTIMIZE) — baselined the
+    # round it rotates into the graded window, like every new family
+    "tablelog_schema_evolution",
 ]
 #: Entries whose wall time is sf-INVARIANT fixed machinery (measured
 #: identical at sf0.01 and sf0.1 across rounds 4-5): streaming

@@ -297,6 +297,12 @@ def _empty_state() -> dict:
         # vacuum trims; None watermark = legacy prefix (replay fallback)
         "rowid_bases": {},
         "rowid_watermark": None,
+        # TYPE WIDENING (r13, Delta 4.0 shape): physical column ->
+        # widened Spark simple type. Metadata-only; scans of a widened
+        # table pass an explicit schema (upcast reads are native in
+        # Spark 4's parquet readers) so old-type and new-type files
+        # coexist under one snapshot
+        "widen": {},
     }
 
 
@@ -333,6 +339,7 @@ def _state_from_full(root: str, m: dict) -> dict:
         "props": dict(m.get("props", {})),
         "rowid_bases": dict(m.get("rowid_bases", {})),
         "rowid_watermark": m.get("rowid_watermark"),
+        "widen": dict(m.get("widen", {})),
     }
 
 
@@ -376,6 +383,8 @@ def _apply_delta(state: dict, m: dict) -> dict:
         }
     if m.get("rowid_watermark") is not None:
         state["rowid_watermark"] = m["rowid_watermark"]
+    if m.get("widen_set"):
+        state["widen"] = {**state["widen"], **m["widen_set"]}
     if m.get("stream_batch_id") is not None:
         qk = m.get("stream_query_key", "")
         prev = state["stream_txn"].get(qk)
@@ -423,6 +432,37 @@ def _snapshot(root: str, version: int | None = None) -> dict:
         state = _empty_state()
     for m in reversed(deltas):
         _apply_delta(state, m)
+    if state["widen"]:
+        # a WIDENED column's recorded stats/blooms/partition values
+        # were computed under the OLD type — comparisons against
+        # new-type probe values are no longer trustworthy across every
+        # (type, transform) pair, and pruning must be SAFE-ONLY: strip
+        # the widened physicals from the skipping metadata once, here,
+        # so every probe path simply stops skipping on those columns
+        # (files keep scanning correctly; fresh writes re-record stats
+        # under the new type and resume skipping)
+        wide = set(state["widen"])
+        state["stats"] = {
+            f: {c: v for c, v in s.items() if c not in wide}
+            for f, s in state["stats"].items()
+        }
+        state["blooms"] = {
+            f: {c: v for c, v in b.items() if c not in wide}
+            for f, b in state["blooms"].items()
+        }
+        parts = {}
+        for f, rec in state["parts"].items():
+            kept = {}
+            for spec, val in rec.items():
+                try:
+                    _k, _n, col = _parse_transform(spec)
+                except ValueError:
+                    continue
+                if col not in wide:
+                    kept[spec] = val
+            if kept:
+                parts[f] = kept
+        state["parts"] = parts
     return state
 
 
@@ -572,6 +612,7 @@ def _read_checkpoint(root: str, version: int) -> dict | None:
             "props": dict(meta.get("props", {})),
             "rowid_bases": rowid_bases,
             "rowid_watermark": meta.get("rowid_watermark"),
+            "widen": dict(meta.get("widen", {})),
             # checkpoints written before the ledger existed can't prove
             # the absence of earlier stream commits — mark incomplete so
             # the sink's replay check falls back to the full walk
@@ -646,6 +687,7 @@ def log_checkpoint(root: str, version: int | None = None) -> int:
             "constraints": state["constraints"],
             "props": state["props"],
             "rowid_watermark": state["rowid_watermark"],
+            "widen": state["widen"],
         }
         # only claim ledger completeness when the resolved state can:
         # a checkpoint over a legacy (pre-ledger) prefix must keep the
@@ -803,12 +845,24 @@ def _schema_from_manifest(state: dict):
     shape)."""
     from pyspark.sql.types import StructType
 
+    from pyspark.sql.types import StructField
+
+    widen = state.get("widen") or {}
     merged = StructType()
     seen: set[str] = {_ROWID_COL}  # hidden lineage column never surfaces
     for s in state["schemas"]:
         for f in _type_from_simple_string(s).fields:
             if f.name not in seen:
                 seen.add(f.name)
+                if f.name in widen:
+                    # TYPE WIDENING override: the snapshot's type is
+                    # the widened one regardless of which file schema
+                    # was recorded first
+                    f = StructField(
+                        f.name,
+                        _type_from_simple_string(widen[f.name]),
+                        True,
+                    )
                 merged.add(f)
     return merged
 
@@ -1022,6 +1076,98 @@ def log_add_column(root: str, col: str, type_str: str) -> int:
     manifest["schemas"] = sorted(
         set(state["schemas"]) | {f"struct<{p}:{canon}>"}
     )
+    return _commit(root, base + 1, manifest)
+
+
+#: legal metadata-only widenings (Delta 4.0's type-widening matrix,
+#: the subset Spark 4's parquet readers upcast natively): integral
+#: up-moves, integral/float → double, integral → decimal with enough
+#: integer digits, decimal precision/scale growth, date → timestamp_ntz
+_INT_RANK = {"tinyint": 1, "smallint": 2, "int": 3, "bigint": 4}
+_INT_DIGITS = {"tinyint": 3, "smallint": 5, "int": 10, "bigint": 20}
+
+
+def _widening_ok(old: str, new: str) -> bool:
+    dm_old = re.match(r"decimal\((\d+),(\d+)\)$", old)
+    dm_new = re.match(r"decimal\((\d+),(\d+)\)$", new)
+    if old in _INT_RANK:
+        if new in _INT_RANK:
+            return _INT_RANK[new] > _INT_RANK[old]
+        if new == "double":
+            return True
+        if dm_new:
+            p, s = int(dm_new.group(1)), int(dm_new.group(2))
+            return p - s >= _INT_DIGITS[old]
+        return False
+    if old == "float":
+        return new == "double"
+    if dm_old and dm_new:
+        p1, s1 = int(dm_old.group(1)), int(dm_old.group(2))
+        p2, s2 = int(dm_new.group(1)), int(dm_new.group(2))
+        return (p2, s2) != (p1, s1) and s2 >= s1 and p2 - s2 >= p1 - s1
+    if old == "date":
+        return new == "timestamp_ntz"
+    return False
+
+
+def log_alter_column_type(root: str, col: str, type_str: str) -> int:
+    """ALTER TABLE ... ALTER COLUMN c TYPE t as a METADATA-ONLY commit
+    (Delta 4.0 type widening): no data file is touched — the manifest
+    records the widened type per physical column, reads pass an
+    explicit schema (Spark 4's parquet readers upcast int→long,
+    float→double, int→decimal, date→timestamp_ntz natively), and
+    files written before and after the widen coexist under one
+    snapshot. Only WIDENING moves are legal (:func:`_widening_ok`);
+    a column feeding a bucket partition transform refuses (the bucket
+    hash is type-dependent — rewrite first). Skipping metadata
+    (stats/blooms/partition values) recorded under the old type stops
+    being used for the column (safe-only; scans stay correct)."""
+    base = _latest_version(root)
+    if base is None:
+        raise ValueError(f"no table at {root}")
+    state = _snapshot(root, base)
+    colmap = state["colmap"]
+    p = (colmap or {}).get(col, col)
+    schema = _schema_from_manifest(state)
+    by_name = {f.name: f for f in schema.fields}
+    if (colmap is not None and col not in colmap) or p not in by_name:
+        raise ValueError(f"no such column: {col}")
+    try:
+        canon = _type_from_simple_string(
+            type_str.strip().lower()
+        ).simpleString()
+    except Exception:
+        raise ValueError(f"invalid column type: {type_str!r}") from None
+    old = by_name[p].dataType.simpleString()
+    if not _widening_ok(old, canon):
+        raise ValueError(
+            f"cannot change column {col!r} from {old} to {canon} — "
+            "only widening type changes are supported (int family up, "
+            "int/float to double, int to decimal, decimal growth, "
+            "date to timestamp_ntz)"
+        )
+    for rec in state["parts"].values():
+        for spec in rec:
+            try:
+                kind, _n, c = _parse_transform(spec)
+            except ValueError:
+                continue
+            if c == p and kind == "bucket":
+                raise ValueError(
+                    f"cannot widen {col!r}: it feeds bucket transform "
+                    f"{spec!r} and the bucket hash is type-dependent — "
+                    "rewrite the table (OPTIMIZE) without the bucket "
+                    "layout first"
+                )
+    manifest = {
+        "version": base + 1,
+        "action": "alter_column_type",
+        "add": [],
+        "remove": [],
+        "schemas": state["schemas"],
+        "widen_set": {p: canon},
+        "ts": time.time(),
+    }
     return _commit(root, base + 1, manifest)
 
 
@@ -2037,10 +2183,8 @@ def log_read(
         # empty scan over ALL live files with a false filter (ADVICE r7:
         # under schema evolution a single file may predate later-added
         # physical columns and would narrow the fully-pruned result)
-        reader = (
-            spark.read.option("mergeSchema", "true")
-            if len(state["schemas"]) > 1
-            else spark.read
+        reader = _parquet_reader(
+            spark, root, state, len(state["schemas"]) > 1
         )
         empty = reader.parquet(
             *[os.path.join(root, f) for f in state["live"]]
@@ -2048,7 +2192,9 @@ def log_read(
         empty = _fill_missing_physicals(empty, state)
         return _to_logical(empty, colmap).drop(_ROWID_COL)
     merge = len(state["schemas"]) > 1
-    df = _read_with_dv(spark, root, files, state["dv"], merge_schema=merge)
+    df = _read_with_dv(
+        spark, root, files, state["dv"], merge_schema=merge, state=state
+    )
     # metadata-only ADD COLUMN: fields no file carries read as NULL
     df = _fill_missing_physicals(df, state)
     # the hidden lineage column (row_lineage rewrites) never surfaces
@@ -2084,9 +2230,9 @@ def log_delete_where(spark: SparkSession, root: str, predicate: str) -> int:
     if candidates:
         snap = _to_logical_loose(
             _fill_missing_physicals(
-                spark.read.option(
-                    "mergeSchema", "true" if merge else "false"
-                ).parquet(*[os.path.join(root, f) for f in candidates]),
+                _parquet_reader(spark, root, state, merge).parquet(
+                    *[os.path.join(root, f) for f in candidates]
+                ),
                 state,
             ),
             colmap,
@@ -2120,7 +2266,7 @@ def log_delete_where(spark: SparkSession, root: str, predicate: str) -> int:
         _fill_missing_physicals(
             _read_with_dv(
                 spark, root, affected, dvs, merge_schema=merge,
-                keep_id=lineage,
+                keep_id=lineage, state=state,
             ),
             state,
         ),
@@ -2211,9 +2357,9 @@ def log_update_where(
     if candidates:
         snap = _to_logical_loose(
             _fill_missing_physicals(
-                spark.read.option(
-                    "mergeSchema", "true" if merge else "false"
-                ).parquet(*[os.path.join(root, f) for f in candidates]),
+                _parquet_reader(spark, root, state, merge).parquet(
+                    *[os.path.join(root, f) for f in candidates]
+                ),
                 state,
             ),
             colmap,
@@ -2246,7 +2392,7 @@ def log_update_where(
         _fill_missing_physicals(
             _read_with_dv(
                 spark, root, affected, dvs, merge_schema=merge,
-                keep_id=lineage,
+                keep_id=lineage, state=state,
             ),
             state,
         ),
@@ -2510,9 +2656,9 @@ def log_merge(
     probe_files = _merge_probe_files(spark, state, keys, phys_key)
     affected: list[str] = []
     if probe_files:
-        snap = spark.read.option(
-            "mergeSchema", "true" if merge_sch else "false"
-        ).parquet(*[os.path.join(root, f) for f in probe_files])
+        snap = _parquet_reader(spark, root, state, merge_sch).parquet(
+            *[os.path.join(root, f) for f in probe_files]
+        )
         # input_file_name() must bind below the join (single-source
         # rule): project it on the scan side, THEN semi-join the keys
         probe = snap.select(
@@ -2536,7 +2682,7 @@ def log_merge(
         # resurrect); the affected files' vectors then retire
         live_rows = _read_with_dv(
             spark, root, affected, dvs, merge_schema=merge_sch,
-            keep_id=lineage,
+            keep_id=lineage, state=state,
         )
         if lineage:
             live_rows = _materialize_lineage(
@@ -2675,7 +2821,7 @@ def log_compact(
     snap = _fill_missing_physicals(
         _read_with_dv(
             spark, root, live, state["dv"], merge_schema=merge_sch,
-            keep_id=lineage,
+            keep_id=lineage, state=state,
         ),
         state,
     )
@@ -3341,7 +3487,8 @@ def log_delete_where_mor(
         snap = _to_logical_loose(
             _fill_missing_physicals(
                 _read_with_dv(
-                    spark, root, candidates, dvs, merge_schema=merge_sch
+                    spark, root, candidates, dvs,
+                    merge_schema=merge_sch, state=state,
                 ),
                 state,
             ),
@@ -3465,7 +3612,7 @@ def log_update_where_mor(
             _fill_missing_physicals(
                 _read_with_dv(
                     spark, root, candidates, dvs,
-                    merge_schema=merge_sch, keep_id=True,
+                    merge_schema=merge_sch, keep_id=True, state=state,
                 ),
                 state,
             ),
@@ -3618,7 +3765,7 @@ def log_merge_mor(
         # matched old images feed the vectors AND the pre-image sidecar
         live_rows = _read_with_dv(
             spark, root, probe_files, dvs,
-            merge_schema=merge_sch, keep_id=True,
+            merge_schema=merge_sch, keep_id=True, state=state,
         )
         matched_pre = live_rows.join(
             F.broadcast(keys), phys_keys, "left_semi"
@@ -4444,12 +4591,16 @@ def log_sql(spark: SparkSession, statement: str, mor: bool = False):
         RESTORE `root` TO TIMESTAMP AS OF ts   -> log_restore_timestamp
         DESCRIBE HISTORY `root`                -> log_history(metrics)
         DESCRIBE DETAIL `root`                 -> log_detail
+        CREATE [OR REPLACE] TABLE `root` AS SELECT ...  (CTAS: create a
+            new table from a query — OR REPLACE = one atomic content
+            replace when the table already exists)
+        SHOW TBLPROPERTIES `root`              -> the props dict
 
     DML returns the committed version; VACUUM the deleted paths;
-    DESCRIBE the history list / detail dict. ``mor=True`` selects the
-    merge-on-read writers for the DML forms. Reads stay on the
-    DataFrame/view surface (``register_sql_view``) where Spark itself
-    is the SQL engine."""
+    DESCRIBE the history list / detail dict; SHOW TBLPROPERTIES the
+    dict. ``mor=True`` selects the merge-on-read writers for the DML
+    forms. Reads stay on the DataFrame/view surface
+    (``register_sql_view``) where Spark itself is the SQL engine."""
     text = statement.strip().rstrip(";")
     flags = re.IGNORECASE | re.DOTALL
     head = text.split(None, 1)[0].upper() if text.split() else ""
@@ -4544,6 +4695,38 @@ def log_sql(spark: SparkSession, statement: str, mor: bool = False):
         return _log_alter_sql(spark, text, flags)
     if head == "INSERT":
         return _log_insert_sql(spark, text, flags)
+    if head == "CREATE":
+        m = re.match(
+            r"CREATE\s+(OR\s+REPLACE\s+)?TABLE\s+`([^`]+)`\s+AS\s+(.+)$",
+            text,
+            flags,
+        )
+        if m is None:
+            raise ValueError(
+                "unsupported CREATE syntax — expected: CREATE "
+                "[OR REPLACE] TABLE `<root>` AS SELECT ..."
+            )
+        replace, root, query = m.groups()
+        df = spark.sql(query.strip())
+        exists = _latest_version(root) is not None
+        if exists and not replace:
+            raise ValueError(
+                f"table already exists at {root} — use CREATE OR "
+                "REPLACE TABLE to overwrite"
+            )
+        if exists:
+            # one atomic content-replace commit; history stays
+            # time-travelable across the replace
+            return _log_replace_content(spark, root, df, action="overwrite")
+        return log_append(spark, root, df)
+    if head == "SHOW":
+        m = re.match(r"SHOW\s+TBLPROPERTIES\s+`([^`]+)`$", text, flags)
+        if m is None:
+            raise ValueError(
+                "unsupported SHOW syntax — expected: SHOW "
+                "TBLPROPERTIES `<root>`"
+            )
+        return dict(_snapshot(m.group(1))["props"])
     raise ValueError(f"unsupported statement: {text[:60]!r}")
 
 
@@ -4555,6 +4738,8 @@ def _log_alter_sql(spark: SparkSession, text: str, flags) -> int:
         ALTER TABLE `root` DROP COLUMN col            -> log_drop_column
         ALTER TABLE `root` ADD COLUMN c TYPE          -> log_add_column
         ALTER TABLE `root` ADD COLUMNS (c1 T1, ...)   -> log_add_column per col
+        ALTER TABLE `root` ALTER COLUMN c TYPE t      -> log_alter_column_type
+                                                         (widening only)
         ALTER TABLE `root` ADD CONSTRAINT n CHECK (e) -> log_add_constraint
         ALTER TABLE `root` DROP CONSTRAINT n          -> log_drop_constraint
         ALTER TABLE `root` SET TBLPROPERTIES
@@ -4593,6 +4778,11 @@ def _log_alter_sql(spark: SparkSession, text: str, flags) -> int:
         if v is None:
             raise ValueError("ADD COLUMNS needs at least one column")
         return v
+    m = re.match(
+        r"ALTER\s+COLUMN\s+(\w+)\s+TYPE\s+(.+)$", rest, flags
+    )
+    if m:
+        return log_alter_column_type(root, m.group(1), m.group(2))
     m = re.match(
         r"ADD\s+CONSTRAINT\s+(\w+)\s+CHECK\s*\((.*)\)$", rest, flags
     )
@@ -4726,6 +4916,37 @@ def _split_top_level(text: str) -> list[str]:
     return out
 
 
+def _physical_read_schema(root: str, state: dict | None):
+    """Explicit scan schema for a TYPE-WIDENED table; None when the
+    table has no widening (callers then keep the schema-inference /
+    mergeSchema path, byte-identical to pre-widening behavior). The
+    schema is the manifest union with widen overrides — Spark 4's
+    parquet readers upcast each file's narrower physical type natively,
+    and old-type/new-type files coexist under the one snapshot schema
+    (plain mergeSchema would refuse to merge int32 with int64). The
+    hidden lineage column rides along when the table materializes it;
+    a field absent from a file reads as typed NULL exactly like
+    mergeSchema."""
+    if not state or not state.get("widen"):
+        return None
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    fields = list(_schema_from_manifest(state).fields)
+    if state["props"].get("row_lineage"):
+        fields.append(StructField(_ROWID_COL, LongType()))
+    return StructType(fields)
+
+
+def _parquet_reader(spark: SparkSession, root: str, state, merge: bool):
+    """The scan entry point every tablelog read shares: explicit
+    widened schema when the table has type widening, otherwise plain
+    schema inference with mergeSchema as requested."""
+    rs = _physical_read_schema(root, state)
+    if rs is not None:
+        return spark.read.schema(rs)
+    return spark.read.option("mergeSchema", "true" if merge else "false")
+
+
 def _read_with_dv(
     spark: SparkSession,
     root: str,
@@ -4733,18 +4954,21 @@ def _read_with_dv(
     dvs: dict[str, str],
     merge_schema: bool = False,
     keep_id: bool = False,
+    state: dict | None = None,
 ) -> DataFrame:
     """Scan ``files`` with deletion vectors applied: rows whose
     (file, row_index) appears in a vector are filtered by ONE broadcast
     anti-join. The DV side is KB-sized by construction. With
     ``keep_id`` the surviving rows keep their physical identity as
     ``_fpn`` (decoded absolute file path) / ``_ri`` (row index) —
-    the MoR write paths need it to build new vectors."""
+    the MoR write paths need it to build new vectors. ``state``
+    activates the explicit widened-schema scan on type-widened tables
+    (and is otherwise behavior-neutral)."""
     from pyspark.sql import functions as F
 
-    df = spark.read.option(
-        "mergeSchema", "true" if merge_schema else "false"
-    ).parquet(*[os.path.join(root, f) for f in files])
+    df = _parquet_reader(spark, root, state, merge_schema).parquet(
+        *[os.path.join(root, f) for f in files]
+    )
     needed = {f: dv for f, dv in dvs.items() if f in set(files)}
     if not needed:
         if keep_id:
@@ -4833,6 +5057,13 @@ def _log_changes_files(
     (decoded file path, row index) — mirroring the executor-side
     design the streaming CDF reader already has."""
     m = _read_manifest(root, version)
+    # widened tables need the explicit upcast schema for any read that
+    # can span pre-widen files (rdr == plain spark.read otherwise)
+    _st = _snapshot(root, version)
+
+    def _rdr():
+        return _parquet_reader(spark, root, _st, False)
+
     if (
         m.get("cdf_pre") is not None
         or m.get("cdf_post") is not None
@@ -4850,13 +5081,13 @@ def _log_changes_files(
         # the fallback for legacy manifests, appends, and RESTORE.
         post = list(m.get("cdf_post") or []) + list(m.get("cdf_ins") or [])
         add = (
-            spark.read.parquet(*[os.path.join(root, f) for f in post])
+            _rdr().parquet(*[os.path.join(root, f) for f in post])
             if post
             else None
         )
         pre = m.get("cdf_pre", [])
         rem = (
-            spark.read.parquet(*[os.path.join(root, f) for f in pre])
+            _rdr().parquet(*[os.path.join(root, f) for f in pre])
             if pre
             else None
         )
@@ -4914,7 +5145,7 @@ def _log_changes_files(
                 _positions(old_pairs), ["_datp", "_ri"], "left_anti"
             )
         rem = (
-            spark.read.parquet(
+            _rdr().parquet(
                 *[os.path.join(root, f) for f in sorted(changed)]
             )
             .select(
@@ -4928,12 +5159,12 @@ def _log_changes_files(
         return None, rem
     live_add = m.get("live_add", m["add"])
     add = (
-        spark.read.parquet(*[os.path.join(root, f) for f in live_add])
+        _rdr().parquet(*[os.path.join(root, f) for f in live_add])
         if live_add
         else None
     )
     rem = (
-        spark.read.parquet(*[os.path.join(root, f) for f in m["remove"]])
+        _rdr().parquet(*[os.path.join(root, f) for f in m["remove"]])
         if m["remove"]
         else None
     )
@@ -5805,6 +6036,7 @@ def log_compact_small_files(
             {f: d for f, d in state["dv"].items() if f in set(fs)},
             merge_schema=merge_sch,
             keep_id=lineage,
+            state=state,
         )
         if lineage:  # content-identical bin-pack: every id carries
             packed = _materialize_lineage(spark, root, packed, base).drop(
@@ -5988,6 +6220,7 @@ def log_reorg_purge(
         {f: d for f, d in state["dv"].items() if f in set(victims)},
         merge_schema=merge_sch,
         keep_id=lineage,
+        state=state,
     )
     if lineage:  # DV materialization carries the surviving ids
         survivors = _materialize_lineage(
@@ -6401,6 +6634,159 @@ ORDER BY o_orderkey
 """
 
 
+def tablelog_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry (r13, rotated into the graded window per the
+    standing protocol — grades the round's new DDL surface AND the
+    ADVICE r12 physical-name-reuse fix at driver level). Fixture, all
+    statements through :func:`log_sql`::
+
+        v0  append orders
+        v1  ALTER TABLE RENAME COLUMN o_totalprice TO price  (mapping)
+        v2  ALTER TABLE DROP COLUMN price      (dead physical
+                                                o_totalprice stays in
+                                                the files)
+        v3  ALTER TABLE ADD COLUMN price DOUBLE  (metadata-only re-add:
+                                                MUST draw a fresh
+                                                physical — the dead
+                                                data must read NULL,
+                                                never the old prices)
+        v4  INSERT INTO (o_orderkey, o_orderstatus, price) VALUES ...
+                                                (column-list form, two
+                                                sentinel rows)
+        v5  UPDATE t SET price = 2.5 WHERE t.o_orderkey % 10 = 0
+                                                (CoW rewrite fills the
+                                                unmaterialized column
+                                                through
+                                                _fill_missing_physicals
+                                                and the dead-physical
+                                                collision projection)
+        v6  SET TBLPROPERTIES optimize.target_file_bytes + OPTIMIZE
+                                                (byte-target bin-pack,
+                                                content-invariant)
+
+    Oracle: NULL price everywhere except the updated slice and the
+    sentinels — if the dropped column's physical name were reused, the
+    hash would surface the pre-drop prices instead of NULLs."""
+    import tempfile
+
+    from ..catalog import load_table
+
+    cols = ["o_orderkey", "o_orderstatus", "o_totalprice"]
+    orders = load_table(spark, sf_dir, "orders").select(*cols)
+    root = tempfile.mkdtemp(prefix="tablelog_schevo_")
+    try:
+        log_append(spark, root, orders.coalesce(3))
+        log_sql(
+            spark,
+            f"ALTER TABLE `{root}` RENAME COLUMN o_totalprice TO price",
+        )
+        log_sql(spark, f"ALTER TABLE `{root}` DROP COLUMN price")
+        log_sql(spark, f"ALTER TABLE `{root}` ADD COLUMN price DOUBLE")
+        assert _snapshot(root)["colmap"]["price"] != "o_totalprice"
+        log_sql(
+            spark,
+            f"INSERT INTO `{root}` (o_orderkey, o_orderstatus, price) "
+            "VALUES (90000011, 'Z', 1.5), (90000012, 'Z', 7.5)",
+        )
+        log_sql(
+            spark,
+            f"UPDATE `{root}` t SET price = 2.5 "
+            "WHERE t.o_orderkey % 10 = 0",
+        )
+        log_sql(
+            spark,
+            f"ALTER TABLE `{root}` SET TBLPROPERTIES "
+            "('optimize.target_file_bytes' = '134217728')",
+        )
+        log_sql(spark, f"OPTIMIZE `{root}`")
+        out = (
+            log_read(spark, root)
+            .select("o_orderkey", "o_orderstatus", "price")
+            .orderBy("o_orderkey")
+        )
+        return _materialized_scan(spark, out)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+TABLELOG_SCHEMA_EVOLUTION_SQL = """
+SELECT o_orderkey, o_orderstatus,
+       CASE WHEN o_orderkey % 10 = 0 THEN CAST(2.5 AS DOUBLE)
+            ELSE CAST(NULL AS DOUBLE) END AS price
+FROM orders
+UNION ALL
+SELECT CAST(90000011 AS BIGINT), 'Z', CAST(1.5 AS DOUBLE)
+UNION ALL
+SELECT CAST(90000012 AS BIGINT), 'Z', CAST(7.5 AS DOUBLE)
+ORDER BY o_orderkey
+"""
+
+
+def tablelog_type_widening(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry (r13): metadata-only TYPE WIDENING across a live
+    history — append ``orders`` with an INT key column, ``ALTER COLUMN
+    ... TYPE BIGINT`` (one manifest commit, zero data I/O), then
+    append rows whose keys only a BIGINT can hold: int32 and int64
+    files coexist under the one widened snapshot schema (Spark 4's
+    parquet upcast), and a CoW UPDATE rewrites across the boundary.
+    Oracle: the unioned rows with the CASE price bump — a hash match
+    proves the upcast read path serves both file eras exactly."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ..catalog import load_table
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("int").alias("o_orderkey"),
+        "o_orderstatus",
+        "o_totalprice",
+    )
+    root = tempfile.mkdtemp(prefix="tablelog_widen_")
+    try:
+        log_append(spark, root, orders.coalesce(3))
+        log_sql(
+            spark,
+            f"ALTER TABLE `{root}` ALTER COLUMN o_orderkey TYPE BIGINT",
+        )
+        log_append(
+            spark,
+            root,
+            orders.filter("o_orderkey % 100 = 0").select(
+                (F.col("o_orderkey").cast("long") + F.lit(2**33)).alias(
+                    "o_orderkey"
+                ),
+                F.lit("W").alias("o_orderstatus"),
+                F.lit(1.0).alias("o_totalprice"),
+            ),
+        )
+        log_sql(
+            spark,
+            f"UPDATE `{root}` SET o_totalprice = o_totalprice + 100 "
+            "WHERE o_orderstatus = 'P'",
+        )
+        out = (
+            log_read(spark, root)
+            .select("o_orderkey", "o_orderstatus", "o_totalprice")
+            .orderBy("o_orderkey")
+        )
+        return _materialized_scan(spark, out)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+TABLELOG_TYPE_WIDENING_SQL = """
+SELECT o_orderkey, o_orderstatus,
+       CASE WHEN o_orderstatus = 'P' THEN o_totalprice + 100
+            ELSE o_totalprice END AS o_totalprice
+FROM orders
+UNION ALL
+SELECT o_orderkey + 8589934592, 'W', CAST(1.0 AS DOUBLE)
+FROM orders WHERE o_orderkey % 100 = 0
+ORDER BY o_orderkey
+"""
+
+
 def _row_id_bases(root: str, version: int | None = None) -> dict[str, int]:
     """Per-file base row ids for the snapshot at ``version``.
 
@@ -6676,6 +7062,7 @@ def log_read_with_row_ids(
         state["dv"],
         merge_schema=len(state["schemas"]) > 1,
         keep_id=True,
+        state=state,
     )
     base_df = spark.createDataFrame(
         [

@@ -89,6 +89,28 @@ def _arrow_union_schema(root: str, state: dict):
             if fld.name == TL._ROWID_COL:
                 continue  # hidden lineage column never surfaces
             fields.setdefault(fld.name, fld)
+    if fields and state.get("widen"):
+        # TYPE WIDENING (r13): serve the widened type — each file
+        # batch upcasts natively via the per-batch cast in
+        # _file_batches, so old-type and new-type files coexist
+        from pyspark.sql.pandas.types import to_arrow_schema
+        from pyspark.sql.types import StructType
+
+        widened = {
+            f.name: f
+            for f in to_arrow_schema(
+                StructType(
+                    [
+                        fl
+                        for fl in TL._schema_from_manifest(state).fields
+                        if fl.name in state["widen"]
+                    ]
+                )
+            )
+        }
+        fields = {
+            n: widened.get(n, fld) for n, fld in fields.items()
+        }
     if fields:
         # metadata-only ADD COLUMN: a field the manifest schema set
         # records but NO live footer carries reads as typed NULL (the

@@ -24,7 +24,11 @@ MUST_BE_GRADED = {
     # one-round proof slots in r10, went hash-green in CORRECTNESS_r10,
     # and released them back to the scalar/collection packs in r11
     "stream_cdf_gold_view",
-    "tablelog_check_constraint",
+    # r13 rotation (VERDICT r12 #1/#2 + ADVICE r12 high): the schema-
+    # evolution DDL surface takes the check-constraint slot
+    # (constraints hash-green r10-r12; the gate stays pytest-pinned on
+    # every write path and the entry remains registered + swept)
+    "tablelog_schema_evolution",
     # r11 rotation (VERDICT r10 #7): the MERGE INTO SQL surface takes
     # the shallow-clone slot (clone hash-green in r10, sibling
     # tablelog_time_travel); r12 extends the fixture to the
@@ -115,6 +119,12 @@ COVERED_BY = {
     # rotated out r12 after their multi-round driver proofs (the r11
     # late-wave SQL DML / row-id-view flagships took the slots)
     "tablelog_cow_update": "tablelog_sql_dml",
+    # r13: constraints rotated out — the gate runs inside every graded
+    # write entry's commit machinery; closest graded write surface
+    "tablelog_check_constraint": "tablelog_sql_dml",
+    # r13: type widening — graded DDL sibling is the schema-evolution
+    # entry (same ALTER surface, same metadata-commit machinery)
+    "tablelog_type_widening": "tablelog_schema_evolution",
     "tablelog_writer_roundtrip": "stream_tablelog_append_sink",
     # rotated out r10 (the r9/r10 tablelog + fn flagships swapped in);
     # each keeps a graded same-family sibling

@@ -327,3 +327,71 @@ def test_rename_after_metadata_add_keeps_added_column(spark, root):
     TL.log_update_where(spark, root, "k = 1", {"note": "'one'"})
     rows = {r.k: r.note for r in TL.log_read(spark, root).collect()}
     assert rows[1] == "one" and rows[2] is None
+
+
+def test_schema_evolution_registry_entry_runs(spark):
+    """The graded r13 fixture end-to-end at sf0.001: NULL price except
+    the updated slice and sentinels — resurfaced dead data would show
+    original prices here."""
+    from cdc_local_data_pipeline_docker_spark.sources.tablelog import (
+        tablelog_schema_evolution,
+    )
+
+    out = tablelog_schema_evolution(spark, "/root/testdata/sf0.001")
+    rows = out.collect()
+    o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    assert len(rows) == o.count() + 2
+    by_k = {r.o_orderkey: r.price for r in rows}
+    assert by_k[90000011] == 1.5 and by_k[90000012] == 7.5
+    for k, p in by_k.items():
+        if k >= 90000000:
+            continue
+        assert p == (2.5 if k % 10 == 0 else None), (k, p)
+
+
+# ---------------------------------------------------------------------------
+# CTAS + SHOW TBLPROPERTIES through the router (r13)
+# ---------------------------------------------------------------------------
+
+def test_create_table_as_select(spark, root):
+    import shutil as _sh
+
+    dst = root + "_ctas"
+    try:
+        _mk(spark, root)
+        TL.log_sql(
+            spark,
+            f"CREATE TABLE `{dst}` AS "
+            f"SELECT id AS k, id * 3 AS v FROM range(4)",
+        )
+        got = {r.k: r.v for r in TL.log_read(spark, dst).collect()}
+        assert got == {0: 0, 1: 3, 2: 6, 3: 9}
+        # plain CREATE refuses an existing table
+        with pytest.raises(ValueError, match="already exists"):
+            TL.log_sql(
+                spark, f"CREATE TABLE `{dst}` AS SELECT 1 AS k, 1 AS v"
+            )
+        # OR REPLACE is one atomic content replace, history retained
+        TL.log_sql(
+            spark,
+            f"CREATE OR REPLACE TABLE `{dst}` AS "
+            "SELECT CAST(9 AS BIGINT) AS k, CAST(9 AS BIGINT) AS v",
+        )
+        assert {r.k for r in TL.log_read(spark, dst).collect()} == {9}
+        assert TL.log_read(spark, dst, version=0).count() == 4
+    finally:
+        _sh.rmtree(dst, ignore_errors=True)
+
+
+def test_show_tblproperties(spark, root):
+    _mk(spark, root)
+    assert TL.log_sql(spark, f"SHOW TBLPROPERTIES `{root}`") == {}
+    TL.log_sql(
+        spark,
+        f"ALTER TABLE `{root}` SET TBLPROPERTIES ('comment' = 'c1')",
+    )
+    assert TL.log_sql(spark, f"SHOW TBLPROPERTIES `{root}`") == {
+        "comment": "c1"
+    }
+    with pytest.raises(ValueError, match="unsupported SHOW"):
+        TL.log_sql(spark, "SHOW TABLES")
