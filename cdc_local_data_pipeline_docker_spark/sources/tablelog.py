@@ -1268,6 +1268,22 @@ def _write_data_files(
             out = out.withColumn(
                 name, _transform_expr(*t, dtype=types.get(t[2]))
             )
+        # Hash-distribute by the partition values before the write
+        # (Iceberg's write.distribution-mode=hash; guide §6): without
+        # it EVERY input task opens a writer for EVERY partition value
+        # it holds — an M-task append over P partitions lands M×P tiny
+        # files, written sequentially inside each task. Clustered, the
+        # same append lands ~P right-sized files written in parallel,
+        # and every subsequent snapshot read opens half (or less) the
+        # files. The explicit partition count pins the exchange so AQE
+        # cannot coalesce the write back to one slow task; a genuinely
+        # hot partition value still serializes into one task — the
+        # same trade Iceberg's hash mode makes (range/salted
+        # distribution is the escape hatch at that point).
+        n_shuffle = int(
+            out.sparkSession.conf.get("spark.sql.shuffle.partitions")
+        )
+        out = out.repartition(n_shuffle, *pnames)
         out.write.mode("error").partitionBy(*pnames).parquet(out_dir)
         name_to_key = dict(zip(pnames, pkeys))
         for dirpath, _dirs, fnames in os.walk(out_dir):
@@ -2282,20 +2298,49 @@ def log_delete_where(spark: SparkSession, root: str, predicate: str) -> int:
     token = uuid.uuid4().hex[:12]
     stats_cols = sorted({c for s in state["stats"].values() for c in s})
     bloom_cols = sorted({c for b in state["blooms"].values() for c in b})
-    added, new_stats, new_blooms, new_parts = _write_data_files(
-        survivors, root, token, stats_cols, bloom_cols,
-        transforms=_rewrite_transforms(state, affected, survivors),
-    )
+    transforms = _rewrite_transforms(state, affected, survivors)
     # commit-time change file: the DELETED rows (live matches only —
     # prior dead rows were their own commits' changes) as an exact
     # 'delete' image, so the change feed never replays the rewritten
     # files' carried rows (CDF volume = deleted rows, not file churn)
-    cdf_pre = _write_cdf_sidecar(
-        _to_physical_loose(live_logical.filter(F.expr(predicate)), colmap),
-        root,
-        token,
-        "pre",
-    )
+    if transforms is None and not stats_cols and not bloom_cols and not lineage:
+        # single-pass commit (r13, guide §1.2/§2.3): survivors and the
+        # delete pre-image from ONE scan of the affected files instead
+        # of two. A NULL predicate row lands in NEITHER branch (the
+        # explode of a NULL array emits nothing) — exactly the two
+        # filters' behavior (`pred` and `~pred` both drop NULL).
+        def _branch(t):
+            return F.struct(
+                F.lit(t).alias(_COW_TAG),
+                *[
+                    F.col(c).alias((colmap or {}).get(c, c))
+                    for c in live_logical.columns
+                ],
+            )
+
+        p = F.expr(predicate)
+        arr = F.when(p, F.array(_branch("pre"))).when(
+            ~p, F.array(_branch("live"))
+        )
+        tagged = live_logical.select(F.explode(arr).alias("_s")).select(
+            "_s.*"
+        )
+        files = _write_cow_tagged(tagged, root, token, ["live", "pre"])
+        added, cdf_pre = files["live"], files["pre"]
+        new_stats, new_blooms, new_parts = {}, {}, {}
+    else:
+        added, new_stats, new_blooms, new_parts = _write_data_files(
+            survivors, root, token, stats_cols, bloom_cols,
+            transforms=transforms,
+        )
+        cdf_pre = _write_cdf_sidecar(
+            _to_physical_loose(
+                live_logical.filter(F.expr(predicate)), colmap
+            ),
+            root,
+            token,
+            "pre",
+        )
     manifest = {
         "version": base + 1,
         "action": "delete",
@@ -2433,10 +2478,7 @@ def log_update_where(
     token = uuid.uuid4().hex[:12]
     stats_cols = sorted({c for s in state["stats"].values() for c in s})
     bloom_cols = sorted({c for b in state["blooms"].values() for c in b})
-    added, new_stats, new_blooms, new_parts = _write_data_files(
-        survivors, root, token, stats_cols, bloom_cols,
-        transforms=_rewrite_transforms(state, affected, survivors),
-    )
+    transforms = _rewrite_transforms(state, affected, survivors)
     # COMMIT-TIME CHANGE FILES (the Delta CDC design): the matched
     # rows' pre/post images land as sidecar parquet under the commit's
     # own token dir — the change-feed reader then serves EXACT
@@ -2445,18 +2487,70 @@ def log_update_where(
     # images are row-identical slices the update already computed; at
     # 100 TB the sidecar cost tracks the MATCHED rows, the CDF read
     # cost drops from rewritten-file volume to changed-row volume.
-    pre_files = _write_cdf_sidecar(
-        _to_physical_loose(pre.filter("__tl_upd").drop("__tl_upd"), colmap),
-        root,
-        token,
-        "pre",
-    )
-    post_files = _write_cdf_sidecar(
-        _to_physical_loose(post.filter("__tl_upd").drop("__tl_upd"), colmap),
-        root,
-        token,
-        "post",
-    )
+    if transforms is None and not stats_cols and not bloom_cols and not lineage:
+        # single-pass commit (r13, guide §1.2/§2.3): survivors AND both
+        # change images from ONE scan of the affected files — the
+        # 3-write form re-scanned them once per output. Every row
+        # yields its 'live' post-image; a matched row additionally
+        # yields the 'pre'/'post' change images. Stats/bloom/partition
+        # rewrites and lineage keep the multi-write path (they need
+        # the plain survivor layout or a second aggregation anyway).
+        def _val(c, post_image):
+            if post_image and c in assignments:
+                return (
+                    F.when(
+                        F.col("__tl_upd"),
+                        F.expr(assignments[c]).cast(types[c]),
+                    ).otherwise(F.col(c))
+                )
+            return F.col(c)
+
+        def _branch(t, post_image):
+            return F.struct(
+                F.lit(t).alias(_COW_TAG),
+                *[
+                    _val(c, post_image).alias((colmap or {}).get(c, c))
+                    for c in out_cols
+                ],
+            )
+
+        arr = F.when(
+            F.col("__tl_upd"),
+            F.array(
+                _branch("live", True),
+                _branch("pre", False),
+                _branch("post", True),
+            ),
+        ).otherwise(F.array(_branch("live", True)))
+        tagged = pre.select(F.explode(arr).alias("_s")).select("_s.*")
+        files = _write_cow_tagged(
+            tagged, root, token, ["live", "pre", "post"]
+        )
+        added, pre_files, post_files = (
+            files["live"], files["pre"], files["post"],
+        )
+        new_stats, new_blooms, new_parts = {}, {}, {}
+    else:
+        added, new_stats, new_blooms, new_parts = _write_data_files(
+            survivors, root, token, stats_cols, bloom_cols,
+            transforms=transforms,
+        )
+        pre_files = _write_cdf_sidecar(
+            _to_physical_loose(
+                pre.filter("__tl_upd").drop("__tl_upd"), colmap
+            ),
+            root,
+            token,
+            "pre",
+        )
+        post_files = _write_cdf_sidecar(
+            _to_physical_loose(
+                post.filter("__tl_upd").drop("__tl_upd"), colmap
+            ),
+            root,
+            token,
+            "post",
+        )
     manifest = {
         "version": base + 1,
         "action": "update",
@@ -2494,6 +2588,46 @@ def _write_cdf_sidecar(
         for f in os.listdir(out)
         if f.endswith(".parquet")
     )
+
+
+#: Tag column steering each row of a single-pass copy-on-write job to
+#: its output role; never lands in file content (partitionBy drops it).
+_COW_TAG = "_tl_cdf_tag"
+
+
+def _write_cow_tagged(
+    tagged: DataFrame, root: str, token: str, tags: list[str]
+) -> dict[str, list[str]]:
+    """ONE Spark job for a copy-on-write commit's full output: survivor
+    files AND the commit-time change-image sidecars (guide §2.3/§1.2 —
+    the 3-write form scanned the affected files once per output). The
+    input carries ``_COW_TAG`` ('live' | 'pre' | 'post'); the write
+    partitions by it, then the tag directories are promoted to the
+    layout every reader/manifest already expects (live files directly
+    under ``data/<token>/``, sidecars under ``_cdf_pre``/``_cdf_post``)
+    — directory renames on the commit's own token tree, before anything
+    is published. Returns {tag: sorted root-relative files}; a tag with
+    no rows yields an empty list."""
+    out_dir = os.path.join(root, _DATA_DIR, token)
+    tagged.write.mode("error").partitionBy(_COW_TAG).parquet(out_dir)
+    out: dict[str, list[str]] = {t: [] for t in tags}
+    for t in tags:
+        src = os.path.join(out_dir, f"{_COW_TAG}={t}")
+        if not os.path.isdir(src):
+            continue
+        if t == "live":
+            dst, rel_dir = out_dir, os.path.join(_DATA_DIR, token)
+        else:
+            rel_dir = os.path.join(_DATA_DIR, token, f"_cdf_{t}")
+            dst = os.path.join(root, rel_dir)
+            os.makedirs(dst, exist_ok=True)
+        for f in os.listdir(src):
+            if f.endswith(".parquet"):
+                os.rename(os.path.join(src, f), os.path.join(dst, f))
+                out[t].append(os.path.join(rel_dir, f))
+        shutil.rmtree(src, ignore_errors=True)
+        out[t].sort()
+    return out
 
 
 def _reserved_physicals(state: dict) -> set[str]:
@@ -4978,22 +5112,32 @@ def _read_with_dv(
                 F.col("_metadata.row_index").alias("_ri"),
             )
         return df
-    dv_frames = []
+    # ONE reader over every vector file (was: one spark.read.parquet +
+    # unionByName PER vector — N schema inferences and an O(N)-deep
+    # union plan; at thousands of vectors the driver spent more time
+    # building the plan than the scan took). Each row's owning DATA
+    # file is recovered by mapping the vector file's own path
+    # (_metadata.file_path, decoded) through a literal map — keys are
+    # the RESOLVED absolute vector paths, values the resolved data
+    # paths, so the join works for root-relative files AND external
+    # absolute refs (shallow clones); join(root, abs) == abs.
+    # a vector file is written per data file, so the reverse map is
+    # injective; if that invariant ever broke, the map lookup would
+    # silently drop one file's positions — assert it loudly instead
+    assert len(set(needed.values())) == len(needed), (
+        "deletion-vector paths are not unique per data file"
+    )
+    dv_to_data: list = []
     for f, dv in needed.items():
-        # key the vector by the file's RESOLVED absolute path so the
-        # join works for root-relative files AND external absolute refs
-        # (shallow clones); join(root, abs) == abs by posixpath rules
-        dv_frames.append(
-            spark.read.parquet(os.path.join(root, dv)).select(
-                F.lit(os.path.normpath(os.path.join(root, f))).alias(
-                    "_dv_file"
-                ),
-                F.col("row_index"),
-            )
-        )
-    all_dv = dv_frames[0]
-    for d in dv_frames[1:]:
-        all_dv = all_dv.unionByName(d)
+        dv_to_data.append(F.lit(os.path.normpath(os.path.join(root, dv))))
+        dv_to_data.append(F.lit(os.path.normpath(os.path.join(root, f))))
+    path_map = F.create_map(*dv_to_data)
+    all_dv = spark.read.parquet(
+        *[os.path.join(root, dv) for dv in needed.values()]
+    ).select(
+        path_map[_decoded_file_path_col()].alias("_dv_file"),
+        F.col("row_index"),
+    )
     # _metadata.file_path is a PERCENT-ENCODED file: URI — decode it to
     # a plain path before comparing with the manifest's decoded paths
     # ('file:///x%20y' and 'file:/x%20y' both become '/x y'); raw

@@ -214,7 +214,13 @@ def apply_view_batch(
         .filter(F.col("n_rows") > 0)
         .withColumn("last_batch_id", F.lit(int(batch_id)))
     )
-    new_agg = new_agg.localCheckpoint(eager=True)  # sever lineage from kpath
+    # new_agg needs NO checkpoint of its own (r13, guide §1.2): its only
+    # state inputs are the agg-state read (apath — untouched by the
+    # key-state swap below) and `deltas`, whose lineage already ends at
+    # the eagerly-checkpointed `won` — so evaluating it lazily inside
+    # the agg swap's tmp-write can never observe the swapped key-state.
+    # The old eager localCheckpoint here was one whole extra Spark job
+    # per micro-batch for a frame the swap immediately writes anyway.
 
     # (2) key-state swap, then (3) agg swap — see module docstring for the
     # crash-window analysis of this ordering
