@@ -126,15 +126,28 @@ def predict_with_model(
             idx[r["label"]]
         ] = r["weight"]
     zero = F.array(*[F.lit(0).cast("long") for _ in labels])
-    wmap = F.map_from_arrays(
-        F.array(*[F.lit(t) for t in sorted(by_token)]),
-        F.array(
-            *[
-                F.array(*[F.lit(w).cast("long") for w in by_token[t]])
-                for t in sorted(by_token)
-            ]
-        ),
-    )
+    # ONE server-side-parsed literal for the whole token→weights map —
+    # the per-element form (F.lit per token and per weight) cost one
+    # py4j round trip per element: V + V·L driver calls before the
+    # first task ran (r13, guide §1.2). Tokens are SQL-escaped
+    # (backslash and quote); weights are exact BIGINT literals, so the
+    # map is value-identical to the lit() form.
+    toks = sorted(by_token)
+    if toks:
+        tok_sql = ",".join(
+            "'" + t.replace("\\", "\\\\").replace("'", "\\'") + "'"
+            for t in toks
+        )
+        w_sql = ",".join(
+            "array(%s)" % ",".join(f"{int(w)}L" for w in by_token[t])
+            for t in toks
+        )
+        wmap = F.expr(f"map_from_arrays(array({tok_sql}), array({w_sql}))")
+    else:  # empty model: typed empty map (array() alone is untyped)
+        wmap = F.expr(
+            "map_from_arrays(CAST(array() AS ARRAY<STRING>), "
+            "CAST(array() AS ARRAY<ARRAY<BIGINT>>))"
+        )
     scores = F.aggregate(
         _tokens(F.col("text")),
         zero,

@@ -557,6 +557,23 @@ def _semantic_centroids(spark: SparkSession, sf_dir: str) -> list[list[float]]:
     return _ivf_centroids(spark, sf_dir, cells=_semdedup_cells_for(n))
 
 
+def _centroid_literal(cents: list[list[float]]):
+    """ONE server-side-parsed literal for a whole cells×dim centroid
+    array — the per-element form (F.array of F.lit per float) cost one
+    py4j round trip PER ELEMENT, ~0.6 s of pure driver plan-building at
+    16×64 (r13, guide §1.2: py4j chatter is driver-side per-task work).
+    repr(float) round-trips exactly through the SQL double parser, so
+    the literal values are bit-identical to the lit() form."""
+    return F.expr(
+        "array(%s)"
+        % ",".join(
+            "array(%s)"
+            % ",".join(f"CAST('{float(x)!r}' AS DOUBLE)" for x in c)
+            for c in cents
+        )
+    )
+
+
 def _nearest_cells(vecs: DataFrame, cents: list[list[float]], k: int) -> DataFrame:
     """(vec_id, v, norm, cell) with each vector in its k nearest
     centroid cells — a genuinely MAP-ONLY pass: the centroids ride along
@@ -569,7 +586,7 @@ def _nearest_cells(vecs: DataFrame, cents: list[list[float]], k: int) -> DataFra
     to a row_number window ordered (d2 asc, cell asc); A/B-verified
     pair-set-identical on all three sfs. Shared by SemDeDup (k=ASSIGN)
     and IVF ANN (k=1 corpus / k=nprobe queries)."""
-    cent_lit = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in cents])
+    cent_lit = _centroid_literal(cents)
     top = vecs.withColumn("_cents", cent_lit).withColumn(
         "_top",
         F.expr(
@@ -1224,7 +1241,7 @@ def _assign_with_d2(vecs: DataFrame, cents: list[list[float]]) -> DataFrame:
     """(vec_id, v, cluster_id, d2): nearest centroid + its squared L2 —
     the _nearest_cells map-only literal-centroid pass, keeping d2 so the
     SSE scalar needs no recompute."""
-    cent_lit = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in cents])
+    cent_lit = _centroid_literal(cents)
     top = vecs.withColumn("_cents", cent_lit).withColumn(
         "_b",
         F.expr(

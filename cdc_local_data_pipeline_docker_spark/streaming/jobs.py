@@ -37,6 +37,19 @@ DEC = DecimalType(18, 2)
 WATERMARK_DELAY = "1 hour"
 SESSION_GAP = "30 minutes"
 
+#: State-store partition count for the fixture-scale streaming drains —
+#: THE streaming state-sizing knob (see _drain). Every stateful operator
+#: pays a per-partition-per-batch store open/commit regardless of data
+#: volume; the fixture streams hold KB of state, where 8 partitions
+#: spent ~0.9 s more than 4 per drain on empty commits (A/B min-of-3 at
+#: sf0.1, r13; the earlier 32→8 A/B saved ~3 s the same way). Env-
+#: parameterized: a production deployment sizes this to expected state
+#: volume per partition (e.g. 100s-1000s for a TB-state join), never to
+#: core count.
+STREAM_STATE_PARTITIONS = int(
+    os.environ.get("SPARK_GRAFT_STREAM_STATE_PARTITIONS", "4")
+)
+
 
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source readStream over the events table, normalized to the same
@@ -168,7 +181,7 @@ def stream_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.approx_count_distinct("user_id").alias("approx_users"),
         )
     )
-    out = _drain(agg, "complete", state_partitions=8)
+    out = _drain(agg, "complete", state_partitions=STREAM_STATE_PARTITIONS)
     return out.select(
         F.col("window.start").alias("hour_start"),
         "event_type",
@@ -201,7 +214,7 @@ def stream_session_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("value").cast(DEC)).cast("double").alias("session_value"),
         )
     )
-    out = _drain(agg, "complete", state_partitions=8)
+    out = _drain(agg, "complete", state_partitions=STREAM_STATE_PARTITIONS)
     return out.select(
         "user_id",
         F.col("session_window.start").alias("session_start"),
@@ -244,7 +257,7 @@ def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .dropDuplicatesWithinWatermark(["event_id"])
         .select("event_id", "user_id", "event_type", "value")
     )
-    out = _drain(deduped, "append", state_partitions=8)
+    out = _drain(deduped, "append", state_partitions=STREAM_STATE_PARTITIONS)
     return out.orderBy("event_id")
 
 
@@ -301,7 +314,7 @@ def stream_stream_join(
             "AND purchase_ts <= view_ts + INTERVAL 1 HOUR"
         ),
     )
-    out = _drain(joined, "append", state_partitions=8)
+    out = _drain(joined, "append", state_partitions=STREAM_STATE_PARTITIONS)
     return out.select(
         F.col("v_user").alias("user_id"),
         "view_id",
@@ -405,7 +418,7 @@ def stream_chained_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("hv").cast("double").alias("total_value"),
         )
     )
-    out = _drain(daily, "append", state_partitions=8)
+    out = _drain(daily, "append", state_partitions=STREAM_STATE_PARTITIONS)
     return out.select(
         F.col("window.start").alias("day_start"),
         "event_type",
