@@ -133,7 +133,29 @@ def predict_with_model(
     # (backslash and quote); weights are exact BIGINT literals, so the
     # map is value-identical to the lit() form.
     toks = sorted(by_token)
-    if toks:
+    spark = docs.sparkSession
+    # the backslash/quote escaping below assumes the DEFAULT parser
+    # (spark.sql.parser.escapedStringLiterals=false); under the legacy
+    # true setting backslashes are literal and the escaped tokens would
+    # parse to WRONG map keys — fall back to the per-element lit() form
+    # there (correct in any parser mode, just one py4j call per element;
+    # ADVICE r13)
+    legacy_parser = (
+        spark.conf.get("spark.sql.parser.escapedStringLiterals", "false")
+        == "true"
+    )
+    if toks and legacy_parser:
+        wmap = F.create_map(
+            *[
+                x
+                for t in toks
+                for x in (
+                    F.lit(t),
+                    F.array(*[F.lit(int(w)).cast("long") for w in by_token[t]]),
+                )
+            ]
+        )
+    elif toks:
         tok_sql = ",".join(
             "'" + t.replace("\\", "\\\\").replace("'", "\\'") + "'"
             for t in toks

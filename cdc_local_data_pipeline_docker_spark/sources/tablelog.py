@@ -2303,7 +2303,13 @@ def log_delete_where(spark: SparkSession, root: str, predicate: str) -> int:
     # prior dead rows were their own commits' changes) as an exact
     # 'delete' image, so the change feed never replays the rewritten
     # files' carried rows (CDF volume = deleted rows, not file churn)
-    if transforms is None and not stats_cols and not bloom_cols and not lineage:
+    if (
+        transforms is None
+        and not stats_cols
+        and not bloom_cols
+        and not lineage
+        and _cow_tag_safe(live_logical.columns, colmap)
+    ):
         # single-pass commit (r13, guide §1.2/§2.3): survivors and the
         # delete pre-image from ONE scan of the affected files instead
         # of two. A NULL predicate row lands in NEITHER branch (the
@@ -2487,7 +2493,13 @@ def log_update_where(
     # images are row-identical slices the update already computed; at
     # 100 TB the sidecar cost tracks the MATCHED rows, the CDF read
     # cost drops from rewritten-file volume to changed-row volume.
-    if transforms is None and not stats_cols and not bloom_cols and not lineage:
+    if (
+        transforms is None
+        and not stats_cols
+        and not bloom_cols
+        and not lineage
+        and _cow_tag_safe(out_cols, colmap)
+    ):
         # single-pass commit (r13, guide §1.2/§2.3): survivors AND both
         # change images from ONE scan of the affected files — the
         # 3-write form re-scanned them once per output. Every row
@@ -2593,6 +2605,15 @@ def _write_cdf_sidecar(
 #: Tag column steering each row of a single-pass copy-on-write job to
 #: its output role; never lands in file content (partitionBy drops it).
 _COW_TAG = "_tl_cdf_tag"
+
+
+def _cow_tag_safe(cols, colmap) -> bool:
+    """Single-pass fast-path gate guard (ADVICE r13): the tagged write
+    steers rows via a ``_COW_TAG`` struct field, so a table whose
+    physical schema already carries a column of that name would build a
+    duplicate-field struct (loud AnalysisException, not corruption —
+    but the commit should succeed, via the multi-write path)."""
+    return _COW_TAG not in {(colmap or {}).get(c, c) for c in cols}
 
 
 def _write_cow_tagged(
@@ -2789,28 +2810,36 @@ def log_merge(
     # PROBE cost does too.
     probe_files = _merge_probe_files(spark, state, keys, phys_key)
     affected: list[str] = []
+    mkey_rows: list = []
     if probe_files:
-        snap = _parquet_reader(spark, root, state, merge_sch).parquet(
-            *[os.path.join(root, f) for f in probe_files]
-        )
-        # input_file_name() must bind below the join (single-source
-        # rule): project it on the scan side, THEN semi-join the keys
-        probe = snap.select(
-            *phys_keys, F.input_file_name().alias("_tablelog_file")
-        )
-        affected_abs = {
-            r[0]
-            for r in probe.join(F.broadcast(keys), phys_keys, "left_semi")
-            .select("_tablelog_file")
+        # probe reads THROUGH deletion vectors (r14): a key whose only
+        # occurrences are DV-dead is NOT a live match — its file needs
+        # no rewrite (the old raw probe rewrote it as a pure carry) and
+        # its change row is an INSERT, not an update. The DV-applied
+        # probe therefore yields the affected FILE set and the matched
+        # KEY set in the same collect — the matched-key split below
+        # stops costing its own scan of the affected files. The key
+        # rows ride the same bounded-change-set budget every other
+        # broadcast of `keys` already assumes (merge's precondition).
+        probe = _read_with_dv(
+            spark, root, probe_files, dvs, merge_schema=merge_sch,
+            keep_id=True, state=state,
+        ).select(*phys_keys, "_fpn")
+        mkey_rows = (
+            probe.join(F.broadcast(keys), phys_keys, "left_semi")
             .distinct()
             .collect()
-        }
+        )
         affected = _match_rel(
-            root, probe_files, (_uri_to_path(a) for a in affected_abs)
+            root, probe_files, (r["_fpn"] for r in mkey_rows)
         )
     lineage = bool(state["props"].get("row_lineage"))
+    #: live matched key tuples (exact — the probe applied the vectors);
+    #: == the old matched_pre.select(keys).distinct() without its scan
+    mkeys_local = {tuple(r[k] for k in phys_keys) for r in mkey_rows}
     survivors = None
     matched_pre = None
+    live_rows = None
     if affected:
         # rewrite reads through deletion vectors (dead rows must not
         # resurrect); the affected files' vectors then retire
@@ -2851,42 +2880,140 @@ def log_merge(
     token = uuid.uuid4().hex[:12]
     stats_cols = sorted({c for s in state["stats"].values() for c in s})
     bloom_cols = sorted({c for b in state["blooms"].values() for c in b})
-    added, new_stats, new_blooms, new_parts = _write_data_files(
-        new_rows, root, token, stats_cols, bloom_cols,
-        transforms=_rewrite_transforms(state, affected, new_rows)
-        if affected
-        else None,
+    transforms = (
+        _rewrite_transforms(state, affected, new_rows) if affected else None
     )
-    # constraints gate on the WRITTEN files (ADVICE r10: validating the
-    # un-materialized `changes` plan evaluated it twice — a
-    # non-deterministic plan could pass yet publish violating rows);
-    # only the incoming rows can newly violate, but the rewrite output
-    # was scanned to be written anyway and nothing publishes on raise
-    _validate_written_files(spark, root, added, colmap, state["constraints"])
-    # commit-time change files: matched keys' old/new images as
-    # update_preimage/update_postimage, unmatched change rows as
-    # inserts — the feed serves exact labeled changes and the carried
-    # rows of rewritten files emit nothing. The matched-key split
-    # broadcasts the (bounded) matched key set, one extra pass over
-    # the affected files only.
-    if matched_pre is not None:
-        mkeys = matched_pre.select(*phys_keys).distinct()
-        cdf_pre = _write_cdf_sidecar(matched_pre, root, token, "pre")
-        cdf_post = _write_cdf_sidecar(
-            changes_p.join(F.broadcast(mkeys), phys_keys, "left_semi"),
-            root,
-            token,
-            "post",
+    #: the matched-key set as a broadcastable frame (same bounded-change
+    #: budget as `keys` itself); both write paths split changes with it
+    mkeys_df = (
+        spark.createDataFrame(
+            [tuple(t) for t in mkeys_local], keys.schema
+        ).withColumn("_tl_mflag", F.lit(True))
+        if mkeys_local
+        else None
+    )
+    # types must match EXACTLY for the fast path: the tagged union would
+    # otherwise coerce pre/post images to a common type where the
+    # multi-write sidecars kept each side's own (schema drift in the feed)
+    same_types = not affected or (
+        {f.name: f.dataType for f in live_rows.schema.fields}
+        == {f.name: f.dataType for f in changes_p.schema.fields}
+    )
+    if (
+        transforms is None
+        and not stats_cols
+        and not bloom_cols
+        and not lineage
+        and same_types
+        and _cow_tag_safe(new_rows.columns, None)
+        and "_tl_mflag" not in new_rows.columns
+    ):
+        # single-pass tagged commit (r14, guide §1.2/§2.3 — the same
+        # treatment UPDATE/DELETE got in r13): survivor files AND all
+        # three change images from ONE job. The affected-file side
+        # yields 'pre' for matched rows (they leave live; the change
+        # row carries the new image) and 'live' otherwise; every change
+        # row yields its 'live' new image plus 'post' (key existed) or
+        # 'ins' (pure insert). The 4-write form scanned the affected
+        # files once per output (write + pre + post/ins mkey splits).
+        cols = list(new_rows.columns)
+
+        def _branch(t):
+            return F.struct(
+                F.lit(t).alias(_COW_TAG), *[F.col(c) for c in cols]
+            )
+
+        pieces = []
+        if affected:
+            lr = live_rows.join(
+                F.broadcast(keys.withColumn("_tl_mflag", F.lit(True))),
+                phys_keys,
+                "left",
+            )
+            pieces.append(
+                lr.select(
+                    F.when(
+                        F.col("_tl_mflag").isNotNull(), _branch("pre")
+                    )
+                    .otherwise(_branch("live"))
+                    .alias("_s")
+                )
+            )
+        if mkeys_df is not None:
+            chj = changes_p.join(F.broadcast(mkeys_df), phys_keys, "left")
+            ch_arr = F.when(
+                F.col("_tl_mflag").isNotNull(),
+                F.array(_branch("live"), _branch("post")),
+            ).otherwise(F.array(_branch("live"), _branch("ins")))
+        else:
+            chj = changes_p
+            ch_arr = F.array(_branch("live"), _branch("ins"))
+        pieces.append(chj.select(F.explode(ch_arr).alias("_s")))
+        tagged = pieces[0]
+        for p in pieces[1:]:
+            tagged = tagged.unionByName(p)
+        files = _write_cow_tagged(
+            tagged.select("_s.*"), root, token,
+            ["live", "pre", "post", "ins"],
         )
-        cdf_ins = _write_cdf_sidecar(
-            changes_p.join(F.broadcast(mkeys), phys_keys, "left_anti"),
-            root,
-            token,
-            "ins",
+        added, cdf_pre, cdf_post, cdf_ins = (
+            files["live"], files["pre"], files["post"], files["ins"],
+        )
+        new_stats, new_blooms, new_parts = {}, {}, {}
+        # constraints gate on the WRITTEN live files, exactly as below
+        _validate_written_files(
+            spark, root, added, colmap, state["constraints"]
         )
     else:
-        cdf_pre, cdf_post = [], []
-        cdf_ins = _write_cdf_sidecar(changes_p, root, token, "ins")
+        added, new_stats, new_blooms, new_parts = _write_data_files(
+            new_rows, root, token, stats_cols, bloom_cols,
+            transforms=transforms,
+        )
+        # constraints gate on the WRITTEN files (ADVICE r10: validating
+        # the un-materialized `changes` plan evaluated it twice — a
+        # non-deterministic plan could pass yet publish violating rows);
+        # only the incoming rows can newly violate, but the rewrite
+        # output was scanned to be written anyway and nothing publishes
+        # on raise
+        _validate_written_files(
+            spark, root, added, colmap, state["constraints"]
+        )
+        # commit-time change files: matched keys' old/new images as
+        # update_preimage/update_postimage, unmatched change rows as
+        # inserts — the feed serves exact labeled changes and the
+        # carried rows of rewritten files emit nothing. The matched-key
+        # split broadcasts the probe-collected matched keys (r14: the
+        # old form re-derived them from matched_pre, one extra pass
+        # over the affected files per sidecar).
+        if matched_pre is not None:
+            cdf_pre = _write_cdf_sidecar(matched_pre, root, token, "pre")
+            if mkeys_df is not None:
+                cdf_post = _write_cdf_sidecar(
+                    changes_p.join(
+                        F.broadcast(mkeys_df.drop("_tl_mflag")),
+                        phys_keys,
+                        "left_semi",
+                    ),
+                    root,
+                    token,
+                    "post",
+                )
+                cdf_ins = _write_cdf_sidecar(
+                    changes_p.join(
+                        F.broadcast(mkeys_df.drop("_tl_mflag")),
+                        phys_keys,
+                        "left_anti",
+                    ),
+                    root,
+                    token,
+                    "ins",
+                )
+            else:
+                cdf_post = []
+                cdf_ins = _write_cdf_sidecar(changes_p, root, token, "ins")
+        else:
+            cdf_pre, cdf_post = [], []
+            cdf_ins = _write_cdf_sidecar(changes_p, root, token, "ins")
     manifest = {
         "version": base + 1,
         "action": "merge",
@@ -3817,12 +3944,51 @@ def log_update_where_mor(
         bloom_cols = sorted(
             {c for b in state["blooms"].values() for c in b}
         )
+        lineage = bool(state["props"].get("row_lineage"))
+        transforms = _rewrite_transforms(state, affected, survivors)
         # data files first: Spark's writer owns the token dir creation
         # (errorifexists); the pyarrow-written vectors then land inside
-        added, new_stats, new_blooms, new_parts = _write_data_files(
-            survivors, root, token, stats_cols, bloom_cols,
-            transforms=_rewrite_transforms(state, affected, survivors),
-        )
+        if (
+            transforms is None
+            and not stats_cols
+            and not bloom_cols
+            and not lineage
+            and _cow_tag_safe(pre.columns, colmap)
+        ):
+            # single tagged write (r14, guide §1.2): the delta file
+            # (post-images, which double as cdf_post) AND the pre-image
+            # sidecar from ONE job over the persisted matched slice —
+            # the 2-write form read the cache once per output
+            def _val(c, post_image):
+                if post_image and c in assignments:
+                    return F.expr(assignments[c]).cast(types[c])
+                return F.col(c)
+
+            def _branch(t, post_image):
+                return F.struct(
+                    F.lit(t).alias(_COW_TAG),
+                    *[
+                        _val(c, post_image).alias((colmap or {}).get(c, c))
+                        for c in pre.columns
+                    ],
+                )
+
+            tagged = pre.select(
+                F.explode(
+                    F.array(_branch("live", True), _branch("pre", False))
+                ).alias("_s")
+            ).select("_s.*")
+            files = _write_cow_tagged(tagged, root, token, ["live", "pre"])
+            added, pre_files = files["live"], files["pre"]
+            new_stats, new_blooms, new_parts = {}, {}, {}
+        else:
+            added, new_stats, new_blooms, new_parts = _write_data_files(
+                survivors, root, token, stats_cols, bloom_cols,
+                transforms=transforms,
+            )
+            pre_files = _write_cdf_sidecar(
+                _to_physical_loose(pre, colmap), root, token, "pre"
+            )
         dv_set, dv_added = (
             _write_deletion_vectors_distributed(
                 spark, root, token, matched.select("_fpn", "_ri"),
@@ -3830,9 +3996,6 @@ def log_update_where_mor(
             )
             if distributed
             else _write_deletion_vectors(root, token, by_file, dvs)
-        )
-        pre_files = _write_cdf_sidecar(
-            _to_physical_loose(pre, colmap), root, token, "pre"
         )
         manifest = {
             "version": base + 1,
@@ -5123,10 +5286,13 @@ def _read_with_dv(
     # absolute refs (shallow clones); join(root, abs) == abs.
     # a vector file is written per data file, so the reverse map is
     # injective; if that invariant ever broke, the map lookup would
-    # silently drop one file's positions — assert it loudly instead
-    assert len(set(needed.values())) == len(needed), (
-        "deletion-vector paths are not unique per data file"
-    )
+    # silently drop one file's positions and RESURRECT its deleted rows
+    # — a data-integrity gate, so raise even under `python -O` (a bare
+    # assert is stripped there; ADVICE r13)
+    if len(set(needed.values())) != len(needed):
+        raise ValueError(
+            "deletion-vector paths are not unique per data file"
+        )
     dv_to_data: list = []
     for f, dv in needed.items():
         dv_to_data.append(F.lit(os.path.normpath(os.path.join(root, dv))))

@@ -1106,11 +1106,11 @@ def tablelog_source_stream(spark, sf_dir: str):
         # sink writes micro-batch output executor-side; the result read
         # is a distributed scan. Same streaming read, same rows.
         sink = os.path.join(root, "_sink")
+        stream = (
+            spark.readStream.format("tablelog").option("path", root).load()
+        )
         q = (
-            spark.readStream.format("tablelog")
-            .option("path", root)
-            .load()
-            .writeStream.format("parquet")
+            stream.writeStream.format("parquet")
             .option("path", sink)
             .option(
                 "checkpointLocation", os.path.join(root, "_sink_ckpt")
@@ -1119,7 +1119,10 @@ def tablelog_source_stream(spark, sf_dir: str):
             .start()
         )
         q.awaitTermination()
-        out = spark.read.parquet(sink).select(*cols)
+        # explicit schema: a zero-row drain writes no parquet file, and
+        # a bare read would then fail schema inference (ADVICE r13; the
+        # fixture guarantees rows, this keeps the helper reusable)
+        out = spark.read.schema(stream.schema).parquet(sink).select(*cols)
         return TL._materialized_scan(spark, out)
     finally:
         shutil.rmtree(root, ignore_errors=True)

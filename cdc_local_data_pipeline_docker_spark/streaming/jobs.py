@@ -24,8 +24,8 @@ per micro-batch — identical to the batch shuffle shape.
 
 from __future__ import annotations
 
+import atexit
 import os
-import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -120,14 +120,46 @@ STATE_STORE_PROVIDERS = {
 STATE_STORE: str | None = None
 
 
+#: Temp sink dirs created by `_drain`, removed at interpreter exit: the
+#: returned DataFrame is a LAZY scan over the sink, so the dir must
+#: outlive the caller's collect (the memory sink had the same session
+#: lifetime — its table was never dropped; this trades driver memory
+#: for bounded /tmp disk).
+_DRAIN_SINK_DIRS: list[str] = []
+
+
+def _cleanup_drain_sinks() -> None:
+    import shutil
+
+    for d in _DRAIN_SINK_DIRS:
+        shutil.rmtree(d, ignore_errors=True)
+    _DRAIN_SINK_DIRS.clear()
+
+
+atexit.register(_cleanup_drain_sinks)
+
+
 def _drain(
     stream_df: DataFrame,
     mode: str,
     state_partitions: int | None = None,
     state_store: str | None = None,
 ) -> DataFrame:
-    """Run the streaming query to completion (AvailableNow) into a memory
-    sink; return the materialized result.
+    """Run the streaming query to completion (AvailableNow) into a
+    parquet FILE sink; return a distributed scan of the result.
+
+    r14 (guide §5 — the driver should do no data work): the old memory
+    sink collected EVERY drained row to the driver, and the caller's
+    downstream select/orderBy then re-shipped them to executors as a
+    LocalTableScan — an O(result) driver round-trip per entry. The file
+    sink writes micro-batch output executor-side and the returned scan
+    is distributed; same streaming read, same rows. Append mode uses
+    the native exactly-once parquet sink; complete mode (unsupported by
+    file sinks) writes each batch's full result via foreachBatch with
+    overwrite — the last batch IS the final state, identical to what
+    the memory sink's truncate-and-insert kept. The batch read takes
+    the stream's explicit schema, so a zero-row drain still returns an
+    empty frame instead of a schema-inference error.
 
     ``state_partitions`` temporarily overrides
     ``spark.sql.shuffle.partitions`` for the query start — THE streaming
@@ -139,21 +171,34 @@ def _drain(
     partitions spent ~5.6 s on ~256 empty store commits where 8
     partitions spend ~2.5 s (measured at sf0.1, identical results). Size
     it to expected state volume, not core count."""
+    import tempfile
+
     spark = stream_df.sparkSession
-    name = f"m_{uuid.uuid4().hex[:12]}"
     saved = spark.conf.get("spark.sql.shuffle.partitions")
     provider_key = "spark.sql.streaming.stateStore.providerClass"
     saved_provider = spark.conf.get(provider_key, None)
+    sink_root = tempfile.mkdtemp(prefix="spark_graft_drain_")
+    _DRAIN_SINK_DIRS.append(sink_root)
+    sink = os.path.join(sink_root, "out")
+    ckpt = os.path.join(sink_root, "ckpt")
     try:
         if state_partitions is not None:
             spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
         chosen = state_store or STATE_STORE
         if chosen is not None:
             spark.conf.set(provider_key, STATE_STORE_PROVIDERS[chosen])
+        if mode == "append":
+            writer = (
+                stream_df.writeStream.format("parquet")
+                .option("path", sink)
+                .outputMode(mode)
+            )
+        else:
+            writer = stream_df.writeStream.foreachBatch(
+                lambda df, _bid: df.write.mode("overwrite").parquet(sink)
+            ).outputMode(mode)
         q = (
-            stream_df.writeStream.format("memory")
-            .queryName(name)
-            .outputMode(mode)
+            writer.option("checkpointLocation", ckpt)
             .trigger(availableNow=True)
             .start()
         )
@@ -164,7 +209,9 @@ def _drain(
             spark.conf.unset(provider_key)
         else:
             spark.conf.set(provider_key, saved_provider)
-    return stream_df.sparkSession.table(name)
+    if not os.path.isdir(sink):  # zero-batch drain (no source data at all)
+        return spark.createDataFrame([], stream_df.schema)
+    return spark.read.schema(stream_df.schema).parquet(sink)
 
 
 def stream_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -181,3 +181,125 @@ def test_fast_path_gates_fall_back_to_multiwrite(spark, root):
     snap = TL.log_read(spark, root)
     assert snap.exceptAll(expected).count() == 0
     assert expected.exceptAll(snap).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# r14: MERGE single-pass tagged commit + DV-aware probe, MoR update
+# delta+preimage single write
+# ---------------------------------------------------------------------------
+
+
+def test_merge_singlepass_images_and_content_exact(spark, root):
+    """The single-pass MERGE commit writes survivors + pre/post/ins from
+    one tagged job; images must be EXACTLY the multi-write form's: pre =
+    matched old rows, post = matched change rows, ins = pure inserts,
+    final content = upsert semantics, no tag dirs/columns anywhere."""
+    o = _orders(spark).limit(200)
+    TL.log_append(spark, root, o)
+    changes = o.filter("o_orderkey % 5 = 0").withColumn(
+        "o_totalprice", F.col("o_totalprice") + 100
+    ).unionByName(
+        o.select(
+            (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+            "o_orderstatus",
+            "o_totalprice",
+        ).limit(7)
+    )
+    n_upd = o.filter("o_orderkey % 5 = 0").count()
+    TL.log_merge(spark, root, changes, "o_orderkey")
+    m = TL._read_manifest(root, 1)
+    assert m["cdf_pre"] and m["cdf_post"] and m["cdf_ins"]
+    pre = spark.read.parquet(*[os.path.join(root, f) for f in m["cdf_pre"]])
+    post = spark.read.parquet(*[os.path.join(root, f) for f in m["cdf_post"]])
+    ins = spark.read.parquet(*[os.path.join(root, f) for f in m["cdf_ins"]])
+    assert pre.count() == post.count() == n_upd
+    assert ins.count() == 7
+    assert pre.exceptAll(o.filter("o_orderkey % 5 = 0")).count() == 0
+    assert post.filter(~(F.col("o_orderkey") % 5 == 0)).count() == 0
+    assert ins.filter(F.col("o_orderkey") < 10_000_000).count() == 0
+    # final content = upsert(o, changes)
+    expected = o.filter("o_orderkey % 5 <> 0").unionByName(changes)
+    snap = TL.log_read(spark, root)
+    assert TL._COW_TAG not in snap.columns
+    assert snap.exceptAll(expected).count() == 0
+    assert expected.exceptAll(snap).count() == 0
+    for dirpath, dirs, _files in os.walk(os.path.join(root, "data")):
+        assert not any(TL._COW_TAG in d for d in dirs), (dirpath, dirs)
+
+
+def test_merge_dv_dead_key_is_an_insert(spark, root):
+    """DV-aware probe (r14): a change key whose only target occurrences
+    are deletion-vector-dead is a pure INSERT — classified 'ins', its
+    file is NOT rewritten (carried by reference, vector intact), and
+    the dead row stays dead."""
+    o = _orders(spark).limit(100)
+    TL.log_append(spark, root, o)
+    k = o.select("o_orderkey").first()[0]
+    TL.log_delete_where_mor(spark, root, f"o_orderkey = {k}")
+    changes = o.filter(F.col("o_orderkey") == k).withColumn(
+        "o_orderstatus", F.lit("R")
+    )
+    TL.log_merge(spark, root, changes, "o_orderkey")
+    m = TL._read_manifest(root, TL._latest_version(root))
+    assert m["remove"] == []  # nothing rewritten
+    assert m["cdf_pre"] == [] and m["cdf_post"] == []
+    assert m["cdf_ins"]
+    snap = TL.log_read(spark, root)
+    hit = snap.filter(F.col("o_orderkey") == k).collect()
+    assert len(hit) == 1 and hit[0]["o_orderstatus"] == "R"
+    assert snap.count() == o.count()  # 100 - 1 dead + 1 insert
+
+
+def test_mor_update_singlepass_delta_and_preimage(spark, root):
+    """MoR UPDATE on an unpartitioned/stat-less table writes the delta
+    file (post-images, doubling as cdf_post) and the pre-image sidecar
+    in ONE tagged job — images and final content identical to the
+    2-write form; vectors still mark the old positions dead."""
+    o = _orders(spark).limit(300)
+    TL.log_append(spark, root, o)
+    TL.log_update_where_mor(
+        spark, root, "o_orderkey % 4 = 0", {"o_totalprice": "o_totalprice * 2"}
+    )
+    m = TL._read_manifest(root, 1)
+    n_upd = o.filter("o_orderkey % 4 = 0").count()
+    assert m["dv_set"] and m["live_add"] and m["cdf_pre"]
+    assert m["cdf_post"] == m["live_add"]  # delta files ARE post-images
+    pre = spark.read.parquet(*[os.path.join(root, f) for f in m["cdf_pre"]])
+    delta = spark.read.parquet(
+        *[os.path.join(root, f) for f in m["live_add"]]
+    )
+    assert pre.count() == delta.count() == n_upd
+    assert pre.exceptAll(o.filter("o_orderkey % 4 = 0")).count() == 0
+    expected = o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.when(
+            F.col("o_orderkey") % 4 == 0, F.col("o_totalprice") * 2
+        ).otherwise(F.col("o_totalprice")).alias("o_totalprice"),
+    )
+    snap = TL.log_read(spark, root)
+    assert snap.exceptAll(expected).count() == 0
+    assert expected.exceptAll(snap).count() == 0
+    for dirpath, dirs, _files in os.walk(os.path.join(root, "data")):
+        assert not any(TL._COW_TAG in d for d in dirs), (dirpath, dirs)
+
+
+def test_cow_tag_named_column_falls_back(spark, root):
+    """A physical column literally named `_tl_cdf_tag` must push every
+    CoW writer onto the multi-write path and still commit correctly
+    (ADVICE r13: the tagged struct would carry duplicate field names)."""
+    o = _orders(spark).limit(50).withColumn(TL._COW_TAG, F.lit("x"))
+    TL.log_append(spark, root, o)
+    TL.log_update_where(
+        spark, root, "o_orderkey % 2 = 0", {"o_totalprice": "o_totalprice + 1"}
+    )
+    TL.log_merge(
+        spark,
+        root,
+        o.limit(5).withColumn("o_totalprice", F.lit(0.0)),
+        "o_orderkey",
+    )
+    TL.log_delete_where(spark, root, "o_orderkey % 3 = 0")
+    snap = TL.log_read(spark, root)
+    assert TL._COW_TAG in snap.columns  # the USER column survives
+    assert snap.count() > 0
