@@ -168,6 +168,110 @@ OPTIONAL = [
 #: floor change is a machinery change, not a data-path regression.
 FIXED_FLOOR = {"stream_stream_join", "cdc_incremental_agg_view"}
 
+#: Heavy lane (r14, VERDICT r13 #8): at sf0.1 every entry sits on the
+#: per-job scheduling floor, the 8-core total ties the 32-core total,
+#: and parallel-scale claims are unfalsifiable. This lane derives a
+#: REPLICATE×-scaled dataset from $SPARK_GRAFT_SF_DIR at bench time —
+#: fresh temp dir per run, deterministic transforms, removed in
+#: `finally` (computed from the parquet inputs every invocation; no
+#: cross-run artifacts) — and times the five heaviest sf-scaling
+#: entries against it (min-of-2), so the driver's lower-core rerun
+#: yields a real core-scaling ratio on inputs big enough to bite.
+#: Additions-only: the main `queries` map, methodology and JSON
+#: contract are untouched; the lane lands as an extra "heavy_lane"
+#: field. Disable with SPARK_GRAFT_HEAVY_LANE=0.
+HEAVY_LANE_ENTRIES = [
+    "q1_pricing_summary",        # lineitem ×R, plain (pure aggregate)
+    "tablelog_time_travel",      # orders ×R, key-shifted
+    "tablelog_mor_update",       # orders ×R, key-shifted
+    "search_bm25_topk",          # documents ×R, vocab-disjoint replicas
+    "dedup_span_coverage",       # documents ×R, vocab-disjoint replicas
+]
+
+
+def _heavy_lane(spark, queries) -> dict | None:
+    """Generate the replicated dataset and time HEAVY_LANE_ENTRIES on it."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    if os.environ.get("SPARK_GRAFT_HEAVY_LANE", "1") in ("0", "false", ""):
+        return None
+    replicate = int(os.environ.get("SPARK_GRAFT_HEAVY_REPLICATE", "10"))
+    needed = {"lineitem", "orders", "documents"}
+    if not all(
+        os.path.exists(os.path.join(SF_DIR, f"{t}.parquet")) for t in needed
+    ):
+        return None
+    out = tempfile.mkdtemp(prefix="bench_heavy_sf_")
+    try:
+        t_gen = time.perf_counter()
+        r = F.broadcast(
+            spark.range(replicate).select(F.col("id").alias("__r"))
+        )
+        li = spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet"))
+        # q1 is key-free aggregation: plain row replication scales the
+        # work linearly with no semantic side effects
+        li.crossJoin(r).drop("__r").repartition(16).write.mode(
+            "error"
+        ).parquet(os.path.join(out, "lineitem.parquet"))
+        o = spark.read.parquet(os.path.join(SF_DIR, "orders.parquet"))
+        omax = o.agg(F.max("o_orderkey")).first()[0] or 0
+        # disjoint key ranges per replica: the scaled table stays
+        # key-unique, so writer/merge preconditions hold at ×R
+        o.crossJoin(r).withColumn(
+            "o_orderkey",
+            F.col("o_orderkey") + F.col("__r") * F.lit(int(omax) + 1),
+        ).drop("__r").repartition(16).write.mode("error").parquet(
+            os.path.join(out, "orders.parquet")
+        )
+        d = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+        dmax = d.agg(F.max("doc_id")).first()[0] or 0
+        # vocab-disjoint replicas (token suffixed by replica id): the
+        # dedup/retrieval workload keeps the ORIGINAL duplicate/idf
+        # structure per replica instead of every gram becoming a
+        # cross-replica duplicate — ×R of the real workload, not a
+        # selectivity cliff
+        d.crossJoin(r).select(
+            (F.col("doc_id") + F.col("__r") * F.lit(int(dmax) + 1)).alias(
+                "doc_id"
+            ),
+            F.array_join(
+                F.transform(
+                    F.split(F.col("text"), " "),
+                    lambda x: F.concat(
+                        x, F.lit("#"), F.col("__r").cast("string")
+                    ),
+                ),
+                " ",
+            ).alias("text"),
+            *[c for c in d.columns if c not in ("doc_id", "text")],
+        ).repartition(16).write.mode("error").parquet(
+            os.path.join(out, "documents.parquet")
+        )
+        gen_sec = round(time.perf_counter() - t_gen, 4)
+        lane: dict[str, float] = {}
+        for name in HEAVY_LANE_ENTRIES:
+            fn = queries.get(ALIASES.get(name, name))
+            if fn is None:
+                continue
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                fn(spark, out).collect()
+                best = min(best, time.perf_counter() - t0)
+            lane[name] = round(best, 4)
+        return {
+            "replicate": replicate,
+            "gen_sec": gen_sec,
+            "value": round(sum(lane.values()), 4),
+            "queries": lane,
+        }
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
 #: Benched-name -> registry-name indirection. The graded registry entry
 #: `dedup_minhash_lsh` became the recall-contract audit (exact twin +
 #: booleans) in round 4; the bench's frozen workload is the DETECTOR
@@ -306,6 +410,10 @@ def main() -> None:
     ingest_events_per_sec = _bench_ingest(spark)
     ingest_events_per_sec_parallel = _bench_ingest(spark, parallel=4)
 
+    # Heavy lane (r14): REPLICATE×-scaled derived dataset, five heaviest
+    # sf-scaling entries, min-of-2 — the core-scaling signal sf0.1 lacks
+    heavy_lane = _heavy_lane(spark, queries)
+
     total = round(sum(timings.values()), 4)
     fixed_floor = round(
         sum(t for n, t in timings.items() if n in FIXED_FLOOR), 4
@@ -333,6 +441,8 @@ def main() -> None:
     }
     if scale_check is not None:
         payload["scale_check"] = scale_check
+    if heavy_lane is not None:
+        payload["heavy_lane"] = heavy_lane
     line = json.dumps(payload)
     # the driver truncates BENCH_r{N} tails to the last ~2000 chars (ate
     # the r5/r6 headline totals) — persist the full record alongside the
@@ -364,6 +474,14 @@ def main() -> None:
         "calibration": calibration,
         "sf": payload["sf"],
     }
+    if heavy_lane is not None:
+        compact["heavy_lane"] = {
+            "replicate": heavy_lane["replicate"],
+            "value": heavy_lane["value"],
+            "queries": {
+                k: round(v, 2) for k, v in heavy_lane["queries"].items()
+            },
+        }
     print(json.dumps(compact))
 
 

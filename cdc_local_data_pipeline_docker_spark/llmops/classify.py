@@ -345,7 +345,6 @@ def stream_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import shutil
     import tempfile
-    import uuid
 
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "lang", "text"
@@ -363,20 +362,22 @@ def stream_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored = predict_with_model(stream, model, "doc_id").withColumnRenamed(
             "pred_label", "pred_lang"
         )
-        qname = f"clf_stream_{uuid.uuid4().hex[:8]}"
+        # parquet file sink, not the memory sink (r14, guide §5): the
+        # memory sink collected every scored row to the driver and the
+        # final sort re-shipped them as a LocalTableScan
+        sink = os.path.join(work, "_sink")
         q = (
-            scored.writeStream.format("memory")
-            .queryName(qname)
+            scored.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", os.path.join(work, "_ckpt"))
             .trigger(availableNow=True)
             .start()
         )
         q.awaitTermination()
         from ..sources.tablelog import _materialized_scan
 
-        out = spark.table(qname).orderBy("doc_id")
-        res = _materialized_scan(spark, out)
-        spark.catalog.dropTempView(qname)
-        return res
+        out = spark.read.schema(scored.schema).parquet(sink).orderBy("doc_id")
+        return _materialized_scan(spark, out)
     finally:
         shutil.rmtree(work, ignore_errors=True)
 

@@ -2042,12 +2042,14 @@ def stream_tablelog_cdf(spark, sf_dir: str):
         # the feed executor-side; the fold is a distributed scan. Same
         # streaming read, same fold, same rows.
         sink = os.path.join(root, "_sink")
-        q = (
+        feed = (
             spark.readStream.format("tablelog")
             .option("path", root)
             .option("readChangeFeed", "true")
             .load()
-            .writeStream.format("parquet")
+        )
+        q = (
+            feed.writeStream.format("parquet")
             .option("path", sink)
             .option(
                 "checkpointLocation", os.path.join(root, "_sink_ckpt")
@@ -2056,8 +2058,10 @@ def stream_tablelog_cdf(spark, sf_dir: str):
             .start()
         )
         q.awaitTermination()
+        # explicit schema: skips the batch read's schema-inference
+        # footer job (and keeps a zero-row feed readable — ADVICE r13)
         out = (
-            spark.read.parquet(sink)
+            spark.read.schema(feed.schema).parquet(sink)
             .groupBy(*cols)
             .agg(
                 F.sum(

@@ -347,21 +347,27 @@ def stream_cdf_gold_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         start_tablelog_upsert_stream(spark, ev_dir, "orders", root, work)
         # gold: stream the silver table's change feed and fold
         TLS.register(spark)
-        qname = f"cdf_gold_{uuid.uuid4().hex[:8]}"
-        q = (
+        # parquet file sink, not the memory sink (r14, guide §5): the
+        # memory sink collected the whole drained feed to the driver
+        # and the fold re-shipped it as a LocalTableScan
+        sink = os.path.join(work, "_cdf_sink")
+        feed = (
             spark.readStream.format("tablelog")
             .option("path", root)
             .option("readChangeFeed", "true")
             .load()
-            .writeStream.format("memory")
-            .queryName(qname)
+        )
+        q = (
+            feed.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", os.path.join(work, "_cdf_ckpt"))
             .trigger(availableNow=True)
             .start()
         )
         q.awaitTermination()
         cols = _state_cols("orders")
         latest = (
-            spark.table(qname)
+            spark.read.schema(feed.schema).parquet(sink)
             .groupBy(*cols)
             .agg(
                 F.sum(
@@ -386,8 +392,6 @@ def stream_cdf_gold_view(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .orderBy("status")
         )
-        res = TL._materialized_scan(spark, gold)
-        spark.catalog.dropTempView(qname)
-        return res
+        return TL._materialized_scan(spark, gold)
     finally:
         shutil.rmtree(work, ignore_errors=True)
