@@ -74,6 +74,7 @@ def _vacuum_trimmed(spark, root):
     return TL._versions(root)
 
 
+@pytest.mark.slow
 def test_cdf_batch_on_vacuum_trimmed_table(spark, root):
     """Default table_changes on a trimmed table must clamp to the
     earliest serviceable version instead of raising FileNotFoundError;
@@ -202,6 +203,7 @@ def _sidecar_files(root):
     return out
 
 
+@pytest.mark.slow
 def test_vacuum_bounds_cdf_sidecars_and_folds_ledger(spark, root):
     """VERDICT r9 #7: commit-time change files and stream_txn ledger
     entries accrete per commit — a retention-trimming VACUUM must drop

@@ -30,6 +30,7 @@ def test_pair_mining_support_and_lift_invariants(spark):
         )
 
 
+@pytest.mark.slow
 def test_triangle_counts_match_brute_force_and_handshake(spark):
     """Degree-ordered orientation must equal the O(n^3) brute count, and
     the per-node total must be 3x the global triangle count (every

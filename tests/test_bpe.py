@@ -45,6 +45,7 @@ def _reference_bpe(word_freqs: dict[str, int], n_merges: int):
     return merges, vocab
 
 
+@pytest.mark.slow
 def test_bpe_matches_reference_on_testdata(spark):
     docs = spark.read.parquet(f"{SF}/documents.parquet").collect()
     freqs = Counter(
@@ -74,6 +75,7 @@ def test_bpe_matches_reference_on_testdata(spark):
     ),
     st.integers(1, 5),
 )
+@pytest.mark.slow
 def test_bpe_matches_reference_on_random_corpora(spark, freqs, n_merges):
     """ANY word-frequency table, ANY merge budget: the distributed loop
     equals the textbook implementation merge-for-merge, including early

@@ -8,6 +8,10 @@ import json
 
 import pytest
 
+#: randomized model/property sweeps: the nightly lane (pytest.ini; each
+#: swept invariant keeps a deterministic sibling test in the default lane)
+pytestmark = pytest.mark.slow
+
 import pandas as pd
 from hypothesis import HealthCheck, example, given, settings
 from hypothesis import strategies as st

@@ -38,7 +38,10 @@ def _view(spark, out):
     )
 
 
-@pytest.mark.parametrize("n_chunks", [1, 2, 4])
+@pytest.mark.parametrize(
+    "n_chunks",
+    [1, 2, pytest.param(4, marks=pytest.mark.slow)],  # 4-chunk sweep: nightly
+)
 def test_join_view_matches_recompute_any_chunking(spark, tmp_path, n_chunks):
     d = ensure_fixtures()
     out = str(tmp_path / f"jv{n_chunks}")

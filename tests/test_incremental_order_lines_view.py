@@ -35,7 +35,10 @@ def _view(spark, out):
     )
 
 
-@pytest.mark.parametrize("n_chunks", [1, 2, 4])
+@pytest.mark.parametrize(
+    "n_chunks",
+    [1, 2, pytest.param(4, marks=pytest.mark.slow)],  # 4-chunk sweep: nightly
+)
 def test_order_lines_view_matches_recompute_any_chunking(
     spark, tmp_path, n_chunks
 ):

@@ -40,6 +40,7 @@ def final_state(spark):
     )
 
 
+@pytest.mark.slow
 def test_three_batch_churn_converges_to_rebuild(spark, final_state):
     d = tempfile.mkdtemp(prefix="pivm_")
     try:
@@ -80,6 +81,7 @@ def test_chunking_invariance_one_shot_equals_three(spark, final_state):
         shutil.rmtree(d, ignore_errors=True)
 
 
+@pytest.mark.slow
 def test_incremental_topk_equals_batch_entry(spark):
     inc = [
         tuple(r)

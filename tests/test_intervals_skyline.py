@@ -152,6 +152,7 @@ def test_linear_attribution_matches_per_user_range_replay(spark):
     assert n_checked == len(got) > 0
 
 
+@pytest.mark.slow
 def test_overlap_pairs_brute_and_emit_once(spark):
     """The binned emit-once join equals a brute interval scan, every
     pair appears exactly once, and the bucket trick is non-vacuous

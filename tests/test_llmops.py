@@ -357,6 +357,7 @@ def test_connected_components_string_ids_both_paths(spark):
     assert dist == want
 
 
+@pytest.mark.slow
 def test_star_contraction_matches_hashmin_and_handles_long_chains(spark):
     """Large-star/small-star must produce identical clusters to hash-min
     propagation on a mixed graph, converge on a 300-node chain in O(log n)
@@ -807,6 +808,7 @@ def test_semantic_dedup_subset_of_bruteforce(spark, sf_dir):
     assert sem and sem <= exact
 
 
+@pytest.mark.slow
 def test_chunk_windows_all_boundary_lengths(spark, tmp_path):
     """Chunk invariants at EVERY boundary length: T=1, T=c-1, T=c,
     T=c+1, grid-aligned (T-c)%s==0, off-grid, and multi-window docs.
@@ -838,6 +840,7 @@ def test_chunk_windows_all_boundary_lengths(spark, tmp_path):
         assert covered == set(range(1, T + 1)), f"T={T}: gap {set(range(1,T+1))-covered}"
 
 
+@pytest.mark.slow
 def test_pagerank_path_graph_properties(spark):
     """Hand-built 5-node path a-b-c-d-e: the middle node must rank
     highest, ends lowest; mass conserved; degrees exact."""

@@ -827,6 +827,7 @@ BNLJ_WHITELIST = {
 }
 
 
+@pytest.mark.slow
 def test_registry_wide_plan_hygiene(spark):
     """Every registry entry's physical plan: no CartesianProduct ever, no
     row-at-a-time Python UDF (BatchEvalPython) ever — Arrow paths only —

@@ -1,6 +1,7 @@
 """End-to-end corpus prep CLI (prep_corpus.py): stage monotonicity,
 split-partitioned output, and audit-count consistency."""
 
+import pytest
 import json
 import os
 
@@ -11,6 +12,7 @@ from cdc_local_data_pipeline_docker_spark.prep_corpus import prepare_corpus
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR_TEST", "/root/testdata/sf0.001")
 
 
+@pytest.mark.slow
 def test_prepare_corpus_end_to_end(spark, tmp_path):
     out = str(tmp_path / "prep")
     stats = prepare_corpus(spark, SF_DIR, out)

@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 import json
 
 from pyspark.sql import functions as F
@@ -12,6 +14,7 @@ from cdc_local_data_pipeline_docker_spark.cdc import parse as P
 from cdc_local_data_pipeline_docker_spark.operators.relational import agg_approx
 
 
+@pytest.mark.slow
 def test_approx_sketches_error_bounds(spark, sf_dir):
     """The contract-oracle booleans must all hold (each engine's sketch
     within 5% of its own exact value) and exact_orders must equal the

@@ -3,6 +3,8 @@ batch-boundary invariance and the streaming drive."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from cdc_local_data_pipeline_docker_spark.cdc import fixtures as FX
@@ -19,6 +21,7 @@ def _summary_row(spark, out):
     return read_sketch_summary(spark, out, "orders").collect()[0]
 
 
+@pytest.mark.slow
 def test_sketch_state_two_batch_replay_equals_oneshot(spark, tmp_path):
     """Replaying the event log in two chunks yields the SAME exact count
     and the SAME HLL distinct estimate as one shot (HLL union is a
@@ -78,6 +81,7 @@ def test_sketch_state_two_batch_replay_equals_oneshot(spark, tmp_path):
         )
 
 
+@pytest.mark.slow
 def test_sketch_state_replayed_batch_is_noop(spark, tmp_path):
     """A replayed micro-batch (crash between the state swap and the
     streaming commit-log write) must NOT double-count: the state stores
@@ -105,6 +109,7 @@ def test_sketch_state_replayed_batch_is_noop(spark, tmp_path):
     assert probe_key_frequency(spark, out, "orders", keys) == cms_before
 
 
+@pytest.mark.slow
 def test_sketch_state_empty_batch_merge_is_safe(spark, tmp_path):
     """An empty micro-batch (tombstone-only / no rows) aggregates to NULL
     sketches; the merge path must pass the non-null side through instead

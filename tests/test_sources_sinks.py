@@ -5,6 +5,8 @@ from __future__ import annotations
 
 import json
 
+import pytest
+
 from cdc_local_data_pipeline_docker_spark.catalog import load_table
 from cdc_local_data_pipeline_docker_spark.plans import audit as A
 from cdc_local_data_pipeline_docker_spark.sources import kafka as K
@@ -78,6 +80,7 @@ def test_bucketed_join_eliminates_shuffle(spark, sf_dir, tmp_path):
         spark.sql("DROP TABLE IF EXISTS t_lineitem_b")
 
 
+@pytest.mark.slow
 def test_partitioned_sink_roundtrip_and_pruning(spark, sf_dir, tmp_path):
     path = str(tmp_path / "orders_part")
     orders = load_table(spark, sf_dir, "orders")

@@ -3,6 +3,8 @@ run_pipeline CLI end-to-end."""
 
 from __future__ import annotations
 
+import pytest
+
 import json
 import subprocess
 import sys
@@ -67,6 +69,7 @@ def test_stateful_totals_accumulate_across_batches(spark, tmp_path):
     assert u2 == [(1, 200), (2, 700)]
 
 
+@pytest.mark.slow
 def test_run_pipeline_cli_end_to_end(tmp_path):
     """The orchestrator CLI: one command syncs all four tables, reruns are
     no-ops, and the JSON report carries live-row counts."""
@@ -94,6 +97,7 @@ def test_run_pipeline_cli_end_to_end(tmp_path):
         assert t["live_rows"] == by_table[t["table"]]["live_rows"]
 
 
+@pytest.mark.slow
 def test_run_pipeline_cli_sketch_state(tmp_path):
     """--sketch-state maintains the per-table ingest sketches and reports
     exact count + HLL distinct + digest quantiles alongside the sync."""
@@ -120,6 +124,7 @@ def test_run_pipeline_cli_sketch_state(tmp_path):
     assert sk["p50"] <= sk["p90"] <= sk["p99"]
 
 
+@pytest.mark.slow
 def test_run_pipeline_cli_multi_topic(tmp_path):
     """--multi-topic drains all tables through ONE streaming query with a
     single checkpoint; live-row counts match the per-table batch mode and
@@ -158,6 +163,7 @@ def test_run_pipeline_cli_multi_topic(tmp_path):
     assert live(rm2.stdout) == live(rm.stdout)
 
 
+@pytest.mark.slow
 def test_run_pipeline_cli_parallel_tables(tmp_path):
     """--parallel N ingests tables on concurrent driver threads (the
     multi-topic analogue of Kafka consumer-group parallelism). Per-table
@@ -248,6 +254,7 @@ def test_run_pipeline_agg_view_flag(spark, tmp_path, capsys):
     assert got == want
 
 
+@pytest.mark.slow
 def test_run_pipeline_gold_views_flag(spark, tmp_path, capsys):
     """--gold-views maintains BOTH multi-topic gold join views via the
     multiplexed IVM streams and reports them; values equal the two-replay
@@ -312,6 +319,7 @@ def test_run_pipeline_compact_flag(spark, tmp_path, capsys):
     assert c["n_delete_markers"] > 0
 
 
+@pytest.mark.slow
 def test_run_pipeline_cli_tablelog_flag(tmp_path):
     """--tablelog maintains an ACID table per topic; its live rows equal
     the CLI's own latest-state counts, and a rerun (watermark no-op

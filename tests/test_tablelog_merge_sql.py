@@ -439,6 +439,7 @@ def test_multiple_insert_clauses_first_match_wins(spark, table):
     assert len(got) == 11
 
 
+@pytest.mark.slow
 def test_lineage_survives_delete_capable_merge(spark, root):
     """The content-replace branch honors the row-lineage contract
     (r12): surviving/updated rows keep their ids through the full

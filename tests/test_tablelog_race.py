@@ -161,6 +161,7 @@ spark.stop()
 """
 
 
+@pytest.mark.slow
 def test_two_real_spark_writers_race_appends():
     """The full-stack version of the commit race: two independent Spark
     processes (separate JVMs, separate drivers) concurrently appending

@@ -209,6 +209,7 @@ def test_cdc_merge_probe_pruned_by_pk_stats(spark, tmp_path):
     assert m["remove"] and not (set(m["remove"]) & high_files)
 
 
+@pytest.mark.slow
 def test_stream_auto_maintenance_bounds_small_files(spark, tmp_path):
     """r10: auto_maintain_every=K runs the metadata-driven maintenance
     policy inside foreachBatch — a chunked changelog drain ends with

@@ -461,6 +461,7 @@ def test_corrupt_checkpoint_after_vacuum_raises_clear_error(spark, root):
         TL._snapshot(root)
 
 
+@pytest.mark.slow
 def test_deep_log_replay_is_checkpoint_bounded(spark, root, monkeypatch):
     """VERDICT r7 #7: the delta-manifest claim at depth — 120 commits
     (12 cadence checkpoints), snapshot resolution reads at most
@@ -644,6 +645,7 @@ def test_partition_pruning_registry_entry(spark):
     assert out.count() == exp
 
 
+@pytest.mark.slow
 def test_compact_small_preserves_partition_pruning(spark, root):
     """Incremental OPTIMIZE on a hidden-partitioned table bin-packs
     WITHIN each partition tuple and the packed outputs inherit their
@@ -711,6 +713,7 @@ def test_bucket_transform_int_typed_column_probe_identity(spark, root):
     assert probe.select(F.input_file_name()).distinct().count() == 1
 
 
+@pytest.mark.slow
 def test_partition_scoped_zorder_compaction(spark, root):
     """Delta's partition-scoped OPTIMIZE ZORDER: incremental compaction
     with zorder_cols Morton-clusters each partition group into
